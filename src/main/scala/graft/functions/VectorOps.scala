@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operations as pure `Column` expressions (SURVEY.md §2.D
+  * D3/D4/D9). No UDFs: `zip_with` + `aggregate` are Catalyst lambda
+  * built-ins, so similarity scoring stays inside whole-stage codegen and
+  * Catalyst can push/prune around it.
+  *
+  * Determinism: `aggregate` folds the array sequentially, so the double
+  * accumulation order is fixed — the same values on any cluster layout
+  * produce bit-identical scores (required by the DuckDB oracle compare).
+  */
+object VectorOps {
+
+  /** Elementwise dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; computed as dot/(|a|·|b|) with the exact expression
+    * shape mirrored in the DuckDB oracle SQL. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cast float vectors (fixture `embeddings.embedding`) to double — exact
+    * widening on both Spark and DuckDB sides. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join (SURVEY.md §2.C C9): for each left row, the
+  * single right row with the greatest `rightTime <= leftTime` among rows
+  * sharing the equi-key.
+  *
+  * Spark has no built-in as-of join; per SURVEY §2 the preference order is
+  * compose-existing-ops first. This composes an equi-join (so the range
+  * condition never forces a broadcast-nested-loop over the full cross
+  * space) with a per-left-row windowed rank. Catalyst plans the equi part
+  * as a regular shuffle/broadcast hash join keyed on the join key, so at
+  * 100 TB both sides co-partition on the key and the window sort runs
+  * inside each partition — no global sort, no driver state.
+  *
+  * Skew note: low-cardinality keys (the fixture has 150 users) concentrate
+  * partitions; at scale, salt the key or pre-bucket both sides on it.
+  */
+object AsOfJoin {
+
+  /** As-of join keeping exactly one right match per left row.
+    *
+    * @param leftId   column uniquely identifying left rows (rank scope)
+    * @param tieBreak extra ordering for right rows tied on `rightTime` —
+    *                 required for deterministic output when right times
+    *                 collide (e.g. day-granularity order dates)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: Column,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      tieBreak: Seq[Column] = Seq.empty
+  ): DataFrame = {
+    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
+    val w      = Window.partitionBy(leftId).orderBy((rightTime.desc +: tieBreak): _*)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+}

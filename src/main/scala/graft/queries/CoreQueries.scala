@@ -1,0 +1,777 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.AsOfJoin
+import graft.tables.Tables
+
+/** Relational core (SURVEY.md §2.C C1–C32): the verification surface the
+  * DuckDB oracle hash-compares. Everything is declarative DataFrame API so
+  * Catalyst's pushdown / pruning / join-selection / partial-agg / top-k
+  * physical planning applies for free (SURVEY.md §4.2).
+  *
+  * Oracle-parity conventions (SURVEY.md §7.4.1):
+  *  - Double aggregation goes through DECIMAL(18,4): exact, order-independent
+  *    sums on both engines, cast back to double for a stable schema.
+  *  - Averages are expressed as decimal-sum/count, never engine `avg`.
+  *  - Every query carries a total ORDER BY over non-null keys.
+  *  - Derived integers are cast to BIGINT on both sides (Spark year() is
+  *    int32, DuckDB's is int64 — schema compare would trip).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 4)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+  private def davg(c: Column): Column = dsum(c) / count(c)
+
+  val defs: Map[String, Q] = Map(
+    // C1: predicate zoo — between, isin, comparison, like, null-safe eq.
+    "c01_filter_predicates" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .filter(
+          col("l_quantity").between(10, 20) &&
+            col("l_returnflag").isin("A", "N") &&
+            col("l_shipdate") < lit("2000-01-01").cast("timestamp") &&
+            col("l_linestatus").like("F%") &&
+            (col("l_returnflag") <=> "A" || col("l_returnflag") <=> "N")
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C2: expression evaluation in projections.
+    "c02_project_expr" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("charge")
+        )
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C3: inner equi-join + aggregation (shuffle-hash/SMJ chosen by Catalyst,
+    // AQE re-plans at runtime).
+    "c03_join_inner" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")),
+
+    // C4: left outer join, preserving order-less customers.
+    "c04_join_left" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(Tables.orders(s, sf), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend")
+        )
+        .orderBy("c_custkey")),
+
+    // C4: full outer join on disjoint-ish aggregates of the same key space.
+    "c04_join_full" -> ((s, sf) => {
+      val big = Tables
+        .orders(s, sf)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("big_cnt"))
+      val urgent = Tables
+        .orders(s, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("urgent_cnt"))
+      big
+        .withColumnRenamed("o_custkey", "k1")
+        .join(urgent.withColumnRenamed("o_custkey", "k2"), col("k1") === col("k2"), "full")
+        .select(
+          coalesce(col("k1"), col("k2")).as("custkey"),
+          coalesce(col("big_cnt"), lit(0L)).as("big_cnt"),
+          coalesce(col("urgent_cnt"), lit(0L)).as("urgent_cnt")
+        )
+        .orderBy("custkey")
+    }),
+
+    // C5: left-semi — customers having a qualifying order.
+    "c05_join_semi" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(
+          Tables.orders(s, sf).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi"
+        )
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // C5: left-anti — customers with no large order.
+    "c05_join_anti" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(
+          Tables.orders(s, sf).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // C6: star join with explicit broadcast of the bounded dims — verified
+    // to plan BroadcastHashJoin in PlanSpec.
+    "c06_join_broadcast" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(broadcast(Tables.nation(s, sf)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, sf)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cust_cnt"), dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy("r_name", "n_name")),
+
+    // C7: theta (non-equi) join — broadcast nested loop on the small side.
+    "c07_join_theta" -> ((s, sf) =>
+      Tables
+        .supplier(s, sf)
+        .join(Tables.customer(s, sf), col("c_acctbal") > col("s_acctbal"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("richer_customers"))
+        .orderBy("s_suppkey")),
+
+    // C8: cross join (bounded 5×25 dims).
+    "c08_join_cross" -> ((s, sf) =>
+      Tables
+        .region(s, sf)
+        .crossJoin(Tables.nation(s, sf))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // C9: as-of join — latest order at-or-before each event for the event's
+    // user, via the generic AsOfJoin operator (join + windowed rank; ties
+    // broken by o_orderkey desc for determinism).
+    "c09_asof_join" -> ((s, sf) => {
+      val ev = Tables.events(s, sf).filter(col("event_id") % 20 === 0)
+      AsOfJoin
+        .asOf(
+          ev,
+          Tables.orders(s, sf),
+          leftId = col("event_id"),
+          leftKey = col("user_id"),
+          rightKey = col("o_custkey"),
+          leftTime = col("ts"),
+          rightTime = col("o_orderdate"),
+          tieBreak = Seq(col("o_orderkey").desc)
+        )
+        .select(col("event_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // C10: hash aggregation, partial+final — TPC-H Q1 shape.
+    "c10_agg_hash" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // C10: stddev/variance via exact decimal moments — deterministic on both
+    // engines (engine-native stddev is FP-order-dependent; see StatSpec for
+    // the tolerance check against Spark's stddev_samp).
+    "c10_agg_stats" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("s1"),
+          dsum(col("l_quantity") * col("l_quantity")).as("s2")
+        )
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev_samp")
+        )
+        .orderBy("l_returnflag")),
+
+    // C11: distinct aggregation.
+    "c11_agg_distinct" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("supp_cnt"),
+          countDistinct(col("l_partkey")).as("part_cnt"),
+          sum_distinct(col("l_quantity").cast(dec)).cast("double").as("qty_distinct_sum")
+        )
+        .orderBy("l_returnflag")),
+
+    // C12: approximate distinct (HLL) — no oracle (approx by design);
+    // driver records rows-only; ScalaTest asserts rsd bound vs exact.
+    "c12_approx_distinct" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // C13: rollup with grouping indicators.
+    "c13_rollup" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status")
+        )
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"),
+          col("g_flag"),
+          col("g_status")
+        )
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // C13: cube variant.
+    "c13_cube" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio")
+        )
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"),
+          col("g_status"),
+          col("g_prio")
+        )
+        .orderBy("g_status", "g_prio", "status", "prio")),
+
+    // C14: global (no-group) aggregate.
+    "c14_agg_global" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")
+        )),
+
+    // C15: ranking window functions, top-3 orders per customer.
+    "c15_window_rank" -> ((s, sf) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("nt")
+        )
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // C16: analytic window functions with explicit frames.
+    "c16_window_analytic" -> ((s, sf) => {
+      val w  = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(wf).as("first_price"),
+          last(col("o_totalprice")).over(wf).as("last_price")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // C17: frame-bounded window aggregates — running decimal sum + 3-row
+    // moving average (explicit sum/count to dodge engine avg divergence).
+    "c17_window_frame" -> ((s, sf) => {
+      val w    = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run  = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = w.rowsBetween(-2, Window.currentRow)
+      Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(run).cast("double").as("running_total"),
+          (sum(col("o_totalprice").cast(dec)).over(last3).cast("double") /
+            count(lit(1)).over(last3)).as("moving_avg3")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // C18: multi-key sort with explicit null placement.
+    "c18_sort_nulls" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .orderBy(col("st").asc_nulls_first, col("o_orderkey").desc)
+        .limit(50)),
+
+    // C19: top-k — plans TakeOrderedAndProject (no full sort at scale).
+    "c19_topk" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // C20: union-all (bag) via unionByName with reordered columns.
+    "c20_union" -> ((s, sf) => {
+      val c = Tables.customer(s, sf).select(col("c_custkey").as("id"), lit("cust").as("src"))
+      val p = Tables.supplier(s, sf).select(lit("supp").as("src"), col("s_suppkey").as("id"))
+      c.unionByName(p).orderBy("src", "id")
+    }),
+
+    // C21: intersect (set semantics).
+    "c21_intersect" -> ((s, sf) => {
+      val f = Tables.orders(s, sf).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val o = Tables.orders(s, sf).filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      f.intersect(o).orderBy("k")
+    }),
+
+    // C21: except-all (bag semantics).
+    "c21_except_all" -> ((s, sf) => {
+      val all = Tables.orders(s, sf).select(col("o_custkey").as("k"))
+      val f   = Tables.orders(s, sf).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      all.exceptAll(f).groupBy(col("k")).agg(count(lit(1)).as("cnt")).orderBy("k")
+    }),
+
+    // C22: distinct projection.
+    "c22_distinct" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // C23: scalar + IN subqueries through the SQL entry point (parser →
+    // same Catalyst pipeline; subqueries decorrelate to semi-joins).
+    "c23_subquery" -> ((s, sf) => {
+      Tables.orders(s, sf).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, sf).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM graft_orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM graft_orders)
+          AND o_custkey IN (SELECT c_custkey FROM graft_customer WHERE c_acctbal > 5000)
+        ORDER BY o_orderkey
+      """)
+    }),
+
+    // C24: string function coverage.
+    "c24_string_fns" -> ((s, sf) =>
+      Tables
+        .part(s, sf)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_type"), 1, 5).as("sub"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"),
+          regexp_replace(col("p_type"), " ", "_").as("rep"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+          length(col("p_name")).cast("long").as("len"),
+          col("p_type").like("%BRASS%").as("is_brass"),
+          element_at(split(col("p_name"), " "), 1).as("first_tok")
+        )
+        .orderBy("p_partkey")),
+
+    // C25: date/time function coverage (derived ints cast to long).
+    "c25_datetime_fns" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym")
+        )
+        .orderBy("o_orderkey")),
+
+    // C26: math function coverage (deterministic set; ln rounded — see
+    // SURVEY §7.4.1 on cross-engine libm).
+    "c26_math_fns" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("rnd"),
+          abs(col("l_extendedprice") * lit(-1.0)).as("absv"),
+          ceil(col("l_discount") * 100).cast("long").as("ceil_disc"),
+          floor(col("l_tax") * 100).cast("long").as("floor_tax"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          (col("l_orderkey") % 7).as("mod7"),
+          signum(col("l_discount") - lit(0.05)).as("sgn")
+        )
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C27: conditional expressions.
+    "c27_conditional" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .select(
+          col("event_id"),
+          when(col("value") > 150, "high").when(col("value") > 75, "mid").otherwise("low").as("bucket"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("etype"),
+          greatest(col("value"), lit(100.0)).as("hi"),
+          least(col("value"), lit(100.0)).as("lo")
+        )
+        .orderBy("event_id")),
+
+    // C28: array functions + lambda higher-order functions.
+    "c28_array_fns" -> ((s, sf) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          array_contains(toks, "join").as("has_join"),
+          element_at(sort_array(toks), 1).as("first_sorted"),
+          slice(toks, 1, 3).as("first3"),
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+            .as("tot_chars"),
+          size(filter(toks, t => length(t) > 4)).cast("long").as("long_toks")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // C28: explode (generator) + re-aggregation — token frequencies.
+    "c28_explode" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(30)),
+
+    // C29: map functions over parsed JSON props.
+    "c29_map_fns" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).cast("long").as("nkeys"),
+          element_at(map_keys(col("m")), 1).as("first_key")
+        )
+        .orderBy("event_id")),
+
+    // C30: JSON functions — string-path extraction and json_tuple (aliased
+    // through the SQL generator syntax, the supported alias form).
+    "c30_json_fns" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .selectExpr(
+          "event_id",
+          "get_json_object(props, '$.k') AS k_str",
+          "json_tuple(props, 'k') AS k_tup"
+        )
+        .orderBy("event_id")),
+
+    // C31: sampling — nondeterministic across engines, rows-only check.
+    "c31_sample" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C32: pivot — event-type counts per day (values pinned for a stable
+    // schema; nulls from missing combos coalesced to 0 on both sides).
+    "c32_pivot" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(
+          col("day"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("error"), lit(0L)).as("error")
+        )
+        .orderBy("day"))
+  )
+
+  val sql: Map[String, String] = Map(
+    "c01_filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','N')
+           AND l_shipdate < TIMESTAMP '2000-01-01' AND l_linestatus LIKE 'F%'
+           AND (l_returnflag IS NOT DISTINCT FROM 'A' OR l_returnflag IS NOT DISTINCT FROM 'N')
+         ORDER BY l_orderkey, l_linenumber""",
+    "c02_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS disc_price,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "c03_join_inner" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "c04_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+         CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "c04_join_full" ->
+      """WITH big AS (
+           SELECT o_custkey AS k1, count(*) AS big_cnt FROM orders
+           WHERE o_totalprice > 400000 GROUP BY o_custkey),
+         urgent AS (
+           SELECT o_custkey AS k2, count(*) AS urgent_cnt FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+         SELECT COALESCE(k1, k2) AS custkey, COALESCE(big_cnt, 0) AS big_cnt,
+           COALESCE(urgent_cnt, 0) AS urgent_cnt
+         FROM big FULL JOIN urgent ON k1 = k2 ORDER BY custkey""",
+    "c05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "c05_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "c06_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cust_cnt,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "c07_join_theta" ->
+      """SELECT s_suppkey, count(*) AS richer_customers
+         FROM supplier JOIN customer ON c_acctbal > s_acctbal
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "c08_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "c09_asof_join" ->
+      """SELECT event_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
+           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "c10_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "c10_agg_stats" ->
+      """SELECT l_returnflag, n, (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+         FROM (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "c11_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS supp_cnt,
+         count(DISTINCT l_partkey) AS part_cnt,
+         CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_distinct_sum
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "c13_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+         count(*) AS cnt, CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, flag, status""",
+    "c13_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio,
+         count(*) AS cnt, CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, status, prio""",
+    "c14_agg_global" ->
+      """SELECT count(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem""",
+    "c15_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, nt FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn, rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "c16_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_totalprice) OVER wf AS first_price,
+         last_value(o_totalprice) OVER wf AS last_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "c17_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER run AS DOUBLE) AS running_total,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER last3 AS DOUBLE)
+           / COUNT(*) OVER last3 AS moving_avg3
+         FROM orders
+         WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           last3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "c18_sort_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders
+         ORDER BY st ASC NULLS FIRST, o_orderkey DESC LIMIT 50""",
+    "c19_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "c20_union" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, 'cust' AS src FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, 'supp' AS src FROM supplier)
+         ORDER BY src, id""",
+    "c21_intersect" ->
+      """SELECT k FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+         ORDER BY k""",
+    "c21_except_all" ->
+      """SELECT k, count(*) AS cnt FROM (
+           SELECT o_custkey AS k FROM orders
+           EXCEPT ALL
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY k ORDER BY k""",
+    "c22_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "c23_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             FROM orders)
+           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         ORDER BY o_orderkey""",
+    "c24_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+         substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,
+         replace(p_type, ' ', '_') AS rep, regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+         CAST(length(p_name) AS BIGINT) AS len, p_type LIKE '%BRASS%' AS is_brass,
+         string_split(p_name, ' ')[1] AS first_tok
+         FROM part ORDER BY p_partkey""",
+    "c25_datetime_fns" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+         CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+    "c26_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS rnd,
+         abs(l_extendedprice * -1.0) AS absv,
+         CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+         CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+         sqrt(l_extendedprice) AS sqrt_price,
+         l_quantity * l_quantity AS qty_sq,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         l_orderkey % 7 AS mod7,
+         CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "c27_conditional" ->
+      """SELECT event_id,
+         CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid' ELSE 'low' END AS bucket,
+         COALESCE(NULLIF(event_type, 'error'), 'none') AS etype,
+         greatest(value, 100.0) AS hi, least(value, 100.0) AS lo
+         FROM events ORDER BY event_id""",
+    "c28_array_fns" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         list_contains(toks, 'join') AS has_join,
+         list_sort(toks)[1] AS first_sorted,
+         toks[1:3] AS first3,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tot_chars,
+         CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS long_toks
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "c28_explode" ->
+      """SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+           FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""",
+    "c29_map_fns" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+         CAST(len(json_keys(props)) AS BIGINT) AS nkeys,
+         json_keys(props)[1] AS first_key
+         FROM events ORDER BY event_id""",
+    "c30_json_fns" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+         json_extract_string(props, '$.k') AS k_tup
+         FROM events ORDER BY event_id""",
+    "c32_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

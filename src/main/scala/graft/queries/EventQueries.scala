@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Decode
+import graft.tables.Tables
+
+/** Reference-surface queries over `events` (SURVEY.md §2.A) plus the batch
+  * twins of the streaming operators (§2.B). The streaming forms themselves
+  * live in [[graft.streaming.StreamOps]] and are exercised by the
+  * MemoryStream test suite; the twins here give the DuckDB oracle a
+  * deterministic batch handle on identical semantics.
+  *
+  * Reference basis: the entire dataflow of
+  * lambda-arc-events-filter (README.md:2 "Filters ARC kinesis feed events")
+  * is stream scan → decode → JSON parse → predicate filter → projection →
+  * partitioned sink; a5/a6/a7 are that pipeline on the fixture feed.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** a6: THE reference operator — decode props, predicate filter, project.
+    * Also the driver's flagship `entry`. */
+  def arcEventFilter(spark: SparkSession, sf: String): DataFrame =
+    Tables
+      .events(spark, sf)
+      .withColumn("p", from_json(col("props"), MapType(StringType, LongType)))
+      .filter(col("event_type").isin("purchase", "signup") && col("value") > 50.0)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        element_at(col("p"), "k").as("prop_k")
+      )
+      .orderBy("event_id")
+
+  val defs: Map[String, Q] = Map(
+    // A2: batch scan + projection + pushdown-friendly pruning.
+    "a2_scan_project" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id")),
+
+    // A3: base64 encode/decode roundtrip (Kinesis payload framing).
+    "a3_base64" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .select(
+          col("event_id"),
+          base64(encode(col("props"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("props"), "UTF-8"))), "UTF-8").as("rt")
+        )
+        .orderBy("event_id")),
+
+    // A4: gzip→gunzip roundtrip via the one allowed scalar UDF, on a
+    // deterministic 1-in-10 slice (zlib stream setup dominates at tiny
+    // payloads; the slice keeps bench honest). Not SQL-expressible in
+    // DuckDB → rows-only check + ScalaTest.
+    "a4_gunzip_roundtrip" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .filter(col("event_id") % 10 === 0)
+        .select(
+          col("event_id"),
+          decode(Decode.gunzip(Decode.gzip(encode(col("props"), "UTF-8"))), "UTF-8").as("rt"),
+          col("props")
+        )
+        .filter(col("rt") === col("props"))
+        .select(col("event_id"), col("rt"))
+        .orderBy("event_id")),
+
+    // A5: semi-structured JSON parse with .get-style null tolerance.
+    "a5_json_decode" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k"),
+          from_json(col("props"), StructType(Seq(StructField("missing", StringType))))
+            .getField("missing")
+            .as("absent")
+        )
+        .orderBy("event_id")),
+
+    "a6_event_filter" -> ((s, sf) => arcEventFilter(s, sf)),
+
+    // A7: nested envelope construction + nested-path projection/flatten —
+    // the ANS-document access pattern (body.headlines.basic style).
+    "a7_nested_projection" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .withColumn(
+          "doc",
+          struct(
+            struct(col("event_type").as("type"), col("ts").as("date")).as("envelope"),
+            struct(col("value").as("amount"), col("user_id").as("uid")).as("body")
+          )
+        )
+        .select(
+          col("event_id"),
+          col("doc.envelope.type").as("etype"),
+          col("doc.body.amount").as("amount"),
+          col("doc.body.uid").as("uid")
+        )
+        .orderBy("event_id")),
+
+    // A8: malformed-record tolerance — inject corruption on a deterministic
+    // subset, count survivors vs casualties (PERMISSIVE from_json → null).
+    "a8_corrupt_tolerance" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .withColumn(
+          "raw",
+          // Prefix corruption: Spark's from_json is lenient about trailing
+          // garbage after a valid root object, so corrupt the head.
+          when(col("event_id") % 7 === 0, concat(lit("x"), col("props"))).otherwise(col("props"))
+        )
+        .withColumn(
+          "parsed",
+          // PERMISSIVE mode yields a row of nulls on malformed input and
+          // captures the raw text in the corrupt-record column — the
+          // observable skip-and-log path of the reference Lambda.
+          from_json(
+            col("raw"),
+            StructType(Seq(StructField("k", LongType), StructField("_corrupt", StringType))),
+            Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+          )
+        )
+        .agg(
+          count(when(col("parsed._corrupt").isNotNull, 1)).as("corrupt_cnt"),
+          count(when(col("parsed._corrupt").isNull, 1)).as("valid_cnt"),
+          count(lit(1)).as("total_cnt")
+        )),
+
+    // B2 batch twin: tumbling 1-hour window aggregation.
+    "b2_window_tumbling" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("val_sum")
+        )
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("val_sum"))
+        .orderBy("window_start", "event_type")),
+
+    // B3 batch twin: sliding 2h/1h windows (each event lands in 2 windows).
+    "b3_window_sliding" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("cnt"))
+        .orderBy("window_start")),
+
+    // B4 batch twin: gap-based session windows per user (30-minute gap).
+    "b4_session_window" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt")
+        )
+        .orderBy("user_id", "session_start")),
+
+    // B5 batch twin: keyed dedup with deterministic keep-first semantics
+    // (streaming form: dropDuplicatesWithinWatermark in StreamOps).
+    "b5_dedup_first" -> ((s, sf) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(s, sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .orderBy("user_id")
+    }),
+
+    // B8 batch twin: stream-static enrichment join (events ↔ customer dim).
+    "b8_stream_static_join" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .join(broadcast(Tables.customer(s, sf)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("val_sum")
+        )
+        .orderBy("c_mktsegment"))
+  )
+
+  val sql: Map[String, String] = Map(
+    "a2_scan_project" ->
+      "SELECT event_id, ts, event_type FROM events ORDER BY event_id",
+    "a3_base64" ->
+      """SELECT event_id, base64(encode(props)) AS b64,
+         decode(from_base64(base64(encode(props)))) AS rt
+         FROM events ORDER BY event_id""",
+    "a5_json_decode" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+         FROM events ORDER BY event_id""",
+    "a6_event_filter" ->
+      """SELECT event_id, ts, user_id, event_type, value,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+         FROM events
+         WHERE event_type IN ('purchase', 'signup') AND value > 50.0
+         ORDER BY event_id""",
+    "a7_nested_projection" ->
+      """SELECT event_id, event_type AS etype, value AS amount, user_id AS uid
+         FROM events ORDER BY event_id""",
+    "a8_corrupt_tolerance" ->
+      """SELECT count(*) FILTER (WHERE NOT json_valid(raw)) AS corrupt_cnt,
+         count(*) FILTER (WHERE json_valid(raw)) AS valid_cnt,
+         count(*) AS total_cnt
+         FROM (SELECT CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+               FROM events)""",
+    "b2_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "b3_window_sliding" ->
+      """SELECT window_start, count(*) AS cnt FROM (
+           SELECT date_trunc('hour', ts) AS window_start FROM events
+           UNION ALL
+           SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+         ) GROUP BY 1 ORDER BY 1""",
+    "b4_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         )
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS cnt
+         FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "b5_dedup_first" ->
+      """SELECT user_id, event_id, ts FROM (
+           SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "b8_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextOps, VectorOps}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, SimilarityJoin}
+import graft.tables.Tables
+
+/** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
+  * `embeddings`: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * embedding similarity + search (brute-force and IVF), text analysis
+  * (tokenize, quality, language-ID, fingerprint, TF-IDF, slice stats), and
+  * the multimodal binary-column surface.
+  *
+  * Queries whose mechanics hinge on xxhash64 (MinHash, SimHash, IVF probe
+  * order) have no DuckDB twin — the driver records rows-only checks and
+  * ScalaTest covers their laws (Jaccard-estimate ε, recall floors).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column)            = TextOps.tokens(c)
+  private val stopwordsSorted: Seq[String] =
+    TextOps.stopwordProfiles.values.flatten.toSeq.distinct.sorted
+  private def stopwordSqlList: String =
+    stopwordsSorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Map[String, Q] = Map(
+    // D1: exact dedup by content hash, deterministic keep-lowest-id.
+    "d1_exact_dedup" -> ((s, sf) =>
+      Dedup
+        .exact(Tables.documents(s, sf), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")),
+
+    // D2: MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+    // xxhash64-based → rows-only check; laws in DedupSpec.
+    "d2_neardup_minhash" -> ((s, sf) =>
+      Dedup
+        .nearDuplicatePairs(
+          Tables.documents(s, sf),
+          col("doc_id"),
+          col("text"),
+          Dedup.MinHashParams(jaccardThreshold = 0.3)
+        )
+        .orderBy("doc_a", "doc_b")),
+
+    // D2: SimHash near-dup pairs within Hamming radius. rows-only.
+    "d2_simhash" -> ((s, sf) =>
+      Dedup
+        .simHashPairs(Tables.documents(s, sf), col("doc_id"), col("text"), maxHamming = 16)
+        .orderBy("doc_a", "doc_b")),
+
+    // D2: exact n-gram (3-token shingle) Jaccard — the oracle-checkable
+    // near-dup scorer: top-50 most similar pairs on a doc_id%10 slice.
+    "d2_ngram_jaccard" -> ((s, sf) => {
+      val base = Tables
+        .documents(s, sf)
+        .filter(col("doc_id") % 10 === 0 && size(toks(col("text"))) >= 3)
+        .select(col("doc_id"), array_distinct(TextOps.shingles(toks(col("text")), 3)).as("sh"))
+      val l = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val r = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      l.join(r, col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 9).as("jac")
+        )
+        .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    }),
+
+    // D3: cosine similarity of adjacent embedding pairs — pure Column
+    // lambda expressions, no UDF.
+    "d3_cosine_pairs" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val a = e.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), round(VectorOps.cosine(col("v_a"), col("v_b")), 9).as("cos"))
+        .orderBy("id_a")
+    }),
+
+    // D4: brute-force exact top-k similarity search (query = vec_id 0).
+    "d4_topk_bruteforce" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      SimilarityJoin.topK(e, col("vec_id"), col("embedding"), q, 10)
+    }),
+
+    // D4 scale path: IVF-bucketed ANN top-k. Approximate → rows-only;
+    // recall vs brute force asserted in SimilaritySpec.
+    "d4_topk_ivf" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val centroids = e
+        .filter(col("vec_id") % 37 === 1)
+        .limit(16)
+        .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      SimilarityJoin.ivfTopK(e, col("vec_id"), col("embedding"), centroids, q, k = 10, nprobe = 4)
+    }),
+
+    // D5: tokenize + quality scoring + BPE-ish token-count estimate.
+    "d5_text_stats" -> ((s, sf) => {
+      val t = toks(col("text"))
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("uniq_tok"),
+          TextOps.stopwordRatio(t).as("stop_ratio"),
+          TextOps.meanTokenLength(t).as("mean_tok_len"),
+          TextOps.approxBpeTokens(col("text")).as("bpe_est")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // D5: language-ID heuristic (stopword-profile argmax). The synthetic
+    // corpus is one shared vocabulary, so this exercises mechanics, not
+    // linguistics; real-language behavior covered in TextOpsSpec.
+    "d5_langid" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"), col("lang").as("labeled_lang"), TextOps.langId(toks(col("text"))).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // D5: rolling-hash document fingerprint.
+    "d5_fingerprint" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"), TextOps.fingerprint(toks(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
+    // D6: TF-IDF — top 100 (doc, term) scores.
+    "d6_tfidf" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n     = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn(
+          "score",
+          round(
+            col("tf").cast("double") *
+              (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0),
+            6
+          )
+        )
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("tok"))
+        .limit(100)
+    }),
+
+    // D7: per-(lang, source) corpus slice statistics.
+    "d7_slice_stats" -> ((s, sf) => {
+      val t = toks(col("text"))
+      Tables
+        .documents(s, sf)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(size(t).cast("long")).as("total_toks"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")
+        )
+        .orderBy("lang", "source")
+    }),
+
+    // D8: multimodal binary column — payload bytes + typed metadata;
+    // filter on metadata, hash/length on payload.
+    "d8_multimodal_meta" -> ((s, sf) =>
+      Multimodal
+        .attachPayload(Tables.documents(s, sf))
+        .filter(col("meta.width") > 200)
+        .select(
+          col("doc_id"),
+          col("meta.mime").as("mime"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("text"), 256).as("content_sha")
+        )
+        .orderBy("doc_id")),
+
+    // D9: embedding-cosine near-dup self-join — exact within label blocks
+    // on a doc_id%10 slice (the LSH candidate path is ScalaTest-verified).
+    "d9_simjoin_threshold" -> ((s, sf) =>
+      SimilarityJoin
+        .selfJoinThreshold(
+          Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
+          col("vec_id"),
+          col("embedding"),
+          col("label"),
+          threshold = 0.15
+        )
+        .orderBy("id_a", "id_b"))
+  )
+
+  val sql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT doc_id, content_hash FROM (
+           SELECT doc_id, sha256(text) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "d2_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents WHERE doc_id % 10 = 0)
+           WHERE len(toks) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 9) AS jac
+         FROM base a JOIN base b ON a.doc_id < b.doc_id
+         ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "d3_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+         JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+           ON b.vec_id = a.vec_id + 1
+         ORDER BY id_a""",
+    "d4_topk_bruteforce" ->
+      """SELECT vec_id,
+           round(list_dot_product(v, qvec)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 9) AS cos
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "d5_text_stats" ->
+      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_tok,
+         CAST(len(list_filter(toks, t -> list_contains($stopwordSqlList, t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+         CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS bpe_est
+         FROM (SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "d5_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(toks, t -> CAST(length(t) * 31 + unicode(t) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fp
+         FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "d6_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS tok
+             FROM documents)
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, tf.tok AS tok, tf, df,
+           round(CAST(tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+         FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+         ORDER BY score DESC, doc_id, tok LIMIT 100""",
+    "d7_slice_stats" ->
+      """SELECT lang, source, count(*) AS docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_chars,
+         CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))) AS BIGINT) AS total_toks,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "d8_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         sha256(text) AS content_sha
+         FROM documents WHERE n_chars > 200 ORDER BY doc_id""",
+    "d9_simjoin_threshold" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos
+         FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0) a
+         JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0) b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.15
+         ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source abstraction for the event feed (SURVEY.md §2.A A1).
+  *
+  * The reference consumes an AWS Kinesis shard stream (README.md:2). No
+  * Kinesis connector ships in this build environment (and none should be
+  * baked in — SURVEY §7.4.5), so the feed is modeled as a trait with a
+  * batch view and a streaming view of the same schema. A Kinesis DSv2
+  * connector slots in as another implementation without touching any
+  * operator: everything downstream consumes a plain (streaming) DataFrame.
+  *
+  * Scale: the file implementation relies on Spark's file-stream source —
+  * checkpointed offsets, `maxFilesPerTrigger` backpressure; shard ordering
+  * maps to per-partition ordering exactly as Kinesis shards map to
+  * partitions.
+  */
+trait EventSource {
+  def read(spark: SparkSession): DataFrame
+  def readStream(spark: SparkSession): DataFrame
+}
+
+/** Parquet-directory implementation — the batch twin and the file-stream
+  * twin of the Kinesis feed. */
+final class FileEventSource(path: String, schema: StructType, maxFilesPerTrigger: Int = 1)
+    extends EventSource {
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  override def readStream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operator surface (SURVEY.md §2.B B1–B8), built on Structured
+  * Streaming. Each transform is written against a plain DataFrame so the
+  * identical logical plan runs in batch (oracle-checked batch twins in
+  * EventQueries) and in streaming (MemoryStream tests in StreamingSpec) —
+  * the reference's semantics are a streaming filter pipeline (README.md:2)
+  * and Structured Streaming's incremental execution of the same plan is
+  * the Spark-native equivalent of its Lambda micro-batches.
+  *
+  * State scale: windowed aggs and dedup keep per-key state in the
+  * StateStore keyed by (group key, window); watermarks (B1/B6) bound state
+  * size, which is what makes these runnable indefinitely at 100 TB/day.
+  */
+object StreamOps {
+
+  /** B1: event-time watermark. */
+  def withLateness(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** B2: tumbling-window counts+sums per event type. */
+  def tumblingCounts(df: DataFrame, tsCol: Column, width: String): DataFrame =
+    df.groupBy(window(tsCol, width), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("val_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("val_sum"))
+
+  /** B3: sliding-window counts. */
+  def slidingCounts(df: DataFrame, tsCol: Column, width: String, slide: String): DataFrame =
+    df.groupBy(window(tsCol, width, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** B4: session windows per key (gap-based). */
+  def sessionCounts(df: DataFrame, tsCol: Column, keyCol: Column, gap: String): DataFrame =
+    df.groupBy(session_window(tsCol, gap), keyCol)
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        keyCol,
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("cnt")
+      )
+
+  /** B5: streaming dedup — at-least-once Kinesis delivery → exactly-once
+    * downstream. In streaming mode with a watermark this uses
+    * dropDuplicatesWithinWatermark so state expires. */
+  def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else df.dropDuplicates(keys)
+
+  /** B8: stream-static enrichment join (dimension broadcast). */
+  def enrich(stream: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    stream.join(broadcast(dim), cond)
+
+  // --- B7: arbitrary stateful processing -------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, count: Long, valueSum: Double)
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, count: Long, valueSum: Double)
+
+  /** Custom per-key sessionizer over flatMapGroupsWithState: emits a
+    * session row when the gap timeout fires. Demonstrates arbitrary keyed
+    * state (counters, CEP-ish accumulation) beyond built-in windows. */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long
+  ): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(
+              SessionOut(user, new Timestamp(s.start), new Timestamp(s.lastSeen + gapMs), s.count, s.valueSum)
+            )
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed  = List.empty[SessionOut]
+            var current = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastSeen < gapMs =>
+                  current = Some(s.copy(lastSeen = math.max(s.lastSeen, t), count = s.count + 1, valueSum = s.valueSum + e.value))
+                case Some(s) =>
+                  closed = SessionOut(user, new Timestamp(s.start), new Timestamp(s.lastSeen + gapMs), s.count, s.valueSum) :: closed
+                  current = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+        }
+      )
+  }
+}

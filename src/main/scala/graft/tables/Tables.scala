@@ -1,0 +1,47 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders (TESTDATA.md / FIXTURES.md).
+  *
+  * Capability surface derived from the reference's batch stand-in tables:
+  * the `events` table is the batch twin of the Arc Kinesis feed the
+  * reference filters (reference: README.md:2 "Filters ARC kinesis feed
+  * events").
+  *
+  * Scale notes (100 TB discipline): every loader returns a plain
+  * `spark.read.parquet` scan so Catalyst's DSv2 pushdown / column pruning /
+  * partition pruning apply unchanged when the single-file fixtures are
+  * swapped for partitioned multi-file datasets.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "region")
+  def nation(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "nation")
+  def customer(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "customer")
+  def supplier(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "supplier")
+  def part(spark: SparkSession, sf: String): DataFrame     = table(spark, sf, "part")
+  def orders(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "orders")
+  def lineitem(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "lineitem")
+  def documents(spark: SparkSession, sf: String): DataFrame  = table(spark, sf, "documents")
+  def embeddings(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "embeddings")
+
+  /** `events.parquet` physically carries parquet `TIMESTAMP(NANOS)`, which
+    * Spark's parquet schema converter rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to Spark's µs
+    * `TimestampType` with integer division (`DIV`, exact on longs — a
+    * double-precision divide would corrupt µs digits at 1.7e18 magnitudes).
+    * Floor division matches DuckDB's ns→µs truncation, keeping the oracle
+    * comparable.
+    */
+  def events(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sf, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+}
