@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CoreQueries, EventQueries, LlmQueries}
+
+/** Physical-plan audits (SURVEY.md §4, the 100 TB discipline): assert the
+  * plans Catalyst produces are the plans we want — broadcasts broadcast,
+  * top-k avoids global sorts, scans prune columns and push predicates. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("c06: dimension joins plan as BroadcastHashJoin, not SMJ") {
+    val p = planOf("c06_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("c19: top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = planOf("c19_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("a6: filter pushes into the parquet scan; scan prunes columns") {
+    val p = planOf("a6_event_filter")
+    assert(p.contains("PushedFilters:") && p.contains("In(event_type"), p.take(3000))
+    assert(p.contains("GreaterThan(value,50.0)"), "value predicate not pushed")
+  }
+
+  test("a2: projection prunes the parquet ReadSchema to selected columns") {
+    val p = planOf("a2_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"unused column not pruned: $readSchema")
+    assert(!readSchema.contains("value"), s"unused column not pruned: $readSchema")
+  }
+
+  test("c10: aggregation plans partial+final HashAggregate pair") {
+    val p = planOf("c10_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("b8/d4: broadcast hints survive to the physical plan") {
+    assert(planOf("b8_stream_static_join").contains("BroadcastHashJoin"))
+    assert(planOf("d4_topk_bruteforce").contains("BroadcastNestedLoopJoin") ||
+      planOf("d4_topk_bruteforce").contains("Broadcast"), "query vector not broadcast")
+  }
+
+  test("every registered query compiles to a physical plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.queryExecution.executedPlan != null, s"$name failed to plan")
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens lowercases and drops empties") {
+    val out = Seq("Hello  World  FOO").toDF("t")
+      .select(TextOps.tokens(col("t")).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("hello", "world", "foo"))
+  }
+
+  test("shingles: k-grams, and whole-doc fallback for short docs") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
+      .collect()
+    assert(df(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(df(1).getSeq[String](0) === Seq("a b"))
+  }
+
+  test("minhash signature has numHashes entries and identical docs agree") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "totally different text here now").toDF("t")
+      .select(TextOps.minHashSignature(TextOps.shingles(TextOps.tokens(col("t")), 2), 16).as("sig"))
+      .collect()
+    assert(df(0).getSeq[Long](0).length === 16)
+    assert(df(0).getSeq[Long](0) === df(1).getSeq[Long](0))
+    assert(df(0).getSeq[Long](0) !== df(2).getSeq[Long](0))
+  }
+
+  test("minhash estimates Jaccard within tolerance (property over overlap levels)") {
+    // docs sharing m of 20 shingle-tokens: estimated sim ≈ m/ (40-m... ) —
+    // construct pairs with known Jaccard via disjoint vocabularies.
+    val base   = (0 until 30).map(i => s"tok$i")
+    val numH   = 128
+    val cases = Seq(30, 20, 10) // shared prefix size vs 30-total each side
+    cases.foreach { shared =>
+      val a = base.take(30).mkString(" ")
+      val b = (base.take(shared) ++ (0 until (30 - shared)).map(i => s"other$i")).mkString(" ")
+      val expected = shared.toDouble / (60 - shared).toDouble
+      val sigs = Seq(a, b).toDF("t")
+        .select(TextOps.minHashSignature(array_distinct(TextOps.tokens(col("t"))), numH).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / numH
+      assert(math.abs(est - expected) < 0.15, s"shared=$shared est=$est expected=$expected")
+    }
+  }
+
+  test("jaccard column matches set arithmetic") {
+    val out = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(TextOps.jaccard(
+        array_distinct(TextOps.tokens(col("x"))),
+        array_distinct(TextOps.tokens(col("y")))).as("j"))
+      .collect().head.getDouble(0)
+    assert(math.abs(out - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("simhash: identical docs → distance 0; near docs closer than far docs") {
+    val docs = Seq(
+      "spark engine filter join window aggregate shuffle partition",
+      "spark engine filter join window aggregate shuffle partition",
+      "spark engine filter join window aggregate shuffle broadcast",
+      "completely unrelated corpus about cooking pasta tomatoes basil"
+    ).toDF("t")
+      .select(TextOps.tokenHashes(TextOps.tokenSet(col("t"))).as("hs"))
+      .select(TextOps.simHashOfHashes("hs").as("sh"))
+      .collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(docs(0), docs(1)) === 0)
+    assert(ham(docs(0), docs(2)) < ham(docs(0), docs(3)))
+  }
+
+  test("langId picks the profile language; und when nothing matches") {
+    val out = Seq(
+      "the cat sat on the mat and it is a good day for the dog",
+      "le chat est sur la table et il est un bon jour pour les chiens",
+      "el gato es un animal y la casa es grande por los dias",
+      "zzz qqq www xyz"
+    ).toDF("t").select(TextOps.langId(TextOps.tokens(col("t"))).as("l")).collect().map(_.getString(0))
+    assert(out(0) === "en")
+    assert(out(1) === "fr")
+    assert(out(2) === "es")
+    assert(out(3) === "und")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fps = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(TextOps.fingerprint(TextOps.tokens(col("t"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("approxBpeTokens: ~chars/4 ignoring whitespace") {
+    val out = Seq("abcd efgh").toDF("t")
+      .select(TextOps.approxBpeTokens(col("t")).as("n")).collect().head.getLong(0)
+    assert(out === 2L)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before, per key, with tie-break") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // before any order
+      (3L, 20L, ts("2024-01-05 00:00:00"))
+    ).toDF("eid", "key", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-02 00:00:00")),
+      (101L, 10L, ts("2024-01-04 00:00:00")),
+      (102L, 10L, ts("2024-01-04 00:00:00")), // tie with 101
+      (103L, 20L, ts("2024-01-06 00:00:00"))  // after left ts → excluded
+    ).toDF("oid", "okey", "ot")
+
+    val out = AsOfJoin
+      .asOf(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"),
+        tieBreak = Seq(col("oid").desc))
+      .select("eid", "oid").as[(Long, Long)].collect().toMap
+
+    assert(out(1L) === 102L) // latest ot, tie broken by highest oid
+    assert(!out.contains(2L)) // inner as-of: no match before first order
+    assert(!out.contains(3L)) // only future order for key 20
+  }
+
+  test("asOf emits exactly one row per matched left row") {
+    val left  = Seq((1L, 1L, ts("2024-01-10 00:00:00"))).toDF("eid", "key", "t")
+    val right = (1 to 50).map(i => (i.toLong, 1L, ts(f"2024-01-${i % 9 + 1}%02d 00:00:00"))).toDF("oid", "okey", "ot")
+    val out = AsOfJoin.asOf(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"),
+      tieBreak = Seq(col("oid").desc))
+    assert(out.count() === 1L)
+  }
+}

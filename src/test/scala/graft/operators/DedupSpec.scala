@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "completely different document about distributed query engines and shuffles"),
+    (5L, "another unrelated text mentioning embeddings vectors and cosine distances")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content hash and is idempotent") {
+    val once  = Dedup.exact(corpus, col("text"), col("doc_id"))
+    val ids   = once.select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 3L, 4L, 5L))
+    val twice = Dedup.exact(once.drop("content_hash"), col("text"), col("doc_id"))
+    assert(twice.count() === once.count())
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup
+      .nearDuplicatePairs(corpus, col("doc_id"), col("text"),
+        Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near dup pair missing from $pairs")
+    assert(!pairs.contains((4L, 5L)), "unrelated docs flagged as near-dups")
+  }
+
+  test("bucket-size cap drops degenerate buckets") {
+    // 100 identical docs: every (band,bucket) holds 100 > cap → no pairs.
+    val spam = (1L to 100L).map(i => (i, "same spam text repeated in every document body")).toDF("doc_id", "text")
+    val p    = Dedup.MinHashParams(maxBucketSize = 50)
+    assert(Dedup.nearDuplicatePairs(spam, col("doc_id"), col("text"), p).count() === 0L)
+    // with a generous cap the pairs appear
+    val p2 = Dedup.MinHashParams(maxBucketSize = 200, jaccardThreshold = 0.9)
+    assert(Dedup.nearDuplicatePairs(spam, col("doc_id"), col("text"), p2).count() > 0L)
+  }
+
+  test("simhash pairs: exact dups at hamming 0, near dups within radius") {
+    val pairs = Dedup
+      .simHashPairs(corpus, col("doc_id"), col("text"), maxHamming = 16, blockBits = 4)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 2L)).contains(0L), s"exact dup should be hamming 0: $m")
+  }
+}

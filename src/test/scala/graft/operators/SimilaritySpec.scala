@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorOps
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: self-similarity 1, orthogonal 0, symmetry") {
+    val df = Seq(
+      (Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(1.0, 2.0, 3.0), Array(-3.0, 0.5, 4.0))
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("ab"),
+      VectorOps.cosine(col("b"), col("a")).as("ba")
+    ).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(0)) < 1e-12)
+    assert(out(2).getDouble(0) === out(2).getDouble(1)) // symmetry, bit-exact
+  }
+
+  test("brute-force topK returns the query itself first, k rows, descending") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 7).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val top = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.length === 5)
+    assert(top.head._1 === 7L && math.abs(top.head._2 - 1.0) < 1e-6)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("IVF topK achieves recall vs brute force; full probe = exact") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val centroids = emb.filter(col("vec_id") % 37 === 1).limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val exact = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfAll = SimilarityJoin.ivfTopK(emb, col("vec_id"), col("embedding"), centroids, q, 10, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfAll === exact, "probing every list must equal brute force")
+    val ivf4 = SimilarityJoin.ivfTopK(emb, col("vec_id"), col("embedding"), centroids, q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf4.intersect(exact).size >= 2, s"nprobe=4 recall collapsed: $ivf4 vs $exact")
+  }
+
+  test("selfJoinThreshold emits each qualifying pair once with a < b") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val pairs = SimilarityJoin
+      .selfJoinThreshold(emb, col("vec_id"), col("embedding"), lit(0), threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+    assert(pairs.forall(_._3 >= 0.1 - 1e-9))
+  }
+
+  test("cosine LSH buckets: identical vectors share buckets, candidates shrink") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(200)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val b = emb.withColumn("bkt", SimilarityJoin.cosineLshBucket(col("v"), dim = 64, nbits = 8))
+    val nBuckets = b.select("bkt").distinct().count()
+    assert(nBuckets > 1, "all vectors in one bucket — hashing degenerate")
+    // same vector → same bucket (determinism)
+    val twice = b.union(b).groupBy("vec_id").agg(countDistinct("bkt").as("n"))
+      .filter(col("n") > 1).count()
+    assert(twice === 0L)
+  }
+}

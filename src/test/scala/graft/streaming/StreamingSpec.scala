@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.B) over MemoryStream:
+  * windowed aggregation, watermark late-data drops, dedup, stream-static
+  * join, and the flatMapGroupsWithState sessionizer. Each stateful result
+  * is cross-checked against its batch twin on the same rows. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Ev(0, ts("2024-01-01 00:05:00"), 1, "click", 10.0),
+    Ev(1, ts("2024-01-01 00:20:00"), 1, "click", 20.0),
+    Ev(2, ts("2024-01-01 01:10:00"), 2, "view", 30.0)
+  )
+  private val batch2 = Seq(
+    Ev(3, ts("2024-01-01 02:00:00"), 2, "view", 40.0),
+    Ev(4, ts("2024-01-01 03:30:00"), 1, "click", 50.0)
+  )
+
+  test("B2: streaming tumbling window agg equals its batch twin (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumblingCounts(mem.toDF(), col("ts"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_b2").outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_b2")
+        .select("window_start", "event_type", "cnt", "val_sum")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batchTwin = StreamOps.tumblingCounts((batch1 ++ batch2).toDF(), col("ts"), "1 hour")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batchTwin)
+    } finally q.stop()
+  }
+
+  test("B1/B6: watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps
+      .tumblingCounts(StreamOps.withLateness(mem.toDF(), "ts", "30 minutes"), col("ts"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_b6").outputMode("append").start()
+    try {
+      mem.addData(Ev(0, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 0 (max event time 05:00 → wm 04:30)
+      mem.addData(Ev(1, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 4.5h late → must be dropped, not resurrect hour 0
+      mem.addData(Ev(2, ts("2024-01-01 00:15:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts("2024-01-01 07:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_b6").select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(rows.get(ts("2024-01-01 00:00:00")).contains(1L), s"late event leaked into closed window: $rows")
+    } finally q.stop()
+  }
+
+  test("B5: streaming dedup emits each key once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dd = StreamOps.dedupByKey(
+      StreamOps.withLateness(mem.toDF(), "ts", "1 hour"), Seq("event_id"))
+    val q = dd.writeStream.format("memory").queryName("t_b5").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch1: _*); q.processAllAvailable() // exact redelivery (Kinesis at-least-once)
+      assert(spark.table("t_b5").count() === batch1.length.toLong)
+    } finally q.stop()
+  }
+
+  test("B8: stream-static join enriches against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val mem = MemoryStream[Ev]
+    val joined = StreamOps.enrich(mem.toDF(), dim, col("user_id") === col("uid"))
+    val q = joined.writeStream.format("memory").queryName("t_b8").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val tiers = spark.table("t_b8").select("event_id", "tier").as[(Long, String)].collect().toMap
+      assert(tiers === Map(0L -> "gold", 1L -> "gold", 2L -> "silver"))
+    } finally q.stop()
+  }
+
+  test("B7: flatMapGroupsWithState sessionizer closes sessions on gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val sessions = StreamOps.sessionize(
+      mem.toDS().withWatermark("ts", "10 minutes").as[StreamOps.SessionEvent],
+      gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("t_b7").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamOps.SessionEvent(1, ts("2024-01-01 00:00:00"), 1.0),
+        StreamOps.SessionEvent(1, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // jump event time far ahead → watermark passes session timeout
+      mem.addData(StreamOps.SessionEvent(2, ts("2024-01-01 06:00:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionEvent(2, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("t_b7").as[StreamOps.SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length === 1, s"expected one closed session for user 1: ${out.mkString(",")}")
+      assert(u1.head.count === 2 && u1.head.valueSum === 3.0)
+      assert(u1.head.start === ts("2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
+  test("A1: file-stream source reads the fixture feed incrementally") {
+    // FileStreamSource requires a directory; stage the fixture file into one.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/orders.parquet"),
+      dir.resolve("orders.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").schema
+    val src    = new graft.sources.FileEventSource(dir.toString, schema)
+    val q = src.readStream(spark).writeStream.format("memory").queryName("t_a1")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("t_a1").count() === 1500L)
+    } finally q.stop()
+  }
+}
