@@ -43,13 +43,20 @@ object Dedup {
   /** D2 candidate generation: (band, bucketHash) keyed rows, one per
     * document per band. Bucket-size cap applied. */
   def lshBuckets(df: DataFrame, idCol: Column, textCol: Column, p: MinHashParams): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = TextOps.tokens(textCol)
-    val sig  = TextOps.minHashSignature(TextOps.shingles(toks, p.shingleSize), p.numHashes)
+    // Shingle + base-hash columnar (codegen'd), then signature slots in a
+    // typed map — Catalyst HOFs interpret their lambdas, so the 32-way
+    // family expansion runs ~5x faster as a JVM loop (see TextOps scaladoc).
     val banded = df
-      // Materialize the signature before fanning out to band keys —
-      // CollapseProject won't inline a non-cheap expression referenced
-      // `numBands` times, so the signature is computed once per row.
-      .select(idCol.as("doc_id"), sig.as("sig"))
+      .select(
+        idCol.cast("long").as("doc_id"),
+        transform(TextOps.shingles(toks, p.shingleSize), s => xxhash64(s)).as("hs")
+      )
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, TextOps.minHashSignature64(hs, p.numHashes)) }
+      .toDF("doc_id", "sig")
       .select(col("doc_id"), TextOps.bandKeys(col("sig"), p.numBands, p.rowsPerBand).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     // Cap bucket size: a window count per (band,bucket) — single shuffle,
@@ -101,9 +108,13 @@ object Dedup {
       maxHamming: Int = 8,
       blockBits: Int = 12
   ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val hashed = df
-      .select(idCol.as("id"), TextOps.tokenHashes(TextOps.tokenSet(textCol)).as("hs"))
-      .select(col("id"), TextOps.simHashOfHashes("hs").as("sh"))
+      .select(idCol.cast("long").as("id"), TextOps.tokenHashes(TextOps.tokenSet(textCol)).as("hs"))
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, TextOps.simHash64(hs)) }
+      .toDF("id", "sh")
     val blocked = hashed.withColumn("blk", shiftrightunsigned(col("sh"), 64 - blockBits))
     val l = blocked.select(col("blk").as("blk_l"), col("id").as("doc_a"), col("sh").as("sh_a"))
     val r = blocked.select(col("blk").as("blk_r"), col("id").as("doc_b"), col("sh").as("sh_b"))

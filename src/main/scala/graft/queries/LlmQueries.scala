@@ -221,7 +221,8 @@ object LlmQueries {
            WHERE len(toks) >= 3)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 9) AS jac
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 9) AS jac
          FROM base a JOIN base b ON a.doc_id < b.doc_id
          ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
     "d3_cosine_pairs" ->

@@ -75,6 +75,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ham(docs(0), docs(2)) < ham(docs(0), docs(3)))
   }
 
+  test("simHash64 (JVM hot path) is bit-identical to the SQL expression") {
+    val docs = Seq(
+      "spark engine filter join window aggregate",
+      "completely unrelated corpus about cooking pasta"
+    ).toDF("t").select(TextOps.tokenHashes(TextOps.tokenSet(col("t"))).as("hs"))
+    val viaExpr  = docs.select(TextOps.simHashOfHashes("hs").as("sh")).collect().map(_.getLong(0))
+    val viaScala = docs.collect().map(r => TextOps.simHash64(r.getSeq[Long](0).toArray))
+    assert(viaExpr.toSeq === viaScala.toSeq)
+  }
+
   test("langId picks the profile language; und when nothing matches") {
     val out = Seq(
       "the cat sat on the mat and it is a good day for the dog",
