@@ -47,11 +47,14 @@ object Decode {
     }
   }
 
-  /** Kinesis payloads arrive base64-encoded; both directions as Columns. */
+  /** Kinesis payloads arrive base64-encoded; both directions as Columns.
+    * Decoding is null-tolerant (`try_to_binary`) — invalid base64 must
+    * dead-letter, not fail the batch (A8). */
   def toBase64(bin: Column): Column   = base64(bin)
-  def fromBase64(str: Column): Column = unbase64(str)
+  def fromBase64(str: Column): Column = try_to_binary(str, lit("base64"))
 
-  /** Full Kinesis-payload decode: base64 string → gunzip → UTF-8 JSON. */
+  /** Full Kinesis-payload decode: base64 string → gunzip → UTF-8 JSON.
+    * Any stage failing (bad base64, bad gzip) yields null. */
   def decodePayload(b64: Column): Column =
-    decode(gunzip(unbase64(b64)), "UTF-8")
+    decode(gunzip(fromBase64(b64)), "UTF-8")
 }
