@@ -1,0 +1,40 @@
+package graft.catalyst
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions for the engine's native Catalyst pieces. Activate
+  * with `spark.sql.extensions=graft.catalyst.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on an already-built session (the driver
+  * harness builds its own sessions, so query code uses the latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.gunzipDescriptor)
+}
+
+object GraftExtensions {
+
+  private[catalyst] val gunzipDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gunzip"),
+    new ExpressionInfo(
+      classOf[GunzipExpression].getName,
+      null,
+      "graft_gunzip",
+      "graft_gunzip(payload) - gunzip a BINARY column; malformed input yields NULL.",
+      ""
+    ),
+    (children: Seq[Expression]) => GunzipExpression(children.head)
+  )
+
+  /** Idempotently register the native functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (ident, info, builder) = gunzipDescriptor
+    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+  }
+}

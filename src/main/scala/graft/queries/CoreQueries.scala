@@ -173,6 +173,51 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // C3+C6+C10+C19 composite — TPC-H Q3 shape: segment-filtered
+    // customer⋈orders⋈lineitem, grouped revenue, top-10.
+    "c03_tpch_q3" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+        .filter(
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp") &&
+            col("l_shipdate") > lit("1997-01-01").cast("timestamp")
+        )
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)),
+
+    // C3+C6 composite — TPC-H Q5 shape: full star join with broadcast dims,
+    // revenue by nation, customer and supplier in the same nation.
+    "c06_tpch_q5" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(Tables.orders(s, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, sf)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, sf)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, sf)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // C4+C10+C19 composite — TPC-H Q10 shape: returned-lineitem revenue per
+    // customer, top-20.
+    "c04_tpch_q10" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(Tables.orders(s, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
     // C10: hash aggregation, partial+final — TPC-H Q1 shape.
     "c10_agg_hash" -> ((s, sf) =>
       Tables
@@ -603,6 +648,33 @@ object CoreQueries {
            FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
          WHERE rn = 1 ORDER BY event_id""",
+    "c03_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "c06_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "c04_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "c10_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -58,22 +58,25 @@ object EventQueries {
         )
         .orderBy("event_id")),
 
-    // A4: gzip→gunzip roundtrip via the one allowed scalar UDF, on a
-    // deterministic 1-in-10 slice (zlib stream setup dominates at tiny
-    // payloads; the slice keeps bench honest). Not SQL-expressible in
-    // DuckDB → rows-only check + ScalaTest.
-    "a4_gunzip_roundtrip" -> ((s, sf) =>
+    // A4: gzip→gunzip roundtrip through the native codegen expression
+    // (GunzipExpression; the gzip side stays a UDF — encode is test-only),
+    // on a deterministic 1-in-100 slice (zlib stream setup dominates at tiny
+    // payloads). Not SQL-expressible in DuckDB → rows-only check + ScalaTest.
+    "a4_gunzip_roundtrip" -> ((s, sf) => {
+      graft.catalyst.GraftExtensions.register(s)
       Tables
         .events(s, sf)
-        .filter(col("event_id") % 10 === 0)
+        .filter(col("event_id") % 100 === 0)
         .select(
           col("event_id"),
-          decode(Decode.gunzip(Decode.gzip(encode(col("props"), "UTF-8"))), "UTF-8").as("rt"),
+          decode(call_function("graft_gunzip", Decode.gzip(encode(col("props"), "UTF-8"))), "UTF-8")
+            .as("rt"),
           col("props")
         )
         .filter(col("rt") === col("props"))
         .select(col("event_id"), col("rt"))
-        .orderBy("event_id")),
+        .orderBy("event_id")
+    }),
 
     // A5: semi-structured JSON parse with .get-style null tolerance.
     "a5_json_decode" -> ((s, sf) =>
