@@ -127,9 +127,30 @@ object ArcPipeline {
     )
 
   /** Full pipeline: decode → split corrupt (A8/A10) → filter (A6) →
-    * project (A7). Returns (survivors, deadLetters). */
-  def run(raw: DataFrame, payloadCol: Column, cfg: FilterConfig): (DataFrame, DataFrame) = {
-    val decoded = decodeEnvelope(raw, payloadCol)
+    * project (A7). Returns (survivors, deadLetters).
+    *
+    * @param observation optional [[org.apache.spark.sql.Observation]] —
+    *   when supplied, the decode stage reports `total_records` /
+    *   `corrupt_records` as exactly-once query metrics (the observable
+    *   counterpart of the reference Lambda's skip-and-log counters; works
+    *   in batch and, via listener, streaming).
+    */
+  def run(
+      raw: DataFrame,
+      payloadCol: Column,
+      cfg: FilterConfig,
+      observation: Option[org.apache.spark.sql.Observation] = None
+  ): (DataFrame, DataFrame) = {
+    val decoded0 = decodeEnvelope(raw, payloadCol)
+    val decoded = observation match {
+      case Some(obs) =>
+        decoded0.observe(
+          obs,
+          count(lit(1)).as("total_records"),
+          count(when(col("event._corrupt").isNotNull, 1)).as("corrupt_records")
+        )
+      case None => decoded0
+    }
     val corrupt = decoded.filter(col("event._corrupt").isNotNull)
     val good    = decoded.filter(col("event._corrupt").isNull)
     val out     = project(good.filter(eventFilter(cfg)))

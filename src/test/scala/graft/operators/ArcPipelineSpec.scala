@@ -90,6 +90,16 @@ class ArcPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe(): decode metrics count totals and corruptions exactly once") {
+    val rows = Seq(payload(envelope("1")), "garbage one", "garbage two").toDF("payload")
+    val obs  = new org.apache.spark.sql.Observation(s"arc_${System.nanoTime()}")
+    val (out, _) = ArcPipeline.run(rows, col("payload"), cfg, observation = Some(obs))
+    out.collect() // action triggers the observation
+    val m = obs.get
+    assert(m("total_records") === 3L)
+    assert(m("corrupt_records") === 2L)
+  }
+
   test("partitioned sink + dead-letter routing writes both sides") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val rows = Seq(payload(envelope("1")), payload(envelope("2", op = "update")), "garbage").toDF("payload")
