@@ -36,3 +36,31 @@ final class FileEventSource(path: String, schema: StructType, maxFilesPerTrigger
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 }
+
+/** JSON-lines implementation — the Arc feed's native wire format (one
+  * gzipped JSON event per Kinesis record; as files: .json/.json.gz lines,
+  * decompressed transparently by the codec factory). PERMISSIVE mode with
+  * a corrupt-record column preserves the A8 dead-letter contract at the
+  * source boundary. */
+final class JsonLinesEventSource(path: String, schema: StructType, maxFilesPerTrigger: Int = 1)
+    extends EventSource {
+
+  private def withCorrupt(s: StructType): StructType =
+    if (s.fieldNames.contains("_corrupt")) s
+    else s.add("_corrupt", org.apache.spark.sql.types.StringType)
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  override def readStream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+}

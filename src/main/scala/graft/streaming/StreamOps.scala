@@ -2,9 +2,18 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  TimeMode,
+  TimerValues,
+  TTLConfig,
+  ValueState
+}
 
 /** Streaming operator surface (SURVEY.md §2.B B1–B8), built on Structured
   * Streaming. Each transform is written against a plain DataFrame so the
@@ -63,6 +72,46 @@ object StreamOps {
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, count: Long, valueSum: Double)
   final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, count: Long, valueSum: Double)
+
+  final case class UserTotals(user_id: Long, events: Long, valueSum: Double)
+
+  /** B7 via the Spark 4 `transformWithState` API: a per-key running
+    * counter/sum with explicit `ValueState` — the modern replacement for
+    * flatMapGroupsWithState, with typed state handles, TTL support, and a
+    * RocksDB-backed store (set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider; transformWithState requires it). Emits updated totals for
+    * every key touched in a micro-batch. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, SessionEvent, UserTotals] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues
+    ): Iterator[UserTotals] = {
+      var (n, sum) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      state.update((n, sum))
+      Iterator(UserTotals(key, n, sum))
+    }
+  }
+
+  /** Apply [[RunningTotalsProcessor]] to a stream of [[SessionEvent]]. */
+  def runningTotals(events: Dataset[SessionEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom per-key sessionizer over flatMapGroupsWithState: emits a
     * session row when the gap timeout fires. Demonstrates arbitrary keyed

@@ -121,6 +121,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B7: transformWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("t_b7_tws").outputMode("update").start()
+    try {
+      mem.addData(
+        StreamOps.SessionEvent(1, ts("2024-01-01 00:00:00"), 10.0),
+        StreamOps.SessionEvent(1, ts("2024-01-01 00:01:00"), 5.0),
+        StreamOps.SessionEvent(2, ts("2024-01-01 00:02:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionEvent(1, ts("2024-01-01 00:03:00"), 2.5))
+      q.processAllAvailable()
+      val rows = spark.table("t_b7_tws").as[StreamOps.UserTotals].collect()
+      val latestU1 = rows.filter(_.user_id == 1).maxBy(_.events)
+      assert(latestU1.events === 3L && latestU1.valueSum === 17.5)
+      val u2 = rows.filter(_.user_id == 2).maxBy(_.events)
+      assert(u2.events === 1L && u2.valueSum === 1.0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A1: file-stream source reads the fixture feed incrementally") {
     // FileStreamSource requires a directory; stage the fixture file into one.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
