@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Source abstraction for the event feed (SURVEY.md §2.A A1).
   *
@@ -20,6 +20,24 @@ import org.apache.spark.sql.types.StructType
 trait EventSource {
   def read(spark: SparkSession): DataFrame
   def readStream(spark: SparkSession): DataFrame
+}
+
+object EventSource {
+
+  /** The Kinesis record shape (SURVEY.md §1.1): opaque payload plus
+    * partition key / sequence number / arrival timestamp — the same
+    * four-column frame Spark's Kafka source exposes, so a future Kinesis
+    * DSv2 connector drops in schema-compatibly. `ArcPipeline` consumes
+    * `payload`; ordering guarantees ride on (partition_key,
+    * sequence_number) exactly as Kinesis shard order does. */
+  val recordSchema: StructType = StructType(
+    Seq(
+      StructField("payload", org.apache.spark.sql.types.BinaryType),
+      StructField("partition_key", org.apache.spark.sql.types.StringType),
+      StructField("sequence_number", org.apache.spark.sql.types.StringType),
+      StructField("arrival_ts", org.apache.spark.sql.types.TimestampType)
+    )
+  )
 }
 
 /** Parquet-directory implementation — the batch twin and the file-stream

@@ -152,6 +152,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("A1: checkpointed file stream resumes from its offset after restart") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out    = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    def writeFile(n: Int): Unit = {
+      // stage a single .parquet FILE (write.parquet makes a directory,
+      // which the file-stream source does not recurse into)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_stage")
+      spark.range(n * 10, n * 10 + 10).toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"batch$n.parquet"))
+    }
+    writeFile(0)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 10L)
+    writeFile(1) // new file arrives while "down"
+    runOnce()    // restart: must pick up ONLY the new file
+    assert(spark.read.parquet(out).count() === 20L)
+    assert(spark.read.parquet(out).select("id").distinct().count() === 20L, "duplicate replay after restart")
+  }
+
   test("A1: file-stream source reads the fixture feed incrementally") {
     // FileStreamSource requires a directory; stage the fixture file into one.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
