@@ -49,9 +49,13 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")),
 
     // D2: SimHash near-dup pairs within Hamming radius. rows-only.
+    // radius 10/64: the shared-vocabulary synthetic corpus makes loose
+    // radii degenerate (ham<=16 flags ~1M of 12.5M possible pairs at
+    // sf0.1 — "everything is a near-dup" is not a useful detector).
     "d2_simhash" -> ((s, sf) =>
       Dedup
-        .simHashPairs(Tables.documents(s, sf), col("doc_id"), col("text"), maxHamming = 16)
+        .simHashPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          maxHamming = 10, blockBits = 20)
         .orderBy("doc_a", "doc_b")),
 
     // D2: exact n-gram (3-token shingle) Jaccard — the oracle-checkable
