@@ -93,6 +93,19 @@ object ArcPipeline {
         )
       )
 
+  /** Variant of [[run]] over the Kinesis record frame
+    * ([[graft.sources.EventSource.recordSchema]]): payloads arrive as raw
+    * binary (already base64-decoded by the transport), so decode skips
+    * straight to gunzip → JSON. */
+  def runRecords(
+      records: DataFrame,
+      cfg: FilterConfig,
+      observation: Option[org.apache.spark.sql.Observation] = None
+  ): (DataFrame, DataFrame) = {
+    val b64 = records.withColumn("__payload_b64", base64(col("payload")))
+    run(b64, col("__payload_b64"), cfg, observation)
+  }
+
   /** Stage 2 — THE filter (A6): conjunction of envelope predicates. */
   def eventFilter(cfg: FilterConfig): Column = {
     val base = col("event.type").isin(cfg.allowedTypes: _*) &&

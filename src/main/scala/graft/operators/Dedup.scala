@@ -97,10 +97,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** D2 (SimHash flavor): near-dup pairs within a Hamming radius, with
+    * candidate generation blocked across `rotations` bit-rotations of the
+    * simhash: a pair within radius r differs in ≤ r bits, so among
+    * `rotations` evenly-spaced rotations at least one places all differing
+    * bits outside the top `blockBits` with high probability — the
+    * standard recall fix for single-prefix blocking. Union of per-rotation
+    * candidates, deduped, then exact Hamming verify. Each rotation is one
+    * shuffle key; total work stays Σ block² per rotation. */
+  def simHashPairsRotated(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxHamming: Int = 8,
+      blockBits: Int = 16,
+      rotations: Int = 4
+  ): DataFrame = {
+    require(rotations > 0 && 64 % rotations == 0, "rotations must divide 64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(idCol.cast("long").as("id"), TextOps.tokenHashes(TextOps.tokenSet(textCol)).as("hs"))
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, TextOps.simHash64(hs)) }
+      .toDF("id", "sh")
+    val step = 64 / rotations
+    def rotl(c: Column, k: Int): Column =
+      if (k == 0) c else shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
+    val blocks = array(
+      (0 until rotations).map(r => shiftrightunsigned(rotl(col("sh"), r * step), 64 - blockBits)): _*
+    )
+    val keyed = hashed.select(col("id"), col("sh"), posexplode(blocks).as(Seq("rot", "blk")))
+    val l = keyed.select(col("rot").as("rot_l"), col("blk").as("blk_l"), col("id").as("doc_a"), col("sh").as("sh_a"))
+    val r = keyed.select(col("rot").as("rot_r"), col("blk").as("blk_r"), col("id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(
+        r,
+        col("rot_l") === col("rot_r") && col("blk_l") === col("blk_r") && col("doc_a") < col("doc_b")
+      )
+      .select(col("doc_a"), col("doc_b"), TextOps.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct() // a pair can surface from several rotations
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** D2 (SimHash flavor): 64-bit simhash per doc + near-dup pairs within a
     * Hamming radius, blocked on the top `blockBits` bits to avoid an
-    * all-pairs join (near-dups share high bits with high probability; a
-    * production rollout unions several bit-rotation blockings). */
+    * all-pairs join (near-dups share high bits with high probability; see
+    * [[simHashPairsRotated]] for the multi-rotation recall fix). */
   def simHashPairs(
       df: DataFrame,
       idCol: Column,

@@ -254,6 +254,45 @@ object CoreQueries {
         )
         .orderBy("l_returnflag")),
 
+    // C10: covariance/correlation via exact decimal moments — engine-native
+    // corr/covar_samp are FP-order-dependent; the moment formula is
+    // deterministic and identical on both engines.
+    "c10_agg_corr" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy")
+        )
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr")
+        )
+        .orderBy("l_returnflag")),
+
+    // C10: exact percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,
+    // both linear-interpolation at (n-1)p; rounded to absorb any last-ulp
+    // interpolation divergence).
+    "c10_percentile" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")
+        )
+        .orderBy("l_returnflag")),
+
     // C11: distinct aggregation.
     "c11_agg_distinct" -> ((s, sf) =>
       Tables
@@ -694,6 +733,25 @@ object CoreQueries {
              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+    "c10_agg_corr" ->
+      """SELECT l_returnflag, n,
+         (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+         (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+         FROM (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "c10_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "c11_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS supp_cnt,
          count(DISTINCT l_partkey) AS part_cnt,

@@ -90,6 +90,17 @@ class ArcPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runRecords: Kinesis-shaped binary-payload records flow end to end") {
+    val recs = Seq(
+      (gz(envelope("21")), "doc-21", "seq-1"),
+      (gz(envelope("22", typ = "redirect")), "doc-22", "seq-2"),
+      ("junk".getBytes("UTF-8"), "doc-23", "seq-3")
+    ).toDF("payload", "partition_key", "sequence_number")
+    val (out, dlq) = ArcPipeline.runRecords(recs, cfg)
+    assert(out.select("event_id").as[String].collect().sorted === Array("21"))
+    assert(dlq.count() === 1)
+  }
+
   test("observe(): decode metrics count totals and corruptions exactly once") {
     val rows = Seq(payload(envelope("1")), "garbage one", "garbage two").toDF("payload")
     val obs  = new org.apache.spark.sql.Observation(s"arc_${System.nanoTime()}")

@@ -45,6 +45,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDuplicatePairs(spam, col("doc_id"), col("text"), p2).count() > 0L)
   }
 
+  test("rotated simhash blocking recalls at least the single-prefix pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val single = Dedup
+      .simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 10, blockBits = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val rotated = Dedup
+      .simHashPairsRotated(docs, col("doc_id"), col("text"), maxHamming = 10, blockBits = 16, rotations = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(rotated), s"rotation lost pairs: ${(single -- rotated).take(5)}")
+    // every reported pair is genuinely within radius (exact verify)
+    val hams = Dedup
+      .simHashPairsRotated(docs, col("doc_id"), col("text"), maxHamming = 10, blockBits = 16, rotations = 4)
+      .select("hamming").as[Long].collect()
+    assert(hams.forall(_ <= 10))
+  }
+
   test("simhash pairs: exact dups at hamming 0, near dups within radius") {
     val pairs = Dedup
       .simHashPairs(corpus, col("doc_id"), col("text"), maxHamming = 16, blockBits = 4)
