@@ -106,6 +106,32 @@ object SimilarityJoin {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
 
+  /** D9 scale path: approximate threshold self-join — random-hyperplane
+    * LSH buckets generate candidates (vectors in the same bucket agree on
+    * all `nbits` projections), exact cosine verifies. Work is Σ bucket²;
+    * recall rises as nbits falls (or union several hash tables, as with
+    * [[graft.operators.Dedup.simHashPairsRotated]]). Measured against the
+    * exact join in SimilaritySpec. */
+  def lshSelfJoinThreshold(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      threshold: Double,
+      nbits: Int = 8
+  ): DataFrame = {
+    val side = emb.select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+    val bucketed = side
+      .select(col("id"), col("v"))
+      .withColumn("bkt", cosineLshBucket(col("v"), dim, nbits))
+    val l = bucketed.select(col("bkt").as("bkt_l"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("bkt").as("bkt_r"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, col("bkt_l") === col("bkt_r") && col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: `nbits` signed projections
     * against deterministic pseudo-random hyperplanes (seeded per bit from
     * the dimension index via a hash — no RNG state, reproducible anywhere).

@@ -40,6 +40,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("value"), s"unused column not pruned: $readSchema")
   }
 
+  test("c09: as-of rank=1 plans WindowGroupLimit (per-partition top-1 pushdown)") {
+    assert(planOf("c09_asof_join").contains("WindowGroupLimit"),
+      "as-of rank=1 not pushed below the window sort")
+    // c15 deliberately does NOT get the pushdown: its ntile(4) needs the
+    // whole partition, which blocks group-limit pruning — that the
+    // optimizer declines there is also the correct plan.
+    assert(!planOf("c15_window_rank").contains("WindowGroupLimit"))
+  }
+
   test("c10: aggregation plans partial+final HashAggregate pair") {
     val p = planOf("c10_agg_hash")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))

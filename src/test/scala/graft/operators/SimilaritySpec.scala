@@ -62,6 +62,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.1 - 1e-9))
   }
 
+  test("LSH self-join: subset of exact pairs, nonempty recall at low nbits") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val exact = SimilarityJoin
+      .selfJoinThreshold(emb, col("vec_id"), col("embedding"), lit(0), threshold = 0.12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaLsh = SimilarityJoin
+      .lshSelfJoinThreshold(emb, col("vec_id"), col("embedding"), dim = 64, threshold = 0.12, nbits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh.subsetOf(exact), "LSH emitted a pair the exact join rejects")
+    assert(viaLsh.nonEmpty, "nbits=2 should recall some pairs")
+  }
+
   test("cosine LSH buckets: identical vectors share buckets, candidates shrink") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(200)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
