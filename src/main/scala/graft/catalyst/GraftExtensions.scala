@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * harness builds its own sessions, so query code uses the latter).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -30,11 +32,24 @@ object GraftExtensions {
     (children: Seq[Expression]) => GunzipExpression(children.head)
   )
 
+  private[catalyst] val cosineDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(
+      classOf[CosineSimilarityExpression].getName,
+      null,
+      "graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two ARRAY<DOUBLE> vectors (fused codegen loop).",
+      ""
+    ),
+    (children: Seq[Expression]) => CosineSimilarityExpression(children.head, children(1))
+  )
+
   /** Idempotently register the native functions on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = gunzipDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  def register(spark: SparkSession): Unit =
+    Seq(gunzipDescriptor, cosineDescriptor).foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      }
     }
-  }
 }

@@ -24,6 +24,16 @@ object VectorOps {
     * shape mirrored in the DuckDB oracle SQL. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Hot-path cosine via the native codegen expression
+    * ([[graft.catalyst.CosineSimilarityExpression]]) — bit-identical to
+    * [[cosine]] (same accumulation order), ~an order of magnitude faster
+    * than the interpreted HOF lambdas. Registers the function on the
+    * session idempotently. */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.catalyst.GraftExtensions.register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
   /** Cast float vectors (fixture `embeddings.embedding`) to double — exact
     * widening on both Spark and DuckDB sides. */
   def asDouble(a: Column): Column = a.cast("array<double>")

@@ -33,7 +33,7 @@ object SimilarityJoin {
   ): DataFrame = {
     val scored = emb
       .crossJoin(broadcast(query))
-      .withColumn("cos", VectorOps.cosine(VectorOps.asDouble(vecCol), col("qvec")))
+      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, VectorOps.asDouble(vecCol), col("qvec")))
     scored
       .select(idCol.as("vec_id"), round(col("cos"), 9).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -48,7 +48,7 @@ object SimilarityJoin {
     val scored = emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorOps.cosine(col("v"), col("cvec")))
+      .withColumn("sim", VectorOps.cosineNative(emb.sparkSession, col("v"), col("cvec")))
     val best = scored
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
@@ -70,14 +70,14 @@ object SimilarityJoin {
     val assigned = ivfAssign(emb, idCol, vecCol, centroids)
     val probes = centroids
       .crossJoin(broadcast(query))
-      .withColumn("csim", VectorOps.cosine(col("cvec"), col("qvec")))
+      .withColumn("csim", VectorOps.cosineNative(emb.sparkSession, col("cvec"), col("qvec")))
       .orderBy(col("csim").desc, col("cid"))
       .limit(nprobe)
       .select(col("cid"))
     assigned
       .join(broadcast(probes), "cid")
       .crossJoin(broadcast(query))
-      .withColumn("cos", VectorOps.cosine(col("v"), col("qvec")))
+      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, col("v"), col("qvec")))
       .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -101,7 +101,7 @@ object SimilarityJoin {
     val l = side.select(col("blk").as("blk_l"), col("id").as("id_a"), col("v").as("v_a"))
     val r = side.select(col("blk").as("blk_r"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, col("blk_l") === col("blk_r") && col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
@@ -127,7 +127,7 @@ object SimilarityJoin {
     val l = bucketed.select(col("bkt").as("bkt_l"), col("id").as("id_a"), col("v").as("v_a"))
     val r = bucketed.select(col("bkt").as("bkt_r"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, col("bkt_l") === col("bkt_r") && col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }

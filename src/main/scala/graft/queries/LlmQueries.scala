@@ -84,7 +84,8 @@ object LlmQueries {
       val a = e.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
       val b = e.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a"), col("id_b"), round(VectorOps.cosine(col("v_a"), col("v_b")), 9).as("cos"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorOps.cosineNative(s, col("v_a"), col("v_b")), 9).as("cos"))
         .orderBy("id_a")
     }),
 

@@ -1,0 +1,57 @@
+package graft.catalyst
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorOps
+
+class CosineExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the HOF formulation on the fixture corpus") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 7)
+    val rows = pairs.select(
+      VectorOps.cosine(col("v_a"), col("v_b")).as("hof"),
+      call_function("graft_cosine", col("v_a"), col("v_b")).as("native")
+    ).collect()
+    assert(rows.length > 400)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("null semantics: null array / length mismatch / null element → null") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))),  // length mismatch
+      (None, Some(Seq(1.0, 2.0))),                      // null array
+      (Some(Seq(1.0, Double.NaN)), Some(Seq(1.0, 2.0))) // NaN passes through (not null)
+    ).toDF("a", "b")
+    val out = df.select(call_function("graft_cosine", col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0).isNaN)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)), ArrayType(DoubleType))
+    val b = Literal.create(ArrayData.toArrayData(Array(-1.0, 0.5, 2.0)), ArrayType(DoubleType))
+    val interp = CosineSimilarityExpression(a, b).eval(null).asInstanceOf[Double]
+    val expected = {
+      val (x, y) = (Array(1.0, 2.0, 3.0), Array(-1.0, 0.5, 2.0))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    assert(math.abs(interp - expected) < 1e-15)
+  }
+}
