@@ -55,6 +55,32 @@ final class FileEventSource(path: String, schema: StructType, maxFilesPerTrigger
       .parquet(path)
 }
 
+/** Generic columnar-file implementation over any Spark batch+stream file
+  * format (`parquet`, `orc`, `csv`, `json`) — same contract, one format
+  * knob. CSV gets header handling; all formats keep the explicit schema
+  * (schema inference is banned on the 100 TB path: one pass over the data
+  * just to guess types). */
+final class FormatEventSource(
+    path: String,
+    schema: StructType,
+    format: String,
+    maxFilesPerTrigger: Int = 1
+) extends EventSource {
+
+  private def opts: Map[String, String] =
+    if (format == "csv") Map("header" -> "true") else Map.empty
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).options(opts).format(format).load(path)
+
+  override def readStream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .options(opts + ("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
+      .format(format)
+      .load(path)
+}
+
 /** JSON-lines implementation — the Arc feed's native wire format (one
   * gzipped JSON event per Kinesis record; as files: .json/.json.gz lines,
   * decompressed transparently by the codec factory). PERMISSIVE mode with

@@ -42,6 +42,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("id") === 9).count() === 1)
   }
 
+  test("FormatEventSource: orc and csv roundtrip the same rows as parquet") {
+    val base = spark.read.parquet(s"${graft.TestSpark.sf0001}/nation.parquet")
+    val dir  = Files.createTempDirectory("graft_formats")
+    base.write.mode("overwrite").orc(s"$dir/orc")
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val viaOrc = new FormatEventSource(s"$dir/orc", base.schema, "orc").read(spark)
+    val viaCsv = new FormatEventSource(s"$dir/csv", base.schema, "csv").read(spark)
+    assert(viaOrc.collect().toSet === base.collect().toSet)
+    assert(viaCsv.collect().toSet === base.collect().toSet)
+  }
+
   test("JSON-lines streaming reads the same rows as batch") {
     val dir = Files.createTempDirectory("graft_jsonl_stream")
     Files.writeString(dir.resolve("a.json"), """{"id": 1, "type": "story"}""" + "\n")
