@@ -57,4 +57,12 @@ object Decode {
     * Any stage failing (bad base64, bad gzip) yields null. */
   def decodePayload(b64: Column): Column =
     decode(gunzip(fromBase64(b64)), "UTF-8")
+
+  /** [[decodePayload]] through the native codegen gunzip
+    * ([[graft.catalyst.GunzipExpression]]) — same null semantics, fuses
+    * into the scan's codegen stage instead of crossing a UDF boundary. */
+  def decodePayloadNative(spark: org.apache.spark.sql.SparkSession, b64: Column): Column = {
+    graft.catalyst.GraftExtensions.register(spark)
+    decode(call_function("graft_gunzip", fromBase64(b64)), "UTF-8")
+  }
 }

@@ -72,7 +72,7 @@ object ArcPipeline {
     * (A8), never fail the batch. */
   def decodeEnvelope(raw: DataFrame, payloadCol: Column): DataFrame =
     raw
-      .withColumn("json", Decode.decodePayload(payloadCol))
+      .withColumn("json", Decode.decodePayloadNative(raw.sparkSession, payloadCol))
       .withColumn(
         "event",
         when(

@@ -478,6 +478,23 @@ object CoreQueries {
       """)
     }),
 
+    // C23: LATERAL correlated subquery — per-customer top order through
+    // the SQL entry point (decorrelates to a window/join under Catalyst).
+    "c23_lateral" -> ((s, sf) => {
+      Tables.orders(s, sf).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, sf).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
+        FROM graft_customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        ORDER BY c_custkey
+      """)
+    }),
+
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
       Tables
@@ -839,6 +856,15 @@ object CoreQueries {
              FROM orders)
            AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
          ORDER BY o_orderkey""",
+    "c23_lateral" ->
+      """SELECT c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
+         FROM customer,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+         ) t
+         ORDER BY c_custkey""",
     "c24_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,

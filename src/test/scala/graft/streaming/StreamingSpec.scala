@@ -152,6 +152,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("A9/A10: streaming dead-letter sink splits per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem  = MemoryStream[Ev]
+    val main = java.nio.file.Files.createTempDirectory("graft_dlq_main").toString
+    val dlq  = java.nio.file.Files.createTempDirectory("graft_dlq_dlq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dlq_ckpt").toString
+    mem.addData(batch1: _*)
+    val q = graft.sources.Sinks
+      .streamWithDeadLetter(mem.toDF(), col("value") > 25.0, main, dlq, ckpt)
+      .start()
+    try { q.awaitTermination(60000) } finally q.stop()
+    // batch1: values 10/20/30 → one "corrupt" (>25) row to DLQ, two to main
+    assert(spark.read.parquet(s"$main/batch=0").count() === 2)
+    assert(spark.read.parquet(s"$dlq/batch=0").count() === 1)
+  }
+
   test("A1: checkpointed file stream resumes from its offset after restart") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
     val ckpt   = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
