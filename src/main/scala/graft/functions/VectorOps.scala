@@ -37,4 +37,18 @@ object VectorOps {
   /** Cast float vectors (fixture `embeddings.embedding`) to double — exact
     * widening on both Spark and DuckDB sides. */
   def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Squared Euclidean distance (monotone with L2 — rankings don't need
+    * the sqrt). */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def euclidean(a: Column, b: Column): Column = sqrt(l2Squared(a, b))
+
+  /** Unit-normalize a vector (zero vectors → null elements via 0/0=NaN;
+    * callers filter). After normalization, dot == cosine. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x / n)
+  }
 }

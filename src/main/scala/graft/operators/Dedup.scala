@@ -97,6 +97,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** D2 (n-gram flavor): exact k-token-shingle Jaccard over all pairs of a
+    * (pre-blocked or pre-sliced) corpus — the deterministic, oracle-
+    * checkable near-dup scorer. Callers bound the input (slice or block):
+    * this operator is the VERIFY stage; candidate generation at scale is
+    * [[lshBuckets]]/[[simHashPairs]]. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    val toks = TextOps.tokens(textCol)
+    val base = df
+      .filter(size(toks) >= shingleSize)
+      .select(idCol.as("doc_id"), array_distinct(TextOps.shingles(toks, shingleSize)).as("sh"))
+    val l = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(TextOps.jaccard(col("sh_a"), col("sh_b")), 9).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius, with
     * candidate generation blocked across `rotations` bit-rotations of the
     * simhash: a pair within radius r differs in ≤ r bits, so among

@@ -40,6 +40,30 @@ object SimilarityJoin {
       .limit(k)
   }
 
+  /** D4, batched: top-k per query for a SET of query vectors — the shape a
+    * serving/eval pipeline actually runs. The query set broadcasts; ranks
+    * compute per query id via a window (plans WindowGroupLimit: per-
+    * partition top-k before the shuffle). Work = |corpus| × |queries|
+    * scores, horizontally partitioned on the corpus. */
+  def topKBatch(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      queries: DataFrame, // (qid, qvec array<double>)
+      k: Int
+  ): DataFrame = {
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, VectorOps.asDouble(vecCol), col("qvec")))
+      .select(col("qid"), idCol.as("vec_id"), round(col("cos"), 9).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF index build: assign every vector to its nearest centroid. The
     * centroid set is any small deterministic sample (callers pass e.g.
     * `vec_id % stride = 0` rows); nlist centroids broadcast to executors. */

@@ -60,22 +60,17 @@ object LlmQueries {
 
     // D2: exact n-gram (3-token shingle) Jaccard — the oracle-checkable
     // near-dup scorer: top-50 most similar pairs on a doc_id%10 slice.
-    "d2_ngram_jaccard" -> ((s, sf) => {
-      val base = Tables
-        .documents(s, sf)
-        .filter(col("doc_id") % 10 === 0 && size(toks(col("text"))) >= 3)
-        .select(col("doc_id"), array_distinct(TextOps.shingles(toks(col("text")), 3)).as("sh"))
-      val l = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val r = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      l.join(r, col("doc_a") < col("doc_b"))
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 9).as("jac")
+    "d2_ngram_jaccard" -> ((s, sf) =>
+      Dedup
+        .ngramJaccardPairs(
+          Tables.documents(s, sf).filter(col("doc_id") % 10 === 0),
+          col("doc_id"),
+          col("text"),
+          shingleSize = 3,
+          threshold = 0.0
         )
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
-        .limit(50)
-    }),
+        .limit(50)),
 
     // D3: cosine similarity of adjacent embedding pairs — pure Column
     // lambda expressions, no UDF.

@@ -45,6 +45,16 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDuplicatePairs(spam, col("doc_id"), col("text"), p2).count() > 0L)
   }
 
+  test("ngramJaccardPairs: identical docs at 1.0, near docs above threshold") {
+    val pairs = Dedup
+      .ngramJaccardPairs(corpus, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.5)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.get((1L, 3L)).exists(_ >= 0.5))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
   test("rotated simhash blocking recalls at least the single-prefix pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     val single = Dedup

@@ -62,6 +62,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.1 - 1e-9))
   }
 
+  test("topKBatch: per-query top-k matches single-query topK") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id").isin(3, 11))
+      .select(col("vec_id").as("qid"), VectorOps.asDouble(col("embedding")).as("qvec"))
+    val batch = SimilarityJoin.topKBatch(emb, col("vec_id"), col("embedding"), queries, 5)
+      .select("qid", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    for (q <- Seq(3L, 11L)) {
+      val single = SimilarityJoin.topK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === q).select(VectorOps.asDouble(col("embedding")).as("qvec")), 5)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(q) === single, s"qid=$q")
+    }
+  }
+
+  test("vector ops: euclidean/normalize identities") {
+    val df = Seq((Array(3.0, 4.0), Array(0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.euclidean(col("a"), col("b")).as("d"),
+      VectorOps.normalize(col("a")).as("n")
+    ).collect().head
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getSeq[Double](1) === Seq(0.6, 0.8))
+  }
+
   test("LSH self-join: subset of exact pairs, nonempty recall at low nbits") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 200)
