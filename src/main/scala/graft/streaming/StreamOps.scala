@@ -67,6 +67,30 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, cond: Column): DataFrame =
     stream.join(broadcast(dim), cond)
 
+  /** Stream-stream interval join: both sides watermarked, right events
+    * matched within [left.ts, left.ts + window]. The time-range condition
+    * is what lets Spark expire join state — without it the state grows
+    * unboundedly, which is the difference between a demo and a 100 TB/day
+    * deployment. Columns must be pre-disambiguated by the caller. */
+  def streamStreamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      lateness: String,
+      window: String,
+      keyCond: Column
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      keyCond &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window")
+    )
+  }
+
   // --- B7: arbitrary stateful processing -------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -121,6 +121,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to purchases within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Click(user: Long, click_ts: Timestamp)
+    val clicks    = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = clicks.toDF().toDF("cu", "click_ts")
+    val r = purchases.toDF().toDF("pu", "purchase_ts")
+    val joined = StreamOps.streamStreamIntervalJoin(
+      l, r, "click_ts", "purchase_ts", lateness = "1 hour", window = "30 MINUTES",
+      keyCond = col("cu") === col("pu"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:10:00")), // within 30 min → match
+        (2L, ts("2024-01-01 11:30:00"))  // 90 min later → no match
+      )
+      q.processAllAvailable()
+      val matches = spark.table("t_ssj").select("cu").as[Long].collect().toSet
+      assert(matches === Set(1L), s"got $matches")
+    } finally q.stop()
+  }
+
   test("B7: transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
