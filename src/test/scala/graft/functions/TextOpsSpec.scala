@@ -107,6 +107,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("degenerate inputs: empty/whitespace/unicode text never throw") {
+    val out = Seq("", "   ", "é ü 你好", "x " * 5000)
+      .toDF("t")
+      .select(
+        TextOps.tokens(col("t")).as("toks"),
+        TextOps.fingerprint(TextOps.tokens(col("t"))).as("fp"),
+        TextOps.langId(TextOps.tokens(col("t"))).as("lang"),
+        TextOps.stopwordRatio(TextOps.tokens(col("t"))).as("ratio")
+      )
+      .collect()
+    assert(out(0).getSeq[String](0).isEmpty)
+    assert(out(1).getSeq[String](0).isEmpty)
+    assert(out(0).getLong(1) === 0L)        // empty fold → initial acc
+    assert(out(0).getString(2) === "und")
+    assert(out(0).isNullAt(3))              // empty doc → null ratio (fail-closed in gates)
+    assert(out(2).getSeq[String](0) === Seq("é", "ü", "你好"))
+    assert(out(3).getSeq[String](0).length === 5000)
+  }
+
   test("approxBpeTokens: ~chars/4 ignoring whitespace") {
     val out = Seq("abcd efgh").toDF("t")
       .select(TextOps.approxBpeTokens(col("t")).as("n")).collect().head.getLong(0)

@@ -111,6 +111,28 @@ class ArcPipelineSpec extends AnyFunSuite {
     assert(m("corrupt_records") === 2L)
   }
 
+  test("fuzz: random payload corruption — every record decodes or dead-letters, none crash") {
+    val rnd  = new scala.util.Random(42)
+    val good = (1 to 40).map(i => payload(envelope(i.toString)))
+    val corrupted = good.map { p =>
+      rnd.nextInt(4) match {
+        case 0 => p.substring(0, p.length / 2)              // truncated base64
+        case 1 => "@@@" + p                                  // leading garbage
+        case 2 => new String(rnd.nextBytes(24).map(b => (math.abs(b % 26) + 'a').toChar)) // noise
+        case 3 => payload(envelope(rnd.nextInt().toString).replace("{", "[")) // broken json
+      }
+    }
+    val all = (good ++ corrupted).toDF("payload")
+    val decoded = ArcPipeline.decodeEnvelope(all, col("payload"))
+    val corrupt = decoded.filter(col("event._corrupt").isNotNull).count()
+    val valid   = decoded.filter(col("event._corrupt").isNull).count()
+    assert(corrupt + valid === 80L, "records lost or duplicated in decode")
+    assert(valid >= 40L, "valid records misclassified")
+    val (out, dlq) = ArcPipeline.run(all, col("payload"), cfg)
+    assert(out.count() + dlq.count() <= 80L)
+    assert(dlq.count() === corrupt)
+  }
+
   test("partitioned sink + dead-letter routing writes both sides") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val rows = Seq(payload(envelope("1")), payload(envelope("2", op = "update")), "garbage").toDF("payload")
