@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
 
@@ -45,11 +46,18 @@ object GraftExtensions {
     (children: Seq[Expression]) => CosineSimilarityExpression(children.head, children(1))
   )
 
-  /** Idempotently register the native functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register the native functions and the fusion rule on an
+    * existing session (sessions built with `spark.sql.extensions` get both
+    * through [[GraftExtensions]] instead). */
+  def register(spark: SparkSession): Unit = {
     Seq(gunzipDescriptor, cosineDescriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }
     }
+    if (!spark.experimental.extraOptimizations.contains(CosineFusionRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CosineFusionRule
+    }
+  }
 }

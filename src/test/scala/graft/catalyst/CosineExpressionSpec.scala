@@ -27,6 +27,43 @@ class CosineExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineFusionRule rewrites the HOF cosine pattern to the native expression") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val df = emb.select(
+      col("vec_id"),
+      VectorOps.cosine(
+        VectorOps.asDouble(col("embedding")),
+        VectorOps.asDouble(reverse(col("embedding")))
+      ).as("c")
+    )
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_cosine"), s"fusion did not fire:\n${optimized.take(1500)}")
+    assert(!optimized.contains("aggregate(zip_with"), "HOF pattern survived the rewrite")
+    // the rewrite preserves values exactly (vs a session-independent recompute)
+    val viaRule = df.orderBy("vec_id").select("c").collect().map(_.getDouble(0))
+    val viaNative = emb.select(
+      col("vec_id"),
+      call_function("graft_cosine",
+        VectorOps.asDouble(col("embedding")),
+        VectorOps.asDouble(reverse(col("embedding")))).as("c")
+    ).orderBy("vec_id").select("c").collect().map(_.getDouble(0))
+    assert(viaRule.toSeq === viaNative.toSeq)
+  }
+
+  test("fusion rule leaves non-cosine dot products alone") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(5)
+    val df = emb.select(
+      VectorOps.dot(
+        VectorOps.asDouble(col("embedding")),
+        VectorOps.asDouble(col("embedding"))
+      ).as("d")
+    )
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    assert(df.collect().forall(_.getDouble(0) > 0.0))
+  }
+
   test("null semantics: null array / length mismatch / null element → null") {
     GraftExtensions.register(spark)
     val df = Seq(
