@@ -137,6 +137,66 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SeqMatch(user_id: Long, start: Timestamp, end: Timestamp)
+  final case class SeqProgress(stage: Int, startMs: Long)
+
+  /** B7 (CEP flavor): detect an event-type sequence per key — e.g.
+    * click ⤳ view ⤳ purchase within 30 minutes — with "followed-by"
+    * semantics (intervening events allowed). Keyed progress state advances
+    * per matching stage; a match emits and resets; stages older than
+    * `withinMs` expire, and idle keys are GC'd by event-time timeout —
+    * state stays O(active keys) at any stream size, the difference between
+    * CEP-on-a-box and CEP at 100 TB/day. */
+  def detectSequence(
+      events: Dataset[TypedEvent],
+      pattern: Seq[String],
+      withinMs: Long
+  ): Dataset[SeqMatch] = {
+    require(pattern.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[SeqProgress]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted  = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            var matches = List.empty[SeqMatch]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              // expire a stale partial match
+              current = current.filter(p => t - p.startMs <= withinMs)
+              val stage = current.map(_.stage).getOrElse(0)
+              if (e.event_type == pattern(stage)) {
+                if (stage == pattern.length - 1 && (current.nonEmpty || pattern.length == 1)) {
+                  val startMs = current.map(_.startMs).getOrElse(t)
+                  matches = SeqMatch(user, new Timestamp(startMs), e.ts) :: matches
+                  current = None
+                } else if (stage == 0) {
+                  current = Some(SeqProgress(1, t))
+                } else {
+                  current = current.map(p => p.copy(stage = p.stage + 1))
+                }
+              }
+            }
+            current match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.startMs + withinMs)
+              case None =>
+                if (state.exists) state.remove()
+            }
+            matches.reverseIterator
+          }
+        }
+      )
+  }
+
   /** Custom per-key sessionizer over flatMapGroupsWithState: emits a
     * session row when the gap timeout fires. Demonstrates arbitrary keyed
     * state (counters, CEP-ish accumulation) beyond built-in windows. */

@@ -121,6 +121,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B7 CEP: click→view→purchase sequence detected only within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.TypedEvent]
+    val matches = StreamOps.detectSequence(
+      mem.toDS().withWatermark("ts", "1 hour").as[StreamOps.TypedEvent],
+      pattern = Seq("click", "view", "purchase"),
+      withinMs = 30 * 60 * 1000L)
+    val q = matches.writeStream.format("memory").queryName("t_cep").outputMode("append").start()
+    try {
+      mem.addData(
+        // user 1: full sequence with an intervening error event → match
+        StreamOps.TypedEvent(1, ts("2024-01-01 10:00:00"), "click"),
+        StreamOps.TypedEvent(1, ts("2024-01-01 10:05:00"), "error"),
+        StreamOps.TypedEvent(1, ts("2024-01-01 10:10:00"), "view"),
+        StreamOps.TypedEvent(1, ts("2024-01-01 10:20:00"), "purchase"),
+        // user 2: sequence straddles the 30-minute bound → no match
+        StreamOps.TypedEvent(2, ts("2024-01-01 10:00:00"), "click"),
+        StreamOps.TypedEvent(2, ts("2024-01-01 10:10:00"), "view"),
+        StreamOps.TypedEvent(2, ts("2024-01-01 10:45:00"), "purchase"),
+        // user 3: wrong order → no match
+        StreamOps.TypedEvent(3, ts("2024-01-01 10:00:00"), "purchase"),
+        StreamOps.TypedEvent(3, ts("2024-01-01 10:01:00"), "view"),
+        StreamOps.TypedEvent(3, ts("2024-01-01 10:02:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("t_cep").as[StreamOps.SeqMatch].collect()
+      assert(out.map(_.user_id).toSet === Set(1L), out.mkString(","))
+      assert(out.head.start === ts("2024-01-01 10:00:00"))
+      assert(out.head.end === ts("2024-01-01 10:20:00"))
+      // a second full sequence for user 1 in a later batch → second match
+      mem.addData(
+        StreamOps.TypedEvent(1, ts("2024-01-01 11:00:00"), "click"),
+        StreamOps.TypedEvent(1, ts("2024-01-01 11:05:00"), "view"),
+        StreamOps.TypedEvent(1, ts("2024-01-01 11:06:00"), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("t_cep").count() === 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to purchases within the window") {
     implicit val sqlCtx = spark.sqlContext
     case class Click(user: Long, click_ts: Timestamp)
