@@ -41,7 +41,10 @@ object CoreQueries {
             (col("l_returnflag") <=> "A" || col("l_returnflag") <=> "N")
         )
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures at
+        // sf>=0.1 — total-order over every output column so tied rows
+        // can't straddle engines differently.
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
 
     // C2: expression evaluation in projections.
     "c02_project_expr" -> ((s, sf) =>
@@ -54,7 +57,7 @@ object CoreQueries {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
             .as("charge")
         )
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge")),
 
     // C3: inner equi-join + aggregation (shuffle-hash/SMJ chosen by Catalyst,
     // AQE re-plans at runtime).
@@ -547,7 +550,7 @@ object CoreQueries {
           (col("l_orderkey") % 7).as("mod7"),
           signum(col("l_discount") - lit(0.05)).as("sgn")
         )
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "rnd", "qty_sq", "ceil_disc", "floor_tax", "sgn")),
 
     // C27: conditional expressions.
     "c27_conditional" -> ((s, sf) =>
@@ -648,12 +651,12 @@ object CoreQueries {
          WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','N')
            AND l_shipdate < TIMESTAMP '2000-01-01' AND l_linestatus LIKE 'F%'
            AND (l_returnflag IS NOT DISTINCT FROM 'A' OR l_returnflag IS NOT DISTINCT FROM 'N')
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
     "c02_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) AS disc_price,
          l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, charge""",
     "c03_join_inner" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -890,7 +893,7 @@ object CoreQueries {
          round(ln(l_extendedprice), 6) AS ln_price,
          l_orderkey % 7 AS mod7,
          CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, rnd, qty_sq, ceil_disc, floor_tax, sgn""",
     "c27_conditional" ->
       """SELECT event_id,
          CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid' ELSE 'low' END AS bucket,
