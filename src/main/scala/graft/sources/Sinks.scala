@@ -41,6 +41,38 @@ object Sinks {
     } finally marked.unpersist()
   }
 
+  /** Compact a directory of small files into ~`targetBytes` outputs —
+    * streaming sinks produce a file per micro-batch per partition, and at
+    * 100 TB the resulting millions of small files dominate planning and
+    * open() cost long before data cost. Sizing uses the on-disk footprint;
+    * the rewrite is a single narrow coalesce (no shuffle). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetBytes: Long): Unit = {
+    val dir   = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp   = path + "__compacting"
+    spark.read.parquet(path).coalesce(parts).write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path)
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delete)); f.delete(); ()
+    }
+    delete(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+  }
+
+  /** Range-clustered write: repartition by range on `sortCols` and sort
+    * within partitions, so every output file covers a disjoint key range —
+    * parquet min/max footer stats then let any engine skip whole files for
+    * selective predicates (the poor man's zone map; same idea clustered
+    * tables/Z-ordering build on). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String], numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   /** Streaming form: foreachBatch applies the same split per micro-batch —
     * the exactly-once contract comes from the checkpoint + idempotent
     * (overwrite-by-batch-path) writes. */
