@@ -97,6 +97,7 @@ object LlmQueries {
       val e = Tables.embeddings(s, sf)
       val centroids = e
         .filter(col("vec_id") % 37 === 1)
+        .orderBy("vec_id") // limit without order is partitioning-dependent
         .limit(16)
         .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
       val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))

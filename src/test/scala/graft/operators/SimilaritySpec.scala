@@ -38,7 +38,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF topK achieves recall vs brute force; full probe = exact") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
-    val centroids = emb.filter(col("vec_id") % 37 === 1).limit(16)
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
     val exact = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 10)
       .select("vec_id").as[Long].collect().toSet
