@@ -48,6 +48,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B3: streaming sliding window equals its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.slidingCounts(mem.toDF(), col("ts"), "2 hours", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_b3").outputMode("complete").start()
+    try {
+      mem.addData(batch1 ++ batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_b3").as[(Timestamp, Long)].collect().toSet
+      val twin = StreamOps.slidingCounts((batch1 ++ batch2).toDF(), col("ts"), "2 hours", "1 hour")
+        .as[(Timestamp, Long)].collect().toSet
+      assert(streamed === twin)
+      // every event lands in exactly 2 windows
+      assert(streamed.toSeq.map(_._2).sum === 2L * (batch1.length + batch2.length))
+    } finally q.stop()
+  }
+
+  test("B4: streaming session window emits gap-closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.sessionCounts(
+      StreamOps.withLateness(mem.toDF(), "ts", "10 minutes"),
+      col("ts"), col("user_id"), "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("t_b4").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(0, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // event far ahead closes the session via watermark
+      mem.addData(Ev(2, ts("2024-01-01 06:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("t_b4")
+        .select("user_id", "session_start", "cnt").as[(Long, Timestamp, Long)].collect()
+      val first = sessions.find(_._2 == ts("2024-01-01 00:00:00"))
+      assert(first.exists(_._3 == 2L), s"expected closed 2-event session: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("B1/B6: watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
