@@ -47,6 +47,39 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("physical-strategy independence: broadcast vs shuffle join, same rows") {
+    val customer = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    val nation   = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+    val hinted = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = customer
+        .join(nation.hint("shuffle_merge"), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      assert(shuffled.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "hint did not force SMJ — test not exercising the alternate strategy")
+      assert(hinted.collect().toSet === shuffled.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("shuffle-partition independence: aggregates equal at 1 and 16 partitions") {
+    val li   = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def agg() = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val at1 = agg()
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val at16 = agg()
+      assert(at1 === at16)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("intersect/except partition: A∩B and A∖B cover A's distinct rows") {
     val gs = samples(rowsGen, 6)
     gs.grouped(2).foreach { case Seq(r1, r2) =>
