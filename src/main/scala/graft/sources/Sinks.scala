@@ -61,6 +61,17 @@ object Sinks {
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
   }
 
+  /** Bucketed write: pre-shuffle once at write time so every later
+    * equi-join/aggregation on `bucketCol` between co-bucketed tables runs
+    * exchange-free (verified in BucketingSpec). The 100 TB recipe for fact
+    * tables joined repeatedly on the same key. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Range-clustered write: repartition by range on `sortCols` and sort
     * within partitions, so every output file covers a disjoint key range —
     * parquet min/max footer stats then let any engine skip whole files for

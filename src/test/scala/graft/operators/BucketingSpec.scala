@@ -18,8 +18,8 @@ class BucketingSpec extends AnyFunSuite {
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
-    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    graft.sources.Sinks.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    graft.sources.Sinks.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8)
 
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
