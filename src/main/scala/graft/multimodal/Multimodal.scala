@@ -85,6 +85,36 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (image stand-in): STUB — a real implementation decodes,
+    * scales, re-encodes. The deterministic fake keeps every `factor`-th
+    * byte and updates the metadata width accordingly, so the
+    * schema/metadata contract (payload shrinks, meta.width tracks it) and
+    * the per-partition execution shape are fully exercised. */
+  def resize(df: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val resized = df
+      .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.width").as("width"), col("payload"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, width, payload) =>
+          val out = payload.grouped(factor).map(_.head).toArray
+          (id, mime, math.max(1L, width / factor), out)
+        }
+      }
+      .toDF("doc_id", "mime", "width", "payload")
+    resized.withColumn(
+      "meta",
+      struct(
+        col("mime"),
+        col("width"),
+        lit(null).cast("long").as("height"),
+        lit(null).cast("long").as("duration_ms")
+      )
+    ).select(col("doc_id"), col("payload"), col("meta"))
+  }
+
   /** Frame-sample stage (video stand-in): split the payload into
     * fixed-size chunks and keep every `stride`-th chunk — the real
     * implementation seeks keyframes; the batching/explode shape is what a

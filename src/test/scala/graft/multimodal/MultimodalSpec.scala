@@ -36,6 +36,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
   }
 
+  test("resize: payload shrinks by factor, metadata width tracks it") {
+    val mm = Multimodal.attachPayload(docs)
+    val rs = Multimodal.resize(mm, factor = 4)
+    // same field names/types as the canonical meta schema (nullability
+    // flags differ through the typed-map roundtrip)
+    val metaFields = rs.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaFields.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.metaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val joined = mm.select(col("doc_id"), length(col("payload")).as("orig"))
+      .join(rs.select(col("doc_id"), length(col("payload")).as("small"), col("meta.width").as("w")), "doc_id")
+      .collect()
+    joined.foreach { r =>
+      val orig = r.getInt(1); val small = r.getInt(2)
+      assert(small === (orig + 3) / 4, s"doc ${r.getLong(0)}: $orig -> $small")
+    }
+    // deterministic
+    val twice = Multimodal.resize(mm, 4).select("doc_id", "payload").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val once  = rs.select("doc_id", "payload").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(once === twice)
+  }
+
   test("frameSample: strided chunks with correct indices") {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docs), chunkBytes = 64, stride = 2)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("maxi"))
