@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
       planOf("d4_topk_bruteforce").contains("Broadcast"), "query vector not broadcast")
   }
 
+  test("ArcPipeline decode→filter→project is narrow: zero exchanges before the sink") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val raw = spark.read.parquet(s"$sf/events.parquet").select(col("props").as("payload"))
+    val (out, dlq) = graft.operators.ArcPipeline.run(
+      raw, col("payload"), graft.operators.ArcPipeline.FilterConfig())
+    Seq(out, dlq).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in the narrow pipeline:\n${plan.take(1500)}")
+    }
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
