@@ -516,6 +516,24 @@ object CoreQueries {
         )
         .orderBy("p_partkey")),
 
+    // C24 (wave 2): pad/translate/repeat/reverse/levenshtein/split_part.
+    "c24_string_fns2" -> ((s, sf) =>
+      Tables
+        .part(s, sf)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "*").as("rp"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+          repeat(lit("ab"), 3).as("rep3"),
+          reverse(col("p_name")).as("rev"),
+          levenshtein(col("p_brand"), lit("Brand#1")).cast("long").as("lev"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("head_word"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4")
+        )
+        .orderBy("p_partkey")),
+
     // C25: date/time function coverage (derived ints cast to long).
     "c25_datetime_fns" -> ((s, sf) =>
       Tables
@@ -529,6 +547,24 @@ object CoreQueries {
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"),
           date_format(col("o_orderdate"), "yyyy-MM").as("ym")
+        )
+        .orderBy("o_orderkey")),
+
+    // C25 (wave 2): calendar functions — quarter/weeks/days, month clamp.
+    "c25_datetime_fns2" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow0"), // 0=Sunday, both engines
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          last_day(col("o_orderdate")).as("eom"),
+          add_months(col("o_orderdate"), 1).as("next_month"), // DATE on both sides
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) - (1995 * 12 + 1))
+            .cast("long")
+            .as("months_since")
         )
         .orderBy("o_orderkey")),
 
@@ -579,6 +615,22 @@ object CoreQueries {
           aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
             .as("tot_chars"),
           size(filter(toks, t => length(t) > 4)).cast("long").as("long_toks")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // C28 (wave 2): positional/structural array functions.
+    "c28_array_fns2" -> ((s, sf) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          array_position(toks, "join").as("join_pos"), // 0 when absent (both sides coalesced)
+          flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("first4"),
+          array_repeat(lit("x"), 3).as("xxx"),
+          element_at(toks, -1).as("last_tok"),
+          size(array_remove(toks, "the")).cast("long").as("n_no_the")
         )
         .orderBy("doc_id")
     }),
@@ -875,6 +927,33 @@ object CoreQueries {
          CAST(length(p_name) AS BIGINT) AS len, p_type LIKE '%BRASS%' AS is_brass,
          string_split(p_name, ' ')[1] AS first_tok
          FROM part ORDER BY p_partkey""",
+    "c24_string_fns2" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+         translate(p_type, 'AEIOU', 'aeiou') AS tr, repeat('ab', 3) AS rep3,
+         reverse(p_name) AS rev,
+         CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev,
+         split_part(p_type, ' ', 1) AS head_word,
+         left(p_name, 4) AS l4, right(p_name, 4) AS r4
+         FROM part ORDER BY p_partkey""",
+    "c25_datetime_fns2" ->
+      """SELECT o_orderkey, CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+         CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+         CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+         last_day(o_orderdate) AS eom,
+         CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - (1995 * 12 + 1) AS BIGINT) AS months_since
+         FROM orders ORDER BY o_orderkey""",
+    "c28_array_fns2" ->
+      """SELECT doc_id,
+         COALESCE(CAST(list_position(toks, 'join') AS BIGINT), 0) AS join_pos,
+         flatten([toks[1:2], toks[3:4]]) AS first4,
+         list_transform(range(3), i -> 'x') AS xxx,
+         toks[-1] AS last_tok,
+         CAST(len(list_filter(toks, t -> t != 'the')) AS BIGINT) AS n_no_the
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id""",
     "c25_datetime_fns" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
          CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d,
