@@ -17,8 +17,12 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire purpose as one batch query: decode → filter →
     * project over the event feed (SURVEY §7.2). */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // The driver owns this session, so the events-table read conf is
+    // applied here (everywhere else it lives in the session builders).
+    graft.tables.Tables.ensureNanosConf(spark)
     EventQueries.arcEventFilter(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -23,15 +23,24 @@ import org.apache.spark.sql.types.DoubleType
   */
 object CosineFusionRule extends Rule[LogicalPlan] {
 
-  /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,v) -> s+v). */
+  /** Both FP multiply and add are commutative bit-for-bit, so either
+    * argument order of the lambda body is the same function. */
+  private def isExactly(l: Expression, r: Expression, v1: Expression, v2: Expression): Boolean =
+    (l.semanticEquals(v1) && r.semanticEquals(v2)) ||
+      (l.semanticEquals(v2) && r.semanticEquals(v1))
+
+  /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,v) -> s+v).
+    * The lambda bodies are bound to the lambdas' own variables: a body like
+    * `x*x` or `v+v` (which this globally-registered rule must NOT rewrite —
+    * it would silently change results) fails the [[isExactly]] check. */
   private object DotProduct {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(_, _, _), _, _)),
+            ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x, y), _)),
             Literal(zero, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
+            LambdaFunction(Add(al, ar, _), Seq(acc, el), _),
             _
-          ) if zero == 0.0 =>
+          ) if zero == 0.0 && isExactly(mx, my, x, y) && isExactly(al, ar, acc, el) =>
         Some((a, b))
       case _ => None
     }

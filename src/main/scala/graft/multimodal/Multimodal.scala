@@ -95,12 +95,15 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val resized = df
+      // meta.width is nullable (metaSchema) — a primitive Long in the tuple
+      // encoder would throw on a null width instead of tolerating it like
+      // every other degenerate input; Option decodes null safely.
       .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.width").as("width"), col("payload"))
-      .as[(Long, String, Long, Array[Byte])]
+      .as[(Long, String, Option[Long], Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, mime, width, payload) =>
           val out = payload.grouped(factor).map(_.head).toArray
-          (id, mime, math.max(1L, width / factor), out)
+          (id, mime, width.map(w => math.max(1L, w / factor)), out)
         }
       }
       .toDF("doc_id", "mime", "width", "payload")

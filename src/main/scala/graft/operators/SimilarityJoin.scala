@@ -79,6 +79,33 @@ object SimilarityJoin {
     emb.select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v")).join(best, "id")
   }
 
+  /** Deterministic Lloyd refinement for IVF centroids: `iters` k-means
+    * steps — assign every vector to its nearest seed (cosine), recompute
+    * each centroid as the coordinate-wise mean of its cluster. Seeds that
+    * attract no vectors drop out (nlist may shrink). Fully distributed: one
+    * broadcast-join assignment plus one (cid, position) aggregation per
+    * iteration — no vectors ever pass through the driver, so nlist and dim
+    * scale to whatever the broadcast threshold allows. */
+  def lloydRefine(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      seeds: DataFrame, // (cid, cvec array<double>)
+      iters: Int
+  ): DataFrame = {
+    var c = seeds
+    for (_ <- 1 to iters)
+      c = ivfAssign(emb, idCol, vecCol, c)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
+            .as("cvec"))
+    c
+  }
+
   /** D4 scale path: IVF top-k — probe the `nprobe` centroids nearest the
     * query, scan only their buckets. Approximate; recall measured in
     * SimilaritySpec against the exact baseline. */

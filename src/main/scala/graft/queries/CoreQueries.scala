@@ -237,25 +237,32 @@ object CoreQueries {
         )
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // C10: stddev/variance via exact decimal moments — deterministic on both
+    // C10: stddev/variance via exact integer moments — deterministic on both
     // engines (engine-native stddev is FP-order-dependent; see StatSpec for
-    // the tolerance check against Spark's stddev_samp).
-    "c10_agg_stats" -> ((s, sf) =>
+    // the tolerance check against Spark's stddev_samp). l_quantity is
+    // integral (1..50 in the fixtures), so the moments are exact BIGINT
+    // sums — pure long arithmetic in whole-stage codegen, no per-row
+    // decimal multiply-with-overflow-check (10x the median bench time in
+    // round 2); the double cast happens once per group.
+    "c10_agg_stats" -> ((s, sf) => {
+      val s1 = col("s1l").cast("double")
+      val s2 = col("s2l").cast("double")
       Tables
         .lineitem(s, sf)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          dsum(col("l_quantity")).as("s1"),
-          dsum(col("l_quantity") * col("l_quantity")).as("s2")
+          sum(col("l_quantity").cast("long")).as("s1l"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("s2l")
         )
         .select(
           col("l_returnflag"),
           col("n"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev_samp")
+          ((s2 - s1 * s1 / col("n")) / (col("n") - 1)).as("var_samp"),
+          sqrt((s2 - s1 * s1 / col("n")) / (col("n") - 1)).as("stddev_samp")
         )
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // C10: covariance/correlation via exact decimal moments — engine-native
     // corr/covar_samp are FP-order-dependent; the moment formula is
@@ -293,6 +300,22 @@ object CoreQueries {
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")
+        )
+        .orderBy("l_returnflag")),
+
+    // C10 scale path: approx_percentile (mergeable quantile sketch,
+    // bounded memory per group — exact `percentile` buffers every value
+    // per group, an executor-memory risk at 100x the group size). Approx
+    // by design → rows-only check; the rank-error bound vs the exact form
+    // is asserted in LawsSpec.
+    "c10_percentile_approx" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75")
         )
         .orderBy("l_returnflag")),
 
@@ -468,35 +491,32 @@ object CoreQueries {
 
     // C23: scalar + IN subqueries through the SQL entry point (parser →
     // same Catalyst pipeline; subqueries decorrelate to semi-joins).
-    "c23_subquery" -> ((s, sf) => {
-      Tables.orders(s, sf).createOrReplaceTempView("graft_orders")
-      Tables.customer(s, sf).createOrReplaceTempView("graft_customer")
-      s.sql("""
-        SELECT o_orderkey, o_totalprice FROM graft_orders
+    // Inline `parquet.` table refs keep the query fn side-effect-free
+    // (no temp-view registration in the shared session; SURVEY §7.5).
+    "c23_subquery" -> ((s, sf) =>
+      s.sql(s"""
+        SELECT o_orderkey, o_totalprice FROM parquet.`$sf/orders.parquet`
         WHERE o_totalprice > (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-            FROM graft_orders)
-          AND o_custkey IN (SELECT c_custkey FROM graft_customer WHERE c_acctbal > 5000)
+            FROM parquet.`$sf/orders.parquet`)
+          AND o_custkey IN (
+            SELECT c_custkey FROM parquet.`$sf/customer.parquet` WHERE c_acctbal > 5000)
         ORDER BY o_orderkey
-      """)
-    }),
+      """)),
 
     // C23: LATERAL correlated subquery — per-customer top order through
     // the SQL entry point (decorrelates to a window/join under Catalyst).
-    "c23_lateral" -> ((s, sf) => {
-      Tables.orders(s, sf).createOrReplaceTempView("graft_orders")
-      Tables.customer(s, sf).createOrReplaceTempView("graft_customer")
-      s.sql("""
+    "c23_lateral" -> ((s, sf) =>
+      s.sql(s"""
         SELECT c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
-        FROM graft_customer,
+        FROM parquet.`$sf/customer.parquet`,
         LATERAL (
-          SELECT o_orderkey, o_totalprice FROM graft_orders
+          SELECT o_orderkey, o_totalprice FROM parquet.`$sf/orders.parquet`
           WHERE o_custkey = c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
         ) t
         ORDER BY c_custkey
-      """)
-    }),
+      """)),
 
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
@@ -611,7 +631,10 @@ object CoreQueries {
           size(toks).cast("long").as("n_tok"),
           array_contains(toks, "join").as("has_join"),
           element_at(sort_array(toks), 1).as("first_sorted"),
-          slice(toks, 1, 3).as("first3"),
+          // array outputs are serialized to a joined string: the oracle
+          // harness hash-compares rows via pandas, which cannot sort
+          // array-typed columns (CORRECTNESS_r02 c28_* err).
+          array_join(slice(toks, 1, 3), "|").as("first3"),
           aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
             .as("tot_chars"),
           size(filter(toks, t => length(t) > 4)).cast("long").as("long_toks")
@@ -627,8 +650,9 @@ object CoreQueries {
         .select(
           col("doc_id"),
           array_position(toks, "join").as("join_pos"), // 0 when absent (both sides coalesced)
-          flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("first4"),
-          array_repeat(lit("x"), 3).as("xxx"),
+          // joined-string form: pandas oracle compare can't sort array columns
+          array_join(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))), "|").as("first4"),
+          array_join(array_repeat(lit("x"), 3), "|").as("xxx"),
           element_at(toks, -1).as("last_tok"),
           size(array_remove(toks, "the")).cast("long").as("n_no_the")
         )
@@ -801,8 +825,8 @@ object CoreQueries {
          sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
          FROM (
            SELECT l_returnflag, count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS s2
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
     "c10_agg_corr" ->
@@ -947,8 +971,8 @@ object CoreQueries {
     "c28_array_fns2" ->
       """SELECT doc_id,
          COALESCE(CAST(list_position(toks, 'join') AS BIGINT), 0) AS join_pos,
-         flatten([toks[1:2], toks[3:4]]) AS first4,
-         list_transform(range(3), i -> 'x') AS xxx,
+         array_to_string(flatten([toks[1:2], toks[3:4]]), '|') AS first4,
+         'x|x|x' AS xxx,
          toks[-1] AS last_tok,
          CAST(len(list_filter(toks, t -> t != 'the')) AS BIGINT) AS n_no_the
          FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
@@ -983,7 +1007,7 @@ object CoreQueries {
       """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
          list_contains(toks, 'join') AS has_join,
          list_sort(toks)[1] AS first_sorted,
-         toks[1:3] AS first3,
+         array_to_string(toks[1:3], '|') AS first3,
          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tot_chars,
          CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS long_toks
          FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks

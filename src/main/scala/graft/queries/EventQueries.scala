@@ -188,6 +188,29 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // B7 batch twin: per-user running event count + value sum over event
+    // time — the batch semantics of StreamOps.RunningTotalsProcessor
+    // (transformWithState emits the same cumulative totals per key as each
+    // micro-batch arrives; a full-history batch run's final window frame is
+    // identical). Decimal running sum: window-frame accumulation order is
+    // engine-internal, so the FP-order-independent decimal sum is what
+    // makes the twin hash-comparable.
+    "b7_running_totals" -> ((s, sf) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(s, sf)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          count(lit(1)).over(w).as("running_events"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double").as("running_sum")
+        )
+        .orderBy("user_id", "event_id")
+    }),
+
     // B8 batch twin: stream-static enrichment join (events ↔ customer dim).
     "b8_stream_static_join" -> ((s, sf) =>
       Tables
@@ -257,6 +280,13 @@ object EventQueries {
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "b7_running_totals" ->
+      """SELECT user_id, event_id,
+         count(*) OVER w AS running_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         ORDER BY user_id, event_id""",
     "b8_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum

@@ -28,6 +28,36 @@ object LlmQueries {
   private def stopwordSqlList: String =
     stopwordsSorted.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // DuckDB twin of TextOps.langId, generated from the same profiles: one
+  // score column per language (sorted by code), argmax with the same
+  // lexicographically-first tie-break (first `= mx` in sorted order wins),
+  // 'und' when no profile hits.
+  private def langIdSql: String = {
+    val langs = TextOps.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs
+      .map { case (l, ws) =>
+        s"len(list_intersect(dt, ${ws.map(w => s"'$w'").mkString("[", ", ", "]")})) AS s_$l"
+      }
+      .mkString(",\n             ")
+    val mx = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    val cases = langs.init
+      .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }
+      .mkString("\n           ")
+    s"""SELECT doc_id, labeled_lang,
+         CASE WHEN mx = 0 THEN 'und'
+           $cases
+           ELSE '${langs.last._1}' END AS pred_lang
+       FROM (
+         SELECT doc_id, labeled_lang, $mx AS mx, ${langs.map(l => s"s_${l._1}").mkString(", ")}
+         FROM (
+           SELECT doc_id, lang AS labeled_lang,
+             $scoreCols
+           FROM (SELECT doc_id, lang,
+                   list_distinct(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS dt
+                 FROM documents)))
+       ORDER BY doc_id"""
+  }
+
   val defs: Map[String, Q] = Map(
     // D1: exact dedup by content hash, deterministic keep-lowest-id.
     "d1_exact_dedup" -> ((s, sf) =>
@@ -60,6 +90,9 @@ object LlmQueries {
 
     // D2: exact n-gram (3-token shingle) Jaccard — the oracle-checkable
     // near-dup scorer: top-50 most similar pairs on a doc_id%10 slice.
+    // Candidates come from a shared-shingle equi-join (hash-partitioned,
+    // never all-pairs); only zero-overlap pairs are pruned, and the slice
+    // has >50 pairs with jac > 0, so the top-50 is unchanged.
     "d2_ngram_jaccard" -> ((s, sf) =>
       Dedup
         .ngramJaccardPairs(
@@ -92,14 +125,18 @@ object LlmQueries {
     }),
 
     // D4 scale path: IVF-bucketed ANN top-k. Approximate → rows-only;
-    // recall vs brute force asserted in SimilaritySpec.
+    // recall vs brute force asserted in SimilaritySpec. Seeds are a
+    // deterministic modulo sample, sharpened by two Lloyd iterations
+    // (assign → mean), which is what drops the "centroids are just a
+    // sample" caveat without an RNG.
     "d4_topk_ivf" -> ((s, sf) => {
       val e = Tables.embeddings(s, sf)
-      val centroids = e
+      val seeds = e
         .filter(col("vec_id") % 37 === 1)
         .orderBy("vec_id") // limit without order is partitioning-dependent
         .limit(16)
         .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+      val centroids = SimilarityJoin.lloydRefine(e, col("vec_id"), col("embedding"), seeds, iters = 2)
       val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
       SimilarityJoin.ivfTopK(e, col("vec_id"), col("embedding"), centroids, q, k = 10, nprobe = 4)
     }),
@@ -225,6 +262,7 @@ object LlmQueries {
                  / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
                     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 9) AS jac
          FROM base a JOIN base b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) >= 1
          ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
     "d3_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -253,6 +291,7 @@ object LlmQueries {
                  list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "d5_langid" -> langIdSql,
     "d5_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

@@ -44,21 +44,39 @@ object Sinks {
   /** Compact a directory of small files into ~`targetBytes` outputs —
     * streaming sinks produce a file per micro-batch per partition, and at
     * 100 TB the resulting millions of small files dominate planning and
-    * open() cost long before data cost. Sizing uses the on-disk footprint;
-    * the rewrite is a single narrow coalesce (no shuffle). */
+    * open() cost long before data cost. Sizing walks the tree recursively
+    * (partitioned layouts nest files under key directories); the rewrite is
+    * a single narrow coalesce (no shuffle).
+    *
+    * Runs on the session's Hadoop FileSystem, so the same code compacts
+    * local, HDFS, or S3A paths. The swap is crash-safe: the original is
+    * renamed aside, the rewrite renamed into place, and only then is the
+    * old copy deleted — at no point is the dataset path absent without a
+    * recoverable copy next to it. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetBytes: Long): Unit = {
-    val dir   = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
-    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp   = path + "__compacting"
-    spark.read.parquet(path).coalesce(parts).write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(delete)); f.delete(); ()
+    import org.apache.hadoop.fs.Path
+    val dataPath = new Path(path)
+    val fs       = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes    = 0L
+    val files    = fs.listFiles(dataPath, /* recursive = */ true)
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
-    delete(target)
-    if (!new java.io.File(tmp).renameTo(target))
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp   = new Path(path + "__compacting")
+    val old   = new Path(path + "__precompact")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(path).coalesce(parts).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(dataPath, old))
+      throw new java.io.IOException(s"compaction rename-aside failed: $path -> $old")
+    if (!fs.rename(tmp, dataPath)) {
+      fs.rename(old, dataPath) // restore; the dataset path must not stay vacant
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
+    ()
   }
 
   /** Bucketed write: pre-shuffle once at write time so every later

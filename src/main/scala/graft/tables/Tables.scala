@@ -38,10 +38,16 @@ object Tables {
     * double-precision divide would corrupt µs digits at 1.7e18 magnitudes).
     * Floor division matches DuckDB's ns→µs truncation, keeping the oracle
     * comparable.
-    */
-  def events(spark: SparkSession, sf: String): DataFrame = {
+    *
+    * The `nanosAsLong` flag is session configuration, not per-query state:
+    * it is set where sessions are built (Verify/Bench/TestSpark builders,
+    * [[graft.SparkEntry.entry]] for the driver-owned session) so query
+    * functions stay side-effect-free (SURVEY §7.5). [[ensureNanosConf]] is
+    * that one idempotent knob. */
+  def ensureNanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(spark: SparkSession, sf: String): DataFrame =
     table(spark, sf, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 }

@@ -47,6 +47,25 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile tracks exact percentile within the accuracy bound") {
+    // c10_percentile_approx is the rows-only scale variant of
+    // c10_percentile; this is its correctness law. At accuracy 10000 the
+    // rank error is ≤ n/10000, far under 1% of the value range here.
+    val exact = SparkEntry
+      .queries("c10_percentile")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = SparkEntry
+      .queries("c10_percentile_approx")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    for (k <- exact.keys; (e, a) <- exact(k).zip(approx(k)))
+      assert(math.abs(e - a) <= 0.01 * math.abs(e) + 1e-9, s"group $k: exact=$e approx=$a")
+  }
+
   test("physical-strategy independence: broadcast vs shuffle join, same rows") {
     val customer = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
     val nation   = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")

@@ -71,6 +71,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d2: no dedup query plans an all-pairs join (BNLJ/cartesian)") {
+    Seq("d2_ngram_jaccard", "d2_neardup_minhash", "d2_simhash").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degraded to an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -51,6 +51,26 @@ class CosineExpressionSpec extends AnyFunSuite {
     assert(viaRule.toSeq === viaNative.toSeq)
   }
 
+  test("fusion rule binds lambda variables: x*x / v+v shapes are NOT rewritten") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(20)
+    val a = VectorOps.asDouble(col("embedding"))
+    val b = VectorOps.asDouble(reverse(col("embedding")))
+    // same tree shape as cosine but the lambdas compute x*x and v+v —
+    // a rewrite would silently change results (ADVICE round 2).
+    val squareNotDot = aggregate(zip_with(a, b, (x, _) => x * x), lit(0.0), (acc, v) => acc + v)
+    val doubleNotSum = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (_, v) => v + v)
+    for ((body, tag) <- Seq((squareNotDot, "x*x"), (doubleNotSum, "v+v"))) {
+      val df = emb.select((body / (VectorOps.l2Norm(a) * VectorOps.l2Norm(b))).as("c"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("graft_cosine"), s"$tag was wrongly fused to cosine")
+    }
+    // and the legit pattern still fuses with the stricter matcher
+    val legit = emb.select(VectorOps.cosine(a, b).as("c"))
+    assert(legit.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+      "strict binding broke the positive case")
+  }
+
   test("fusion rule leaves non-cosine dot products alone") {
     GraftExtensions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(5)

@@ -50,6 +50,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf4.intersect(exact).size >= 2, s"nprobe=4 recall collapsed: $ivf4 vs $exact")
   }
 
+  test("Lloyd-refined centroids: aggregate IVF recall does not regress vs raw seeds") {
+    // Per-query recall at nprobe=4 is noisy either way (±2 of 10); the law
+    // is aggregate: over a fixed query panel, refined centroids recall at
+    // least as many true top-10 neighbors as the raw modulo seeds, and
+    // clear an absolute floor (measured raw=47, refined=49 of 80).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val refined =
+      SimilarityJoin.lloydRefine(emb, col("vec_id"), col("embedding"), seeds, iters = 2).cache()
+    val panel = Seq(0L, 5L, 11L, 23L, 42L, 77L, 100L, 150L)
+    def recall(cs: org.apache.spark.sql.DataFrame): Int =
+      panel.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+        val exact = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 10)
+          .select("vec_id").as[Long].collect().toSet
+        SimilarityJoin.ivfTopK(emb, col("vec_id"), col("embedding"), cs, q, 10, nprobe = 4)
+          .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+      }.sum
+    val (rawR, refinedR) = (recall(seeds), recall(refined))
+    assert(refinedR >= rawR, s"refinement regressed aggregate recall: $refinedR < $rawR")
+    assert(refinedR >= 45, s"refined aggregate recall floor broken: $refinedR/80")
+  }
+
   test("selfJoinThreshold emits each qualifying pair once with a < b") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 100)

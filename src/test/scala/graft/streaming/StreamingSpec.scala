@@ -253,6 +253,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B7: batch twin (b7_running_totals window) equals streaming final totals per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = Seq(
+      StreamOps.SessionEvent(1, ts("2024-01-01 00:00:00"), 10.0),
+      StreamOps.SessionEvent(1, ts("2024-01-01 00:01:00"), 5.0),
+      StreamOps.SessionEvent(2, ts("2024-01-01 00:02:00"), 1.0),
+      StreamOps.SessionEvent(1, ts("2024-01-01 00:03:00"), 2.5))
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("t_b7_twin").outputMode("update").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamFinal = spark.table("t_b7_twin").as[StreamOps.UserTotals].collect()
+        .groupBy(_.user_id).map { case (u, rs) =>
+          val last = rs.maxBy(_.events); u -> ((last.events, last.valueSum))
+        }
+      // identical window logic to the registered b7_running_totals query;
+      // the final frame per key is the stream's final cumulative state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Long.MinValue, 0)
+      val batchFinal = data.toDF()
+        .select(col("user_id"),
+          count(lit(1)).over(w).as("re"), sum(col("value")).over(w).as("rs"))
+        .groupBy(col("user_id")).agg(max(struct(col("re"), col("rs"))).as("m"))
+        .select(col("user_id"), col("m.re"), col("m.rs")).as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamFinal === batchFinal)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A9/A10: streaming dead-letter sink splits per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem  = MemoryStream[Ev]
