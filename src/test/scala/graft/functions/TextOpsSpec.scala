@@ -24,6 +24,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df(1).getSeq[String](0) === Seq("a b"))
   }
 
+  test("JVM hash twins are bit-identical to the Column forms on fixture docs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    // xxhash64 / shingle-hash / token-hash twins, all on the same rows
+    val viaSql = docs.select(
+      col("doc_id"),
+      xxhash64(col("text")).as("h"),
+      transform(TextOps.shingles(TextOps.tokens(col("text")), 3), s => xxhash64(s)).as("shh"),
+      TextOps.tokenHashes(TextOps.tokenSet(col("text"))).as("th")
+    ).as[(Long, Long, Array[Long], Array[Long])].collect()
+    val byId = docs.as[(Long, String)].collect().toMap
+    viaSql.foreach { case (id, h, shh, th) =>
+      val text = byId(id)
+      assert(TextOps.xxhash64Jvm(text) === h, s"xxhash64 diverged on doc $id")
+      assert(TextOps.shingleHashesJvm(text, 3).toSeq === shh.toSeq, s"shingle hashes diverged on doc $id")
+      assert(TextOps.tokenHashesJvm(text).toSeq === th.toSeq, s"token hashes diverged on doc $id")
+    }
+    // whole-doc-shingle fallback for short docs
+    assert(TextOps.shingleHashesJvm("a b", 3).toSeq === Seq(TextOps.xxhash64Jvm("a b")))
+  }
+
   test("minhash signature has numHashes entries and identical docs agree") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "totally different text here now").toDF("t")
       .select(TextOps.minHashSignature(TextOps.shingles(TextOps.tokens(col("t")), 2), 16).as("sig"))
