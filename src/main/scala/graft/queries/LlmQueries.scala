@@ -105,6 +105,20 @@ object LlmQueries {
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(50)),
 
+    // D2: near-dup pairs → dedup CLUSTERS via distributed connected
+    // components (min-label propagation) — the step a real dedup pipeline
+    // runs after pair generation, so it can keep one canonical doc per
+    // cluster. Oracle: DuckDB recursive CTE over the same edges.
+    "d2_neardup_clusters" -> ((s, sf) =>
+      Dedup
+        .connectedComponents(
+          Dedup
+            .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+              shingleSize = 3, threshold = 0.3)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")),
+
     // D3: cosine similarity of adjacent embedding pairs — pure Column
     // lambda expressions, no UDF.
     "d3_cosine_pairs" -> ((s, sf) => {
@@ -264,6 +278,28 @@ object LlmQueries {
          FROM base a JOIN base b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.sh, b.sh)) >= 1
          ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "d2_neardup_clusters" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         cc(node, label) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node WHERE cc.label < e.d)
+         SELECT node AS doc_id, min(label) AS cluster FROM cc
+         GROUP BY node ORDER BY doc_id""",
     "d3_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)

@@ -35,6 +35,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)), "unrelated docs flagged as near-dups")
   }
 
+  test("connectedComponents: chains merge, separate components stay apart") {
+    // 1-2, 2-3 chain (diameter 2, needs >1 propagation round); 10-11 apart;
+    // 20-21-22 star
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(cc(20L) === 20L && cc(21L) === 20L && cc(22L) === 20L)
+    assert(cc.size === 8)
+  }
+
+  test("connectedComponents clusters the fixture near-dup pairs transitively") {
+    // 1-2 (exact) and 1-3/2-3 (near): one cluster labeled 1; nothing else.
+    val edges = Dedup
+      .ngramJaccardPairs(corpus, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc.keySet === Set(1L, 2L, 3L))
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("bucket-size cap drops degenerate buckets") {
     // 100 identical docs: every (band,bucket) holds 100 > cap → no pairs.
     val spam = (1L to 100L).map(i => (i, "same spam text repeated in every document body")).toDF("doc_id", "text")
