@@ -52,6 +52,7 @@ object Dedup {
     val banded = df
       .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
       .as[(Long, String)]
+      .filter(_._2 != null) // null text: no signature, no buckets (NPE guard)
       .map { case (id, text) =>
         (id, TextOps.minHashSignature64(TextOps.shingleHashesJvm(text, p.shingleSize), p.numHashes))
       }
@@ -97,21 +98,26 @@ object Dedup {
   }
 
   /** D2 (n-gram flavor): exact k-token-shingle Jaccard near-dup pairs,
-    * computed scale-safely: candidate pairs are generated by an equi-join on
-    * shared shingles (a pair with Jaccard > 0 shares at least one shingle,
-    * so blocking is EXACT — it only prunes zero-overlap pairs), then
-    * verified with the exact Jaccard on the distinct-shingle sets. Never
-    * all-pairs: the candidate join is hash-partitioned on the shingle, so
-    * total pair work is Σ df(shingle)² — bounded by vocabulary skew, not
-    * corpus size.
+    * computed scale-safely: pairs come from an equi-join on shared shingles
+    * (a pair with Jaccard > 0 shares at least one shingle, so blocking is
+    * EXACT — it only prunes zero-overlap pairs), and the overlap |A∩B| is
+    * counted FROM the join itself — `groupBy(doc_a, doc_b).count()` over
+    * the matched shingle rows — so Jaccard falls out of three exact
+    * integers (ov, n_a, n_b) with no per-pair array re-intersection.
+    * Never all-pairs: the join is hash-partitioned on the shingle and the
+    * overlap count is a partial-aggregating (map-side combine) hash agg,
+    * so total work is Σ df(shingle)² join rows — bounded by vocabulary
+    * skew, not corpus size. (A PPJoin-style prefix filter was profiled
+    * here in round 3: at the thresholds this corpus needs (τ ≤ 0.5) it
+    * pruned < 2× but forced a per-pair array-intersect verify that
+    * dominated the query ~5:1; counting overlap in the aggregation is
+    * both exact and strictly faster. For very high τ on heavy-df corpora
+    * the MinHash path is the intended scale answer.)
     *
-    * When `threshold` > 0 a prefix filter is applied first (the standard
-    * exact optimization from set-similarity joins, e.g. PPJoin): order each
-    * document's shingles by ascending global document frequency (ties by
-    * shingle value) and index only the first `n - ceil(threshold*n) + 1`;
-    * any pair with Jaccard >= threshold must share a prefix shingle, so no
-    * qualifying pair is lost while the rarest — least-blocking — shingles
-    * do the candidate generation. */
+    * When `threshold` > 0, a size-compatibility filter drops join rows
+    * early: Jaccard ≥ τ requires min(n_a,n_b) ≥ τ·max(n_a,n_b) (since
+    * |A∩B| ≤ min and |A∪B| ≥ max) — an exact prune, made FP-safe with a
+    * 1e-9 slack so double rounding can never drop a qualifying pair. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: Column,
@@ -121,79 +127,152 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Shingling runs as a JVM loop (TextOps.distinctShinglesJvm): the plan
-    // evaluates the shingle set once per join side, and the Catalyst HOF
-    // form is interpreted — profiled ~2.8 s/evaluation at sf0.1 vs ms here.
+    // Shingling runs as a JVM loop (TextOps.distinctShingleHashesJvm):
+    // Catalyst HOF lambdas are interpreted — profiled ~2.8 s/evaluation at
+    // sf0.1 vs milliseconds here. Hashed (not string) shingles: the join
+    // below only COUNTS matches, so the 8-byte xxhash64 key halves shuffle
+    // bytes vs k-token strings (collision odds ≈ n²/2⁶⁵ — see TextOps).
     val base = df
       .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, TextOps.distinctShinglesJvm(text, shingleSize)) }
-      .filter(_._2 != null) // fewer than k tokens: no shingles, no pairs
+      .map { case (id, text) => (id, TextOps.distinctShingleHashesJvm(text, shingleSize)) }
+      .filter(_._2 != null) // null text or fewer than k tokens: no pairs
       .toDF("doc_id", "sh")
     val exploded = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val indexed =
-      if (threshold > 0) {
-        val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("s_df"))
-        exploded
-          .join(dfreq, "s")
-          .withColumn(
-            "__rk",
-            row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("s_df"), col("s"))))
-          .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-          .select(col("doc_id"), col("s"))
-      } else exploded.select(col("doc_id"), col("s"))
-    val candidates = indexed
-      .select(col("s"), col("doc_id").as("doc_a"))
-      .join(indexed.select(col("s").as("s_r"), col("doc_id").as("doc_b")),
-        col("s") === col("s_r") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(TextOps.jaccard(col("sh_a"), col("sh_b")), 9).as("jac"))
+    val l        = exploded.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val r        = exploded.select(col("s").as("s_r"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val sizeCompat =
+      if (threshold > 0)
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") - lit(1e-9)
+      else lit(true)
+    // shuffle_hash: both sides are one narrow pass over the corpus — a
+    // hash join skips the per-partition sort of the (string-keyed) rows
+    // that SMJ would pay; at 100 TB the shingle key space is huge so
+    // per-partition hash tables stay small.
+    l.hint("shuffle_hash")
+      .join(r, col("s") === col("s_r") && col("doc_a") < col("doc_b") && sizeCompat)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ov"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          col("ov").cast("double") / (col("n_a") + col("n_b") - col("ov")).cast("double"),
+          9).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
   /** Connected components over an undirected edge list — the step that
     * turns near-duplicate PAIRS into dedup CLUSTERS (pick one canonical doc
-    * per component). Min-label propagation: every node starts labeled with
-    * its own id; each round joins labels across edges and keeps the
-    * minimum; converged when no label changes. Rounds needed = component
-    * diameter — near-dup clusters are dense and shallow (a spam cluster is
-    * diameter ≲ 2-3), so this converges in a handful of rounds; a graph
-    * with long chains would want the alternating large-star/small-star
-    * algorithm, same DataFrame shape. Per round: one shuffle join + one
-    * aggregation; the only driver-side value is the changed-label COUNT
-    * (scalar convergence check, the standard iterative-algorithm pattern);
-    * lineage is truncated every round so plans stay O(1) deep.
+    * per component). Alternating large-star / small-star (the exact-CC
+    * MapReduce algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires every edge toward
+    * the minimum of a node's neighborhood, converging to one star per
+    * component rooted at the component minimum in O(log n) rounds — not
+    * O(diameter) like plain min-label propagation, so long chains
+    * (incremental near-dup edit histories) are safe at scale.
+    *
+    * 100 TB design: a round is two windowed min-aggregations plus a
+    * distinct — all keyed shuffles; the only driver-side values are the
+    * scalar convergence counts. Each round is materialized with
+    * `localCheckpoint` to keep the plan O(1) deep, and the superseded
+    * round's blocks are unpersisted immediately, so peak storage is two
+    * rounds' edge sets regardless of round count. The returned DataFrame is
+    * backed by the node-universe and final-round checkpoints; those blocks
+    * are freed by Spark's ContextCleaner once the caller drops the
+    * reference. On a
+    * multi-executor cluster prefer a reliable checkpoint dir —
+    * `localCheckpoint` trades executor-loss tolerance for speed, which is
+    * acceptable only because a lost block fails the job loudly rather than
+    * corrupting the answer.
+    *
+    * Throws IllegalStateException when `maxIter` rounds pass without
+    * convergence: a silently partial cluster map would be a WRONG answer
+    * (the failure mode min-label propagation had here before round 4).
     *
     * Output: (node, cluster) where cluster = min node id in the component,
-    * one row per node that appears in `edges`. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e   = edges.toDF("src", "dst")
-    val sym = e.union(e.select(col("dst"), col("src"))).toDF("s", "d").localCheckpoint(true)
-    var labels =
-      sym.select(col("s").as("node")).distinct().withColumn("label", col("node")).localCheckpoint(true)
-    var converged = false
-    var i = 0
+    * one row per distinct node in `edges`. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+
+    // localCheckpoint + handle to its backing cached RDD, so a superseded
+    // round can be freed deterministically (Dataset.unpersist only covers
+    // CacheManager entries, not checkpoint blocks).
+    def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val cp = df.localCheckpoint(eager = true)
+      val rdd = cp.queryExecution.analyzed
+        .collectFirst { case l: LogicalRDD => l.rdd }
+        .getOrElse(throw new IllegalStateException("localCheckpoint did not yield a LogicalRDD plan"))
+      (cp, rdd)
+    }
+
+    // Materialize the input ONCE — `edges` is typically the tail of an
+    // expensive pair-generation pipeline, and both the node universe and
+    // the canonical edge set derive from it (evaluating it twice doubled
+    // the query cost when nodes was left as a lazy plan).
+    val (base, baseRdd) = checkpointed(edges.toDF("src", "dst"))
+
+    // Node universe (self-loops contribute a node but no edge).
+    val (nodes, nodesRdd) = checkpointed(
+      base.select(col("src").as("node")).union(base.select(col("dst").as("node"))).distinct())
+
+    // Canonical undirected form: (hi, lo) with hi > lo, distinct.
+    var (cur, curRdd) = checkpointed(
+      base
+        .filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+        .distinct())
+    baseRdd.unpersist(blocking = false) // nodes + cur supersede the raw input
+
+    val wCtr     = Window.partitionBy(col("ctr"))
+    val wHi      = Window.partitionBy(col("hi"))
+    var curCount = curRdd.count() // cached-block count, no SQL re-plan
+    var converged = curCount == 0L
+    var i         = 0
     while (!converged && i < maxIter) {
-      val prop = sym
-        .join(labels, col("s") === col("node"))
-        .groupBy(col("d").as("nbr"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(prop, col("node") === col("nbr"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+      // Large-star: around every node ctr, link each LARGER neighbor to the
+      // minimum of the neighborhood (incl. ctr). Output stays canonical:
+      // nbr > ctr >= m. Duplicate rows are fine — the windowed min below is
+      // duplicate-insensitive and the round's final distinct dedups — so no
+      // extra shuffle here.
+      val sym = cur
+        .select(col("hi").as("ctr"), col("lo").as("nbr"))
+        .union(cur.select(col("lo").as("ctr"), col("hi").as("nbr")))
+      val ls = sym
+        .withColumn("m", least(col("ctr"), min(col("nbr")).over(wCtr)))
+        .filter(col("nbr") > col("ctr"))
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+      // Small-star: around every node hi, link its smaller neighbors (and
+      // hi itself) to their minimum m; (lo, m) rows drop when lo = m.
+      val withMin = ls.withColumn("m", min(col("lo")).over(wHi))
+      val (next, nextRdd) = checkpointed(
+        withMin
+          .filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .union(withMin.select(col("hi"), col("m").as("lo")))
+          .distinct())
+      // Both sides are distinct canonical sets: equal counts + empty
+      // one-sided difference ⇔ the round was a no-op ⇔ stars reached.
+      // (&& short-circuits: rounds that changed the edge count skip the
+      // except job entirely.)
+      val nextCount = nextRdd.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      curRdd.unpersist(blocking = false) // superseded round: free its blocks
+      cur = next
+      curRdd = nextRdd
+      curCount = nextCount
       i += 1
     }
-    labels.select(col("node"), col("label").as("cluster"))
+    if (!converged) {
+      curRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter large-star/small-star rounds — " +
+          "refusing to return a partial (wrong) cluster map")
+    }
+    nodes
+      .join(cur.select(col("hi").as("node"), col("lo").as("root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster"))
   }
 
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius, with
@@ -218,6 +297,7 @@ object Dedup {
     val hashed = df
       .select(idCol.cast("long").as("id"), textCol.cast("string").as("__text"))
       .as[(Long, String)]
+      .filter(_._2 != null) // null text: no simhash, no pairs (NPE guard)
       .map { case (id, text) => (id, TextOps.simHash64(TextOps.tokenHashesJvm(text))) }
       .toDF("id", "sh")
     val step = 64 / rotations
@@ -247,13 +327,14 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       maxHamming: Int = 8,
-      blockBits: Int = 12
+      blockBits: Int = 20
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df
       .select(idCol.cast("long").as("id"), textCol.cast("string").as("__text"))
       .as[(Long, String)]
+      .filter(_._2 != null) // null text: no simhash, no pairs (NPE guard)
       .map { case (id, text) => (id, TextOps.simHash64(TextOps.tokenHashesJvm(text))) }
       .toDF("id", "sh")
     val blocked = hashed.withColumn("blk", shiftrightunsigned(col("sh"), 64 - blockBits))

@@ -106,7 +106,7 @@ object LlmQueries {
         .limit(50)),
 
     // D2: near-dup pairs → dedup CLUSTERS via distributed connected
-    // components (min-label propagation) — the step a real dedup pipeline
+    // components (large-star/small-star) — the step a real dedup pipeline
     // runs after pair generation, so it can keep one canonical doc per
     // cluster. Oracle: DuckDB recursive CTE over the same edges.
     "d2_neardup_clusters" -> ((s, sf) =>

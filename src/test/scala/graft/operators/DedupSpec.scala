@@ -47,6 +47,36 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 8)
   }
 
+  test("connectedComponents: 200-node path graph converges in O(log n) rounds") {
+    // Diameter 199 — min-label propagation would need 199 rounds; the
+    // large-star/small-star alternation must finish well inside maxIter=12
+    // (≈ log2(200) with slack) and still label every node with the min.
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc    = Dedup.connectedComponents(edges, maxIter = 12).as[(Long, Long)].collect().toMap
+    assert(cc.size === 200)
+    assert(cc.values.toSet === Set(0L), s"labels not fully propagated: ${cc.values.toSet.take(5)}")
+  }
+
+  test("connectedComponents throws instead of returning a partial cluster map") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 0).collect()
+    }
+  }
+
+  test("connectedComponents frees superseded rounds (≤1 leftover checkpoint)") {
+    val sc     = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges  = (0L until 63L).flatMap(i => Seq((i, 2 * i + 1), (i, 2 * i + 2))).toDF("src", "dst")
+    val cc     = Dedup.connectedComponents(edges)
+    assert(cc.count() === 127)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // Only the node-universe and final-round checkpoints (which back the
+    // returned frame) may remain; every superseded round must have been
+    // unpersisted.
+    assert(leaked.size <= 2, s"leaked ${leaked.size} persistent RDDs: $leaked")
+  }
+
   test("connectedComponents clusters the fixture near-dup pairs transitively") {
     // 1-2 (exact) and 1-3/2-3 (near): one cluster labeled 1; nothing else.
     val edges = Dedup
