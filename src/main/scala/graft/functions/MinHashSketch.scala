@@ -42,4 +42,16 @@ object MinHashSketch {
     require(a.length == b.length)
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
   }
+
+  /** Column form of [[estimateJaccard]] — pure expression (zip_with +
+    * aggregate), so a signature-vs-signature-store join can verify
+    * candidates inline without a UDF. */
+  def estimateJaccardCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc + v
+    ).cast("double") / numHashes
+  }
 }

@@ -134,6 +134,63 @@ object SimilarityJoin {
       .limit(k)
   }
 
+  /** Offline half of the IVF serving pair: assign every vector to its
+    * centroid ONCE and write the index partitioned by `cid`, with the
+    * centroid table stored under `_centroids` inside the same directory
+    * (underscore prefix: parquet readers of the index path ignore it, so
+    * one directory is the whole self-describing index). Assignment is the
+    * expensive, query-independent part — [[ivfTopK]] recomputes it per
+    * query, which is fine for a one-shot batch job but wrong for serving;
+    * after this build, [[ivfProbe]] reads only the probed partitions. */
+  def buildIvfIndex(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: DataFrame,
+      path: String
+  ): Unit = {
+    ivfAssign(emb, idCol, vecCol, centroids)
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(path)
+    centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Online half: top-k against a prebuilt [[buildIvfIndex]] directory.
+    * The query is scored against the (small) centroid table first; the
+    * winning `nprobe` centroid ids become a PARTITION filter on the index
+    * scan, so the job reads ~nprobe/nlist of the corpus from disk — no
+    * full-corpus assignment, no full-corpus scan (partition pruning
+    * asserted in SimilaritySpec). The only driver-side value is the
+    * nprobe-length centroid-id list — bounded by configuration, not data
+    * (same class as an iterative algorithm's convergence scalar). */
+  def ivfProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      query: DataFrame, // single row: (qvec array<double>)
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+    val probeIds = centroids
+      .crossJoin(broadcast(query))
+      .withColumn("csim", VectorOps.cosineNative(spark, col("cvec"), col("qvec")))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+    spark.read
+      .parquet(indexPath)
+      .filter(col("cid").isin(probeIds: _*)) // prunes to nprobe partitions
+      .crossJoin(broadcast(query))
+      .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
+      .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** D9: exact similarity self-join within blocks: pairs (a < b) sharing
     * `blockCol` with cosine >= threshold. The block key is the shuffle key,
     * so work scales with sum(block²), not corpus². */

@@ -10,13 +10,27 @@ import graft.operators.Dedup
   * engine's operators (north star: BASELINE.json — dedup, text analysis,
   * quality at 100 TB):
   *
-  *   exact dedup → near-dup dedup (MinHash/LSH) → quality gate →
-  *   language gate → enrichment (tokens, fingerprint, quality features)
+  *   exact dedup → near-dup dedup (MinHash/LSH + connected components) →
+  *   quality gate → language gate → enrichment (tokens, fingerprint,
+  *   quality features)
   *
   * Every stage is a keyed shuffle or a narrow map; nothing touches the
-  * driver. The near-dup stage drops the higher doc id of each verified
-  * pair (deterministic survivor choice), mirroring the keep-lowest rule of
-  * exact dedup.
+  * driver. Near-dup survivors are chosen PER CLUSTER: verified pairs feed
+  * [[Dedup.connectedComponents]] and the minimum doc id of each component
+  * survives — the standard near-dup policy (one canonical doc per
+  * transitive duplicate group), consistent with exact dedup's keep-lowest
+  * rule. (Dropping the higher id of every pair independently — the round-3
+  * policy — deletes docs whose only near-dup was itself deleted.)
+  *
+  * A real 100 TB corpus is not prepared in one batch: new crawl shards
+  * arrive against an already-deduped store. [[signatures]] materializes the
+  * per-doc dedup state (content hash + MinHash signature — fixed-size,
+  * text-free) and [[prepareIncremental]] dedups a new shard against that
+  * store without rescanning the corpus: exact matches drop on the stored
+  * content hash; cross-shard near-dups drop on sketch-ESTIMATED Jaccard
+  * (the store holds no text, so exact verification is impossible by
+  * design — the estimate's ε-law is in MinHashSketchSpec). Within-shard
+  * dedup runs the full exact-verify batch path.
   */
 object CorpusPrep {
 
@@ -34,17 +48,138 @@ object CorpusPrep {
     // 1. exact dedup, keep-lowest-id
     val exact = Dedup.exact(docs, textCol, idCol).drop("content_hash")
 
-    // 2. near-dup dedup: drop the higher id of each verified pair
-    val losers = Dedup
-      .nearDuplicatePairs(exact, idCol, textCol, cfg.minhash)
-      .select(col("doc_b").as("__loser"))
-      .distinct()
-    val deduped = exact.join(losers, idCol === col("__loser"), "left_anti")
+    // 2. near-dup dedup: one canonical (minimum-id) survivor per connected
+    // cluster of verified pairs.
+    val deduped = dropNearDupClusterLosers(exact, idCol, textCol, cfg.minhash)
 
-    // 3+4. quality + language gates, 5. enrichment — one narrow pass
-    val toks = TextOps.tokens(textCol)
-    val enriched = deduped
-      .withColumn("toks", toks)
+    val enriched = enrichAndGate(deduped, textCol, cfg)
+
+    val audit = total
+      .unionByName(exact.agg(count(lit(1)).as("n")).withColumn("stage", lit("exact_dedup")))
+      .unionByName(deduped.agg(count(lit(1)).as("n")).withColumn("stage", lit("near_dedup")))
+      .unionByName(enriched.agg(count(lit(1)).as("n")).withColumn("stage", lit("gated")))
+    (enriched, audit)
+  }
+
+  /** Per-doc dedup-state store row: (doc_id, content_hash, sig). Fixed-size
+    * and text-free — ~300 bytes/doc regardless of document length, so the
+    * store for a 100 TB corpus is a few hundred GB of parquet, scanned once
+    * per incoming shard. Signatures are the same xxhash64-shingle MinHash
+    * the batch LSH path uses (bit-identical: TextOps.shingleHashesJvm). */
+  def signatures(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      p: Dedup.MinHashParams = Dedup.MinHashParams()
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        idCol.cast("long").as("doc_id"),
+        sha2(textCol, 256).as("content_hash"),
+        textCol.cast("string").as("__text"))
+      .as[(Long, String, String)]
+      .filter(_._3 != null)
+      .map { case (id, h, t) =>
+        (id, h, TextOps.minHashSignature64(TextOps.shingleHashesJvm(t, p.shingleSize), p.numHashes))
+      }
+      .toDF("doc_id", "content_hash", "sig")
+  }
+
+  /** Incremental corpus prep: dedup `newDocs` against an existing
+    * [[signatures]] store WITHOUT rescanning the corpus, then gate and
+    * enrich the survivors exactly like [[prepare]].
+    *
+    * Returns (enriched survivors, audit, updated store). The updated store
+    * appends the PRE-GATE survivors' signatures — matching the batch
+    * pipeline, where near-dup dedup runs before the quality gates, so a
+    * doc gated out for quality still suppresses its future near-dups.
+    *
+    * Stages (all keyed shuffles; the store never needs the old text):
+    *  1. exact-dup vs store: anti-join on content_hash.
+    *  2. exact-dup within the shard: keep-lowest-id per content_hash.
+    *  3. near-dup vs store: LSH band join (new sigs × store sigs) generates
+    *     candidates; sketch-estimated Jaccard ≥ threshold drops the new doc.
+    *  4. near-dup within the shard: the batch path (exact verify + connected
+    *     components, minimum id survives).
+    */
+  def prepareIncremental(
+      newDocs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sigStore: DataFrame,
+      cfg: Config
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val p     = cfg.minhash
+    val total = newDocs.agg(count(lit(1)).as("n")).withColumn("stage", lit("input"))
+
+    val newSigs = signatures(newDocs, idCol, textCol, p)
+
+    // 1+2. exact dedup: within-shard keep-lowest, then drop hashes the
+    // store already holds. One shuffle on content_hash each.
+    val shardExact = Dedup
+      .exact(newDocs, textCol, idCol)
+      .join(sigStore.select(col("content_hash")).distinct(), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
+    // 3. near-dup vs store: band keys on both sides (derived from the sig
+    // column — the store persists signatures only), equi-join on
+    // (band, bucket), estimate Jaccard from signature agreement.
+    def banded(sigs: DataFrame, idAs: String, sigAs: String) =
+      sigs
+        .select(col("doc_id").as(idAs), col("sig").as(sigAs))
+        .withColumn("__bands", TextOps.bandKeys(col(sigAs), p.numBands, p.rowsPerBand))
+        .select(col(idAs), col(sigAs), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    val survivorIds = shardExact.select(idCol.cast("long").as("doc_id"))
+    val crossShardLosers = banded(newSigs.join(survivorIds, "doc_id"), "new_id", "new_sig")
+      .join(banded(sigStore, "store_id", "store_sig"), Seq("band", "bucket"))
+      .select(col("new_id"), col("new_sig"), col("store_id"), col("store_sig"))
+      .distinct()
+      .filter(
+        graft.functions.MinHashSketch
+          .estimateJaccardCol(col("new_sig"), col("store_sig"), p.numHashes) >= p.jaccardThreshold)
+      .select(col("new_id").as("__loser"))
+      .distinct()
+    val afterStore = shardExact.join(crossShardLosers, idCol === col("__loser"), "left_anti")
+
+    // 4. near-dup within the shard: full batch machinery (text available).
+    val deduped = dropNearDupClusterLosers(afterStore, idCol, textCol, p)
+
+    val enriched = enrichAndGate(deduped, textCol, cfg)
+    val updatedStore = sigStore.unionByName(
+      newSigs.join(deduped.select(idCol.cast("long").as("doc_id")), "doc_id"))
+
+    val audit = total
+      .unionByName(shardExact.agg(count(lit(1)).as("n")).withColumn("stage", lit("exact_dedup")))
+      .unionByName(afterStore.agg(count(lit(1)).as("n")).withColumn("stage", lit("store_dedup")))
+      .unionByName(deduped.agg(count(lit(1)).as("n")).withColumn("stage", lit("near_dedup")))
+      .unionByName(enriched.agg(count(lit(1)).as("n")).withColumn("stage", lit("gated")))
+    (enriched, audit, updatedStore)
+  }
+
+  /** Near-dup stage shared by the batch and incremental paths: verified
+    * pairs → connected components → keep the minimum id per cluster. */
+  private def dropNearDupClusterLosers(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      p: Dedup.MinHashParams
+  ): DataFrame = {
+    val pairs = Dedup
+      .nearDuplicatePairs(docs, idCol, textCol, p)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = Dedup
+      .connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster")) // survivors: node == cluster min
+      .select(col("node").as("__loser"))
+    docs.join(losers, idCol === col("__loser"), "left_anti")
+  }
+
+  /** Quality + language gates and enrichment — one narrow pass. */
+  private def enrichAndGate(docs: DataFrame, textCol: Column, cfg: Config): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens(textCol))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("stop_ratio", TextOps.stopwordRatio(col("toks")))
       .withColumn("pred_lang", TextOps.langId(col("toks")))
@@ -55,11 +190,4 @@ object CorpusPrep {
         else col("pred_lang").isin(cfg.langAllowlist: _*)
       )
       .drop("toks")
-
-    val audit = total
-      .unionByName(exact.agg(count(lit(1)).as("n")).withColumn("stage", lit("exact_dedup")))
-      .unionByName(deduped.agg(count(lit(1)).as("n")).withColumn("stage", lit("near_dedup")))
-      .unionByName(enriched.agg(count(lit(1)).as("n")).withColumn("stage", lit("gated")))
-    (enriched, audit)
-  }
 }

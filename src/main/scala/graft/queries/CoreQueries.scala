@@ -28,6 +28,15 @@ object CoreQueries {
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
   private def davg(c: Column): Column = dsum(c) / count(c)
 
+  // Exactness guard for BIGINT-moment aggregations: the long-moment trick
+  // is only valid on integral values — on a fraction, Spark's cast
+  // TRUNCATES while DuckDB's CAST AS BIGINT ROUNDS, so the engines would
+  // diverge silently and both would compute biased moments. Fail loudly
+  // instead; one double compare per row, stays in codegen.
+  private def integralLong(c: Column): Column =
+    when(c === floor(c), c.cast("long"))
+      .otherwise(raise_error(concat(lit("non-integral value in BIGINT-moment agg: "), c.cast("string"))).cast("long"))
+
   val defs: Map[String, Q] = Map(
     // C1: predicate zoo — between, isin, comparison, like, null-safe eq.
     "c01_filter_predicates" -> ((s, sf) =>
@@ -243,7 +252,8 @@ object CoreQueries {
     // integral (1..50 in the fixtures), so the moments are exact BIGINT
     // sums — pure long arithmetic in whole-stage codegen, no per-row
     // decimal multiply-with-overflow-check (10x the median bench time in
-    // round 2); the double cast happens once per group.
+    // round 2); the double cast happens once per group. `integralLong`
+    // enforces the integrality assumption at runtime (see its scaladoc).
     "c10_agg_stats" -> ((s, sf) => {
       val s1 = col("s1l").cast("double")
       val s2 = col("s2l").cast("double")
@@ -252,8 +262,8 @@ object CoreQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("long")).as("s1l"),
-          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("s2l")
+          sum(integralLong(col("l_quantity"))).as("s1l"),
+          sum(integralLong(col("l_quantity") * col("l_quantity"))).as("s2l")
         )
         .select(
           col("l_returnflag"),

@@ -91,6 +91,24 @@ object EventQueries {
         )
         .orderBy("event_id")),
 
+    // A5 (VariantType): open-schema decode — SURVEY §1.1's escape hatch
+    // for truly open semi-structured fields. Where `from_json` needs the
+    // StructType up front (unknown fields silently null), `parse_json`
+    // ingests ANY shape once into a VARIANT; typed access happens at READ
+    // time via `variant_get` paths, each with its own cast. The extracted
+    // values are plain SQL types, so this stays oracle-checkable.
+    "a5_variant_decode" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .select(col("event_id"), try_parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.k", "double").as("k_dbl"),
+          variant_get(col("v"), "$.missing", "string").as("absent")
+        )
+        .orderBy("event_id")),
+
     "a6_event_filter" -> ((s, sf) => arcEventFilter(s, sf)),
 
     // A7: nested envelope construction + nested-path projection/flatten —
@@ -233,6 +251,11 @@ object EventQueries {
          FROM events ORDER BY event_id""",
     "a5_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+         FROM events ORDER BY event_id""",
+    "a5_variant_decode" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
          CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
          FROM events ORDER BY event_id""",
     "a6_event_filter" ->

@@ -49,10 +49,14 @@ object Sinks {
     * a single narrow coalesce (no shuffle).
     *
     * Runs on the session's Hadoop FileSystem, so the same code compacts
-    * local, HDFS, or S3A paths. The swap is crash-safe: the original is
-    * renamed aside, the rewrite renamed into place, and only then is the
-    * old copy deleted — at no point is the dataset path absent without a
-    * recoverable copy next to it. */
+    * local, HDFS, or S3A paths. The swap is crash-RECOVERABLE rather than
+    * atomic: the original is renamed aside to `__precompact`, the rewrite
+    * renamed into place, and only then is the old copy deleted — a copy of
+    * the data always exists on disk, but concurrent READERS can observe a
+    * brief window where the dataset path is absent (and on S3A, rename is
+    * a non-atomic server-side copy, widening that window). Schedule
+    * compaction when the path has no concurrent readers, or swap via a
+    * catalog/manifest layer. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetBytes: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val dataPath = new Path(path)
@@ -72,8 +76,15 @@ object Sinks {
     if (!fs.rename(dataPath, old))
       throw new java.io.IOException(s"compaction rename-aside failed: $path -> $old")
     if (!fs.rename(tmp, dataPath)) {
-      fs.rename(old, dataPath) // restore; the dataset path must not stay vacant
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+      // Restore the original; if even that fails, say exactly where the
+      // surviving copy lives — a vacant dataset path with a silent
+      // recovery failure is the worst outcome.
+      if (fs.rename(old, dataPath))
+        throw new java.io.IOException(s"compaction rename failed: $tmp -> $path (original restored)")
+      else
+        throw new java.io.IOException(
+          s"compaction rename failed: $tmp -> $path AND restore failed — " +
+            s"dataset path is vacant; recover manually from $old (original) or $tmp (rewrite)")
     }
     fs.delete(old, true)
     ()

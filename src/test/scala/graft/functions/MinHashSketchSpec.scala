@@ -41,6 +41,55 @@ class MinHashSketchSpec extends AnyFunSuite {
     assert(MinHashSketch.estimateJaccard(perGroup("a"), perGroup("a")) === 1.0)
   }
 
+  test("estimateJaccardCol is bit-identical to the JVM estimator") {
+    val pairs = Seq(
+      ("alpha beta gamma delta", "alpha beta gamma epsilon"),
+      ("w1 w2 w3", "x1 x2 x3"),
+      ("same same tokens here", "same same tokens here")
+    ).toDF("ta", "tb")
+      .select(
+        TextOps.minHashSignature(array_distinct(TextOps.tokens(col("ta"))), numHashes).as("sa"),
+        TextOps.minHashSignature(array_distinct(TextOps.tokens(col("tb"))), numHashes).as("sb"))
+    val viaCol = pairs
+      .select(MinHashSketch.estimateJaccardCol(col("sa"), col("sb"), numHashes).as("e"))
+      .as[Double].collect()
+    val viaJvm = pairs.as[(Array[Long], Array[Long])].collect()
+      .map { case (a, b) => MinHashSketch.estimateJaccard(a, b) }
+    assert(viaCol.toSeq === viaJvm.toSeq)
+  }
+
+  test("d2_source_overlap estimate tracks exact shingle Jaccard between sources") {
+    // Exact union-shingle-set Jaccard between the two fixture sources vs
+    // the registered query's union-sketch estimate: |est − exact| bounded
+    // by the 32-hash sketch ε. Deterministic (fixed hash family).
+    val sf  = TestSpark.sf0001
+    val est = graft.SparkEntry.queries("d2_source_overlap")(spark, sf)
+      .select("src_a", "src_b", "est_overlap")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(est.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shingled = docs
+      .select(col("source"), col("text").cast("string").as("t"))
+      .as[(String, String)]
+      .filter(_._2 != null)
+      .flatMap { case (src, t) =>
+        Option(TextOps.distinctShingleHashesJvm(t, 3)).toSeq.flatMap(_.map(src -> _))
+      }
+      .toDF("source", "h").distinct()
+    val exact = {
+      val bySrc = shingled.as[(String, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for { ((a, b), _) <- est } yield {
+        val (sa, sb) = (bySrc(a), bySrc(b))
+        (a, b) -> sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+    }
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) < 0.2, s"$k: est=$e exact=${exact(k)}")
+    }
+  }
+
   test("sketch estimate tracks true Jaccard of group token unions") {
     // groups sharing half their vocabulary
     val g1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"

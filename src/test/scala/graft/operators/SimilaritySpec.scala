@@ -75,6 +75,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refinedR >= 45, s"refined aggregate recall floor broken: $refinedR/80")
   }
 
+  test("ivfProbe over a materialized index matches ivfTopK and prunes partitions") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/index"
+    SimilarityJoin.buildIvfIndex(emb, col("vec_id"), col("embedding"), centroids, idx)
+
+    val probe = SimilarityJoin.ivfProbe(spark, idx, q, k = 10, nprobe = 4)
+    // Same centroids, same nprobe → identical result to the self-contained form.
+    val inline = SimilarityJoin.ivfTopK(emb, col("vec_id"), col("embedding"), centroids, q, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe.as[(Long, Double)].collect().toSeq === inline)
+
+    // The probe must scan only the nprobe probed cid partitions — the whole
+    // point of materializing the assignment (VERDICT r3 #3).
+    val root = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p                                                                => p
+    }
+    val scan = root
+      .collect { case fs: org.apache.spark.sql.execution.FileSourceScanExec => fs }
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("index")))
+      .getOrElse(fail("no FileSourceScanExec over the index in the probe plan"))
+    assert(scan.partitionFilters.nonEmpty, "probe scan has no partition filters — full-index read")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
+  }
+
   test("selfJoinThreshold emits each qualifying pair once with a < b") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 100)

@@ -35,6 +35,78 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_tok") > 0 && row.getAs[Long]("fp") >= 0)
   }
 
+  test("near-dup survivors are one MINIMUM id per connected cluster (star case)") {
+    // s3 (id 3) near-dups BOTH s1 and s2, but s1 !~ s2: all three form one
+    // connected cluster, so exactly the minimum (1) survives. The round-3
+    // drop-doc_b-of-each-pair policy kept {1, 2} here — cluster policy is
+    // the behavioral change under test.
+    val aToks = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val bToks = (1 to 20).map(i => s"bravo$i").mkString(" ")
+    val docs = Seq(
+      (1L, aToks),
+      (2L, bToks),
+      (3L, s"$aToks $bToks"), // token-Jaccard 0.5 with each of 1 and 2
+      (9L, "completely unrelated corpus document about catalyst plans today")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 32, jaccardThreshold = 0.45),
+      minTokens = 3,
+      maxStopwordRatio = 0.95
+    )
+    val (out, _) = CorpusPrep.prepare(docs, col("doc_id"), col("text"), cfg)
+    assert(out.select("doc_id").as[Long].collect().sorted === Array(1L, 9L))
+  }
+
+  test("incremental shard dedup ≡ batch over the union (signature store path)") {
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val longANear = ((1 to 10).map(i => s"tok$i") ++ Seq("CHANGED") ++ (12 to 20).map(i => s"tok$i")).mkString(" ")
+    val longC = (1 to 20).map(i => s"new$i").mkString(" ")
+    val longCNear = ((1 to 10).map(i => s"new$i") ++ Seq("EDITED") ++ (12 to 20).map(i => s"new$i")).mkString(" ")
+    val oldShard = Seq(
+      (1L, longA),
+      (2L, longA), // exact dup of 1
+      (4L, "a thoroughly different document describing shuffle partitioning strategies in detail")
+    ).toDF("doc_id", "text")
+    val newShard = Seq(
+      (11L, longA),     // exact dup of stored 1 → content_hash hit
+      (12L, longANear), // near dup of stored 1 → sketch-estimate hit
+      (13L, longC),     // genuinely new
+      (14L, longCNear), // near dup of 13, within-shard → cluster keeps 13
+      (15L, "tiny doc") // survives dedup, gated out (minTokens)
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95
+    )
+
+    val (batchAll, _) =
+      CorpusPrep.prepare(oldShard.unionByName(newShard), col("doc_id"), col("text"), cfg)
+    val (batchOld, _) = CorpusPrep.prepare(oldShard, col("doc_id"), col("text"), cfg)
+    // Old-shard gates drop nothing, so the store is exactly the batch
+    // survivors' signatures (in general: signatures of pre-gate survivors).
+    val store = CorpusPrep.signatures(
+      oldShard.join(batchOld.select("doc_id"), "doc_id"), col("doc_id"), col("text"), cfg.minhash)
+
+    val (incNew, audit, updatedStore) =
+      CorpusPrep.prepareIncremental(newShard, col("doc_id"), col("text"), store, cfg)
+
+    val combined = (batchOld.select("doc_id").as[Long].collect() ++
+      incNew.select("doc_id").as[Long].collect()).sorted
+    assert(combined === batchAll.select("doc_id").as[Long].collect().sorted)
+
+    // The updated store carries every pre-gate survivor of the union —
+    // 15 is in it (gated for quality, still a dedup source), 11/12/14 not.
+    assert(updatedStore.select("doc_id").as[Long].collect().sorted === Array(1L, 4L, 13L, 15L))
+
+    val stages = audit.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(stages === Map(
+      "input" -> 5L, "exact_dedup" -> 4L, "store_dedup" -> 3L,
+      "near_dedup" -> 2L, "gated" -> 1L))
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
