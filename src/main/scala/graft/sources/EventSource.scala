@@ -11,6 +11,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * batch view and a streaming view of the same schema. A Kinesis DSv2
   * connector slots in as another implementation without touching any
   * operator: everything downstream consumes a plain (streaming) DataFrame.
+  * The shard-semantics half of that connector already exists:
+  * [[graft.sources.sharded.ShardedStreamProvider]] is a full DSv2
+  * MicroBatchStream with per-shard offsets, checkpoint resume, and
+  * ReadLimit admission control — only the service-API backend (the part
+  * requiring the AWS SDK) is substituted with a directory layout.
   *
   * Scale: the file implementation relies on Spark's file-stream source —
   * checkpointed offsets, `maxFilesPerTrigger` backpressure; shard ordering
