@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction (SURVEY §2.D extension): build a corpus
+  * mixture by sampling each slice (source/language/domain) down to a
+  * TOKEN budget — the operation that turns "all of the crawl" into "the
+  * 60/30/10 web/books/code mix with N billion tokens per slice" that an
+  * LLM pretraining run actually consumes.
+  *
+  * 100 TB design: one window (hash-partitioned sort within each slice) —
+  * no collect, no per-slice driver loop; slices process independently, so
+  * skew is bounded by the largest slice, and the deterministic hash order
+  * makes the sample reproducible run-over-run and engine-independent
+  * (the order key is plain modular arithmetic, expressible in ANSI SQL —
+  * deliberately NOT xxhash64, so the oracle can replay it). */
+object Mixture {
+
+  /** Deterministic pseudo-shuffle key: Knuth multiplicative hashing on the
+    * id, kept inside BIGINT range on any engine (id is first reduced mod a
+    * prime so id * 2654435761 cannot overflow ANSI BIGINT). */
+  def shuffleKey(idCol: Column): Column =
+    pmod(pmod(idCol.cast("long"), lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Keep, per value of `sliceCol`, the minimal deterministic prefix of
+    * docs (in [[shuffleKey]] order) whose token counts COVER
+    * `tokenBudget`: a doc survives iff the running total BEFORE it is
+    * still under budget — so every slice with enough material ends at or
+    * above budget, overshooting by less than one document; slices with
+    * less material than the budget are kept whole. */
+  def sampleToTokenBudget(
+      docs: DataFrame,
+      idCol: Column,
+      sliceCol: Column,
+      tokenCountCol: Column,
+      tokenBudget: Long
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(sliceCol)
+      .orderBy(shuffleKey(idCol), idCol) // idCol tiebreak: total order, engine-independent
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(tokenCountCol).over(w))
+      .filter(col("__cum") - tokenCountCol < tokenBudget)
+      .drop("__cum")
+  }
+}

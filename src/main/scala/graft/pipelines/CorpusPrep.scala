@@ -91,10 +91,14 @@ object CorpusPrep {
     * [[signatures]] store WITHOUT rescanning the corpus, then gate and
     * enrich the survivors exactly like [[prepare]].
     *
-    * Returns (enriched survivors, audit, updated store). The updated store
-    * appends the PRE-GATE survivors' signatures — matching the batch
-    * pipeline, where near-dup dedup runs before the quality gates, so a
-    * doc gated out for quality still suppresses its future near-dups.
+    * Returns (enriched survivors, audit, store DELTA — the signature rows
+    * this shard ADDS). The delta holds the PRE-GATE survivors' signatures —
+    * matching the batch pipeline, where near-dup dedup runs before the
+    * quality gates, so a doc gated out for quality still suppresses its
+    * future near-dups. Returning the delta (not `store ∪ delta`) is the
+    * 100 TB shape: the caller appends a small file instead of rewriting a
+    * corpus-sized store ([[streamingPrepare]] writes one delta directory
+    * per micro-batch, idempotently).
     *
     * Stages (all keyed shuffles; the store never needs the old text):
     *  1. exact-dup vs store: anti-join on content_hash.
@@ -147,16 +151,68 @@ object CorpusPrep {
     val deduped = dropNearDupClusterLosers(afterStore, idCol, textCol, p)
 
     val enriched = enrichAndGate(deduped, textCol, cfg)
-    val updatedStore = sigStore.unionByName(
-      newSigs.join(deduped.select(idCol.cast("long").as("doc_id")), "doc_id"))
+    val storeDelta =
+      newSigs.join(deduped.select(idCol.cast("long").as("doc_id")), "doc_id")
 
     val audit = total
       .unionByName(shardExact.agg(count(lit(1)).as("n")).withColumn("stage", lit("exact_dedup")))
       .unionByName(afterStore.agg(count(lit(1)).as("n")).withColumn("stage", lit("store_dedup")))
       .unionByName(deduped.agg(count(lit(1)).as("n")).withColumn("stage", lit("near_dedup")))
       .unionByName(enriched.agg(count(lit(1)).as("n")).withColumn("stage", lit("gated")))
-    (enriched, audit, updatedStore)
+    (enriched, audit, storeDelta)
   }
+
+  /** The signature-store schema ([[signatures]] output). */
+  val storeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "sig",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  /** Read a delta-log signature store: the union of every micro-batch's
+    * `delta=N` directory (empty frame with the right schema when the store
+    * does not exist yet). */
+  def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val p  = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("delta=")))
+      spark.read.schema(storeSchema).parquet(storePath)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+  }
+
+  /** CONTINUOUS corpus prep: each micro-batch of arriving documents is
+    * deduped against the persistent signature store, survivors land in
+    * `outPath/batch=N`, and the store grows by `storePath/delta=N` — both
+    * writes are overwrite-by-batch-directory, so a replayed micro-batch
+    * (crash between commit points) rewrites the same directories instead
+    * of duplicating rows: exactly-once output on top of the checkpoint's
+    * at-least-once replay, the same contract as
+    * [[graft.sources.Sinks.streamWithDeadLetter]].
+    *
+    * 100 TB notes: the store is append-only (one small delta per batch —
+    * compact periodically with [[graft.sources.Sinks.compact]]); each
+    * batch's work is the [[prepareIncremental]] plan — hash/band joins
+    * against the store, never a corpus rescan. */
+  def streamingPrepare(
+      newDocs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      storePath: String,
+      outPath: String,
+      checkpoint: String,
+      cfg: Config): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark                  = batch.sparkSession
+        val store                  = readStore(spark, storePath)
+        val (enriched, _, delta)   = prepareIncremental(batch, idCol, textCol, store, cfg)
+        enriched.write.mode("overwrite").parquet(s"$outPath/batch=$id")
+        delta.write.mode("overwrite").parquet(s"$storePath/delta=$id")
+      }
 
   /** Near-dup stage shared by the batch and incremental paths: verified
     * pairs → connected components → keep the minimum id per cluster. */

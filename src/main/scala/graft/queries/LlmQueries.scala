@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, SimilarityJoin}
+import graft.operators.{Dedup, Mixture, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -283,6 +283,37 @@ object LlmQueries {
         .orderBy("lang", "source")
     }),
 
+    // D7 (mixture): deterministic token-budget sampling per source — the
+    // training-mix op ("N tokens per slice"). Survivor set is the minimal
+    // budget-covering prefix in Knuth-hash order; fully oracle-checkable
+    // because the shuffle key is plain modular arithmetic (Mixture doc).
+    "d7_token_budget" -> ((s, sf) => {
+      val docs = Tables
+        .documents(s, sf)
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      Mixture
+        .sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), tokenBudget = 600L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // D3 (slice centroids): per-bucket mean embedding, one (bucket, pos,
+    // centroid) row per dimension — exact decimal sums so the FP-order-
+    // independent result hash-matches the oracle. The posexplode →
+    // groupBy(bucket, pos) shape is the fully distributed "mean vector per
+    // slice" aggregation (same shape as SimilarityJoin.lloydRefine's
+    // recompute step), never collecting vectors.
+    "d3_slice_centroid" -> ((s, sf) =>
+      Tables
+        .embeddings(s, sf)
+        .select(
+          (col("vec_id") % 8).as("bucket"),
+          posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos").cast("long").as("pos"))
+        .agg(
+          (sum(col("x").cast(DecimalType(28, 9))).cast("double") / count(lit(1))).as("centroid"))
+        .orderBy("bucket", "pos")),
+
     // D8: multimodal binary column — payload bytes + typed metadata;
     // filter on metadata, hash/length on payload.
     "d8_multimodal_meta" -> ((s, sf) =>
@@ -411,6 +442,23 @@ object LlmQueries {
          CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))) AS BIGINT) AS total_toks,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "d7_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS n_tok,
+             (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 600 ORDER BY doc_id""",
+    "d3_slice_centroid" ->
+      """SELECT vec_id % 8 AS bucket, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS centroid
+         FROM embeddings CROSS JOIN range(1, 65) r(i)
+         GROUP BY 1, 2 ORDER BY bucket, pos""",
     "d8_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

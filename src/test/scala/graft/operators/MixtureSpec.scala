@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Token-budget mixture sampling laws: minimal covering prefix per slice,
+  * whole-slice keep under the budget, determinism. */
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet(s"${TestSpark.sf0001}/documents.parquet")
+    .withColumn("n_tok", size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+
+  test("each slice's kept set covers the budget minimally (or is the whole slice)") {
+    val budget = 300L
+    val kept = Mixture
+      .sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), budget)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        Mixture.shuffleKey(col("doc_id")).as("h"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val totals = docs.groupBy("source").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, rows) =>
+      val keptSum = rows.map(_._3).sum
+      if (keptSum < budget)
+        assert(keptSum === totals(src), s"$src under budget but not the whole slice")
+      else {
+        // minimality: dropping the LAST kept doc (max (h, id)) goes under.
+        val lastTok = rows.maxBy(r => (r._4, r._2))._3
+        assert(keptSum - lastTok < budget, s"$src kept a doc beyond budget coverage")
+      }
+    }
+  }
+
+  test("sampling is deterministic and slices are independent") {
+    val a = Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // restricting the input to one slice reproduces exactly that slice's sample
+    val one = docs.select("source").distinct().as[String].collect().head
+    val full = Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), 300L)
+      .filter(col("source") === one).select("doc_id").as[Long].collect().sorted.toSeq
+    val solo = Mixture.sampleToTokenBudget(
+      docs.filter(col("source") === one), col("doc_id"), col("source"), col("n_tok"), 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(full === solo)
+  }
+
+  test("a giant budget keeps everything; a zero-ish budget keeps one doc per slice") {
+    assert(
+      Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), Long.MaxValue)
+        .count() === docs.count())
+    // budget 1: the first doc in hash order still survives (covering rule),
+    // exactly one per slice.
+    val one = Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), 1L)
+    val slices = docs.select("source").distinct().count()
+    assert(one.count() === slices)
+  }
+}

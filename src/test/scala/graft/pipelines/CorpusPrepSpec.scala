@@ -1,5 +1,7 @@
 package graft.pipelines
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -90,21 +92,70 @@ class CorpusPrepSpec extends AnyFunSuite {
     val store = CorpusPrep.signatures(
       oldShard.join(batchOld.select("doc_id"), "doc_id"), col("doc_id"), col("text"), cfg.minhash)
 
-    val (incNew, audit, updatedStore) =
+    val (incNew, audit, storeDelta) =
       CorpusPrep.prepareIncremental(newShard, col("doc_id"), col("text"), store, cfg)
 
     val combined = (batchOld.select("doc_id").as[Long].collect() ++
       incNew.select("doc_id").as[Long].collect()).sorted
     assert(combined === batchAll.select("doc_id").as[Long].collect().sorted)
 
-    // The updated store carries every pre-gate survivor of the union —
-    // 15 is in it (gated for quality, still a dedup source), 11/12/14 not.
-    assert(updatedStore.select("doc_id").as[Long].collect().sorted === Array(1L, 4L, 13L, 15L))
+    // The store delta is exactly the shard's pre-gate survivors — 15 is in
+    // it (gated for quality, still a dedup source), 11/12/14 not; the
+    // updated store (store ∪ delta) covers every union pre-gate survivor.
+    assert(storeDelta.select("doc_id").as[Long].collect().sorted === Array(13L, 15L))
+    assert(store.unionByName(storeDelta).select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 4L, 13L, 15L))
 
     val stages = audit.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     assert(stages === Map(
       "input" -> 5L, "exact_dedup" -> 4L, "store_dedup" -> 3L,
       "near_dedup" -> 2L, "gated" -> 1L))
+  }
+
+  test("streamingPrepare: micro-batched shards ≡ batch over the union, store grows by deltas") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val longC = (1 to 20).map(i => s"new$i").mkString(" ")
+    val shard1 = Seq(
+      (1L, longA),
+      (2L, longA), // exact dup within the first batch
+      (4L, "a thoroughly different document describing shuffle partitioning strategies in detail"))
+    val shard2 = Seq(
+      (11L, longA), // exact dup of stored 1 across batches
+      (13L, longC), // new
+      (15L, "tiny doc")) // survives dedup, gated out, still enters the store
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95)
+
+    val base  = Files.createTempDirectory("corpus_stream")
+    val store = s"$base/store"
+    val out   = s"$base/out"
+    val ckpt  = s"$base/ckpt"
+
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusPrep
+      .streamingPrepare(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), store, out, ckpt, cfg)
+      .start()
+    try {
+      mem.addData(shard1: _*); q.processAllAvailable()
+      mem.addData(shard2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    val (batchAll, _) = CorpusPrep.prepare(
+      (shard1 ++ shard2).toDF("doc_id", "text"), col("doc_id"), col("text"), cfg)
+    assert(streamed === batchAll.select("doc_id").as[Long].collect().sorted)
+
+    // Store = one delta per micro-batch, pre-gate survivors only.
+    val storeIds = CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted
+    assert(storeIds === Array(1L, 4L, 13L, 15L))
   }
 
   test("pipeline is idempotent on its own output") {
