@@ -92,6 +92,43 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random graphs: connectedComponents matches a local union-find") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n     <- Gen.choose(5, 60) // node universe size
+      m     <- Gen.choose(0, 90) // edge count (self-loops and duplicates allowed)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // union toward min
+      }
+      // normalize: every node labeled by the min of its component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+    }
+
+    (0 until 8).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, rng.Seed(4321L + i)).get
+      if (edges.nonEmpty) {
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === unionFind(edges), s"seed ${4321L + i}: ${edges.take(10)}...")
+      }
+    }
+  }
+
   test("random join: inner equi-join matches the reference cross-check") {
     val pairs = samples(2)
     val left  = pairs.head
