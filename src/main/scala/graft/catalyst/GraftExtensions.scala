@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
     ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
@@ -46,11 +47,24 @@ object GraftExtensions {
     (children: Seq[Expression]) => CosineSimilarityExpression(children.head, children(1))
   )
 
+  private[catalyst] val sigAgreementDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sig_agreement"),
+    new ExpressionInfo(
+      classOf[SigAgreementExpression].getName,
+      null,
+      "graft_sig_agreement",
+      "graft_sig_agreement(a, b) - fraction of equal slots of two ARRAY<BIGINT> MinHash signatures (fused codegen loop).",
+      ""
+    ),
+    (children: Seq[Expression]) => SigAgreementExpression(children.head, children(1))
+  )
+
   /** Idempotently register the native functions and the fusion rule on an
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
-    Seq(gunzipDescriptor, cosineDescriptor).foreach { case (ident, info, builder) =>
+    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

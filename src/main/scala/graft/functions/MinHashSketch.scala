@@ -43,6 +43,19 @@ object MinHashSketch {
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
   }
 
+  /** Native (codegen) form of [[estimateJaccardCol]] — the hot-path choice
+    * for verify joins: HOF lambdas run interpreted, the fused loop does
+    * not. Divides by the ARRAY length (callers pass full signatures, so
+    * this equals the numHashes division of the Column form — bit-equality
+    * asserted in MinHashSketchSpec). */
+  def estimateJaccardNative(
+      spark: org.apache.spark.sql.SparkSession,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.catalyst.GraftExtensions.register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sig_agreement", a, b)
+  }
+
   /** Column form of [[estimateJaccard]] — pure expression (zip_with +
     * aggregate), so a signature-vs-signature-store join can verify
     * candidates inline without a UDF. */

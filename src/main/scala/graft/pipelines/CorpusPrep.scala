@@ -142,7 +142,8 @@ object CorpusPrep {
       .distinct()
       .filter(
         graft.functions.MinHashSketch
-          .estimateJaccardCol(col("new_sig"), col("store_sig"), p.numHashes) >= p.jaccardThreshold)
+          .estimateJaccardNative(newDocs.sparkSession, col("new_sig"), col("store_sig"))
+          >= p.jaccardThreshold)
       .select(col("new_id").as("__loser"))
       .distinct()
     val afterStore = shardExact.join(crossShardLosers, idCol === col("__loser"), "left_anti")

@@ -147,7 +147,7 @@ object LlmQueries {
         .select(
           col("src_a"),
           col("src_b"),
-          round(MinHashSketch.estimateJaccardCol(col("sk_a"), col("sk_b"), nh), 9).as("est_overlap"))
+          round(MinHashSketch.estimateJaccardNative(s, col("sk_a"), col("sk_b")), 9).as("est_overlap"))
         .orderBy("src_a", "src_b")
     }),
 

@@ -79,6 +79,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d7_token_budget: one window exchange over a pruned scan") {
+    val p = planOf("d7_token_budget")
+    assert(p.contains("Window"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unused columns not pruned: $readSchema")
+    // one shuffle for the per-slice window, one for the final orderBy — no more
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3, p.take(3000))
+  }
+
+  test("d2_source_overlap: union-sketch UDAF aggregates with a partial (map-side) phase") {
+    val p = planOf("d2_source_overlap")
+    // typed Aggregator UDAF plans as ObjectHashAggregate/SortAggregate with
+    // partial + final modes — the mergeable-sketch property doing its job.
+    assert(p.contains("Aggregate"), p.take(2000))
+    assert(p.contains("partial_minhashsketchaggregator") || p.contains("partial_"),
+      s"no partial aggregation phase — sketch would shuffle raw rows:\n${p.take(3000)}")
+  }
+
+  test("d3_slice_centroid: posexplode keeps partial+final hash aggregation") {
+    val p = planOf("d3_slice_centroid")
+    assert(p.contains("Generate posexplode"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_"), "no map-side combine before the (bucket,pos) shuffle")
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -41,7 +41,7 @@ class MinHashSketchSpec extends AnyFunSuite {
     assert(MinHashSketch.estimateJaccard(perGroup("a"), perGroup("a")) === 1.0)
   }
 
-  test("estimateJaccardCol is bit-identical to the JVM estimator") {
+  test("estimateJaccardCol and the native expression are bit-identical to the JVM estimator") {
     val pairs = Seq(
       ("alpha beta gamma delta", "alpha beta gamma epsilon"),
       ("w1 w2 w3", "x1 x2 x3"),
@@ -53,9 +53,26 @@ class MinHashSketchSpec extends AnyFunSuite {
     val viaCol = pairs
       .select(MinHashSketch.estimateJaccardCol(col("sa"), col("sb"), numHashes).as("e"))
       .as[Double].collect()
+    val viaNative = pairs
+      .select(MinHashSketch.estimateJaccardNative(spark, col("sa"), col("sb")).as("e"))
+      .as[Double].collect()
     val viaJvm = pairs.as[(Array[Long], Array[Long])].collect()
       .map { case (a, b) => MinHashSketch.estimateJaccard(a, b) }
     assert(viaCol.toSeq === viaJvm.toSeq)
+    assert(viaNative.toSeq === viaJvm.toSeq)
+  }
+
+  test("native sig agreement: null array -> null, length mismatch -> null, null slot -> disagreement") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L, 4L)), Some(Seq(1L, 9L, 3L, 4L))), // 3/4 agree
+      (None, Some(Seq(1L, 2L))),                              // null array
+      (Some(Seq(1L, 2L)), Some(Seq(1L, 2L, 3L)))              // length mismatch
+    ).toDF("a", "b")
+    val out = df.selectExpr("graft_sig_agreement(a, b) AS e").as[Option[Double]].collect()
+    assert(out(0) === Some(0.75))
+    assert(out(1) === None)
+    assert(out(2) === None)
   }
 
   test("d2_source_overlap estimate tracks exact shingle Jaccard between sources") {
