@@ -46,4 +46,29 @@ object Mixture {
       .filter(col("__cum") - tokenCountCol < tokenBudget)
       .drop("__cum")
   }
+
+  /** Per-slice budgets — the actual mixture shape ("web 60B, books 30B,
+    * code 10B tokens"). `budgets` is a (slice, token_budget) frame; it is
+    * dimension-sized (one row per slice), so it broadcasts. Slices absent
+    * from `budgets` are DROPPED (an unlisted slice has no place in the
+    * mix); list a slice with Long.MaxValue to keep it whole. */
+  def sampleToTokenBudgets(
+      docs: DataFrame,
+      idCol: Column,
+      sliceCol: Column,
+      tokenCountCol: Column,
+      budgets: DataFrame // (slice, token_budget)
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(sliceCol)
+      .orderBy(shuffleKey(idCol), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(
+        broadcast(budgets.toDF("__slice", "__budget")),
+        sliceCol === col("__slice"))
+      .withColumn("__cum", sum(tokenCountCol).over(w))
+      .filter(col("__cum") - tokenCountCol < col("__budget"))
+      .drop("__slice", "__budget", "__cum")
+  }
 }

@@ -129,6 +129,40 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random corpora: ngramJaccardPairs matches brute-force shingle Jaccard") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen: Gen[List[(Long, String)]] = for {
+      n    <- Gen.choose(4, 16)
+      docs <- Gen.listOfN(n, Gen.choose(3, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def bruteForce(docs: List[(Long, String)], k: Int, thr: Double): Map[(Long, Long), Double] = {
+      def shingles(t: String): Set[String] = {
+        val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (toks.length < k) Set.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = sa.intersect(sb).size
+        if inter > 0
+        jac = inter.toDouble / sa.union(sb).size
+        if jac >= thr
+      } yield (a, b) -> (math.rint(jac * 1e9) / 1e9)).toMap
+    }
+
+    for (i <- 0 until 6; thr <- Seq(0.0, 0.4)) {
+      val docs = docGen(Gen.Parameters.default, rng.Seed(99L + i)).get
+      val got = graft.operators.Dedup
+        .ngramJaccardPairs(docs.toDF("doc_id", "text"), col("doc_id"), col("text"), 3, thr)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(got === bruteForce(docs, 3, thr), s"seed ${99L + i} thr=$thr")
+    }
+  }
+
   test("random join: inner equi-join matches the reference cross-check") {
     val pairs = samples(2)
     val left  = pairs.head

@@ -54,6 +54,24 @@ class MixtureSpec extends AnyFunSuite {
     assert(full === solo)
   }
 
+  test("per-slice budgets: each slice honors its own budget; unlisted slices drop") {
+    val slices = docs.select("source").distinct().as[String].collect().sorted.toSeq
+    val (sA, sB) = (slices.head, slices(1))
+    val budgets = Seq((sA, 200L), (sB, Long.MaxValue)).toDF("slice", "budget")
+    val kept = Mixture
+      .sampleToTokenBudgets(docs, col("doc_id"), col("source"), col("n_tok"), budgets)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(kept.map(_._1).toSet === Set(sA, sB), "unlisted slices must drop")
+    // sB kept whole; sA equals the single-budget sample at 200.
+    val bWhole = docs.filter(col("source") === sB).select("doc_id").as[Long].collect().sorted
+    assert(kept.filter(_._1 == sB).map(_._2).sorted === bWhole)
+    val aSingle = Mixture
+      .sampleToTokenBudget(docs.filter(col("source") === sA),
+        col("doc_id"), col("source"), col("n_tok"), 200L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.filter(_._1 == sA).map(_._2).sorted === aSingle)
+  }
+
   test("a giant budget keeps everything; a zero-ish budget keeps one doc per slice") {
     assert(
       Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), Long.MaxValue)
