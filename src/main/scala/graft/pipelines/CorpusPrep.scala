@@ -174,14 +174,33 @@ object CorpusPrep {
 
   /** Read a delta-log signature store: the union of every micro-batch's
     * `delta=N` directory (empty frame with the right schema when the store
-    * does not exist yet). */
-  def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    * does not exist yet).
+    *
+    * `beforeBatch`: when set, only deltas with id < beforeBatch are read.
+    * This is the REPLAY guard for [[streamingPrepare]]: a micro-batch that
+    * crashed after writing its delta but before the checkpoint committed
+    * is re-run with the same id — if the re-run read its own (or any
+    * later) delta, every one of its documents would match its own stored
+    * signature and be dropped as a "duplicate": silent data loss on
+    * exactly the path that is supposed to be exactly-once. */
+  def readStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
     val p  = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("delta=")))
-      spark.read.schema(storeSchema).parquet(storePath)
-    else
+    val deltas =
+      if (!fs.exists(p)) Array.empty[String]
+      else
+        fs.listStatus(p)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("delta="))
+          .filter(d => beforeBatch.forall(b => d.getName.stripPrefix("delta=").toLong < b))
+          .map(_.toString)
+    if (deltas.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    else
+      spark.read.schema(storeSchema).parquet(deltas: _*)
   }
 
   /** CONTINUOUS corpus prep: each micro-batch of arriving documents is
@@ -208,12 +227,27 @@ object CorpusPrep {
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark                  = batch.sparkSession
-        val store                  = readStore(spark, storePath)
-        val (enriched, _, delta)   = prepareIncremental(batch, idCol, textCol, store, cfg)
-        enriched.write.mode("overwrite").parquet(s"$outPath/batch=$id")
-        delta.write.mode("overwrite").parquet(s"$storePath/delta=$id")
+        processBatch(batch, idCol, textCol, storePath, outPath, id, cfg)
       }
+
+  /** One micro-batch of [[streamingPrepare]], exposed for replay testing:
+    * dedup `batch` against the store AS OF batch `id` (deltas < id only —
+    * see [[readStore]]'s replay guard), then idempotently overwrite this
+    * batch's output and delta directories. */
+  def processBatch(
+      batch: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      storePath: String,
+      outPath: String,
+      id: Long,
+      cfg: Config): Unit = {
+    val spark                = batch.sparkSession
+    val store                = readStore(spark, storePath, beforeBatch = Some(id))
+    val (enriched, _, delta) = prepareIncremental(batch, idCol, textCol, store, cfg)
+    enriched.write.mode("overwrite").parquet(s"$outPath/batch=$id")
+    delta.write.mode("overwrite").parquet(s"$storePath/delta=$id")
+  }
 
   /** Near-dup stage shared by the batch and incremental paths: verified
     * pairs → connected components → keep the minimum id per cluster. */

@@ -79,14 +79,19 @@ object ShardedStream {
   ))
 }
 
-/** Directory-backed shard access. One instance per planning site; all
-  * driver-side calls are metadata-only (list + size), never data reads. */
+/** Directory-backed shard access. Planning needs per-file RECORD counts
+  * (offsets are record sequence numbers, the Kinesis contract), and a
+  * plain file has no record count in its metadata — so the backend counts
+  * each file's lines ONCE when it first appears and caches by
+  * (path, mtime, len). Amortized driver cost is therefore one pass over
+  * each file's bytes over the stream's lifetime, incremental per trigger
+  * (steady-state planning is one LIST plus counts of the NEW files only);
+  * a service backend (Kinesis/Kafka) gets sequence numbers from the
+  * service and skips counting entirely. The cache grows one small entry
+  * per file — bounded by the retention of the directory, not the data. */
 private[sharded] object ShardBackend {
 
-  /** shard id -> ordered list of (file path, record count). Record counts
-    * come from a one-pass line count per file, cached by (path, mtime, len)
-    * so steady-state planning cost is one LIST per trigger — the same
-    * planning cost class as a shard-iterator poll. */
+  /** shard id -> ordered list of (file path, record count). */
   private val countCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
 
   def shardFiles(root: String): Map[Int, Seq[(String, Long)]] = {

@@ -158,6 +158,39 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(storeIds === Array(1L, 4L, 13L, 15L))
   }
 
+  test("streamingPrepare replay: re-running a batch after its delta committed loses nothing") {
+    // Crash model: batch N wrote its delta (and maybe its output) but the
+    // checkpoint did not commit, so the engine re-runs batch N. Without
+    // the readStore beforeBatch guard, the re-run would see its own
+    // signatures in the store and drop ALL its docs as duplicates.
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95)
+    val base  = Files.createTempDirectory("corpus_replay")
+    val store = s"$base/store"
+    val out   = s"$base/out"
+
+    val b0 = Seq((1L, longA), (4L, "distinct doc about adaptive query execution plans")).toDF("doc_id", "text")
+    CorpusPrep.processBatch(b0, col("doc_id"), col("text"), store, out, 0L, cfg)
+    val firstRun = spark.read.parquet(s"$out/batch=0").select("doc_id").as[Long].collect().sorted
+    assert(firstRun === Array(1L, 4L))
+
+    // Replay batch 0 (same id, same data) — output must be identical, not empty.
+    CorpusPrep.processBatch(b0, col("doc_id"), col("text"), store, out, 0L, cfg)
+    val replayed = spark.read.parquet(s"$out/batch=0").select("doc_id").as[Long].collect().sorted
+    assert(replayed === firstRun, "replayed batch dropped its own docs against its own delta")
+    assert(CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 4L))
+
+    // The NEXT batch still sees batch 0's delta (dedup across batches intact).
+    val b1 = Seq((11L, longA)).toDF("doc_id", "text")
+    CorpusPrep.processBatch(b1, col("doc_id"), col("text"), store, out, 1L, cfg)
+    assert(spark.read.parquet(s"$out/batch=1").count() === 0, "cross-batch dedup broken")
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
