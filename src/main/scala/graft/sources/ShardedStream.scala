@@ -88,7 +88,14 @@ object ShardedStream {
   * (steady-state planning is one LIST plus counts of the NEW files only);
   * a service backend (Kinesis/Kafka) gets sequence numbers from the
   * service and skips counting entirely. The cache grows one small entry
-  * per file — bounded by the retention of the directory, not the data. */
+  * per file — bounded by the retention of the directory, not the data.
+  *
+  * Append-only assumption: sequence numbers are DERIVED from the sorted
+  * file listing, so deleting or rewriting an already-consumed file would
+  * shift every later record's seq and corrupt checkpointed offsets. The
+  * directory backend therefore requires append-only shard dirs (compact/
+  * expire only beyond a consumer horizon); service backends carry
+  * absolute sequence numbers and have no such constraint. */
 private[sharded] object ShardBackend {
 
   /** shard id -> ordered list of (file path, record count). */
