@@ -388,6 +388,23 @@ object CoreQueries {
         )
         .orderBy("g_status", "g_prio", "status", "prio")),
 
+    // C13: GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    // an explicit, non-hierarchical set list ((flag,status),(status),()),
+    // through the SQL entry point (the DataFrame API only exposes the
+    // rollup/cube shorthands).
+    "c13_grouping_sets" -> ((s, sf) =>
+      s.sql(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               count(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM parquet.`$sf/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY g_flag, g_status, flag, status
+      """)),
+
     // C14: global (no-group) aggregate.
     "c14_agg_global" -> ((s, sf) =>
       Tables
@@ -875,6 +892,16 @@ object CoreQueries {
          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, status, prio""",
+    "c13_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         COALESCE(l_linestatus, 'ALL') AS status,
+         count(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY g_flag, g_status, flag, status""",
     "c14_agg_global" ->
       """SELECT count(*) AS cnt,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
