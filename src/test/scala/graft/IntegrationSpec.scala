@@ -85,4 +85,47 @@ class IntegrationSpec extends AnyFunSuite {
     // redirects were filtered before ever reaching the window state
     assert(!closed().exists(_._2 == "redirect"))
   }
+
+  test("kinesis-sim over the DSv2 sharded connector: shard feed → decode → filter → sink, resume") {
+    // The same reference dataflow, but the transport is the engine's own
+    // DSv2 connector: shard dirs of raw payload lines, per-shard sequence
+    // offsets, checkpoint resume picking up only the new shard file.
+    val srcDir = Files.createTempDirectory("graft_e2e2_src")
+    val ckpt   = Files.createTempDirectory("graft_e2e2_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_e2e2_out").toString
+
+    def writeShardFile(shard: Int, name: String, payloads: Seq[String]): Unit = {
+      val dir = srcDir.resolve(s"shard=$shard")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(name), payloads.mkString("\n"))
+    }
+    writeShardFile(0, "f0.txt",
+      (1 to 3).map(i => payload(envelope(i, "story", "2024-03-01T10:15:00Z"))))
+    writeShardFile(1, "f0.txt",
+      Seq(payload(envelope(4, "story", "2024-03-01T10:20:00Z")),
+          payload(envelope(5, "redirect", "2024-03-01T10:25:00Z"))))
+
+    val fmt = classOf[graft.sources.sharded.ShardedStreamProvider].getName
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format(fmt).option("path", srcDir.toString).load()
+      val (projected, _) = ArcPipeline.run(stream, col("payload"), ArcPipeline.FilterConfig(
+        allowedTypes = Seq("story", "video"), sectionAllowlist = Seq("news"), website = Some("site-a")))
+      val q = projected.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    runOnce()
+    def docs(): Seq[String] =
+      spark.read.parquet(outDir).select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(docs() === Seq("d1", "d2", "d3", "d4")) // redirect d5 filtered
+
+    // Resume: one new file in shard 0 — only its records flow.
+    writeShardFile(0, "f1.txt",
+      Seq(payload(envelope(6, "story", "2024-03-01T11:00:00Z"))))
+    runOnce()
+    assert(docs() === Seq("d1", "d2", "d3", "d4", "d6"), "resume re-read or missed records")
+  }
 }
