@@ -163,6 +163,38 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("sort-based exact percentile matches Spark's percentile aggregate on random data") {
+    // c10_percentile hand-rolls (n-1)p rank selection + linear
+    // interpolation over a window sort; this pins it to the engine
+    // aggregate's semantics on arbitrary data (both use
+    // lower + (pos - lowerIndex) * (higher - lower)).
+    import org.apache.spark.sql.expressions.Window
+    for (rowset <- samples(4)) {
+      val rows = rowset.map(r => (r.k % 3, r.v))
+      val df   = rows.toDF("g", "v")
+      val wR   = Window.partitionBy(col("g")).orderBy(col("v"))
+      val wA   = Window.partitionBy(col("g"))
+      val ranked = df
+        .withColumn("rn", row_number().over(wR).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wA))
+      def pct(p: Double) = {
+        val r  = (col("n") - 1L).cast("double") * p
+        val lo = max(when(col("rn") === floor(r).cast("long"), col("v")))
+        val hi = max(when(col("rn") === ceil(r).cast("long"), col("v")))
+        val rr = (first(col("n")) - 1L).cast("double") * p
+        (lo + (rr - floor(rr)) * (hi - lo)).as(s"p")
+      }
+      for (p <- Seq(0.25, 0.5, 0.9)) {
+        val viaSort = ranked.groupBy("g").agg(pct(p)).as[(Long, Double)].collect().toMap
+        val viaAgg = df.groupBy("g").agg(expr(s"percentile(v, $p)").as("p"))
+          .as[(Long, Double)].collect().toMap
+        viaSort.foreach { case (g, v) =>
+          assert(math.abs(v - viaAgg(g)) < 1e-9, s"g=$g p=$p sort=$v agg=${viaAgg(g)}")
+        }
+      }
+    }
+  }
+
   test("random join: inner equi-join matches the reference cross-check") {
     val pairs = samples(2)
     val left  = pairs.head
