@@ -183,7 +183,7 @@ object SimilarityJoin {
       .map(_.getLong(0))
     spark.read
       .parquet(indexPath)
-      .filter(col("cid").isin(probeIds: _*)) // prunes to nprobe partitions
+      .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // prunes to nprobe partitions
       .crossJoin(broadcast(query))
       .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
       .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))

@@ -200,7 +200,7 @@ object CorpusPrep {
     if (deltas.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
     else
-      spark.read.schema(storeSchema).parquet(deltas: _*)
+      spark.read.schema(storeSchema).parquet(deltas.toIndexedSeq: _*)
   }
 
   /** CONTINUOUS corpus prep: each micro-batch of arriving documents is
