@@ -194,6 +194,28 @@ object LlmQueries {
         .orderBy("id_a")
     }),
 
+    // D3 (quantized): the same adjacent-pair cosine over int8-quantized
+    // vectors — 4x smaller than float32 storage, the memory/bandwidth
+    // lever for a 100 TB ANN index. Quantization is pure arithmetic
+    // (maxabs scale, HALF_UP round, clip), so the codes are
+    // engine-identical and this path stays fully oracle-checkable; the
+    // quantization-error and recall laws live in SimilaritySpec.
+    "d3_cosine_quantized" -> ((s, sf) => {
+      val e = Tables
+        .embeddings(s, sf)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("sc", VectorOps.maxAbsScale(col("v")))
+        .withColumn(
+          "vq",
+          VectorOps.dequantizeI8(VectorOps.quantizeI8(col("v"), col("sc")), col("sc")))
+      val a = e.select(col("vec_id").as("id_a"), col("vq").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("vq").as("v_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(VectorOps.cosineNative(s, col("v_a"), col("v_b")), 9).as("cos_q"))
+        .orderBy("id_a")
+    }),
+
     // D4: brute-force exact top-k similarity search (query = vec_id 0).
     "d4_topk_bruteforce" -> ((s, sf) => {
       val e = Tables.embeddings(s, sf)
@@ -400,6 +422,20 @@ object LlmQueries {
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
            ON b.vec_id = a.vec_id + 1
+         ORDER BY id_a""",
+    "d3_cosine_quantized" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s
+           FROM embeddings),
+         d AS (
+           SELECT vec_id,
+             list_transform(v, x -> greatest(-127.0, least(127.0, round(x / s, 0))) * s) AS vq
+           FROM q)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.vq, b.vq)
+                 / (sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(b.vq, b.vq))), 9) AS cos_q
+         FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
          ORDER BY id_a""",
     "d4_topk_bruteforce" ->
       """SELECT vec_id,

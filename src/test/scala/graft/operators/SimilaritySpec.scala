@@ -155,6 +155,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaLsh.nonEmpty, "nbits=2 should recall some pairs")
   }
 
+  test("int8 quantization: bounded error, cosine preserved, top-k recall holds") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("sc", VectorOps.maxAbsScale(col("v")))
+      .withColumn("q", VectorOps.quantizeI8(col("v"), col("sc")))
+      .withColumn("vq", VectorOps.dequantizeI8(col("q"), col("sc")))
+
+    // codes are genuinely int8 and per-component error <= scale/2
+    val bad = emb.select(
+      aggregate(zip_with(col("v"), col("vq"), (x, y) => abs(x - y)), lit(0.0),
+        (acc, e) => greatest(acc, e)).as("maxerr"), col("sc"))
+      .filter(col("maxerr") > col("sc") * 0.5 + 1e-12).count()
+    assert(bad === 0L, "component error exceeded scale/2")
+
+    // cosine distortion is small on real vectors
+    val maxCosErr = emb
+      .select(abs(
+        VectorOps.cosineNative(spark, col("v"), col("v")) -
+          VectorOps.cosineNative(spark, col("v"), col("vq"))).as("e"))
+      .agg(max(col("e"))).as[Double].collect().head
+    assert(maxCosErr < 0.02, s"cosine distortion $maxCosErr")
+
+    // search over dequantized vectors keeps top-10 recall >= 8/10
+    val q = emb.filter(col("vec_id") === 7).select(col("v").as("qvec"))
+    val exact = SimilarityJoin.topK(emb, col("vec_id"), col("v"), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val viaQ = SimilarityJoin.topK(
+      emb.select(col("vec_id"), col("vq")), col("vec_id"), col("vq"), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaQ.intersect(exact).size >= 8, s"quantized recall ${viaQ.intersect(exact).size}/10")
+  }
+
   test("cosine LSH buckets: identical vectors share buckets, candidates shrink") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").limit(200)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
