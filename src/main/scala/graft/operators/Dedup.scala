@@ -275,6 +275,54 @@ object Dedup {
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster"))
   }
 
+  /** D2 (line granularity): boilerplate-line removal — the CCNet/
+    * RefinedWeb-style dedup step BELOW document level: a line (or any
+    * `delimiter`-separated unit) appearing in at least `minDocFrequency`
+    * DISTINCT documents is boilerplate (headers, navigation, cookie
+    * banners, license blurbs) and is removed from every document; the
+    * surviving units are rejoined in their original order.
+    *
+    * 100 TB design: one posexplode (narrow), one (unit → distinct-doc
+    * count) hash aggregation, one equi-join back on the unit, and one
+    * per-doc ordered reassembly — all keyed shuffles; unit order rides a
+    * captured position index, so reassembly is partitioning-independent.
+    * Output: one row per input doc (docs whose every unit was boilerplate
+    * keep an empty clean_text rather than vanishing).
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      delimiter: String,
+      minDocFrequency: Long
+  ): DataFrame = {
+    val base = df.select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
+    val units = base
+      .select(
+        col("doc_id"),
+        posexplode(split(col("__text"), java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("pos", "unit")))
+      .filter(length(col("unit")) > 0)
+    val freq = units.groupBy(col("unit")).agg(countDistinct(col("doc_id")).as("unit_df"))
+    val kept = units
+      .join(freq, "unit")
+      .filter(col("unit_df") < minDocFrequency)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("unit")))),
+            s => s.getField("unit")),
+          delimiter).as("clean_text"),
+        count(lit(1)).as("kept_units"))
+    base
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_units"), lit(0L)).as("kept_units"))
+  }
+
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius, with
     * candidate generation blocked across `rotations` bit-rotations of the
     * simhash: a pair within radius r differs in ≤ r bits, so among

@@ -151,6 +151,25 @@ object LlmQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // D2 (line granularity): boilerplate-unit removal at token granularity
+    // (the fixture corpus is single-line, so the query runs the operator
+    // with the space delimiter: units appearing in >= 80% of documents —
+    // the shared scaffold vocabulary — are stripped, everything else is
+    // rejoined in order; DedupSpec drives the multi-line/header case).
+    "d2_line_boilerplate" -> ((s, sf) =>
+      Dedup
+        .removeBoilerplateLines(
+          Tables.documents(s, sf),
+          col("doc_id"),
+          col("text"),
+          delimiter = " ",
+          minDocFrequency = 400L)
+        .select(
+          col("doc_id"),
+          col("kept_units"),
+          length(col("clean_text")).cast("long").as("kept_chars"))
+        .orderBy("doc_id")),
+
     // D2: exact n-gram (3-token shingle) Jaccard — the oracle-checkable
     // near-dup scorer: top-50 most similar pairs on a doc_id%10 slice.
     // Candidates come from a shared-shingle equi-join (hash-partitioned,
@@ -378,6 +397,19 @@ object LlmQueries {
              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "d2_line_boilerplate" ->
+      """WITH u AS (
+           SELECT doc_id, t.u AS unit
+           FROM documents, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(u)),
+         f AS (SELECT unit, count(DISTINCT doc_id) AS unit_df FROM u GROUP BY unit),
+         k AS (
+           SELECT doc_id, count(*) AS kept_units, SUM(length(unit)) AS unit_chars
+           FROM u JOIN f USING (unit) WHERE unit_df < 400 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(k.kept_units, 0) AS BIGINT) AS kept_units,
+           CAST(CASE WHEN k.kept_units IS NULL THEN 0
+                     ELSE k.unit_chars + k.kept_units - 1 END AS BIGINT) AS kept_chars
+         FROM documents d LEFT JOIN k USING (doc_id) ORDER BY doc_id""",
     "d2_ngram_jaccard" ->
       """WITH base AS (
            SELECT doc_id,

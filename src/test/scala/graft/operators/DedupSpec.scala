@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 8)
   }
 
+  test("removeBoilerplateLines strips shared headers, keeps order, never drops docs") {
+    val docs = Seq(
+      (1L, "SITE HEADER\nunique first article body\nCOOKIE BANNER\nmore unique prose"),
+      (2L, "SITE HEADER\nsecond article entirely different\nCOOKIE BANNER"),
+      (3L, "SITE HEADER\nthird doc text here\nCOOKIE BANNER"),
+      (4L, "SITE HEADER\nCOOKIE BANNER") // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .removeBoilerplateLines(docs, col("doc_id"), col("text"), "\n", minDocFrequency = 3L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L), "a doc vanished")
+    assert(out(0)._2 === "unique first article body\nmore unique prose") // order kept
+    assert(out(1)._2 === "second article entirely different")
+    assert(out(3)._2 === "" && out(3)._3 === 0L) // all-boilerplate doc kept, empty
+    // below-threshold repetition survives (df=2 < 3)
+    val out2 = Dedup
+      .removeBoilerplateLines(
+        docs.filter(col("doc_id") <= 2), col("doc_id"), col("text"), "\n", 3L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out2(0)._2.startsWith("SITE HEADER"), "df=2 line wrongly stripped at threshold 3")
+  }
+
   test("connectedComponents: 200-node path graph converges in O(log n) rounds") {
     // Diameter 199 — min-label propagation would need 199 rounds; the
     // large-star/small-star alternation must finish well inside maxIter=12
