@@ -91,6 +91,35 @@ object StreamOps {
     )
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[streamStreamIntervalJoin]], but a left event with no right match
+    * inside its interval is EMITTED with nulls once the watermark passes
+    * the end of its match window (the engine can only then prove no match
+    * can still arrive) — the "orders that never got a payment" shape.
+    * Same state-expiry argument: the time-range condition plus both
+    * watermarks bound the join state AND give the null-emit its
+    * completeness proof; an outer stream-stream join without them is
+    * rejected by Spark outright. */
+  def streamStreamIntervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      lateness: String,
+      window: String,
+      keyCond: Column
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      keyCond &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+      "left_outer"
+    )
+  }
+
   // --- B7: arbitrary stateful processing -------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

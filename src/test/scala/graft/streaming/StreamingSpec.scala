@@ -222,6 +222,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows once the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = clicks.toDF().toDF("cu", "click_ts")
+    val r = purchases.toDF().toDF("pu", "purchase_ts")
+    val joined = StreamOps.streamStreamIntervalJoinLeftOuter(
+      l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "30 MINUTES",
+      keyCond = col("cu") === col("pu"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj_lo").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData((1L, ts("2024-01-01 10:10:00"))) // only user 1 converts
+      q.processAllAvailable()
+      // advance both watermarks far past 10:30 + lateness so user 2's
+      // match window is provably closed
+      clicks.addData((9L, ts("2024-01-01 12:00:00")))
+      purchases.addData((8L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 13:00:00"))) // one more batch to flush outer results
+      purchases.addData((8L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("t_ssj_lo")
+        .select(col("cu"), col("pu")).collect()
+        .map(r0 => (r0.getLong(0), if (r0.isNullAt(1)) None else Some(r0.getLong(1))))
+      assert(rows.contains((1L, Some(1L))), s"matched pair missing: ${rows.toSeq}")
+      assert(rows.contains((2L, None)), s"unmatched left row never emitted: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("B7: transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
