@@ -157,6 +157,33 @@ object SimilarityJoin {
     centroids.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** [[buildIvfIndex]] with int8-quantized vectors: stores (id, q, sc,
+    * cid) where q = symmetric maxabs int8 codes and sc the per-vector
+    * scale — ~4x less index storage/scan bandwidth than float64 working
+    * vectors, which at 100 TB decides whether the probed partitions live
+    * in page cache. [[ivfProbe]] detects the quantized layout from the
+    * schema and dequantizes on read; recall/error laws in SimilaritySpec. */
+  def buildIvfIndexQuantized(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: DataFrame,
+      path: String
+  ): Unit = {
+    ivfAssign(emb, idCol, vecCol, centroids)
+      .withColumn("sc", VectorOps.maxAbsScale(col("v")))
+      .select(
+        col("id"),
+        VectorOps.quantizeI8(col("v"), col("sc")).as("q"),
+        col("sc"),
+        col("cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(path)
+    centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
   /** Online half: top-k against a prebuilt [[buildIvfIndex]] directory.
     * The query is scored against the (small) centroid table first; the
     * winning `nprobe` centroid ids become a PARTITION filter on the index
@@ -181,9 +208,14 @@ object SimilarityJoin {
       .select(col("cid").cast("long"))
       .collect()
       .map(_.getLong(0))
-    spark.read
+    val idx = spark.read
       .parquet(indexPath)
       .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // prunes to nprobe partitions
+    val vecs =
+      if (idx.columns.contains("q")) // quantized layout: dequantize on read
+        idx.withColumn("v", VectorOps.dequantizeI8(col("q"), col("sc")))
+      else idx
+    vecs
       .crossJoin(broadcast(query))
       .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
       .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))

@@ -247,6 +247,20 @@ object LlmQueries {
     // deterministic modulo sample, sharpened by two Lloyd iterations
     // (assign → mean), which is what drops the "centroids are just a
     // sample" caveat without an RNG.
+    // D4 (batched): top-k per query for a PANEL of query vectors — the
+    // shape a serving/eval pipeline actually runs (one scan scores all
+    // queries; WindowGroupLimit ranks per query before the shuffle).
+    "d4_topk_batch" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val queries = e
+        .filter(col("vec_id").isin(0L, 7L, 42L))
+        .select(col("vec_id").as("qid"), VectorOps.asDouble(col("embedding")).as("qvec"))
+      SimilarityJoin
+        .topKBatch(e, col("vec_id"), col("embedding"), queries, k = 5)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "d4_topk_ivf" -> ((s, sf) => {
       // Serving shape: the index (Lloyd-refined centroids + full-corpus
       // assignment) is built ONCE per session per dataset and materialized
@@ -469,6 +483,21 @@ object LlmQueries {
                  / (sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(b.vq, b.vq))), 9) AS cos_q
          FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
          ORDER BY id_a""",
+    "d4_topk_batch" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id IN (0, 7, 42)),
+         s AS (
+           SELECT q.qid, e.vec_id,
+             round(list_dot_product(e.v, q.qvec)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 9) AS cos
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e CROSS JOIN q),
+         r AS (
+           SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT qid, vec_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
     "d4_topk_bruteforce" ->
       """SELECT vec_id,
            round(list_dot_product(v, qvec)

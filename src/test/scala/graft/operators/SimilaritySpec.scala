@@ -104,6 +104,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
   }
 
+  test("quantized IVF index: smaller on disk, probe recall tracks the full-precision probe") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    SimilarityJoin.buildIvfIndex(emb, col("vec_id"), col("embedding"), centroids, s"$base/full")
+    SimilarityJoin.buildIvfIndexQuantized(emb, col("vec_id"), col("embedding"), centroids, s"$base/q")
+
+    def dataBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().filterNot(_.getName.startsWith("_centroids")).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    val (fullB, qB) = (dataBytes(s"$base/full"), dataBytes(s"$base/q"))
+    assert(qB < fullB * 6 / 10, s"quantized index not smaller: $qB vs $fullB")
+
+    val full = SimilarityJoin.ivfProbe(spark, s"$base/full", q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = SimilarityJoin.ivfProbe(spark, s"$base/q", q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.intersect(full).size >= 7, s"quantized probe diverged: $quant vs $full")
+  }
+
   test("selfJoinThreshold emits each qualifying pair once with a < b") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 100)
