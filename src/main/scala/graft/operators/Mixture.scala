@@ -47,6 +47,31 @@ object Mixture {
       .drop("__cum")
   }
 
+  /** Sequential sequence packing — the pretraining-batch construction op:
+    * documents are laid out in deterministic [[shuffleKey]] order per
+    * slice and cut into packs of ≈ `maxTokensPerPack` tokens (a doc
+    * belongs to the pack its FIRST token lands in — whole-doc greedy
+    * sequential packing; pipelines that split straddling docs do so
+    * downstream at tokenization). One window per slice, no driver state;
+    * pack ids are (slice, local pack number), stable under any
+    * partitioning. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: Column,
+      sliceCol: Column,
+      tokenCountCol: Column,
+      maxTokensPerPack: Long
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(sliceCol)
+      .orderBy(shuffleKey(idCol), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(tokenCountCol).over(w))
+      .withColumn("pack_id", floor((col("__cum") - tokenCountCol) / maxTokensPerPack).cast("long"))
+      .drop("__cum")
+  }
+
   /** Per-slice budgets — the actual mixture shape ("web 60B, books 30B,
     * code 10B tokens"). `budgets` is a (slice, token_budget) frame; it is
     * dimension-sized (one row per slice), so it broadcasts. Slices absent

@@ -376,6 +376,53 @@ object LlmQueries {
           (sum(col("x").cast(DecimalType(28, 9))).cast("double") / count(lit(1))).as("centroid"))
         .orderBy("bucket", "pos")),
 
+    // D5 (repetition): Gopher-style repetition signals per document — the
+    // top-bigram share and the distinct-token ratio, the standard gibberish
+    // /loop detectors a quality gate thresholds on. Explode + per-doc
+    // aggregation, all map-side-combining hash aggs.
+    "d5_repetition" -> ((s, sf) => {
+      val t = toks(col("text"))
+      val bigrams = Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          posexplode(TextOps.shingles(t, 2)).as(Seq("__p", "bg")))
+      val perDoc = bigrams
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_share"),
+          sum(col("c")).as("n_bigrams"))
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          (size(array_distinct(t)).cast("double") /
+            nullif(size(t), lit(0)).cast("double")).as("distinct_ratio"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          round(col("distinct_ratio"), 9).as("distinct_ratio"),
+          round(coalesce(col("top_bigram_share"), lit(0.0)), 9).as("top_bigram_share"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // D7 (packing): sequential sequence packing — cut the per-source doc
+    // stream (deterministic hash order) into ~2048-token pretraining
+    // packs; output per-pack stats. Window cumsum + floor-div, no state.
+    "d7_seq_packing" -> ((s, sf) => {
+      val docs = Tables
+        .documents(s, sf)
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      Mixture
+        .packSequences(docs, col("doc_id"), col("source"), col("n_tok"), maxTokensPerPack = 2048L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // D8: multimodal binary column — payload bytes + typed metadata;
     // filter on metadata, hash/length on payload.
     "d8_multimodal_meta" -> ((s, sf) =>
@@ -546,6 +593,40 @@ object LlmQueries {
          CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))) AS BIGINT) AS total_toks,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "d5_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, u.b AS bg
+           FROM toks, unnest(
+             CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS u(b)),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+         p AS (
+           SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+           FROM c GROUP BY doc_id)
+         SELECT toks.doc_id,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0), 9) AS distinct_ratio,
+           round(COALESCE(p.top_bigram_share, 0.0), 9) AS top_bigram_share,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams
+         FROM toks LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+    "d7_seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS n_tok,
+             (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+         FROM c GROUP BY 1, 2 ORDER BY source, pack_id""",
     "d7_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,

