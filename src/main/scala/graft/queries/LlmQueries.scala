@@ -360,12 +360,17 @@ object LlmQueries {
     }),
 
     // D3 (slice centroids): per-bucket mean embedding, one (bucket, pos,
-    // centroid) row per dimension — exact decimal sums so the FP-order-
-    // independent result hash-matches the oracle. The posexplode →
-    // groupBy(bucket, pos) shape is the fully distributed "mean vector per
-    // slice" aggregation (same shape as SimilarityJoin.lloydRefine's
-    // recompute step), never collecting vectors.
-    "d3_slice_centroid" -> ((s, sf) =>
+    // centroid) row per dimension — FP-order-independent AND engine-exact:
+    // each element is truncated to 1e-9 fixed point via
+    // sign(x)·floor(|x|·1e9) (pure integer result; no round-half
+    // semantics, which differ between Spark's HALF_UP decimal cast and
+    // DuckDB's half-even and diverged on exact-tie floats at sf0.1), the
+    // BIGINT sums are exact, and one double division lands at the end.
+    // The posexplode → groupBy(bucket, pos) shape is the fully distributed
+    // "mean vector per slice" aggregation (same as lloydRefine's recompute
+    // step), never collecting vectors.
+    "d3_slice_centroid" -> ((s, sf) => {
+      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
       Tables
         .embeddings(s, sf)
         .select(
@@ -373,8 +378,9 @@ object LlmQueries {
           posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("bucket"), col("pos").cast("long").as("pos"))
         .agg(
-          (sum(col("x").cast(DecimalType(28, 9))).cast("double") / count(lit(1))).as("centroid"))
-        .orderBy("bucket", "pos")),
+          (sum(xq).cast("double") / (count(lit(1)) * lit(1e9))).as("centroid"))
+        .orderBy("bucket", "pos")
+    }),
 
     // D5 (repetition): Gopher-style repetition signals per document — the
     // top-bigram share and the distinct-token ratio, the standard gibberish
@@ -641,7 +647,8 @@ object LlmQueries {
          SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 600 ORDER BY doc_id""",
     "d3_slice_centroid" ->
       """SELECT vec_id % 8 AS bucket, CAST(i - 1 AS BIGINT) AS pos,
-         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS centroid
+         CAST(SUM(CAST(sign(CAST(embedding[i] AS DOUBLE)) * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1e9) AS centroid
          FROM embeddings CROSS JOIN range(1, 65) r(i)
          GROUP BY 1, 2 ORDER BY bucket, pos""",
     "d8_multimodal_meta" ->
