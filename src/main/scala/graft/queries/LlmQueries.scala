@@ -387,12 +387,22 @@ object LlmQueries {
     // /loop detectors a quality gate thresholds on. Explode + per-doc
     // aggregation, all map-side-combining hash aggs.
     "d5_repetition" -> ((s, sf) => {
+      import s.implicits._
       val t = toks(col("text"))
+      // Bigrams as xxhash64 of the 2-token shingle via the JVM twin
+      // (Catalyst HOF shingling is interpreted — the same profiled hot
+      // loop as the d2 paths; 3.5 s → ~1 s at sf0.1). Counting is hash-
+      // identity (collisions ≈ n²/2⁶⁵); shares/sums are unchanged, so the
+      // oracle stays green. shingleHashesJvm keeps the whole-doc fallback
+      // for <2-token docs, matching the SQL twin's CASE branch.
       val bigrams = Tables
         .documents(s, sf)
-        .select(
-          col("doc_id"),
-          posexplode(TextOps.shingles(t, 2)).as(Seq("__p", "bg")))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("__text"))
+        .as[(Long, String)]
+        .filter(_._2 != null)
+        .map { case (id, text) => (id, TextOps.shingleHashesJvm(text, 2)) }
+        .toDF("doc_id", "bgh")
+        .select(col("doc_id"), explode(col("bgh")).as("bg"))
       val perDoc = bigrams
         .groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("c"))
