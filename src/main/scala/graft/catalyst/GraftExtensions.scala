@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
+    ext.injectFunction(GraftExtensions.lshBucketDescriptor)
     ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
@@ -60,11 +61,37 @@ object GraftExtensions {
     (children: Seq[Expression]) => SigAgreementExpression(children.head, children(1))
   )
 
+  private[catalyst] val lshBucketDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_bucket"),
+    new ExpressionInfo(
+      classOf[CosineLshBucketExpression].getName,
+      null,
+      "graft_lsh_bucket",
+      "graft_lsh_bucket(vec, dim, nbits) - random-hyperplane cosine-LSH bucket of an " +
+        "ARRAY<DOUBLE> vector as a BIGINT (fused codegen loop over a precomputed sign matrix).",
+      ""
+    ),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_lsh_bucket: $name must be an INT literal, got $other")
+      }
+      CosineLshBucketExpression(
+        children.head,
+        intLit(children(1), "dim"),
+        intLit(children(2), "nbits"))
+    }
+  )
+
   /** Idempotently register the native functions and the fusion rule on an
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
-    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor).foreach { case (ident, info, builder) =>
+    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor, lshBucketDescriptor)
+      .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

@@ -276,21 +276,17 @@ object SimilarityJoin {
     * against deterministic pseudo-random hyperplanes (seeded per bit from
     * the dimension index via a hash — no RNG state, reproducible anywhere).
     * Near-dup candidate generation for D9's 100 TB path; recall is
-    * probabilistic and measured in tests, so it is not the oracle query. */
+    * probabilistic and measured in tests, so it is not the oracle query.
+    *
+    * Backed by the native codegen expression
+    * [[graft.catalyst.CosineLshBucketExpression]]: O(1) expression-tree
+    * size in `dim` (the sign matrix is precomputed runtime data, not
+    * inlined literals), so production embedding dims (1024–4096) stay
+    * inside whole-stage codegen instead of blowing the method-size limit
+    * (VERDICT r4 §wrong-1). Bucket values are unchanged — bit-equality
+    * with the old declarative form asserted in SimilaritySpec. */
   def cosineLshBucket(vec: Column, dim: Int, nbits: Int): Column = {
-    // hyperplane h_b[i] = hash(b, i) mapped to ±1 — a fixed pseudo-random
-    // sign matrix shared by every executor without shipping state.
-    (0 until nbits).foldLeft(lit(0L)) { (acc, b) =>
-      val dotSign = aggregate(
-        zip_with(
-          vec,
-          array((0 until dim).map(i => when(xxhash64(lit(b * 131071 + i)) % 2 === 0, 1.0).otherwise(-1.0)): _*),
-          (x, s) => x * s
-        ),
-        lit(0.0),
-        (s, v) => s + v
-      )
-      shiftleft(acc, 1).bitwiseOR(when(dotSign >= 0, lit(1L)).otherwise(lit(0L)))
-    }
+    graft.catalyst.GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_lsh_bucket", vec, lit(dim), lit(nbits))
   }
 }

@@ -129,6 +129,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(quant.intersect(full).size >= 7, s"quantized probe diverged: $quant vs $full")
   }
 
+  test("registered IVF queries probe path-keyed indexes (float + quantized)") {
+    val sf   = TestSpark.sf0001
+    val full = graft.queries.LlmQueries.defs("d4_topk_ivf")(spark, sf)
+      .select("vec_id").as[Long].collect()
+    val quant = graft.queries.LlmQueries.defs("d4_topk_ivf_q")(spark, sf)
+      .select("vec_id").as[Long].collect()
+    assert(full.length === 10 && quant.length === 10)
+    assert(quant.toSet.intersect(full.toSet).size >= 7,
+      s"quantized probe diverged from float probe: ${quant.toSeq} vs ${full.toSeq}")
+    // Index directories key on the SANITIZED DATASET PATH (collision-free by
+    // construction), not abs(hashCode) — VERDICT r4 §wrong-3.
+    val tmp = System.getProperty("java.io.tmpdir")
+    val key = sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    assert(new java.io.File(s"$tmp/graft_ivf_$key").isDirectory, "float index dir not path-keyed")
+    assert(new java.io.File(s"$tmp/graft_ivf_${key}_q").isDirectory, "quantized index dir not path-keyed")
+  }
+
   test("selfJoinThreshold emits each qualifying pair once with a < b") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 100)
@@ -210,6 +227,64 @@ class SimilaritySpec extends AnyFunSuite {
       emb.select(col("vec_id"), col("vq")), col("vec_id"), col("vq"), q, 10)
       .select("vec_id").as[Long].collect().toSet
     assert(viaQ.intersect(exact).size >= 8, s"quantized recall ${viaQ.intersect(exact).size}/10")
+  }
+
+  test("native LSH bucket expression is bit-identical to the declarative sign-matrix form") {
+    // The pre-round-6 Column form: dim×nbits literal sign matrix. Kept here
+    // as the golden reference — the native expression must produce the SAME
+    // buckets (so recall laws and any persisted bucket keys carry over).
+    def oldBucket(vec: org.apache.spark.sql.Column, dim: Int, nbits: Int) =
+      (0 until nbits).foldLeft(lit(0L)) { (acc, b) =>
+        val dotSign = aggregate(
+          zip_with(
+            vec,
+            array((0 until dim).map(i =>
+              when(xxhash64(lit(b * 131071 + i)) % 2 === 0, 1.0).otherwise(-1.0)): _*),
+            (x, s) => x * s),
+          lit(0.0),
+          (s, v) => s + v)
+        shiftleft(acc, 1).bitwiseOR(when(dotSign >= 0, lit(1L)).otherwise(lit(0L)))
+      }
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val mismatches = emb
+      .withColumn("nb", SimilarityJoin.cosineLshBucket(col("v"), dim = 64, nbits = 8))
+      .withColumn("ob", oldBucket(col("v"), dim = 64, nbits = 8))
+      .filter(col("nb") =!= col("ob"))
+      .count()
+    assert(mismatches === 0L, "native LSH bucket diverged from the declarative form")
+
+    // Degenerate inputs keep the old semantics: null vector / wrong length /
+    // null element all landed in bucket 0 (never NULL) under the old form.
+    val weird = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0))), // length 3 != dim 64
+      (2L, None)                      // null vector
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val weirdOut = weird
+      .withColumn("b", SimilarityJoin.cosineLshBucket(col("v"), dim = 64, nbits = 8))
+      .select("b").as[Long].collect()
+    assert(weirdOut.forall(_ === 0L), s"degenerate inputs must land in bucket 0: ${weirdOut.toSeq}")
+  }
+
+  test("LSH bucket at production dims (1024) stays fast and deterministic") {
+    // The old literal-matrix form at dim=1024, nbits=8 is an ~8k-literal
+    // expression tree that breaks codegen; the native expression is O(1) in
+    // dim. Deterministic synthetic vectors (no RNG): x_ij = sin(i*1024+j).
+    val df = spark.range(100).select(
+      col("id"),
+      transform(sequence(lit(0), lit(1023)), j => sin(col("id") * 1024 + j)).as("v"))
+    val t0 = System.nanoTime()
+    val buckets = df
+      .withColumn("b", SimilarityJoin.cosineLshBucket(col("v"), dim = 1024, nbits = 8))
+      .select("id", "b").as[(Long, Long)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"dim=1024 bucketing took $secs s — codegen blowup?")
+    assert(buckets.values.toSet.size > 1, "all dim-1024 vectors in one bucket")
+    // determinism: re-evaluate and compare
+    val again = df
+      .withColumn("b", SimilarityJoin.cosineLshBucket(col("v"), dim = 1024, nbits = 8))
+      .select("id", "b").as[(Long, Long)].collect().toMap
+    assert(again === buckets)
   }
 
   test("cosine LSH buckets: identical vectors share buckets, candidates shrink") {
