@@ -191,6 +191,96 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/batch=1").count() === 0, "cross-batch dedup broken")
   }
 
+  test("compactStore folds the delta log without changing reads or the replay guard") {
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val longC = (1 to 20).map(i => s"new$i").mkString(" ")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95)
+    val base  = Files.createTempDirectory("corpus_compact")
+    val store = s"$base/store"
+    val out   = s"$base/out"
+
+    val batches = Seq(
+      Seq((1L, longA), (4L, "distinct doc about adaptive query execution plans today")),
+      Seq((11L, longA), (13L, longC)), // 11 dups stored 1
+      Seq((21L, "another fully distinct document discussing shuffle partition sizing")),
+      Seq((31L, longC)) // dups stored 13
+    )
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      CorpusPrep.processBatch(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"), store, out, i.toLong, cfg)
+    }
+    val before = CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted
+
+    CorpusPrep.compactStore(spark, store)
+
+    // Deltas 0..2 folded into delta=2; delta=3 (newest, still replayable) kept.
+    val dirs = new java.io.File(store).listFiles().map(_.getName).filter(_.startsWith("delta=")).sorted
+    assert(dirs === Array("delta=2", "delta=3"), dirs.toSeq.toString)
+    // Full read unchanged.
+    assert(CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted === before)
+    // Replay guard: a replay of batch 3 must see exactly deltas < 3 — the
+    // compacted dir (id 2) qualifies, its own delta does not.
+    assert(CorpusPrep.readStore(spark, store, beforeBatch = Some(3L))
+      .select("doc_id").as[Long].collect().sorted === Array(1L, 4L, 13L, 21L))
+    // And the replay itself still produces identical output (no self-match).
+    CorpusPrep.processBatch(
+      batches(3).toDF("doc_id", "text"), col("doc_id"), col("text"), store, out, 3L, cfg)
+    assert(spark.read.parquet(s"$out/batch=3").count() === 0, "31 should still dup stored 13")
+    assert(CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted === before)
+
+    // Idempotence: compacting again folds nothing further that breaks reads.
+    CorpusPrep.compactStore(spark, store)
+    assert(CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted === before)
+  }
+
+  test("streamingPrepare with compactEvery keeps the delta-log bounded, results unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95,
+      compactEvery = 2)
+    val base  = Files.createTempDirectory("corpus_stream_compact")
+    val store = s"$base/store"
+    val out   = s"$base/out"
+    val ckpt  = s"$base/ckpt"
+
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusPrep
+      .streamingPrepare(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), store, out, ckpt, cfg)
+      .start()
+    try {
+      mem.addData((1L, longA), (4L, "distinct doc about adaptive query execution today"))
+      q.processAllAvailable()
+      mem.addData((11L, longA)) // cross-batch dup of 1
+      q.processAllAvailable()
+      mem.addData((21L, "another fully distinct document about broadcast joins tonight"))
+      q.processAllAvailable()
+      mem.addData((31L, longA)) // still dups 1 after compaction
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // 4 batches with compactEvery=2 → the log was folded at batch 2: fewer
+    // than 4 delta dirs remain, and the surviving ids parse + stay ordered.
+    val dirs = new java.io.File(store).listFiles().map(_.getName).filter(_.startsWith("delta=")).sorted
+    assert(dirs.length < 4, s"delta log unbounded: ${dirs.toSeq}")
+    // Dedup across the whole history intact despite folding.
+    val streamed = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(streamed === Array(1L, 4L, 21L))
+    assert(CorpusPrep.readStore(spark, store).select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 4L, 21L))
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
