@@ -163,6 +163,55 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** D2 (contamination flavor): exact k-token-shingle Jaccard pairs ACROSS
+    * two corpora — the train/eval overlap check every LLM data pipeline
+    * runs before training (was the eval set crawled into the training
+    * corpus?). Same de-quadratic shape as [[ngramJaccardPairs]]: candidates
+    * come from a shared-shingle equi-join BETWEEN the two sides (exact —
+    * only zero-overlap pairs are pruned), the overlap |A∩B| is counted in
+    * the aggregation, and the size-compatibility prune (FP-safe slack)
+    * drops hopeless rows before the shuffle. Work is Σ df_left(s)·df_right(s)
+    * join rows — never |train|×|eval|. Output: (train_id, eval_id, jac),
+    * jac ≥ threshold. */
+  def crossNgramJaccardPairs(
+      train: DataFrame,
+      trainId: Column,
+      trainText: Column,
+      eval: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      shingleSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def shingled(df: DataFrame, id: Column, text: Column, idAs: String, nAs: String, sAs: String) =
+      df.select(id.cast("long").as("doc_id"), text.cast("string").as("__text"))
+        .as[(Long, String)]
+        .map { case (i, t) => (i, TextOps.distinctShingleHashesJvm(t, shingleSize)) }
+        .filter(_._2 != null) // null text or fewer than k tokens: no pairs
+        .toDF("doc_id", "sh")
+        .select(col("doc_id").as(idAs), size(col("sh")).as(nAs), explode(col("sh")).as(sAs))
+    val l = shingled(train, trainId, trainText, "train_id", "n_t", "s")
+    val r = shingled(eval, evalId, evalText, "eval_id", "n_e", "s_r")
+    val sizeCompat =
+      if (threshold > 0)
+        least(col("n_t"), col("n_e")).cast("double") >=
+          lit(threshold) * greatest(col("n_t"), col("n_e")).cast("double") - lit(1e-9)
+      else lit(true)
+    l.hint("shuffle_hash")
+      .join(r, col("s") === col("s_r") && sizeCompat)
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("ov"), first(col("n_t")).as("n_t"), first(col("n_e")).as("n_e"))
+      .select(
+        col("train_id"),
+        col("eval_id"),
+        round(
+          col("ov").cast("double") / (col("n_t") + col("n_e") - col("ov")).cast("double"),
+          9).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns near-duplicate PAIRS into dedup CLUSTERS (pick one canonical doc
     * per component). Alternating large-star / small-star (the exact-CC

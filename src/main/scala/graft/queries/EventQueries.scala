@@ -246,7 +246,30 @@ object EventQueries {
           count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(18, 4))).cast("double").as("val_sum")
         )
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // B8+ batch twin of the STREAM-STREAM interval join: per-user pairs of
+    // distinct events where the right event lands in [left.ts, left.ts+1h]
+    // — literally StreamOps.streamStreamIntervalJoin run on batch frames
+    // (the watermark is a no-op in batch, the join condition is identical),
+    // so the oracle hash-checks the same plan StreamingSpec drives with
+    // MemoryStreams. The time-range predicate is what bounds streaming
+    // join state; in batch it is the band that keeps the join from being
+    // a per-user cross product.
+    "b9_interval_join" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val l = ev.select(
+        col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val r = ev.select(
+        col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.streaming.StreamOps
+        .streamStreamIntervalJoin(
+          l, r, "l_ts", "r_ts",
+          lateness = "10 minutes", window = "1 hour",
+          keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+        .orderBy("l_id", "r_id")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -321,6 +344,12 @@ object EventQueries {
       """SELECT c_mktsegment, count(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "b9_interval_join" ->
+      """SELECT a.event_id AS l_id, b.event_id AS r_id, a.ts AS l_ts, b.ts AS r_ts
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY l_id, r_id"""
   )
 }

@@ -227,6 +227,24 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // D2 (contamination): train/eval overlap detection — the dedup question
+    // a pipeline must answer BEFORE training (is the held-out slice leaked
+    // into the training corpus?). Exact cross-corpus shingle Jaccard via
+    // the shared-shingle join (never |train|×|eval|); threshold 0.05 sits
+    // an order of magnitude above this corpus's background vocabulary
+    // overlap (~0.01) and flags only genuine shared content.
+    "d2_contamination" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      Dedup
+        .crossNgramJaccardPairs(
+          docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          shingleSize = 3,
+          threshold = 0.05
+        )
+        .orderBy("train_id", "eval_id")
+    }),
+
     // D3: cosine similarity of adjacent embedding pairs — pure Column
     // lambda expressions, no UDF.
     "d3_cosine_pairs" -> ((s, sf) => {
@@ -540,6 +558,23 @@ object LlmQueries {
          FROM base a JOIN base b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.sh, b.sh)) >= 1
          ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "d2_contamination" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3)
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           round(CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)
+                 / (CAST(len(t.sh) AS DOUBLE) + CAST(len(e.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)), 9) AS jac
+         FROM base t JOIN base e ON t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         WHERE CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)
+               / (CAST(len(t.sh) AS DOUBLE) + CAST(len(e.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)) >= 0.05
+         ORDER BY train_id, eval_id""",
     "d2_neardup_clusters" ->
       """WITH RECURSIVE base AS (
            SELECT doc_id,
