@@ -60,16 +60,25 @@ object Bench {
             false
         }
       // -1 sentinel: a failed query must not masquerade as a fast success.
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Rounded to 0.1 ms — sub-100µs digits are noise, and a shorter JSON
+      // line survives the driver's bounded stdout-tail capture
+      // (BENCH_r04/r05 "parsed": null came from a truncated line).
+      val sec =
+        if (ok) math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000 else -1.0
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
+    Console.out.flush()
     spark.stop()
+    // Re-print as the VERY LAST stdout line: a tail-capture that misses the
+    // first print (Spark shutdown logs land between them) still sees one
+    // complete JSON line. The authoritative copy is the outFile either way.
+    println(line)
   }
 }
