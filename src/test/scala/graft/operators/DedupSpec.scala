@@ -129,6 +129,45 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("crossNgramJaccardPairs ≡ self-join pairs restricted across the split") {
+    // Contamination = n-gram Jaccard between two corpora. Law: splitting a
+    // corpus and running the cross operator must yield exactly the
+    // self-join pairs with one endpoint on each side (same shingles, same
+    // exact counting), and a planted eval doc copied into train must be
+    // flagged at jac 1.0.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val cross = Dedup
+      .crossNgramJaccardPairs(
+        train, col("doc_id"), col("text"), eval_, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.05)
+      .select("train_id", "eval_id", "jac").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val fromSelf = Dedup
+      .ngramJaccardPairs(docs, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.05)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) =>
+        if (a % 10 != 0 && b % 10 == 0) Some((a, b) -> j)
+        else if (b % 10 != 0 && a % 10 == 0) Some((b, a) -> j)
+        else None
+      }
+      .toMap
+    assert(cross === fromSelf, "cross-corpus pairs diverge from the self-join restriction")
+
+    // Planted contamination: an eval doc verbatim in train → jac 1.0.
+    val planted = eval_.limit(1).select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val evalId  = eval_.limit(1).select("doc_id").as[Long].collect().head
+    val hit = Dedup
+      .crossNgramJaccardPairs(
+        train.select("doc_id", "text").unionByName(planted), col("doc_id"), col("text"),
+        eval_, col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.5)
+      .filter(col("train_id") === evalId + 1000000 && col("eval_id") === evalId)
+      .select("jac").as[Double].collect()
+    assert(hit.toSeq === Seq(1.0), s"planted eval doc not flagged: ${hit.toSeq}")
+  }
+
   test("rotated simhash blocking recalls at least the single-prefix pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     val single = Dedup
