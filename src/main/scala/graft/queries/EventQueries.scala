@@ -269,6 +269,27 @@ object EventQueries {
           keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
         .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
         .orderBy("l_id", "r_id")
+    }),
+
+    // B8+ LEFT-OUTER interval join batch twin: left events with no right
+    // match inside [ts, ts+1h] surface with nulls — in streaming these
+    // rows emit once the watermark proves no match can still arrive; the
+    // batch run is that same plan at watermark = ∞. Explicit NULLS FIRST
+    // on both engines: null ordering defaults differ (Spark ASC = nulls
+    // first, DuckDB ASC = nulls last) and the compare is row-ordered.
+    "b9_interval_join_left" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val l = ev.select(
+        col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val r = ev.select(
+        col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.streaming.StreamOps
+        .streamStreamIntervalJoinLeftOuter(
+          l, r, "l_ts", "r_ts",
+          lateness = "10 minutes", window = "1 hour",
+          keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+        .orderBy(col("l_id"), col("r_id").asc_nulls_first)
     })
   )
 
@@ -350,6 +371,12 @@ object EventQueries {
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.event_id <> b.event_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-         ORDER BY l_id, r_id"""
+         ORDER BY l_id, r_id""",
+    "b9_interval_join_left" ->
+      """SELECT a.event_id AS l_id, b.event_id AS r_id, a.ts AS l_ts, b.ts AS r_ts
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY l_id, r_id NULLS FIRST"""
   )
 }
