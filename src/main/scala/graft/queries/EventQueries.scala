@@ -274,20 +274,26 @@ object EventQueries {
     // B8+ LEFT-OUTER interval join batch twin: left events with no right
     // match inside [ts, ts+1h] surface with nulls — in streaming these
     // rows emit once the watermark proves no match can still arrive; the
-    // batch run is that same plan at watermark = ∞. Explicit NULLS FIRST
-    // on both engines: null ordering defaults differ (Spark ASC = nulls
-    // first, DuckDB ASC = nulls last) and the compare is row-ordered.
+    // batch run is those semantics at watermark = ∞. Unlike b9 (which
+    // runs the literal StreamOps plan), this one runs the BUCKETED range
+    // join (IntervalJoin.leftOuter): equi-join on (user, ⌊ts/W⌋) with a
+    // fixed 2× left fan-out instead of a per-user cross product — the
+    // plan you'd run at 100 TB (bucketed ≡ naive asserted in
+    // IntervalJoinSpec). Explicit NULLS FIRST on both engines: null
+    // ordering defaults differ (Spark ASC = nulls first, DuckDB ASC =
+    // nulls last) and the compare is row-ordered.
     "b9_interval_join_left" -> ((s, sf) => {
       val ev = Tables.events(s, sf)
       val l = ev.select(
         col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
       val r = ev.select(
         col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
-      graft.streaming.StreamOps
-        .streamStreamIntervalJoinLeftOuter(
+      graft.operators.IntervalJoin
+        .leftOuter(
           l, r, "l_ts", "r_ts",
-          lateness = "10 minutes", window = "1 hour",
-          keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
+          windowMicros = 3600L * 1000000L,
+          keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"),
+          leftKey = col("l_id"))
         .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
         .orderBy(col("l_id"), col("r_id").asc_nulls_first)
     })
