@@ -72,6 +72,33 @@ object Mixture {
       .drop("__cum")
   }
 
+  /** Deterministic stratified train/val/test split — every pipeline's
+    * first epoch-0 decision, and one that must be REPRODUCIBLE (the same
+    * doc lands in the same split on any cluster, any partitioning, any
+    * rerun) and INDEPENDENT of slice sizes (stratification happens because
+    * the hash is uniform within every slice, not by per-slice bookkeeping).
+    * `fractions` are cumulative percentage cut points, e.g.
+    * Seq("train" -> 80, "val" -> 90) + default "test": a doc goes to the
+    * first label whose cut point exceeds hash(id) % 100. Pure modular
+    * arithmetic ([[shuffleKey]]) — no RNG state, expressible in ANSI SQL,
+    * so the assignment is oracle-checkable row by row. Narrow (no shuffle
+    * at all): the split is a per-row projection. */
+  def stratifiedSplit(
+      docs: DataFrame,
+      idCol: Column,
+      fractions: Seq[(String, Int)],
+      defaultLabel: String
+  ): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2) == fractions.map(_._2).sorted,
+      "fractions must be ascending cumulative cut points")
+    require(fractions.last._2 <= 100, "cut points are percentages")
+    val pct = pmod(shuffleKey(idCol), lit(100L))
+    val split = fractions.foldRight(lit(defaultLabel): Column) { case ((label, cut), rest) =>
+      when(pct < cut, label).otherwise(rest)
+    }
+    docs.withColumn("split", split)
+  }
+
   /** Per-slice budgets — the actual mixture shape ("web 60B, books 30B,
     * code 10B tokens"). `budgets` is a (slice, token_budget) frame; it is
     * dimension-sized (one row per slice), so it broadcasts. Slices absent

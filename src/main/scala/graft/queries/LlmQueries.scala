@@ -495,6 +495,45 @@ object LlmQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // D5 (redaction): PII scrubbing — emails/phones → typed placeholder
+    // tags, the pass that runs before any text reaches a tokenizer. The
+    // fixture corpus contains no PII, so a deterministic subset gets
+    // synthetic contact lines injected first (same inject-then-measure
+    // shape as a8_corrupt_tolerance) and the oracle checks the regex
+    // semantics agree across engines, match counts included.
+    "d5_pii_redaction" -> ((s, sf) => {
+      val raw = when(
+        col("doc_id") % 5 === 0,
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      ).otherwise(col("text"))
+      Tables
+        .documents(s, sf)
+        .withColumn("raw", raw)
+        .select(
+          col("doc_id"),
+          TextOps.redactPii(col("raw")).as("clean"),
+          regexp_count(col("raw"), lit(TextOps.emailPattern)).as("n_emails"),
+          regexp_count(col("raw"), lit(TextOps.phonePattern)).as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // D7 (split): deterministic stratified train/val/test assignment —
+    // reproducible on any cluster/partitioning because it is pure modular
+    // arithmetic on the doc id (Mixture.shuffleKey), and stratified across
+    // sources because the hash is uniform within every slice. Narrow plan:
+    // zero shuffles beyond the output sort.
+    "d7_stratified_split" -> ((s, sf) =>
+      Mixture
+        .stratifiedSplit(
+          Tables.documents(s, sf), col("doc_id"),
+          fractions = Seq("train" -> 80, "val" -> 90), defaultLabel = "test")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")),
+
     // D8: multimodal binary column — payload bytes + typed metadata;
     // filter on metadata, hash/length on payload.
     "d8_multimodal_meta" -> ((s, sf) =>
@@ -734,6 +773,29 @@ object LlmQueries {
            / (COUNT(*) * 1e9) AS centroid
          FROM embeddings CROSS JOIN range(1, 65) r(i)
          GROUP BY 1, 2 ORDER BY bucket, pos""",
+    "d5_pii_redaction" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               ELSE text END AS raw
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+         FROM raw ORDER BY doc_id""",
+    "d7_stratified_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 ((doc_id % 1000000007) * 2654435761 % 4294967296) % 100 AS pct
+               FROM documents)
+         ORDER BY doc_id""",
     "d8_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

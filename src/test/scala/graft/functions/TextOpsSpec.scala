@@ -152,4 +152,17 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextOps.approxBpeTokens(col("t")).as("n")).collect().head.getLong(0)
     assert(out === 2L)
   }
+
+  test("redactPii replaces emails and phones with typed tags, leaves clean text alone") {
+    val out = Seq(
+      "reach me at jane.doe+x@mail-server.io today",
+      "call 555-0134 or 800-1234 now",
+      "mixed: a@b.co and 123-4567",
+      "nothing to redact here"
+    ).toDF("t").select(TextOps.redactPii(col("t")).as("c")).as[String].collect()
+    assert(out(0) === "reach me at [EMAIL] today")
+    assert(out(1) === "call [PHONE] or [PHONE] now")
+    assert(out(2) === "mixed: [EMAIL] and [PHONE]")
+    assert(out(3) === "nothing to redact here")
+  }
 }

@@ -111,4 +111,32 @@ class MixtureSpec extends AnyFunSuite {
     val slices = docs.select("source").distinct().count()
     assert(one.count() === slices)
   }
+
+  test("stratifiedSplit: deterministic, total, stratified within every slice") {
+    val split = Mixture.stratifiedSplit(
+      docs, col("doc_id"), Seq("train" -> 80, "val" -> 90), "test")
+    // Total + deterministic: every doc gets exactly one label, same on rerun.
+    val a = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Mixture.stratifiedSplit(docs, col("doc_id"), Seq("train" -> 80, "val" -> 90), "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    assert(a.size === docs.count())
+    // Global fractions near 80/10/10 (hash uniformity; fixture has 100 docs).
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.12, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+    // Stratification: every source slice contains train docs (uniform hash
+    // within slices), and the assignment never depends on the slice.
+    val perSource = split.groupBy("source")
+      .agg(count(when(col("split") === "train", 1)).as("tr"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(perSource.forall { case (_, tr, n) => n < 5 || tr > 0 },
+      perSource.mkString(", "))
+  }
+
+  test("stratifiedSplit rejects non-ascending cut points") {
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSplit(docs, col("doc_id"), Seq("a" -> 90, "b" -> 80), "c")
+    }
+  }
 }
