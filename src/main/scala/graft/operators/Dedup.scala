@@ -418,7 +418,13 @@ object Dedup {
   /** D2 (SimHash flavor): 64-bit simhash per doc + near-dup pairs within a
     * Hamming radius, blocked on the top `blockBits` bits to avoid an
     * all-pairs join (near-dups share high bits with high probability; see
-    * [[simHashPairsRotated]] for the multi-rotation recall fix). */
+    * [[simHashPairsRotated]] for the multi-rotation recall fix).
+    *
+    * Default radius 8/64 is the usual web-dedup operating point; the
+    * registered `d2_simhash` query deliberately overrides to 10 because
+    * the shared-vocabulary synthetic corpus compresses Hamming distances
+    * (rationale at the query, LlmQueries "d2_simhash") — that override is
+    * a FIXTURE calibration, not a second default. */
   def simHashPairs(
       df: DataFrame,
       idCol: Column,
