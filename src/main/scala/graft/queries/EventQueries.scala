@@ -253,9 +253,12 @@ object EventQueries {
     // — literally StreamOps.streamStreamIntervalJoin run on batch frames
     // (the watermark is a no-op in batch, the join condition is identical),
     // so the oracle hash-checks the same plan StreamingSpec drives with
-    // MemoryStreams. The time-range predicate is what bounds streaming
-    // join state; in batch it is the band that keeps the join from being
-    // a per-user cross product.
+    // MemoryStreams. DELIBERATELY the naive key-equi-join + band-filter
+    // plan: that parity is this query's point, and its cost (the per-user
+    // candidate product) is the measured baseline the bucketed range join
+    // beats — b9_interval_join_left runs the identical band semantics via
+    // operators/IntervalJoin and benches ~40% cheaper while emitting 10×
+    // the rows; THAT is the 100 TB batch path.
     "b9_interval_join" -> ((s, sf) => {
       val ev = Tables.events(s, sf)
       val l = ev.select(

@@ -105,6 +105,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side combine before the (bucket,pos) shuffle")
   }
 
+  test("b9_interval_join_left: bucketed range join is an equi-join, never BNLJ/cartesian") {
+    val p = planOf("b9_interval_join_left")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketed interval join degraded to an unkeyed join")
+    // The band predicate must ride the equi-join, not a post-join filter of
+    // a key-only join: the join key includes the __lbkt/__rbkt bucket.
+    assert(p.contains("__lbkt") && p.contains("__rbkt"), p.take(3000))
+  }
+
+  test("d7_stratified_split: assignment is shuffle-free (sort for output order only)") {
+    // The registered query ends in an orderBy (deterministic dump order);
+    // the OPERATOR itself must plan with zero exchanges.
+    import org.apache.spark.sql.functions.col
+    val assignment = graft.operators.Mixture
+      .stratifiedSplit(
+        graft.tables.Tables.documents(spark, sf), col("doc_id"),
+        Seq("train" -> 80, "val" -> 90), "test")
+      .select("doc_id", "source", "split")
+    val p = assignment.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split assignment shuffled:\n${p.take(2000)}")
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
