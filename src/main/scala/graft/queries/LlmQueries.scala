@@ -114,6 +114,28 @@ object LlmQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // D1–D7 composed: the full corpus-prep DAG as ONE registered query —
+    // exact dedup → MinHash/LSH near-dup clusters (min-id survivor per
+    // component) → quality/language gates → enrichment
+    // (pipelines/CorpusPrep.prepare). Registered so the BENCH tracks the
+    // end-to-end pipeline cost round over round, not just its stages.
+    // Deterministic output (same survivors every run) but the near-dup
+    // stage is xxhash-based → rows-only; pipeline laws (cluster-canonical
+    // survivors, incremental ≡ batch, replay) live in CorpusPrepSpec.
+    "d0_corpus_prep" -> ((s, sf) => {
+      val (out, _) = graft.pipelines.CorpusPrep.prepare(
+        Tables.documents(s, sf),
+        col("doc_id"),
+        col("text"),
+        graft.pipelines.CorpusPrep.Config(
+          minhash = Dedup.MinHashParams(jaccardThreshold = 0.5),
+          minTokens = 5,
+          maxStopwordRatio = 0.95))
+      out
+        .select(col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup by content hash, deterministic keep-lowest-id.
     "d1_exact_dedup" -> ((s, sf) =>
       Dedup
