@@ -30,7 +30,8 @@ class CorpusPrepSpec extends AnyFunSuite {
     val (out, audit) = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
     val ids = out.select("doc_id").as[Long].collect().sorted
     assert(ids === Array(1L, 4L)) // 2 exact-dup, 3 near-dup, 5 short, 6 stopword soup
-    val counts = audit.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    // Audit counts are observed metrics of the run above — no re-execution.
+    val counts = audit.counts
     assert(counts === Map("input" -> 6L, "exact_dedup" -> 5L, "near_dedup" -> 4L, "gated" -> 2L))
     // enrichment columns present and populated
     val row = out.filter(col("doc_id") === 1).collect().head
@@ -106,10 +107,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(store.unionByName(storeDelta).select("doc_id").as[Long].collect().sorted ===
       Array(1L, 4L, 13L, 15L))
 
-    val stages = audit.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val stages = audit.counts
     assert(stages === Map(
       "input" -> 5L, "exact_dedup" -> 4L, "store_dedup" -> 3L,
       "near_dedup" -> 2L, "gated" -> 1L))
+  }
+
+  test("prepared frame never rescans the source: exact stage is a checkpoint boundary") {
+    val dir = Files.createTempDirectory("corpus_scan_once")
+    corpus.write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.8)
+    val (out, audit) = CorpusPrep.prepare(docs, col("doc_id"), col("text"), cfg)
+    // The exact-dedup stage (the subtree consumed by BOTH pair generation
+    // and the final anti-join) was materialized once at construction;
+    // everything the returned frame executes reads that checkpoint. A
+    // parquet relation left in the plan = the round-6 double-scan bug.
+    val plans = Seq(out.queryExecution.optimizedPlan.toString,
+                    out.queryExecution.executedPlan.toString)
+    assert(!plans.exists(_.toLowerCase.contains("parquet")),
+      "prepared frame still re-reads the parquet source")
+    assert(out.count() === 2)
+    assert(audit.counts("input") === 6L)
   }
 
   test("streamingPrepare: micro-batched shards ≡ batch over the union, store grows by deltas") {
