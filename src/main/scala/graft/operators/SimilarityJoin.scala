@@ -272,6 +272,35 @@ object SimilarityJoin {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
 
+  /** D9 composed: SemDeDup-style embedding-space deduplication — the
+    * standard semantic dedup pass a pretraining pipeline runs AFTER text
+    * dedup (near-identical meaning, different surface forms): cosine-near
+    * pairs within blocks → connected components → the minimum-id vector of
+    * each cluster survives, consistent with the text paths' keep-lowest-id
+    * policy ([[graft.operators.Dedup.exact]], CorpusPrep's cluster rule).
+    *
+    * 100 TB shape: pair generation is the blocked equi-join of
+    * [[selfJoinThreshold]] (Σ block² work, never corpus²); clustering is
+    * the O(log n)-round large-star/small-star CC; the survivor filter is
+    * one anti-join. For unblocked corpora swap the pair generator for
+    * [[lshSelfJoinThreshold]] — the composition is identical from `pairs`
+    * down. Returns the surviving rows of `emb`, schema unchanged. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      blockCol: Column,
+      threshold: Double
+  ): DataFrame = {
+    val pairs = selfJoinThreshold(emb, idCol, vecCol, blockCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = graft.operators.Dedup
+      .connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster")) // survivor: node == cluster min
+      .select(col("node").as("__loser"))
+    emb.join(losers, idCol === col("__loser"), "left_anti")
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: `nbits` signed projections
     * against deterministic pseudo-random hyperplanes (seeded per bit from
     * the dimension index via a hash — no RNG state, reproducible anywhere).

@@ -581,7 +581,27 @@ object LlmQueries {
           col("label"),
           threshold = 0.15
         )
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // D9 composed (SemDeDup): cosine-near pairs → connected components →
+    // cluster map — the embedding-space dedup pass, symmetric with
+    // d2_neardup_clusters on the text side. Each vector's cluster is the
+    // minimum vec_id it is transitively cosine-near (>= 0.3 within label
+    // blocks); survivors are the rows with cluster = vec_id
+    // (SimilarityJoin.semanticDedup applies that filter — its survivor law
+    // is in SimilaritySpec). Oracle: DuckDB recursive CTE over the same
+    // exact blocked pair join.
+    "d9_semantic_clusters" -> ((s, sf) => {
+      val pairs = SimilarityJoin
+        .selfJoinThreshold(
+          Tables.embeddings(s, sf), col("vec_id"), col("embedding"), col("label"),
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .connectedComponents(pairs)
+        .select(col("node").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -823,6 +843,22 @@ object LlmQueries {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          sha256(text) AS content_sha
          FROM documents WHERE n_chars > 200 ORDER BY doc_id""",
+    "d9_semantic_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+           JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+         edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         cc(node, label) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node WHERE cc.label < e.d)
+         SELECT node AS vec_id, min(label) AS cluster FROM cc
+         GROUP BY node ORDER BY vec_id""",
     "d9_simjoin_threshold" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)

@@ -158,6 +158,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.1 - 1e-9))
   }
 
+  test("semanticDedup keeps exactly the minimum id of every cosine cluster (union-find differential)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val threshold = 0.3
+    val pairs = SimilarityJoin
+      .selfJoinThreshold(emb, col("vec_id"), col("embedding"), col("label"), threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture produced no cosine-near pairs; threshold miscalibrated")
+    // Driver-side union-find over the collected pairs = ground truth.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val losers = parent.keys.filter(x => find(x) != x).toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+
+    val survivors = SimilarityJoin
+      .semanticDedup(emb, col("vec_id"), col("embedding"), col("label"), threshold)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === (allIds -- losers))
+    // Schema passes through unchanged.
+    assert(SimilarityJoin
+      .semanticDedup(emb, col("vec_id"), col("embedding"), col("label"), threshold)
+      .columns.toSeq === emb.columns.toSeq)
+  }
+
   test("topKBatch: per-query top-k matches single-query topK") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = emb.filter(col("vec_id").isin(3, 11))
