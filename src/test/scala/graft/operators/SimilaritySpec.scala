@@ -158,6 +158,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.1 - 1e-9))
   }
 
+  test("incremental IVF add: probe(add(build(A), B)) ≡ probe(build(A ∪ B)) on identical centroids") {
+    val emb  = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val ids  = emb.select("vec_id").as[Long].collect().sorted
+    val mid  = ids(ids.length / 2)
+    val a    = emb.filter(col("vec_id") < mid)
+    val b    = emb.filter(col("vec_id") >= mid)
+    val centroids = SimilarityJoin.lloydRefine(
+      a, col("vec_id"), col("embedding"),
+      a.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec")),
+      iters = 1)
+    val q = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val base = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+
+    for ((build, tag) <- Seq(
+        (SimilarityJoin.buildIvfIndex _, "float"),
+        (SimilarityJoin.buildIvfIndexQuantized _, "int8"))) {
+      val incrPath = s"$base/incr_$tag"
+      val fullPath = s"$base/full_$tag"
+      build(a, col("vec_id"), col("embedding"), centroids, incrPath)
+      SimilarityJoin.addToIvfIndex(b, col("vec_id"), col("embedding"), incrPath)
+      build(emb, col("vec_id"), col("embedding"), centroids, fullPath)
+      for (nprobe <- Seq(3, 8)) {
+        val incr = SimilarityJoin.ivfProbe(spark, incrPath, q, k = 10, nprobe)
+          .as[(Long, Double)].collect().toSeq
+        val full = SimilarityJoin.ivfProbe(spark, fullPath, q, k = 10, nprobe)
+          .as[(Long, Double)].collect().toSeq
+        assert(incr === full, s"layout=$tag nprobe=$nprobe")
+      }
+      // The add reused the existing layout (quantized index stays quantized).
+      val cols = spark.read.parquet(incrPath).columns.toSet
+      assert(cols.contains("q") === (tag == "int8"), s"layout drifted for $tag")
+    }
+  }
+
   test("semanticDedup keeps exactly the minimum id of every cosine cluster (union-find differential)") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 200)
