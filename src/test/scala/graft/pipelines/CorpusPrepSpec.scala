@@ -304,6 +304,50 @@ class CorpusPrepSpec extends AnyFunSuite {
       Array(1L, 4L, 21L))
   }
 
+  test("long stream with compactEvery=3: delta-dir count stays bounded, results ≡ uncompacted") {
+    // The bounded-directory-count claim over a LONG stream: 9 micro-batches
+    // through the exact per-batch path of streamingPrepare, one store
+    // compacted on a 3-batch cadence, the control store never compacted.
+    // With compactEvery=3 the log is folded at ids 3 and 6, so the dir
+    // count after any batch never exceeds compactEvery + 1 = 4 — the
+    // steady-state bound for ANY stream length — while reads and dedup
+    // behavior stay identical to the unbounded control.
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val mk = (n: Int) => (1 to 20).map(i => s"b${n}tok$i").mkString(" ")
+    val cfgC = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3, maxStopwordRatio = 0.95, compactEvery = 3)
+    val cfgU  = cfgC.copy(compactEvery = 0)
+    val base  = Files.createTempDirectory("corpus_long_compact")
+    // Batch i carries one fresh doc (id 10i+1) and one dup of batch 0's doc.
+    val batches = (0 until 9).map { i =>
+      if (i == 0) Seq((1L, longA), (2L, mk(0)))
+      else Seq((i * 10L + 1, mk(i)), (i * 10L + 2, longA))
+    }
+
+    var maxDirs = 0
+    for ((rows, i) <- batches.zipWithIndex) {
+      val df = rows.toDF("doc_id", "text")
+      CorpusPrep.processBatch(df, col("doc_id"), col("text"), s"$base/storeC", s"$base/outC", i.toLong, cfgC)
+      CorpusPrep.processBatch(df, col("doc_id"), col("text"), s"$base/storeU", s"$base/outU", i.toLong, cfgU)
+      val dirs = new java.io.File(s"$base/storeC").listFiles()
+        .map(_.getName).count(_.startsWith("delta="))
+      maxDirs = math.max(maxDirs, dirs)
+    }
+    assert(maxDirs <= 4, s"delta log exceeded the compactEvery+1 bound: $maxDirs dirs")
+    // The uncompacted control grew one dir per batch — the cost being bounded away.
+    assert(new java.io.File(s"$base/storeU").listFiles()
+      .map(_.getName).count(_.startsWith("delta=")) === 9)
+    // Identical survivors batch-by-batch and identical store contents.
+    val outC = spark.read.parquet(s"$base/outC").select("doc_id").as[Long].collect().sorted
+    val outU = spark.read.parquet(s"$base/outU").select("doc_id").as[Long].collect().sorted
+    assert(outC === outU)
+    assert(outC === (Seq(1L, 2L) ++ (1 until 9).map(_ * 10L + 1)).sorted.toArray)
+    assert(CorpusPrep.readStore(spark, s"$base/storeC").select("doc_id").as[Long].collect().sorted ===
+      CorpusPrep.readStore(spark, s"$base/storeU").select("doc_id").as[Long].collect().sorted)
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
