@@ -177,7 +177,7 @@ object Dedup {
       train: DataFrame,
       trainId: Column,
       trainText: Column,
-      eval: DataFrame,
+      evalDf: DataFrame,
       evalId: Column,
       evalText: Column,
       shingleSize: Int,
@@ -193,7 +193,7 @@ object Dedup {
         .toDF("doc_id", "sh")
         .select(col("doc_id").as(idAs), size(col("sh")).as(nAs), explode(col("sh")).as(sAs))
     val l = shingled(train, trainId, trainText, "train_id", "n_t", "s")
-    val r = shingled(eval, evalId, evalText, "eval_id", "n_e", "s_r")
+    val r = shingled(evalDf, evalId, evalText, "eval_id", "n_e", "s_r")
     val sizeCompat =
       if (threshold > 0)
         least(col("n_t"), col("n_e")).cast("double") >=

@@ -299,6 +299,27 @@ object EventQueries {
           leftKey = col("l_id"))
         .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
         .orderBy(col("l_id"), col("r_id").asc_nulls_first)
+    }),
+
+    // B8+ INNER twin on the BUCKETED plan: identical semantics (and
+    // oracle) to b9_interval_join, run through IntervalJoin.inner — so
+    // the naive/bucketed cost pair is visible round over round for the
+    // inner case too, not just left-outer. The equi-join is on
+    // (user, ⌊ts/W⌋) with the fixed 2× left fan-out; PlanSpec asserts it
+    // never degrades to a per-key cross product.
+    "b9_interval_join_bucketed" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val l = ev.select(
+        col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val r = ev.select(
+        col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.operators.IntervalJoin
+        .inner(
+          l, r, "l_ts", "r_ts",
+          windowMicros = 3600L * 1000000L,
+          keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+        .orderBy("l_id", "r_id")
     })
   )
 
@@ -386,6 +407,12 @@ object EventQueries {
          FROM events a LEFT JOIN events b
            ON a.user_id = b.user_id AND a.event_id <> b.event_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-         ORDER BY l_id, r_id NULLS FIRST"""
+         ORDER BY l_id, r_id NULLS FIRST""",
+    "b9_interval_join_bucketed" ->
+      """SELECT a.event_id AS l_id, b.event_id AS r_id, a.ts AS l_ts, b.ts AS r_ts
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY l_id, r_id"""
   )
 }

@@ -543,6 +543,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D5 (classifier gate): logistic quality model over the rule-gate
+    // features — σ(bias + w·f) with the WEIGHTS SHIPPED AS A 1-ROW
+    // BROADCAST DIMENSION (a retrained model is a data swap, not a code
+    // change). Feature vector: saturating length, stopword ratio, mean
+    // token length, distinct-token ratio. Pure Column arithmetic
+    // (zip_with dot + exp), fully oracle-checkable; round(.,6) absorbs
+    // cross-engine exp() ulp noise (d6_tfidf precedent for ln).
+    "d5_quality_score" -> ((s, sf) => {
+      import s.implicits._
+      val t = toks(col("text"))
+      val weights = Seq((Array(1.2, -1.5, 0.8, 2.0), -2.0)).toDF("w", "bias")
+      val score = TextOps.qualityScore(col("f"), col("w"), col("bias"))
+      Tables
+        .documents(s, sf)
+        .withColumn("f", array(
+          least(size(t).cast("double") / 100.0, lit(1.0)),
+          TextOps.stopwordRatio(t),
+          TextOps.meanTokenLength(t) / 10.0,
+          size(array_distinct(t)).cast("double") / nullif(size(t), lit(0)).cast("double")))
+        .crossJoin(broadcast(weights))
+        .select(
+          col("doc_id"),
+          round(score, 6).as("quality"),
+          when(score >= 0.5, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // D7 (split): deterministic stratified train/val/test assignment —
     // reproducible on any cluster/partitioning because it is pure modular
     // arithmetic on the doc id (Mixture.shuffleKey), and stratified across
@@ -735,6 +762,24 @@ object LlmQueries {
                FROM documents)
          ORDER BY doc_id""",
     "d5_langid" -> langIdSql,
+    "d5_quality_score" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS f1,
+             CAST(len(list_filter(toks, t -> list_contains($stopwordSqlList, t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS f2,
+             CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) / 10.0 AS f3,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS f4
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)),
+         sc AS (
+           SELECT doc_id,
+             1.0 / (1.0 + exp(-(-2.0 + 1.2 * f1 - 1.5 * f2 + 0.8 * f3 + 2.0 * f4))) AS q
+           FROM f)
+         SELECT doc_id, round(q, 6) AS quality,
+           CAST(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM sc ORDER BY doc_id""",
     "d5_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

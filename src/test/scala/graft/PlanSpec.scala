@@ -114,6 +114,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__lbkt") && p.contains("__rbkt"), p.take(3000))
   }
 
+  test("b9_interval_join_bucketed: inner twin also plans as a bucketed equi-join") {
+    val p = planOf("b9_interval_join_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketed interval join degraded to an unkeyed join")
+    assert(p.contains("__lbkt") && p.contains("__rbkt"), p.take(3000))
+  }
+
   test("d7_stratified_split: assignment is shuffle-free (sort for output order only)") {
     // The registered query ends in an orderBy (deterministic dump order);
     // the OPERATOR itself must plan with zero exchanges.

@@ -153,6 +153,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === 2L)
   }
 
+  test("qualityScore: exact logistic over the feature·weight dot product, weights are data") {
+    val rows = Seq(
+      (1L, Array(0.5, 0.2, 0.9), Array(1.0, -2.0, 0.5), -0.3),
+      (2L, Array(0.0, 0.0, 0.0), Array(1.0, -2.0, 0.5), -0.3)
+    ).toDF("id", "f", "w", "bias")
+    val got = rows
+      .select(col("id"), TextOps.qualityScore(col("f"), col("w"), col("bias")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    def sigma(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(math.abs(got(1L) - sigma(-0.3 + 0.5 - 0.4 + 0.45)) < 1e-12)
+    assert(math.abs(got(2L) - sigma(-0.3)) < 1e-12)
+    // Swapping the weight row (the broadcast model dim) moves the score —
+    // a retrained model is a data change, not a plan change.
+    val swapped = rows
+      .withColumn("w", array(lit(0.0), lit(0.0), lit(0.0)))
+      .select(TextOps.qualityScore(col("f"), col("w"), col("bias")).as("q"))
+      .as[Double].collect()
+    assert(swapped.forall(q => math.abs(q - sigma(-0.3)) < 1e-12))
+  }
+
   test("redactPii replaces emails and phones with typed tags, leaves clean text alone") {
     val out = Seq(
       "reach me at jane.doe+x@mail-server.io today",
