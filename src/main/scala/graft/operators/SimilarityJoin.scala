@@ -233,6 +233,20 @@ object SimilarityJoin {
     rows.write.mode("append").partitionBy("cid").parquet(indexPath)
   }
 
+  /** Index health audit — the drift monitor [[addToIvfIndex]]'s caveat
+    * prescribes: per-centroid row counts, one row per cid. Probe cost is
+    * proportional to the probed lists' sizes, so skew here IS the recall/
+    * latency drift signal: `max(n) / avg(n)` creeping past ~4× (or total
+    * adds passing the built corpus size) means the centroids no longer
+    * describe the data — re-run [[lloydRefine]] + [[buildIvfIndex]].
+    * One partition-local count per cid (the index is partitioned by cid,
+    * so this never shuffles data, only the nlist count rows). */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    spark.read
+      .parquet(indexPath)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"))
+
   /** Online half: top-k against a prebuilt [[buildIvfIndex]] directory.
     * The query is scored against the (small) centroid table first; the
     * winning `nprobe` centroid ids become a PARTITION filter on the index

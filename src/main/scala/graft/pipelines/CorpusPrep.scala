@@ -34,6 +34,22 @@ import graft.operators.Dedup
   */
 object CorpusPrep {
 
+  /** Classifier quality gate: logistic σ(bias + w·f) over the feature
+    * vector (saturating length, stopword ratio, mean token length / 10,
+    * distinct-token ratio — the same features the rule gates threshold
+    * on); docs scoring below `keepAbove` drop. The standard corpus-prep
+    * stage AFTER the rule gates: rules catch degenerate text, the model
+    * ranks the rest. Weights live in config (a retrained model is a
+    * config swap); scoring is pure Column arithmetic via
+    * [[TextOps.qualityScore]]. */
+  final case class QualityModel(
+      weights: Array[Double], // length 4, feature order as above
+      bias: Double,
+      keepAbove: Double
+  ) {
+    require(weights.length == 4, s"expected 4 feature weights, got ${weights.length}")
+  }
+
   final case class Config(
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(jaccardThreshold = 0.8),
       minTokens: Int = 5,
@@ -44,7 +60,10 @@ object CorpusPrep {
       // per micro-batch FOREVER, and readStore's per-batch listing + the
       // small-file reads become the bottleneck at 100 TB-scale batch
       // counts (VERDICT r4 missing-3).
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      // None = rule gates only. Some(model) adds the classifier gate and
+      // a `quality` column to the enriched output.
+      classifier: Option[QualityModel] = None
   )
 
   /** Per-stage row counts, collected as OBSERVED METRICS of the pipeline's
@@ -389,9 +408,10 @@ object CorpusPrep {
     docs.join(losers, idCol === col("__loser"), "left_anti")
   }
 
-  /** Quality + language gates and enrichment — one narrow pass. */
-  private def enrichAndGate(docs: DataFrame, textCol: Column, cfg: Config): DataFrame =
-    docs
+  /** Rule gates (+ optional classifier gate) and enrichment — one narrow
+    * pass; rules run first so the model scores only plausible text. */
+  private def enrichAndGate(docs: DataFrame, textCol: Column, cfg: Config): DataFrame = {
+    val gated = docs
       .withColumn("toks", TextOps.tokens(textCol))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("stop_ratio", TextOps.stopwordRatio(col("toks")))
@@ -402,5 +422,22 @@ object CorpusPrep {
         if (cfg.langAllowlist.isEmpty) lit(true)
         else col("pred_lang").isin(cfg.langAllowlist: _*)
       )
-      .drop("toks")
+    val scored = cfg.classifier.fold(gated) { m =>
+      val features = array(
+        least(col("n_tok").cast("double") / 100.0, lit(1.0)),
+        col("stop_ratio"),
+        TextOps.meanTokenLength(col("toks")) / 10.0,
+        size(array_distinct(col("toks"))).cast("double") /
+          nullif(size(col("toks")), lit(0)).cast("double"))
+      gated
+        .withColumn(
+          "quality",
+          TextOps.qualityScore(
+            features,
+            array(m.weights.toIndexedSeq.map(lit): _*),
+            lit(m.bias)))
+        .filter(col("quality") >= m.keepAbove)
+    }
+    scored.drop("toks")
+  }
 }

@@ -190,6 +190,11 @@ class SimilaritySpec extends AnyFunSuite {
       // The add reused the existing layout (quantized index stays quantized).
       val cols = spark.read.parquet(incrPath).columns.toSet
       assert(cols.contains("q") === (tag == "int8"), s"layout drifted for $tag")
+      // The skew audit sees every row of build + add, grouped by cid.
+      val stats = SimilarityJoin.ivfIndexStats(spark, incrPath)
+        .as[(Long, Long)].collect()
+      assert(stats.map(_._2).sum === ids.length.toLong, s"stats missed rows for $tag")
+      assert(stats.map(_._1).distinct.length === stats.length)
     }
   }
 

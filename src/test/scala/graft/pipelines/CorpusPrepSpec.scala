@@ -348,6 +348,34 @@ class CorpusPrepSpec extends AnyFunSuite {
       CorpusPrep.readStore(spark, s"$base/storeU").select("doc_id").as[Long].collect().sorted)
   }
 
+  test("classifier gate: keepAbove sweeps monotonically between rule-only and empty") {
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.8)
+    val model = (t: Double) =>
+      Some(CorpusPrep.QualityModel(Array(1.2, -1.5, 0.8, 2.0), bias = -2.0, keepAbove = t))
+    def ids(c: CorpusPrep.Config) =
+      CorpusPrep.prepare(corpus, col("doc_id"), col("text"), c)._1
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val ruleOnly = ids(cfg)
+    // σ is strictly in (0,1): threshold 0 gates nothing, threshold 1 everything.
+    assert(ids(cfg.copy(classifier = model(0.0))) === ruleOnly)
+    assert(ids(cfg.copy(classifier = model(1.0))) === Seq.empty)
+    // Stricter thresholds keep subsets (monotone gate).
+    val sweep = Seq(0.0, 0.4, 0.6, 1.0).map(t => ids(cfg.copy(classifier = model(t))).toSet)
+    assert(sweep.sliding(2).forall { case Seq(loose, strict) => strict.subsetOf(loose) })
+    // The gate enriches output with a (0,1) quality column.
+    val q = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg.copy(classifier = model(0.0)))
+      ._1.select("quality").as[Double].collect()
+    assert(q.nonEmpty && q.forall(x => x > 0.0 && x < 1.0))
+    // Without a classifier the column does not exist (schema unchanged).
+    assert(!CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)._1
+      .columns.contains("quality"))
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
