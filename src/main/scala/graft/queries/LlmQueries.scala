@@ -31,13 +31,37 @@ object LlmQueries {
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Build the offline artifacts (both IVF indexes — float and
-    * int8-quantized) for a dataset ahead of query execution — what a
-    * serving deployment does at index-build time, and what Bench's warm-up
-    * calls so `d4_topk_ivf`/`d4_topk_ivf_q` measure the PROBE (the
-    * recurring cost), not the one-time build. Idempotent per session. */
+    * int8-quantized — and the dedup signature store) for a dataset ahead
+    * of query execution — what a serving deployment does at index-build
+    * time, and what Bench's warm-up calls so `d4_topk_ivf`/`d4_topk_ivf_q`
+    * measure the PROBE and `d0_corpus_prep_incr` the SHARD-VS-STORE pass
+    * (the recurring costs), not the one-time builds. Idempotent per
+    * session. */
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
-    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ()
+    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); sigStoreFor(s, sf); ()
   }
+
+  // MinHash params shared by the d0 batch DAG, the signature store build,
+  // and the incremental query — store and probe MUST agree (band keys are
+  // derived from the signatures on both sides).
+  private val corpusPrepParams = Dedup.MinHashParams(jaccardThreshold = 0.5)
+
+  /** Materialized dedup signature store over the CORPUS slice
+    * (doc_id % 4 != 3) — the offline half of the incremental dedup pair;
+    * `d0_corpus_prep_incr` dedups the remaining quarter against it. Same
+    * build-once contract as the IVF indexes. */
+  private def sigStoreFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#sigstore", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${sanitizedKey(sf)}"
+        graft.pipelines.CorpusPrep
+          .signatures(
+            Tables.documents(s, sf).filter(col("doc_id") % 4 =!= 3),
+            col("doc_id"), col("text"), corpusPrepParams)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
 
   // Index paths key on the SANITIZED dataset path itself — keying on
   // abs(sf.hashCode) (rounds 3–5) could collide two sfDirs in a ~2³¹
@@ -128,9 +152,30 @@ object LlmQueries {
         col("doc_id"),
         col("text"),
         graft.pipelines.CorpusPrep.Config(
-          minhash = Dedup.MinHashParams(jaccardThreshold = 0.5),
+          minhash = corpusPrepParams,
           minTokens = 5,
           maxStopwordRatio = 0.95))
+      out
+        .select(col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // D0 incremental: the SERVING shape of corpus prep — a new shard
+    // (doc_id % 4 == 3) deduped against the PRE-MATERIALIZED signature
+    // store of the rest of the corpus (built once per session, like the
+    // IVF indexes), then gated and enriched. This is the recurring cost a
+    // 100 TB deployment pays per arriving shard: hash/band joins against
+    // a fixed-size text-free store, never a corpus rescan — benched round
+    // over round alongside the batch DAG. xxhash-based → rows-only;
+    // batch ≡ incremental law in CorpusPrepSpec.
+    "d0_corpus_prep_incr" -> ((s, sf) => {
+      val (out, _, _) = graft.pipelines.CorpusPrep.prepareIncremental(
+        Tables.documents(s, sf).filter(col("doc_id") % 4 === 3),
+        col("doc_id"),
+        col("text"),
+        s.read.parquet(sigStoreFor(s, sf)),
+        graft.pipelines.CorpusPrep.Config(
+          minhash = corpusPrepParams, minTokens = 5, maxStopwordRatio = 0.95))
       out
         .select(col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"))
         .orderBy("doc_id")
