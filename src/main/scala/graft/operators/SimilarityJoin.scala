@@ -335,6 +335,67 @@ object SimilarityJoin {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
 
+  /** D4 scale path #2: multi-table LSH top-k — the index-free ANN probe.
+    *
+    * Where IVF needs an offline build (centroids + assignment), this path
+    * answers a query against raw embeddings with one corpus scan that
+    * touches only hash-colliding rows after the join prunes: `tables`
+    * independent random-hyperplane hash tables of `bitsPerTable` bits
+    * each, computed as ONE wide `tables·bitsPerTable`-bit bucket per row
+    * ([[cosineLshBucket]], native codegen) and bit-sliced — hyperplanes
+    * are seeded per bit index, so disjoint bit ranges ARE independent
+    * tables, for one expression eval instead of `tables`.
+    *
+    * Candidates = union over tables of rows sharing the query's slice
+    * (expected corpus/2^bitsPerTable per table); exact cosine reranks, so
+    * returned SCORES are exact — only the candidate SET is approximate
+    * (recall law + score-exactness law in SimilaritySpec). Recall rises
+    * with `tables`, cost falls with `bitsPerTable`.
+    *
+    * 100 TB shape: scan → posexplode(tables) → broadcast-join on the
+    * (table, key) pair → per-id dedup over the (small) candidate set →
+    * TakeOrderedAndProject. No offline artifact, no full-corpus shuffle;
+    * the only wide op is the candidate dedup. */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      query: DataFrame, // single row: (qvec array<double>)
+      k: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 8
+  ): DataFrame = {
+    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
+    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
+    val spark = emb.sparkSession
+    val nbits = tables * bitsPerTable
+    val mask  = (1L << bitsPerTable) - 1
+    // Hyperplane b sits at bit (nbits-1-b) of the wide bucket, so slice t
+    // = hyperplanes [t·bits, (t+1)·bits) lives at the HIGH end: shifting by
+    // (tables-1-t)·bits keeps table t's hyperplanes independent of the
+    // total table count — adding tables only ADDS tables, never reshuffles
+    // existing ones, so the candidate union (and recall) is monotone in
+    // `tables` (asserted in SimilaritySpec).
+    def slices(wide: Column): Column =
+      array((0 until tables).map(t =>
+        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+    val corpus = emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(slices(cosineLshBucket(col("v"), dim, nbits))).as(Seq("t", "key")))
+    val qKeyed = query
+      .select(col("qvec"),
+        posexplode(slices(cosineLshBucket(col("qvec"), dim, nbits))).as(Seq("qt", "qkey")))
+    corpus
+      .join(broadcast(qKeyed), col("t") === col("qt") && col("key") === col("qkey"))
+      .dropDuplicates("id") // a row can collide in several tables
+      .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
+      .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** D9 composed: SemDeDup-style embedding-space deduplication — the
     * standard semantic dedup pass a pretraining pipeline runs AFTER text
     * dedup (near-identical meaning, different surface forms): cosine-near

@@ -395,6 +395,21 @@ object LlmQueries {
       SimilarityJoin.ivfProbe(s, ivfIndexForQuantized(s, sf), q, k = 10, nprobe = 4)
     }),
 
+    // D4 (index-free ANN): multi-table LSH top-k — the probe you run when
+    // no IVF index exists yet (ad-hoc query, cold corpus). 16 tables × 4
+    // bits from ONE wide bucket eval, exact rerank of the colliding rows.
+    // Params are calibrated to the fixture's geometry (true neighbors at
+    // cos ≈ 0.3, i.e. p_bit ≈ 0.6 — the hard regime; near-dup corpora at
+    // cos ≥ 0.9 sustain 6-8 bits/table, see the planted-dup law).
+    // Approximate candidate set (xxhash hyperplanes) → rows-only; the
+    // recall-vs-bruteforce and score-exactness laws are in SimilaritySpec.
+    "d4_topk_lsh" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      SimilarityJoin.lshTopK(e, col("vec_id"), col("embedding"), dim = 64, q, k = 10,
+        tables = 16, bitsPerTable = 4)
+    }),
+
     // D5: tokenize + quality scoring + BPE-ish token-count estimate.
     "d5_text_stats" -> ((s, sf) => {
       val t = toks(col("text"))

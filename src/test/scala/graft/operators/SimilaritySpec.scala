@@ -363,4 +363,76 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("n") > 1).count()
     assert(twice === 0L)
   }
+
+  test("lshTopK: scores exact, query found, recall floor, deterministic") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val exact = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 10)
+      .as[(Long, Double)].collect().toMap
+    val lsh = SimilarityJoin
+      .lshTopK(emb, col("vec_id"), col("embedding"), 64, q, 10, tables = 16, bitsPerTable = 4)
+      .as[(Long, Double)].collect()
+    // Score-exactness law: only the candidate SET is approximate — every
+    // returned (id, cos) must carry the same exact rerank score the
+    // brute-force path computes for that id.
+    val bruteAll = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 100000)
+      .as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, cos) => assert(bruteAll(id) === cos, s"score drift for $id") }
+    // The query vector hashes identically to itself in every table.
+    assert(lsh.head._1 === 0L && math.abs(lsh.head._2 - 1.0) < 1e-9)
+    // Recall floor (measured 10/10 at these params on the fixture, whose
+    // true neighbors sit at cos ≈ 0.3 — the hard regime for LSH; the
+    // floor leaves head-room for fixture regeneration, not for collapse).
+    val recall = lsh.map(_._1).toSet.intersect(exact.keySet).size
+    assert(recall >= 7, s"lshTopK recall collapsed: $recall/10")
+    // Deterministic: hyperplanes are seeded from bit index, no RNG state.
+    val again = SimilarityJoin
+      .lshTopK(emb, col("vec_id"), col("embedding"), 64, q, 10, tables = 16, bitsPerTable = 4)
+      .as[(Long, Double)].collect()
+    assert(again.toSeq === lsh.toSeq)
+  }
+
+  test("lshTopK: more tables never lose candidates (recall monotone in L)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 42).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val exact = SimilarityJoin.topK(emb, col("vec_id"), col("embedding"), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // Table t of the L-table slicing hashes with the SAME hyperplanes
+    // [t·bits, (t+1)·bits) regardless of L (slices are taken from the high
+    // end of the wide bucket), so the candidate union — and hence recall —
+    // is monotone in L. Measured on the fixture: 1, 5, 9 of 10.
+    def recallAt(tables: Int): Int = SimilarityJoin
+      .lshTopK(emb, col("vec_id"), col("embedding"), 64, q, 10, tables, bitsPerTable = 4)
+      .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val (r1, r4, r16) = (recallAt(1), recallAt(4), recallAt(16))
+    assert(r1 <= r4 && r4 <= r16, s"recall not monotone in tables: $r1, $r4, $r16")
+    assert(r16 >= 7, s"16-table recall floor broken: $r16/10")
+  }
+
+  test("lshTopK: scaled duplicates always collide; planted near-dups survive aggressive bits") {
+    // The regime LSH pruning is FOR: near-duplicate retrieval (cos ≥ 0.9).
+    // Two laws on a corpus with planted duplicates of vec_ids 0..4:
+    //  1. A positively-scaled copy (cos = 1) shares the sign of every
+    //     projection, so it lands in the SAME bucket of EVERY table —
+    //     retrieval is guaranteed, not probabilistic.
+    //  2. A perturbed copy (w = v + 0.15·rot(v), cos ≈ 0.99 ⇒ p_bit ≈ 0.95)
+    //     survives 8 tables × 6 bits — the aggressive-pruning setting that
+    //     collapses on cos-0.3 neighbors (see the calibration above).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") < 5)
+    val scaled = base.select((col("vec_id") + 1000).as("vec_id"),
+      expr("transform(v, x -> x * 2.0)").as("v"))
+    val perturbed = base.select((col("vec_id") + 2000).as("vec_id"),
+      expr("zip_with(v, transform(v, (x, i) -> v[(i + 1) % 64]), (a, b) -> a + 0.15 * b)").as("v"))
+    val corpus = emb.union(scaled).union(perturbed)
+    (0L until 5L).foreach { qid =>
+      val q = base.filter(col("vec_id") === qid).select(col("v").as("qvec"))
+      val got = SimilarityJoin
+        .lshTopK(corpus, col("vec_id"), col("v"), 64, q, 10, tables = 8, bitsPerTable = 6)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got.contains(qid + 1000), s"scaled dup of $qid missed — scale-invariance broken")
+      assert(got.contains(qid + 2000), s"perturbed dup of $qid missed at 8×6")
+    }
+  }
 }
