@@ -212,6 +212,63 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** D2 (decontamination flavor): EXACT k-token-shingle hit counting
+    * against an eval set — the GPT-3/PaLM-style "remove any training
+    * document sharing a verbatim 13-gram with an eval benchmark" pass,
+    * the strict complement of [[crossNgramJaccardPairs]]'s fuzzy-overlap
+    * check. A train doc is flagged with the NUMBER of its distinct
+    * k-shingles that occur anywhere in the eval corpus (which eval doc is
+    * irrelevant — any hit disqualifies), so downstream can threshold on
+    * absolute hits or on the contaminated fraction.
+    *
+    * 100 TB design: the eval side is a benchmark suite — dimension-sized
+    * relative to the corpus — so its distinct-shingle universe is
+    * broadcast and the whole pass is ONE corpus scan with a broadcast
+    * semi-structure: no corpus-sized shuffle at all. Documents shorter
+    * than k tokens have no k-grams and are exact-match territory
+    * (D1/[[crossNgramJaccardPairs]]), not n-gram territory — both sides
+    * drop them. Both sides shingle via the profiled JVM hash loop
+    * ([[TextOps.distinctShingleHashesJvm]], same path as
+    * [[crossNgramJaccardPairs]]) and join on the 64-bit shingle hash —
+    * strings never shuffle or broadcast, and the counts are unchanged up
+    * to 64-bit collisions (≪1e-8 even at 10⁹ distinct shingles, the same
+    * accepted risk as the contamination check). */
+  def exactNgramDecontam(
+      train: DataFrame,
+      trainId: Column,
+      trainText: Column,
+      evalDf: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      shingleSize: Int
+  ): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def shingled(df: DataFrame, id: Column, text: Column) =
+      df.select(id.cast("long").as("doc_id"), text.cast("string").as("__text"))
+        .as[(Long, String)]
+        .map { case (i, t) => (i, TextOps.distinctShingleHashesJvm(t, shingleSize)) }
+        .filter(_._2 != null) // null text or fewer than k tokens: no k-grams
+        .toDF("doc_id", "sh")
+    val evalShingles = shingled(evalDf, evalId, evalText)
+      .select(explode(col("sh")).as("s_e"))
+      .distinct()
+    shingled(train, trainId, trainText)
+      .select(
+        col("doc_id").as("train_id"),
+        size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), col("s") === col("s_e"))
+      .groupBy(col("train_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hits")) // sh is distinct per doc → count = distinct hits
+      .select(
+        col("train_id"),
+        col("n_sh"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_sh").cast("double"), 9)
+          .as("contaminated_frac"))
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns near-duplicate PAIRS into dedup CLUSTERS (pick one canonical doc
     * per component). Alternating large-star / small-star (the exact-CC

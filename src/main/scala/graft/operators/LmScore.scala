@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** CCNet-style language-model quality scoring (SURVEY §2.D D5 extension):
+  * train a unigram LM on a reference slice of the corpus, then score every
+  * document by its total/mean token log-probability — the classic
+  * "perplexity against a clean-corpus LM" filter (Wenzek et al., CCNet,
+  * LREC'20) that ranks fluent prose above boilerplate and gibberish.
+  *
+  * The model IS a DataFrame — (token, log-prob) plus one out-of-vocabulary
+  * sentinel row — so a retrained or external LM is a data swap, exactly
+  * like the `d5_quality_score` weight vector. Log-probs are add-one
+  * smoothed: p(t) = (c(t)+1) / (N+V+1), with the +1 in the denominator
+  * funding the OOV mass, and are stored in integer MICRO-units
+  * (round(ln p × 1e6)) so per-document sums are exact long arithmetic —
+  * order-independent on any partitioning, and the only cross-engine
+  * floating-point op (one `ln` per VOCAB entry, not per token) is rounded
+  * to a grid ~1e9 ULPs wide at typical magnitudes, far below any libm
+  * divergence.
+  *
+  * 100 TB design: training is one explode + hash-agg over the reference
+  * slice (map-side combined); scoring is explode → broadcast-join the
+  * vocab (dimension-sized: ~10⁷ rows even for web-scale corpora) → one
+  * hash-agg back to doc grain. No corpus-sized shuffle on the vocab side;
+  * the two doc-grain shuffles are keyed on doc id.
+  */
+object LmScore {
+
+  /** OOV sentinel token: [[TextOps.tokens]] drops empty strings, so the
+    * empty string can never collide with a real vocab entry. */
+  val OovToken = ""
+
+  private def lpMicro(num: Column, den: Column): Column =
+    round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+
+  /** Train an add-one-smoothed unigram LM: (token, lp_micro) for every
+    * token in `docs`, plus the [[OovToken]] row carrying the unseen-token
+    * log-prob ln(1/(N+V+1)). */
+  def trainUnigram(docs: DataFrame, textCol: Column): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(textCol)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+    // One row: corpus size N and vocab size V. Broadcast into every vocab
+    // row; both engines compute identical (c+1)/(N+V+1) doubles.
+    val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("v"))
+    val oov = totals.select(
+      lit(OovToken).as("token"),
+      lpMicro(lit(1L), col("n_total") + col("v") + 1).as("lp_micro"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"),
+        lpMicro(col("c") + 1, col("n_total") + col("v") + 1).as("lp_micro"))
+      .unionByName(oov)
+  }
+
+  /** Collapse an LM frame into ONE row — (`__lm_map`: token→lp_micro,
+    * `__oov_lp`) — for NARROW scoring: cross-join the broadcast row and
+    * fold a token array with [[lpSumMicro]], no explode, no doc-grain
+    * re-aggregation shuffle. The map is runtime data shipped once per
+    * executor (broadcast), never inlined into generated code, so vocab
+    * size does not affect codegen. This is the form pipeline GATES use
+    * ([[graft.pipelines.CorpusPrep]]); the exploded [[score]] form is the
+    * standalone analytics query. */
+  def asMapRow(lm: DataFrame): DataFrame =
+    lm.agg(
+      map_from_entries(
+        collect_list( // when() without otherwise → null for the sentinel → skipped
+          when(col("token") =!= OovToken, struct(col("token"), col("lp_micro"))))
+      ).as("__lm_map"),
+      max(when(col("token") === OovToken, col("lp_micro"))).as("__oov_lp"))
+
+  /** Exact total log-prob (micro-units) of a token array against an
+    * [[asMapRow]] map column — one broadcast lookup per token, pure
+    * Column fold. Mean-threshold gates should compare
+    * `lpSumMicro >= threshold * size(toks)` to stay integer-exact. */
+  def lpSumMicro(toks: Column, lmMap: Column, oovLp: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + coalesce(element_at(lmMap, t), oovLp))
+
+  /** Score each document against `lm` ([[trainUnigram]] output or any
+    * (token, lp_micro) frame containing an [[OovToken]] row): per-doc
+    * token count and EXACT total log-prob in micro-units. Empty documents
+    * score (0, 0) — no tokens, no evidence. Mean log-prob / perplexity
+    * are derived columns left to the caller (`lp_sum / n_toks`). */
+  def score(docs: DataFrame, idCol: Column, textCol: Column, lm: DataFrame): DataFrame = {
+    val oovLp = lm
+      .filter(col("token") === OovToken)
+      .select(col("lp_micro").as("__oov_lp"))
+    val vocab = lm
+      .filter(col("token") =!= OovToken)
+      .select(col("token").as("__tok"), col("lp_micro"))
+    docs
+      .select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .join(broadcast(vocab), col("token") === col("__tok"), "left")
+      .crossJoin(broadcast(oovLp))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("token")).as("n_toks"),
+        coalesce(
+          sum(when(col("token").isNotNull, coalesce(col("lp_micro"), col("__oov_lp")))),
+          lit(0L)).as("lp_sum"))
+  }
+}

@@ -99,6 +99,124 @@ object Mixture {
     docs.withColumn("split", split)
   }
 
+  /** Overlapping token-window chunking — the document→training-sequence
+    * (and document→RAG-passage) splitter: each doc becomes
+    * ceil((n-window)/stride)+1 chunks of `window` tokens starting every
+    * `stride` tokens, so consecutive chunks share `window - stride`
+    * tokens of context (stride = window ⇒ disjoint). Docs with ≤ window
+    * tokens (including empty docs) yield exactly one whole-doc chunk —
+    * chunking never drops a document.
+    *
+    * 100 TB design: a NARROW per-row generator (sequence + explode +
+    * slice) — zero shuffles, chunk ids deterministic (doc_id, ordinal),
+    * so it composes with packing/splitting downstream without
+    * re-keying. Output grain: one row per (doc_id, chunk_id). */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      windowTokens: Int,
+      strideTokens: Int
+  ): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 && strideTokens <= windowTokens,
+      "need 0 < stride <= window (stride > window would drop tokens between chunks)")
+    val n = size(col("__toks")).cast("long")
+    val nChunks =
+      when(n <= windowTokens, lit(1L))
+        .otherwise(
+          ceil((n - windowTokens).cast("double") / strideTokens.toDouble).cast("long") + 1L)
+    docs
+      .withColumn("__toks", graft.functions.TextOps.tokens(textCol))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .select(
+        idCol.cast("long").as("doc_id"),
+        col("chunk_id"),
+        concat_ws(
+          " ",
+          slice(col("__toks"), (col("chunk_id") * strideTokens + 1).cast("int"), lit(windowTokens))
+        ).as("chunk_text"),
+        least(lit(windowTokens.toLong), n - col("chunk_id") * strideTokens).as("chunk_toks"))
+  }
+
+  /** Deterministic global corpus shuffle + shard assignment — the final
+    * "randomize example order and write N training shards" step of every
+    * pretraining data pipeline, made REPRODUCIBLE: the permutation is a
+    * pure function of (id, seed), so the same corpus shuffles identically
+    * on any cluster, any partitioning, any rerun — and any engine (plain
+    * modular arithmetic, so the oracle replays it row for row).
+    *
+    * Output: the input columns (payload passthrough) plus `shard` in
+    * [0, numShards) and `pos`, the 1-based position within the shard,
+    * both pseudo-random; the round-robin global read order is
+    * (pos-1)*numShards + shard. [[graft.sources.Sinks.writeTrainingShards]]
+    * materializes this as one shard directory per value in stored order.
+    *
+    * 100 TB design: this is the one operation whose JOB is a full-corpus
+    * shuffle — the design point is to pay exactly ONE: the shard
+    * assignment is a narrow projection, and the within-shard ordering is
+    * a single window partitioned BY shard (numShards ≫ cores at scale, so
+    * every executor sorts independent shards; per-shard sorts spill, never
+    * the corpus). No global single-partition window, no driver state. */
+  def globalShuffle(
+      docs: DataFrame,
+      idCol: Column,
+      numShards: Int,
+      seed: Long
+  ): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    // Seed bounded so id+seed stays far from BIGINT overflow on any engine
+    // (ANSI engines raise on overflow rather than wrapping).
+    require(seed >= 0 && seed < (1L << 31), "seed must be in [0, 2^31)")
+    val key = shuffleKey(idCol.cast("long") + lit(seed))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), idCol)
+    docs // passthrough: all caller columns survive (the payload ships with its shard)
+      .withColumn("__k", key)
+      .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
+  /** Temperature-flattened mixture weights — the standard multilingual /
+    * multi-source rebalancing rule (exponential smoothing, as in
+    * mBERT/XLM-R-style sampling): slice budgets ∝ (n_slice/N)^(1/T).
+    * T = 1 reproduces natural proportions; T → ∞ approaches uniform;
+    * 1 < T < ∞ up-samples small slices without letting any slice dominate.
+    * Returns one row per slice — (slice, slice_toks, budget_frac,
+    * token_budget) — shaped to feed [[sampleToTokenBudgets]] directly:
+    * compute the mixture, then sample to it.
+    *
+    * 100 TB design: one map-side-combined hash agg to slice grain, then
+    * all arithmetic on the DIMENSION-sized slice frame (1-row totals
+    * broadcast twice); the corpus is scanned once and never re-keyed. */
+  def temperatureBudgets(
+      docs: DataFrame,
+      sliceCol: Column,
+      tokenCountCol: Column,
+      temperature: Double,
+      totalBudget: Long
+  ): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    require(totalBudget > 0L, "totalBudget must be positive")
+    val counts = docs
+      .groupBy(sliceCol.as("slice"))
+      .agg(sum(tokenCountCol).cast("long").as("slice_toks"))
+    val tot = counts.agg(sum("slice_toks").cast("long").as("__n"))
+    val withW = counts
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "__w",
+        pow(col("slice_toks").cast("double") / col("__n").cast("double"),
+          lit(1.0 / temperature)))
+    withW
+      .crossJoin(broadcast(withW.agg(sum("__w").as("__wsum"))))
+      .select(
+        col("slice"),
+        col("slice_toks"),
+        round(col("__w") / col("__wsum"), 6).as("budget_frac"),
+        round(lit(totalBudget.toDouble) * col("__w") / col("__wsum"))
+          .cast("long").as("token_budget"))
+  }
+
   /** Per-slice budgets — the actual mixture shape ("web 60B, books 30B,
     * code 10B tokens"). `budgets` is a (slice, token_budget) frame; it is
     * dimension-sized (one row per slice), so it broadcasts. Slices absent

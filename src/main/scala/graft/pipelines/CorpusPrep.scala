@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
-import graft.operators.Dedup
+import graft.operators.{Dedup, LmScore}
 
 /** The canonical LLM training-data preparation DAG, composed from the
   * engine's operators (north star: BASELINE.json — dedup, text analysis,
@@ -50,6 +50,21 @@ object CorpusPrep {
     require(weights.length == 4, s"expected 4 feature weights, got ${weights.length}")
   }
 
+  /** CCNet-style perplexity gate: docs whose MEAN token log-prob against
+    * `lm` (an [[LmScore.trainUnigram]]-shaped (token, lp_micro) frame —
+    * a model trained on a clean reference corpus) falls below
+    * `minMeanLpMicro` drop as out-of-distribution (gibberish, wrong
+    * language, boilerplate soup). The LM is DATA: retraining or swapping
+    * the reference corpus changes no code. Scoring is the NARROW
+    * [[LmScore.asMapRow]] form — one broadcast vocab map, a pure Column
+    * fold over the already-computed token array, zero added shuffles —
+    * and the threshold compare is integer-exact
+    * (lp_sum ≥ minMeanLpMicro · n_tok, no division). */
+  final case class LmGate(
+      lm: DataFrame,
+      minMeanLpMicro: Long
+  )
+
   final case class Config(
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(jaccardThreshold = 0.8),
       minTokens: Int = 5,
@@ -63,7 +78,10 @@ object CorpusPrep {
       compactEvery: Int = 0,
       // None = rule gates only. Some(model) adds the classifier gate and
       // a `quality` column to the enriched output.
-      classifier: Option[QualityModel] = None
+      classifier: Option[QualityModel] = None,
+      // None = no LM gate. Some(gate) drops out-of-distribution docs and
+      // adds a `mean_lp_micro` column to the enriched output.
+      lmGate: Option[LmGate] = None
   )
 
   /** Per-stage row counts, collected as OBSERVED METRICS of the pipeline's
@@ -438,6 +456,19 @@ object CorpusPrep {
             lit(m.bias)))
         .filter(col("quality") >= m.keepAbove)
     }
-    scored.drop("toks")
+    // LM (perplexity-proxy) gate: narrow broadcast-map scoring over the
+    // existing token array; integer-exact mean threshold (no division).
+    val lmGated = cfg.lmGate.fold(scored) { g =>
+      scored
+        .crossJoin(broadcast(LmScore.asMapRow(g.lm)))
+        .withColumn(
+          "__lp_sum",
+          LmScore.lpSumMicro(col("toks"), col("__lm_map"), col("__oov_lp")))
+        .filter(col("__lp_sum") >= lit(g.minMeanLpMicro) * col("n_tok"))
+        // greatest guards ANSI div-by-zero when minTokens is configured 0
+        .withColumn("mean_lp_micro", (col("__lp_sum") / greatest(col("n_tok"), lit(1L))).cast("long"))
+        .drop("__lm_map", "__oov_lp", "__lp_sum")
+    }
+    lmGated.drop("toks")
   }
 }

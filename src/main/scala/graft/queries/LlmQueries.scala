@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Mixture, SimilarityJoin}
+import graft.operators.{Dedup, LmScore, Mixture, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -688,7 +688,71 @@ object LlmQueries {
         .connectedComponents(pairs)
         .select(col("node").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // D2 (exact decontamination): GPT-3/PaLM-style verbatim k-gram hit
+    // count against the eval slice — the strict complement of
+    // d2_contamination's Jaccard overlap. Eval shingle universe is
+    // BROADCAST (benchmarks are dimension-sized next to a 100 TB corpus),
+    // so the pass is one corpus scan with no corpus-sized shuffle.
+    // k=3 matches the fixture's short docs; production uses k=13.
+    "d2_ngram_decontam" -> ((s, sf) => {
+      val d = Tables.documents(s, sf)
+      Dedup
+        .exactNgramDecontam(
+          d.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          shingleSize = 3)
+        .orderBy("train_id")
+    }),
+
+    // D5 (LM quality): CCNet-style perplexity-proxy — train an add-one
+    // unigram LM on the reference slice (doc_id%4<>3), score EVERY doc by
+    // exact integer-micro log-prob sum. The LM is a broadcast (token,
+    // lp_micro) dimension; scoring is explode → broadcast join → one
+    // doc-grain hash agg. Mean log-prob = lp_sum/n_toks is a derived
+    // column left to consumers (kept out to stay integer-exact).
+    "d5_lm_score" -> ((s, sf) => {
+      val d  = Tables.documents(s, sf)
+      val lm = LmScore.trainUnigram(d.filter(col("doc_id") % 4 =!= 3), col("text"))
+      LmScore.score(d, col("doc_id"), col("text"), lm).orderBy("doc_id")
+    }),
+
+    // D7 (chunking): overlapping 64-token windows every 48 tokens — the
+    // doc→training-sequence/RAG-passage splitter. Narrow plan: sequence +
+    // explode + slice, zero shuffles, no doc ever dropped.
+    "d7_chunking" -> ((s, sf) =>
+      Mixture
+        .chunkDocuments(
+          Tables.documents(s, sf), col("doc_id"), col("text"),
+          windowTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // D7 (shuffle): deterministic global corpus shuffle into 8 training
+    // shards — the one deliberately-paid full shuffle of the pipeline.
+    // Pure modular arithmetic on (doc_id, seed): same permutation on any
+    // cluster/partitioning/engine; within-shard order via a window
+    // PARTITIONED BY shard (independent per-shard sorts, never a global
+    // single-partition sort).
+    "d7_global_shuffle" -> ((s, sf) =>
+      Mixture
+        .globalShuffle(Tables.documents(s, sf), col("doc_id"), numShards = 8, seed = 42)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")),
+
+    // D7 (mixture design): temperature-flattened slice budgets
+    // (∝ share^(1/T), T=2) — the multilingual up-sampling rule; output
+    // feeds sampleToTokenBudgets. Corpus → slice grain in one
+    // map-side-combined agg; everything after is dimension-sized.
+    // round(.,6) on the frac absorbs cross-engine pow/sum ulp noise
+    // (d5_quality_score precedent for exp).
+    "d7_mixture_weights" -> ((s, sf) =>
+      Mixture
+        .temperatureBudgets(
+          Tables.documents(s, sf)
+            .withColumn("n_tok", size(toks(col("text"))).cast("long")),
+          col("source"), col("n_tok"), temperature = 2.0, totalBudget = 100000L)
+        .orderBy("slice"))
   )
 
   val sql: Map[String, String] = Map(
@@ -973,6 +1037,78 @@ object LlmQueries {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.15
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "d2_ngram_decontam" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM base WHERE doc_id % 10 = 0),
+         tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s
+                FROM base WHERE doc_id % 10 <> 0)
+         SELECT tr.doc_id AS train_id, tr.n_sh, count(*) AS n_hits,
+           round(CAST(count(*) AS DOUBLE) / CAST(tr.n_sh AS DOUBLE), 9) AS contaminated_frac
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY tr.doc_id, tr.n_sh
+         ORDER BY train_id""",
+    "d5_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+           FROM documents),
+         counts AS (
+           SELECT token, count(*) AS c FROM toks WHERE doc_id % 4 <> 3 GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM counts),
+         lm AS (
+           SELECT token,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+           FROM counts, tot),
+         oov AS (
+           SELECT CAST(round(ln(1.0 / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+           FROM tot)
+         SELECT d.doc_id, count(t.token) AS n_toks,
+           CAST(coalesce(sum(coalesce(lm.lp_micro, oov.lp)) FILTER (WHERE t.token IS NOT NULL), 0) AS BIGINT) AS lp_sum
+         FROM documents d
+         LEFT JOIN toks t ON d.doc_id = t.doc_id
+         LEFT JOIN lm ON t.token = lm.token
+         CROSS JOIN oov
+         GROUP BY d.doc_id
+         ORDER BY d.doc_id""",
+    "d7_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+               ELSE CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48.0) AS BIGINT) + 1 END)) AS chunk_id
+           FROM t)
+         SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+           least(CAST(64 AS BIGINT), n - chunk_id * 48) AS chunk_toks
+         FROM c ORDER BY doc_id, chunk_id""",
+    "d7_global_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id, ((doc_id + 42) % 1000000007) * 2654435761 % 4294967296 AS key
+           FROM documents)
+         SELECT doc_id, key % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+         FROM k ORDER BY shard, pos""",
+    "d7_mixture_weights" ->
+      """WITH c AS (
+           SELECT source AS slice,
+             CAST(sum(CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT)) AS BIGINT) AS slice_toks
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(slice_toks) AS BIGINT) AS n FROM c),
+         w AS (SELECT slice, slice_toks,
+                 pow(CAST(slice_toks AS DOUBLE) / CAST(n AS DOUBLE), 0.5) AS w
+               FROM c, t),
+         s AS (SELECT sum(w) AS wsum FROM w)
+         SELECT slice, slice_toks, round(w / wsum, 6) AS budget_frac,
+           CAST(round(100000 * w / wsum) AS BIGINT) AS token_budget
+         FROM w, s ORDER BY slice"""
   )
 }

@@ -113,6 +113,32 @@ object Sinks {
       .mode("overwrite")
       .parquet(path)
 
+  /** Training-shard emit — the terminal step of the corpus-prep pipeline:
+    * deterministically shuffle the corpus
+    * ([[graft.operators.Mixture.globalShuffle]] — a pure function of
+    * (id, seed), reproducible on any cluster) and write one
+    * `shard=<k>/` parquet directory per shard with rows PHYSICALLY stored
+    * in shuffled order (`pos`), so a training loader streams each shard
+    * front-to-back and sees a randomized example order with zero
+    * read-time shuffling. One repartition on `shard` (the single full
+    * shuffle this pipeline pays, by design) + per-shard spillable sorts;
+    * numShards ≫ cores at scale keeps every executor busy. */
+  def writeTrainingShards(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      path: String,
+      numShards: Int,
+      seed: Long
+  ): Unit =
+    graft.operators.Mixture
+      .globalShuffle(df, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Streaming form: foreachBatch applies the same split per micro-batch —
     * the exactly-once contract comes from the checkpoint + idempotent
     * (overwrite-by-batch-path) writes. */

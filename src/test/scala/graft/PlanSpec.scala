@@ -134,6 +134,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"split assignment shuffled:\n${p.take(2000)}")
   }
 
+  test("d7_chunking: the chunk generator is narrow — zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val chunks = graft.operators.Mixture
+      .chunkDocuments(
+        graft.tables.Tables.documents(spark, sf), col("doc_id"), col("text"), 64, 48)
+    val p = chunks.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n${p.take(2000)}")
+  }
+
+  test("d2_ngram_decontam / d5_lm_score: dimension sides broadcast, not shuffled corpus joins") {
+    // Decontam: the eval shingle universe must reach the corpus as a
+    // broadcast; LM scoring: the vocab must join as a broadcast. Either
+    // degrading to SortMergeJoin means a corpus-sized shuffle at 100 TB.
+    val d = planOf("d2_ngram_decontam")
+    assert(d.contains("BroadcastHashJoin"), d.take(2000))
+    val l = planOf("d5_lm_score")
+    assert(l.contains("BroadcastHashJoin"), l.take(2000))
+    assert(!l.contains("SortMergeJoin"), "LM vocab join degraded to sort-merge")
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -191,4 +191,41 @@ class DedupSpec extends AnyFunSuite {
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m.get((1L, 2L)).contains(0L), s"exact dup should be hamming 0: $m")
   }
+
+  test("exactNgramDecontam counts exactly the shared verbatim k-grams") {
+    // Hand-checkable corpus: train doc 1 shares the trigrams of "a b c d"
+    // with eval doc 10 ("a b c", "b c d" → 2 hits out of its 4 distinct
+    // trigrams); train doc 2 shares nothing; doc 3 is shorter than k and
+    // must be ignored even though its text occurs verbatim in eval.
+    val train = Seq(
+      (1L, "a b c d x y"),        // trigrams: abc bcd cdx dxy
+      (2L, "p q r s t"),          // no overlap with eval
+      (3L, "a b")                 // < k tokens: no k-grams, dropped
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "z z a b c d"),       // contains abc, bcd
+      (11L, "a b")                // < k tokens on the eval side too
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .exactNgramDecontam(
+        train, col("doc_id"), col("text"), eval_, col("doc_id"), col("text"), shingleSize = 3)
+      .select("train_id", "n_sh", "n_hits", "contaminated_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L), s"only doc 1 overlaps: $out")
+    assert(out(1L) === ((4L, 2L, 0.5)))
+
+    // Planted verbatim eval doc in train → every k-gram hits (frac 1.0).
+    val docs   = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalDf = docs.filter(col("doc_id") % 10 === 0)
+    val one    = evalDf.orderBy("doc_id").limit(1)
+    val oneId  = one.select("doc_id").as[Long].collect().head
+    val flagged = Dedup
+      .exactNgramDecontam(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+          .unionByName(one.select((col("doc_id") + 1000000).as("doc_id"), col("text"))),
+        col("doc_id"), col("text"), evalDf, col("doc_id"), col("text"), shingleSize = 3)
+      .filter(col("train_id") === oneId + 1000000)
+      .select("contaminated_frac").as[Double].collect()
+    assert(flagged.toSeq === Seq(1.0), s"planted verbatim eval doc not fully flagged: ${flagged.toSeq}")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unigram-LM quality scoring laws: hand-computed smoothed log-probs on a
+  * tiny corpus, OOV fallback, empty-doc neutrality, and the ranking
+  * property the filter exists for (fluent text over gibberish). */
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Corpus: N=5 tokens, V=3 types ("a":3, "b":1, "c":1); denom = N+V+1 = 9.
+  private def tiny = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+
+  private def lpMicro(num: Long, den: Long): Long =
+    math.round(math.log(num.toDouble / den.toDouble) * 1e6)
+
+  test("trainUnigram: add-one smoothed log-probs plus the OOV sentinel row") {
+    val lm = LmScore.trainUnigram(tiny, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(lm === Map(
+      "a" -> lpMicro(4, 9), // (3+1)/9
+      "b" -> lpMicro(2, 9),
+      "c" -> lpMicro(2, 9),
+      LmScore.OovToken -> lpMicro(1, 9)))
+  }
+
+  test("score: exact micro-sums, OOV fallback, empty doc scores (0, 0)") {
+    val lm = LmScore.trainUnigram(tiny, col("text"))
+    val scored = LmScore.score(
+      Seq((1L, "a b"), (2L, "a zzz"), (3L, ""), (4L, "zzz zzz")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), lm)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored(1L) === ((2L, lpMicro(4, 9) + lpMicro(2, 9))))
+    assert(scored(2L) === ((2L, lpMicro(4, 9) + lpMicro(1, 9)))) // zzz → OOV mass
+    assert(scored(3L) === ((0L, 0L)))
+    assert(scored(4L) === ((2L, 2 * lpMicro(1, 9))))
+  }
+
+  test("scoring ranks in-distribution text above OOV gibberish") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm   = LmScore.trainUnigram(docs, col("text"))
+    // A real doc vs the same token COUNT of out-of-vocab junk: the real
+    // doc's mean log-prob must win (that is the entire point of the filter).
+    val probe = Seq(
+      (1L, docs.orderBy("doc_id").select("text").as[String].collect().head),
+      (2L, Seq.fill(20)("qqxzzyqit").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = LmScore.score(probe, col("doc_id"), col("text"), lm)
+      .select(col("doc_id"), (col("lp_sum").cast("double") / col("n_toks")).as("mean"))
+      .as[(Long, Double)].collect().toMap
+    assert(m(1L) > m(2L), s"real doc did not outrank gibberish: $m")
+  }
+
+  test("score is independent of input partitioning and of LM row order") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm   = LmScore.trainUnigram(docs.filter(col("doc_id") % 2 === 0), col("text"))
+    val a = LmScore.score(docs, col("doc_id"), col("text"), lm)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = LmScore.score(docs.repartition(11), col("doc_id"), col("text"), lm.repartition(5))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
+}

@@ -139,4 +139,113 @@ class MixtureSpec extends AnyFunSuite {
       Mixture.stratifiedSplit(docs, col("doc_id"), Seq("a" -> 90, "b" -> 80), "c")
     }
   }
+
+  test("chunkDocuments: disjoint chunks reassemble the document exactly") {
+    // stride == window ⇒ chunks partition the token stream; joining them
+    // back must reproduce the tokenized text for every doc.
+    val back = Mixture
+      .chunkDocuments(docs, col("doc_id"), col("text"), windowTokens = 7, strideTokens = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val diff = docs
+      .select(col("doc_id"), concat_ws(" ", graft.functions.TextOps.tokens(col("text"))).as("orig"))
+      .join(back, "doc_id")
+      .filter(col("orig") =!= col("rebuilt"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("chunkDocuments: overlap geometry, token accounting, no doc dropped") {
+    val w = 10; val s7 = 7
+    val chunks = Mixture
+      .chunkDocuments(docs, col("doc_id"), col("text"), windowTokens = w, strideTokens = s7)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_toks")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1)
+    val nToks = docs
+      .select(col("doc_id"), size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet === nToks.keySet, "chunking dropped or invented documents")
+    chunks.foreach { case (id, rows) =>
+      val n = nToks(id)
+      val expected = if (n <= w) 1L else math.ceil((n - w).toDouble / s7).toLong + 1
+      assert(rows.length.toLong === expected, s"doc $id: ${rows.length} chunks, want $expected")
+      assert(rows.map(_._2).sorted.toSeq === (0L until expected), s"doc $id chunk ids not dense")
+      rows.foreach { case (_, cid, text, toks) =>
+        val want = math.min(w.toLong, n - cid * s7)
+        assert(toks === want, s"doc $id chunk $cid token count")
+        assert((if (text.isEmpty) 0 else text.split(" ").length).toLong === want)
+      }
+    }
+    // empty doc → exactly one empty chunk
+    val e = Mixture.chunkDocuments(
+      Seq((99L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"), 10, 7)
+      .as[(Long, Long, String, Long)].collect()
+    assert(e.toSeq === Seq((99L, 0L, "", 0L)))
+  }
+
+  test("chunkDocuments rejects stride > window") {
+    intercept[IllegalArgumentException] {
+      Mixture.chunkDocuments(docs, col("doc_id"), col("text"), 10, 11)
+    }
+  }
+
+  test("globalShuffle: a permutation — every doc exactly once, dense shard positions") {
+    val out = Mixture.globalShuffle(docs, col("doc_id"), numShards = 4, seed = 7)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq ===
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
+  test("temperatureBudgets: T=1 is natural proportions, high T flattens toward uniform") {
+    def budgets(t: Double) = Mixture
+      .temperatureBudgets(docs, col("source"), col("n_tok"), t, totalBudget = 100000L)
+      .select("slice", "slice_toks", "budget_frac", "token_budget")
+      .as[(String, Long, Double, Long)].collect()
+    val nat = budgets(1.0)
+    val total = nat.map(_._2).sum.toDouble
+    nat.foreach { case (s, n, frac, _) =>
+      assert(math.abs(frac - n / total) < 1e-5, s"T=1 slice $s not natural share")
+    }
+    // fracs sum to 1, budgets to ~totalBudget (rounding only)
+    assert(math.abs(nat.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(nat.map(_._4).sum - 100000L) <= nat.length)
+    // High temperature: every slice's share moves toward 1/k, smallest
+    // slice strictly gains, largest strictly loses.
+    val flat = budgets(100.0).map(r => r._1 -> r._3).toMap
+    val k = nat.length
+    val (minS, maxS) = (nat.minBy(_._2)._1, nat.maxBy(_._2)._1)
+    val natM = nat.map(r => r._1 -> r._3).toMap
+    if (minS != maxS) {
+      assert(flat(minS) > natM(minS), "small slice not up-sampled at high T")
+      assert(flat(maxS) < natM(maxS), "large slice not down-sampled at high T")
+    }
+    flat.values.foreach(f => assert(math.abs(f - 1.0 / k) < 0.05, s"high-T not ~uniform: $flat"))
+    // Output shape feeds sampleToTokenBudgets directly.
+    val sampled = Mixture.sampleToTokenBudgets(
+      docs, col("doc_id"), col("source"), col("n_tok"),
+      Mixture.temperatureBudgets(docs, col("source"), col("n_tok"), 2.0, 1000L)
+        .select("slice", "token_budget"))
+    assert(sampled.count() > 0)
+  }
+
+  test("globalShuffle: reproducible on any partitioning; seed changes the permutation") {
+    val a = Mixture.globalShuffle(docs, col("doc_id"), 4, 7)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = Mixture.globalShuffle(docs.repartition(13), col("doc_id"), 4, 7)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b, "shuffle depends on input partitioning")
+    val c = Mixture.globalShuffle(docs, col("doc_id"), 4, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a !== c, "seed does not change the permutation")
+    // and the permutation actually mixes: shard order != id order
+    val firstShard = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard !== firstShard.sorted, "within-shard order is not shuffled")
+  }
 }

@@ -376,6 +376,44 @@ class CorpusPrepSpec extends AnyFunSuite {
       .columns.contains("quality"))
   }
 
+  test("LM gate: narrow map-lookup form ≡ exploded score form; OOD docs drop") {
+    import graft.operators.LmScore
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.9)
+    // Reference LM trained on the fixture corpus; probe adds an
+    // in-distribution doc and an OOV-gibberish doc of the same length.
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm   = LmScore.trainUnigram(docs, col("text"))
+    val junk = (700L, Seq.fill(12)("qqxzzyqit").mkString(" "))
+    val probe = corpus.unionByName(Seq(junk).toDF("doc_id", "text"))
+
+    // Threshold between the two populations: junk scores ≈ ln(1/(N+V+1)),
+    // real text far above. Use the OOV lp + 1 as the cut.
+    val oovLp = lm.filter(col("token") === LmScore.OovToken)
+      .select("lp_micro").as[Long].collect().head
+    val gateCfg = cfg.copy(lmGate = Some(CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)))
+
+    val (out, _) = CorpusPrep.prepare(probe, col("doc_id"), col("text"), gateCfg)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(700L), "pure-OOV gibberish survived the LM gate")
+    assert(kept.contains(1L) && kept.contains(4L), s"in-distribution docs dropped: $kept")
+
+    // Law: the gate's survivors are exactly the rule-gate survivors whose
+    // exploded-form mean log-prob clears the threshold.
+    val (ruleOnly, _) = CorpusPrep.prepare(probe, col("doc_id"), col("text"), cfg)
+    val expected = LmScore.score(ruleOnly, col("doc_id"), col("text"), lm)
+      .filter(col("lp_sum") >= lit(oovLp + 1) * col("n_toks"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected, "narrow map-lookup gate diverges from exploded scoring")
+
+    // mean_lp_micro column present with the gate, absent without.
+    assert(out.columns.contains("mean_lp_micro"))
+    assert(!ruleOnly.columns.contains("mean_lp_micro"))
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)

@@ -47,4 +47,37 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(dir).count() === orders.count())
   }
+
+  test("writeTrainingShards: one dir per shard, rows stored in shuffled pos order") {
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("graft_shards").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    Sinks.writeTrainingShards(docs, col("doc_id"), dir, numShards = 4, seed = 7)
+
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq === (0 until 4).map(i => s"shard=$i"))
+    // nothing lost, payload intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.columns.toSet === docs.columns.toSet + "shard" + "pos")
+    // each shard's FILE order is its pos order (training loaders stream
+    // files front-to-back — the shuffle must be physical, not logical)
+    (0 until 4).foreach { sId =>
+      val pos = spark.read.parquet(s"$dir/shard=$sId")
+        .select(monotonically_increasing_id().as("file_order"), col("pos"))
+        .orderBy("file_order").select("pos").as[Long].collect()
+      assert(pos.toSeq === pos.sorted.toSeq, s"shard $sId rows not stored in pos order")
+      assert(pos.toSeq === (1L to pos.length).toSeq, s"shard $sId positions not dense")
+      // and genuinely shuffled: doc ids within the shard are not in id order
+      val ids = spark.read.parquet(s"$dir/shard=$sId").orderBy("pos")
+        .select("doc_id").as[Long].collect()
+      if (ids.length > 3) assert(ids.toSeq !== ids.sorted.toSeq, s"shard $sId not shuffled")
+    }
+    // deterministic: a rewrite with the same seed is byte-identical rows
+    val dir2 = Files.createTempDirectory("graft_shards2").toString
+    Sinks.writeTrainingShards(docs.repartition(9), col("doc_id"), dir2, numShards = 4, seed = 7)
+    val a = spark.read.parquet(dir).select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = spark.read.parquet(dir2).select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
 }
