@@ -37,14 +37,26 @@ object LmScore {
   private def lpMicro(num: Column, den: Column): Column =
     round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
 
-  /** Train an add-one-smoothed unigram LM: (token, lp_micro) for every
-    * token in `docs`, plus the [[OovToken]] row carrying the unseen-token
-    * log-prob ln(1/(N+V+1)). */
-  def trainUnigram(docs: DataFrame, textCol: Column): DataFrame = {
-    val counts = docs
+  /** Raw unigram counts (token, c) — the MERGEABLE form of the model.
+    * Keep counts, not log-probs, as the stored artifact: counts of two
+    * corpus shards merge by addition ([[mergeCounts]]), so when a new
+    * crawl shard arrives the LM updates with one shard-sized aggregation
+    * instead of a full-corpus retrain — the LM twin of the dedup
+    * signature store and the IVF index's incremental add. */
+  def unigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs
       .select(explode(TextOps.tokens(textCol)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("c"))
+
+  /** Merge two [[unigramCounts]] frames: counts add. Exactly equals
+    * counting the concatenated corpora (law in LmScoreSpec). */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("token").agg(sum("c").as("c"))
+
+  /** Derive the smoothed (token, lp_micro) scoring frame from a counts
+    * frame — cheap (vocab-sized), so it reruns after every merge. */
+  def lmFromCounts(counts: DataFrame): DataFrame = {
     // One row: corpus size N and vocab size V. Broadcast into every vocab
     // row; both engines compute identical (c+1)/(N+V+1) doubles.
     val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("v"))
@@ -58,6 +70,13 @@ object LmScore {
         lpMicro(col("c") + 1, col("n_total") + col("v") + 1).as("lp_micro"))
       .unionByName(oov)
   }
+
+  /** Train an add-one-smoothed unigram LM: (token, lp_micro) for every
+    * token in `docs`, plus the [[OovToken]] row carrying the unseen-token
+    * log-prob ln(1/(N+V+1)). One-shot form of
+    * [[unigramCounts]] → [[lmFromCounts]]. */
+  def trainUnigram(docs: DataFrame, textCol: Column): DataFrame =
+    lmFromCounts(unigramCounts(docs, textCol))
 
   /** Collapse an LM frame into ONE row — (`__lm_map`: token→lp_micro,
     * `__oov_lp`) — for NARROW scoring: cross-join the broadcast row and

@@ -65,6 +65,21 @@ object CorpusPrep {
       minMeanLpMicro: Long
   )
 
+  /** Eval-set decontamination stage: drop every surviving train doc that
+    * shares more than `maxHits` verbatim `shingleSize`-gram(s) with
+    * `evalDf` — the GPT-3/PaLM rule, run where every production pipeline
+    * runs it: inside corpus prep, before the corpus ships. Mechanics are
+    * [[Dedup.exactNgramDecontam]] (broadcast eval shingle universe, one
+    * pass over the survivors) followed by an anti-join on the flagged
+    * ids. `maxHits = 0` (default) drops on any hit. */
+  final case class Decontam(
+      evalDf: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      shingleSize: Int = 13,
+      maxHits: Long = 0L
+  )
+
   final case class Config(
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(jaccardThreshold = 0.8),
       minTokens: Int = 5,
@@ -81,7 +96,10 @@ object CorpusPrep {
       classifier: Option[QualityModel] = None,
       // None = no LM gate. Some(gate) drops out-of-distribution docs and
       // adds a `mean_lp_micro` column to the enriched output.
-      lmGate: Option[LmGate] = None
+      lmGate: Option[LmGate] = None,
+      // None = no decontamination. Some(d) drops train docs sharing
+      // verbatim k-grams with the eval frame (audit stage "decontam").
+      decontam: Option[Decontam] = None
   )
 
   /** Per-stage row counts, collected as OBSERVED METRICS of the pipeline's
@@ -135,10 +153,29 @@ object CorpusPrep {
     val (deduped, oNear) =
       observed(dropNearDupClusterLosers(exact, idCol, textCol, cfg.minhash))
 
-    val (enriched, oGated) = observed(enrichAndGate(deduped, textCol, cfg))
+    // 2b. optional eval-set decontamination. The dedup output is
+    // dual-consumed here (hit generation + the anti-join's left side), so
+    // it gets the same eager checkpoint treatment as the exact stage —
+    // without it the whole near-dup subtree would execute twice.
+    val (decontamed, oDecon) = cfg.decontam match {
+      case None => (deduped, None)
+      case Some(d) =>
+        val survivors = deduped.localCheckpoint()
+        val flagged = Dedup
+          .exactNgramDecontam(
+            survivors, idCol, textCol, d.evalDf, d.evalId, d.evalText, d.shingleSize)
+          .filter(col("n_hits") > d.maxHits)
+          .select(col("train_id").as("__contaminated"))
+        val (clean, o) =
+          observed(survivors.join(flagged, idCol === col("__contaminated"), "left_anti"))
+        (clean, Some(o))
+    }
 
-    val audit = new PrepAudit(Seq(
-      "input" -> oIn, "exact_dedup" -> oExact, "near_dedup" -> oNear, "gated" -> oGated))
+    val (enriched, oGated) = observed(enrichAndGate(decontamed, textCol, cfg))
+
+    val audit = new PrepAudit(
+      Seq("input" -> oIn, "exact_dedup" -> oExact, "near_dedup" -> oNear) ++
+        oDecon.map("decontam" -> _) ++ Seq("gated" -> oGated))
     (enriched, audit)
   }
 

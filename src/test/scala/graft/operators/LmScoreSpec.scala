@@ -55,6 +55,20 @@ class LmScoreSpec extends AnyFunSuite {
     assert(m(1L) > m(2L), s"real doc did not outrank gibberish: $m")
   }
 
+  test("incremental counts: lm(merge(counts(A), counts(B))) ≡ train(A ∪ B)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val incremental = LmScore
+      .lmFromCounts(LmScore.mergeCounts(
+        LmScore.unigramCounts(a, col("text")),
+        LmScore.unigramCounts(b, col("text"))))
+      .as[(String, Long)].collect().sorted.toSeq
+    val batch = LmScore.trainUnigram(docs, col("text"))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(incremental === batch, "shard-merged LM diverges from full retrain")
+  }
+
   test("score is independent of input partitioning and of LM row order") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val lm   = LmScore.trainUnigram(docs.filter(col("doc_id") % 2 === 0), col("text"))

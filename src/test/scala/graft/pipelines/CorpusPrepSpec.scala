@@ -414,6 +414,31 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(!ruleOnly.columns.contains("mean_lp_micro"))
   }
 
+  test("decontam stage drops survivors sharing verbatim k-grams with the eval set") {
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.8)
+    // Eval doc copies doc 4's text verbatim → doc 4 must drop; doc 1
+    // shares no trigram with the eval set and must survive.
+    val eval_ = Seq(
+      (100L, "completely different document about distributed query engines and shuffles today"))
+      .toDF("doc_id", "text")
+    val dCfg = cfg.copy(decontam = Some(CorpusPrep.Decontam(
+      eval_, col("doc_id"), col("text"), shingleSize = 3)))
+    val (out, audit) = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), dCfg)
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L), s"contaminated doc 4 survived (or doc 1 dropped): ${kept.toSeq}")
+    val counts = audit.counts
+    assert(counts("decontam") === 3L, counts.toString) // 4 near-dedup survivors - doc 4
+    assert(counts("gated") === 1L, counts.toString)
+    // Without the stage: no "decontam" audit row, doc 4 survives.
+    val (plain, auditPlain) = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
+    assert(plain.select("doc_id").as[Long].collect().sorted === Array(1L, 4L))
+    assert(!auditPlain.counts.contains("decontam"))
+  }
+
   test("pipeline is idempotent on its own output") {
     val cfg = CorpusPrep.Config(minTokens = 3, maxStopwordRatio = 0.8)
     val (once, _)  = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
