@@ -24,6 +24,17 @@ object Mixture {
   def shuffleKey(idCol: Column): Column =
     pmod(pmod(idCol.cast("long"), lit(1000000007L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Bucket a [[shuffleKey]] into [0, n) via its HIGH bits:
+    * floor(key·n / 2³²). A multiplicative hash's low bits barely mix
+    * (2654435761 ≡ 1 mod 4, so `key % 4` ≡ `id % 4` — structured ids
+    * collapse onto a few buckets); the high bits carry the avalanche
+    * (Knuth, TAOCP §6.4). Long arithmetic only — key < 2³² and
+    * n ≤ 2³¹ keep key·n < 2⁶³ non-negative, so `>> 32` IS the floor
+    * division by 2³² (Column `/` would go through double and lose
+    * precision above 2⁵³; ANSI engines write it `(key * n) // 4294967296`). */
+  def shuffleBucket(key: Column, n: Int): Column =
+    shiftright(key * lit(n.toLong), 32)
+
   /** Keep, per value of `sliceCol`, the minimal deterministic prefix of
     * docs (in [[shuffleKey]] order) whose token counts COVER
     * `tokenBudget`: a doc survives iff the running total BEFORE it is
@@ -92,7 +103,7 @@ object Mixture {
     require(fractions.nonEmpty && fractions.map(_._2) == fractions.map(_._2).sorted,
       "fractions must be ascending cumulative cut points")
     require(fractions.last._2 <= 100, "cut points are percentages")
-    val pct = pmod(shuffleKey(idCol), lit(100L))
+    val pct = shuffleBucket(shuffleKey(idCol), 100)
     val split = fractions.foldRight(lit(defaultLabel): Column) { case ((label, cut), rest) =>
       when(pct < cut, label).otherwise(rest)
     }
@@ -171,7 +182,7 @@ object Mixture {
     val w = Window.partitionBy(col("shard")).orderBy(col("__k"), idCol)
     docs // passthrough: all caller columns survive (the payload ships with its shard)
       .withColumn("__k", key)
-      .withColumn("shard", pmod(col("__k"), lit(numShards.toLong)))
+      .withColumn("shard", shuffleBucket(col("__k"), numShards))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__k")
   }

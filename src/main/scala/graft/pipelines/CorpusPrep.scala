@@ -285,13 +285,32 @@ object CorpusPrep {
       observed(dropNearDupClusterLosers(afterStore, idCol, textCol, p))
     val deduped = dedupedObs.localCheckpoint()
 
-    val (enriched, oGated) = observed(enrichAndGate(deduped, textCol, cfg))
+    // Optional decontamination — same stage order as [[prepare]] (after
+    // near-dedup, before the gates). The store delta stays PRE-decontam,
+    // matching the pre-gate convention: a removed contaminated doc still
+    // suppresses its future near-dups (which would share its k-grams and
+    // be contaminated themselves). `deduped` is already a checkpoint, so
+    // the dual consumption (hit generation + anti-join) is one scan.
+    val (decontamed, oDecon) = cfg.decontam match {
+      case None => (deduped, None)
+      case Some(d) =>
+        val flagged = Dedup
+          .exactNgramDecontam(
+            deduped, idCol, textCol, d.evalDf, d.evalId, d.evalText, d.shingleSize)
+          .filter(col("n_hits") > d.maxHits)
+          .select(col("train_id").as("__contaminated"))
+        val (clean, o) =
+          observed(deduped.join(flagged, idCol === col("__contaminated"), "left_anti"))
+        (clean, Some(o))
+    }
+
+    val (enriched, oGated) = observed(enrichAndGate(decontamed, textCol, cfg))
     val storeDelta =
       newSigs.join(deduped.select(idCol.cast("long").as("doc_id")), "doc_id")
 
-    val audit = new PrepAudit(Seq(
-      "input" -> oIn, "exact_dedup" -> oExact, "store_dedup" -> oStore,
-      "near_dedup" -> oNear, "gated" -> oGated))
+    val audit = new PrepAudit(
+      Seq("input" -> oIn, "exact_dedup" -> oExact, "store_dedup" -> oStore,
+        "near_dedup" -> oNear) ++ oDecon.map("decontam" -> _) ++ Seq("gated" -> oGated))
     (enriched, audit, storeDelta)
   }
 

@@ -1004,7 +1004,7 @@ object LlmQueries {
       """SELECT doc_id, source,
            CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id, source,
-                 ((doc_id % 1000000007) * 2654435761 % 4294967296) % 100 AS pct
+                 (((doc_id % 1000000007) * 2654435761 % 4294967296) * 100) // 4294967296 AS pct
                FROM documents)
          ORDER BY doc_id""",
     "d8_multimodal_meta" ->
@@ -1094,8 +1094,8 @@ object LlmQueries {
       """WITH k AS (
            SELECT doc_id, ((doc_id + 42) % 1000000007) * 2654435761 % 4294967296 AS key
            FROM documents)
-         SELECT doc_id, key % 8 AS shard,
-           CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+         SELECT doc_id, (key * 8) // 4294967296 AS shard,
+           CAST(row_number() OVER (PARTITION BY (key * 8) // 4294967296 ORDER BY key, doc_id) AS BIGINT) AS pos
          FROM k ORDER BY shard, pos""",
     "d7_mixture_weights" ->
       """WITH c AS (

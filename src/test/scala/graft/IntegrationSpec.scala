@@ -128,4 +128,73 @@ class IntegrationSpec extends AnyFunSuite {
     runOnce()
     assert(docs() === Seq("d1", "d2", "d3", "d4", "d6"), "resume re-read or missed records")
   }
+
+  test("corpus → training shards: the full D-pipeline end to end") {
+    // Every corpus-prep stage in one run, the way a production pipeline
+    // composes them: dedup (exact + near) → eval decontamination → rule +
+    // classifier + LM gates → temperature mixture sampling → chunking →
+    // deterministic shuffle → sharded sink. Asserts the pipeline-level
+    // contracts each stage's unit laws promise.
+    import spark.implicits._
+    import graft.operators.{LmScore, Mixture}
+    import graft.pipelines.CorpusPrep
+    import graft.sources.Sinks
+
+    val docs  = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val base  = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "source", "text")
+    // Plant a verbatim duplicate of a train doc and a verbatim copy of an
+    // eval doc: dedup must remove the first, decontamination the second.
+    val dupOf   = base.orderBy("doc_id").limit(1)
+      .select(lit(9001L).as("doc_id"), col("source"), col("text"))
+    val leaked  = eval_.orderBy("doc_id").limit(1)
+      .select(lit(9002L).as("doc_id"), lit("crawl").as("source"), col("text"))
+    val train = base.unionByName(dupOf).unionByName(leaked)
+
+    val lm = LmScore.trainUnigram(docs, col("text"))
+    val oovLp = lm.filter(col("token") === LmScore.OovToken)
+      .select("lp_micro").as[Long].collect().head
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95,
+      classifier = Some(CorpusPrep.QualityModel(Array(1.2, -1.5, 0.8, 2.0), -2.0, keepAbove = 0.0)),
+      lmGate = Some(CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)),
+      decontam = Some(CorpusPrep.Decontam(eval_, col("doc_id"), col("text"), shingleSize = 3)))
+
+    val (prepared, audit) = CorpusPrep.prepare(train, col("doc_id"), col("text"), cfg)
+    val keptIds = prepared.select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(9001L), "verbatim duplicate survived dedup")
+    assert(!keptIds.contains(9002L), "leaked eval doc survived decontamination")
+    assert(keptIds.nonEmpty)
+    val counts = audit.counts
+    assert(counts("exact_dedup") === counts("input") - 1, counts.toString)  // the planted dup
+    assert(counts("decontam") < counts("near_dedup"), counts.toString)      // the planted leak
+
+    // Mixture: temperature-flattened per-source budgets, then sample.
+    val budgets = Mixture.temperatureBudgets(
+      prepared, col("source"), col("n_tok"), temperature = 2.0, totalBudget = 2000L)
+    val mixed = Mixture.sampleToTokenBudgets(
+      prepared, col("doc_id"), col("source"), col("n_tok"),
+      budgets.select("slice", "token_budget"))
+    assert(mixed.count() > 0 && mixed.count() <= prepared.count())
+
+    // Chunk to 32-token windows (stride 24), shuffle, write 4 shards.
+    val chunks = Mixture.chunkDocuments(mixed, col("doc_id"), col("text"), 32, 24)
+      .withColumn("row_id", col("doc_id") * 1000 + col("chunk_id"))
+    val outDir = Files.createTempDirectory("graft_e2e_shards").toString
+    Sinks.writeTrainingShards(chunks, col("row_id"), outDir, numShards = 4, seed = 13)
+
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === chunks.count(), "sink lost or invented chunks")
+    // every chunk's doc survived the gates, and no chunk exceeds the window
+    assert(back.join(mixed.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+    assert(back.agg(max("chunk_toks")).as[Long].collect().head <= 32L)
+    // shard layout: 4 dirs, dense per-shard positions
+    val perShard = back.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("mx"))
+      .as[(Int, Long, Long)].collect()
+    assert(perShard.length === 4)
+    perShard.foreach { case (s, n, mx) => assert(n === mx, s"shard $s positions not dense") }
+  }
 }

@@ -111,6 +111,25 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(stages === Map(
       "input" -> 5L, "exact_dedup" -> 4L, "store_dedup" -> 3L,
       "near_dedup" -> 2L, "gated" -> 1L))
+
+    // With decontamination configured the law must still hold: an eval
+    // doc verbatim-matching the new shard's survivor (13) removes it from
+    // BOTH the batch and incremental outputs, while the store delta stays
+    // pre-decontam (13 keeps suppressing its future near-dups).
+    val eval_ = Seq((900L, longC)).toDF("doc_id", "text")
+    val dCfg = cfg.copy(decontam = Some(CorpusPrep.Decontam(
+      eval_, col("doc_id"), col("text"), shingleSize = 3)))
+    val (dBatchAll, _) =
+      CorpusPrep.prepare(oldShard.unionByName(newShard), col("doc_id"), col("text"), dCfg)
+    val (dIncNew, dAudit, dDelta) =
+      CorpusPrep.prepareIncremental(newShard, col("doc_id"), col("text"), store, dCfg)
+    val dCombined = (batchOld.select("doc_id").as[Long].collect() ++
+      dIncNew.select("doc_id").as[Long].collect()).sorted
+    assert(dCombined === dBatchAll.select("doc_id").as[Long].collect().sorted)
+    assert(!dCombined.contains(13L), "contaminated doc 13 survived")
+    assert(dDelta.select("doc_id").as[Long].collect().sorted === Array(13L, 15L),
+      "store delta must stay pre-decontam")
+    assert(dAudit.counts("decontam") === 1L, dAudit.counts.toString)
   }
 
   test("prepared frame never rescans the source: exact stage is a checkpoint boundary") {
