@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketDescriptor)
+    ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
     ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
@@ -86,11 +87,26 @@ object GraftExtensions {
     }
   )
 
+  private[catalyst] val interleaveBitsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_interleave_bits"),
+    new ExpressionInfo(
+      classOf[InterleaveBitsExpression].getName,
+      null,
+      "graft_interleave_bits",
+      "graft_interleave_bits(x, y) - Morton (Z-order) key: interleave the low 31 bits of " +
+        "two BIGINTs, x on even positions, y on odd (branch-free codegen).",
+      ""
+    ),
+    (children: Seq[Expression]) => InterleaveBitsExpression(children.head, children(1))
+  )
+
   /** Idempotently register the native functions and the fusion rule on an
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
-    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor, lshBucketDescriptor)
+    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor, lshBucketDescriptor,
+        interleaveBitsDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

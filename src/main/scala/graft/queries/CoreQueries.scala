@@ -501,6 +501,21 @@ object CoreQueries {
         .orderBy(col("st").asc_nulls_first, col("o_orderkey").desc)
         .limit(50)),
 
+    // C18 (clustering key): Morton/Z-order key over two part attributes —
+    // the multi-dim file-clustering sort key (native codegen expression
+    // graft_interleave_bits; Sinks.writeClustered is the write path whose
+    // both-dimension file skipping SinksSpec demonstrates). The oracle
+    // replays the identical mask-and-shift spread in ANSI SQL.
+    "c18_zorder" -> ((s, sf) =>
+      Tables
+        .part(s, sf)
+        .select(
+          col("p_partkey"),
+          graft.functions.ZOrder
+            .interleaveBits(s, col("p_partkey"), col("p_size").cast("long"))
+            .as("z"))
+        .orderBy("p_partkey")),
+
     // C19: top-k — plans TakeOrderedAndProject (no full sort at scale).
     "c19_topk" -> ((s, sf) =>
       Tables
@@ -963,6 +978,10 @@ object CoreQueries {
     "c18_sort_nulls" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders
          ORDER BY st ASC NULLS FIRST, o_orderkey DESC LIMIT 50""",
+    "c18_zorder" ->
+      s"""SELECT p_partkey,
+         ${graft.catalyst.InterleaveBitsExpression.oracleSql("p_partkey", "CAST(p_size AS BIGINT)")} AS z
+         FROM part ORDER BY p_partkey""",
     "c19_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

@@ -113,6 +113,44 @@ object Sinks {
       .mode("overwrite")
       .parquet(path)
 
+  /** Z-order clustered write: range-partition + sort by the Morton key of
+    * two columns, so every output file covers a small RECTANGLE of
+    * (x, y) space and parquet min/max footer stats skip files for
+    * selective predicates on EITHER column — [[writeSorted]] gives one
+    * dimension, this gives two (the lakehouse Z-ordering technique,
+    * composed from `repartitionByRange` + a native codegen key,
+    * [[graft.catalyst.InterleaveBitsExpression]]).
+    *
+    * The min-max normalization bounds come from one tiny stats
+    * aggregation (4 scalars — config-sized, not data-sized; production
+    * tables would read them from table-level metadata instead). */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int
+  ): Unit = {
+    val spark = df.sparkSession
+    val b = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long"))
+      .collect().head
+    val (xLo, xHi, yLo, yHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    df.withColumn(
+        "__z",
+        graft.functions.ZOrder.interleaveBits(
+          spark,
+          graft.functions.ZOrder.scaleToBits(col(xCol), lit(xLo), lit(xHi), bits = 20),
+          graft.functions.ZOrder.scaleToBits(col(yCol), lit(yLo), lit(yHi), bits = 20)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Training-shard emit — the terminal step of the corpus-prep pipeline:
     * deterministically shuffle the corpus
     * ([[graft.operators.Mixture.globalShuffle]] — a pure function of

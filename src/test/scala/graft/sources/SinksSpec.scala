@@ -48,6 +48,54 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === orders.count())
   }
 
+  test("writeClustered: Z-order files cover small rectangles — skipping works on BOTH dims") {
+    import spark.implicits._
+    def fileStats(dir: String, a: String, b: String) = spark.read.parquet(dir)
+      .select(col(a), col(b), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min(a).as("alo"), max(a).as("ahi"), min(b).as("blo"), max(b).as("bhi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    def overlapping(stats: Array[(String, Long, Long, Long, Long)],
+                    loHi: ((String, Long, Long, Long, Long)) => (Long, Long),
+                    wLo: Long, wHi: Long) =
+      stats.count { s => val (lo, hi) = loHi(s); hi >= wLo && lo <= wHi }
+
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    Sinks.writeClustered(li, zDir, "l_orderkey", "l_partkey", numFiles = 8)
+    val zStats = fileStats(zDir, "l_orderkey", "l_partkey")
+    assert(zStats.length >= 4, s"expected several files, got ${zStats.length}")
+    assert(spark.read.parquet(zDir).count() === li.count())
+
+    val (oLo, oHi) = (zStats.map(_._2).min, zStats.map(_._3).max)
+    val (pLo, pHi) = (zStats.map(_._4).min, zStats.map(_._5).max)
+    // every file's rectangle is a proper sub-range in BOTH dimensions on
+    // average (z-order splits both; a 1-D sort leaves the other dim full)
+    val avgOSpan = zStats.map(s => s._3 - s._2).sum.toDouble / zStats.length
+    val avgPSpan = zStats.map(s => s._5 - s._4).sum.toDouble / zStats.length
+    assert(avgOSpan < 0.8 * (oHi - oLo), s"orderkey not clustered: $avgOSpan vs ${oHi - oLo}")
+    assert(avgPSpan < 0.8 * (pHi - pLo), s"partkey not clustered: $avgPSpan vs ${pHi - pLo}")
+    // a narrow window on EITHER dim prunes at least some files
+    def window(lo: Long, hi: Long): (Long, Long) = {
+      val w = (hi - lo) / 20; (lo, lo + w)
+    }
+    val (owLo, owHi) = window(oLo, oHi)
+    val (pwLo, pwHi) = window(pLo, pHi)
+    assert(overlapping(zStats, s => (s._2, s._3), owLo, owHi) < zStats.length,
+      "no file pruned for an orderkey window")
+    assert(overlapping(zStats, s => (s._4, s._5), pwLo, pwHi) < zStats.length,
+      "no file pruned for a partkey window")
+
+    // contrast: a 1-D sort on orderkey leaves partkey unprunable — every
+    // file spans (nearly) the full partkey range.
+    val sDir = Files.createTempDirectory("graft_sorted1d").toString
+    Sinks.writeSorted(li, sDir, Seq("l_orderkey"), numFiles = 8)
+    val sStats = fileStats(sDir, "l_orderkey", "l_partkey")
+    assert(overlapping(sStats, s => (s._4, s._5), pwLo, pwHi) === sStats.length,
+      "1-D sort unexpectedly pruned the non-sort dimension (fixture too small?)")
+  }
+
   test("writeTrainingShards: one dir per shard, rows stored in shuffled pos order") {
     import spark.implicits._
     val dir  = Files.createTempDirectory("graft_shards").toString
