@@ -247,6 +247,34 @@ object SimilarityJoin {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"))
 
+  /** Pre-add drift check — the QUALITY half of the drift monitor
+    * ([[ivfIndexStats]] catches distribution skew by count; this catches
+    * a shard that is uniformly spread but FAR from every centroid, which
+    * count skew cannot see). Assigns the incoming shard to the existing
+    * materialized centroids WITHOUT writing and reports, per centroid,
+    * how well the centroid still describes its new members: (cid, n_new,
+    * mean_sim, min_sim). A falling mean_sim versus the index's build-time
+    * value is the re-run-Lloyd signal [[addToIvfIndex]]'s caveat
+    * prescribes. Cost: one broadcast-join assignment over the shard —
+    * never touches the stored index rows. */
+  def ivfDriftStats(
+      newEmb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      indexPath: String
+  ): DataFrame = {
+    val spark     = newEmb.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+    ivfAssign(newEmb, idCol, vecCol, centroids)
+      .join(broadcast(centroids), "cid")
+      .withColumn("sim", VectorOps.cosineNative(spark, col("v"), col("cvec")))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        round(avg(col("sim")), 6).as("mean_sim"),
+        round(min(col("sim")), 6).as("min_sim"))
+  }
+
   /** Online half: top-k against a prebuilt [[buildIvfIndex]] directory.
     * The query is scored against the (small) centroid table first; the
     * winning `nprobe` centroid ids become a PARTITION filter on the index

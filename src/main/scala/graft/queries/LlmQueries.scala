@@ -411,6 +411,21 @@ object LlmQueries {
     }),
 
     // D5: tokenize + quality scoring + BPE-ish token-count estimate.
+    // D4 (index ops): quality-drift check of a new shard against the
+    // MATERIALIZED IVF centroids — per-centroid mean/min cosine of the
+    // shard's would-be members, the re-run-Lloyd signal. Broadcast-join
+    // assignment only; the stored index rows are never read. Rows-only
+    // (centroids live in the materialized index); the in-distribution ≫
+    // out-of-distribution law is in SimilaritySpec.
+    "d4_ivf_drift" -> ((s, sf) => {
+      val idx = ivfIndexFor(s, sf)
+      SimilarityJoin
+        .ivfDriftStats(
+          Tables.embeddings(s, sf).filter(col("vec_id") % 4 === 3),
+          col("vec_id"), col("embedding"), idx)
+        .orderBy("cid")
+    }),
+
     "d5_text_stats" -> ((s, sf) => {
       val t = toks(col("text"))
       Tables

@@ -104,6 +104,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
   }
 
+  test("ivfDriftStats: in-distribution shard scores high, out-of-distribution shard drifts") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString + "/index"
+    SimilarityJoin.buildIvfIndex(emb, col("vec_id"), col("embedding"), centroids, idx)
+
+    def weightedMean(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.select("n_new", "mean_sim").as[(Long, Double)].collect()
+      rows.map { case (n, m) => n * m }.sum / rows.map(_._1).sum
+    }
+    // A shard that IS the centroid set: every vector must land on its own
+    // centroid at similarity exactly 1 — pins argmax assignment AND the
+    // scoring in one law.
+    val asShard = centroids.select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+    val tight   = SimilarityJoin.ivfDriftStats(asShard, col("vec_id"), col("embedding"), idx)
+    assert(tight.select("mean_sim").as[Double].collect().forall(_ === 1.0),
+      "centroid vectors must score 1.0 at their own centroid")
+    // The same shard NEGATED: maximally drifted — no centroid describes
+    // it, and the monitor's mean similarity collapses.
+    val drifted = weightedMean(SimilarityJoin.ivfDriftStats(
+      asShard.select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding")),
+      col("vec_id"), col("embedding"), idx))
+    assert(drifted < 0.5, s"negated centroids should drift far below 1.0: $drifted")
+    // and on a REAL shard: per-centroid counts conserve the shard size.
+    val realShard = emb.filter(col("vec_id") % 4 === 3)
+    val total = SimilarityJoin.ivfDriftStats(realShard, col("vec_id"), col("embedding"), idx)
+      .agg(sum("n_new")).as[Long].collect().head
+    assert(total === realShard.count())
+  }
+
   test("quantized IVF index: smaller on disk, probe recall tracks the full-precision probe") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
