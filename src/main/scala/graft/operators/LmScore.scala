@@ -107,10 +107,18 @@ object LmScore {
     * score (0, 0) — no tokens, no evidence. Mean log-prob / perplexity
     * are derived columns left to the caller (`lp_sum / n_toks`). */
   def score(docs: DataFrame, idCol: Column, textCol: Column, lm: DataFrame): DataFrame = {
-    val oovLp = lm
+    // `lm` is consumed twice below (vocab broadcast + OOV row). When the
+    // caller passes a LAZY trainUnigram plan, both consumers would re-run
+    // the corpus-wide counting aggregation — the dual-consumption cost
+    // bug pattern (one extra full-corpus pass at 100 TB). The frame is
+    // vocab-sized, so an eager executor-local materialization is cheap
+    // and bounds the training pass to exactly one. Already-materialized
+    // LMs (read from parquet) pay one no-op-sized checkpoint.
+    val lmOnce = lm.localCheckpoint()
+    val oovLp = lmOnce
       .filter(col("token") === OovToken)
       .select(col("lp_micro").as("__oov_lp"))
-    val vocab = lm
+    val vocab = lmOnce
       .filter(col("token") =!= OovToken)
       .select(col("token").as("__tok"), col("lp_micro"))
     docs

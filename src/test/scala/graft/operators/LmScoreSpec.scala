@@ -69,6 +69,25 @@ class LmScoreSpec extends AnyFunSuite {
     assert(incremental === batch, "shard-merged LM diverges from full retrain")
   }
 
+  test("score trains at most once: the LM subtree is a materialization boundary") {
+    // score() consumes the LM twice (vocab broadcast + OOV row); with a
+    // lazy trainUnigram plan both consumers would re-run the corpus-wide
+    // counting aggregation. The checkpoint inside score() bounds training
+    // to one pass: the scoring plan must contain the TRAINING parquet
+    // relation zero times (only the scored docs' in-memory frame).
+    val dir = java.nio.file.Files.createTempDirectory("lm_scan_once")
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text").write.mode("overwrite").parquet(s"$dir/train")
+    val train  = spark.read.parquet(s"$dir/train")
+    val scored = LmScore.score(
+      tiny, col("doc_id"), col("text"), LmScore.trainUnigram(train, col("text")))
+    val plans = Seq(scored.queryExecution.optimizedPlan.toString,
+                    scored.queryExecution.executedPlan.toString)
+    assert(!plans.exists(_.toLowerCase.contains("parquet")),
+      "scoring plan still contains the training-corpus scan")
+    assert(scored.count() === 1)
+  }
+
   test("score is independent of input partitioning and of LM row order") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val lm   = LmScore.trainUnigram(docs.filter(col("doc_id") % 2 === 0), col("text"))

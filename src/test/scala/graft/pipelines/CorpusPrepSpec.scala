@@ -200,6 +200,60 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(storeIds === Array(1L, 4L, 13L, 15L))
   }
 
+  test("streamingPrepare with decontam + LM gates ≡ batch with the same config") {
+    // The round-8 gates flow through the streaming path via
+    // prepareIncremental; this pins the composition end to end: a leaked
+    // eval doc arriving in a LATER micro-batch is decontaminated, OOV
+    // gibberish is LM-gated, and the result equals the batch run.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LmScore
+    implicit val sqlCtx = spark.sqlContext
+
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val longC = (1 to 20).map(i => s"new$i").mkString(" ")
+    val evalDoc = "held out benchmark question about distributed joins and watermarks tonight"
+    val shard1 = Seq(
+      (1L, longA),
+      (4L, "a thoroughly different document describing shuffle partitioning strategies in detail"))
+    val shard2 = Seq(
+      (13L, longC),
+      (14L, evalDoc),                              // verbatim eval leak → decontam
+      (16L, Seq.fill(12)("qqxzzyqit").mkString(" "))) // OOV soup → LM gate
+    val refDocs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm = LmScore.trainUnigram(
+      refDocs.select(col("text")).unionByName(Seq(longA, longC).toDF("text")), col("text"))
+      .localCheckpoint() // one LM artifact shared by every micro-batch
+    val oovLp = lm.filter(col("token") === LmScore.OovToken)
+      .select("lp_micro").as[Long].collect().head
+    val eval_ = Seq((900L, evalDoc)).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95,
+      lmGate = Some(CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)),
+      decontam = Some(CorpusPrep.Decontam(eval_, col("doc_id"), col("text"), shingleSize = 3)))
+
+    val base = Files.createTempDirectory("corpus_stream_gated")
+    val mem  = MemoryStream[(Long, String)]
+    val q = CorpusPrep
+      .streamingPrepare(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), s"$base/store", s"$base/out", s"$base/ckpt", cfg)
+      .start()
+    try {
+      mem.addData(shard1: _*); q.processAllAvailable()
+      mem.addData(shard2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$base/out").select("doc_id").as[Long].collect().sorted
+    assert(!streamed.contains(14L), "leaked eval doc survived streaming decontam")
+    assert(!streamed.contains(16L), "OOV gibberish survived the streaming LM gate")
+    val (batchAll, _) = CorpusPrep.prepare(
+      (shard1 ++ shard2).toDF("doc_id", "text"), col("doc_id"), col("text"), cfg)
+    assert(streamed === batchAll.select("doc_id").as[Long].collect().sorted)
+  }
+
   test("streamingPrepare replay: re-running a batch after its delta committed loses nothing") {
     // Crash model: batch N wrote its delta (and maybe its output) but the
     // checkpoint did not commit, so the engine re-runs batch N. Without
