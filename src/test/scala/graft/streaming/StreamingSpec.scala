@@ -386,4 +386,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("t_a1").count() === 1500L)
     } finally q.stop()
   }
+
+  test("chunking streams unchanged: a narrow corpus op in append mode equals its batch run") {
+    // Document chunking is a stateless narrow generator, so the SAME
+    // operator call runs inside a streaming query with no state store,
+    // no watermark, no rewrite — the batch/streaming parity the corpus
+    // ops are designed for.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val chunked = graft.operators.Mixture.chunkDocuments(
+      mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      windowTokens = 5, strideTokens = 3)
+    val q = chunked.writeStream.format("memory").queryName("t_chunk")
+      .outputMode("append").start()
+    val s1 = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")), (2L, "short doc"))
+    val s2 = Seq((3L, (1 to 7).map(i => s"x$i").mkString(" ")), (4L, ""))
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+      val streamed = spark.table("t_chunk")
+        .as[(Long, Long, String, Long)].collect().sorted.toSeq
+      val batchTwin = graft.operators.Mixture.chunkDocuments(
+        (s1 ++ s2).toDF("doc_id", "text"), col("doc_id"), col("text"), 5, 3)
+        .as[(Long, Long, String, Long)].collect().sorted.toSeq
+      assert(streamed === batchTwin)
+      assert(streamed.count(_._1 == 1L) === 4) // 12 tokens, w=5 s=3 → ceil(7/3)+1
+    } finally q.stop()
+  }
 }
