@@ -755,6 +755,23 @@ object LlmQueries {
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")),
 
+    // D7 (composed): chunk → pack — documents split into disjoint
+    // 64-token chunks, then chunks packed into ≤256-token training packs
+    // per slice (deterministic shuffleKey order): the two-operator
+    // composition a pretraining batch builder runs, oracle-checked end
+    // to end. Both stages narrow/windowed; no intermediate
+    // materialization.
+    "d7_chunk_pack" -> ((s, sf) => {
+      val chunks = Mixture
+        .chunkDocuments(Tables.documents(s, sf), col("doc_id"), col("text"), 64, 64)
+        .withColumn("row_id", col("doc_id") * 1000 + col("chunk_id"))
+        .withColumn("slice", pmod(col("doc_id"), lit(4L)))
+      Mixture
+        .packSequences(chunks, col("row_id"), col("slice"), col("chunk_toks"), 256L)
+        .select(col("doc_id"), col("chunk_id"), col("slice"), col("pack_id"), col("chunk_toks"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // D7 (mixture design): temperature-flattened slice budgets
     // (∝ share^(1/T), T=2) — the multilingual up-sampling rule; output
     // feeds sampleToTokenBudgets. Corpus → slice grain in one
@@ -1112,6 +1129,29 @@ object LlmQueries {
          SELECT doc_id, (key * 8) // 4294967296 AS shard,
            CAST(row_number() OVER (PARTITION BY (key * 8) // 4294967296 ORDER BY key, doc_id) AS BIGINT) AS pos
          FROM k ORDER BY shard, pos""",
+    "d7_chunk_pack" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+             unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+               ELSE CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 64.0) AS BIGINT) + 1 END)) AS chunk_id
+           FROM t),
+         ch AS (
+           SELECT doc_id, chunk_id,
+             least(CAST(64 AS BIGINT), n - chunk_id * 64) AS chunk_toks,
+             doc_id * 1000 + chunk_id AS row_id, doc_id % 4 AS slice
+           FROM c),
+         k AS (SELECT *, (row_id % 1000000007) * 2654435761 % 4294967296 AS h FROM ch),
+         p AS (
+           SELECT doc_id, chunk_id, slice, chunk_toks,
+             SUM(chunk_toks) OVER (PARTITION BY slice ORDER BY h, row_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM k)
+         SELECT doc_id, chunk_id, slice,
+           CAST(floor((cum - chunk_toks) / 256.0) AS BIGINT) AS pack_id, chunk_toks
+         FROM p ORDER BY doc_id, chunk_id""",
     "d7_mixture_weights" ->
       """WITH c AS (
            SELECT source AS slice,
