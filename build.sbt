@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked `run` JVM inherit stdout directly. Without this, sbt
+// routes the child's stdout through its logger and prefixes every line
+// with "[info] ", which breaks any downstream strict-JSON parse of
+// Bench's final total-only line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
