@@ -155,6 +155,7 @@ object SimilarityJoin {
       .partitionBy("cid")
       .parquet(path)
     centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+    writeIndexStats(emb.sparkSession, path)
   }
 
   /** [[buildIvfIndex]] with int8-quantized vectors: stores (id, q, sc,
@@ -182,6 +183,39 @@ object SimilarityJoin {
       .partitionBy("cid")
       .parquet(path)
     centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+    writeIndexStats(emb.sparkSession, path)
+  }
+
+  /** Build-time quality baseline, stored INSIDE the index as `_stats`
+    * (underscore prefix: invisible to parquet readers of the index path,
+    * like `_centroids`): per cid, the member count and mean/min cosine to
+    * the centroid at build time — the reference point [[ivfDriftStats]]
+    * compares arriving shards against. Computed by reading the index back
+    * (one pass over the just-written, already-partitioned rows — cheaper
+    * than checkpointing the corpus-sized assignment to dual-consume it),
+    * so it measures exactly what probes will see: the quantized index's
+    * baseline is over the DEQUANTIZED vectors. [[addToIvfIndex]] leaves
+    * `_stats` untouched by design — the baseline is the build, and drift
+    * of later adds is measured against it; call this again only to
+    * re-baseline deliberately (e.g. after a rebuild). */
+  def writeIndexStats(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+    val idx       = spark.read.parquet(indexPath)
+    val vecs =
+      if (idx.columns.contains("q"))
+        idx.withColumn("v", VectorOps.dequantizeI8(col("q"), col("sc")))
+      else idx
+    vecs
+      .join(broadcast(centroids), "cid")
+      .withColumn("sim", VectorOps.cosineNative(spark, col("v"), col("cvec")))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_built"),
+        round(avg(col("sim")), 6).as("build_mean_sim"),
+        round(min(col("sim")), 6).as("build_min_sim"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexPath/_stats")
   }
 
   /** Incremental index maintenance: assign a NEW embedding shard to the
@@ -252,11 +286,16 @@ object SimilarityJoin {
     * a shard that is uniformly spread but FAR from every centroid, which
     * count skew cannot see). Assigns the incoming shard to the existing
     * materialized centroids WITHOUT writing and reports, per centroid,
-    * how well the centroid still describes its new members: (cid, n_new,
-    * mean_sim, min_sim). A falling mean_sim versus the index's build-time
-    * value is the re-run-Lloyd signal [[addToIvfIndex]]'s caveat
-    * prescribes. Cost: one broadcast-join assignment over the shard —
-    * never touches the stored index rows. */
+    * how well the centroid still describes its new members — (cid, n_new,
+    * mean_sim, min_sim) — PLUS the comparison against the build-time
+    * baseline the builds persist under `_stats` ([[writeIndexStats]]):
+    * `build_mean_sim` and `drift = build_mean_sim - mean_sim`. A drift
+    * pulling away from 0 is the re-run-Lloyd signal [[addToIvfIndex]]'s
+    * caveat prescribes, now computed against a STORED reference instead
+    * of one the operator merely documents. Baseline columns are null for
+    * a cid the build saw no members for, or for a pre-`_stats` index
+    * directory. Cost: one broadcast-join assignment over the shard plus
+    * one nlist-row `_stats` read — never touches the stored index rows. */
   def ivfDriftStats(
       newEmb: DataFrame,
       idCol: Column,
@@ -265,6 +304,13 @@ object SimilarityJoin {
   ): DataFrame = {
     val spark     = newEmb.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/_centroids")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_stats")
+    val fs        = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseline =
+      if (fs.exists(statsPath))
+        spark.read.parquet(statsPath.toString).select(col("cid"), col("build_mean_sim"))
+      else // index predates the _stats contract: report shard stats, null baseline
+        centroids.select(col("cid"), lit(null).cast("double").as("build_mean_sim"))
     ivfAssign(newEmb, idCol, vecCol, centroids)
       .join(broadcast(centroids), "cid")
       .withColumn("sim", VectorOps.cosineNative(spark, col("v"), col("cvec")))
@@ -273,6 +319,8 @@ object SimilarityJoin {
         count(lit(1)).as("n_new"),
         round(avg(col("sim")), 6).as("mean_sim"),
         round(min(col("sim")), 6).as("min_sim"))
+      .join(broadcast(baseline), Seq("cid"), "left")
+      .withColumn("drift", round(col("build_mean_sim") - col("mean_sim"), 6))
   }
 
   /** Online half: top-k against a prebuilt [[buildIvfIndex]] directory.

@@ -135,6 +135,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total === realShard.count())
   }
 
+  test("ivfDriftStats vs the stored _stats baseline: ≈0 in-distribution, >0 on a shifted shard") {
+    // The raw fixture is near-isotropic (best-of-16 centroid cosine ≈ 0.23
+    // for ANY direction), so no transformation of ITS vectors separates
+    // from its own baseline. The baseline law needs an index whose
+    // centroids genuinely describe their members, so the fixture here is a
+    // PLANTED tight corpus: members = centroid + 0.15·roll(centroid, k)
+    // (cos ≈ 0.99, deterministic — no RNG). Same-construction shards stay
+    // at drift ≈ 0; the raw fixture vectors ARE the distribution shift
+    // (measured: 6e-5 vs 0.755).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    def planted(ks: Seq[Int]) = ks
+      .map(k => centroids.select(
+        (col("cid") * 100 + k).as("vec_id"),
+        zip_with(
+          col("cvec"),
+          // roll(cvec, k): element i of the rolled vector is cvec[(i - k) mod 64]
+          transform(sequence(lit(0), lit(63)), i => element_at(col("cvec"), pmod(i - k, lit(64)) + 1)),
+          (x, r) => x + lit(0.15) * r).as("embedding")))
+      .reduce(_ unionByName _)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_baseline").toString + "/index"
+    SimilarityJoin.buildIvfIndex(planted(1 to 20), col("vec_id"), col("embedding"), centroids, idx)
+
+    // The build persisted the per-cid baseline inside the index directory.
+    val stats = spark.read.parquet(s"$idx/_stats")
+      .select("cid", "n_built", "build_mean_sim").as[(Long, Long, Double)].collect()
+    // 14 seeds exist at sf0.001 (ids ≡ 1 mod 37 among 500), 20 copies each.
+    assert(stats.map(_._2).sum === centroids.count() * 20, "_stats must cover the built index")
+    assert(stats.forall(s => s._3 >= -1.0 && s._3 <= 1.0))
+
+    def weightedDrift(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.filter(col("drift").isNotNull) // cids the build saw no members for
+        .select("n_new", "drift").as[(Long, Double)].collect()
+      rows.map { case (n, d) => n * d }.sum / rows.map(_._1).sum
+    }
+    // A shard DRAWN FROM the indexed distribution (same construction,
+    // fresh roll offsets): per-cid mean_sim tracks the build-time mean.
+    val inDrift = weightedDrift(SimilarityJoin.ivfDriftStats(
+      planted(21 to 25), col("vec_id"), col("embedding"), idx))
+    assert(math.abs(inDrift) < 0.05, s"in-distribution shard should not drift: $inDrift")
+    // The PLANTED SHIFT: raw fixture vectors, which no tight centroid
+    // describes — mean_sim collapses below the stored baseline and drift
+    // goes strongly positive. This is the re-run-Lloyd alarm.
+    val outDrift = weightedDrift(SimilarityJoin.ivfDriftStats(
+      emb.filter(col("vec_id") % 4 === 3), col("vec_id"), col("embedding"), idx))
+    assert(outDrift > 0.3, s"shifted shard must drift positive: $outDrift")
+    assert(outDrift > inDrift + 0.25, "monitor cannot separate shifted from in-distribution")
+  }
+
   test("quantized IVF index: smaller on disk, probe recall tracks the full-precision probe") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
@@ -146,7 +196,7 @@ class SimilaritySpec extends AnyFunSuite {
 
     def dataBytes(p: String): Long = {
       def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().filterNot(_.getName.startsWith("_centroids")).map(walk).sum
+        if (f.isDirectory) f.listFiles().filterNot(_.getName.startsWith("_")).map(walk).sum
         else if (f.getName.endsWith(".parquet")) f.length() else 0L
       walk(new java.io.File(p))
     }
