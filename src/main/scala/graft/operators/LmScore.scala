@@ -78,6 +78,12 @@ object LmScore {
   def trainUnigram(docs: DataFrame, textCol: Column): DataFrame =
     lmFromCounts(unigramCounts(docs, textCol))
 
+  /** Vocab ceiling for [[asMapRow]]: 2²⁰ entries ≈ tens of MB as one map
+    * row — comfortably inside broadcast/row-size limits. Reference-corpus
+    * LMs (the gate's intended model, ~10⁴–10⁵ types) sit far below it;
+    * web-scale vocabs (10⁷+) belong in the exploded [[score]] join. */
+  val DefaultMaxMapVocab: Long = 1L << 20
+
   /** Collapse an LM frame into ONE row — (`__lm_map`: token→lp_micro,
     * `__oov_lp`) — for NARROW scoring: cross-join the broadcast row and
     * fold a token array with [[lpSumMicro]], no explode, no doc-grain
@@ -85,14 +91,31 @@ object LmScore {
     * executor (broadcast), never inlined into generated code, so vocab
     * size does not affect codegen. This is the form pipeline GATES use
     * ([[graft.pipelines.CorpusPrep]]); the exploded [[score]] form is the
-    * standalone analytics query. */
-  def asMapRow(lm: DataFrame): DataFrame =
-    lm.agg(
+    * standalone analytics query.
+    *
+    * GUARDED: packing the vocab into one row has a hard ceiling — a
+    * web-scale LM would smuggle a hundreds-of-MB single row into the
+    * broadcast (and through every row-size-limited channel on the way).
+    * The guard counts the vocab (one agg over the vocab-sized frame; the
+    * checkpoint keeps a lazy trainUnigram plan to ONE training pass,
+    * shared with the aggregation below) and refuses above `maxVocab` —
+    * callers with a bigger model use [[score]]'s exploded join, which
+    * distributes the vocab across ordinary rows
+    * ([[graft.pipelines.CorpusPrep]] falls back automatically). */
+  def asMapRow(lm: DataFrame, maxVocab: Long = DefaultMaxMapVocab): DataFrame = {
+    val lmOnce = lm.localCheckpoint()
+    val vocab  = lmOnce.filter(col("token") =!= OovToken).count()
+    require(
+      vocab <= maxVocab,
+      s"asMapRow: vocab size $vocab exceeds maxVocab $maxVocab — a map this large must not " +
+        "ship as one row; score documents with LmScore.score's exploded vocab join instead")
+    lmOnce.agg(
       map_from_entries(
         collect_list( // when() without otherwise → null for the sentinel → skipped
           when(col("token") =!= OovToken, struct(col("token"), col("lp_micro"))))
       ).as("__lm_map"),
       max(when(col("token") === OovToken, col("lp_micro"))).as("__oov_lp"))
+  }
 
   /** Exact total log-prob (micro-units) of a token array against an
     * [[asMapRow]] map column — one broadcast lookup per token, pure

@@ -97,6 +97,12 @@ object CorpusPrep {
       // None = no LM gate. Some(gate) drops out-of-distribution docs and
       // adds a `mean_lp_micro` column to the enriched output.
       lmGate: Option[LmGate] = None,
+      // Largest vocab the LM gate may pack into LmScore.asMapRow's
+      // single-row broadcast map; above it the gate automatically falls
+      // back to the exploded score() join (same result — LmScoreSpec law —
+      // but the vocab ships as ordinary distributed rows instead of one
+      // row-size-ceiling-bound map).
+      lmMapMaxVocab: Long = LmScore.DefaultMaxMapVocab,
       // None = no decontamination. Some(d) drops train docs sharing
       // verbatim k-grams with the eval frame (audit stage "decontam").
       decontam: Option[Decontam] = None
@@ -171,7 +177,7 @@ object CorpusPrep {
         (clean, Some(o))
     }
 
-    val (enriched, oGated) = observed(enrichAndGate(decontamed, textCol, cfg))
+    val (enriched, oGated) = observed(enrichAndGate(decontamed, idCol, textCol, cfg))
 
     val audit = new PrepAudit(
       Seq("input" -> oIn, "exact_dedup" -> oExact, "near_dedup" -> oNear) ++
@@ -304,7 +310,7 @@ object CorpusPrep {
         (clean, Some(o))
     }
 
-    val (enriched, oGated) = observed(enrichAndGate(decontamed, textCol, cfg))
+    val (enriched, oGated) = observed(enrichAndGate(decontamed, idCol, textCol, cfg))
     val storeDelta =
       newSigs.join(deduped.select(idCol.cast("long").as("doc_id")), "doc_id")
 
@@ -484,7 +490,7 @@ object CorpusPrep {
 
   /** Rule gates (+ optional classifier gate) and enrichment — one narrow
     * pass; rules run first so the model scores only plausible text. */
-  private def enrichAndGate(docs: DataFrame, textCol: Column, cfg: Config): DataFrame = {
+  private def enrichAndGate(docs: DataFrame, idCol: Column, textCol: Column, cfg: Config): DataFrame = {
     val gated = docs
       .withColumn("toks", TextOps.tokens(textCol))
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -514,16 +520,41 @@ object CorpusPrep {
     }
     // LM (perplexity-proxy) gate: narrow broadcast-map scoring over the
     // existing token array; integer-exact mean threshold (no division).
+    // The map form has a single-row size ceiling, so vocabs above
+    // cfg.lmMapMaxVocab fall back to the exploded score() join — same
+    // survivors and mean_lp_micro (LmScoreSpec/CorpusPrepSpec laws), the
+    // vocab just ships as distributed rows instead of one map row.
     val lmGated = cfg.lmGate.fold(scored) { g =>
-      scored
-        .crossJoin(broadcast(LmScore.asMapRow(g.lm)))
-        .withColumn(
-          "__lp_sum",
-          LmScore.lpSumMicro(col("toks"), col("__lm_map"), col("__oov_lp")))
+      // Counted here AND aggregated below: checkpoint bounds a lazy
+      // trainUnigram plan to one training pass (asMapRow/score re-
+      // checkpoint a checkpoint, which is vocab-sized and free-ish).
+      val lmOnce = g.lm.localCheckpoint()
+      val vocab  = lmOnce.filter(col("token") =!= LmScore.OovToken).count()
+      val withSum =
+        if (vocab <= cfg.lmMapMaxVocab)
+          scored
+            .crossJoin(broadcast(LmScore.asMapRow(lmOnce, cfg.lmMapMaxVocab)))
+            .withColumn(
+              "__lp_sum",
+              LmScore.lpSumMicro(col("toks"), col("__lm_map"), col("__oov_lp")))
+            .drop("__lm_map", "__oov_lp")
+        else {
+          // Dual consumption (score input + join left side): checkpoint so
+          // the upstream dedup/gate subtree executes once, per the
+          // pipeline-wide rule.
+          val base = scored.localCheckpoint()
+          base.join(
+            LmScore
+              .score(base, idCol, textCol, lmOnce)
+              .select(col("doc_id").as("__lm_id"), col("lp_sum").as("__lp_sum")),
+            idCol === col("__lm_id"))
+            .drop("__lm_id")
+        }
+      withSum
         .filter(col("__lp_sum") >= lit(g.minMeanLpMicro) * col("n_tok"))
         // greatest guards ANSI div-by-zero when minTokens is configured 0
         .withColumn("mean_lp_micro", (col("__lp_sum") / greatest(col("n_tok"), lit(1L))).cast("long"))
-        .drop("__lm_map", "__oov_lp", "__lp_sum")
+        .drop("__lp_sum")
     }
     lmGated.drop("toks")
   }

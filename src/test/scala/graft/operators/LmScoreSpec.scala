@@ -88,6 +88,29 @@ class LmScoreSpec extends AnyFunSuite {
     assert(scored.count() === 1)
   }
 
+  test("asMapRow fold ≡ exploded score() on every doc; guard refuses an oversized vocab") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm   = LmScore.trainUnigram(docs.filter(col("doc_id") % 2 === 0), col("text"))
+    // Probe includes OOV-heavy and empty docs so both forms exercise the
+    // fallback mass and the no-evidence case.
+    val probe = docs.select("doc_id", "text")
+      .unionByName(Seq((9001L, "qqxzzyqit zzz unseen"), (9002L, "")).toDF("doc_id", "text"))
+    val viaMap = probe
+      .crossJoin(broadcast(LmScore.asMapRow(lm)))
+      .select(
+        col("doc_id"),
+        LmScore.lpSumMicro(
+          graft.functions.TextOps.tokens(col("text")), col("__lm_map"), col("__oov_lp")).as("lp"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaScore = LmScore.score(probe, col("doc_id"), col("text"), lm)
+      .select("doc_id", "lp_sum").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaMap === viaScore, "single-row map fold diverged from the exploded join")
+
+    // The guard: this corpus's vocab is far above a maxVocab of 8.
+    val e = intercept[IllegalArgumentException](LmScore.asMapRow(lm, maxVocab = 8))
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
+
   test("score is independent of input partitioning and of LM row order") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val lm   = LmScore.trainUnigram(docs.filter(col("doc_id") % 2 === 0), col("text"))
