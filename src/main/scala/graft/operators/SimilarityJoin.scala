@@ -386,26 +386,52 @@ object SimilarityJoin {
   }
 
   /** D9 scale path: approximate threshold self-join — random-hyperplane
-    * LSH buckets generate candidates (vectors in the same bucket agree on
-    * all `nbits` projections), exact cosine verifies. Work is Σ bucket²;
-    * recall rises as nbits falls (or union several hash tables, as with
-    * [[graft.operators.Dedup.simHashPairsRotated]]). Measured against the
-    * exact join in SimilaritySpec. */
+    * LSH buckets generate candidates (vectors in the same table's bucket
+    * agree on all of its `nbits` projections), exact cosine verifies, so
+    * PRECISION is exact and only recall is probabilistic.
+    *
+    * `tables` is the standard OR-construction: the union of `tables`
+    * independent hash tables' candidates — per-pair recall
+    * 1-(1-p^nbits)^tables for bit-agreement probability p = 1-θ/π. One
+    * table of 2 bits recalls ~36% of cos-0.3 pairs; four tables recall
+    * ~84% (floors in SimilaritySpec). Implemented exactly like
+    * [[lshTopK]]: ONE wide `tables·nbits`-bit bucket per row, bit-sliced
+    * into independent tables (hyperplanes seeded per bit index), so the
+    * hash cost is one native-codegen expression regardless of `tables`.
+    *
+    * Work is `tables · Σ bucket²` pair candidates plus one
+    * (id_a, id_b) dedup before verification (a pair can collide in
+    * several tables; verifying it once keeps the exact-cosine cost
+    * per-pair, not per-collision). Recall rises with `tables`, falls
+    * with `nbits`; cost moves the other way. Measured against the exact
+    * join in SimilaritySpec (pair containment, cluster refinement,
+    * recall floors). */
   def lshSelfJoinThreshold(
       emb: DataFrame,
       idCol: Column,
       vecCol: Column,
       dim: Int,
       threshold: Double,
-      nbits: Int = 8
+      nbits: Int = 8,
+      tables: Int = 1
   ): DataFrame = {
-    val side = emb.select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
-    val bucketed = side
-      .select(col("id"), col("v"))
-      .withColumn("bkt", cosineLshBucket(col("v"), dim, nbits))
-    val l = bucketed.select(col("bkt").as("bkt_l"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("bkt").as("bkt_r"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, col("bkt_l") === col("bkt_r") && col("id_a") < col("id_b"))
+    require(tables >= 1 && nbits >= 1, "tables and nbits must be >= 1")
+    require(tables * nbits <= 64, "tables * nbits must fit in one long")
+    val mask = (1L << nbits) - 1
+    // Same high-end slicing as lshTopK: table t's hyperplanes are
+    // independent of the total table count, so adding tables only ADDS
+    // candidates (recall monotone in `tables`).
+    def slices(wide: Column): Column =
+      array((0 until tables).map(t =>
+        shiftright(wide, (tables - 1 - t) * nbits).bitwiseAND(lit(mask))): _*)
+    val side = emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(slices(cosineLshBucket(col("v"), dim, tables * nbits))).as(Seq("t", "key")))
+    val l = side.select(col("t").as("t_l"), col("key").as("key_l"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = side.select(col("t").as("t_r"), col("key").as("key_r"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, col("t_l") === col("t_r") && col("key_l") === col("key_r") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // verify each pair once, not per colliding table
       .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))

@@ -160,6 +160,49 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D0 with EVERY production gate on — the complete pipeline a real
+    // pretraining deployment ships: exact dedup → near-dup clusters →
+    // eval-set decontamination (d2_ngram_decontam convention: eval slice
+    // doc_id%10==0, k=3 for the fixture's short docs) → rule gates →
+    // classifier gate (d5_quality_score weights) → unigram-LM gate
+    // (d5_lm_score reference slice, threshold just above the OOV floor).
+    // d0_corpus_prep tracks the dedup backbone; THIS row tracks the cost
+    // and interaction of the full gate stack round over round — each gate
+    // is proven standalone (oracle-green d2/d5 rows), the composition law
+    // (full ≡ ∩ of single-gate runs) is in CorpusPrepSpec. xxhash near-dup
+    // stage → rows-only.
+    "d0_corpus_prep_full" -> ((s, sf) => {
+      val d    = Tables.documents(s, sf)
+      val evalSlice = d.filter(col("doc_id") % 10 === 0)
+      val lm = LmScore
+        .trainUnigram(d.filter(col("doc_id") % 4 =!= 3), col("text"))
+        .localCheckpoint() // one LM artifact; the gate re-checkpoints free
+      // Driver-side single-row read (threshold config, not data): gate at
+      // one micro-unit above the OOV floor — drops pure-OOV gibberish,
+      // keeps anything sharing the corpus vocabulary (spec convention).
+      val oovLp = lm
+        .filter(col("token") === LmScore.OovToken)
+        .select("lp_micro").collect().head.getLong(0)
+      val (out, _) = graft.pipelines.CorpusPrep.prepare(
+        d.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"),
+        col("text"),
+        graft.pipelines.CorpusPrep.Config(
+          minhash = corpusPrepParams,
+          minTokens = 5,
+          maxStopwordRatio = 0.95,
+          classifier = Some(graft.pipelines.CorpusPrep.QualityModel(
+            Array(1.2, -1.5, 0.8, 2.0), bias = -2.0, keepAbove = 0.5)),
+          lmGate = Some(graft.pipelines.CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)),
+          decontam = Some(graft.pipelines.CorpusPrep.Decontam(
+            evalSlice, col("doc_id"), col("text"), shingleSize = 3))))
+      out
+        .select(
+          col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"),
+          round(col("quality"), 6).as("quality"), col("mean_lp_micro"))
+        .orderBy("doc_id")
+    }),
+
     // D0 incremental: the SERVING shape of corpus prep — a new shard
     // (doc_id % 4 == 3) deduped against the PRE-MATERIALIZED signature
     // store of the rest of the corpus (built once per session, like the
@@ -698,6 +741,31 @@ object LlmQueries {
         .selfJoinThreshold(
           Tables.embeddings(s, sf), col("vec_id"), col("embedding"), col("label"),
           threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .connectedComponents(pairs)
+        .select(col("node").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // D9 scale path (SemDeDup at 100 TB): the same pairs → connected
+    // components → min-id cluster map as d9_semantic_clusters, but with
+    // candidate generation swapped from the exact label-blocked join
+    // (Σ block², degenerate when labels are coarse) to random-hyperplane
+    // LSH buckets (Σ bucket², tunable via nbits, label-free) — the
+    // composition a label-less web corpus runs. Pairs are still
+    // exact-cosine VERIFIED, so precision is exact; only recall is
+    // probabilistic (approximate candidate set → rows-only; the
+    // LSH-clusters-refine-exact-clusters containment law and the recall
+    // floor are in SimilaritySpec). 4 tables × 2 bits matches the
+    // fixture's cos≈0.3-neighbor geometry (~84% pair recall; see
+    // d4_topk_lsh's calibration note — near-dup corpora at cos ≥ 0.9
+    // sustain far more bits per table).
+    "d9_semantic_clusters_lsh" -> ((s, sf) => {
+      val pairs = SimilarityJoin
+        .lshSelfJoinThreshold(
+          Tables.embeddings(s, sf), col("vec_id"), col("embedding"),
+          dim = 64, threshold = 0.3, nbits = 2, tables = 4)
         .select(col("id_a"), col("id_b"))
       Dedup
         .connectedComponents(pairs)

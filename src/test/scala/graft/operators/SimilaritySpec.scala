@@ -343,6 +343,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaLsh.nonEmpty, "nbits=2 should recall some pairs")
   }
 
+  test("LSH semantic clusters refine exact clusters: containment, survivor superset, recall floor") {
+    // The d9_semantic_clusters_lsh composition: LSH pairs ⊆ exact pairs
+    // (exact-cosine verification), so connected components over the LSH
+    // graph REFINE the exact components — every LSH cluster lives inside
+    // one exact cluster, and every LSH loser (node ≠ cluster min) is an
+    // exact loser too. Recall of the pair generator is the probabilistic
+    // part; floor measured on the fixture at nbits=2.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val threshold = 0.3
+    def clustersOf(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs)
+        .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val exactPairs = SimilarityJoin
+      .selfJoinThreshold(emb, col("vec_id"), col("embedding"), lit(0), threshold)
+      .select("id_a", "id_b")
+    val lshPairs = SimilarityJoin
+      .lshSelfJoinThreshold(
+        emb, col("vec_id"), col("embedding"), dim = 64, threshold, nbits = 2, tables = 4)
+      .select("id_a", "id_b")
+    val (exactSet, lshSet) = (
+      exactPairs.as[(Long, Long)].collect().toSet,
+      lshPairs.as[(Long, Long)].collect().toSet)
+    assert(exactSet.nonEmpty, "fixture produced no exact pairs at 0.3 — law vacuous")
+    assert(lshSet.subsetOf(exactSet), "LSH emitted a pair the exact join rejects")
+    // Pair recall floor at the registered query's 4×2-bit params
+    // (theory 1-(1-0.597²)⁴ ≈ 0.83 for cos-0.3 pairs; floor leaves room
+    // for fixture regeneration, not collapse).
+    assert(lshSet.size >= exactSet.size / 2, s"LSH pair recall collapsed: ${lshSet.size}/${exactSet.size}")
+    // The OR-construction genuinely lifts recall over one table.
+    val oneTable = SimilarityJoin
+      .lshSelfJoinThreshold(emb, col("vec_id"), col("embedding"), dim = 64, threshold, nbits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oneTable.subsetOf(exactSet))
+    assert(lshSet.size > oneTable.size, "4 tables recalled no more pairs than 1")
+
+    val exactC = clustersOf(exactPairs)
+    val lshC   = clustersOf(lshPairs)
+    // Containment: all members of an LSH cluster share one exact cluster.
+    lshC.groupBy(_._2).foreach { case (c, members) =>
+      val exactIds = members.keys.map(exactC).toSet
+      assert(exactIds.size === 1, s"LSH cluster $c spans exact clusters $exactIds")
+    }
+    // Survivor policy transfers: every LSH loser is an exact loser, so the
+    // LSH pass never deletes a doc the exact pass would keep.
+    val lshLosers   = lshC.collect { case (n, c) if n != c => n }.toSet
+    val exactLosers = exactC.collect { case (n, c) if n != c => n }.toSet
+    assert(lshLosers.subsetOf(exactLosers))
+  }
+
   test("int8 quantization: bounded error, cosine preserved, top-k recall holds") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))

@@ -485,6 +485,17 @@ class CorpusPrepSpec extends AnyFunSuite {
     // mean_lp_micro column present with the gate, absent without.
     assert(out.columns.contains("mean_lp_micro"))
     assert(!ruleOnly.columns.contains("mean_lp_micro"))
+
+    // Vocab-guard fallback: forcing the map ceiling below this vocab sends
+    // the gate down the exploded score() join — survivors, schema, and the
+    // mean_lp_micro values must be IDENTICAL (only the plan differs).
+    val (outBig, _) = CorpusPrep.prepare(
+      probe, col("doc_id"), col("text"), gateCfg.copy(lmMapMaxVocab = 1L))
+    assert(outBig.columns.toSeq === out.columns.toSeq)
+    assert(
+      outBig.select("doc_id", "mean_lp_micro").as[(Long, Long)].collect().sorted.toSeq ===
+        out.select("doc_id", "mean_lp_micro").as[(Long, Long)].collect().sorted.toSeq,
+      "exploded-join fallback diverged from the map-row gate")
   }
 
   test("decontam stage drops survivors sharing verbatim k-grams with the eval set") {
@@ -510,6 +521,49 @@ class CorpusPrepSpec extends AnyFunSuite {
     val (plain, auditPlain) = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
     assert(plain.select("doc_id").as[Long].collect().sorted === Array(1L, 4L))
     assert(!auditPlain.counts.contains("decontam"))
+  }
+
+  test("full gate stack ≡ intersection of its single-gate runs (composition law)") {
+    // Every optional stage (decontam, classifier, LM) is an independent
+    // per-doc filter layered on the same dedup backbone, so the all-gates
+    // pipeline must keep EXACTLY the docs every single-gate run keeps —
+    // the law d0_corpus_prep_full leans on: the composition adds no
+    // interaction beyond set intersection.
+    import graft.operators.LmScore
+    val refDocs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val lm = LmScore.trainUnigram(refDocs, col("text")).localCheckpoint()
+    val oovLp = lm.filter(col("token") === LmScore.OovToken)
+      .select("lp_micro").as[Long].collect().head
+    val probe = corpus.unionByName(Seq(
+      (700L, Seq.fill(12)("qqxzzyqit").mkString(" ")) // OOV soup → LM gate
+    ).toDF("doc_id", "text"))
+    val eval_ = Seq( // verbatim copy of doc 4 → decontam drops it
+      (100L, "completely different document about distributed query engines and shuffles today"))
+      .toDF("doc_id", "text")
+    val base = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.9)
+    val decontamOn   = Some(CorpusPrep.Decontam(eval_, col("doc_id"), col("text"), shingleSize = 3))
+    val classifierOn = Some(CorpusPrep.QualityModel(Array(1.2, -1.5, 0.8, 2.0), -2.0, keepAbove = 0.4))
+    val lmOn         = Some(CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1))
+    def ids(c: CorpusPrep.Config): Set[Long] =
+      CorpusPrep.prepare(probe, col("doc_id"), col("text"), c)._1
+        .select("doc_id").as[Long].collect().toSet
+
+    val full = ids(base.copy(decontam = decontamOn, classifier = classifierOn, lmGate = lmOn))
+    val (dOnly, cOnly, lOnly) = (
+      ids(base.copy(decontam = decontamOn)),
+      ids(base.copy(classifier = classifierOn)),
+      ids(base.copy(lmGate = lmOn)))
+    assert(full === (dOnly intersect cOnly intersect lOnly),
+      s"full=$full d=$dOnly c=$cOnly l=$lOnly")
+    assert(full.subsetOf(ids(base)))
+    // The composition is non-trivial on this fixture: each gate bites.
+    assert(!dOnly.contains(4L), "decontam gate inert")
+    assert(!lOnly.contains(700L), "LM gate inert")
+    assert(full.nonEmpty, "all docs gated — law vacuous")
   }
 
   test("pipeline is idempotent on its own output") {
