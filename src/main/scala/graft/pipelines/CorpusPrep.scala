@@ -411,6 +411,42 @@ object CorpusPrep {
       compactStore(spark, storePath)
   }
 
+  /** Freeze an EPOCH of the stream into training shards: read every
+    * micro-batch directory [[streamingPrepare]] accumulated under
+    * `outPath` (`batch=N`, one per processed micro-batch), apply
+    * [[graft.operators.Mixture.globalShuffle]]'s deterministic
+    * permutation, and write `numShards` training shards to `shardPath`
+    * via [[graft.sources.Sinks.writeTrainingShards]] — the close-out step
+    * that connects the continuous-prep half to the training-data sink:
+    * documents arrive and dedup/gate incrementally for as long as the
+    * stream runs, then one batch job freezes what accumulated into the
+    * shard layout a trainer consumes.
+    *
+    * Epoch ≡ batch: the shuffle key is pure modular arithmetic on the doc
+    * id, so the shard files equal the ones the one-shot batch pipeline
+    * ([[prepare]] → writeTrainingShards) would produce on the same
+    * surviving documents — micro-batch boundaries leave no trace
+    * (IntegrationSpec law). Stop (or quiesce) the stream first: the read
+    * lists `batch=*` once at job start, so a concurrently-committing
+    * micro-batch is either wholly in or wholly out, but a batch id
+    * REPLAYED after the close-out would not be re-read.
+    *
+    * Cost shape: one scan of the accumulated survivors + the one
+    * deliberately-paid full shuffle every training run needs anyway
+    * (per-shard window sorts, never a global single-partition sort). The
+    * micro-batch partition column is dropped — shard files carry exactly
+    * what the batch pipeline's would. */
+  def closeOutEpoch(
+      spark: org.apache.spark.sql.SparkSession,
+      outPath: String,
+      idCol: Column,
+      shardPath: String,
+      numShards: Int,
+      seed: Long): Unit =
+    graft.sources.Sinks.writeTrainingShards(
+      spark.read.parquet(outPath).drop("batch"),
+      idCol, shardPath, numShards, seed)
+
   /** Fold the store's delta log: every delta directory EXCEPT the one with
     * the maximum batch id is unioned and rewritten as a single
     * `delta=<max folded id>` directory; the folded originals are removed.

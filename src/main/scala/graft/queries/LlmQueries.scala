@@ -715,6 +715,22 @@ object LlmQueries {
         )
         .orderBy("doc_id")),
 
+    // D8 ∩ D1: exact dedup by PAYLOAD BYTES — the standard "dedupe media
+    // by content hash" pass (identical images under different doc ids),
+    // run on the multimodal surface: hash the binary column, keep the
+    // lowest doc id per digest. Same keyed-shuffle shape as
+    // d1_exact_dedup; the fixture's payload is the UTF-8 text bytes, so
+    // DuckDB's sha256 over the same bytes is the oracle.
+    "d8_payload_dedup" -> ((s, sf) =>
+      Dedup
+        .exact(Multimodal.attachPayload(Tables.documents(s, sf)), col("payload"), col("doc_id"))
+        .select(
+          col("doc_id"),
+          col("meta.mime").as("mime"),
+          length(col("payload")).cast("long").as("byte_len"),
+          col("content_hash").as("payload_sha"))
+        .orderBy("doc_id")),
+
     // D9: embedding-cosine near-dup self-join — exact within label blocks
     // on a doc_id%10 slice (the LSH candidate path is ScalaTest-verified).
     "d9_simjoin_threshold" -> ((s, sf) =>
@@ -1112,6 +1128,15 @@ object LlmQueries {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          sha256(text) AS content_sha
          FROM documents WHERE n_chars > 200 ORDER BY doc_id""",
+    "d8_payload_dedup" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha
+         FROM (
+           SELECT doc_id, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

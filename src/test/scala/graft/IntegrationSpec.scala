@@ -129,6 +129,64 @@ class IntegrationSpec extends AnyFunSuite {
     assert(docs() === Seq("d1", "d2", "d3", "d4", "d6"), "resume re-read or missed records")
   }
 
+  test("streaming epoch close-out: stream N batches → shards ≡ the batch pipeline's shards") {
+    // The continuous half (streamingPrepare's incremental dedup/gate per
+    // micro-batch) and the sink half (globalShuffle → writeTrainingShards)
+    // are each proven; this pins the CONNECTING step: freezing an epoch of
+    // accumulated micro-batch output must produce byte-for-byte the shard
+    // rows the one-shot batch pipeline writes on the same data — the
+    // micro-batch boundaries leave no trace in the training set.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipelines.CorpusPrep
+    import graft.sources.Sinks
+    implicit val sqlCtx = spark.sqlContext
+
+    val longA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val mk = (n: Int) => (1 to 20).map(i => s"b${n}tok$i").mkString(" ")
+    // 3 micro-batches; batch 1 carries an exact dup of batch 0's doc and
+    // batch 2 a within-batch dup, so the dedup genuinely acts mid-stream.
+    val batches = Seq(
+      Seq((1L, longA), (2L, mk(0))),
+      Seq((11L, mk(1)), (12L, longA)),
+      Seq((21L, mk(2)), (22L, mk(2)), (23L, mk(3))))
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5),
+      minTokens = 3,
+      maxStopwordRatio = 0.95)
+
+    val base = Files.createTempDirectory("graft_epoch").toString
+    val mem  = MemoryStream[(Long, String)]
+    val q = CorpusPrep
+      .streamingPrepare(
+        mem.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), s"$base/store", s"$base/out", s"$base/ckpt", cfg)
+      .start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    CorpusPrep.closeOutEpoch(
+      spark, s"$base/out", col("doc_id"), s"$base/shards_stream", numShards = 4, seed = 13)
+    val (batchPrepared, _) = CorpusPrep.prepare(
+      batches.flatten.toDF("doc_id", "text"), col("doc_id"), col("text"), cfg)
+    Sinks.writeTrainingShards(
+      batchPrepared, col("doc_id"), s"$base/shards_batch", numShards = 4, seed = 13)
+
+    val streamed = spark.read.parquet(s"$base/shards_stream")
+    val batch    = spark.read.parquet(s"$base/shards_batch")
+    assert(streamed.columns.sorted.toSeq === batch.columns.sorted.toSeq,
+      "epoch shards carry different columns than batch shards")
+    val cols = batch.columns.sorted.toIndexedSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(streamed) === rows(batch),
+      "epoch close-out shards diverge from the batch pipeline's")
+    // And the epoch genuinely deduped across micro-batches: 12 and 22 gone.
+    val ids = streamed.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 11L, 21L, 23L), ids.toString)
+  }
+
   test("corpus → training shards: the full D-pipeline end to end") {
     // Every corpus-prep stage in one run, the way a production pipeline
     // composes them: dedup (exact + near) → eval decontamination → rule +
