@@ -405,7 +405,20 @@ object SimilarityJoin {
     * per-pair, not per-collision). Recall rises with `tables`, falls
     * with `nbits`; cost moves the other way. Measured against the exact
     * join in SimilaritySpec (pair containment, cluster refinement,
-    * recall floors). */
+    * recall floors).
+    *
+    * `maxBucketSize` (0 = uncapped) is the quadratic-blowup guard, the
+    * embedding twin of [[graft.operators.Dedup.MinHashParams]]'
+    * bucket cap: a (table, key) bucket larger than the cap contributes NO
+    * candidates — an oversized bucket means the hash is not
+    * discriminating there, and paying Σ bucket² on it is the exact
+    * failure mode that turns LSH into an all-pairs join on data the
+    * hyperplanes cannot split (near-isotropic regions, degenerate spam
+    * clusters). With the cap, worst-case candidate count is bounded by
+    * `tables · n · cap` — LINEAR in the corpus — at the price of recall
+    * inside dropped buckets (other tables may still catch those pairs).
+    * Set it in production; leave 0 only for corpora whose geometry is
+    * known to bucket (SimilaritySpec pins both behaviors). */
   def lshSelfJoinThreshold(
       emb: DataFrame,
       idCol: Column,
@@ -413,7 +426,8 @@ object SimilarityJoin {
       dim: Int,
       threshold: Double,
       nbits: Int = 8,
-      tables: Int = 1
+      tables: Int = 1,
+      maxBucketSize: Int = 0
   ): DataFrame = {
     require(tables >= 1 && nbits >= 1, "tables and nbits must be >= 1")
     require(tables * nbits <= 64, "tables * nbits must fit in one long")
@@ -424,10 +438,19 @@ object SimilarityJoin {
     def slices(wide: Column): Column =
       array((0 until tables).map(t =>
         shiftright(wide, (tables - 1 - t) * nbits).bitwiseAND(lit(mask))): _*)
-    val side = emb
+    val bucketed = emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
       .select(col("id"), col("v"),
         posexplode(slices(cosineLshBucket(col("v"), dim, tables * nbits))).as(Seq("t", "key")))
+    val side =
+      if (maxBucketSize <= 0) bucketed
+      else { // one count per (t, key) partition — same shuffle the join pays
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("key"))
+        bucketed
+          .withColumn("__bucket_n", count(lit(1)).over(wc))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+      }
     val l = side.select(col("t").as("t_l"), col("key").as("key_l"), col("id").as("id_a"), col("v").as("v_a"))
     val r = side.select(col("t").as("t_r"), col("key").as("key_r"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, col("t_l") === col("t_r") && col("key_l") === col("key_r") && col("id_a") < col("id_b"))

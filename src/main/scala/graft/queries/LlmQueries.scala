@@ -775,12 +775,22 @@ object LlmQueries {
     // LSH-clusters-refine-exact-clusters containment law and the recall
     // floor are in SimilaritySpec). 4 tables × 2 bits matches the
     // fixture's cos≈0.3-neighbor geometry (~84% pair recall; see
-    // d4_topk_lsh's calibration note — near-dup corpora at cos ≥ 0.9
-    // sustain far more bits per table).
+    // d4_topk_lsh's calibration note). CALIBRATION CAVEAT, same slice
+    // convention as d9_simjoin_threshold (vec_id%10==0): the synthetic
+    // fixture is near-isotropic at threshold 0.3, the one regime
+    // hyperplanes cannot split — 2-bit buckets hold n/4 rows each, so the
+    // candidate join IS quadratic here and the query runs on a slice to
+    // keep the bench line measuring the operator, not an all-pairs scan.
+    // A production SemDeDup pass targets cos ≥ 0.8-0.9 (p_bit ≥ 0.85),
+    // where 6-8 bits/table genuinely bucket — and the operator's
+    // maxBucketSize cap bounds worst-case candidates LINEARLY (tables ·
+    // n · cap) when geometry disappoints anyway (capped-run law in
+    // SimilaritySpec).
     "d9_semantic_clusters_lsh" -> ((s, sf) => {
       val pairs = SimilarityJoin
         .lshSelfJoinThreshold(
-          Tables.embeddings(s, sf), col("vec_id"), col("embedding"),
+          Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
+          col("vec_id"), col("embedding"),
           dim = 64, threshold = 0.3, nbits = 2, tables = 4)
         .select(col("id_a"), col("id_b"))
       Dedup

@@ -72,7 +72,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d2: no dedup query plans an all-pairs join (BNLJ/cartesian)") {
-    Seq("d2_ngram_jaccard", "d2_neardup_minhash", "d2_simhash").foreach { name =>
+    Seq("d2_ngram_jaccard", "d2_neardup_minhash", "d2_simhash",
+        "d9_semantic_clusters_lsh", "d8_payload_dedup").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name degraded to an all-pairs join:\n${p.take(2000)}")

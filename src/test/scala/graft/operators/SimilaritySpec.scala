@@ -392,6 +392,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshLosers.subsetOf(exactLosers))
   }
 
+  test("lshSelfJoinThreshold bucket cap: no-op above all buckets, refuses the quadratic regime") {
+    // The near-isotropic fixture at 2 bits puts ~n/4 rows in EVERY bucket
+    // — precisely the geometry where uncapped LSH degenerates into an
+    // all-pairs join. The cap's contract: a cap above every bucket
+    // changes nothing; a production-sized cap under the degenerate bucket
+    // sizes contributes zero candidates (bounded work, loudly-empty
+    // result) instead of paying Σ bucket².
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def pairs(cap: Int): Set[(Long, Long)] = SimilarityJoin
+      .lshSelfJoinThreshold(
+        emb, col("vec_id"), col("embedding"), dim = 64, threshold = 0.3,
+        nbits = 2, tables = 4, maxBucketSize = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    assert(uncapped.nonEmpty)
+    assert(pairs(100000) === uncapped, "a cap above every bucket must be a no-op")
+    // 500 vectors / 4 buckets ≈ 125 per bucket: a cap of 64 (the text-LSH
+    // default) drops every degenerate bucket.
+    assert(pairs(64) === Set.empty, "capped run paid the quadratic bucket anyway")
+  }
+
   test("int8 quantization: bounded error, cosine preserved, top-k recall holds") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
