@@ -187,6 +187,48 @@ object Mixture {
       .drop("__k")
   }
 
+  /** Curriculum ordering: bucket documents by a [0, 1] quality score and
+    * assign a deterministic pseudo-random position WITHIN each bucket —
+    * the data-side half of quality-curriculum training (feed high-quality
+    * buckets first, or last, or anneal across them: the consumption order
+    * is the trainer's choice; this op gives it a reproducible
+    * (q_bucket, pos) coordinate per doc, shuffled within buckets so a
+    * bucket is not consumed in corpus order).
+    *
+    * Bucket = ⌊quality·buckets⌋ clamped to [0, buckets-1] — fixed
+    * thresholds, NOT quantiles: quantile buckets need a global sort or a
+    * percentile pass over the corpus, while fixed thresholds are a narrow
+    * map and mean the same score lands in the same bucket across shards,
+    * epochs, and engines. Callers wanting calibrated buckets rescale the
+    * score upstream (the classifier is a config artifact anyway).
+    *
+    * 100 TB design: same shape as [[globalShuffle]] — narrow bucket/key
+    * projection, then ONE window partitioned by bucket (buckets are few
+    * but each window sorts only its bucket's keys and spills
+    * independently; for bucket-count ≪ cores fan out further by
+    * compounding the key's high bits, as [[shuffleBucket]] does). Pure
+    * modular arithmetic + IEEE ops on an already-rounded score, so the
+    * oracle replays it row for row. */
+  def curriculumOrder(
+      docs: DataFrame,
+      idCol: Column,
+      qualityCol: Column, // [0, 1]; pre-round (e.g. round(.,6)) for cross-engine bucket stability
+      buckets: Int,
+      seed: Long
+  ): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(seed >= 0 && seed < (1L << 31), "seed must be in [0, 2^31)")
+    val key = shuffleKey(idCol.cast("long") + lit(seed))
+    val w   = Window.partitionBy(col("q_bucket")).orderBy(col("__k"), idCol)
+    docs
+      .withColumn(
+        "q_bucket",
+        greatest(least(floor(qualityCol * buckets).cast("long"), lit(buckets - 1L)), lit(0L)))
+      .withColumn("__k", key)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
   /** Temperature-flattened mixture weights — the standard multilingual /
     * multi-source rebalancing rule (exponential smoothing, as in
     * mBERT/XLM-R-style sampling): slice budgets ∝ (n_slice/N)^(1/T).

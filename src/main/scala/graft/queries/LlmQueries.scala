@@ -799,6 +799,28 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // D9 scale path #2 (the SemDeDup paper's actual algorithm): k-means
+    // blocks instead of LSH buckets — assign every vector to its nearest
+    // MATERIALIZED IVF centroid (one broadcast join, the d4 index's
+    // offline artifact reused as the dedup blocker) and dedup within
+    // clusters. Work is Σ cluster², steered by nlist at build time, and
+    // candidate quality follows the learned geometry instead of random
+    // hyperplanes. Same slice + rows-only conventions as the LSH variant;
+    // refinement containment law in SimilaritySpec.
+    "d9_semantic_clusters_kmeans" -> ((s, sf) => {
+      val centroids = s.read.parquet(s"${ivfIndexFor(s, sf)}/_centroids")
+      val assigned = SimilarityJoin.ivfAssign(
+        Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
+        col("vec_id"), col("embedding"), centroids)
+      val pairs = SimilarityJoin
+        .selfJoinThreshold(assigned, col("id"), col("v"), col("cid"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup
+        .connectedComponents(pairs)
+        .select(col("node").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // D2 (exact decontamination): GPT-3/PaLM-style verbatim k-gram hit
     // count against the eval slice — the strict complement of
     // d2_contamination's Jaccard overlap. Eval shingle universe is
@@ -864,6 +886,34 @@ object LlmQueries {
         .packSequences(chunks, col("row_id"), col("slice"), col("chunk_toks"), 256L)
         .select(col("doc_id"), col("chunk_id"), col("slice"), col("pack_id"), col("chunk_toks"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // D7 (curriculum): quality-bucketed curriculum coordinates — the
+    // composition a quality-curriculum trainer consumes: the d5 classifier
+    // scores every doc (round(.,6) BEFORE bucketing so both engines
+    // bucket the same double), fixed-threshold buckets, deterministic
+    // within-bucket shuffle. Fully oracle-checkable: the score is the
+    // proven d5_quality_score arithmetic and the order key is the same
+    // plain modular arithmetic as d7_global_shuffle.
+    "d7_curriculum" -> ((s, sf) => {
+      import s.implicits._
+      val t       = toks(col("text"))
+      val weights = Seq((Array(1.2, -1.5, 0.8, 2.0), -2.0)).toDF("w", "bias")
+      val scored = Tables
+        .documents(s, sf)
+        .withColumn("f", array(
+          least(size(t).cast("double") / 100.0, lit(1.0)),
+          TextOps.stopwordRatio(t),
+          TextOps.meanTokenLength(t) / 10.0,
+          size(array_distinct(t)).cast("double") / nullif(size(t), lit(0)).cast("double")))
+        .crossJoin(broadcast(weights))
+        .select(
+          col("doc_id"),
+          round(TextOps.qualityScore(col("f"), col("w"), col("bias")), 6).as("quality"))
+      Mixture
+        .curriculumOrder(scored, col("doc_id"), col("quality"), buckets = 4, seed = 42)
+        .select(col("doc_id"), col("quality"), col("q_bucket"), col("pos"))
+        .orderBy("q_bucket", "pos")
     }),
 
     // D7 (mixture design): temperature-flattened slice budgets
@@ -1225,6 +1275,29 @@ object LlmQueries {
            array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
            least(CAST(64 AS BIGINT), n - chunk_id * 48) AS chunk_toks
          FROM c ORDER BY doc_id, chunk_id""",
+    "d7_curriculum" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS f1,
+             CAST(len(list_filter(toks, t -> list_contains($stopwordSqlList, t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS f2,
+             CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) / 10.0 AS f3,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS f4
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)),
+         sc AS (
+           SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(-2.0 + 1.2 * f1 - 1.5 * f2 + 0.8 * f3 + 2.0 * f4))), 6) AS quality
+           FROM f),
+         b AS (
+           SELECT doc_id, quality,
+             greatest(least(CAST(floor(quality * 4) AS BIGINT), 3), 0) AS q_bucket,
+             ((doc_id + 42) % 1000000007) * 2654435761 % 4294967296 AS key
+           FROM sc)
+         SELECT doc_id, quality, q_bucket,
+           CAST(row_number() OVER (PARTITION BY q_bucket ORDER BY key, doc_id) AS BIGINT) AS pos
+         FROM b ORDER BY q_bucket, pos""",
     "d7_global_shuffle" ->
       """WITH k AS (
            SELECT doc_id, ((doc_id + 42) % 1000000007) * 2654435761 % 4294967296 AS key

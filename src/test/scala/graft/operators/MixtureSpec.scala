@@ -235,6 +235,35 @@ class MixtureSpec extends AnyFunSuite {
     assert(sampled.count() > 0)
   }
 
+  test("curriculumOrder: clamped buckets, quality-monotone, dense shuffled positions, reproducible") {
+    val scored = docs.select(
+      col("doc_id"),
+      // spread a deterministic [0,1] score, including both endpoints
+      round(pmod(col("doc_id") * 37, lit(101)).cast("double") / 100.0, 6).as("q"))
+    val out = Mixture.curriculumOrder(scored, col("doc_id"), col("q"), buckets = 4, seed = 7)
+      .select("doc_id", "q", "q_bucket", "pos")
+      .as[(Long, Double, Long, Long)].collect()
+    // Buckets clamped to [0, 3]; q = 1.0 lands in the TOP bucket, not 4.
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 3))
+    assert(out.filter(_._2 === 1.0).forall(_._3 === 3L))
+    assert(out.map(_._3).distinct.length === 4)
+    // Monotone: a higher-quality doc never sits in a lower bucket.
+    val sorted = out.sortBy(_._2)
+    assert(sorted.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    // Dense 1..n positions per bucket, shuffled (not id order).
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq, s"bucket $b positions not dense")
+      val byPos = rows.sortBy(_._4).map(_._1)
+      if (rows.length > 3) assert(byPos.toSeq !== byPos.sorted.toSeq, s"bucket $b not shuffled")
+    }
+    // Partitioning-independent (the reproducibility contract).
+    val again = Mixture
+      .curriculumOrder(scored.repartition(13), col("doc_id"), col("q"), buckets = 4, seed = 7)
+      .select("doc_id", "q", "q_bucket", "pos")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("globalShuffle: reproducible on any partitioning; seed changes the permutation") {
     val a = Mixture.globalShuffle(docs, col("doc_id"), 4, 7)
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq

@@ -392,6 +392,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshLosers.subsetOf(exactLosers))
   }
 
+  test("k-means-blocked semantic clusters refine exact clusters (SemDeDup paper path)") {
+    // d9_semantic_clusters_kmeans' composition: nearest-centroid blocks →
+    // within-block exact-cosine pairs → CC. Blocked pairs are a subset of
+    // the unblocked exact pairs (cosine is verified), so the same
+    // refinement/survivor-transfer laws as the LSH path hold; recall is
+    // whatever fraction of near pairs shares a centroid.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val assigned = SimilarityJoin.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+    val blocked = SimilarityJoin
+      .selfJoinThreshold(assigned, col("id"), col("v"), col("cid"), threshold = 0.3)
+      .select("id_a", "id_b")
+    val exact = SimilarityJoin
+      .selfJoinThreshold(emb, col("vec_id"), col("embedding"), lit(0), threshold = 0.3)
+      .select("id_a", "id_b")
+    val (blockedSet, exactSet) = (
+      blocked.as[(Long, Long)].collect().toSet,
+      exact.as[(Long, Long)].collect().toSet)
+    assert(blockedSet.nonEmpty, "no within-block pairs — blocking degenerate")
+    assert(blockedSet.subsetOf(exactSet), "blocked join emitted a pair the exact join rejects")
+    def clustersOf(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs)
+        .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val exactC = clustersOf(exact)
+    clustersOf(blocked).groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.map(exactC).toSet.size === 1, s"blocked cluster $c spans exact clusters")
+    }
+  }
+
   test("lshSelfJoinThreshold bucket cap: no-op above all buckets, refuses the quadratic regime") {
     // The near-isotropic fixture at 2 bits puts ~n/4 rows in EVERY bucket
     // — precisely the geometry where uncapped LSH degenerates into an
