@@ -364,14 +364,39 @@ object SimilarityJoin {
 
   /** D9: exact similarity self-join within blocks: pairs (a < b) sharing
     * `blockCol` with cosine >= threshold. The block key is the shuffle key,
-    * so work scales with sum(block²), not corpus². */
+    * so work scales with sum(block²), not corpus².
+    *
+    * All-pairs guard: a CONSTANT block column (`lit(0)` — every row in one
+    * block) makes this a corpus² join, fine for a spec fixture and a
+    * silent disaster at 100 TB. When the block expression is a literal and
+    * the input's optimizer-estimated size exceeds `maxUnblockedBytes`
+    * (default 1 GiB; 0 disables), the operator REFUSES at plan time —
+    * the estimate comes from the logical plan's stats, so the check costs
+    * no job — and points callers at the blocked alternatives
+    * ([[lshSelfJoinThreshold]], [[ivfAssign]]-derived blocks). */
   def selfJoinThreshold(
       emb: DataFrame,
       idCol: Column,
       vecCol: Column,
       blockCol: Column,
-      threshold: Double
+      threshold: Double,
+      maxUnblockedBytes: Long = 1L << 30
   ): DataFrame = {
+    // Constant ⇔ the analyzed block expression references no input column
+    // (covers lit(...), expressions of literals, …). Analysis only — no job.
+    val constantBlock = emb.select(blockCol).queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.headOption.exists(_.references.isEmpty)
+      case _ => false
+    }
+    if (constantBlock && maxUnblockedBytes > 0) {
+      val est = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(
+        est <= maxUnblockedBytes,
+        s"selfJoinThreshold: constant block column over an estimated $est-byte input plans an " +
+          "ALL-PAIRS join. Block on a real key, generate candidates with lshSelfJoinThreshold " +
+          "or nearest-centroid (ivfAssign) blocks, or raise maxUnblockedBytes deliberately.")
+    }
     val side = emb.select(
       blockCol.as("blk"),
       idCol.as("id"),

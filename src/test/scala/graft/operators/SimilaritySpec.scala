@@ -227,6 +227,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(new java.io.File(s"$tmp/graft_ivf_${key}_q").isDirectory, "quantized index dir not path-keyed")
   }
 
+  test("selfJoinThreshold refuses a constant block column on a large input (all-pairs guard)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    // Lowered byte threshold stands in for a 100 TB table: the unblocked
+    // (constant-block) form must refuse at plan time, with no job run.
+    val e = intercept[IllegalArgumentException] {
+      SimilarityJoin.selfJoinThreshold(
+        emb, col("vec_id"), col("embedding"), lit(0), threshold = 0.3,
+        maxUnblockedBytes = 1024)
+    }
+    assert(e.getMessage.contains("ALL-PAIRS"), e.getMessage)
+    // A REAL block column sails through the same threshold (the guard is
+    // about degenerate blocking, not input size)...
+    assert(SimilarityJoin.selfJoinThreshold(
+      emb, col("vec_id"), col("embedding"), col("label"), threshold = 0.3,
+      maxUnblockedBytes = 1024).count() >= 0)
+    // ...and a deliberate unblocked run is still available by opting out.
+    assert(SimilarityJoin.selfJoinThreshold(
+      emb.limit(50), col("vec_id"), col("embedding"), lit(0), threshold = 0.3,
+      maxUnblockedBytes = 0).count() >= 0)
+  }
+
   test("selfJoinThreshold emits each qualifying pair once with a < b") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .filter(col("vec_id") < 100)
