@@ -162,10 +162,14 @@ object LlmQueries {
 
     // D0 with EVERY production gate on — the complete pipeline a real
     // pretraining deployment ships: exact dedup → near-dup clusters →
-    // eval-set decontamination (d2_ngram_decontam convention: eval slice
-    // doc_id%10==0, k=3 for the fixture's short docs) → rule gates →
-    // classifier gate (d5_quality_score weights) → unigram-LM gate
-    // (d5_lm_score reference slice, threshold just above the OOV floor).
+    // eval-set decontamination (eval slice doc_id%10==0 as in
+    // d2_ngram_decontam; k=5 — production uses k=13, but this fixture's
+    // docs are ~20-90 tokens of a SHARED vocabulary, so k=3 flags 95% of
+    // sf0.01 and 100% of sf0.1 (an empty corpus), while k=5 flags the
+    // 1-5% with genuine 5-gram overlap — measured across both scales) →
+    // rule gates → classifier gate (d5_quality_score weights) →
+    // unigram-LM gate (d5_lm_score reference slice, threshold just above
+    // the OOV floor).
     // d0_corpus_prep tracks the dedup backbone; THIS row tracks the cost
     // and interaction of the full gate stack round over round — each gate
     // is proven standalone (oracle-green d2/d5 rows), the composition law
@@ -195,7 +199,7 @@ object LlmQueries {
             Array(1.2, -1.5, 0.8, 2.0), bias = -2.0, keepAbove = 0.5)),
           lmGate = Some(graft.pipelines.CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)),
           decontam = Some(graft.pipelines.CorpusPrep.Decontam(
-            evalSlice, col("doc_id"), col("text"), shingleSize = 3))))
+            evalSlice, col("doc_id"), col("text"), shingleSize = 5))))
       out
         .select(
           col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"),
