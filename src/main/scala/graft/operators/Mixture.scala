@@ -202,31 +202,57 @@ object Mixture {
     * epochs, and engines. Callers wanting calibrated buckets rescale the
     * score upstream (the classifier is a config artifact anyway).
     *
-    * 100 TB design: same shape as [[globalShuffle]] — narrow bucket/key
-    * projection, then ONE window partitioned by bucket (buckets are few
-    * but each window sorts only its bucket's keys and spills
-    * independently; for bucket-count ≪ cores fan out further by
-    * compounding the key's high bits, as [[shuffleBucket]] does). Pure
-    * modular arithmetic + IEEE ops on an already-rounded score, so the
-    * oracle replays it row for row. */
+    * 100 TB design: buckets are FEW (unlike [[globalShuffle]]'s shards,
+    * which outnumber cores by contract), so a window partitioned by
+    * bucket alone would sort corpus/buckets rows on ONE task each — the
+    * single-reducer sort this library refuses everywhere else. The rank
+    * is therefore computed HIERARCHICALLY: rows sub-shard on the key's
+    * high bits ([[shuffleBucket]], `subShards` ways), a window per
+    * (bucket, sub-shard) ranks locally, and a dimension-sized
+    * (buckets × subShards rows) running-total offset table lifts local
+    * ranks to bucket-global positions. Because the sub-shard is MONOTONE
+    * in the key — floor(key·S/2³²) never decreases as key grows —
+    * (sub-shard, key, id) order IS (key, id) order, and the composed rank
+    * equals the single-window rank row for row (law in MixtureSpec, any
+    * subShards). Per-task sort shrinks by subShards×; the price is a
+    * second scan of the (narrow) input subtree for the offset counts —
+    * cache or checkpoint upstream if it is expensive. Pure modular
+    * arithmetic + IEEE ops on an already-rounded score, so the oracle
+    * replays it row for row. */
   def curriculumOrder(
       docs: DataFrame,
       idCol: Column,
       qualityCol: Column, // [0, 1]; pre-round (e.g. round(.,6)) for cross-engine bucket stability
       buckets: Int,
-      seed: Long
+      seed: Long,
+      subShards: Int = 256
   ): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(seed >= 0 && seed < (1L << 31), "seed must be in [0, 2^31)")
+    require(subShards > 0 && subShards <= (1 << 20), "subShards must be in [1, 2^20]")
     val key = shuffleKey(idCol.cast("long") + lit(seed))
-    val w   = Window.partitionBy(col("q_bucket")).orderBy(col("__k"), idCol)
-    docs
+    val bucketed = docs
       .withColumn(
         "q_bucket",
         greatest(least(floor(qualityCol * buckets).cast("long"), lit(buckets - 1L)), lit(0L)))
       .withColumn("__k", key)
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__k")
+      .withColumn("__ss", shuffleBucket(col("__k"), subShards))
+    val wLocal = Window.partitionBy(col("q_bucket"), col("__ss")).orderBy(col("__k"), idCol)
+    // Offsets: docs BEFORE my sub-shard within my bucket. Map-side-combined
+    // count to (bucket, subshard) grain, then a running total over the few
+    // subshard rows — all dimension-sized, then broadcast back.
+    val wOff = Window.partitionBy(col("q_bucket")).orderBy(col("__ss"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col("q_bucket"), col("__ss"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("q_bucket").as("__ob"), col("__ss").as("__oss"), col("__off"))
+    bucketed
+      .withColumn("__local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), col("q_bucket") === col("__ob") && col("__ss") === col("__oss"))
+      .withColumn("pos", col("__off") + col("__local"))
+      .drop("__k", "__ss", "__local", "__ob", "__oss", "__off")
   }
 
   /** Temperature-flattened mixture weights — the standard multilingual /

@@ -264,6 +264,24 @@ class MixtureSpec extends AnyFunSuite {
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("curriculumOrder hierarchical rank ≡ single window for any subShards fan-out") {
+    // The scale mechanism under test: sub-sharding on the key's HIGH bits
+    // is monotone in the key, so per-(bucket, subshard) ranks + running
+    // offsets must reproduce the one-window-per-bucket rank exactly —
+    // subShards is a pure parallelism knob with zero semantic surface.
+    val scored = docs.select(
+      col("doc_id"),
+      round(pmod(col("doc_id") * 37, lit(101)).cast("double") / 100.0, 6).as("q"))
+    def run(ss: Int) = Mixture
+      .curriculumOrder(scored, col("doc_id"), col("q"), buckets = 4, seed = 7, subShards = ss)
+      .select("doc_id", "q_bucket", "pos")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val single = run(1) // degenerates to the naive single window per bucket
+    assert(run(7) === single)
+    assert(run(256) === single)
+    assert(run(100000) === single) // more sub-shards than rows: all singletons
+  }
+
   test("globalShuffle: reproducible on any partitioning; seed changes the permutation") {
     val a = Mixture.globalShuffle(docs, col("doc_id"), 4, 7)
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted.toSeq
