@@ -35,6 +35,63 @@ object Mixture {
   def shuffleBucket(key: Column, n: Int): Column =
     shiftright(key * lit(n.toLong), 32)
 
+  /** EXCLUSIVE running total of `valueCol` in (key, id) order within
+    * `partColName` — the primitive under every "prefix in shuffle order"
+    * operator here (running token budgets, pack assignment, shuffle/
+    * curriculum positions = prefix count + 1) — computed HIERARCHICALLY
+    * so no partition value ever becomes a single-reducer sort:
+    *
+    *  1. rows sub-shard on [[shuffleBucket]](key, subShards) — MONOTONE
+    *     in key (floor(key·S/2³²) never decreases as key grows), so
+    *     (sub-shard, key, id) order IS (key, id) order;
+    *  2. one window per (partition, sub-shard) computes the local
+    *     inclusive prefix — per-task sort shrinks subShards-fold;
+    *  3. a dimension-sized offset table (≤ partitions × subShards rows:
+    *     per-group totals + a running total over each partition's few
+    *     sub-shard rows) lifts local prefixes to partition-global ones.
+    *
+    * The composed prefix equals the single-window prefix row for row
+    * (MixtureSpec pins it for every caller at several subShards values,
+    * and the oracle-checked d7 queries hash-match through it). Cost: one
+    * extra scan of the input subtree for the offset counts — cache or
+    * checkpoint upstream when it is expensive.
+    *
+    * `df` must already carry `partColName` and `keyColName` as real
+    * columns (renamed internals stay unambiguous through the self-join). */
+  private def withPrefixBefore(
+      df: DataFrame,
+      partColName: String,
+      keyColName: String,
+      idCol: Column,
+      valueCol: Column,
+      outName: String,
+      subShards: Int
+  ): DataFrame = {
+    require(subShards > 0 && subShards <= (1 << 20), "subShards must be in [1, 2^20]")
+    val base = df.withColumn("__pss", shuffleBucket(col(keyColName), subShards))
+    val wLocal = Window
+      .partitionBy(col(partColName), col("__pss"))
+      .orderBy(col(keyColName), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window
+      .partitionBy(col("__opart"))
+      .orderBy(col("__oss"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col(partColName).as("__opart"), col("__pss").as("__oss"))
+      .agg(sum(valueCol).as("__on"))
+      .withColumn("__ooff", coalesce(sum(col("__on")).over(wOff), lit(0L)))
+      .select(col("__opart"), col("__oss"), col("__ooff"))
+    base
+      .withColumn("__pincl", sum(valueCol).over(wLocal))
+      .join( // null-safe: a null partition/key still rides its own group,
+        //      exactly as the plain window treated it
+        broadcast(offsets),
+        col(partColName) <=> col("__opart") && col("__pss") <=> col("__oss"))
+      .withColumn(outName, col("__ooff") + col("__pincl") - valueCol)
+      .drop("__pss", "__pincl", "__opart", "__oss", "__ooff")
+  }
+
   /** Keep, per value of `sliceCol`, the minimal deterministic prefix of
     * docs (in [[shuffleKey]] order) whose token counts COVER
     * `tokenBudget`: a doc survives iff the running total BEFORE it is
@@ -46,17 +103,14 @@ object Mixture {
       idCol: Column,
       sliceCol: Column,
       tokenCountCol: Column,
-      tokenBudget: Long
-  ): DataFrame = {
-    val w = Window
-      .partitionBy(sliceCol)
-      .orderBy(shuffleKey(idCol), idCol) // idCol tiebreak: total order, engine-independent
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("__cum", sum(tokenCountCol).over(w))
-      .filter(col("__cum") - tokenCountCol < tokenBudget)
-      .drop("__cum")
-  }
+      tokenBudget: Long,
+      subShards: Int = 256
+  ): DataFrame =
+    withPrefixBefore(
+      docs.withColumn("__slc", sliceCol).withColumn("__sk", shuffleKey(idCol)),
+      "__slc", "__sk", idCol, tokenCountCol, "__before", subShards)
+      .filter(col("__before") < tokenBudget)
+      .drop("__slc", "__sk", "__before")
 
   /** Sequential sequence packing — the pretraining-batch construction op:
     * documents are laid out in deterministic [[shuffleKey]] order per
@@ -71,17 +125,14 @@ object Mixture {
       idCol: Column,
       sliceCol: Column,
       tokenCountCol: Column,
-      maxTokensPerPack: Long
-  ): DataFrame = {
-    val w = Window
-      .partitionBy(sliceCol)
-      .orderBy(shuffleKey(idCol), idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("__cum", sum(tokenCountCol).over(w))
-      .withColumn("pack_id", floor((col("__cum") - tokenCountCol) / maxTokensPerPack).cast("long"))
-      .drop("__cum")
-  }
+      maxTokensPerPack: Long,
+      subShards: Int = 256
+  ): DataFrame =
+    withPrefixBefore(
+      docs.withColumn("__slc", sliceCol).withColumn("__sk", shuffleKey(idCol)),
+      "__slc", "__sk", idCol, tokenCountCol, "__before", subShards)
+      .withColumn("pack_id", floor(col("__before") / maxTokensPerPack).cast("long"))
+      .drop("__slc", "__sk", "__before")
 
   /** Deterministic stratified train/val/test split — every pipeline's
     * first epoch-0 decision, and one that must be REPRODUCIBLE (the same
@@ -163,28 +214,32 @@ object Mixture {
     * materializes this as one shard directory per value in stored order.
     *
     * 100 TB design: this is the one operation whose JOB is a full-corpus
-    * shuffle — the design point is to pay exactly ONE: the shard
-    * assignment is a narrow projection, and the within-shard ordering is
-    * a single window partitioned BY shard (numShards ≫ cores at scale, so
-    * every executor sorts independent shards; per-shard sorts spill, never
-    * the corpus). No global single-partition window, no driver state. */
+    * shuffle — the design point is to pay exactly ONE. The shard
+    * assignment is a narrow projection, and the within-shard position is
+    * the hierarchical prefix count of [[withPrefixBefore]] (sub-shards on
+    * the key's high bits nest EXACTLY inside shards:
+    * ⌊⌊key·n·m/2³²⌋/m⌋ = ⌊key·n/2³²⌋), so per-task sorts shrink with the
+    * fan-out even when numShards is small relative to cores. No global
+    * single-partition window, no driver state. */
   def globalShuffle(
       docs: DataFrame,
       idCol: Column,
       numShards: Int,
-      seed: Long
+      seed: Long,
+      subShardsPerShard: Int = 256
   ): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     // Seed bounded so id+seed stays far from BIGINT overflow on any engine
     // (ANSI engines raise on overflow rather than wrapping).
     require(seed >= 0 && seed < (1L << 31), "seed must be in [0, 2^31)")
-    val key = shuffleKey(idCol.cast("long") + lit(seed))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), idCol)
-    docs // passthrough: all caller columns survive (the payload ships with its shard)
-      .withColumn("__k", key)
+    require(subShardsPerShard > 0, "subShardsPerShard must be positive")
+    val totalSs = math.min(numShards.toLong * subShardsPerShard, 1L << 20).toInt
+    val base = docs // passthrough: all caller columns survive (the payload ships with its shard)
+      .withColumn("__k", shuffleKey(idCol.cast("long") + lit(seed)))
       .withColumn("shard", shuffleBucket(col("__k"), numShards))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__k")
+    withPrefixBefore(base, "shard", "__k", idCol, lit(1L), "__before", totalSs)
+      .withColumn("pos", col("__before") + 1L)
+      .drop("__k", "__before")
   }
 
   /** Curriculum ordering: bucket documents by a [0, 1] quality score and
@@ -202,23 +257,15 @@ object Mixture {
     * epochs, and engines. Callers wanting calibrated buckets rescale the
     * score upstream (the classifier is a config artifact anyway).
     *
-    * 100 TB design: buckets are FEW (unlike [[globalShuffle]]'s shards,
-    * which outnumber cores by contract), so a window partitioned by
-    * bucket alone would sort corpus/buckets rows on ONE task each — the
-    * single-reducer sort this library refuses everywhere else. The rank
-    * is therefore computed HIERARCHICALLY: rows sub-shard on the key's
-    * high bits ([[shuffleBucket]], `subShards` ways), a window per
-    * (bucket, sub-shard) ranks locally, and a dimension-sized
-    * (buckets × subShards rows) running-total offset table lifts local
-    * ranks to bucket-global positions. Because the sub-shard is MONOTONE
-    * in the key — floor(key·S/2³²) never decreases as key grows —
-    * (sub-shard, key, id) order IS (key, id) order, and the composed rank
-    * equals the single-window rank row for row (law in MixtureSpec, any
-    * subShards). Per-task sort shrinks by subShards×; the price is a
-    * second scan of the (narrow) input subtree for the offset counts —
-    * cache or checkpoint upstream if it is expensive. Pure modular
-    * arithmetic + IEEE ops on an already-rounded score, so the oracle
-    * replays it row for row. */
+    * 100 TB design: buckets are FEW, so a window partitioned by bucket
+    * alone would sort corpus/buckets rows on ONE task each — the
+    * single-reducer sort this library refuses everywhere else. The
+    * position is therefore the hierarchical prefix count of
+    * [[withPrefixBefore]] (sub-shard on the key's high bits, rank
+    * locally, lift with the dimension-sized offset table); the composed
+    * rank equals the single-window rank row for row (law in MixtureSpec,
+    * any subShards), and the oracle replays it — pure modular arithmetic
+    * + IEEE ops on an already-rounded score. */
   def curriculumOrder(
       docs: DataFrame,
       idCol: Column,
@@ -229,30 +276,14 @@ object Mixture {
   ): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(seed >= 0 && seed < (1L << 31), "seed must be in [0, 2^31)")
-    require(subShards > 0 && subShards <= (1 << 20), "subShards must be in [1, 2^20]")
-    val key = shuffleKey(idCol.cast("long") + lit(seed))
-    val bucketed = docs
+    val base = docs
       .withColumn(
         "q_bucket",
         greatest(least(floor(qualityCol * buckets).cast("long"), lit(buckets - 1L)), lit(0L)))
-      .withColumn("__k", key)
-      .withColumn("__ss", shuffleBucket(col("__k"), subShards))
-    val wLocal = Window.partitionBy(col("q_bucket"), col("__ss")).orderBy(col("__k"), idCol)
-    // Offsets: docs BEFORE my sub-shard within my bucket. Map-side-combined
-    // count to (bucket, subshard) grain, then a running total over the few
-    // subshard rows — all dimension-sized, then broadcast back.
-    val wOff = Window.partitionBy(col("q_bucket")).orderBy(col("__ss"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed
-      .groupBy(col("q_bucket"), col("__ss"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("q_bucket").as("__ob"), col("__ss").as("__oss"), col("__off"))
-    bucketed
-      .withColumn("__local", row_number().over(wLocal).cast("long"))
-      .join(broadcast(offsets), col("q_bucket") === col("__ob") && col("__ss") === col("__oss"))
-      .withColumn("pos", col("__off") + col("__local"))
-      .drop("__k", "__ss", "__local", "__ob", "__oss", "__off")
+      .withColumn("__k", shuffleKey(idCol.cast("long") + lit(seed)))
+    withPrefixBefore(base, "q_bucket", "__k", idCol, lit(1L), "__before", subShards)
+      .withColumn("pos", col("__before") + 1L)
+      .drop("__k", "__before")
   }
 
   /** Temperature-flattened mixture weights — the standard multilingual /
@@ -306,18 +337,17 @@ object Mixture {
       idCol: Column,
       sliceCol: Column,
       tokenCountCol: Column,
-      budgets: DataFrame // (slice, token_budget)
-  ): DataFrame = {
-    val w = Window
-      .partitionBy(sliceCol)
-      .orderBy(shuffleKey(idCol), idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .join(
-        broadcast(budgets.toDF("__slice", "__budget")),
-        sliceCol === col("__slice"))
-      .withColumn("__cum", sum(tokenCountCol).over(w))
-      .filter(col("__cum") - tokenCountCol < col("__budget"))
-      .drop("__slice", "__budget", "__cum")
-  }
+      budgets: DataFrame, // (slice, token_budget)
+      subShards: Int = 256
+  ): DataFrame =
+    withPrefixBefore(
+      docs
+        .join(
+          broadcast(budgets.toDF("__slice", "__budget")),
+          sliceCol === col("__slice"))
+        .withColumn("__slc", sliceCol)
+        .withColumn("__sk", shuffleKey(idCol)),
+      "__slc", "__sk", idCol, tokenCountCol, "__before", subShards)
+      .filter(col("__before") < col("__budget"))
+      .drop("__slice", "__budget", "__slc", "__sk", "__before")
 }

@@ -80,14 +80,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d7_token_budget: one window exchange over a pruned scan") {
+  test("d7_token_budget: hierarchical-prefix plan — corpus shuffles bounded, offsets broadcast") {
     val p = planOf("d7_token_budget")
     assert(p.contains("Window"), p.take(2000))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
       s"unused columns not pruned: $readSchema")
-    // one shuffle for the per-slice window, one for the final orderBy — no more
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3, p.take(3000))
+    // The hierarchical prefix (Mixture.withPrefixBefore) plans: one
+    // CORPUS-sized hash exchange for the (slice, sub-shard) window, the
+    // final orderBy range exchange, and the dimension-sided offset
+    // exchanges (post-partial-agg rows = slices × subShards, then one
+    // broadcast back). The offsets must reach the corpus as a BROADCAST —
+    // an SMJ here would re-shuffle the corpus a second time.
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 6, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), "offset lift degraded to a corpus-side shuffle join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "offset counts lack a map-side partial phase")
   }
 
   test("d2_source_overlap: union-sketch UDAF aggregates with a partial (map-side) phase") {

@@ -264,6 +264,38 @@ class MixtureSpec extends AnyFunSuite {
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("hierarchical prefix ≡ single window across every caller (budget, packing, shuffle)") {
+    // subShards is a pure parallelism knob: subShards = 1 degenerates to
+    // the naive one-window-per-partition plan, so every operator built on
+    // withPrefixBefore must emit identical rows at any fan-out.
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq.toVector).sortBy(_.toString()).toSeq
+    for (ss <- Seq(1, 7, 100000)) {
+      assert(
+        rows(Mixture.sampleToTokenBudget(
+          docs, col("doc_id"), col("source"), col("n_tok"), 600L, subShards = ss),
+          "doc_id", "source", "n_tok") ===
+          rows(Mixture.sampleToTokenBudget(
+            docs, col("doc_id"), col("source"), col("n_tok"), 600L, subShards = 256),
+            "doc_id", "source", "n_tok"),
+        s"sampleToTokenBudget diverged at subShards=$ss")
+      assert(
+        rows(Mixture.packSequences(
+          docs, col("doc_id"), col("source"), col("n_tok"), 256L, subShards = ss),
+          "doc_id", "pack_id") ===
+          rows(Mixture.packSequences(
+            docs, col("doc_id"), col("source"), col("n_tok"), 256L, subShards = 256),
+            "doc_id", "pack_id"),
+        s"packSequences diverged at subShards=$ss")
+      assert(
+        rows(Mixture.globalShuffle(docs, col("doc_id"), 4, 7, subShardsPerShard = ss),
+          "doc_id", "shard", "pos") ===
+          rows(Mixture.globalShuffle(docs, col("doc_id"), 4, 7, subShardsPerShard = 256),
+            "doc_id", "shard", "pos"),
+        s"globalShuffle diverged at subShardsPerShard=$ss")
+    }
+  }
+
   test("curriculumOrder hierarchical rank ≡ single window for any subShards fan-out") {
     // The scale mechanism under test: sub-sharding on the key's HIGH bits
     // is monotone in the key, so per-(bucket, subshard) ranks + running
