@@ -40,17 +40,17 @@ object Dedup {
     def rowsPerBand: Int = numHashes / numBands
   }
 
-  /** D2 candidate generation: (band, bucketHash) keyed rows, one per
-    * document per band. Bucket-size cap applied. */
-  def lshBuckets(df: DataFrame, idCol: Column, textCol: Column, p: MinHashParams): DataFrame = {
+  /** Banded (doc_id, band, bucket) rows BEFORE the size cap — shared by
+    * [[lshBuckets]] (the ≤ cap side feeding candidate pairs) and
+    * [[droppedBuckets]] (the > cap audit). */
+  private def bandedRows(df: DataFrame, idCol: Column, textCol: Column, p: MinHashParams): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Shingle-hash + signature both in one typed map — Catalyst HOFs
     // interpret their lambdas, so the shingle transform and the 32-way
     // family expansion each run ~5x faster as JVM loops (see TextOps
     // scaladoc; shingleHashesJvm is bit-identical to the Column form).
-    val banded = df
-      .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
+    df.select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
       .as[(Long, String)]
       .filter(_._2 != null) // null text: no signature, no buckets (NPE guard)
       .map { case (id, text) =>
@@ -59,14 +59,33 @@ object Dedup {
       .toDF("doc_id", "sig")
       .select(col("doc_id"), TextOps.bandKeys(col("sig"), p.numBands, p.rowsPerBand).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+  }
+
+  /** D2 candidate generation: (band, bucketHash) keyed rows, one per
+    * document per band. Bucket-size cap applied. */
+  def lshBuckets(df: DataFrame, idCol: Column, textCol: Column, p: MinHashParams): DataFrame = {
     // Cap bucket size: a window count per (band,bucket) — single shuffle,
     // no driver aggregation.
     val wc = Window.partitionBy(col("band"), col("bucket"))
-    banded
+    bandedRows(df, idCol, textCol, p)
       .withColumn("__bucket_n", count(lit(1)).over(wc))
       .filter(col("__bucket_n") <= p.maxBucketSize)
       .drop("__bucket_n")
   }
+
+  /** The SIDE OUTPUT of [[lshBuckets]]' cap: one row per (band, bucket)
+    * group that exceeded `maxBucketSize` and therefore contributed no
+    * candidate pairs, with its size — the audit a production dedup run
+    * ships to its metrics: a handful of huge buckets is the signature of
+    * an all-identical spam cluster (investigate the docs) or of
+    * mis-tuned banding (re-tune b·r). One map-side-combined agg at
+    * (band, bucket) grain; output is at most one row per dropped bucket,
+    * never doc-sized. */
+  def droppedBuckets(df: DataFrame, idCol: Column, textCol: Column, p: MinHashParams): DataFrame =
+    bandedRows(df, idCol, textCol, p)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > p.maxBucketSize)
 
   /** D2: near-duplicate pairs — LSH candidates verified by exact Jaccard on
     * the distinct-token sets. Output: (doc_a, doc_b, jaccard), doc_a <

@@ -119,6 +119,30 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDuplicatePairs(spam, col("doc_id"), col("text"), p2).count() > 0L)
   }
 
+  test("droppedBuckets surfaces exactly the groups the cap removed (audit completeness)") {
+    // Spam cluster (100 identical docs) + the regular corpus: the cap
+    // silently removing work MUST be observable — the side output names
+    // each oversized (band, bucket) with its size, and together with
+    // lshBuckets' kept rows accounts for every banded group exactly once.
+    val spam = (101L to 200L).map(i => (i, "same spam text repeated in every document body"))
+    val df   = corpus.unionByName(spam.toDF("doc_id", "text"))
+    val p    = Dedup.MinHashParams(maxBucketSize = 50)
+    val dropped = Dedup.droppedBuckets(df, col("doc_id"), col("text"), p)
+      .as[(Int, Long, Long)].collect()
+    assert(dropped.nonEmpty, "spam cluster produced no dropped-bucket audit rows")
+    assert(dropped.forall(_._3 > 50), "audit reported a bucket the cap would keep")
+    assert(dropped.forall(_._3 === 100L), "spam buckets must hold exactly the 100 identical docs")
+    // Disjoint + complete: kept groups ∪ dropped groups = all groups.
+    val keptGroups = Dedup.lshBuckets(df, col("doc_id"), col("text"), p)
+      .select("band", "bucket").distinct().as[(Int, Long)].collect().toSet
+    val droppedGroups = dropped.map(d => (d._1, d._2)).toSet
+    assert(keptGroups.intersect(droppedGroups).isEmpty)
+    // The generous-cap run sees every group the capped run kept or dropped.
+    val allGroups = Dedup.lshBuckets(df, col("doc_id"), col("text"), p.copy(maxBucketSize = 10000))
+      .select("band", "bucket").distinct().as[(Int, Long)].collect().toSet
+    assert(keptGroups.union(droppedGroups) === allGroups)
+  }
+
   test("ngramJaccardPairs: identical docs at 1.0, near docs above threshold") {
     val pairs = Dedup
       .ngramJaccardPairs(corpus, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.5)
