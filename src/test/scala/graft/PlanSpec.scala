@@ -96,6 +96,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "offset lift degraded to a corpus-side shuffle join")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "offset counts lack a map-side partial phase")
+    // Every other withPrefixBefore consumer keeps the same contract: the
+    // offset table reaches the corpus as a broadcast, never an SMJ.
+    Seq("d7_seq_packing", "d7_global_shuffle", "d7_curriculum").foreach { name =>
+      val q = planOf(name)
+      assert(q.contains("BroadcastHashJoin"), s"$name: offset lift not broadcast")
+      assert(!q.contains("SortMergeJoin"), s"$name: offset lift degraded to sort-merge")
+    }
   }
 
   test("d2_source_overlap: union-sketch UDAF aggregates with a partial (map-side) phase") {
