@@ -524,4 +524,112 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** D2 (span granularity): exact duplicated-SPAN removal — the
+    * "ExactSubstr" dedup of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499) re-expressed as
+    * keyed shuffles instead of a monolithic suffix array. Any k-token
+    * window whose text occurs more than once in the corpus is cut from
+    * every occurrence EXCEPT the canonical first one (lowest
+    * (doc_id, pos)); overlapping flagged windows merge into maximal
+    * spans; each document is rebuilt (whitespace/case-normalized) from
+    * its surviving tokens. The doc-level D1/D2 passes keep one copy of a
+    * duplicated DOCUMENT — this removes duplicated PASSAGES (licence
+    * blocks, boilerplate paragraphs, quoted headers) hiding inside
+    * otherwise-unique documents, which doc-grain dedup cannot see.
+    *
+    * 100 TB design: total work is Σ tokens — one corpus-token-sized hash
+    * aggregation grouping window occurrences by gram key, one same-key
+    * shuffle-hash join back, one doc-grain aggregation over FLAGGED
+    * windows only; no all-pairs stage anywhere. The key shuffled is the
+    * 64-bit xxhash of the window text (strings never shuffle; collisions
+    * ≪1e-8 at 1e9 distinct windows — same accepted risk as the other
+    * n-gram passes). The span merge is a sorted per-doc fold and the
+    * rebuild is narrow lambda algebra — both codegen'd, no UDFs.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_removed) for EVERY input doc
+    * — untouched and sub-k-token docs pass through with n_removed = 0.
+    */
+  def duplicateSpanRemoval(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"span shingle size must be >= 2, got $k")
+    val emptySpans = slice(array(struct(lit(0).as("s"), lit(0).as("e"))), 1, 0)
+    val toks = df.select(
+      idCol.cast("long").as("doc_id"),
+      TextOps.tokens(textCol).as("toks"))
+    // Every k-token window: (doc_id, pos, gram-hash). Docs shorter than k
+    // tokens have no windows and flow straight to the rebuild join.
+    val wins = toks
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("toks")) - k),
+            p =>
+              struct(
+                p.as("pos"),
+                xxhash64(concat_ws(" ", slice(col("toks"), p + 1, lit(k)))).as("g"))))
+          .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    // Repeated grams with their canonical occurrence — one hash agg.
+    val grams = wins
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("cnt") > 1)
+    // Non-canonical occurrences of repeated grams = the windows to cut.
+    val flagged = wins
+      .hint("shuffle_hash")
+      .join(grams, Seq("g"))
+      .filter(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+      .select(col("doc_id"), col("pos"))
+    // Merge each doc's flagged [pos, pos+k-1] windows into maximal spans:
+    // a sorted fold over that doc's flagged windows only. Windows all have
+    // length k, so the running last.e is the max end seen in the island
+    // and `pos <= last.e + 1` is the exact adjacency-or-overlap test.
+    val spans = flagged
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(
+        col("doc_id"),
+        aggregate(
+          col("ps"),
+          emptySpans,
+          (acc, p) =>
+            when(
+              size(acc) > 0 && p <= element_at(acc, -1).getField("e") + 1,
+              concat(
+                slice(acc, lit(1), size(acc) - 1),
+                array(struct(
+                  element_at(acc, -1).getField("s").as("s"),
+                  greatest(element_at(acc, -1).getField("e"), p + k - 1).as("e")))))
+              .otherwise(concat(acc, array(struct(p.as("s"), (p + k - 1).as("e")))))
+        ).as("iv"))
+    // Rebuild every document from its surviving token positions.
+    toks
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("toks"), expr("array()").cast("array<string>")).as("toks"),
+        coalesce(col("iv"), emptySpans).as("iv"))
+      .select(
+        col("doc_id"),
+        filter(
+          transform(col("toks"), (t, i) => struct(t.as("t"), i.as("p"))),
+          s =>
+            !exists(
+              col("iv"),
+              v => s.getField("p") >= v.getField("s") && s.getField("p") <= v.getField("e"))
+        ).as("kept"),
+        size(col("toks")).as("n_toks"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("kept"), s => s.getField("t")), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -359,6 +359,17 @@ object LlmQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // D2 (span granularity): exact duplicated-span removal — Lee et al.
+    // 2021 "ExactSubstr" dedup as keyed shuffles (Dedup.scala Scaladoc).
+    // k=5 on this fixture: the planted repeated passages flag ~36 docs
+    // while background prose stays untouched (k=3 would flag ordinary
+    // collocations corpus-wide). Output covers EVERY doc, so the oracle
+    // checks pass-through rows too.
+    "d2_span_dedup" -> ((s, sf) =>
+      Dedup
+        .duplicateSpanRemoval(Tables.documents(s, sf), col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id")),
+
     // D3: cosine similarity of adjacent embedding pairs — pure Column
     // lambda expressions, no UDF.
     "d3_cosine_pairs" -> ((s, sf) => {
@@ -987,6 +998,41 @@ object LlmQueries {
                / (CAST(len(t.sh) AS DOUBLE) + CAST(len(e.sh) AS DOUBLE)
                   - CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)) >= 0.05
          ORDER BY train_id, eval_id""",
+    "d2_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS g
+           FROM toks, unnest(range(1, len(toks) - 5 + 2)) AS r(i)
+           WHERE len(toks) >= 5),
+         ranked AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+           FROM wins),
+         flagged AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos <= COALESCE(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999999) + 5
+                  THEN 0 ELSE 1 END AS brk
+           FROM flagged),
+         isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle FROM isl),
+         iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e FROM isl2 GROUP BY doc_id, isle),
+         tokpos AS (
+           SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS tk FROM toks),
+         kept AS (
+           SELECT t.doc_id, t.p, t.tk FROM tokpos t
+           WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id AND t.p BETWEEN iv.s AND iv.e)),
+         agg AS (
+           SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text, count(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+         n AS (SELECT doc_id, len(toks) AS n_toks FROM toks)
+         SELECT n.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n.n_toks - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+         FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "d2_neardup_clusters" ->
       """WITH RECURSIVE base AS (
            SELECT doc_id,

@@ -252,4 +252,49 @@ class DedupSpec extends AnyFunSuite {
       .select("contaminated_frac").as[Double].collect()
     assert(flagged.toSeq === Seq(1.0), s"planted verbatim eval doc not fully flagged: ${flagged.toSeq}")
   }
+
+  test("duplicateSpanRemoval cuts the later copy of a shared span and merges overlapping windows") {
+    // Doc 2 embeds doc 1's 6-token run "alpha … zeta" at positions 2..7.
+    // With k=3 the four shared trigram windows in doc 2 (pos 2,3,4,5) are
+    // flagged — doc 1 holds every canonical occurrence — and must merge
+    // into the single span [2,7]; doc 1 and the unrelated doc 3 pass
+    // through untouched.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one two three"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta outro close"),
+      (3L, "totally different text with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicateSpanRemoval(docs, col("doc_id"), col("text"), k = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    assert(out(0) === ((1L, "alpha beta gamma delta epsilon zeta unique one two three", 10L, 0L)))
+    assert(out(1) === ((2L, "intro words outro close", 4L, 6L)))
+    assert(out(2)._1 === 3L && out(2)._4 === 0L)
+  }
+
+  test("duplicateSpanRemoval keeps the first occurrence of a WITHIN-doc repeat") {
+    // "x y z" occurs at pos 0 (canonical) and pos 5 → only the second
+    // occurrence's window [5,7] is cut.
+    val docs = Seq((7L, "x y z pad pad x y z")).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicateSpanRemoval(docs, col("doc_id"), col("text"), k = 3)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out === ((7L, "x y z pad pad", 5L, 3L)))
+  }
+
+  test("duplicateSpanRemoval passes short, empty, and unique docs through (no doc dropped)") {
+    val docs = Seq(
+      (1L, "one two"),            // < k tokens: no windows
+      (2L, ""),                   // empty: zero tokens
+      (3L, "five distinct tokens right here")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicateSpanRemoval(docs, col("doc_id"), col("text"), k = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) === List(1L, 2L, 3L), "a doc vanished from the span-dedup output")
+    assert(out(0) === ((1L, "one two", 2L, 0L)))
+    assert(out(1) === ((2L, "", 0L, 0L)))
+    assert(out(2) === ((3L, "five distinct tokens right here", 5L, 0L)))
+    assert(out.forall(_._4 === 0L))
+  }
 }
