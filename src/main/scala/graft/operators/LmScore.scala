@@ -156,4 +156,85 @@ object LmScore {
           sum(when(col("token").isNotNull, coalesce(col("lp_micro"), col("__oov_lp")))),
           lit(0L)).as("lp_sum"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): weight
+    * every document by how much more likely a TARGET-domain n-gram LM
+    * finds it than a RAW-corpus LM — w(x) = log p_tgt(x) − log p_raw(x)
+    * summed over the doc's tokens. Rank-descending w and keeping the top
+    * budget IS the data-selection step (deterministic variant of the
+    * paper's Gumbel-top-k; ties broken by doc_id).
+    *
+    * Both log-probs are the integer micro-unit sums of [[score]], so
+    * w_micro is exact long arithmetic — identical on any partitioning and
+    * hash-comparable cross-engine. Docs with zero tokens carry no
+    * evidence and weight 0.
+    *
+    * 100 TB design: ONE corpus scan — explode, left-join BOTH broadcast
+    * vocab dimensions (each vocab is dimension-sized next to the corpus),
+    * one doc-grain hash agg; never two scoring passes. The two LM
+    * trainings are slice-sized aggregations done once beforehand.
+    *
+    * Output: (doc_id, n_toks, lp_target, lp_raw, w_micro) for every doc.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      targetLm: DataFrame,
+      rawLm: DataFrame
+  ): DataFrame = {
+    // Same dual-consumption bound as score(): each LM frame feeds a vocab
+    // dim and an OOV row — checkpoint keeps lazy trainUnigram plans to one
+    // training pass apiece.
+    val tgtOnce = targetLm.localCheckpoint()
+    val rawOnce = rawLm.localCheckpoint()
+    val tgtVocab = tgtOnce
+      .filter(col("token") =!= OovToken)
+      .select(col("token").as("__tok_t"), col("lp_micro").as("__lp_t"))
+    val rawVocab = rawOnce
+      .filter(col("token") =!= OovToken)
+      .select(col("token").as("__tok_r"), col("lp_micro").as("__lp_r"))
+    val oovs = tgtOnce
+      .filter(col("token") === OovToken)
+      .select(col("lp_micro").as("__oov_t"))
+      .crossJoin(rawOnce.filter(col("token") === OovToken).select(col("lp_micro").as("__oov_r")))
+    docs
+      .select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .join(broadcast(tgtVocab), col("token") === col("__tok_t"), "left")
+      .join(broadcast(rawVocab), col("token") === col("__tok_r"), "left")
+      .crossJoin(broadcast(oovs))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("token")).as("n_toks"),
+        coalesce(
+          sum(when(col("token").isNotNull, coalesce(col("__lp_t"), col("__oov_t")))),
+          lit(0L)).as("lp_target"),
+        coalesce(
+          sum(when(col("token").isNotNull, coalesce(col("__lp_r"), col("__oov_r")))),
+          lit(0L)).as("lp_raw"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("lp_target"),
+        col("lp_raw"),
+        (col("lp_target") - col("lp_raw")).as("w_micro"))
+  }
+
+  /** DSIR selection: top-`n` docs by importance weight (deterministic
+    * tie-break on doc_id). Plans TakeOrderedAndProject — a distributed
+    * per-partition top-n + driver merge of n rows, never a global sort or
+    * single-reducer window. */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      targetLm: DataFrame,
+      rawLm: DataFrame,
+      n: Int
+  ): DataFrame =
+    importanceWeights(docs, idCol, textCol, targetLm, rawLm)
+      .orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(n)
 }

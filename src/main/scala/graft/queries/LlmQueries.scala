@@ -864,6 +864,20 @@ object LlmQueries {
       LmScore.score(d, col("doc_id"), col("text"), lm).orderBy("doc_id")
     }),
 
+    // D7 (data selection): DSIR importance resampling — target LM = the
+    // lang='en' slice, raw LM = the whole corpus; every doc weighted by
+    // w = lp_target − lp_raw (exact integer micro-units) and the top-100
+    // kept. The deterministic form of the Gumbel-top-k selection from the
+    // DSIR paper; one corpus scan joins BOTH broadcast vocabs.
+    "d7_dsir_select" -> ((s, sf) => {
+      val d = Tables.documents(s, sf)
+      LmScore.dsirSelect(
+        d, col("doc_id"), col("text"),
+        targetLm = LmScore.trainUnigram(d.filter(col("lang") === "en"), col("text")),
+        rawLm = LmScore.trainUnigram(d, col("text")),
+        n = 100)
+    }),
+
     // D7 (chunking): overlapping 64-token windows every 48 tokens — the
     // doc→training-sequence/RAG-passage splitter. Narrow plan: sequence +
     // explode + slice, zero shuffles, no doc ever dropped.
@@ -1312,6 +1326,41 @@ object LlmQueries {
          CROSS JOIN oov
          GROUP BY d.doc_id
          ORDER BY d.doc_id""",
+    "d7_dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+           FROM documents),
+         tc AS (
+           SELECT token, count(*) AS c FROM toks
+           WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') GROUP BY token),
+         tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM tc),
+         tlm AS (
+           SELECT token,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+           FROM tc, tt),
+         toov AS (
+           SELECT CAST(round(ln(1.0 / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp FROM tt),
+         rc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         rt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM rc),
+         rlm AS (
+           SELECT token,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+           FROM rc, rt),
+         roov AS (
+           SELECT CAST(round(ln(1.0 / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp FROM rt),
+         scored AS (
+           SELECT d.doc_id, count(t.token) AS n_toks,
+             CAST(coalesce(sum(coalesce(tlm.lp, toov.lp)) FILTER (WHERE t.token IS NOT NULL), 0) AS BIGINT) AS lp_target,
+             CAST(coalesce(sum(coalesce(rlm.lp, roov.lp)) FILTER (WHERE t.token IS NOT NULL), 0) AS BIGINT) AS lp_raw
+           FROM documents d
+           LEFT JOIN toks t ON d.doc_id = t.doc_id
+           LEFT JOIN tlm ON t.token = tlm.token
+           LEFT JOIN rlm ON t.token = rlm.token
+           CROSS JOIN toov CROSS JOIN roov
+           GROUP BY d.doc_id)
+         SELECT doc_id, n_toks, lp_target, lp_raw, lp_target - lp_raw AS w_micro
+         FROM scored ORDER BY w_micro DESC, doc_id LIMIT 100""",
     "d7_chunking" ->
       """WITH t AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks

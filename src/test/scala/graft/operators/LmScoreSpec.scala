@@ -120,4 +120,47 @@ class LmScoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("importanceWeights ≡ two score() passes joined (single-scan fusion law)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val tgt  = LmScore.trainUnigram(docs.filter(col("lang") === "en"), col("text"))
+    val raw  = LmScore.trainUnigram(docs, col("text"))
+    val fused = LmScore
+      .importanceWeights(docs, col("doc_id"), col("text"), tgt, raw)
+      .select("doc_id", "n_toks", "lp_target", "lp_raw", "w_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val twoPass = LmScore.score(docs, col("doc_id"), col("text"), tgt)
+      .select(col("doc_id"), col("n_toks"), col("lp_sum").as("lp_target"))
+      .join(
+        LmScore.score(docs, col("doc_id"), col("text"), raw)
+          .select(col("doc_id"), col("lp_sum").as("lp_raw")),
+        "doc_id")
+      .select(
+        col("doc_id"), col("n_toks"), col("lp_target"), col("lp_raw"),
+        (col("lp_target") - col("lp_raw")).as("w_micro"))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(fused === twoPass, "fused dual-LM scoring diverged from two independent score() passes")
+  }
+
+  test("dsirSelect ranks target-domain docs first; empty doc carries weight 0") {
+    // Target domain: prose over {sun, rises, slowly}; raw corpus also holds
+    // numeric boilerplate. The in-domain doc must win selection and the
+    // boilerplate doc must weigh LESS than it; the empty doc weighs 0.
+    val docs = Seq(
+      (1L, "the sun rises slowly the sun rises"),
+      (2L, "0 1 2 3 4 5 6 7 8 9"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val tgt = LmScore.trainUnigram(Seq.fill(3)("the sun rises slowly").toDF("text"), col("text"))
+    val raw = LmScore.trainUnigram(docs, col("text"))
+    val top = LmScore
+      .dsirSelect(docs, col("doc_id"), col("text"), tgt, raw, n = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top === Seq(1L), s"in-domain doc not selected first: $top")
+    val w = LmScore
+      .importanceWeights(docs, col("doc_id"), col("text"), tgt, raw)
+      .select("doc_id", "w_micro").as[(Long, Long)].collect().toMap
+    assert(w(3L) === 0L, "empty doc must carry zero evidence")
+    assert(w(1L) > w(2L), s"boilerplate outranked in-domain text: $w")
+  }
 }
