@@ -116,6 +116,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** D2 (fuzzy decontamination): MinHash/LSH cross-corpus near-dup
+    * detection — flags training docs whose content is a NEAR duplicate of
+    * any eval doc: the paraphrased/reformatted benchmark leakage that the
+    * verbatim k-gram pass ([[exactNgramDecontam]]) cannot see, caught with
+    * the same machinery the within-corpus near-dup pass uses.
+    *
+    * 100 TB design: each side is banded once (signature = JVM hash loop,
+    * bit-identical to the Column form); candidates come from an LSH band
+    * equi-join BETWEEN the corpora keyed on (band, bucket) — collision
+    * work is Σ |bucket_train|·|bucket_eval| per key with both sides
+    * capped at `maxBucketSize`, never |train|×|eval| — and are verified
+    * by exact token-set Jaccard before flagging. When the eval suite is
+    * dimension-sized the banded eval side broadcasts and the join is
+    * shuffle-free on the corpus side (Catalyst picks this from stats).
+    *
+    * Output: one row per CONTAMINATED train doc — (train_id, eval_id,
+    * jaccard) of its best-matching eval doc (max jaccard, ties broken by
+    * lowest eval_id), jaccard ≥ `p.jaccardThreshold`. */
+  def fuzzyDecontamFlags(
+      train: DataFrame,
+      trainId: Column,
+      trainText: Column,
+      evalDf: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      p: MinHashParams = MinHashParams()
+  ): DataFrame = {
+    val l = lshBuckets(train, trainId, trainText, p)
+      .select(col("band").as("band_l"), col("bucket").as("bucket_l"), col("doc_id").as("train_id"))
+    val r = lshBuckets(evalDf, evalId, evalText, p)
+      .select(col("band").as("band_r"), col("bucket").as("bucket_r"), col("doc_id").as("eval_id"))
+    val candidates = l
+      .join(r, col("band_l") === col("band_r") && col("bucket_l") === col("bucket_r"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    val trainSets = train.select(trainId.cast("long").as("train_id"), TextOps.tokenSet(trainText).as("set_t"))
+    val evalSets  = evalDf.select(evalId.cast("long").as("eval_id"), TextOps.tokenSet(evalText).as("set_e"))
+    candidates
+      .join(trainSets, "train_id")
+      .join(evalSets, "eval_id")
+      .withColumn("jaccard", TextOps.jaccard(col("set_t"), col("set_e")))
+      .filter(col("jaccard") >= p.jaccardThreshold)
+      // Best match per train doc: max jaccard, then LOWEST eval_id — the
+      // struct max orders (jaccard, -eval_id) so the tie-break stays
+      // deterministic without a window.
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("jaccard"), (-col("eval_id")).as("neg_eval"))).as("best"))
+      .select(
+        col("train_id"),
+        (-col("best.neg_eval")).cast("long").as("eval_id"),
+        round(col("best.jaccard"), 9).as("jaccard"))
+  }
+
   /** D2 (n-gram flavor): exact k-token-shingle Jaccard near-dup pairs,
     * computed scale-safely: pairs come from an equi-join on shared shingles
     * (a pair with Jaccard > 0 shares at least one shingle, so blocking is

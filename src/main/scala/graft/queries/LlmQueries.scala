@@ -359,6 +359,21 @@ object LlmQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // D2 (fuzzy decontamination): MinHash/LSH near-dup detection BETWEEN
+    // train and eval — catches paraphrased benchmark leakage the verbatim
+    // k-gram pass can't see. Rows-only (xxhash banding); the flags ⊆
+    // exact-Jaccard containment and planted-leak recall laws live in
+    // DedupSpec. Threshold 0.5 = the standard near-dup operating point.
+    "d2_fuzzy_decontam" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      Dedup
+        .fuzzyDecontamFlags(
+          docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5))
+        .orderBy("train_id")
+    }),
+
     // D2 (span granularity): exact duplicated-span removal — Lee et al.
     // 2021 "ExactSubstr" dedup as keyed shuffles (Dedup.scala Scaladoc).
     // k=5 on this fixture: the planted repeated passages flag ~36 docs

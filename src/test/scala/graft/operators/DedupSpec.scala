@@ -253,6 +253,37 @@ class DedupSpec extends AnyFunSuite {
     assert(flagged.toSeq === Seq(1.0), s"planted verbatim eval doc not fully flagged: ${flagged.toSeq}")
   }
 
+  test("fuzzyDecontamFlags: exact and near eval leaks flagged, unrelated not; flags ⊆ exact pairs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),   // verbatim leak of eval 10
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup leak
+      (3L, "completely different document about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "benchmark prompt concerning astronomy telescopes and orbital mechanics")
+    ).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5)
+    val flags = Dedup
+      .fuzzyDecontamFlags(train, col("doc_id"), col("text"), eval_, col("doc_id"), col("text"), p)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flags.contains(1L) && flags(1L)._1 === 10L && flags(1L)._2 === 1.0,
+      s"verbatim leak not flagged at jaccard 1.0: $flags")
+    assert(flags.contains(2L) && flags(2L)._1 === 10L, s"near-dup leak not flagged: $flags")
+    assert(!flags.contains(3L), s"clean doc falsely flagged: $flags")
+    // Containment: every flag is backed by an exact cross-corpus pair at
+    // the same threshold (LSH only GENERATES candidates; verification is
+    // exact, so no flag can exceed what the exact pass would emit).
+    val exact = Dedup
+      .crossNgramJaccardPairs(
+        train, col("doc_id"), col("text"), eval_, col("doc_id"), col("text"),
+        shingleSize = 1, threshold = 0.5)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    flags.foreach { case (t, (e, _)) =>
+      assert(exact.contains((t, e)), s"flag ($t,$e) has no exact-Jaccard counterpart")
+    }
+  }
+
   test("duplicateSpanRemoval cuts the later copy of a shared span and merges overlapping windows") {
     // Doc 2 embeds doc 1's 6-token run "alpha … zeta" at positions 2..7.
     // With k=3 the four shared trigram windows in doc 2 (pos 2,3,4,5) are
