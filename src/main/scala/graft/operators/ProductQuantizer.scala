@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Product quantization for ANN at scale (SURVEY §2.D D4 scale path;
+  * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): split every (L2-normalized) vector into `m`
+  * contiguous subspaces, k-means each subspace into `ksub` codewords, and
+  * store each vector as `m` small codes. A 64-dim float64 vector (512 B)
+  * becomes 8 codes (8 B as int8-able values) — a ~64× working-set shrink,
+  * which at 100 TB is the difference between an index that lives in page
+  * cache and one that doesn't. Queries score against the CODES via ADC
+  * (asymmetric distance computation): one m×ksub lookup table per query,
+  * then score(x) = Σ_s table[s][code_s(x)] — the scan never touches the
+  * original vectors.
+  *
+  * Design choices, and what they trade:
+  *  - Vectors are L2-NORMALIZED before encoding, so inner product =
+  *    cosine and the ADC score approximates the cosine every other D4
+  *    operator ranks by (same contract as the int8 IVF index).
+  *  - Codebooks are trained with the same deterministic machinery as
+  *    [[SimilarityJoin.lloydRefine]]: stride-sampled seeds + joint Lloyd
+  *    iterations over ALL subspaces at once (keyed (sub, code) — m
+  *    codebooks per pass, not m passes), so builds are reproducible on
+  *    any cluster. No RNG anywhere.
+  *  - This is FLAT PQ: codes quantize the vector itself, not the residual
+  *    v − centroid. It composes with the IVF index (partition-prune on
+  *    cid, ADC-score the codes inside probed partitions); residual
+  *    encoding would buy extra precision per code at the cost of coupling
+  *    the codebooks to the coarse quantizer — the flat form keeps the two
+  *    indexes independently rebuildable.
+  *
+  * 100 TB plan shapes: codebook training is `iters` broadcast-join +
+  * keyed-agg passes over the (id, sub) exploded frame; encoding is ONE
+  * such pass; ADC serving scans only the codes frame with a broadcast
+  * m·ksub map — no corpus-sized shuffle anywhere, no driver-side vectors.
+  * Approximation quality (recall vs exact top-k, ADC ≡ reconstructed-dot)
+  * is law-tested in ProductQuantizerSpec.
+  */
+object ProductQuantizer {
+
+  final case class PqParams(
+      dim: Int = 64,
+      m: Int = 16,
+      ksub: Int = 64,
+      iters: Int = 3,
+      seedStride: Long = 7L
+  ) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 2 && iters >= 0 && seedStride >= 1)
+    def dsub: Int = dim / m
+  }
+
+  /** (id, sub, sv): each normalized vector exploded into its `m`
+    * sub-vectors — the working grain of training and encoding. */
+  private def subRows(emb: DataFrame, idCol: Column, vecCol: Column, p: PqParams): DataFrame =
+    emb
+      .select(
+        idCol.cast("long").as("id"),
+        VectorOps.normalize(VectorOps.asDouble(vecCol)).as("v"))
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(p.m - 1)),
+            s => struct(s.as("sub"), slice(col("v"), s * p.dsub + 1, lit(p.dsub)).as("sv"))))
+          .as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Deterministic seed codebooks: the first `ksub` stride-sampled vectors
+    * donate their sub-vectors as initial codewords (code = rank of the
+    * donor id — the row_number window runs over ksub rows, never data).
+    * Same no-RNG convention as the IVF centroid sample. */
+  def seedCodebooks(emb: DataFrame, idCol: Column, vecCol: Column, p: PqParams): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val donors = emb
+      .select(idCol.cast("long").as("id"))
+      .filter(pmod(col("id"), lit(p.seedStride)) === 0)
+      .orderBy(col("id"))
+      .limit(p.ksub)
+      .withColumn("code", (row_number().over(w) - 1))
+    subRows(emb, idCol, vecCol, p)
+      .join(broadcast(donors), "id")
+      .select(col("sub"), col("code"), col("sv").as("cw"))
+  }
+
+  /** Nearest-codeword assignment at (id, sub) grain — broadcast the
+    * codebooks, pick min L2 (ties → lowest code). Carries `sv` through
+    * for the training means. */
+  private def assign(rows: DataFrame, cb: DataFrame): DataFrame =
+    rows
+      .join(broadcast(cb), "sub")
+      .withColumn("d2", VectorOps.l2Squared(col("sv"), col("cw")))
+      .groupBy(col("id"), col("sub"))
+      .agg(
+        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("sv")).as("sv"))
+
+  /** Train all `m` codebooks jointly: seeds, then `iters` Lloyd steps —
+    * each step one broadcast-join assignment + one (sub, code, pos) mean
+    * aggregation, ALL subspaces in the same pass. Codewords that attract
+    * no sub-vectors drop out (a codebook may shrink below ksub), matching
+    * [[SimilarityJoin.lloydRefine]] semantics. Output: (sub, code, cw). */
+  def trainCodebooks(emb: DataFrame, idCol: Column, vecCol: Column, p: PqParams): DataFrame = {
+    val rows = subRows(emb, idCol, vecCol, p)
+    var cb   = seedCodebooks(emb, idCol, vecCol, p)
+    for (_ <- 1 to p.iters)
+      cb = assign(rows, cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("sub"), col("code"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mx")))), s => s.getField("mx"))
+            .as("cw"))
+    cb
+  }
+
+  /** Encode: (id, codes array<int> of length m) — ONE exploded pass +
+    * two keyed aggs; the output is the entire serving index payload. */
+  def encode(emb: DataFrame, idCol: Column, vecCol: Column, cb: DataFrame, p: PqParams): DataFrame =
+    assign(subRows(emb, idCol, vecCol, p), cb)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))), s => s.getField("code"))
+          .as("codes"))
+
+  /** Reconstruct the quantized vector from its codes (concatenated
+    * codewords) — the x̂ whose exact dot the ADC score equals (law in
+    * ProductQuantizerSpec). Vocab-sized broadcast, narrow rebuild. */
+  def decode(codes: DataFrame, cb: DataFrame, p: PqParams): DataFrame =
+    codes
+      .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("id"))
+      .agg(
+        flatten(
+          transform(array_sort(collect_list(struct(col("sub"), col("cw")))), s => s.getField("cw")))
+          .as("vhat"))
+
+  /** ADC top-k: build the per-query m×ksub inner-product table (one
+    * broadcast map row), score every code row with a pure Column fold —
+    * score = Σ_s table[s·ksub + code_s] — and TakeOrdered the top k.
+    * The scan reads ONLY the codes frame: m small ints per vector. */
+  def adcTopK(codes: DataFrame, cb: DataFrame, query: DataFrame, k: Int, p: PqParams): DataFrame = {
+    val table = cb
+      .crossJoin(broadcast(query.select(VectorOps.normalize(VectorOps.asDouble(col("qvec"))).as("q"))))
+      .select(
+        (col("sub") * p.ksub + col("code")).as("tk"),
+        VectorOps.dot(slice(col("q"), col("sub") * p.dsub + 1, lit(p.dsub)), col("cw")).as("tv"))
+      .agg(map_from_entries(collect_list(struct(col("tk"), col("tv")))).as("t"))
+    codes
+      .crossJoin(broadcast(table))
+      .select(
+        col("id").as("vec_id"),
+        round(
+          aggregate(
+            transform(col("codes"), (c, s) => element_at(col("t"), s * p.ksub + c)),
+            lit(0.0),
+            (acc, x) => acc + x),
+          9).as("cos_adc"))
+      .orderBy(col("cos_adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The production serving shape: ADC-shortlist `shortlist` candidates
+    * from the codes scan, then fetch ONLY those vectors and re-rank by
+    * exact cosine. The corpus-sized scan still touches codes only; the
+    * full-precision fetch is shortlist-sized (broadcast semi-join), so
+    * quality recovers to exact-top-k recall at code-scan cost — the
+    * standard IVFPQ + re-rank pattern. Defaults (PqParams + shortlist=5k)
+    * recall the entire exact top-10 on the fixture geometry (law in
+    * ProductQuantizerSpec). */
+  def adcTopKRerank(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      codes: DataFrame,
+      cb: DataFrame,
+      query: DataFrame,
+      k: Int,
+      shortlist: Int,
+      p: PqParams
+  ): DataFrame = {
+    val cand = adcTopK(codes, cb, query, shortlist, p).select(col("vec_id"))
+    emb
+      .select(idCol.cast("long").as("vec_id"), VectorOps.asDouble(vecCol).as("v"))
+      .join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(query.select(VectorOps.asDouble(col("qvec")).as("qv"))))
+      .select(
+        col("vec_id"),
+        round(VectorOps.cosineNative(emb.sparkSession, col("v"), col("qv")), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, LmScore, Mixture, SimilarityJoin}
+import graft.operators.{Dedup, LmScore, Mixture, ProductQuantizer, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -481,6 +481,25 @@ object LlmQueries {
       val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
       SimilarityJoin.lshTopK(e, col("vec_id"), col("embedding"), dim = 64, q, k = 10,
         tables = 16, bitsPerTable = 4)
+    }),
+
+    // D4 (compressed ANN): product quantization — train m=16 ksub=64
+    // codebooks (deterministic seeds + 3 joint Lloyd steps), encode every
+    // vector as 16 codes (~32× smaller working set than the float64
+    // vectors), ADC-shortlist 50 candidates from the codes-only scan,
+    // exact-cosine re-rank just those — the standard PQ + re-rank serving
+    // pattern. Approximate candidate set (PQ cells quantize the space) →
+    // rows-only; the ADC ≡ reconstructed-dot, recall, and re-rank-recall
+    // laws live in ProductQuantizerSpec.
+    "d4_topk_pq" -> ((s, sf) => {
+      val e  = Tables.embeddings(s, sf)
+      val p  = ProductQuantizer.PqParams()
+      val cb = ProductQuantizer.trainCodebooks(e, col("vec_id"), col("embedding"), p)
+        .localCheckpoint() // codebooks feed encode AND the ADC table: train once
+      val codes = ProductQuantizer.encode(e, col("vec_id"), col("embedding"), cb, p)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      ProductQuantizer.adcTopKRerank(e, col("vec_id"), col("embedding"), codes, cb, q,
+        k = 10, shortlist = 50, p)
     }),
 
     // D5: tokenize + quality scoring + BPE-ish token-count estimate.
