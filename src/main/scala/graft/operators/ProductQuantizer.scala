@@ -166,6 +166,76 @@ object ProductQuantizer {
       .limit(k)
   }
 
+  /** Offline half of the IVFPQ serving pair (the FAISS "IVFx,PQy" layout
+    * re-expressed on Spark): coarse-assign every vector to its IVF
+    * centroid AND product-quantize it, store ONLY (id, codes) partitioned
+    * by cid — the index directory carries `_centroids` (coarse quantizer)
+    * and `_codebooks` (PQ codebooks) beside the rows, one self-describing
+    * directory like [[SimilarityJoin.buildIvfIndex]]. At 100 TB this is
+    * the index you can actually afford to keep hot: partition pruning
+    * cuts the scan to ~nprobe/nlist of the corpus and PQ cuts the bytes
+    * per scanned row ~32× — the two levers multiply.
+    *
+    * Build cost: one corpus scan for the coarse assignment, one for the
+    * encoding (each a broadcast join + keyed agg), joined on id. Codes
+    * quantize the VECTOR, not the residual (see the object Scaladoc), so
+    * the codebooks stay valid when centroids are re-Lloyd'd. */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: DataFrame,
+      path: String,
+      p: PqParams
+  ): Unit = {
+    val cb = trainCodebooks(emb, idCol, vecCol, p).localCheckpoint()
+    SimilarityJoin
+      .ivfAssign(emb, idCol, vecCol, centroids)
+      .select(col("id"), col("cid"))
+      .join(encode(emb, idCol, vecCol, cb, p), "id")
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(path)
+    centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+    cb.write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Online half: ADC top-k against a [[buildIvfPqIndex]] directory. The
+    * query picks its `nprobe` nearest centroids (the only driver-side
+    * value — an nprobe-length id list, config-bounded), the index scan
+    * partition-prunes to those cids, and the scored bytes are CODES ONLY.
+    * Returns (vec_id, cos_adc). Full-precision re-rank of the shortlist
+    * belongs to the caller who owns the raw vector store
+    * ([[adcTopKRerank]]); the index alone never stores vectors. */
+  def ivfPqProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      query: DataFrame, // single row: (qvec)
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+    val cb        = spark.read.parquet(s"$indexPath/_codebooks")
+    val dsub      = cb.select(size(col("cw"))).first().getInt(0)
+    val m         = cb.select((max(col("sub")) + 1).cast("int")).first().getInt(0)
+    val ksub      = cb.select((max(col("code")) + 1).cast("int")).first().getInt(0)
+    val p         = PqParams(dim = m * dsub, m = m, ksub = ksub)
+    val probeIds = centroids
+      .crossJoin(broadcast(query))
+      .withColumn("csim", VectorOps.cosineNative(spark, col("cvec"), col("qvec")))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+    val idx = spark.read
+      .parquet(indexPath)
+      .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // prunes to nprobe partitions
+      .select(col("id"), col("codes"))
+    adcTopK(idx, cb, query, k, p)
+  }
+
   /** The production serving shape: ADC-shortlist `shortlist` candidates
     * from the codes scan, then fetch ONLY those vectors and re-rank by
     * exact cosine. The corpus-sized scan still touches codes only; the

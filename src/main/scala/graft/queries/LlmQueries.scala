@@ -38,8 +38,23 @@ object LlmQueries {
     * (the recurring costs), not the one-time builds. Idempotent per
     * session. */
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
-    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); sigStoreFor(s, sf); ()
+    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf); sigStoreFor(s, sf); ()
   }
+
+  /** The PQ-compressed member of the index family — same materialized
+    * coarse centroids as [[ivfIndexFor]] (identical probe lists, so recall
+    * laws transfer), rows stored as 16 PQ codes instead of vectors. */
+  private def ivfPqIndexFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#pq", {
+        val centroids = s.read.parquet(s"${ivfIndexFor(s, sf)}/_centroids")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${sanitizedKey(sf)}_pq"
+        ProductQuantizer.buildIvfPqIndex(
+          Tables.embeddings(s, sf), col("vec_id"), col("embedding"), centroids, path,
+          ProductQuantizer.PqParams())
+        path
+      }
+    )
 
   // MinHash params shared by the d0 batch DAG, the signature store build,
   // and the incremental query — store and probe MUST agree (band keys are
@@ -500,6 +515,19 @@ object LlmQueries {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       ProductQuantizer.adcTopKRerank(e, col("vec_id"), col("embedding"), codes, cb, q,
         k = 10, shortlist = 50, p)
+    }),
+
+    // D4 (IVFPQ): partition-pruned probe of the MATERIALIZED PQ index —
+    // the scan reads ~nprobe/nlist of the corpus AND only 16 codes per
+    // row (the two scale levers multiplied). Same coarse centroids as
+    // d4_topk_ivf, so the probed lists are identical; rows-only
+    // (approximate); probe ≡ inline-ADC and pruning laws in
+    // ProductQuantizerSpec.
+    "d4_topk_ivfpq" -> ((s, sf) => {
+      val q = Tables.embeddings(s, sf)
+        .filter(col("vec_id") === 0)
+        .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      ProductQuantizer.ivfPqProbe(s, ivfPqIndexFor(s, sf), q, k = 10, nprobe = 4)
     }),
 
     // D5: tokenize + quality scoring + BPE-ish token-count estimate.

@@ -74,6 +74,51 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(again === pq, "ADC top-k changed under repartitioning")
   }
 
+  test("ivfPqProbe ≡ inline ADC over the probed lists, and prunes partitions") {
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString + "/index"
+    ProductQuantizer.buildIvfPqIndex(emb, col("vec_id"), col("embedding"), centroids, idx, p)
+    val q = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+
+    val probe = ProductQuantizer.ivfPqProbe(spark, idx, q, k = 10, nprobe = 4)
+    val got   = probe.as[(Long, Double)].collect().toSeq
+
+    // Inline twin: same centroids + codebooks, candidate set = members of
+    // the 4 query-nearest centroids, ADC-scored — must match row-for-row.
+    val cb = spark.read.parquet(s"$idx/_codebooks")
+    val probedCids = centroids
+      .crossJoin(broadcast(q))
+      .withColumn("csim", VectorOps.cosineNative(spark, col("cvec"), col("qvec")))
+      .orderBy(col("csim").desc, col("cid")).limit(4)
+      .select(col("cid").cast("long")).as[Long].collect().toSet
+    val members = SimilarityJoin
+      .ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+      .filter(col("cid").cast("long").isin(probedCids.toSeq: _*))
+      .select(col("id"))
+    val inline = ProductQuantizer
+      .adcTopK(
+        ProductQuantizer
+          .encode(emb, col("vec_id"), col("embedding"), cb, p)
+          .join(members, "id"),
+        cb, q, k = 10, p)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === inline, "materialized probe diverged from the inline ADC twin")
+
+    // The scan must read only the probed cid partitions (codes bytes only).
+    val root = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case pl                                                               => pl
+    }
+    val scan = root
+      .collect { case fs: org.apache.spark.sql.execution.FileSourceScanExec => fs }
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("index")))
+      .getOrElse(fail("no FileSourceScanExec over the index in the probe plan"))
+    assert(scan.partitionFilters.nonEmpty, "probe scan has no partition filters — full-index read")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
+  }
+
   test("codebook training is deterministic: two independent trains agree") {
     val a = ProductQuantizer.trainCodebooks(emb, col("vec_id"), col("embedding"), p)
       .as[(Int, Int, Array[Double])].collect().map(r => (r._1, r._2) -> r._3.toSeq).toMap
