@@ -80,6 +80,20 @@ object CorpusPrep {
       maxHits: Long = 0L
   )
 
+  /** Duplicated-SPAN removal stage (Lee et al. "ExactSubstr" — see
+    * [[Dedup.duplicateSpanRemoval]]): after doc-grain dedup has kept one
+    * copy of duplicated DOCUMENTS, this cuts duplicated PASSAGES out of
+    * the survivors' text. The stage REWRITES `textName` in place
+    * (whitespace/case-normalized rebuild), so every later stage — token
+    * gates, classifier, LM gate, enrichment — sees the cleaned text, and
+    * remnants that fall under `minTokens` are gated exactly like any
+    * other short doc. k defaults to the usual ~50-BPE-token rule scaled
+    * to whitespace tokens. */
+  final case class SpanDedup(
+      k: Int = 25,
+      textName: String = "text"
+  )
+
   final case class Config(
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(jaccardThreshold = 0.8),
       minTokens: Int = 5,
@@ -105,7 +119,10 @@ object CorpusPrep {
       lmMapMaxVocab: Long = LmScore.DefaultMaxMapVocab,
       // None = no decontamination. Some(d) drops train docs sharing
       // verbatim k-grams with the eval frame (audit stage "decontam").
-      decontam: Option[Decontam] = None
+      decontam: Option[Decontam] = None,
+      // None = no span-grain dedup. Some(s) cuts duplicated passages out
+      // of the surviving docs' text (audit stage "span_dedup").
+      spanDedup: Option[SpanDedup] = None
   )
 
   /** Per-stage row counts, collected as OBSERVED METRICS of the pipeline's
@@ -177,11 +194,33 @@ object CorpusPrep {
         (clean, Some(o))
     }
 
-    val (enriched, oGated) = observed(enrichAndGate(decontamed, idCol, textCol, cfg))
+    // 2c. optional duplicated-span removal: rewrite the surviving text
+    // with repeated passages cut (decontam ran on the ORIGINAL text — the
+    // verbatim-k-gram eval rule must see what was crawled, not what span
+    // dedup left behind). The input is dual-consumed by the operator's
+    // window-generation and rebuild branches, so checkpoint it; the gates
+    // then see the cleaned text and drop sub-minTokens remnants normally.
+    val (spanned, oSpan) = cfg.spanDedup match {
+      case None => (decontamed, None)
+      case Some(sd) =>
+        val cur = decontamed.localCheckpoint()
+        val spans = Dedup
+          .duplicateSpanRemoval(cur, idCol, textCol, sd.k)
+          .select(col("doc_id").as("__sd_id"), col("clean_text"))
+        val (clean, o) = observed(
+          cur
+            .join(spans, idCol === col("__sd_id"))
+            .withColumn(sd.textName, col("clean_text"))
+            .drop("__sd_id", "clean_text"))
+        (clean, Some(o))
+    }
+
+    val (enriched, oGated) = observed(enrichAndGate(spanned, idCol, textCol, cfg))
 
     val audit = new PrepAudit(
       Seq("input" -> oIn, "exact_dedup" -> oExact, "near_dedup" -> oNear) ++
-        oDecon.map("decontam" -> _) ++ Seq("gated" -> oGated))
+        oDecon.map("decontam" -> _) ++ oSpan.map("span_dedup" -> _) ++
+        Seq("gated" -> oGated))
     (enriched, audit)
   }
 

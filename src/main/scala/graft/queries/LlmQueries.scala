@@ -214,7 +214,10 @@ object LlmQueries {
             Array(1.2, -1.5, 0.8, 2.0), bias = -2.0, keepAbove = 0.5)),
           lmGate = Some(graft.pipelines.CorpusPrep.LmGate(lm, minMeanLpMicro = oovLp + 1)),
           decontam = Some(graft.pipelines.CorpusPrep.Decontam(
-            evalSlice, col("doc_id"), col("text"), shingleSize = 5))))
+            evalSlice, col("doc_id"), col("text"), shingleSize = 5)),
+          // k=5 matches the fixture's planted repeated passages (the
+          // default 25 would find nothing this small); see d2_span_dedup.
+          spanDedup = Some(graft.pipelines.CorpusPrep.SpanDedup(k = 5))))
       out
         .select(
           col("doc_id"), col("n_tok"), col("pred_lang"), col("fp"),

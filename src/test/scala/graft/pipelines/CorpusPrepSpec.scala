@@ -523,6 +523,39 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(!auditPlain.counts.contains("decontam"))
   }
 
+  test("spanDedup stage rewrites survivors' text in place; remnants fall to the token gate") {
+    // Doc 20 embeds doc 10's 6-token opening run; doc 30 is NOTHING BUT
+    // that run plus two filler tokens, so after the span cut it falls
+    // under minTokens and must be gated out (the stage itself drops no
+    // rows — the gate does).
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta unique prose continues here onward"),
+      (20L, "fresh intro alpha beta gamma delta epsilon zeta fresh outro closing"),
+      (30L, "alpha beta gamma delta epsilon zeta pad end")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(
+      minhash = graft.operators.Dedup
+        .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.9),
+      minTokens = 3,
+      maxStopwordRatio = 1.0,
+      spanDedup = Some(CorpusPrep.SpanDedup(k = 3)))
+    val (out, audit) = CorpusPrep.prepare(docs, col("doc_id"), col("text"), cfg)
+    val byId = out.select(col("doc_id"), col("text"), col("n_tok"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId.keySet === Set(10L, 20L), s"expected 10 kept, 20 cleaned, 30 gated: ${byId.keySet}")
+    assert(byId(10L)._1.startsWith("alpha beta gamma"), "canonical doc 10 was rewritten")
+    assert(byId(20L)._1 === "fresh intro fresh outro closing",
+      s"span not cut from doc 20: ${byId(20L)._1}")
+    assert(byId(20L)._2 === 5L, "n_tok must reflect the CLEANED text")
+    val counts = audit.counts
+    assert(counts("span_dedup") === 3L, s"span stage must drop no rows: $counts")
+    assert(counts("gated") === 2L, counts.toString)
+    // Without the stage, doc 20 keeps its original text and doc 30 survives.
+    val (plain, _) = CorpusPrep.prepare(docs, col("doc_id"), col("text"),
+      cfg.copy(spanDedup = None))
+    assert(plain.count() === 3)
+  }
+
   test("full gate stack ≡ intersection of its single-gate runs (composition law)") {
     // Every optional stage (decontam, classifier, LM) is an independent
     // per-doc filter layered on the same dedup backbone, so the all-gates
