@@ -629,16 +629,19 @@ object Dedup {
                 xxhash64(concat_ws(" ", slice(col("toks"), p + 1, lit(k)))).as("g"))))
           .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
-    // Repeated grams with their canonical occurrence — one hash agg.
-    val grams = wins
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("pos"))).as("canon"))
-      .filter(col("cnt") > 1)
     // Non-canonical occurrences of repeated grams = the windows to cut.
+    // ONE exchange on the gram key: occurrence count and canonical
+    // occurrence are whole-partition window aggregates over g, so the
+    // window frame never re-derives or re-shuffles `wins` — the
+    // groupBy-then-join-back form would consume the tokenize+window
+    // subtree twice (two corpus scans) and shuffle it twice.
+    val wg = Window.partitionBy(col("g"))
     val flagged = wins
-      .hint("shuffle_hash")
-      .join(grams, Seq("g"))
-      .filter(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+      .withColumn("__cnt", count(lit(1)).over(wg))
+      .withColumn("__canon", min(struct(col("doc_id"), col("pos"))).over(wg))
+      .filter(
+        col("__cnt") > 1 &&
+          !(col("doc_id") === col("__canon.doc_id") && col("pos") === col("__canon.pos")))
       .select(col("doc_id"), col("pos"))
     // Merge each doc's flagged [pos, pos+k-1] windows into maximal spans:
     // a sorted fold over that doc's flagged windows only. Windows all have
