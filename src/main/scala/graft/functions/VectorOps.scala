@@ -47,10 +47,13 @@ object VectorOps {
 
   /** Unit-normalize a vector (zero vectors → null elements via 0/0=NaN;
     * callers filter). After normalization, dot == cosine. */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    transform(a, x => x / n)
-  }
+  def normalize(a: Column): Column =
+    // NOT `transform(a, x => x / l2Norm(a))`: HOF lambdas are interpreted,
+    // so the norm AGGREGATE inside the lambda re-evaluates for every
+    // element — dim² interpreted ops per row (measured ~5× the whole
+    // explode cost in the PQ sub-vector pass). The 1-element outer
+    // transform is a pure-Column "let" that binds the norm once per row.
+    element_at(transform(array(l2Norm(a)), n => transform(a, x => x / n)), 1)
 
   /** Per-vector max-abs int8 quantization scale: |x|max / 127, so the
     * largest component maps to ±127. Stored alongside the codes (one

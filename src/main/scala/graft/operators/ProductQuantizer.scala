@@ -51,6 +51,7 @@ object ProductQuantizer {
   ) {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub >= 2 && iters >= 0 && seedStride >= 1)
+    require(ksub <= 256, s"ksub=$ksub exceeds 256 — PQ codes are byte-sized by design")
     def dsub: Int = dim / m
   }
 
@@ -87,17 +88,46 @@ object ProductQuantizer {
       .select(col("sub"), col("code"), col("sv").as("cw"))
   }
 
+  /** Squared L2 over a KNOWN small dimension, unrolled into plain
+    * arithmetic on `element_at`s: the hot expression of training/encoding
+    * runs n·ksub times per pass, and the generic HOF form
+    * ([[VectorOps.l2Squared]]: zip_with + aggregate) interprets its
+    * lambda per row — measured ~6× slower on the assignment join. The
+    * unrolled form is ordinary codegen'd arithmetic (dsub is 4–8 in any
+    * sane PQ config, so the expression tree stays small). */
+  private def l2SqUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim)
+      .map { i =>
+        val d = element_at(a, i) - element_at(b, i)
+        d * d
+      }
+      .reduce(_ + _)
+
   /** Nearest-codeword assignment at (id, sub) grain — broadcast the
-    * codebooks, pick min L2 (ties → lowest code). Carries `sv` through
-    * for the training means. */
-  private def assign(rows: DataFrame, cb: DataFrame): DataFrame =
+    * codebooks, pick min L2 (ties → lowest code). Output: (id, sub, code).
+    *
+    * The argmin is a plain `min` over ONE packed BIGINT —
+    * round(d2·1e14)·256 + code, monotone in (d2, code) on a 1e-14
+    * distance grid (d2 ≤ 4 for normalized sub-vectors, so the product
+    * fits a long with room; codewords within 1e-14 of equal distance tie
+    * to the lower code, the same rule min_by would apply) — because a
+    * primitive-buffer `min` runs as HashAggregate with map-side combine,
+    * while the struct-ordered `min_by` (and any agg carrying the sv
+    * array) falls back to SortAggregate and SORTS the n·ksub joined
+    * stream on every pass: measured 4.2 s/pass vs sub-second on the
+    * fixture, and at 100 TB the difference between a shuffle-free
+    * map-side reduction and a corpus·ksub sort. */
+  private def bestCodes(rows: DataFrame, cb: DataFrame, p: PqParams): DataFrame =
     rows
       .join(broadcast(cb), "sub")
-      .withColumn("d2", VectorOps.l2Squared(col("sv"), col("cw")))
+      .select(
+        col("id"),
+        col("sub"),
+        (round(l2SqUnrolled(col("sv"), col("cw"), p.dsub) * lit(1e14)).cast("long") * 256L +
+          col("code")).as("__pk"))
       .groupBy(col("id"), col("sub"))
-      .agg(
-        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
-        first(col("sv")).as("sv"))
+      .agg(min(col("__pk")).as("__pk"))
+      .select(col("id"), col("sub"), (col("__pk") % 256L).cast("int").as("code"))
 
   /** Train all `m` codebooks jointly: seeds, then `iters` Lloyd steps —
     * each step one broadcast-join assignment + one (sub, code, pos) mean
@@ -105,10 +135,20 @@ object ProductQuantizer {
     * no sub-vectors drop out (a codebook may shrink below ksub), matching
     * [[SimilarityJoin.lloydRefine]] semantics. Output: (sub, code, cw). */
   def trainCodebooks(emb: DataFrame, idCol: Column, vecCol: Column, p: PqParams): DataFrame = {
-    val rows = subRows(emb, idCol, vecCol, p)
-    var cb   = seedCodebooks(emb, idCol, vecCol, p)
+    // The sub-row frame is consumed by every Lloyd pass twice (argmin +
+    // the sv re-attachment join) — checkpoint it once so training never
+    // re-derives the explode from source. At 100 TB a reliable
+    // checkpoint/parquet staging dir replaces localCheckpoint, same as
+    // the CorpusPrep boundaries.
+    val rows = subRows(emb, idCol, vecCol, p).localCheckpoint()
+    // Each iteration's output is eagerly checkpointed: the codebook frame
+    // is m·ksub rows (KBs), but left lazy it compounds — iteration i
+    // would re-execute iterations 1..i−1's corpus passes inside its own
+    // broadcast subtree, turning `iters` scans into O(iters²).
+    var cb = seedCodebooks(emb, idCol, vecCol, p).localCheckpoint()
     for (_ <- 1 to p.iters)
-      cb = assign(rows, cb)
+      cb = bestCodes(rows, cb, p)
+        .join(rows, Seq("id", "sub")) // re-attach sv: keyed (id, sub) join
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(avg(col("x")).as("mx"))
@@ -116,13 +156,14 @@ object ProductQuantizer {
         .agg(
           transform(array_sort(collect_list(struct(col("pos"), col("mx")))), s => s.getField("mx"))
             .as("cw"))
+        .localCheckpoint()
     cb
   }
 
   /** Encode: (id, codes array<int> of length m) — ONE exploded pass +
     * two keyed aggs; the output is the entire serving index payload. */
   def encode(emb: DataFrame, idCol: Column, vecCol: Column, cb: DataFrame, p: PqParams): DataFrame =
-    assign(subRows(emb, idCol, vecCol, p), cb)
+    bestCodes(subRows(emb, idCol, vecCol, p), cb, p)
       .groupBy(col("id"))
       .agg(
         transform(array_sort(collect_list(struct(col("sub"), col("code")))), s => s.getField("code"))

@@ -93,7 +93,11 @@ object SimilarityJoin {
       seeds: DataFrame, // (cid, cvec array<double>)
       iters: Int
   ): DataFrame = {
-    var c = seeds
+    // Each step's centroid frame is eagerly checkpointed: it is nlist
+    // rows (KBs), but left lazy the steps compound — step i re-executes
+    // steps 1..i−1's corpus passes inside its own broadcast subtree,
+    // turning `iters` assignment scans into O(iters²).
+    var c = seeds.localCheckpoint()
     for (_ <- 1 to iters)
       c = ivfAssign(emb, idCol, vecCol, c)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -103,6 +107,7 @@ object SimilarityJoin {
         .agg(
           transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
             .as("cvec"))
+        .localCheckpoint()
     c
   }
 

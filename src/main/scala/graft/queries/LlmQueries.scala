@@ -38,8 +38,33 @@ object LlmQueries {
     * (the recurring costs), not the one-time builds. Idempotent per
     * session. */
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
-    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf); sigStoreFor(s, sf); ()
+    ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf)
+    pqArtifactsFor(s, sf); sigStoreFor(s, sf); ()
   }
+
+  /** Flat-PQ serving artifacts (codebooks + codes), materialized once per
+    * session — codebook training is an OFFLINE build exactly like the IVF
+    * index (3 Lloyd passes over the corpus), so `d4_topk_pq` measures what
+    * production pays per query: the codes-only ADC scan + shortlist
+    * re-rank, not the build. Directory layout mirrors the IVFPQ index:
+    * codes rows + `_codebooks` beside them. */
+  private def pqArtifactsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#pqflat", {
+        val p    = ProductQuantizer.PqParams()
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqflat_${sanitizedKey(sf)}"
+        val e    = Tables.embeddings(s, sf)
+        val cb   = ProductQuantizer.trainCodebooks(e, col("vec_id"), col("embedding"), p)
+        // Codes first: overwriting `path` truncates the whole directory,
+        // so the `_codebooks` sidecar must be written after (same order
+        // discipline as buildIvfIndex's `_centroids`).
+        ProductQuantizer
+          .encode(e, col("vec_id"), col("embedding"), cb, p)
+          .write.mode("overwrite").parquet(path)
+        cb.write.mode("overwrite").parquet(s"$path/_codebooks")
+        path
+      }
+    )
 
   /** The PQ-compressed member of the index family — same materialized
     * coarse centroids as [[ivfIndexFor]] (identical probe lists, so recall
@@ -501,23 +526,24 @@ object LlmQueries {
         tables = 16, bitsPerTable = 4)
     }),
 
-    // D4 (compressed ANN): product quantization — train m=16 ksub=64
-    // codebooks (deterministic seeds + 3 joint Lloyd steps), encode every
-    // vector as 16 codes (~32× smaller working set than the float64
-    // vectors), ADC-shortlist 50 candidates from the codes-only scan,
-    // exact-cosine re-rank just those — the standard PQ + re-rank serving
-    // pattern. Approximate candidate set (PQ cells quantize the space) →
-    // rows-only; the ADC ≡ reconstructed-dot, recall, and re-rank-recall
-    // laws live in ProductQuantizerSpec.
+    // D4 (compressed ANN): product quantization — m=16 ksub=64 codebooks
+    // (deterministic seeds + 3 joint Lloyd steps) and the per-vector
+    // 16-code encoding are OFFLINE artifacts built once per session
+    // (pqArtifactsFor, like the IVF indexes); the measured query is the
+    // serving cost: ADC-shortlist 50 candidates from the codes-only scan
+    // (~32× fewer scanned bytes than the float64 vectors), exact-cosine
+    // re-rank just those — the standard PQ + re-rank pattern. Approximate
+    // candidate set (PQ cells quantize the space) → rows-only; the
+    // ADC ≡ reconstructed-dot, recall, and re-rank-recall laws live in
+    // ProductQuantizerSpec.
     "d4_topk_pq" -> ((s, sf) => {
-      val e  = Tables.embeddings(s, sf)
-      val p  = ProductQuantizer.PqParams()
-      val cb = ProductQuantizer.trainCodebooks(e, col("vec_id"), col("embedding"), p)
-        .localCheckpoint() // codebooks feed encode AND the ADC table: train once
-      val codes = ProductQuantizer.encode(e, col("vec_id"), col("embedding"), cb, p)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      ProductQuantizer.adcTopKRerank(e, col("vec_id"), col("embedding"), codes, cb, q,
-        k = 10, shortlist = 50, p)
+      val e    = Tables.embeddings(s, sf)
+      val path = pqArtifactsFor(s, sf) // codebooks+codes: session-built artifact
+      val q    = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      ProductQuantizer.adcTopKRerank(
+        e, col("vec_id"), col("embedding"),
+        s.read.parquet(path), s.read.parquet(s"$path/_codebooks"), q,
+        k = 10, shortlist = 50, ProductQuantizer.PqParams())
     }),
 
     // D4 (IVFPQ): partition-pruned probe of the MATERIALIZED PQ index —
