@@ -590,6 +590,62 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D5 (Gopher rules): the MassiveText quality-filter battery (Rae et
+    // al. 2021, Gopher §A1.1) — token-count bounds, mean-word-length
+    // window, alphabetic-word fraction, symbol ratio, bullet/ellipsis
+    // line fractions, ≥2-of-8 stopword requirement — each signal emitted
+    // per doc plus the conjunctive keep flag, so downstream can audit WHY
+    // a doc dropped. One narrow projection, zero shuffles; every signal
+    // rounded to a fixed grid for cross-engine hash equality.
+    "d5_gopher_rules" -> ((s, sf) => {
+      val t     = toks(col("text"))
+      val n     = size(t)
+      val nd    = nullif(n, lit(0)).cast("double")
+      val lines = split(col("text"), "\n", -1)
+      val nl    = nullif(size(lines), lit(0)).cast("double")
+      val meanLen =
+        round(aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / nd, 6)
+      val alphaFrac = round(size(filter(t, x => x.rlike("[a-z]"))).cast("double") / nd, 6)
+      val symbolRatio = round(
+        ((size(split(col("text"), "#", -1)) - 1) +
+          (size(split(col("text"), "\\.\\.\\.", -1)) - 1)).cast("double") / nd, 6)
+      val bulletFrac =
+        round(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nl, 6)
+      val ellipsisFrac =
+        round(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl, 6)
+      // Stop list = the engine's English profile (TextOps.stopwordProfiles)
+      // standing in for Gopher's 8-word list: the synthetic vocabulary
+      // contains at most ONE of Gopher's exact words, which would make the
+      // ≥2 rule reject every doc (vacuous keep flag) — a fixture
+      // calibration, same convention as d2_simhash's radius.
+      val stopHits = size(
+        array_intersect(
+          array_distinct(t),
+          array(TextOps.stopwordProfiles("en").map(lit): _*)))
+        .cast("long")
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          n.cast("long").as("n_tok"),
+          meanLen.as("mean_word_len"),
+          alphaFrac.as("alpha_word_frac"),
+          symbolRatio.as("symbol_ratio"),
+          bulletFrac.as("bullet_line_frac"),
+          ellipsisFrac.as("ellipsis_line_frac"),
+          stopHits.as("stop_hits"),
+          coalesce( // empty doc: every ratio NULL → keep must be false, not null
+            n >= 50 && n <= 100000 &&
+              meanLen >= 3.0 && meanLen <= 10.0 &&
+              alphaFrac >= 0.8 &&
+              symbolRatio <= 0.1 &&
+              bulletFrac <= 0.9 &&
+              ellipsisFrac <= 0.3 &&
+              stopHits >= 2L,
+            lit(false)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // D5: language-ID heuristic (stopword-profile argmax). The synthetic
     // corpus is one shared vocabulary, so this exercises mechanics, not
     // linguistics; real-language behavior covered in TextOpsSpec.
@@ -1216,6 +1272,39 @@ object LlmQueries {
                  list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "d5_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS t,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS mean_word_len,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS alpha_word_frac,
+             round(CAST((len(string_split(text, '#')) - 1)
+                        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS bullet_line_frac,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+             CAST(len(list_intersect(list_distinct(t),
+               ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits
+           FROM base)
+         SELECT doc_id, n_tok, mean_word_len, alpha_word_frac, symbol_ratio,
+           bullet_line_frac, ellipsis_line_frac, stop_hits,
+           coalesce(n_tok >= 50 AND n_tok <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND alpha_word_frac >= 0.8
+             AND symbol_ratio <= 0.1
+             AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3
+             AND stop_hits >= 2, false) AS keep
+         FROM sig ORDER BY doc_id""",
     "d5_langid" -> langIdSql,
     "d5_quality_score" ->
       s"""WITH f AS (
