@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, LmScore, Mixture, ProductQuantizer, SimilarityJoin}
+import graft.operators.{Dedup, LmScore, Mixture, Pca, ProductQuantizer, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -524,6 +524,21 @@ object LlmQueries {
       val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
       SimilarityJoin.lshTopK(e, col("vec_id"), col("embedding"), dim = 64, q, k = 10,
         tables = 16, bitsPerTable = 4)
+    }),
+
+    // D3 (decorrelation): PCA whitening of the embedding column — fit =
+    // decimal-exact distributed mean/covariance + deterministic driver
+    // Jacobi on the d×d matrix (dimension-bounded, like the nprobe list),
+    // project = one broadcast + narrow map. Rows-only (no DuckDB
+    // eigensolver); orthonormality/eigen-equation/rotation/whitening/
+    // partitioning-independence laws in PcaSpec.
+    "d3_pca_whiten" -> ((s, sf) => {
+      val e     = Tables.embeddings(s, sf)
+      val model = Pca.fit(e, col("vec_id"), col("embedding"), dim = 64)
+      Pca
+        .project(e, col("vec_id"), col("embedding"), model, k = 8, whiten = true)
+        .select(col("id").as("vec_id"), transform(col("proj"), x => round(x, 6)).as("proj"))
+        .orderBy("vec_id")
     }),
 
     // D4 (compressed ANN): product quantization — m=16 ksub=64 codebooks
