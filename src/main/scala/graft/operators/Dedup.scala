@@ -591,14 +591,28 @@ object Dedup {
     * blocks, boilerplate paragraphs, quoted headers) hiding inside
     * otherwise-unique documents, which doc-grain dedup cannot see.
     *
-    * 100 TB design: total work is Σ tokens — one corpus-token-sized hash
-    * aggregation grouping window occurrences by gram key, one same-key
-    * shuffle-hash join back, one doc-grain aggregation over FLAGGED
-    * windows only; no all-pairs stage anywhere. The key shuffled is the
-    * 64-bit xxhash of the window text (strings never shuffle; collisions
-    * ≪1e-8 at 1e9 distinct windows — same accepted risk as the other
-    * n-gram passes). The span merge is a sorted per-doc fold and the
-    * rebuild is narrow lambda algebra — both codegen'd, no UDFs.
+    * 100 TB design: total work is Σ tokens — ONE corpus-token-sized
+    * exchange on the gram key (count + canonical occurrence as
+    * whole-partition window aggregates — no groupBy-and-join-back, which
+    * would consume the tokenize+window subtree twice), one doc-grain
+    * aggregation over FLAGGED windows only; no all-pairs stage anywhere.
+    * The key shuffled is the 64-bit xxhash of the window text (strings
+    * never shuffle; collisions ≪1e-8 at 1e9 distinct windows — same
+    * accepted risk as the other n-gram passes). The span merge is a
+    * sorted per-doc fold and the rebuild is narrow lambda algebra — both
+    * codegen'd, no UDFs.
+    *
+    * Skew note: all occurrences of one gram co-locate on its reducer, so
+    * a mega-boilerplate k-gram repeated across millions of docs would
+    * make a hot partition. Unlike the LSH bucket cap, occurrences cannot
+    * be DROPPED here (skipping a hot gram means shipping mega-duplicated
+    * boilerplate — the exact content this pass exists to cut), so the
+    * mitigation at that scale is the salted two-phase aggregate (per
+    * (gram, salt) partials → gram totals → join back to a checkpointed
+    * window frame), paying a materialization to keep the hot key off one
+    * reducer. At production k (Lee et al. use ~50 tokens) multiplicities
+    * after doc-grain dedup stay far below that regime, so the one-scan
+    * window form is the right default.
     *
     * Output: (doc_id, clean_text, n_kept, n_removed) for EVERY input doc
     * — untouched and sub-k-token docs pass through with n_removed = 0.

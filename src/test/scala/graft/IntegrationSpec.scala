@@ -187,6 +187,53 @@ class IntegrationSpec extends AnyFunSuite {
     assert(ids === Set(1L, 2L, 11L, 21L, 23L), ids.toString)
   }
 
+  test("streaming ANN ingest: micro-batched addToIvfIndex ≡ one-shot build on the union") {
+    // The incremental-add law (SimilaritySpec) covers one batch add; this
+    // pins the STREAMING driver of it: embedding shards arriving as
+    // micro-batches, appended to the live index via foreachBatch, must
+    // leave an index whose probes are row-identical to one built from
+    // the whole corpus against the SAME centroids — micro-batch
+    // boundaries and arrival order leave no trace in search results.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.VectorOps
+    import graft.operators.SimilarityJoin
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb     = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val initial = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val centroids = initial.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+      .localCheckpoint()
+    val base = Files.createTempDirectory("graft_stream_ivf").toString
+    SimilarityJoin.buildIvfIndex(initial, col("vec_id"), col("embedding"), centroids, s"$base/live")
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        SimilarityJoin.addToIvfIndex(df, col("vec_id"), col("embedding"), s"$base/live")
+      }
+      .start()
+    try rest.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    SimilarityJoin.buildIvfIndex(emb, col("vec_id"), col("embedding"), centroids, s"$base/ref")
+    Seq(0L, 42L, 300L, 499L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      val live = SimilarityJoin.ivfProbe(spark, s"$base/live", qv, k = 10, nprobe = 3)
+        .collect().map(_.toSeq).toSeq
+      val ref = SimilarityJoin.ivfProbe(spark, s"$base/ref", qv, k = 10, nprobe = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(live === ref, s"streamed index diverged from one-shot build for query $qid")
+    }
+  }
+
   test("corpus → training shards: the full D-pipeline end to end") {
     // Every corpus-prep stage in one run, the way a production pipeline
     // composes them: dedup (exact + near) → eval decontamination → rule +
