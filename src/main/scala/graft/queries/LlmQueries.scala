@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, LmScore, Mixture, Pca, ProductQuantizer, SimilarityJoin}
+import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -701,6 +701,19 @@ object LlmQueries {
         .limit(100)
     }),
 
+    // D6 (retrieval): BM25 against a fixed term query — the lexical half
+    // of a RAG retrieval stack (the D4 ANN probes are the vector half).
+    // Query mixes two high-df terms with the corpus's one discriminative
+    // mid-df term so idf genuinely reorders matches. Top-20, ties by
+    // doc_id; fully oracle-checked (ln + IEEE arithmetic, the d6_tfidf
+    // precedent).
+    "d6_bm25" -> ((s, sf) =>
+      Bm25
+        .score(Tables.documents(s, sf), col("doc_id"), col("text"),
+          queryTerms = Seq("scan", "hash", "dup"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)),
+
     // D7: per-(lang, source) corpus slice statistics.
     "d7_slice_stats" -> ((s, sf) => {
       val t = toks(col("text"))
@@ -1360,6 +1373,27 @@ object LlmQueries {
            round(CAST(tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
          FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
          ORDER BY score DESC, doc_id, tok LIMIT 100""",
+    "d6_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         scored AS (
+           SELECT doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+           FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+           round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
+         FROM scored GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "d7_slice_stats" ->
       """SELECT lang, source, count(*) AS docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
