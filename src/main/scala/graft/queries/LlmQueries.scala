@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, SimilarityJoin}
+import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -714,6 +714,30 @@ object LlmQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
 
+    // D6 (hybrid): reciprocal-rank fusion of the lexical (BM25 top-20)
+    // and vector (cosine top-20 vs vec 0) lists — the standard RAG hybrid
+    // combiner (Cormack et al., SIGIR 2009). Both inputs are bounded
+    // top-k lists BEFORE ranking (TakeOrderedAndProject), so the fusion
+    // itself is k-sized; fully oracle-checked.
+    "d6_rrf_fusion" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      val lex = Rrf.rankList(
+        Bm25
+          .score(docs, col("doc_id"), col("text"), queryTerms = Seq("scan", "hash", "dup"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20),
+        "doc_id", "bm25")
+      val e = Tables.embeddings(s, sf)
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      val vec = Rrf.rankList(
+        SimilarityJoin.topK(e, col("vec_id"), col("embedding"), q, 20), "vec_id", "cos")
+      Rrf
+        .fuse(Seq(lex, vec))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // D7: per-(lang, source) corpus slice statistics.
     "d7_slice_stats" -> ((s, sf) => {
       val t = toks(col("text"))
@@ -1394,6 +1418,40 @@ object LlmQueries {
            round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
          FROM scored GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "d6_rrf_fusion" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         sc AS (
+           SELECT doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+           FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+         bm AS (
+           SELECT doc_id, round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
+           FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         bmr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+         vec AS (
+           SELECT vec_id,
+             round(list_dot_product(v, qvec)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 9) AS cos
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+           ORDER BY cos DESC, vec_id LIMIT 20),
+         vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM vec),
+         u AS (SELECT * FROM bmr UNION ALL SELECT * FROM vr)
+         SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(min(r) AS BIGINT) AS best_rank,
+           round(CAST(sum(CAST(round(1e12 / (60 + r)) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS rrf
+         FROM u GROUP BY id ORDER BY rrf DESC, doc_id LIMIT 15""",
     "d7_slice_stats" ->
       """SELECT lang, source, count(*) AS docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
