@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin}
+import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -676,6 +676,27 @@ object LlmQueries {
         .documents(s, sf)
         .select(col("doc_id"), TextOps.fingerprint(toks(col("text"))).as("fp"))
         .orderBy("doc_id")),
+
+    // D5: tokenizer-vocab construction — top-200 word-frequency vocab
+    // with ids and the cumulative coverage curve (the first pass of
+    // BPE/WordPiece training). Counts exact; the only window runs over
+    // the 200 surviving rows.
+    "d5_vocab_build" -> ((s, sf) =>
+      Vocab.build(Tables.documents(s, sf), col("text"), 200).orderBy("vocab_id")),
+
+    // D5: corpus encoding — each doc to its token-id sequence against the
+    // top-100 vocab (OOV → UNK = 0). The vocab broadcasts; per-doc arrays
+    // re-assemble position-sorted, so the result is partitioning-stable.
+    "d5_encode" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      val vocab = Vocab.build(docs, col("text"), 100)
+      Vocab
+        .encode(docs, col("doc_id"), col("text"), vocab)
+        // The operator returns a real array<long>; the registered query
+        // space-joins it because the oracle compare hashes JSON scalars.
+        .withColumn("ids", concat_ws(" ", transform(col("ids"), _.cast("string"))))
+        .orderBy("doc_id")
+    }),
 
     // D6: TF-IDF — top 100 (doc, term) scores.
     "d6_tfidf" -> ((s, sf) => {
@@ -1385,6 +1406,40 @@ object LlmQueries {
          FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "d5_vocab_build" ->
+      """WITH tok AS (
+           SELECT u.tok AS tok FROM (
+             SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+             FROM documents), unnest(toks) AS u(tok)),
+         c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+         top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 200)
+         SELECT CAST(row_number() OVER w AS BIGINT) AS vocab_id, tok, cnt,
+           round(CAST(sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT total FROM tot), 9) AS cum_share
+         FROM top WINDOW w AS (ORDER BY cnt DESC, tok)
+         ORDER BY vocab_id""",
+    "d5_encode" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT u.tok AS tok, count(*) AS cnt
+           FROM toks, unnest(toks) AS u(tok) GROUP BY u.tok),
+         top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 100),
+         v AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS vocab_id, tok
+               FROM top),
+         px AS (
+           SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INTEGER)] AS tok
+           FROM toks, unnest(range(1, len(toks) + 1)) AS r(i)),
+         e AS (
+           SELECT doc_id, pos, coalesce(v.vocab_id, 0) AS id,
+             v.vocab_id IS NULL AS unk
+           FROM px LEFT JOIN v USING (tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           array_to_string(list(id ORDER BY pos), ' ') AS ids
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
     "d6_tfidf" ->
       """WITH tf AS (
            SELECT doc_id, tok, count(*) AS tf FROM (
