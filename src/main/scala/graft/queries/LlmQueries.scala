@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin, Vocab}
+import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -676,6 +676,29 @@ object LlmQueries {
         .documents(s, sf)
         .select(col("doc_id"), TextOps.fingerprint(toks(col("text"))).as("fp"))
         .orderBy("doc_id")),
+
+    // D0/D1: corpus snapshot diff — classify every doc id across two
+    // snapshots (added / removed / changed / unchanged by sha256). The
+    // second snapshot is a deterministic simulated next crawl: drop
+    // doc_id%17==3, edit doc_id%23==5, add doc_id%29==7 under new ids.
+    // Each side reduces to (id, hash) before the one full-outer shuffle.
+    "d0_corpus_diff" -> ((s, sf) => {
+      val a = Tables.documents(s, sf)
+      val kept = a
+        .filter(col("doc_id") % 17 =!= 3)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 23 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))
+            .as("text"))
+      val added = a
+        .filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), concat(col("text"), lit(" new")).as("text"))
+      SnapshotDiff
+        .diff(a, kept.unionByName(added), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
 
     // D5: tokenizer-vocab construction — top-200 word-frequency vocab
     // with ids and the cumulative coverage curve (the first pass of
@@ -1406,6 +1429,24 @@ object LlmQueries {
          FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "d0_corpus_diff" ->
+      """WITH b AS (
+           SELECT doc_id, CASE WHEN doc_id % 23 = 5 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+           FROM documents WHERE doc_id % 29 = 7),
+         ah AS (SELECT doc_id AS id, sha256(text) AS old_hash FROM documents),
+         bh AS (SELECT doc_id AS id, sha256(text) AS new_hash FROM b),
+         j AS (SELECT coalesce(ah.id, bh.id) AS doc_id, old_hash, new_hash
+               FROM ah FULL OUTER JOIN bh ON ah.id = bh.id)
+         SELECT doc_id,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash = new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_hash, new_hash
+         FROM j ORDER BY doc_id""",
     "d5_vocab_build" ->
       """WITH tok AS (
            SELECT u.tok AS tok FROM (
