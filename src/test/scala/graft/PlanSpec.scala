@@ -170,6 +170,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!l.contains("SortMergeJoin"), "LM vocab join degraded to sort-merge")
   }
 
+  test("d6_rrf_fusion: both retrieval lists bound via TakeOrderedAndProject before ranking") {
+    // The fusion windows must rank k-row lists, never corpus-sized input:
+    // the top-k limits have to compile to distributed TakeOrderedAndProject
+    // (two lists + the final fused top-k = at least 3 occurrences).
+    val p = planOf("d6_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3, p.take(3000))
+  }
+
+  test("d5_encode: the vocab joins the exploded corpus as a broadcast") {
+    // The vocab is bounded by construction; a SortMergeJoin here would
+    // shuffle the corpus-sized token stream against a 100-row table.
+    val p = planOf("d5_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("d0_corpus_diff: only (id, hash) crosses the full-outer shuffle — text never moves") {
+    // Each snapshot must reduce to (id, sha256) BEFORE the join: the
+    // exchanges feeding the full-outer join must not carry the text
+    // column (at 100 TB that is the difference between shuffling ~50 B/doc
+    // and shuffling the corpus).
+    val df = SparkEntry.queries("d0_corpus_diff")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchangeLines.nonEmpty, p.take(2000))
+    assert(exchangeLines.forall(!_.contains("text")), s"text column shuffled: $exchangeLines")
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
