@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -612,54 +613,16 @@ object LlmQueries {
     // per doc plus the conjunctive keep flag, so downstream can audit WHY
     // a doc dropped. One narrow projection, zero shuffles; every signal
     // rounded to a fixed grid for cross-engine hash equality.
-    "d5_gopher_rules" -> ((s, sf) => {
-      val t     = toks(col("text"))
-      val n     = size(t)
-      val nd    = nullif(n, lit(0)).cast("double")
-      val lines = split(col("text"), "\n", -1)
-      val nl    = nullif(size(lines), lit(0)).cast("double")
-      val meanLen =
-        round(aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / nd, 6)
-      val alphaFrac = round(size(filter(t, x => x.rlike("[a-z]"))).cast("double") / nd, 6)
-      val symbolRatio = round(
-        ((size(split(col("text"), "#", -1)) - 1) +
-          (size(split(col("text"), "\\.\\.\\.", -1)) - 1)).cast("double") / nd, 6)
-      val bulletFrac =
-        round(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nl, 6)
-      val ellipsisFrac =
-        round(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl, 6)
-      // Stop list = the engine's English profile (TextOps.stopwordProfiles)
-      // standing in for Gopher's 8-word list: the synthetic vocabulary
-      // contains at most ONE of Gopher's exact words, which would make the
-      // ≥2 rule reject every doc (vacuous keep flag) — a fixture
-      // calibration, same convention as d2_simhash's radius.
-      val stopHits = size(
-        array_intersect(
-          array_distinct(t),
-          array(TextOps.stopwordProfiles("en").map(lit): _*)))
-        .cast("long")
+    "d5_gopher_rules" -> ((s, sf) =>
       Tables
         .documents(s, sf)
+        .withColumn("g", TextOps.gopherSignals(col("text")))
         .select(
           col("doc_id"),
-          n.cast("long").as("n_tok"),
-          meanLen.as("mean_word_len"),
-          alphaFrac.as("alpha_word_frac"),
-          symbolRatio.as("symbol_ratio"),
-          bulletFrac.as("bullet_line_frac"),
-          ellipsisFrac.as("ellipsis_line_frac"),
-          stopHits.as("stop_hits"),
-          coalesce( // empty doc: every ratio NULL → keep must be false, not null
-            n >= 50 && n <= 100000 &&
-              meanLen >= 3.0 && meanLen <= 10.0 &&
-              alphaFrac >= 0.8 &&
-              symbolRatio <= 0.1 &&
-              bulletFrac <= 0.9 &&
-              ellipsisFrac <= 0.3 &&
-              stopHits >= 2L,
-            lit(false)).as("keep"))
-        .orderBy("doc_id")
-    }),
+          col("g.n_tok"), col("g.mean_word_len"), col("g.alpha_word_frac"),
+          col("g.symbol_ratio"), col("g.bullet_line_frac"),
+          col("g.ellipsis_line_frac"), col("g.stop_hits"), col("g.keep"))
+        .orderBy("doc_id")),
 
     // D5: language-ID heuristic (stopword-profile argmax). The synthetic
     // corpus is one shared vocabulary, so this exercises mechanics, not
@@ -698,6 +661,29 @@ object LlmQueries {
         .diff(a, kept.unionByName(added), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // D0: corpus report card — the per-(lang, source) audit a data team
+    // ships with each corpus version: docs, exact token mass, exact-dup
+    // rate (keep-lowest-id convention), Gopher keep rate. Reuses the ONE
+    // gopherSignals definition, so the report can never drift from the
+    // per-doc battery; the dup flag is a keyed window on content hash.
+    "d0_corpus_report" -> ((s, sf) => {
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      Tables
+        .documents(s, sf)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("is_dup", row_number().over(w) > 1)
+        .withColumn("g", TextOps.gopherSignals(col("text")))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("g.n_tok")).as("total_tok"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("g.keep"), 1L).otherwise(0L)).as("keep_docs"))
+        .withColumn("dup_rate", round(col("dup_docs").cast("double") / col("docs"), 6))
+        .withColumn("keep_rate", round(col("keep_docs").cast("double") / col("docs"), 6))
+        .orderBy("lang", "source")
     }),
 
     // D5: tokenizer-vocab construction — top-200 word-frequency vocab
@@ -1447,6 +1433,48 @@ object LlmQueries {
                 ELSE 'changed' END AS status,
            old_hash, new_hash
          FROM j ORDER BY doc_id""",
+    "d0_corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source, text,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS t,
+             string_split(text, chr(10)) AS lines,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           FROM documents),
+         sig AS (
+           SELECT lang, source, rn,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS mean_word_len,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS alpha_word_frac,
+             round(CAST((len(string_split(text, '#')) - 1)
+                        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS bullet_line_frac,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+             CAST(len(list_intersect(list_distinct(t),
+               ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits
+           FROM base),
+         k AS (
+           SELECT lang, source, rn, n_tok,
+             coalesce(n_tok >= 50 AND n_tok <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND alpha_word_frac >= 0.8
+               AND symbol_ratio <= 0.1
+               AND bullet_line_frac <= 0.9
+               AND ellipsis_line_frac <= 0.3
+               AND stop_hits >= 2, false) AS keep
+           FROM sig)
+         SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tok,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_docs,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+         FROM k GROUP BY lang, source ORDER BY lang, source""",
     "d5_vocab_build" ->
       """WITH tok AS (
            SELECT u.tok AS tok FROM (

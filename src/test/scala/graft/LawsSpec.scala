@@ -107,4 +107,21 @@ class LawsSpec extends AnyFunSuite {
       assert(a.intersect(b).count() + a.except(b).count() === a.count())
     }
   }
+
+  test("corpus report card reconciles with its per-doc sources") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val report = SparkEntry.queries("d0_corpus_report")(spark, TestSpark.sf0001)
+    val byCol = report
+      .agg(sum("docs"), sum("dup_docs"), sum("keep_docs"))
+      .collect()(0)
+    assert(byCol.getLong(0) === docs.count(), "report must cover every doc exactly once")
+    val distinctHashes = docs.select(sha2(col("text"), 256)).distinct().count()
+    assert(byCol.getLong(1) === docs.count() - distinctHashes,
+      "dup_docs must equal docs minus distinct content hashes")
+    val keepTrue = SparkEntry.queries("d5_gopher_rules")(spark, TestSpark.sf0001)
+      .filter(col("keep")).count()
+    assert(byCol.getLong(2) === keepTrue,
+      "report keep_docs must match the per-doc gopher battery")
+  }
 }
