@@ -663,6 +663,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D0: incremental re-process — the step after the snapshot diff in a
+    // versioned pipeline: ONLY added/changed docs re-enter the quality
+    // gates (cost scales with the delta, not the corpus — the same
+    // contract as d0_corpus_prep_incr). Same simulated next crawl as
+    // d0_corpus_diff; the diff shuffles (id, hash) only, then the delta
+    // ids select the new snapshot rows that get the Gopher battery.
+    "d0_diff_reprocess" -> ((s, sf) => {
+      val a = Tables.documents(s, sf)
+      val b = a
+        .filter(col("doc_id") % 17 =!= 3)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 23 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))
+            .as("text"))
+        .unionByName(
+          a.filter(col("doc_id") % 29 === 7)
+            .select((col("doc_id") + 1000000L).as("doc_id"), concat(col("text"), lit(" new")).as("text")))
+      val delta = SnapshotDiff
+        .diff(a, b, col("doc_id"), col("text"))
+        .filter(col("status").isin("added", "changed"))
+        .select(col("id").as("doc_id"), col("status"))
+      b.join(delta, "doc_id")
+        .withColumn("g", TextOps.gopherSignals(col("text")))
+        .select(col("doc_id"), col("status"), col("g.n_tok"), col("g.keep"))
+        .orderBy("doc_id")
+    }),
+
     // D0: corpus report card — the per-(lang, source) audit a data team
     // ships with each corpus version: docs, exact token mass, exact-dup
     // rate (keep-lowest-id convention), Gopher keep rate. Reuses the ONE
@@ -1433,6 +1461,51 @@ object LlmQueries {
                 ELSE 'changed' END AS status,
            old_hash, new_hash
          FROM j ORDER BY doc_id""",
+    "d0_diff_reprocess" ->
+      """WITH b AS (
+           SELECT doc_id, CASE WHEN doc_id % 23 = 5 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+           FROM documents WHERE doc_id % 29 = 7),
+         ah AS (SELECT doc_id AS id, sha256(text) AS old_hash FROM documents),
+         bh AS (SELECT doc_id AS id, sha256(text) AS new_hash FROM b),
+         delta AS (
+           SELECT coalesce(ah.id, bh.id) AS doc_id,
+             CASE WHEN old_hash IS NULL THEN 'added' ELSE 'changed' END AS status
+           FROM ah FULL OUTER JOIN bh ON ah.id = bh.id
+           WHERE new_hash IS NOT NULL AND (old_hash IS NULL OR old_hash <> new_hash)),
+         d AS (
+           SELECT b.doc_id, delta.status, b.text,
+             list_filter(string_split(lower(b.text), ' '), t -> length(t) > 0) AS t,
+             string_split(b.text, chr(10)) AS lines
+           FROM b JOIN delta USING (doc_id)),
+         sig AS (
+           SELECT doc_id, status,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS mean_word_len,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS alpha_word_frac,
+             round(CAST((len(string_split(text, '#')) - 1)
+                        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+                   / nullif(len(t), 0), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS bullet_line_frac,
+             round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                   / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+             CAST(len(list_intersect(list_distinct(t),
+               ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits
+           FROM d)
+         SELECT doc_id, status, n_tok,
+           coalesce(n_tok >= 50 AND n_tok <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND alpha_word_frac >= 0.8
+             AND symbol_ratio <= 0.1
+             AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3
+             AND stop_hits >= 2, false) AS keep
+         FROM sig ORDER BY doc_id""",
     "d0_corpus_report" ->
       """WITH base AS (
            SELECT doc_id, lang, source, text,
