@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Dedup, LmScore, Mixture, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Dedup, LmScore, Mixture, Outliers, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -837,6 +837,17 @@ object LlmQueries {
     // The posexplode → groupBy(bucket, pos) shape is the fully distributed
     // "mean vector per slice" aggregation (same as lloydRefine's recompute
     // step), never collecting vectors.
+    // D3 (hygiene): embedding outliers — z-score of each vector's cosine
+    // to its label centroid, the corrupt-embedding filter that runs
+    // before ANN indexing / SemDeDup. Exact micro-grid centroid + exact
+    // moment sums → deterministic flags; fully oracle-checked.
+    "d3_embedding_outliers" -> ((s, sf) =>
+      Outliers
+        .cosineOutliers(
+          Tables.embeddings(s, sf), col("vec_id"), col("embedding"), col("label"))
+        .withColumnRenamed("grp", "label")
+        .orderBy("id")),
+
     "d3_slice_centroid" -> ((s, sf) => {
       val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
       Tables
@@ -1702,6 +1713,36 @@ object LlmQueries {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM t)
          SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 600 ORDER BY doc_id""",
+    "d3_embedding_outliers" ->
+      """WITH base AS (
+           SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         px AS (
+           SELECT grp, i - 1 AS pos, v[CAST(i AS INTEGER)] AS x
+           FROM base, unnest(range(1, len(v) + 1)) AS r(i)),
+         cq AS (
+           SELECT grp, pos,
+             CAST(sum(CAST(sign(x) * floor(abs(x) * 1e9) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1e9) AS c
+           FROM px GROUP BY grp, pos),
+         cent AS (SELECT grp, list(c ORDER BY pos) AS centroid FROM cq GROUP BY grp),
+         sc AS (
+           SELECT vec_id, base.grp,
+             round(list_dot_product(v, centroid)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centroid, centroid))), 9) AS cos
+           FROM base JOIN cent USING (grp)),
+         cm AS (SELECT vec_id, grp, cos, CAST(round(cos * 1e9) AS BIGINT) AS cmi FROM sc),
+         st AS (SELECT grp, count(*) AS n, sum(cmi) AS s1, sum(cmi * cmi) AS s2 FROM cm GROUP BY grp),
+         fin AS (
+           SELECT grp,
+             CAST(s1 AS DOUBLE) / (n * 1e9) AS mean,
+             sqrt((CAST(s2 AS DOUBLE) / (n * 1e18)
+                   - (CAST(s1 AS DOUBLE) / (n * 1e9)) * (CAST(s1 AS DOUBLE) / (n * 1e9)))
+                  * n / nullif(n - 1, 0)) AS sd
+           FROM st)
+         SELECT vec_id AS id, cm.grp AS label, cos AS cos_c,
+           round((cos - mean) / sd, 6) AS z,
+           coalesce((cos - mean) / sd < -2.0, false) AS is_outlier
+         FROM cm JOIN fin USING (grp) ORDER BY id""",
     "d3_slice_centroid" ->
       """SELECT vec_id % 8 AS bucket, CAST(i - 1 AS BIGINT) AS pos,
          CAST(SUM(CAST(sign(CAST(embedding[i] AS DOUBLE)) * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e9) AS BIGINT)) AS DOUBLE)
