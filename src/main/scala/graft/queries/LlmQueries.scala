@@ -971,6 +971,57 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D5 (calibration): Gopher-keep rate per classifier-quality bin — the
+    // cross-signal view a team reads to decide whether the cheap rule
+    // battery and the learned gate agree (and where they diverge). Bins
+    // on the unrounded score (same doubles both engines); mean quality
+    // per bin via exact 1e-6-grid sums. Narrow + one hash agg.
+    "d5_quality_hist" -> ((s, sf) => {
+      import s.implicits._
+      val t = toks(col("text"))
+      val weights = Seq((Array(1.2, -1.5, 0.8, 2.0), -2.0)).toDF("w", "bias")
+      val score = TextOps.qualityScore(col("f"), col("w"), col("bias"))
+      Tables
+        .documents(s, sf)
+        .withColumn("f", array(
+          least(size(t).cast("double") / 100.0, lit(1.0)),
+          TextOps.stopwordRatio(t),
+          TextOps.meanTokenLength(t) / 10.0,
+          size(array_distinct(t)).cast("double") / nullif(size(t), lit(0)).cast("double")))
+        .crossJoin(broadcast(weights))
+        .withColumn("q", score)
+        .withColumn("g", TextOps.gopherSignals(col("text")))
+        .groupBy(least(floor(col("q") * 10), lit(9.0)).cast("long").as("bin"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("g.keep"), 1L).otherwise(0L)).as("gopher_keep_docs"),
+          round(
+            sum(round(col("q") * 1e6).cast("long")).cast("double") / (count(lit(1)) * 1e6),
+            6).as("mean_q"))
+        .withColumn(
+          "gopher_keep_rate",
+          round(col("gopher_keep_docs").cast("double") / col("docs"), 6))
+        .orderBy("bin")
+    }),
+
+    // D0 (ops): compaction plan — per-slice byte mass → target file count
+    // at a fixed file-size goal, the small-files planner a 100 TB lake
+    // runs before rewriting a partition (the goal constant here is
+    // 256 KiB to be meaningful at fixture scale; production uses
+    // ~512 MiB — one constant, same plan).
+    "d0_compaction_plan" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("bytes_est"))
+        .withColumn(
+          "target_files",
+          greatest(ceil(col("bytes_est").cast("double") / lit(262144.0)), lit(1.0)).cast("long"))
+        .withColumn(
+          "docs_per_file",
+          ceil(col("docs").cast("double") / col("target_files")).cast("long"))
+        .orderBy("lang", "source")),
+
     // D7 (split): deterministic stratified train/val/test assignment —
     // reproducible on any cluster/partitioning because it is pure modular
     // arithmetic on the doc id (Mixture.shuffleKey), and stratified across
@@ -1445,6 +1496,70 @@ object LlmQueries {
          SELECT doc_id, round(q, 6) AS quality,
            CAST(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM sc ORDER BY doc_id""",
+    "d5_quality_hist" ->
+      s"""WITH toks0 AS (
+           SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS f1,
+             CAST(len(list_filter(toks, t -> list_contains($stopwordSqlList, t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS f2,
+             CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) / 10.0 AS f3,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS f4
+           FROM toks0),
+         sc AS (
+           SELECT doc_id,
+             1.0 / (1.0 + exp(-(-2.0 + 1.2 * f1 - 1.5 * f2 + 0.8 * f3 + 2.0 * f4))) AS q
+           FROM f),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / nullif(len(toks), 0), 6) AS mean_word_len,
+             round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / nullif(len(toks), 0), 6) AS alpha_word_frac,
+             round(CAST((len(string_split(text, '#')) - 1)
+                        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+                   / nullif(len(toks), 0), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0), 6) AS bullet_line_frac,
+             round(CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+                   / nullif(len(string_split(text, chr(10))), 0), 6) AS ellipsis_line_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT) AS stop_hits
+           FROM toks0),
+         k AS (
+           SELECT doc_id,
+             coalesce(n_tok >= 50 AND n_tok <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND alpha_word_frac >= 0.8
+               AND symbol_ratio <= 0.1
+               AND bullet_line_frac <= 0.9
+               AND ellipsis_line_frac <= 0.3
+               AND stop_hits >= 2, false) AS keep
+           FROM sig),
+         j AS (SELECT sc.doc_id, q, keep FROM sc JOIN k USING (doc_id))
+         SELECT CAST(least(floor(q * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS gopher_keep_docs,
+           round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_q,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS gopher_keep_rate
+         FROM j GROUP BY bin ORDER BY bin""",
+    "d0_compaction_plan" ->
+      """WITH s AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes_est
+           FROM documents GROUP BY lang, source),
+         p AS (
+           SELECT lang, source, docs, bytes_est,
+             CAST(greatest(ceil(CAST(bytes_est AS DOUBLE) / 262144.0), 1.0) AS BIGINT) AS target_files
+           FROM s)
+         SELECT lang, source, docs, bytes_est, target_files,
+           CAST(ceil(CAST(docs AS DOUBLE) / target_files) AS BIGINT) AS docs_per_file
+         FROM p ORDER BY lang, source""",
     "d5_fingerprint" ->
       """SELECT doc_id,
            list_reduce(
