@@ -116,23 +116,48 @@ object Pca {
     // index k = i·dim − i(i−1)/2 + (j−i) — d(d+1)/2 rows after the
     // map-side-combined hash agg, decimal-exact.
     val centered = vecs.select(zip_with(col("v"), meanLit, (x, m) => x - m).as("c"))
-    val tri = centered
-      .select(
-        explode(
-          flatten(
-            transform(
-              sequence(lit(0), lit(dim - 1)),
-              i =>
-                transform(
-                  sequence(i, lit(dim - 1)),
-                  j =>
-                    struct(
-                      // i·(i−1) is even, so >>1 is the exact integer /2
-                      // (Column `/` is true division and would make k a double).
-                      (i * dim - shiftright(i * (i - 1), 1) + (j - i)).as("k"),
-                      (element_at(col("c"), i + 1) * element_at(col("c"), j + 1)).as("p"))))))
-          .as("e"))
-      .select(col("e.k").as("k"), col("e.p").as("p"))
+    // Per-partition Gram partials in a JVM loop (the shingleHashesJvm
+    // convention: the declarative twin — explode d(d+1)/2 product structs
+    // per row — allocates ~n·d²/2 structs and decimal casts and was the
+    // suite's slowest query). Semantics are IDENTICAL to
+    // sum(p.cast(decimal(38,18))): each double product is rounded
+    // HALF_UP at scale 18 (exactly Spark's double→decimal cast), then
+    // summed exactly — BigDecimal addition is associative, so the fit
+    // stays bit-identical under any partitioning. The shuffle carries
+    // partitions·d(d+1)/2 decimal rows into the final exact sum.
+    val triLen = dim * (dim + 1) / 2
+    val partials = centered
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = Array.fill[java.math.BigDecimal](triLen)(java.math.BigDecimal.ZERO)
+        var any = false
+        while (it.hasNext) {
+          val v = it.next()
+          any = true
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            val vi = v(i)
+            var j = i
+            while (j < dim) {
+              val p = vi * v(j)
+              // Non-finite products cast to null (dropped) in the SQL
+              // twin; skipping matches that.
+              if (!p.isNaN && !p.isInfinite) {
+                acc(k) = acc(k).add(
+                  new java.math.BigDecimal(p)
+                    .setScale(18, java.math.RoundingMode.HALF_UP))
+              }
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (any) Iterator.tabulate(triLen)(k => (k, BigDecimal(acc(k)))) else Iterator.empty
+      }
+      .toDF("k", "p")
+    val tri = partials
       .groupBy(col("k"))
       .agg(sum(col("p").cast("decimal(38,18)")).as("s"))
       .select(col("k"), (col("s").cast("double") / lit(n)).as("cov"))
