@@ -576,6 +576,40 @@ object LlmQueries {
     }),
 
     // D5: tokenize + quality scoring + BPE-ish token-count estimate.
+    // D4 (observability): recall report — every approximate retrieval
+    // path (IVF, IVFPQ, PQ+rerank, LSH) probed with the same query and
+    // scored against the exact brute-force top-10, in ONE registered
+    // query — the per-round ANN quality dashboard (the spec-level recall
+    // laws made driver-visible, the d4_topk_ivf_q pattern). The exact set
+    // is 10 rows → broadcast semi-join per method; rows-only (approx
+    // methods), recall floors asserted in SimilaritySpec/PqSpec laws.
+    "d4_recall_report" -> ((s, sf) => {
+      val e  = Tables.embeddings(s, sf)
+      val qd = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      val qf = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val exactIds = SimilarityJoin.topK(e, col("vec_id"), col("embedding"), qd, 10).select("vec_id")
+      def ids(df: DataFrame, m: String) =
+        df.select(col("vec_id").cast("long").as("vec_id")).withColumn("method", lit(m))
+      val pqPath = pqArtifactsFor(s, sf)
+      val candidates = Seq(
+        ids(SimilarityJoin.ivfProbe(s, ivfIndexFor(s, sf), qd, k = 10, nprobe = 4), "ivf"),
+        ids(ProductQuantizer.ivfPqProbe(s, ivfPqIndexFor(s, sf), qd, k = 10, nprobe = 4), "ivfpq"),
+        ids(ProductQuantizer.adcTopKRerank(
+          e, col("vec_id"), col("embedding"),
+          s.read.parquet(pqPath), s.read.parquet(s"$pqPath/_codebooks"), qf,
+          k = 10, shortlist = 50, ProductQuantizer.PqParams()), "pq"),
+        ids(SimilarityJoin.lshTopK(e, col("vec_id"), col("embedding"), dim = 64, qd, k = 10,
+          tables = 16, bitsPerTable = 4), "lsh"))
+      candidates
+        .reduce(_.unionByName(_))
+        .join(broadcast(exactIds), Seq("vec_id"), "left_semi")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("k", lit(10L))
+        .withColumn("recall", round(col("hits").cast("double") / col("k"), 4))
+        .orderBy("method")
+    }),
+
     // D4 (index ops): quality-drift check of a new shard against the
     // MATERIALIZED IVF centroids — per-centroid mean/min cosine of the
     // shard's would-be members, the re-run-Lloyd signal. Broadcast-join
@@ -1218,6 +1252,26 @@ object LlmQueries {
         .globalShuffle(Tables.documents(s, sf), col("doc_id"), numShards = 8, seed = 42)
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")),
+
+    // D7 (ops): shard manifest — the integrity record shipped next to a
+    // training-shard export: per shard, doc count, exact char mass, id
+    // range, and an ORDER-INDEPENDENT content checksum (bit_xor of the
+    // oracle-proven rolling-hash fingerprint — xor needs no overflow
+    // semantics agreement and commutes, so any partitioning produces the
+    // same manifest). A consumer re-derives this from delivered shards
+    // and compares, no re-shuffle needed.
+    "d7_shard_manifest" -> ((s, sf) =>
+      Mixture
+        .globalShuffle(Tables.documents(s, sf), col("doc_id"), numShards = 8, seed = 42)
+        .withColumn("fp", TextOps.fingerprint(toks(col("text"))))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          expr("bit_xor(fp)").as("checksum"))
+        .orderBy("shard")),
 
     // D7 (composed): chunk → pack — documents split into disjoint
     // 64-token chunks, then chunks packed into ≤256-token training packs
@@ -2044,6 +2098,25 @@ object LlmQueries {
          SELECT doc_id, (key * 8) // 4294967296 AS shard,
            CAST(row_number() OVER (PARTITION BY (key * 8) // 4294967296 ORDER BY key, doc_id) AS BIGINT) AS pos
          FROM k ORDER BY shard, pos""",
+    "d7_shard_manifest" ->
+      """WITH k AS (
+           SELECT doc_id, n_chars, text,
+             (((doc_id + 42) % 1000000007) * 2654435761 % 4294967296 * 8) // 4294967296 AS shard
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_chars, shard,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                 list_transform(
+                   list_filter(string_split(lower(text), ' '), t -> length(t) > 0),
+                   t -> CAST(length(t) * 31 + unicode(t) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS fp
+           FROM k)
+         SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           bit_xor(fp) AS checksum
+         FROM f GROUP BY shard ORDER BY shard""",
     "d7_chunk_pack" ->
       """WITH t AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
