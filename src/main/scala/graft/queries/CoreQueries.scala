@@ -292,10 +292,17 @@ object CoreQueries {
         .select(
           col("l_returnflag"),
           col("n"),
-          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr")
+          // Moments are exact; the FINAL double arithmetic can still
+          // differ by one ulp across engines (observed at sf0.001), so
+          // both outputs round — 6 absorbs ulp noise at covar magnitudes,
+          // 12 at corr's [-1, 1].
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+            .as("covar_samp"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+            12).as("corr")
         )
         .orderBy("l_returnflag")),
 
@@ -895,8 +902,8 @@ object CoreQueries {
          ORDER BY l_returnflag""",
     "c10_agg_corr" ->
       """SELECT l_returnflag, n,
-         (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-         (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+         round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+         round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr
          FROM (
            SELECT l_returnflag, count(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
