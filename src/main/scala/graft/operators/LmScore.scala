@@ -237,4 +237,99 @@ object LmScore {
     importanceWeights(docs, idCol, textCol, targetLm, rawLm)
       .orderBy(col("w_micro").desc, col("doc_id"))
       .limit(n)
+
+  /** Bigram counts (w1, w2, c2) — the order-2 analogue of
+    * [[unigramCounts]], same mergeable-by-addition property. */
+  def bigramCounts(docs: DataFrame, textCol: Column): DataFrame = {
+    val t = TextOps.tokens(textCol)
+    docs
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+  }
+
+  /** Train an add-one-smoothed conditional bigram LM:
+    * p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V+1). The model frame has three
+    * row kinds, distinguished by nulls — (w1, w2, lp): a seen bigram;
+    * (w1, null, lp): the unseen-successor fallback for a seen w1 (c2=0);
+    * (null, null, lp): the global fallback ln(1/(V+1)) for unseen w1.
+    * Like the unigram LM, `ln` runs once per MODEL row (bigram-vocab-
+    * sized), micro-rounded, so doc scores are exact long sums. */
+  def trainBigram(docs: DataFrame, textCol: Column): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+      .select(col("token").as("w1"), col("c").as("c1"))
+    val v  = uni.agg(count(lit(1)).as("v"))
+    val bg = bigramCounts(docs, textCol)
+    val lp2 = bg
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(
+        col("w1"), col("w2"),
+        lpMicro(col("c2") + lit(1.0), col("c1") + col("v") + lit(1.0)).as("lp_micro"))
+    val lpFallback = uni
+      .crossJoin(broadcast(v))
+      .select(
+        col("w1"), lit(null).cast("string").as("w2"),
+        lpMicro(lit(1.0), col("c1") + col("v") + lit(1.0)).as("lp_micro"))
+    val lpGlobal = v.select(
+      lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2"),
+      lpMicro(lit(1.0), col("v") + lit(1.0)).as("lp_micro"))
+    lp2.unionByName(lpFallback).unionByName(lpGlobal)
+  }
+
+  /** Score every doc against a [[trainBigram]] model: (doc_id,
+    * n_bigrams, lp_total_micro, mean_lp). Docs with <2 tokens carry no
+    * bigram evidence → (0, 0, null). The three model slices broadcast
+    * (model is reference-corpus-bounded); the per-pair lp resolves
+    * seen-bigram → seen-w1 fallback → global, then one exact long sum
+    * back to doc grain. */
+  def scoreBigram(docs: DataFrame, idCol: Column, textCol: Column, model: DataFrame): DataFrame = {
+    val modelOnce = model.localCheckpoint() // three consumers; bound training to one pass
+    val seen = modelOnce
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("lp_micro").as("__lp2"))
+    val fall = modelOnce
+      .filter(col("w1").isNotNull && col("w2").isNull)
+      .select(col("w1"), col("lp_micro").as("__lpf"))
+    val glob = modelOnce
+      .filter(col("w1").isNull)
+      .select(col("lp_micro").as("__lpg"))
+    val t = TextOps.tokens(textCol)
+    val base = docs.select(idCol.cast("long").as("doc_id"), t.as("t"))
+    val scored = base
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(broadcast(seen), Seq("w1", "w2"), "left")
+      .join(broadcast(fall), Seq("w1"), "left")
+      .crossJoin(broadcast(glob))
+      .select(col("doc_id"), coalesce(col("__lp2"), col("__lpf"), col("__lpg")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_total_micro"))
+    base
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_total_micro"), lit(0L)).as("lp_total_micro"),
+        round(
+          col("lp_total_micro").cast("double")
+            / nullif(col("n_bigrams"), lit(0L)) / 1e6,
+          6).as("mean_lp"))
+  }
 }

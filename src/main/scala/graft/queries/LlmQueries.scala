@@ -748,6 +748,17 @@ object LlmQueries {
         .orderBy("lang", "source")
     }),
 
+    // D5: bigram-LM scoring — the order-2 extension of d5_lm_score
+    // (same reference slice, same micro-unit exactness): add-one-smoothed
+    // conditional p(w2|w1) with per-w1 and global fallbacks, ln computed
+    // once per MODEL row. A fluency filter that catches scrambled word
+    // order a unigram LM is blind to.
+    "d5_lm_bigram" -> ((s, sf) => {
+      val docs  = Tables.documents(s, sf)
+      val model = LmScore.trainBigram(docs.filter(col("doc_id") % 10 === 0), col("text"))
+      LmScore.scoreBigram(docs, col("doc_id"), col("text"), model).orderBy("doc_id")
+    }),
+
     // D5: tokenizer-vocab construction — top-200 word-frequency vocab
     // with ids and the cumulative coverage curve (the first pass of
     // BPE/WordPiece training). Counts exact; the only window runs over
@@ -1728,6 +1739,45 @@ object LlmQueries {
            round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate,
            round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
          FROM k GROUP BY lang, source ORDER BY lang, source""",
+    "d5_lm_bigram" ->
+      """WITH rt AS (
+           SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+         uni AS (
+           SELECT u.tok AS w1, count(*) AS c1
+           FROM rt, unnest(toks) AS u(tok) GROUP BY u.tok),
+         vv AS (SELECT count(*) AS v FROM uni),
+         bg AS (
+           SELECT toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2, count(*) AS c2
+           FROM rt, unnest(range(1, len(toks))) AS r(i) GROUP BY 1, 2),
+         lp2 AS (
+           SELECT w1, w2,
+             CAST(round(ln((c2 + 1.0) / (c1 + v + 1.0)) * 1e6) AS BIGINT) AS lp_a
+           FROM bg JOIN uni USING (w1) CROSS JOIN vv),
+         lpf AS (
+           SELECT w1,
+             CAST(round(ln(1.0 / (c1 + v + 1.0)) * 1e6) AS BIGINT) AS lp_b
+           FROM uni CROSS JOIN vv),
+         lpg AS (SELECT CAST(round(ln(1.0 / (v + 1.0)) * 1e6) AS BIGINT) AS lp_c FROM vv),
+         dt AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         db AS (
+           SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2
+           FROM dt, unnest(range(1, len(toks))) AS r(i)),
+         sc AS (
+           SELECT doc_id, coalesce(lp_a, lp_b, (SELECT lp_c FROM lpg)) AS lp
+           FROM db LEFT JOIN lp2 USING (w1, w2) LEFT JOIN lpf USING (w1)),
+         ag AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp) AS BIGINT) AS lp_total_micro
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(lp_total_micro, 0) AS lp_total_micro,
+           round(CAST(lp_total_micro AS DOUBLE) / nullif(n_bigrams, 0) / 1e6, 6) AS mean_lp
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)
+         ORDER BY d.doc_id""",
     "d5_vocab_build" ->
       """WITH tok AS (
            SELECT u.tok AS tok FROM (

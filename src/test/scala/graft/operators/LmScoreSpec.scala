@@ -142,6 +142,31 @@ class LmScoreSpec extends AnyFunSuite {
     assert(fused === twoPass, "fused dual-LM scoring diverged from two independent score() passes")
   }
 
+  test("bigram LM: hand-computed conditional log-probs with both fallback tiers") {
+    // Reference: "a b", "a c" → uni a:2, b:1, c:1 (V=3); bigrams (a,b):1,
+    // (a,c):1. Seen pair (a,b): ln((1+1)/(2+3+1)); unseen successor of b:
+    // ln(1/(1+3+1)); unseen w1 z: ln(1/(3+1)).
+    val ref = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
+    val model = LmScore.trainBigram(ref, col("text"))
+    val docs = Seq((10L, "a b"), (11L, "b a"), (12L, "z z"), (13L, "a")).toDF("doc_id", "text")
+    val out = LmScore
+      .scoreBigram(docs, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._3 === lpMicro(2, 6))
+    assert(out(11L)._3 === lpMicro(1, 5))
+    assert(out(12L)._3 === lpMicro(1, 4))
+    assert(out(13L) === ((13L, 0L, 0L, None)), "a 1-token doc has no bigram evidence")
+  }
+
+  test("bigram scoring is independent of input partitioning") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = LmScore.trainBigram(docs.filter(col("doc_id") % 10 === 0), col("text"))
+    def run(d: org.apache.spark.sql.DataFrame) = LmScore
+      .scoreBigram(d, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(docs) === run(docs.repartition(11)))
+  }
+
   test("dsirSelect ranks target-domain docs first; empty doc carries weight 0") {
     // Target domain: prose over {sun, rises, slowly}; raw corpus also holds
     // numeric boilerplate. The in-domain doc must win selection and the
