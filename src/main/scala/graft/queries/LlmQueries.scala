@@ -963,6 +963,36 @@ object LlmQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // D7 (capacity planning): packing-efficiency sweep — the same greedy
+    // prefix packing evaluated at three max_len configs, reporting packs
+    // and mean utilization per config: the report a team reads to pick
+    // the training sequence length. Three prefix passes here (corpus
+    // reduced to (id, slice, n_tok) first — the sweep never rescans
+    // text); at production scale the shared-prefix variant computes the
+    // running total once and derives every config from it.
+    "d7_packing_sweep" -> ((s, sf) => {
+      val base = Tables
+        .documents(s, sf)
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+      Seq(128L, 256L, 512L)
+        .map { m =>
+          Mixture
+            .packSequences(base, col("doc_id"), col("source"), col("n_tok"), m)
+            .groupBy(col("source"), col("pack_id"))
+            .agg(sum(col("n_tok")).as("fill"))
+            .agg(count(lit(1)).as("packs"), sum(col("fill")).as("total_tok"))
+            .select(
+              lit(m).cast("long").as("max_len"),
+              col("packs"),
+              col("total_tok"),
+              round(col("total_tok").cast("double") / col("packs") / lit(m.toDouble), 6)
+                .as("utilization"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("max_len")
+    }),
+
     // D5 (redaction): PII scrubbing — emails/phones → typed placeholder
     // tags, the pass that runs before any text reaches a tokenizer. The
     // fixture corpus contains no PII, so a deterministic subset gets
@@ -1920,6 +1950,30 @@ object LlmQueries {
          SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
          FROM c GROUP BY 1, 2 ORDER BY source, pack_id""",
+    "d7_packing_sweep" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS n_tok,
+             (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         cfg AS (SELECT unnest([128, 256, 512]) AS max_len),
+         p AS (
+           SELECT max_len, source,
+             CAST(floor((cum - n_tok) / CAST(max_len AS DOUBLE)) AS BIGINT) AS pack_id,
+             n_tok
+           FROM c CROSS JOIN cfg),
+         g AS (
+           SELECT max_len, source, pack_id, CAST(sum(n_tok) AS BIGINT) AS fill
+           FROM p GROUP BY 1, 2, 3)
+         SELECT CAST(max_len AS BIGINT) AS max_len, CAST(count(*) AS BIGINT) AS packs,
+           CAST(sum(fill) AS BIGINT) AS total_tok,
+           round(CAST(sum(fill) AS DOUBLE) / count(*) / max_len, 6) AS utilization
+         FROM g GROUP BY max_len ORDER BY max_len""",
     "d7_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,
