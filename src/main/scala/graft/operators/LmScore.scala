@@ -269,7 +269,9 @@ object LmScore {
     val v  = uni.agg(count(lit(1)).as("v"))
     val bg = bigramCounts(docs, textCol)
     val lp2 = bg
-      .join(uni, Seq("w1"))
+      // The bigram table is the big side (O(types²) worst case); the
+      // unigram vocab is dimension-sized and must broadcast.
+      .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(v))
       .select(
         col("w1"), col("w2"),
@@ -303,30 +305,34 @@ object LmScore {
       .filter(col("w1").isNull)
       .select(col("lp_micro").as("__lpg"))
     val t = TextOps.tokens(textCol)
-    val base = docs.select(idCol.cast("long").as("doc_id"), t.as("t"))
-    val scored = base
-      .filter(size(col("t")) >= 2)
-      .select(
-        col("doc_id"),
-        explode(
-          zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    // explode_outer over a (possibly empty) pair array keeps no-bigram
+    // docs as one null row — the same single-pass shape as score(): one
+    // explode, broadcast model joins, ONE doc-grain agg. No second
+    // corpus-sized join to re-attach empty docs.
+    val pairs = when(
+      size(col("t")) >= 2,
+      zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs
+      .select(idCol.cast("long").as("doc_id"), t.as("t"))
+      .select(col("doc_id"), explode_outer(pairs).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .join(broadcast(seen), Seq("w1", "w2"), "left")
       .join(broadcast(fall), Seq("w1"), "left")
       .crossJoin(broadcast(glob))
-      .select(col("doc_id"), coalesce(col("__lp2"), col("__lpf"), col("__lpg")).as("lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_total_micro"))
-    base
-      .select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+      .agg(
+        count(col("w1")).as("n_bigrams"), // null w1 = the empty-doc marker row
+        coalesce(
+          sum(when(col("w1").isNotNull, coalesce(col("__lp2"), col("__lpf"), col("__lpg")))),
+          lit(0L)).as("lp_total_micro"))
       .select(
         col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("lp_total_micro"), lit(0L)).as("lp_total_micro"),
+        col("n_bigrams"),
+        col("lp_total_micro"),
         round(
           col("lp_total_micro").cast("double")
             / nullif(col("n_bigrams"), lit(0L)) / 1e6,

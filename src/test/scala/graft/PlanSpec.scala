@@ -168,6 +168,12 @@ class PlanSpec extends AnyFunSuite {
     val l = planOf("d5_lm_score")
     assert(l.contains("BroadcastHashJoin"), l.take(2000))
     assert(!l.contains("SortMergeJoin"), "LM vocab join degraded to sort-merge")
+    // Bigram LM: every model join (train-time unigram vocab, score-time
+    // seen/fallback slices) broadcasts — a sort-merge anywhere here means
+    // a corpus- or bigram-table-sized shuffle at 100 TB.
+    val b = planOf("d5_lm_bigram")
+    assert(b.contains("BroadcastHashJoin"), b.take(2000))
+    assert(!b.contains("SortMergeJoin"), "bigram model join degraded to sort-merge")
   }
 
   test("d6_rrf_fusion: both retrieval lists bound via TakeOrderedAndProject before ranking") {
