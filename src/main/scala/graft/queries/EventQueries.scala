@@ -320,7 +320,35 @@ object EventQueries {
           keyCond = col("l_user") === col("r_user") && col("l_id") =!= col("r_id"))
         .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
         .orderBy("l_id", "r_id")
-    })
+    }),
+
+    // B10: ordered-step funnel (view → click → purchase). The classic
+    // event-analytics operator the reference's feed exists to feed. Stage
+    // sequencing is JOIN-FREE: each stage timestamp is a whole-partition
+    // window min over the SAME user_id exchange (t2 only counts clicks at
+    // or after t1, t3 only purchases at or after t2 — a null earlier stage
+    // nulls the predicate, so stages are strictly ordered). One corpus
+    // scan, one keyed shuffle, three window passes over it, then a
+    // single-row rollup — no join-back, which is what keeps this linear
+    // at 100 TB (the naive per-stage self-join is 3 shuffles of the full
+    // event log).
+    "b10_funnel" -> ((s, sf) =>
+      graft.operators.Funnel.report(
+        Tables.events(s, sf),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
+
+    // B10: weekly cohort retention. Cohort = Monday-truncated week of a
+    // user's first event, assigned as a whole-partition window min over
+    // the same user_id exchange the activity weeks ride on — again no
+    // join-back of a per-user dim table (at 100 TB the user dim is itself
+    // corpus-sized, so the window beats the join). Offsets are exact:
+    // both truncations are Monday-aligned, so the day diff is always a
+    // multiple of 7.
+    "b10_retention" -> ((s, sf) =>
+      graft.operators.Funnel
+        .cohortRetention(Tables.events(s, sf), col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset"))
   )
 
   val sql: Map[String, String] = Map(
@@ -413,6 +441,40 @@ object EventQueries {
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.event_id <> b.event_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-         ORDER BY l_id, r_id"""
+         ORDER BY l_id, r_id""",
+    "b10_funnel" ->
+      """WITH w1 AS (
+           SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+           FROM events
+         ), w2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+           FROM w1
+         ), w3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+           FROM w2
+         ), u AS (
+           SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           FROM w3 GROUP BY user_id
+         )
+         SELECT count(*) AS users_total, count(t1) AS reached_view,
+           count(t2) AS reached_click, count(t3) AS reached_purchase,
+           round(CAST(count(t3) AS DOUBLE) / CAST(count(t1) AS DOUBLE), 4)
+             AS conversion_rate
+         FROM u""",
+    "b10_retention" ->
+      """WITH w AS (
+           SELECT user_id, date_trunc('week', ts) AS week,
+             min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+           FROM events
+         )
+         SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7
+             AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS active_users
+         FROM w GROUP BY cohort_week, week ORDER BY cohort_week, week_offset"""
   )
 }

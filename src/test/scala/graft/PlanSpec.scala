@@ -176,6 +176,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!b.contains("SortMergeJoin"), "bigram model join degraded to sort-merge")
   }
 
+  test("b10: funnel and retention are join-free — stage/cohort via windows, not join-backs") {
+    for (name <- Seq("b10_funnel", "b10_retention")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name plans a join; the window form needs none: " + p.take(2000))
+      // One data shuffle on user_id feeds every window pass; the only other
+      // exchange is the final rollup (single-row for the funnel, keyed agg
+      // for retention).
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 3, s"$name shuffles $exchanges times: " + p.take(2000))
+    }
+  }
+
   test("d6_rrf_fusion: both retrieval lists bound via TakeOrderedAndProject before ranking") {
     // The fusion windows must rank k-row lists, never corpus-sized input:
     // the top-k limits have to compile to distributed TakeOrderedAndProject
