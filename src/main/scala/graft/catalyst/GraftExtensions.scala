@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketDescriptor)
     ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
@@ -101,12 +103,56 @@ object GraftExtensions {
     (children: Seq[Expression]) => InterleaveBitsExpression(children.head, children(1))
   )
 
+  /** Spark ships a native, partial-aggregable Bloom filter pair
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`) for its runtime
+    * join filters, but leaves both OUT of the public function registry —
+    * `expr("bloom_filter_agg(...)")` is UNRESOLVED_ROUTINE on a stock
+    * session. Surfacing them under graft names gives the dedup operators
+    * the engine-grade sketch (xxhash64 block-split Bloom, map-side partial
+    * merge) without reimplementing it. The aggregate's child must be the
+    * 64-bit key hash (`xxhash64(col)`); might_contain's first argument
+    * must be foldable (a literal or scalar subquery) — BloomDedup collects
+    * the one sketch value and re-binds it as a literal, exactly like
+    * Spark's own InjectRuntimeFilter routes the sketch through the driver.
+    */
+  private[catalyst] val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      null,
+      "graft_bloom_agg",
+      "graft_bloom_agg(xxhash64(x), est_items, num_bits) - mergeable Bloom-filter sketch " +
+        "of a BIGINT key column as BINARY.",
+      ""
+    ),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2))
+  )
+
+  private[catalyst] val mightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      null,
+      "graft_might_contain",
+      "graft_might_contain(bloom, xxhash64(x)) - membership probe of a BIGINT key hash " +
+        "against a graft_bloom_agg sketch; false has no false negatives.",
+      ""
+    ),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+  )
+
   /** Idempotently register the native functions and the fusion rule on an
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
     Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor, lshBucketDescriptor,
-        interleaveBitsDescriptor)
+        interleaveBitsDescriptor, bloomAggDescriptor, mightContainDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

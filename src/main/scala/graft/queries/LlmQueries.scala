@@ -279,6 +279,38 @@ object LlmQueries {
         .select(col("doc_id"), col("content_hash"))
         .orderBy("doc_id")),
 
+    // D1 at 100 TB: bloom-gated incremental dedup of an arriving shard
+    // (doc_id%5 slice) against an existing corpus (doc_id%2 slice; the
+    // %10 overlap rows are the true duplicates). Bloom misses skip the
+    // join entirely; only candidates reach the exact anti-join, whose
+    // corpus side is semi-join-reduced by a second candidate sketch. The
+    // result is EXACTLY the anti-join's, so this one is oracle-green —
+    // the oracle itself is the equivalence law.
+    "d1_bloom_dedup" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      graft.operators.BloomDedup
+        .newRows(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"),
+          col("text"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // D1 audit twin: the sketch's short-circuit and false-positive story
+    // as one stats row. Sketch-dependent counts → rows-only; laws (no
+    // false negatives, fp bound, anti-join equivalence) in BloomDedupSpec.
+    "d1_bloom_audit" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      graft.operators.BloomDedup
+        .auditStats(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"),
+          col("text"))
+    }),
+
     // D2: MinHash+LSH near-dup candidate pairs, Jaccard-verified.
     // xxhash64-based → rows-only check; laws in DedupSpec.
     "d2_neardup_minhash" -> ((s, sf) =>
@@ -1381,6 +1413,11 @@ object LlmQueries {
              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "d1_bloom_dedup" ->
+      """SELECT s.doc_id AS doc_id FROM documents s
+         WHERE s.doc_id % 5 = 0 AND NOT EXISTS (
+           SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = s.text)
+         ORDER BY doc_id""",
     "d2_line_boilerplate" ->
       """WITH u AS (
            SELECT doc_id, t.u AS unit

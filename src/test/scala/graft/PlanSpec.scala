@@ -188,6 +188,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d1_bloom_dedup: sketch probes are map-side filters; one anti-join on the candidate slice") {
+    val p = planOf("d1_bloom_dedup")
+    assert(p.contains("might_contain"), "bloom probe missing from the physical plan: " + p.take(2000))
+    // definite-new rows never join; only the candidate slice does (anti-join),
+    // so exactly one join may appear.
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins === 1, s"expected exactly 1 join, got $joins: " + p.take(3000))
+  }
+
   test("d6_rrf_fusion: both retrieval lists bound via TakeOrderedAndProject before ranking") {
     // The fusion windows must rank k-row lists, never corpus-sized input:
     // the top-k limits have to compile to distributed TakeOrderedAndProject
