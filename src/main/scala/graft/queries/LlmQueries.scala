@@ -791,6 +791,14 @@ object LlmQueries {
       LmScore.scoreBigram(docs, col("doc_id"), col("text"), model).orderBy("doc_id")
     }),
 
+    // D5: sketch-based heavy hitters — per-partition Misra-Gries
+    // candidates + one Count-Min pass; the exact groupBy touches only
+    // candidate tokens. Sketch estimates aren't SQL-expressible →
+    // rows-only; the MG superset guarantee and both CMS error bounds are
+    // laws in HeavyHittersSpec.
+    "d5_heavy_hitters" -> ((s, sf) =>
+      graft.operators.HeavyHitters.topK(Tables.documents(s, sf), col("text"))),
+
     // D5: tokenizer-vocab construction — top-200 word-frequency vocab
     // with ids and the cumulative coverage curve (the first pass of
     // BPE/WordPiece training). Counts exact; the only window runs over
