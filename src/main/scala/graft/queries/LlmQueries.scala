@@ -946,6 +946,46 @@ object LlmQueries {
         .orderBy("bucket", "pos")
     }),
 
+    // D3: label-slice affinity matrix — pairwise cosine between label
+    // centroids, the mixture-design diagnostic for "which slices are
+    // near-duplicates of each other". Everything is EXACT until the last
+    // op per pair: components quantize to the 1e-9 micro-grid, partial
+    // sums/gram terms ride DECIMAL(38,0) (HUGEINT on the oracle), and the
+    // n·1e9 scale factors cancel inside the cosine, so only the final
+    // divide/sqrt touches doubles. One corpus-scale keyed shuffle (the
+    // (label,pos) partial-sum agg, map-side combined); the pair join runs
+    // on the labels×dim dimension table.
+    "d3_label_affinity" -> ((s, sf) => {
+      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      val comps = Tables
+        .embeddings(s, sf)
+        .select(
+          col("label").cast("long").as("label"),
+          posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(xq).cast(DecimalType(38, 0)).as("s"))
+      val norms = comps.groupBy(col("label")).agg(sum(col("s") * col("s")).as("norm2"))
+      val dots = comps
+        .select(col("label").as("la"), col("pos"), col("s").as("sa"))
+        .join(
+          comps.select(col("label").as("lb"), col("pos"), col("s").as("sb")),
+          Seq("pos"))
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(col("sa") * col("sb")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("label").as("la"), col("norm2").as("na"))), Seq("la"))
+        .join(broadcast(norms.select(col("label").as("lb"), col("norm2").as("nb"))), Seq("lb"))
+        .select(
+          col("la"),
+          col("lb"),
+          round(
+            col("dot").cast("double")
+              / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cosine"))
+        .orderBy("la", "lb")
+    }),
+
     // D5 (repetition): Gopher-style repetition signals per document — the
     // top-bigram share and the distinct-token ratio, the standard gibberish
     // /loop detectors a quality gate thresholds on. Explode + per-doc
@@ -2067,6 +2107,25 @@ object LlmQueries {
            / (COUNT(*) * 1e9) AS centroid
          FROM embeddings CROSS JOIN range(1, 65) r(i)
          GROUP BY 1, 2 ORDER BY bucket, pos""",
+    "d3_label_affinity" ->
+      """WITH comps AS (
+           SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+             SUM(CAST(sign(CAST(embedding[i] AS DOUBLE))
+                 * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e9) AS HUGEINT)) AS s
+           FROM embeddings CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1, 2
+         ), norms AS (
+           SELECT label, SUM(s * s) AS norm2 FROM comps GROUP BY label
+         ), dots AS (
+           SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+           FROM comps a JOIN comps b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY 1, 2
+         )
+         SELECT la, lb,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+         FROM dots JOIN norms na ON dots.la = na.label JOIN norms nb ON dots.lb = nb.label
+         ORDER BY la, lb""",
     "d5_pii_redaction" ->
       """WITH raw AS (
            SELECT doc_id,
