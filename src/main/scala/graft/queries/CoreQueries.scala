@@ -137,6 +137,64 @@ object CoreQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
 
+    // C5+C10 composite — TPC-H Q18 shape (large-volume customer): the
+    // HAVING subquery becomes a semi-join pushed onto orders BEFORE the
+    // fact-fact join, so only the 46-odd big orders' lineitems flow into
+    // the final aggregation. Both lineitem passes are map-side-combined
+    // hash aggs on the same join key.
+    "c05_tpch_q18" -> ((s, sf) => {
+      val li = Tables.lineitem(s, sf)
+      val big = li
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("q"))
+        .filter(col("q") > 300.0)
+        .select(col("l_orderkey").as("__big"))
+      val bigOrders =
+        Tables.orders(s, sf).join(big, col("o_orderkey") === col("__big"), "left_semi")
+      Tables
+        .customer(s, sf)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // C5 composite — TPC-H Q21 shape (suppliers who kept orders waiting),
+    // adapted to the fixture's columns: "late" = shipped >60 days after
+    // the order date on a failed order. One correlated EXISTS (another
+    // supplier touched the order) and one NOT EXISTS (no OTHER supplier
+    // was also late) — the classic semi+anti pair over the same
+    // self-referencing fact slice, all on the l_orderkey shuffle key.
+    "c05_tpch_q21" -> ((s, sf) => {
+      val f = Tables.orders(s, sf)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val ll = Tables.lineitem(s, sf)
+        .join(f, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val l1 = ll.filter(col("late"))
+      val withOther = l1.join(
+        ll.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp")).distinct(),
+        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+        "left_semi")
+      val waiting = withOther.join(
+        l1.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp")).distinct(),
+        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+        "left_anti")
+      waiting
+        .join(broadcast(Tables.supplier(s, sf)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // C6: star join with explicit broadcast of the bounded dims — verified
     // to plan BroadcastHashJoin in PlanSpec.
     "c06_join_broadcast" -> ((s, sf) =>
@@ -834,6 +892,31 @@ object CoreQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          ORDER BY c_custkey""",
+    "c05_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "c05_tpch_q21" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+         ll AS (SELECT l_orderkey, l_suppkey,
+                  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+                FROM lineitem JOIN f ON l_orderkey = o_orderkey),
+         l1 AS (SELECT * FROM ll WHERE late)
+         SELECT s_name, count(*) AS numwait
+         FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM ll l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l1 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "c06_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS cust_cnt,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
