@@ -53,10 +53,16 @@ object Pca {
         off = math.max(off, math.abs(a(p)(q)))
         if (math.abs(a(p)(q)) > 1e-300) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-            case tt if tt.isNaN => 1.0 / (2.0 * theta) // |theta| huge
-            case tt             => tt
-          }
+          // Tie-safe Rutishauser form with sign(0) = +1: equal diagonal
+          // entries with a nonzero pivot (theta = 0, e.g. duplicated
+          // dimensions) must give t = 1 — a 45° rotation annihilating the
+          // pivot — not signum(0) = 0 (the identity, which never kills the
+          // pivot and silently exhausts the sweep budget).
+          val sgn   = if (theta >= 0.0) 1.0 else -1.0
+          val denom = theta + sgn * math.sqrt(theta * theta + 1.0)
+          // |theta| so large theta² overflows: denom = ±Inf; fall back to
+          // the first-order t ≈ 1/(2θ).
+          val t = if (denom.isInfinite) 1.0 / (2.0 * theta) else 1.0 / denom
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           for (k <- 0 until dim) {
@@ -78,6 +84,12 @@ object Pca {
       }
       sweep += 1
     }
+    // Loud failure over silently-wrong eigenpairs (the connectedComponents
+    // convention): 100 cyclic sweeps converge for any d ≤ a few hundred,
+    // so non-convergence means a broken input, not a tuning problem.
+    if (off > 1e-14)
+      throw new IllegalStateException(
+        s"jacobiEigen: not converged after 100 sweeps (max off-diagonal = $off)")
     val order = (0 until dim).sortBy(i => (-a(i)(i), i))
     val evals = order.map(i => a(i)(i)).toArray
     val evecs = order.map { i =>

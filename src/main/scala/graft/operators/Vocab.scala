@@ -55,16 +55,19 @@ object Vocab {
     * n_tok, n_unk, ids). The vocab side broadcasts; per-doc arrays are
     * re-assembled position-sorted so the result is partitioning-stable. */
   def encode(docs: DataFrame, idCol: Column, textCol: Column, vocab: DataFrame): DataFrame = {
+    // posexplode_OUTER: a zero-token document must still surface as
+    // (doc_id, 0, 0, []) — the every-input-doc contract the sibling passes
+    // keep (LmScore.score via explode_outer, duplicateSpanRemoval).
     val exploded = docs
-      .select(idCol.cast("long").as("doc_id"), posexplode(TextOps.tokens(textCol)).as(Seq("pos", "tok")))
+      .select(idCol.cast("long").as("doc_id"), posexplode_outer(TextOps.tokens(textCol)).as(Seq("pos", "tok")))
     exploded
       .join(broadcast(vocab.select(col("tok"), col("vocab_id"))), Seq("tok"), "left")
       .withColumn("id", coalesce(col("vocab_id"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tok"),
-        sum(when(col("vocab_id").isNull, 1L).otherwise(0L)).as("n_unk"),
-        sort_array(collect_list(struct(col("pos"), col("id")))).as("pi"))
+        count(col("tok")).as("n_tok"),
+        sum(when(col("tok").isNotNull && col("vocab_id").isNull, 1L).otherwise(0L)).as("n_unk"),
+        sort_array(collect_list(when(col("tok").isNotNull, struct(col("pos"), col("id"))))).as("pi"))
       .withColumn("ids", transform(col("pi"), x => x.getField("id")))
       .select(col("doc_id"), col("n_tok"), col("n_unk"), col("ids"))
   }

@@ -570,7 +570,12 @@ object LlmQueries {
       val model = Pca.fit(e, col("vec_id"), col("embedding"), dim = 64)
       Pca
         .project(e, col("vec_id"), col("embedding"), model, k = 8, whiten = true)
-        .select(col("id").as("vec_id"), transform(col("proj"), x => round(x, 6)).as("proj"))
+        .select(
+          col("id").as("vec_id"),
+          // The operator returns a real array<double>; the registered query
+          // space-joins the rounded values because the oracle compare
+          // hashes JSON scalars (same convention as d5_encode's ids).
+          concat_ws(" ", transform(col("proj"), x => format_string("%.6f", round(x, 6)))).as("proj"))
         .orderBy("vec_id")
     }),
 

@@ -82,6 +82,30 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("jacobiEigen handles equal diagonal entries (theta = 0 tie)") {
+    // [[2,1],[1,2]] has a_pp == a_qq, so theta = 0 exactly; the naive
+    // signum(theta) rotation is the identity and never annihilates the
+    // pivot. True eigenpairs: λ = (3, 1), vectors (1,1)/√2 and (1,−1)/√2
+    // — sign-normalized so the first nonzero component is positive.
+    val (evals, evecs) = Pca.jacobiEigen(2, Array(2.0, 1.0, 2.0))
+    assert(math.abs(evals(0) - 3.0) < 1e-12 && math.abs(evals(1) - 1.0) < 1e-12,
+      s"eigenvalues ${evals.toSeq}")
+    val r = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      s"evec0 ${evecs(0).toSeq}")
+    assert(evecs(1).zip(Array(r, -r)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      s"evec1 ${evecs(1).toSeq}")
+  }
+
+  test("jacobiEigen handles duplicated dimensions (block of ties)") {
+    // Covariance of a corpus where dim 1 duplicates dim 0: [[1,1],[1,1]]
+    // — theta = 0 AND a rank-deficient matrix. λ = (2, 0).
+    val (evals, evecs) = Pca.jacobiEigen(2, Array(1.0, 1.0, 1.0))
+    assert(math.abs(evals(0) - 2.0) < 1e-12 && math.abs(evals(1)) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("fit is exactly partitioning-independent (decimal sums + deterministic Jacobi)") {
     val again = Pca.fit(emb.repartition(7), col("vec_id"), col("embedding"), dim)
       .select("comp", "eigenvalue", "evec")

@@ -37,6 +37,18 @@ class VocabSpec extends AnyFunSuite {
       (3L, 3L, 2L, Seq(1L, 0L, 0L))))
   }
 
+  test("encode keeps zero-token documents as (doc_id, 0, 0, [])") {
+    // The every-input-doc contract of the sibling passes (LmScore keeps
+    // empty docs via explode_outer): a whitespace-only or empty text must
+    // not vanish from the encoded corpus.
+    val withEmpty = corpus.unionByName(Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
+    val v = Vocab.build(corpus, col("text"), 2)
+    val e = Vocab.encode(withEmpty, col("doc_id"), col("text"), v)
+      .as[(Long, Long, Long, Seq[Long])].collect().sortBy(_._1).toList
+    assert(e.map(_._1) === List(1L, 2L, 3L, 4L, 5L))
+    assert(e.filter(_._1 >= 4L) === List((4L, 0L, 0L, Seq()), (5L, 0L, 0L, Seq())))
+  }
+
   test("encode is partitioning-stable (position-sorted re-assembly)") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val v = Vocab.build(docs, col("text"), 50)
