@@ -647,6 +647,25 @@ object CoreQueries {
         ORDER BY c_custkey
       """)),
 
+    // C23 composite — TPC-H Q17 shape (small-quantity-order revenue):
+    // correlated SCALAR-AVG subquery, the classic decorrelation pattern —
+    // Catalyst rewrites it to a per-part aggregate + join; DuckDB runs the
+    // correlated form directly. Adapted to the fixture's part columns
+    // (no p_container → brand + size band). Exactness: the per-part avg
+    // is an exact decimal sum divided in DOUBLE (one deterministic IEEE
+    // op on identical inputs in both engines), so the `<` gate never
+    // flips cross-engine; the revenue sum goes through DECIMAL(18,4).
+    "c23_tpch_q17" -> ((s, sf) =>
+      s.sql(s"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM parquet.`$sf/lineitem.parquet` l, parquet.`$sf/part.parquet` p
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 15
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+            FROM parquet.`$sf/lineitem.parquet` l2
+            WHERE l2.l_partkey = p_partkey)
+      """)),
+
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
       Tables
@@ -1112,6 +1131,14 @@ object CoreQueries {
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
          ) t
          ORDER BY c_custkey""",
+    "c23_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem l, part p
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 15
+           AND l_quantity < (
+             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+             FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey)""",
     "c24_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,

@@ -224,6 +224,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeLines.forall(!_.contains("text")), s"text column shuffled: $exchangeLines")
   }
 
+  test("c23_tpch_q17: correlated scalar-avg subquery decorrelates to aggregate + join") {
+    // Catalyst must rewrite the per-part correlated avg into a grouped
+    // aggregate joined back on l_partkey — a nested-loop execution of the
+    // subquery would re-scan lineitem per outer row.
+    val p = planOf("c23_tpch_q17")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "correlated subquery did not decorrelate: " + p.take(3000))
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
