@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Dedup, LmScore, Mixture, Outliers, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, Dedup, LmScore, Mixture, Outliers, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -823,6 +823,24 @@ object LlmQueries {
         // space-joins it because the oracle compare hashes JSON scalars.
         .withColumn("ids", concat_ws(" ", transform(col("ids"), _.cast("string"))))
         .orderBy("doc_id")
+    }),
+
+    // D5: full BPE merge learning (Sennrich'16) — the iterative half that
+    // d5_vocab_build's word-frequency pass feeds. One distributed word
+    // count; the merge loop runs on the bounded word table. Iterative →
+    // no DuckDB twin → rows-only; the classic-fixture merge sequence,
+    // tie determinism, and segmentation laws are in BpeSpec.
+    "d5_bpe_train" -> ((s, sf) =>
+      Bpe.train(Tables.documents(s, sf), col("text"), 60, 5000).orderBy("rank")),
+
+    // D5: BPE corpus encoding — subword-id sequences against the learned
+    // merges (broadcast, shuffle-free narrow map with per-partition word
+    // cache). rows-only; roundtrip + vocab-closure laws in BpeSpec.
+    "d5_bpe_encode" -> ((s, sf) => {
+      val docs   = Tables.documents(s, sf)
+      val merges = Bpe.train(docs, col("text"), 60, 5000)
+      val v      = Bpe.vocab(docs, col("text"), merges)
+      Bpe.encode(docs, col("doc_id"), col("text"), merges, v).orderBy("doc_id")
     }),
 
     // D6: TF-IDF — top 100 (doc, term) scores.

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The classic Sennrich fixture: {low×5, lower×2, newest×6, widest×3}. */
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("train learns the classic merge sequence with deterministic ties") {
+    val m = Bpe
+      .train(corpus, col("text"), 6)
+      .as[(Int, String, String, String, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toList
+    // Hand-computed: max pair count 9 is a 3-way tie broken (left, right)
+    // ascending — (e,s) < (s,t) < (t,</w>).
+    assert(m === List(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L),
+      (6, "e", "w", "ew", 6L)))
+  }
+
+  test("applyMerges greedy-lowest-rank matches the trainer's segmentation") {
+    val ranks = Map(
+      ("e", "s") -> 1, ("es", "t") -> 2, ("est", "</w>") -> 3,
+      ("l", "o") -> 4, ("lo", "w") -> 5, ("e", "w") -> 6)
+    def seg(w: String) =
+      Bpe.applyMerges(w.map(_.toString).toArray :+ Bpe.EndOfWord, ranks).toList
+    assert(seg("newest") === List("n", "ew", "est</w>"))
+    assert(seg("low") === List("low", "</w>"))
+    assert(seg("lowest") === List("low", "est</w>"))
+    // unseen word: only learnable pieces merge
+    assert(seg("west") === List("w", "est</w>"))
+  }
+
+  test("repeated-symbol merges are non-overlapping left-to-right") {
+    val ranks = Map(("a", "a") -> 1)
+    assert(Bpe.applyMerges(Array("a", "a", "a", "a", "a"), ranks).toList
+      === List("aa", "aa", "a"))
+  }
+
+  test("encode ids are consistent with vocab and roundtrip to the text") {
+    val merges = Bpe.train(corpus, col("text"), 6)
+    val v      = Bpe.vocab(corpus, col("text"), merges)
+    val vMap   = v.as[(Long, String)].collect().toMap          // id → symbol
+    val idsOf  = vMap.map(_.swap)                              // symbol → id
+    // extra doc: unseen char 'z' must encode as UNK yet keep its position
+    val docs = corpus.unionByName(Seq((5L, "zest lowest"), (6L, "")).toDF("doc_id", "text"))
+    val e = Bpe
+      .encode(docs, col("doc_id"), col("text"), merges, v)
+      .as[(Long, Long, Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toList
+    // every-input-doc contract: the empty doc survives as (0,0,0,"")
+    assert(e.map(_._1) === List(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(e.last === ((6L, 0L, 0L, 0L, "")))
+    // doc 5: "zest" → z(unseen), est</w>; "lowest" → low, est</w>
+    val d5 = e(4)
+    assert(d5._2 === 2L && d5._3 === 4L && d5._4 === 1L)
+    val d5ids = d5._5.split(" ").map(_.toLong).toList
+    assert(d5ids === List(Bpe.UnkId, idsOf("est</w>"), idsOf("low"), idsOf("est</w>")))
+    // roundtrip on fully-covered docs: ids → symbols → text
+    e.filter(r => r._4 == 0 && r._2 > 0).foreach { case (docId, _, _, _, ids) =>
+      val text = Bpe.joinSubwords(ids.split(" ").map(i => vMap(i.toLong)).toSeq)
+      val orig = docs.where(col("doc_id") === docId).select(col("text")).as[String].head()
+      assert(text === orig.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
+  test("vocab is closed over the training corpus (base alphabet + merges)") {
+    val merges = Bpe.train(corpus, col("text"), 6)
+    val v      = Bpe.vocab(corpus, col("text"), merges)
+    val syms   = v.as[(Long, String)].collect().map(_._2).toSet
+    val enc = Bpe.encode(corpus, col("doc_id"), col("text"), merges, v)
+    // zero UNK anywhere on the corpus the vocab was built from
+    assert(enc.agg(sum(col("n_unk"))).as[Long].head() === 0L)
+    assert(syms.contains(Bpe.EndOfWord))
+    // ids are dense 1..|V|
+    val ids = v.as[(Long, String)].collect().map(_._1).sorted.toList
+    assert(ids === (1L to ids.length.toLong).toList)
+  }
+}
