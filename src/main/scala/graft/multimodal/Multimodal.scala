@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,10 +15,14 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over the binary column (the Scala-side equivalent of the
   * Python `mapInPandas` batch-UDF pattern).
   *
-  * The actual codec step is a clearly-marked deterministic STUB — image and
-  * audio libraries are not available in this build environment — but the
-  * Spark-side plumbing (schema, encoders, per-partition batching,
-  * partition-preserving execution) is real and tested in MultimodalSpec.
+  * The IMAGE path is real: [[decodeImage]] / [[resizeImage]] run the JDK's
+  * own `javax.imageio` PNG codec inside the partition map (decode, pixel
+  * statistics, bilinear rescale, re-encode) — no external libraries needed.
+  * Audio/video codecs are not available in this build environment, so those
+  * stages keep a clearly-marked deterministic STUB ([[stubDecode]],
+  * [[frameSample]]) while exercising the same Spark-side plumbing (schema,
+  * encoders, per-partition batching, partition-preserving execution); all
+  * of it is tested in MultimodalSpec.
   *
   * 100 TB design: payloads never pass through the driver; decode runs
   * per-partition with a bounded batch; metadata filters are plain Column
@@ -83,6 +92,149 @@ object Multimodal {
           DecodedMedia(id, mime, payload.length.toLong, stubDecode(payload, dim))
         }
       }
+  }
+
+  /** Deterministic synthetic PNG: a w×h RGB image whose channel values are
+    * simple modular arithmetic in (doc_id, x, y). PNG is lossless, so a
+    * decode recovers these exact values — which makes the REAL codec
+    * roundtrip cross-engine checkable: DuckDB reproduces the expected pixel
+    * sums from the same arithmetic over a generate_series grid, no image
+    * library required on the oracle side. */
+  def renderPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 5 + y * 29) % 256).toInt
+        val b = ((docId * 23 + x * 3 + y * 11) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a rendered PNG payload per document — the image-corpus stand-in
+    * for an ingest that reads real media files. Runs per-partition; payloads
+    * never pass through the driver. */
+  def attachImagePayload(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ImageIO.setUseCache(false) // no temp-file cache inside executors
+        ids.map(id => (id, renderPng(id, w, h)))
+      }
+      .toDF("doc_id", "payload")
+      .withColumn(
+        "meta",
+        struct(
+          lit("image/png").as("mime"),
+          lit(w.toLong).as("width"),
+          lit(h.toLong).as("height"),
+          lit(null).cast("long").as("duration_ms")
+        )
+      )
+  }
+
+  final case class DecodedImage(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      decode_ok: Boolean
+  )
+
+  /** REAL image decode: `javax.imageio` reads the payload bytes inside a
+    * `mapPartitions` and emits decoder-reported dimensions plus exact
+    * per-channel pixel sums (integers — cross-engine hashable with no
+    * float tolerance). Payloads no codec accepts surface as
+    * `decode_ok = false` with zeroed stats instead of failing the task —
+    * the same malformed-tolerance contract as the A8 ingest path. */
+  def decodeImage(df: DataFrame): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) DecodedImage(id, 0L, 0L, 0L, 0L, 0L, decode_ok = false)
+          else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(id, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb,
+              decode_ok = true)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: decode → bilinear `Graphics2D` rescale to
+    * (targetW, targetH) → PNG re-encode, all per-partition. Rows whose
+    * payload does not decode pass through unchanged (malformed tolerance);
+    * metadata tracks the new dimensions. */
+  def resizeImage(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val resized = df
+      .select(col("doc_id").cast("long"), col("meta.mime").as("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, mime, payload) =>
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) (id, mime, payload, false)
+          else {
+            val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+            val g   = out.createGraphics()
+            g.setRenderingHint(
+              RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            (id, mime, bos.toByteArray, true)
+          }
+        }
+      }
+      .toDF("doc_id", "mime", "payload", "resized")
+    resized.withColumn(
+      "meta",
+      struct(
+        col("mime"),
+        when(col("resized"), lit(targetW.toLong)).otherwise(lit(null).cast("long")).as("width"),
+        when(col("resized"), lit(targetH.toLong)).otherwise(lit(null).cast("long")).as("height"),
+        lit(null).cast("long").as("duration_ms")
+      )
+    ).select(col("doc_id"), col("payload"), col("meta"), col("resized"))
   }
 
   /** Resize stage (image stand-in): STUB — a real implementation decodes,

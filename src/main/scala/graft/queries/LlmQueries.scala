@@ -1243,6 +1243,34 @@ object LlmQueries {
           col("content_hash").as("payload_sha"))
         .orderBy("doc_id")),
 
+    // D8: REAL image codec roundtrip — render a deterministic 16×16 PNG per
+    // doc, then DECODE it with javax.imageio and emit decoder dimensions +
+    // exact per-channel pixel sums. PNG is lossless and the pixel formula is
+    // modular arithmetic, so DuckDB reproduces the expected sums from a
+    // generate_series grid — the codec path itself is what the hash check
+    // exercises.
+    "d8_image_decode" -> ((s, sf) =>
+      Multimodal
+        .decodeImage(Multimodal.attachImagePayload(Tables.documents(s, sf), 16, 16))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")),
+
+    // D8: REAL image resize — decode, bilinear-rescale 16×16 → 8×8 with
+    // Graphics2D, PNG re-encode, decode again. Interpolated sums are
+    // codec-kernel-specific → rows-only; dimension/determinism/brightness
+    // laws are in MultimodalSpec.
+    "d8_image_resize" -> ((s, sf) =>
+      Multimodal
+        .decodeImage(
+          Multimodal.resizeImage(
+            Multimodal.attachImagePayload(Tables.documents(s, sf), 16, 16), 8, 8))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")),
+
     // D9: embedding-cosine near-dup self-join — exact within label blocks
     // on a doc_id%10 slice (the LSH candidate path is ScalaTest-verified).
     "d9_simjoin_threshold" -> ((s, sf) =>
@@ -2186,6 +2214,18 @@ object LlmQueries {
              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "d8_image_decode" ->
+      """SELECT d.doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(SUM((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 17 + gx.x * 5 + gy.y * 29) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 23 + gx.x * 3 + gy.y * 11) % 256) AS BIGINT) AS sum_b
+         FROM documents d
+         CROSS JOIN generate_series(0, 15) AS gx(x)
+         CROSS JOIN generate_series(0, 15) AS gy(y)
+         GROUP BY d.doc_id
+         ORDER BY d.doc_id""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

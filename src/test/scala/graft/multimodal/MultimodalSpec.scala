@@ -57,6 +57,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(once === twice)
   }
 
+  test("image decode: javax.imageio roundtrip recovers exact pixel sums") {
+    val mm      = Multimodal.attachImagePayload(docs, 16, 16)
+    val decoded = Multimodal.decodeImage(mm).collect()
+    assert(decoded.length === 50)
+    decoded.foreach { d =>
+      assert(d.decode_ok, s"doc ${d.doc_id} failed to decode")
+      assert(d.width === 16L && d.height === 16L)
+      // expected sums straight from the pixel formula (PNG is lossless)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        er += (d.doc_id * 31 + x * 7 + y * 13) % 256
+        eg += (d.doc_id * 17 + x * 5 + y * 29) % 256
+        eb += (d.doc_id * 23 + x * 3 + y * 11) % 256
+      }
+      assert((d.sum_r, d.sum_g, d.sum_b) === ((er, eg, eb)), s"doc ${d.doc_id}")
+    }
+  }
+
+  test("image decode: non-image payload surfaces as decode_ok=false, task survives") {
+    val mm      = Multimodal.attachPayload(docs) // UTF-8 text bytes, not an image
+    val decoded = Multimodal.decodeImage(mm).collect()
+    assert(decoded.length === 50)
+    assert(decoded.forall(d => !d.decode_ok && d.width === 0L && d.sum_r === 0L))
+  }
+
+  test("image resize: real bilinear rescale — dims, determinism, brightness preserved") {
+    val mm = Multimodal.attachImagePayload(docs, 16, 16)
+    val rs = Multimodal.resizeImage(mm, 8, 8)
+    assert(rs.filter(!col("resized")).count() === 0L)
+    assert(rs.filter(col("meta.width") =!= 8 || col("meta.height") =!= 8).count() === 0L)
+    val redecoded = Multimodal.decodeImage(rs).collect()
+    assert(redecoded.forall(d => d.decode_ok && d.width === 8L && d.height === 8L))
+    // bilinear downsample preserves mean brightness up to interpolation error
+    val orig = Multimodal.decodeImage(mm).collect().map(d => d.doc_id -> d).toMap
+    redecoded.foreach { d =>
+      val o         = orig(d.doc_id)
+      val meanSmall = (d.sum_r + d.sum_g + d.sum_b) / (3.0 * 8 * 8)
+      val meanOrig  = (o.sum_r + o.sum_g + o.sum_b) / (3.0 * 16 * 16)
+      assert(math.abs(meanSmall - meanOrig) < 32.0,
+        s"doc ${d.doc_id}: mean $meanOrig -> $meanSmall")
+    }
+    // byte-deterministic across runs (same JVM codec)
+    val a = Multimodal.resizeImage(mm, 8, 8).select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val b = rs.select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(a === b)
+  }
+
   test("frameSample: strided chunks with correct indices") {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docs), chunkBytes = 64, stride = 2)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("maxi"))
