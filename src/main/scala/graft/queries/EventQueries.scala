@@ -348,7 +348,30 @@ object EventQueries {
     "b10_retention" -> ((s, sf) =>
       graft.operators.Funnel
         .cohortRetention(Tables.events(s, sf), col("user_id"), col("ts"))
-        .orderBy("cohort_week", "week_offset"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // B11: pipeline-health dashboard (batch twin of StreamOps.streamHealth,
+    // streaming form in StreamingSpec). Per (hour, shard): volume, A8-style
+    // malformed count on the same deterministic corruption subset, and
+    // freshness lag = how far this shard's newest event trails the global
+    // newest (microseconds, exact integers cross-engine). The lag is a
+    // whole-frame window max over the ALREADY-AGGREGATED (shards×windows)
+    // frame — bounded rows, no second pass over the events.
+    "b11_stream_health" -> ((s, sf) => {
+      val ev = Tables
+        .events(s, sf)
+        .withColumn(
+          "raw",
+          when(col("event_id") % 7 === 0, concat(lit("x"), col("props"))).otherwise(col("props")))
+      graft.streaming.StreamOps
+        .streamHealth(ev, col("ts"), (col("event_id") % 8).cast("long"), col("raw"), "1 hour")
+        .withColumn(
+          "lag_us",
+          (max(unix_micros(col("max_ts"))).over(Window.partitionBy()) -
+            unix_micros(col("max_ts"))).cast("long"))
+        .select(col("window_start"), col("shard"), col("cnt"), col("malformed_cnt"), col("lag_us"))
+        .orderBy("window_start", "shard")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -475,6 +498,18 @@ object EventQueries {
            CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7
              AS BIGINT) AS week_offset,
            count(DISTINCT user_id) AS active_users
-         FROM w GROUP BY cohort_week, week ORDER BY cohort_week, week_offset"""
+         FROM w GROUP BY cohort_week, week ORDER BY cohort_week, week_offset""",
+    "b11_stream_health" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS window_start,
+             CAST(event_id % 8 AS BIGINT) AS shard,
+             count(*) AS cnt,
+             count(*) FILTER (WHERE NOT json_valid(
+               CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END)) AS malformed_cnt,
+             max(CAST(ts AS TIMESTAMP)) AS max_ts
+           FROM events GROUP BY 1, 2)
+         SELECT window_start, shard, cnt, malformed_cnt,
+           CAST(epoch_us(max(max_ts) OVER ()) - epoch_us(max_ts) AS BIGINT) AS lag_us
+         FROM h ORDER BY window_start, shard"""
   )
 }

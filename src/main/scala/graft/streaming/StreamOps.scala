@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.streaming.{
   GroupState,
   GroupStateTimeout,
@@ -54,6 +55,50 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("cnt")
+      )
+
+  /** Pipeline-health monitor: per (event-time window, shard) operational
+    * stats — volume, malformed-payload count, freshest event time — as ONE
+    * windowed aggregation whose identical plan runs in batch (oracle twin
+    * `b11_stream_health`) and streaming (watermark + append, StreamingSpec).
+    * This is the operational dashboard every ingest pipeline runs next to
+    * the data path: a shard whose `cnt` drops or whose `max_ts` stalls is
+    * lagging; a `malformed_cnt` spike is an upstream schema break.
+    *
+    * Malformed detection is the A8 contract: PERMISSIVE `from_json` with a
+    * corrupt-record column, so "malformed" means exactly what the ingest
+    * path would null-out. Scale: partial aggregation combines per shard ×
+    * window before the shuffle, so the output is bounded by
+    * (shards × windows), not event volume; the watermark bounds streaming
+    * state the same way.
+    */
+  def streamHealth(
+      df: DataFrame,
+      tsCol: Column,
+      shardCol: Column,
+      rawCol: Column,
+      width: String): DataFrame =
+    df.withColumn("shard", shardCol)
+      .withColumn(
+        "parsed_health",
+        from_json(
+          rawCol,
+          StructType(Seq(StructField("k", LongType), StructField("_corrupt", StringType))),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+        )
+      )
+      .groupBy(window(tsCol, width), col("shard"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(when(col("parsed_health._corrupt").isNotNull, 1)).as("malformed_cnt"),
+        max(tsCol).as("max_ts")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("shard"),
+        col("cnt"),
+        col("malformed_cnt"),
+        col("max_ts")
       )
 
   /** B5: streaming dedup — at-least-once Kinesis delivery → exactly-once

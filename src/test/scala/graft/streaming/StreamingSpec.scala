@@ -88,6 +88,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B11: streaming health monitor equals its batch twin on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // synthesize the raw-payload column: every 3rd event malformed
+    def withRaw(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "raw",
+      when(col("event_id") % 3 === 0, lit("x{"))
+        .otherwise(concat(lit("{\"k\":"), col("event_id"), lit("}"))))
+    val closers = Seq(
+      Ev(99, ts("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Ev(100, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+    val agg = StreamOps.streamHealth(
+      StreamOps.withLateness(withRaw(mem.toDF()), "ts", "30 minutes"),
+      col("ts"), col("user_id") % 2, col("raw"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_b11").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(closers(0)); q.processAllAvailable()
+      mem.addData(closers(1)); q.processAllAvailable()
+      val streamed = spark.table("t_b11")
+        .select("window_start", "shard", "cnt", "malformed_cnt", "max_ts")
+        .as[(Timestamp, Long, Long, Long, Timestamp)].collect().toSet
+      val batchTwin = StreamOps.streamHealth(
+        withRaw((batch1 ++ closers).toDF()),
+        col("ts"), col("user_id") % 2, col("raw"), "1 hour")
+        .select("window_start", "shard", "cnt", "malformed_cnt", "max_ts")
+        .as[(Timestamp, Long, Long, Long, Timestamp)].collect().toSet
+      assert(streamed.nonEmpty, "no windows closed")
+      assert(streamed.subsetOf(batchTwin), s"streamed $streamed not in batch twin $batchTwin")
+      // hour-0 windows (events 0,1: users 1/shard 1; event 0 malformed) closed
+      assert(streamed.contains((ts("2024-01-01 00:00:00"), 1L, 2L, 1L, ts("2024-01-01 00:20:00"))))
+    } finally q.stop()
+  }
+
   test("B1/B6: watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
