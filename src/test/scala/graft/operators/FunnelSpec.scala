@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -63,6 +64,83 @@ class FunnelSpec extends AnyFunSuite {
       .collect()
       .head
     assert(r === ((4L, 3L, 2L, 1L, 0.3333)))
+  }
+
+  // --- property laws over ScalaCheck-generated event logs (seed-driven,
+  // same manual-generation convention as LawsSpec) ---
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(1311L + i)))
+
+  private val logGen: Gen[List[(Long, Int, String)]] =
+    Gen.listOfN(
+      120,
+      Gen.zip(
+        Gen.choose(1L, 12L),
+        Gen.choose(0, 5000),
+        Gen.oneOf("view", "click", "purchase", "other")))
+
+  test("law: stage times are monotone and null-prefix-closed") {
+    samples(logGen, 5).foreach { rows =>
+      val got = Funnel
+        .stageTimes(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+        .collect()
+      got.foreach { case (u, t1, t2, t3) =>
+        // no stage skipping: a null stage nulls everything after it
+        assert(!(t1.isEmpty && t2.nonEmpty), s"user $u: t2 without t1")
+        assert(!(t2.isEmpty && t3.nonEmpty), s"user $u: t3 without t2")
+        // ordered: each stage at or after the previous one
+        for (a <- t1; b <- t2) assert(!b.before(a), s"user $u: t2 $b before t1 $a")
+        for (a <- t2; b <- t3) assert(!b.before(a), s"user $u: t3 $b before t2 $a")
+      }
+    }
+  }
+
+  test("law: funnel reach counts are non-increasing down the steps") {
+    samples(logGen, 5).foreach { rows =>
+      val (total, r1, r2, r3, _) = Funnel
+        .report(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .as[(Long, Long, Long, Long, Option[Double])]
+        .collect()
+        .head
+      assert(total >= r1 && r1 >= r2 && r2 >= r3 && r3 >= 0L, s"$total >= $r1 >= $r2 >= $r3")
+    }
+  }
+
+  test("law: funnel and retention are input-order and partitioning invariant") {
+    samples(logGen, 3).foreach { rows =>
+      val a = ev(rows: _*)
+      val b = ev(scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .shuffle(rows): _*).repartition(7)
+      def stagesOf(df: org.apache.spark.sql.DataFrame) = Funnel
+        .stageTimes(df, col("user_id"), col("ts"), col("event_type"), steps)
+        .collect().map(_.toSeq).toSet
+      def cohortsOf(df: org.apache.spark.sql.DataFrame) = Funnel
+        .cohortRetention(df, col("user_id"), col("ts"))
+        .collect().map(_.toSeq).toSet
+      assert(stagesOf(a) === stagesOf(b))
+      assert(cohortsOf(a) === cohortsOf(b))
+    }
+  }
+
+  test("law: every cohort peaks at offset 0 (first week is full activity)") {
+    samples(logGen, 5).foreach { rows =>
+      val got = Funnel
+        .cohortRetention(ev(rows: _*), col("user_id"), col("ts"))
+        .select(col("cohort_week").cast("string"), col("week_offset"), col("active_users"))
+        .as[(String, Long, Long)]
+        .collect()
+      assert(got.forall(_._2 >= 0L), "negative week offset")
+      val byCohort = got.groupBy(_._1)
+      byCohort.foreach { case (cw, rs) =>
+        val at0 = rs.find(_._2 == 0L)
+        assert(at0.nonEmpty, s"cohort $cw missing offset-0 row")
+        // a member is by definition active in its first week, so offset 0
+        // counts the whole cohort and bounds every later week
+        assert(rs.forall(_._3 <= at0.get._3), s"cohort $cw exceeds its offset-0 size")
+      }
+    }
   }
 
   test("cohortRetention: Monday cohorts, exact week offsets, distinct users") {
