@@ -4,6 +4,7 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,14 +16,16 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over the binary column (the Scala-side equivalent of the
   * Python `mapInPandas` batch-UDF pattern).
   *
-  * The IMAGE path is real: [[decodeImage]] / [[resizeImage]] run the JDK's
-  * own `javax.imageio` PNG codec inside the partition map (decode, pixel
-  * statistics, bilinear rescale, re-encode) — no external libraries needed.
-  * Audio/video codecs are not available in this build environment, so those
-  * stages keep a clearly-marked deterministic STUB ([[stubDecode]],
-  * [[frameSample]]) while exercising the same Spark-side plumbing (schema,
-  * encoders, per-partition batching, partition-preserving execution); all
-  * of it is tested in MultimodalSpec.
+  * The IMAGE and AUDIO paths are real: [[decodeImage]] / [[resizeImage]]
+  * run the JDK's own `javax.imageio` PNG codec inside the partition map
+  * (decode, pixel statistics, bilinear rescale, re-encode), and
+  * [[decodeAudio]] parses WAV/PCM through `javax.sound.sampled` — no
+  * external libraries, no audio device (pure stream parsing). Video codecs
+  * are not available in this build environment, so that stage keeps a
+  * clearly-marked deterministic STUB ([[stubDecode]], [[frameSample]])
+  * while exercising the same Spark-side plumbing (schema, encoders,
+  * per-partition batching, partition-preserving execution); all of it is
+  * tested in MultimodalSpec.
   *
   * 100 TB design: payloads never pass through the driver; decode runs
   * per-partition with a bounded batch; metadata filters are plain Column
@@ -235,6 +238,95 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms")
       )
     ).select(col("doc_id"), col("payload"), col("meta"), col("resized"))
+  }
+
+  /** Deterministic synthetic WAV: 16-bit signed little-endian PCM mono
+    * whose sample values are modular arithmetic in (doc_id, sample index),
+    * written through the JDK's own `javax.sound.sampled` WAV encoder. Like
+    * [[renderPng]], PCM is lossless, so a real decode recovers the exact
+    * samples and DuckDB can reproduce the expected sums arithmetically. */
+  def renderWav(docId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((docId * 31 + i * 7) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a rendered WAV payload per document (audio-corpus stand-in;
+    * payloads render per-partition, never via the driver). */
+  def attachAudioPayload(docs: DataFrame, nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => (id, renderWav(id, nSamples, sampleRate))))
+      .toDF("doc_id", "payload")
+      .withColumn(
+        "meta",
+        struct(
+          lit("audio/wav").as("mime"),
+          lit(null).cast("long").as("width"),
+          lit(null).cast("long").as("height"),
+          lit(nSamples.toLong * 1000L / sampleRate).as("duration_ms")
+        )
+      )
+  }
+
+  final case class DecodedAudio(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      sum_s: Long,
+      sum_abs: Long,
+      decode_ok: Boolean
+  )
+
+  /** REAL audio decode: `javax.sound.sampled` parses the WAV container
+    * inside a `mapPartitions` (header → format, frames → 16-bit LE signed
+    * samples) and emits exact integer sample sums — no audio device
+    * needed, pure stream parsing, headless-safe. Non-audio payloads
+    * surface as `decode_ok = false` (A8 malformed-tolerance contract). */
+  def decodeAudio(df: DataFrame): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          try {
+            val ais  = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+            val fmt  = ais.getFormat
+            val data = ais.readAllBytes()
+            ais.close()
+            require(
+              fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+              s"unsupported audio format $fmt")
+            val n  = data.length / 2
+            var ss = 0L; var sa = 0L
+            var i  = 0
+            while (i < n) {
+              val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+              ss += s
+              sa += math.abs(s)
+              i += 1
+            }
+            DecodedAudio(id, fmt.getSampleRate.toLong, n.toLong, ss, sa, decode_ok = true)
+          } catch {
+            case _: Exception => DecodedAudio(id, 0L, 0L, 0L, 0L, decode_ok = false)
+          }
+        }
+      }
   }
 
   /** Resize stage (image stand-in): STUB — a real implementation decodes,

@@ -1257,6 +1257,19 @@ object LlmQueries {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("doc_id")),
 
+    // D8: REAL audio codec roundtrip — render 256-sample 16-bit PCM WAV per
+    // doc, decode it with javax.sound.sampled, emit exact sample sums.
+    // Same cross-engine trick as d8_image_decode: lossless codec + pixel/
+    // sample formula in modular arithmetic → DuckDB reproduces the sums
+    // from a generate_series grid.
+    "d8_audio_decode" -> ((s, sf) =>
+      Multimodal
+        .decodeAudio(Multimodal.attachAudioPayload(Tables.documents(s, sf), 256, 8000))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_s"), col("sum_abs"))
+        .orderBy("doc_id")),
+
     // D8: REAL image resize — decode, bilinear-rescale 16×16 → 8×8 with
     // Graphics2D, PNG re-encode, decode again. Interpolated sums are
     // codec-kernel-specific → rows-only; dimension/determinism/brightness
@@ -2224,6 +2237,16 @@ object LlmQueries {
          FROM documents d
          CROSS JOIN generate_series(0, 15) AS gx(x)
          CROSS JOIN generate_series(0, 15) AS gy(y)
+         GROUP BY d.doc_id
+         ORDER BY d.doc_id""",
+    "d8_audio_decode" ->
+      """SELECT d.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(SUM(((d.doc_id * 31 + g.i * 7) % 65536) - 32768) AS BIGINT) AS sum_s,
+           CAST(SUM(ABS(((d.doc_id * 31 + g.i * 7) % 65536) - 32768)) AS BIGINT) AS sum_abs
+         FROM documents d
+         CROSS JOIN generate_series(0, 255) AS g(i)
          GROUP BY d.doc_id
          ORDER BY d.doc_id""",
     "d9_semantic_clusters" ->

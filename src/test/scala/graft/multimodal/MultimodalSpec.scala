@@ -106,6 +106,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("audio decode: javax.sound WAV roundtrip recovers exact sample sums") {
+    val mm      = Multimodal.attachAudioPayload(docs, 256, 8000)
+    val decoded = Multimodal.decodeAudio(mm).collect()
+    assert(decoded.length === 50)
+    decoded.foreach { d =>
+      assert(d.decode_ok, s"doc ${d.doc_id} failed to decode")
+      assert(d.sample_rate === 8000L && d.n_samples === 256L)
+      var es = 0L; var ea = 0L
+      for (i <- 0 until 256) {
+        val s = ((d.doc_id * 31 + i * 7) % 65536) - 32768
+        es += s; ea += math.abs(s)
+      }
+      assert((d.sum_s, d.sum_abs) === ((es, ea)), s"doc ${d.doc_id}")
+    }
+  }
+
+  test("audio decode: non-audio payload surfaces as decode_ok=false") {
+    val decoded = Multimodal.decodeAudio(Multimodal.attachPayload(docs)).collect()
+    assert(decoded.length === 50)
+    assert(decoded.forall(d => !d.decode_ok && d.n_samples === 0L))
+  }
+
   test("frameSample: strided chunks with correct indices") {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docs), chunkBytes = 64, stride = 2)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("maxi"))
