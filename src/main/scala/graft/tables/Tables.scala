@@ -30,24 +30,37 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame  = table(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "embeddings")
 
-  /** `events.parquet` physically carries parquet `TIMESTAMP(NANOS)`, which
-    * Spark's parquet schema converter rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to Spark's µs
-    * `TimestampType` with integer division (`DIV`, exact on longs — a
-    * double-precision divide would corrupt µs digits at 1.7e18 magnitudes).
-    * Floor division matches DuckDB's ns→µs truncation, keeping the oracle
-    * comparable.
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * fixture generations, and the loader tolerates both by dispatching on
+    * the READ schema (one cheap footer inspection, no data pass):
+    *
+    *  - parquet `TIMESTAMP(NANOS)` (early fixtures): Spark's schema
+    *    converter rejects it outright ([PARQUET_TYPE_ILLEGAL]), so we read
+    *    nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    convert to µs `TimestampType` with integer division (`DIV`, exact
+    *    on longs — a double divide would corrupt µs digits at 1.7e18
+    *    magnitudes). Floor division matches DuckDB's ns→µs truncation.
+    *  - parquet `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (current
+    *    fixtures): Spark reads `TIMESTAMP_NTZ`; a cast to `TimestampType`
+    *    under the UTC session zone preserves the wall-clock digits and
+    *    keeps every downstream window/watermark/interval operator on the
+    *    instant type they expect.
     *
     * The `nanosAsLong` flag is session configuration, not per-query state:
     * it is set where sessions are built (Verify/Bench/TestSpark builders,
     * [[graft.SparkEntry.entry]] for the driver-owned session) so query
     * functions stay side-effect-free (SURVEY §7.5). [[ensureNanosConf]] is
-    * that one idempotent knob. */
+    * that one idempotent knob; it is harmless when the fixture is µs. */
   def ensureNanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def events(spark: SparkSession, sf: String): DataFrame =
-    table(spark, sf, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(spark: SparkSession, sf: String): DataFrame = {
+    val raw = table(spark, sf, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }
