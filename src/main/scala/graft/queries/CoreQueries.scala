@@ -666,6 +666,223 @@ object CoreQueries {
             WHERE l2.l_partkey = p_partkey)
       """)),
 
+    // C5 composite — TPC-H Q4 shape (order-priority checking): a
+    // date-windowed order slice semi-joined against a CORRELATED lineitem
+    // predicate (shipped after the order date — the fixture has no
+    // commit/receipt dates). The non-equi conjunct rides on the equi key,
+    // so Catalyst still plans a hash LeftSemi on l_orderkey.
+    "c05_tpch_q4" -> ((s, sf) => {
+      val late = Tables
+        .lineitem(s, sf)
+        .select(col("l_orderkey").as("lk"), col("l_shipdate"))
+      Tables
+        .orders(s, sf)
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(late, col("o_orderkey") === col("lk") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // C3 composite — TPC-H Q7 shape (volume shipping): the 6-table chain
+    // with a DISJUNCTIVE nation-pair filter. Both nation lookups broadcast
+    // (25 rows); the disjunction is applied post-join so it can't be pushed
+    // into either dim alone — the classic case where the filter must live
+    // above the join but the join keys stay hash-partitioned.
+    "c03_tpch_q7" -> ((s, sf) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val sn = broadcast(Tables.nation(s, sf).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val cn = broadcast(Tables.nation(s, sf).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      Tables
+        .lineitem(s, sf)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("snk"))
+        .join(cn, col("c_nationkey") === col("cnk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // C27 composite — TPC-H Q8 shape (national market share): conditional
+    // NUMERATOR over an unconditional denominator, per order-year. Both
+    // sums run through DECIMAL(18,4) so the final share is ONE double
+    // division on identical operands in both engines. Customer region is a
+    // broadcast SEMI (membership only); supplier nation is a broadcast
+    // lookup (its name feeds the CASE).
+    "c27_tpch_q8" -> ((s, sf) => {
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+      val asiaNations = broadcast(
+        Tables.nation(s, sf)
+          .join(Tables.region(s, sf).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk")))
+      val suppNation = broadcast(
+        Tables.nation(s, sf)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      Tables
+        .lineitem(s, sf)
+        .join(broadcast(Tables.part(s, sf).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.customer(s, sf).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("cnk"), "left_semi")
+        .join(Tables.supplier(s, sf).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0).cast(dec)))
+            .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // C27 composite — TPC-H Q12 shape (shipping-mode priority counts):
+    // join + CASE-conditional integer counts, exact longs on both engines.
+    "c27_tpch_q12" -> ((s, sf) =>
+      Tables
+        .orders(s, sf)
+        .join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // C14 composite — TPC-H Q14 shape (promo revenue): single-row global
+    // ratio of a conditional decimal sum over the total decimal sum.
+    "c14_tpch_q14" -> ((s, sf) => {
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+      Tables
+        .lineitem(s, sf)
+        .filter(
+          col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, sf)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(dec))).cast("double") /
+            sum(vol).cast("double")).as("promo_revenue"))
+    }),
+
+    // C23 composite — TPC-H Q15 shape (top supplier): an aggregated view
+    // compared against its own MAX via a scalar subquery. The comparison
+    // stays in DECIMAL (exact) — only the output casts to double.
+    "c23_tpch_q15" -> ((s, sf) => {
+      val rev = Tables
+        .lineitem(s, sf)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev
+        .join(broadcast(top), col("rev_dec") === col("max_dec"))
+        .join(broadcast(Tables.supplier(s, sf)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // C11 composite — TPC-H Q16 shape (parts/supplier relationship):
+    // distinct (part, supplier) pairs from the fact table (the fixture has
+    // no partsupp), an anti-join NOT-IN against disqualified suppliers,
+    // and a COUNT(DISTINCT) grouped by part attributes.
+    "c11_tpch_q16" -> ((s, sf) => {
+      val ps = Tables.lineitem(s, sf).select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, sf).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_k"))
+      ps
+        .join(broadcast(bad), col("l_suppkey") === col("bad_k"), "left_anti")
+        .join(broadcast(Tables.part(s, sf)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // C1 composite — TPC-H Q19 shape (discounted revenue): OR-of-conjuncts
+    // join predicate. The equi conjunct (partkey) is common to all three
+    // branches, so Catalyst extracts it and plans a hash join with the
+    // disjunction as a post-join filter — the exact rewrite Q19 tests.
+    "c01_tpch_q19" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .join(broadcast(Tables.part(s, sf)),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+                col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+                col("l_quantity").between(20, 30))))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))),
+
+    // C14 composite — TPC-H Q11 shape (important stock): grouped value
+    // filtered against a SCALAR fraction of the global total. Both sides
+    // of the gate derive from exact decimal sums cast to double, so the
+    // comparison is one deterministic IEEE op per group in both engines.
+    "c14_tpch_q11" -> ((s, sf) => {
+      val value = Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * col("l_quantity")).cast(dec)).as("v_dec"))
+      val total = value.agg(sum(col("v_dec")).as("t_dec"))
+      value
+        .join(broadcast(total),
+          col("v_dec").cast("double") > col("t_dec").cast("double") * 0.0008)
+        .select(col("l_partkey"), col("v_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // C5 composite — TPC-H Q22 shape (global sales opportunity): scalar
+    // above-average gate (broadcast single row) + anti-join against orders,
+    // grouped by a derived country code (last two digits of c_name — the
+    // fixture has no phone column). "No order" is qualified to LARGE orders
+    // (>300k): the synthetic fixture gives every customer at least one
+    // order, so the literal Q22 anti-join would be vacuously empty.
+    "c05_tpch_q22" -> ((s, sf) => {
+      val avgBal = Tables
+        .customer(s, sf)
+        .filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("ab"))
+      Tables
+        .customer(s, sf)
+        .join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+        .join(
+          Tables.orders(s, sf).filter(col("o_totalprice") > 300000.0)
+            .select(col("o_custkey").as("ok")).distinct(),
+          col("c_custkey") === col("ok"), "left_anti")
+        .groupBy(expr("right(c_name, 2)").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
       Tables
@@ -1139,6 +1356,112 @@ object CoreQueries {
              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
              FROM lineitem l2
              WHERE l2.l_partkey = p_partkey)""",
+    "c05_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "c03_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1.0 - l_discount) AS volume
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "c27_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                       THEN CAST(volume AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+         FROM (
+           SELECT o_orderdate, n2.n_name AS supp_nation,
+             l_extendedprice * (1.0 - l_discount) AS volume
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE p_type = 'PROMO'
+             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             AND c_nationkey IN (
+               SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'))
+         GROUP BY year(o_orderdate) ORDER BY o_year""",
+    "c27_tpch_q12" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "c14_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "c23_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+         ORDER BY s_suppkey""",
+    "c11_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "c01_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "c14_tpch_q11" ->
+      """WITH value AS (
+           SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS v_dec
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, CAST(v_dec AS DOUBLE) AS value
+         FROM value
+         WHERE CAST(v_dec AS DOUBLE) > (SELECT CAST(SUM(v_dec) AS DOUBLE) FROM value) * 0.0008
+         ORDER BY value DESC, l_partkey""",
+    "c05_tpch_q22" ->
+      """SELECT right(c_name, 2) AS cntrycode, count(*) AS numcust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal)
+             FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         GROUP BY cntrycode ORDER BY cntrycode""",
     "c24_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,
