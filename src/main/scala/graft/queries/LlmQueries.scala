@@ -1009,6 +1009,80 @@ object LlmQueries {
         .orderBy("la", "lb")
     }),
 
+    // D3 (Matryoshka truncation QC): cosine similarity of adjacent-id
+    // pairs at PREFIX dims 8/16/32 vs the full 64 — the measurement that
+    // decides how far MRL-style embeddings can be truncated before ANN
+    // quality collapses (truncate → re-normalize is the standard serving
+    // trick; the cosine at dim k IS the truncated-then-renormalized dot).
+    // Pure narrow map over one self-join; slices are Catalyst `slice`, so
+    // the scan still prunes to the one embedding column at 100 TB.
+    "d3_mrl_truncation" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val a = e.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
+      def cosK(k: Int) =
+        round(VectorOps.cosineNative(s, slice(col("v_a"), 1, k), slice(col("v_b"), 1, k)), 9)
+          .as(s"cos$k")
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), cosK(8), cosK(16), cosK(32), cosK(64))
+        .orderBy("id_a")
+    }),
+
+    // D7 (deterministic sampling): portable-hash doc sampling — keep a doc
+    // iff the md5 of its id falls under the rate threshold. Unlike
+    // `sample()` (engine-RNG, rows-only c31), the md5 gate is REPRODUCIBLE
+    // across engines, runs, partitionings, and cluster sizes — the
+    // property a training pipeline needs so a 1% corpus slice is THE SAME
+    // 1% on every rerun and in every downstream system. Embarrassingly
+    // parallel: filter pushes to the scan, no shuffle.
+    "d7_hash_sample" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "2000")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // D7 (deterministic stratified sampling): fixed-size per-stratum
+    // sample — rank docs inside each language by md5(id) and keep the
+    // first 20. The hash order is a uniform random permutation that every
+    // engine agrees on, so this is reservoir sampling without the
+    // reservoir: one window function, partial-ranked per partition
+    // (WindowGroupLimit pushes the <=20 cut below the shuffle).
+    "d7_group_sample" -> ((s, sf) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables
+        .documents(s, sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // D5 (charset / encoding QC): per-doc character-class profile — word,
+    // space, digit, non-ASCII, U+FFFD replacement-char, and mojibake
+    // ('Ã' from double-decoded UTF-8) counts. The standard corpus-ingest
+    // gate that catches wrong-charset shards before they poison training
+    // data. Regex counts stay in codegen; the literal-char counts use the
+    // replace-length trick (portable across engines, no regex dialect
+    // risk on non-ASCII classes).
+    "d5_charset_qc" -> ((s, sf) => {
+      def litCount(c: Column, ch: String) =
+        (length(c) - length(replace(c, lit(ch), lit("")))).cast("long")
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_char"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_word"),
+          regexp_count(col("text"), lit(" ")).cast("long").as("n_space"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+          regexp_count(col("text"), lit("[^\\x20-\\x7e]")).cast("long").as("n_nonascii"),
+          litCount(col("text"), "�").as("n_replacement"),
+          litCount(col("text"), "Ã").as("n_mojibake"))
+        .orderBy("doc_id")
+    }),
+
     // D5 (repetition): Gopher-style repetition signals per document — the
     // top-bigram share and the distinct-token ratio, the standard gibberish
     // /loop detectors a quality gate thresholds on. Explode + per-doc
@@ -2190,6 +2264,45 @@ object LlmQueries {
              / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
          FROM dots JOIN norms na ON dots.la = na.label JOIN norms nb ON dots.lb = nb.label
          ORDER BY la, lb""",
+    "d3_mrl_truncation" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v[1:8], b.v[1:8])
+                 / (sqrt(list_dot_product(a.v[1:8], a.v[1:8]))
+                    * sqrt(list_dot_product(b.v[1:8], b.v[1:8]))), 9) AS cos8,
+           round(list_dot_product(a.v[1:16], b.v[1:16])
+                 / (sqrt(list_dot_product(a.v[1:16], a.v[1:16]))
+                    * sqrt(list_dot_product(b.v[1:16], b.v[1:16]))), 9) AS cos16,
+           round(list_dot_product(a.v[1:32], b.v[1:32])
+                 / (sqrt(list_dot_product(a.v[1:32], a.v[1:32]))
+                    * sqrt(list_dot_product(b.v[1:32], b.v[1:32]))), 9) AS cos32,
+           round(list_dot_product(a.v[1:64], b.v[1:64])
+                 / (sqrt(list_dot_product(a.v[1:64], a.v[1:64]))
+                    * sqrt(list_dot_product(b.v[1:64], b.v[1:64]))), 9) AS cos64
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+         JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+           ON b.vec_id = a.vec_id + 1
+         ORDER BY id_a""",
+    "d7_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+         ORDER BY doc_id""",
+    "d7_group_sample" ->
+      """SELECT lang, doc_id, CAST(rn AS BIGINT) AS rk FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, rk""",
+    "d5_charset_qc" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word,
+         CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[^\x20-\x7e]')) AS BIGINT) AS n_nonascii,
+         CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+         CAST(length(text) - length(replace(text, chr(195), '')) AS BIGINT) AS n_mojibake
+         FROM documents ORDER BY doc_id""",
     "d5_pii_redaction" ->
       """WITH raw AS (
            SELECT doc_id,
