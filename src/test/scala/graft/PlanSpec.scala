@@ -234,6 +234,37 @@ class PlanSpec extends AnyFunSuite {
       "correlated subquery did not decorrelate: " + p.take(3000))
   }
 
+  test("d7_group_sample: per-stratum rank<=20 pushes WindowGroupLimit") {
+    // The stratified sampler must prune to ~20 rows per group BEFORE the
+    // window shuffle's sort completes — at 100 TB the difference between
+    // ranking every doc and ranking a bounded prefix per partition.
+    assert(planOf("d7_group_sample").contains("WindowGroupLimit"),
+      "stratified sample rank not pushed down")
+  }
+
+  test("c01_tpch_q19: disjunctive join predicate still plans a hash join") {
+    // All three OR branches share the p_partkey equi-conjunct; Catalyst
+    // must extract it and plan hash/broadcast join with the disjunction as
+    // a post-join filter — BNLJ here is the classic Q19 planner failure.
+    val p = planOf("c01_tpch_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "Q19 degraded to an all-pairs join")
+  }
+
+  test("c05_tpch_q4: correlated EXISTS plans a left-semi hash join") {
+    val p = planOf("c05_tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "EXISTS did not decorrelate to a semi join")
+  }
+
+  test("c23_tpch_q15: max-revenue scalar gate stays an equi join, not all-pairs") {
+    val p = planOf("c23_tpch_q15")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
