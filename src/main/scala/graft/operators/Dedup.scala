@@ -34,7 +34,13 @@ object Dedup {
       numBands: Int = 8,
       shingleSize: Int = 3,
       jaccardThreshold: Double = 0.5,
-      maxBucketSize: Int = 64
+      maxBucketSize: Int = 64,
+      // One-permutation hashing (TextOps.ophSignature64): O(|shingles|)
+      // signature cost instead of O(|shingles| · numHashes) — the knob to
+      // flip at 100 TB, where signature hashing dominates the banding
+      // pass. Identical signature semantics (mergeable, band-able);
+      // slightly noisier per-slot agreement on short docs.
+      useOph: Boolean = false
   ) {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     def rowsPerBand: Int = numHashes / numBands
@@ -54,7 +60,11 @@ object Dedup {
       .as[(Long, String)]
       .filter(_._2 != null) // null text: no signature, no buckets (NPE guard)
       .map { case (id, text) =>
-        (id, TextOps.minHashSignature64(TextOps.shingleHashesJvm(text, p.shingleSize), p.numHashes))
+        val shingles = TextOps.shingleHashesJvm(text, p.shingleSize)
+        val sig =
+          if (p.useOph) TextOps.ophSignature64(shingles, p.numHashes)
+          else TextOps.minHashSignature64(shingles, p.numHashes)
+        (id, sig)
       }
       .toDF("doc_id", "sig")
       .select(col("doc_id"), TextOps.bandKeys(col("sig"), p.numBands, p.rowsPerBand).as("bands"))

@@ -323,6 +323,23 @@ object LlmQueries {
         )
         .orderBy("doc_a", "doc_b")),
 
+    // D2 (scale path): the same near-dup pipeline with ONE-PERMUTATION
+    // signatures — each shingle hashed once and routed to a bin, empty
+    // bins densified (TextOps.ophSignature64), vs the k-seed family's
+    // |shingles|×k mixes. The knob to flip when signature hashing
+    // dominates the banding pass at corpus scale. Candidates still
+    // verified by exact Jaccard; rows-only (candidate set depends on the
+    // hash family), estimator/recall laws in MinHashSketchSpec/DedupSpec.
+    "d2_neardup_oph" -> ((s, sf) =>
+      Dedup
+        .nearDuplicatePairs(
+          Tables.documents(s, sf),
+          col("doc_id"),
+          col("text"),
+          Dedup.MinHashParams(jaccardThreshold = 0.3, useOph = true)
+        )
+        .orderBy("doc_a", "doc_b")),
+
     // D2: SimHash near-dup pairs within Hamming radius. rows-only.
     // radius 10/64: the shared-vocabulary synthetic corpus makes loose
     // radii degenerate (ham<=16 flags ~1M of 12.5M possible pairs at

@@ -107,6 +107,61 @@ class MinHashSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("OPH: densified signature has no empty slots; empty input stays all-MaxValue") {
+    val few = TextOps.ophSignature64(Array(42L, 43L, 44L), 64) // 3 shingles, 64 bins
+    assert(!few.contains(Long.MaxValue), "densification left an empty slot")
+    val empty = TextOps.ophSignature64(Array.empty[Long], 64)
+    assert(empty.forall(_ == Long.MaxValue), "empty doc must stay all-MaxValue")
+  }
+
+  test("OPH: signature is independent of shingle order (partitioning independence)") {
+    val hashes = Array.tabulate(200)(i => TextOps.splitmix64(i.toLong * 31L + 7L))
+    val a = TextOps.ophSignature64(hashes, 64)
+    val b = TextOps.ophSignature64(scala.util.Random.shuffle(hashes.toSeq).toArray, 64)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("OPH: identical shingle sets agree on every slot; estimator tracks true Jaccard") {
+    def setOf(n: Int, salt: Long) =
+      Array.tabulate(n)(i => TextOps.splitmix64(i.toLong * 1315423911L + salt))
+    val sa = setOf(300, 1L)
+    assert(MinHashSketch.estimateJaccard(
+      TextOps.ophSignature64(sa, 128), TextOps.ophSignature64(sa, 128)) === 1.0)
+    // Two sets sharing half their elements: J = 150/450 = 1/3.
+    val shared  = sa.take(150)
+    val sb      = shared ++ setOf(300, 2L).take(150).map(h => TextOps.splitmix64(h)) // 150 distinct
+    val est = MinHashSketch.estimateJaccard(
+      TextOps.ophSignature64(sa, 256), TextOps.ophSignature64(sb, 256))
+    val exact = {
+      val (xa, xb) = (sa.toSet, sb.toSet)
+      xa.intersect(xb).size.toDouble / xa.union(xb).size
+    }
+    assert(math.abs(est - exact) < 0.12, s"est=$est exact=$exact")
+  }
+
+  test("OPH: banded pipeline recovers planted near-identical pairs") {
+    // 10 planted pairs of one-token-mutated docs (shingle Jaccard ~0.85)
+    // + 20 unrelated docs; OPH-signature LSH at 16 bands x 4 rows
+    // (detection prob > 1 - 1e-5 per pair at J=0.85) must recover every
+    // planted pair after exact verification. Deterministic hash family —
+    // pass/fail is stable, not a coin flip.
+    val docs = (0 until 10).flatMap { p =>
+      val base = (0 until 40).map(i => s"p${p}_w$i")
+      val twin = base.updated(5, "mut1")
+      Seq((p.toLong * 2, base.mkString(" ")), (p.toLong * 2 + 1, twin.mkString(" ")))
+    } ++ (0 until 20).map(i => (100L + i, (0 until 40).map(j => s"uniq${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .nearDuplicatePairs(df, col("doc_id"), col("text"),
+        graft.operators.Dedup.MinHashParams(numHashes = 64, numBands = 16,
+          jaccardThreshold = 0.5, useOph = true))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { p =>
+      assert(pairs.contains((p.toLong * 2, p.toLong * 2 + 1)),
+        s"planted pair $p missed by OPH banding; found=$pairs")
+    }
+  }
+
   test("sketch estimate tracks true Jaccard of group token unions") {
     // groups sharing half their vocabulary
     val g1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
