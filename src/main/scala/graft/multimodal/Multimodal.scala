@@ -16,16 +16,17 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over the binary column (the Scala-side equivalent of the
   * Python `mapInPandas` batch-UDF pattern).
   *
-  * The IMAGE and AUDIO paths are real: [[decodeImage]] / [[resizeImage]]
-  * run the JDK's own `javax.imageio` PNG codec inside the partition map
-  * (decode, pixel statistics, bilinear rescale, re-encode), and
-  * [[decodeAudio]] parses WAV/PCM through `javax.sound.sampled` — no
-  * external libraries, no audio device (pure stream parsing). Video codecs
-  * are not available in this build environment, so that stage keeps a
-  * clearly-marked deterministic STUB ([[stubDecode]], [[frameSample]])
-  * while exercising the same Spark-side plumbing (schema, encoders,
-  * per-partition batching, partition-preserving execution); all of it is
-  * tested in MultimodalSpec.
+  * The IMAGE, AUDIO, and VIDEO-frame paths are real: [[decodeImage]] /
+  * [[resizeImage]] run the JDK's own `javax.imageio` PNG codec inside the
+  * partition map (decode, pixel statistics, bilinear rescale, re-encode),
+  * [[decodeAudio]] parses WAV/PCM through `javax.sound.sampled` (no
+  * external libraries, no audio device — pure stream parsing), and
+  * [[sampleVideoFrames]] seek-decodes every stride-th frame of a
+  * multi-frame container through `ImageReader`'s multi-image API
+  * (animated GIF — the one frame container the JDK reads natively;
+  * MP4/H.264 codecs don't exist in this build environment, so
+  * [[stubDecode]] / [[frameSample]] keep the clearly-marked byte-level
+  * stub shape for those). All of it is tested in MultimodalSpec.
   *
   * 100 TB design: payloads never pass through the driver; decode runs
   * per-partition with a bounded batch; metadata filters are plain Column
@@ -379,5 +380,132 @@ object Multimodal {
           .collect { case (chunk, idx) if idx % stride == 0 => (id, idx.toLong, chunk) }
       }
     frames.toDF("doc_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Deterministic synthetic "video": an n-frame GRAYSCALE animated GIF
+    * whose per-frame pixel values are modular arithmetic in
+    * (doc_id, frame, x, y), written through the JDK's own GIF sequence
+    * writer. Grayscale is the losslessness trick ([[renderPng]]'s role
+    * reprised): a `TYPE_BYTE_GRAY` frame has ≤256 distinct values, so the
+    * GIF palette represents it exactly and a real decode recovers the
+    * exact pixels — DuckDB reproduces the expected sums from a
+    * generate_series grid, no media library on the oracle side. */
+  def renderGif(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos    = new ByteArrayOutputStream()
+    val ios    = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img    = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((docId * 31 + f * 19 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Attach a rendered multi-frame GIF payload per document — the
+    * video-corpus stand-in. Payloads never pass through the driver. */
+  def attachVideoPayload(docs: DataFrame, w: Int = 8, h: Int = 8, nFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ImageIO.setUseCache(false)
+        ids.map(id => (id, renderGif(id, w, h, nFrames)))
+      }
+      .toDF("doc_id", "payload")
+      .withColumn(
+        "meta",
+        struct(
+          lit("image/gif").as("mime"),
+          lit(w.toLong).as("width"),
+          lit(h.toLong).as("height"),
+          lit(nFrames.toLong * 40L).as("duration_ms") // 25 fps stand-in
+        )
+      )
+  }
+
+  final case class DecodedFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      n_frames: Long,
+      width: Long,
+      height: Long,
+      sum_gray: Long,
+      decode_ok: Boolean
+  )
+
+  /** REAL frame sampling: open the container with the JDK's multi-image
+    * `ImageReader`, count frames (`getNumImages`), and DECODE ONLY every
+    * `stride`-th frame — the keyframe-sampling access pattern (seek +
+    * selective decode, not decode-everything-then-drop). Emits one row per
+    * sampled frame with decoder-reported dimensions and the exact gray
+    * pixel sum. Undecodable payloads surface as a single
+    * `decode_ok = false` row (frame_idx -1) — the A8 malformed-tolerance
+    * contract, not a task failure. */
+  def sampleVideoFrames(df: DataFrame, stride: Int): Dataset[DecodedFrame] = {
+    require(stride > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          val iis     = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) {
+            iis.close()
+            Seq(DecodedFrame(id, -1L, 0L, 0L, 0L, 0L, decode_ok = false))
+          } else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val img = reader.read(f)
+                var s   = 0L
+                var y   = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    s += img.getRGB(x, y) & 0xff // grayscale: r = g = b
+                    x += 1
+                  }
+                  y += 1
+                }
+                DecodedFrame(id, f.toLong, n.toLong, img.getWidth.toLong,
+                  img.getHeight.toLong, s, decode_ok = true)
+              }
+            } catch {
+              case _: Exception =>
+                Seq(DecodedFrame(id, -1L, 0L, 0L, 0L, 0L, decode_ok = false))
+            } finally {
+              reader.dispose()
+              iis.close()
+            }
+          }
+        }
+      }
   }
 }

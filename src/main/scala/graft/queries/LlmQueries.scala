@@ -1361,6 +1361,21 @@ object LlmQueries {
           col("sum_s"), col("sum_abs"))
         .orderBy("doc_id")),
 
+    // D8: REAL video frame sampling — render a 6-frame grayscale animated
+    // GIF per doc (the one frame container the JDK decodes natively),
+    // seek-decode every 2nd frame via ImageReader's multi-image API, emit
+    // exact per-frame gray sums. Same lossless-codec + modular-arithmetic
+    // trick as d8_image_decode, extended over the frame axis: DuckDB
+    // reproduces the sampled-frame sums from a 3-D generate_series grid.
+    "d8_video_frames" -> ((s, sf) =>
+      Multimodal
+        .sampleVideoFrames(
+          Multimodal.attachVideoPayload(Tables.documents(s, sf), 8, 8, 6), stride = 2)
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), col("sum_gray"))
+        .orderBy("doc_id", "frame_idx")),
+
     // D8: REAL image resize — decode, bilinear-rescale 16×16 → 8×8 with
     // Graphics2D, PNG re-encode, decode again. Interpolated sums are
     // codec-kernel-specific → rows-only; dimension/determinism/brightness
@@ -2379,6 +2394,21 @@ object LlmQueries {
          CROSS JOIN generate_series(0, 255) AS g(i)
          GROUP BY d.doc_id
          ORDER BY d.doc_id""",
+    "d8_video_frames" ->
+      """SELECT d.doc_id,
+           CAST(gf.f AS BIGINT) AS frame_idx,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(SUM((d.doc_id * 31 + gf.f * 19 + gx.x * 7 + gy.y * 13) % 256) AS BIGINT)
+             AS sum_gray
+         FROM documents d
+         CROSS JOIN generate_series(0, 5) AS gf(f)
+         CROSS JOIN generate_series(0, 7) AS gx(x)
+         CROSS JOIN generate_series(0, 7) AS gy(y)
+         WHERE gf.f % 2 = 0
+         GROUP BY d.doc_id, gf.f
+         ORDER BY d.doc_id, frame_idx""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

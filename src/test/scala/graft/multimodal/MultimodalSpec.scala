@@ -136,4 +136,30 @@ class MultimodalSpec extends AnyFunSuite {
     // every kept index is even (stride 2)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() === 0L)
   }
+
+  test("video frames: multi-frame GIF roundtrip — count, stride, exact gray sums") {
+    val mm      = Multimodal.attachVideoPayload(docs, w = 8, h = 8, nFrames = 5)
+    val decoded = Multimodal.sampleVideoFrames(mm, stride = 2).collect()
+    // 5 frames, stride 2 -> frames 0, 2, 4 per doc.
+    assert(decoded.length === 50 * 3)
+    decoded.foreach { d =>
+      assert(d.decode_ok && d.n_frames === 5L && d.width === 8L && d.height === 8L)
+      assert(d.frame_idx % 2 === 0L)
+      var es = 0L
+      for (x <- 0 until 8; y <- 0 until 8)
+        es += ((d.doc_id * 31 + d.frame_idx * 19 + x * 7 + y * 13) % 256)
+      assert(d.sum_gray === es, s"doc ${d.doc_id} frame ${d.frame_idx}")
+    }
+  }
+
+  test("video frames: stride 1 decodes every frame; non-container payload dead-letters") {
+    val all = Multimodal.sampleVideoFrames(
+      Multimodal.attachVideoPayload(docs.limit(5), 8, 8, 4), stride = 1).collect()
+    assert(all.length === 5 * 4)
+    assert(all.map(_.frame_idx).toSet === Set(0L, 1L, 2L, 3L))
+    val bad = Multimodal.sampleVideoFrames(Multimodal.attachPayload(docs.limit(5)), stride = 1)
+      .collect()
+    assert(bad.length === 5)
+    assert(bad.forall(d => !d.decode_ok && d.frame_idx === -1L))
+  }
 }
