@@ -883,6 +883,56 @@ object CoreQueries {
         .orderBy("cntrycode")
     }),
 
+    // C1+C14 composite — TPC-H Q6 shape (forecasting revenue change): the
+    // pure scan-side query — every predicate pushes into the parquet scan,
+    // one global decimal sum, no joins, no shuffle beyond the final
+    // single-row agg. The query that measures raw scan throughput.
+    "c01_tpch_q6" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // C4+C10 composite — TPC-H Q13 shape (customer distribution): LEFT
+    // OUTER join preserved through a per-customer count, then a SECOND
+    // aggregation over the counts — the histogram-of-counts double-agg,
+    // a plan shape nothing else on the board exercises.
+    "c04_tpch_q13" -> ((s, sf) =>
+      Tables
+        .customer(s, sf)
+        .join(Tables.orders(s, sf), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // C5 composite — TPC-H Q20 shape (potential part promotion): a
+    // NESTED-AGGREGATE semi-join — suppliers qualify through a grouped
+    // HAVING over their per-part shipped quantity of PROMO parts. The
+    // aggregate runs BEFORE the semi-join (group-then-filter-then-semi),
+    // the decorrelation Catalyst must preserve rather than re-executing
+    // per supplier.
+    "c05_tpch_q20" -> ((s, sf) => {
+      val heavy = Tables
+        .lineitem(s, sf)
+        .join(broadcast(Tables.part(s, sf).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100.0)
+        .select(col("l_suppkey").as("hk"))
+        .distinct()
+      Tables
+        .supplier(s, sf)
+        .join(heavy, col("s_suppkey") === col("hk"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
       Tables
@@ -1462,6 +1512,26 @@ object CoreQueries {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
          GROUP BY cntrycode ORDER BY cntrycode""",
+    "c01_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "c04_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "c05_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+           GROUP BY l_suppkey, l_partkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100.0)
+         ORDER BY s_suppkey""",
     "c24_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,
