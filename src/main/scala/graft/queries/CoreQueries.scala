@@ -933,6 +933,55 @@ object CoreQueries {
         .orderBy("s_suppkey")
     }),
 
+    // C23 composite — TPC-H Q2 shape (minimum-cost supplier): correlated
+    // MIN over a joined relation, decorrelated to a per-part min + equi
+    // join. The fixture has no partsupp, so the (part, supplier) cost
+    // relation derives from lineitem (min extendedprice per pair — raw
+    // stored values, so the min-equality gate is exact cross-engine).
+    "c23_tpch_q2" -> ((s, sf) => {
+      val eu = Tables
+        .supplier(s, sf)
+        .join(broadcast(Tables.nation(s, sf)
+          .join(broadcast(Tables.region(s, sf).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = Tables
+        .lineitem(s, sf)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+        .join(broadcast(Tables.part(s, sf).filter(col("p_size") === 15)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      val euCost  = ps.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      val minCost = euCost.groupBy(col("p_partkey").as("mk")).agg(min(col("cost")).as("min_cost"))
+      euCost
+        .join(minCost, col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // C3 composite — TPC-H Q9 shape (product-type profit): 5-table join
+    // with a profit expression mixing fact and dimension columns, grouped
+    // by supplier nation and order year. Cost proxy = 10% of retail price
+    // per unit (no partsupp supplycost in the fixture).
+    "c03_tpch_q9" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .join(broadcast(Tables.part(s, sf).filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, sf).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, sf)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, sf).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
     // C24: string function coverage.
     "c24_string_fns" -> ((s, sf) =>
       Tables
@@ -1532,6 +1581,33 @@ object CoreQueries {
            GROUP BY l_suppkey, l_partkey
            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100.0)
          ORDER BY s_suppkey""",
+    "c23_tpch_q2" ->
+      """WITH eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         ps AS (
+           SELECT l_partkey AS p_partkey, l_suppkey, min(l_extendedprice) AS cost
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size = 15 GROUP BY l_partkey, l_suppkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, cost
+         FROM ps JOIN eu ON l_suppkey = s_suppkey
+         WHERE cost = (SELECT min(p2.cost) FROM ps p2 JOIN eu e2 ON p2.l_suppkey = e2.s_suppkey
+                       WHERE p2.p_partkey = ps.p_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "c03_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY nation, o_year DESC""",
     "c24_string_fns" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_type, 1, 5) AS sub, trim(' ' || p_name || ' ') AS tr,
