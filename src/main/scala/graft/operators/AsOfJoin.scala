@@ -45,4 +45,28 @@ object AsOfJoin {
       .filter(col("__asof_rn") === 1)
       .drop("__asof_rn")
   }
+
+  /** FORWARD as-of: the earliest right row at-or-AFTER each left row's
+    * time — "next event" semantics (next order after a touchpoint, next
+    * reading after a fault), the mirror of [[asOf]]'s backward lookup.
+    * Same plan shape: one equi-join on the key plus the non-equi time
+    * conjunct, then a rank-1 window that WindowGroupLimit prunes
+    * per-partition before the sort completes. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: Column,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      tieBreak: Seq[Column] = Seq.empty
+  ): DataFrame = {
+    val joined = left.join(right, leftKey === rightKey && rightTime >= leftTime)
+    val w      = Window.partitionBy(leftId).orderBy((rightTime.asc +: tieBreak): _*)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
 }

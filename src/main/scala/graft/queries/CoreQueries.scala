@@ -243,6 +243,52 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // C9 (forward direction): each sampled event's NEXT purchase — the
+    // user's earliest purchase event at-or-after the touchpoint, the
+    // attribution query the backward form can't answer. Same rank-1
+    // window plan (WindowGroupLimit asserted for the backward twin); the
+    // fixture's order dates all predate the event feed, so the forward
+    // lookup runs event→event rather than event→order.
+    "c09_asof_forward" -> ((s, sf) => {
+      val ev = Tables.events(s, sf).filter(col("event_id") % 20 === 0)
+      val purchases = Tables.events(s, sf)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      AsOfJoin
+        .asOfForward(
+          ev,
+          purchases,
+          leftId = col("event_id"),
+          leftKey = col("user_id"),
+          rightKey = col("p_user"),
+          leftTime = col("ts"),
+          rightTime = col("p_ts"),
+          tieBreak = Seq(col("p_id").asc)
+        )
+        .select(col("event_id"), col("ts"), col("p_id"), col("p_ts"))
+        .orderBy("event_id")
+    }),
+
+    // C17 (time-RANGE flavor): sliding one-hour window per user over the
+    // event stream — RANGE frame keyed on event-time microseconds, the
+    // frame kind the ROWS queries above don't exercise (peers enter and
+    // leave by VALUE distance, not row count). Epoch-µs on both engines:
+    // unix_micros here, epoch_us in DuckDB — exact integers, no tz math.
+    "c17_window_range_time" -> ((s, sf) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables
+        .events(s, sf)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("hr_sum"),
+          count(lit(1)).over(w).as("hr_cnt"))
+        .orderBy("event_id")
+    }),
+
     // C3+C6+C10+C19 composite — TPC-H Q3 shape: segment-filtered
     // customer⋈orders⋈lineitem, grouped revenue, top-10.
     "c03_tpch_q3" -> ((s, sf) =>
@@ -1272,6 +1318,23 @@ object CoreQueries {
            FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
          WHERE rn = 1 ORDER BY event_id""",
+    "c09_asof_forward" ->
+      """SELECT event_id, ts, p_id, p_ts FROM (
+           SELECT e.event_id, e.ts, p.event_id AS p_id, p.ts AS p_ts,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
+           JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             ON p.user_id = e.user_id AND p.ts >= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "c17_window_range_time" ->
+      """SELECT event_id, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS hr_sum,
+         count(*) OVER w AS hr_cnt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "c03_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

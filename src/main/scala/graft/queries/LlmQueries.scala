@@ -538,6 +538,24 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // D4 (filtered vector search): top-k restricted to a metadata
+    // predicate (label = 3) — the production "filtered ANN" query every
+    // vector store grows. PRE-filter strategy: the predicate prunes the
+    // corpus before any distance math (pushes to the parquet scan), exact
+    // top-k over the survivors — correct at any selectivity, and at high
+    // selectivity strictly cheaper than post-filtering an unfiltered ANN
+    // result (which must over-fetch to survive the filter).
+    "d4_topk_filtered" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val queries = e
+        .filter(col("vec_id").isin(0L, 7L, 42L))
+        .select(col("vec_id").as("qid"), VectorOps.asDouble(col("embedding")).as("qvec"))
+      SimilarityJoin
+        .topKBatch(e.filter(col("label") === 3), col("vec_id"), col("embedding"), queries, k = 5)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     "d4_topk_ivf" -> ((s, sf) => {
       // Serving shape: the index (Lloyd-refined centroids + full-corpus
       // assignment) is built ONCE per session per dataset and materialized
@@ -1769,6 +1787,22 @@ object LlmQueries {
              round(list_dot_product(e.v, q.qvec)
                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 9) AS cos
            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e CROSS JOIN q),
+         r AS (
+           SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT qid, vec_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    "d4_topk_filtered" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id IN (0, 7, 42)),
+         s AS (
+           SELECT q.qid, e.vec_id,
+             round(list_dot_product(e.v, q.qvec)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 9) AS cos
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE label = 3) e CROSS JOIN q),
          r AS (
            SELECT qid, vec_id, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
