@@ -1228,7 +1228,21 @@ object CoreQueries {
           coalesce(col("signup"), lit(0L)).as("signup"),
           coalesce(col("error"), lit(0L)).as("error")
         )
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // C32 (inverse): UNPIVOT via the stack() generator — wide columns to
+    // (metric, val) rows, the melt every feature pipeline runs before a
+    // grouped profile. Generator, not join: one narrow pass, row count =
+    // input × metric arity.
+    "c32_unpivot" -> ((s, sf) =>
+      Tables
+        .part(s, sf)
+        .select(
+          col("p_partkey"),
+          expr(
+            "stack(3, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE), " +
+              "'name_len', CAST(length(p_name) AS DOUBLE)) AS (metric, val)"))
+        .orderBy("p_partkey", "metric"))
   )
 
   val sql: Map[String, String] = Map(
@@ -1761,6 +1775,14 @@ object CoreQueries {
          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
          count(CASE WHEN event_type = 'error' THEN 1 END) AS error
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "c32_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+           SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+           UNION ALL
+           SELECT p_partkey, 'name_len', CAST(length(p_name) AS DOUBLE) FROM part)
+         ORDER BY p_partkey, metric"""
   )
 }

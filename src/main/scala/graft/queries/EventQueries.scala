@@ -371,6 +371,31 @@ object EventQueries {
             unix_micros(col("max_ts"))).cast("long"))
         .select(col("window_start"), col("shard"), col("cnt"), col("malformed_cnt"), col("lag_us"))
         .orderBy("window_start", "shard")
+    }),
+
+    // B12 (resample / gap-fill): per-user DAILY activity grid with
+    // zero-fill — `sequence()` generates each user's day span (no
+    // driver-side date loop), exploded to a grid, left-joined against the
+    // per-day counts. The downsampling step every time-series feature
+    // pipeline runs before regularized models; days with no events
+    // surface as explicit zeros, not missing rows.
+    "b12_resample_daily" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val spans = ev
+        .groupBy(col("user_id"))
+        .agg(
+          date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      val grid = spans.select(
+        col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val counts = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      grid
+        .join(counts, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -510,6 +535,19 @@ object EventQueries {
            FROM events GROUP BY 1, 2)
          SELECT window_start, shard, cnt, malformed_cnt,
            CAST(epoch_us(max(max_ts) OVER ()) - epoch_us(max_ts) AS BIGINT) AS lag_us
-         FROM h ORDER BY window_start, shard"""
+         FROM h ORDER BY window_start, shard""",
+    "b12_resample_daily" ->
+      """WITH spans AS (
+           SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+           FROM events GROUP BY user_id),
+         grid AS (
+           SELECT user_id, CAST(g.d AS TIMESTAMP) AS day
+           FROM spans, LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) g(d)),
+         counts AS (
+           SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT g.user_id, g.day, COALESCE(c.cnt, 0) AS cnt
+         FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
+         ORDER BY g.user_id, g.day"""
   )
 }
