@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, Dedup, LmScore, Mixture, Outliers, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, Dedup, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -1092,6 +1092,48 @@ object LlmQueries {
         .filter(col("rn") <= 20)
         .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rk"))
         .orderBy("lang", "rk")
+    }),
+
+    // D9 (graph centrality): PageRank over the near-dup similarity graph
+    // — link-graph centrality as a corpus quality prior (the harmonic-
+    // centrality gate of public web-corpus pipelines, run on the graph
+    // the dedup pass already built). Edges = verified n-gram Jaccard
+    // pairs, symmetrized; isolated docs don't enter the graph. Iterative
+    // (10 decimal-exact rounds, checkpointed) → rows-only; uniformity/
+    // mass-conservation/determinism laws in PageRankSpec.
+    "d9_pagerank" -> ((s, sf) => {
+      val pairs = Dedup
+        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.2)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      PageRank
+        .run(edges, col("doc_a"), col("doc_b"), iterations = 10)
+        .select(col("v").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
+    // D7 (weighted sampling): deterministic weighted sample WITHOUT
+    // replacement — Efraimidis-Spirakis A-Res keys u^(1/w) with the
+    // uniform u derived from md5(doc_id) (same portable-hash trick as
+    // d7_hash_sample), weight = document length. P(doc in top-100) ∝ its
+    // weight, yet the sample is IDENTICAL on every engine, rerun, and
+    // partitioning — how a mixture pipeline takes a quality-weighted
+    // slice reproducibly. Selection = one TakeOrderedAndProject on the
+    // key; no shuffle beyond top-k.
+    "d7_weighted_sample" -> ((s, sf) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + 0.5) / 4294967296.0
+      val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+      Tables
+        .documents(s, sf)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), key.as("__key"))
+        .orderBy(col("__key").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), round(col("__key"), 9).as("key"))
+        .orderBy(col("key").desc, col("doc_id"))
     }),
 
     // D5 (charset / encoding QC): per-doc character-class profile — word,
@@ -2359,6 +2401,14 @@ object LlmQueries {
                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY lang, rk""",
+    "d7_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, round(key, 9) AS key FROM (
+           SELECT doc_id, lang, n_chars,
+             pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                  / 4294967296.0), 1.0 / n_chars) AS key
+           FROM documents WHERE n_chars > 0
+           ORDER BY key DESC, doc_id LIMIT 100)
+         ORDER BY key DESC, doc_id""",
     "d5_charset_qc" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_char,
