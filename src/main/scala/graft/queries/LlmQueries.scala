@@ -1094,6 +1094,48 @@ object LlmQueries {
         .orderBy("lang", "rk")
     }),
 
+    // D7 (distribution shift): pairwise divergence between per-language
+    // token distributions — total-variation and chi-square, the log-free
+    // shift measures (KL's log would hinge on libm ulp parity; TV/chi2
+    // are pure rational arithmetic, so the compare is exact). One pivot
+    // to a (tok × lang) matrix, then ONE aggregation computes all 10
+    // pair columns (no per-pair passes), stacked to rows. Per-term values
+    // go through DECIMAL(38,18) so the sums are partitioning-independent.
+    // The monitor a mixture pipeline runs to detect slice drift between
+    // corpus snapshots.
+    "d7_lang_divergence" -> ((s, sf) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val dec18 = DecimalType(38, 18)
+      val tokRows = Tables.documents(s, sf)
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      val counts = tokRows.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val dist = counts
+        .join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("tok"),
+          (col("c").cast("double") / col("n").cast("double")).as("p"))
+      val wide  = dist.groupBy(col("tok")).pivot("lang", langs).agg(first(col("p")))
+      val pairs = for { i <- langs.indices; j <- i + 1 until langs.length }
+        yield (langs(i), langs(j))
+      val aggCols = pairs.flatMap { case (a, b) =>
+        val pa = coalesce(col(a), lit(0.0))
+        val pb = coalesce(col(b), lit(0.0))
+        Seq(
+          sum((abs(pa - pb) / 2.0).cast(dec18)).cast("double").as(s"tv_${a}_$b"),
+          sum(when(pa + pb > 0.0, (pa - pb) * (pa - pb) / (pa + pb)).otherwise(0.0)
+            .cast(dec18)).cast("double").as(s"chi_${a}_$b"))
+      }
+      val one = wide.agg(aggCols.head, aggCols.tail: _*)
+      val stackExpr = s"stack(${pairs.length}, " + pairs
+        .map { case (a, b) => s"'$a', '$b', tv_${a}_$b, chi_${a}_$b" }
+        .mkString(", ") + ") AS (lang_a, lang_b, tv, chi2)"
+      one
+        .select(expr(stackExpr))
+        .select(col("lang_a"), col("lang_b"),
+          round(col("tv"), 9).as("tv"), round(col("chi2"), 9).as("chi2"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // D9 (graph centrality): PageRank over the near-dup similarity graph
     // — link-graph centrality as a corpus quality prior (the harmonic-
     // centrality gate of public web-corpus pipelines, run on the graph
@@ -2401,6 +2443,95 @@ object LlmQueries {
                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY lang, rk""",
+    "d7_lang_divergence" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS tok
+           FROM documents),
+         counts AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         totals AS (SELECT lang, sum(c) AS n FROM counts GROUP BY 1),
+         dist AS (
+           SELECT c.lang, c.tok, CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+           FROM counts c JOIN totals t ON c.lang = t.lang),
+         wide AS (
+           SELECT tok,
+             COALESCE(max(p) FILTER (lang = 'de'), 0.0) AS de,
+             COALESCE(max(p) FILTER (lang = 'en'), 0.0) AS en,
+             COALESCE(max(p) FILTER (lang = 'es'), 0.0) AS es,
+             COALESCE(max(p) FILTER (lang = 'fr'), 0.0) AS fr,
+             COALESCE(max(p) FILTER (lang = 'zh'), 0.0) AS zh
+           FROM dist GROUP BY tok)
+         SELECT * FROM (
+           SELECT 'de' AS lang_a, 'en' AS lang_b,
+             round(CAST(SUM(CAST(abs(de - en) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN de + en > 0.0
+                    THEN (de - en) * (de - en) / (de + en) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'de' AS lang_a, 'es' AS lang_b,
+             round(CAST(SUM(CAST(abs(de - es) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN de + es > 0.0
+                    THEN (de - es) * (de - es) / (de + es) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'de' AS lang_a, 'fr' AS lang_b,
+             round(CAST(SUM(CAST(abs(de - fr) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN de + fr > 0.0
+                    THEN (de - fr) * (de - fr) / (de + fr) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'de' AS lang_a, 'zh' AS lang_b,
+             round(CAST(SUM(CAST(abs(de - zh) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN de + zh > 0.0
+                    THEN (de - zh) * (de - zh) / (de + zh) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'en' AS lang_a, 'es' AS lang_b,
+             round(CAST(SUM(CAST(abs(en - es) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN en + es > 0.0
+                    THEN (en - es) * (en - es) / (en + es) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'en' AS lang_a, 'fr' AS lang_b,
+             round(CAST(SUM(CAST(abs(en - fr) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN en + fr > 0.0
+                    THEN (en - fr) * (en - fr) / (en + fr) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'en' AS lang_a, 'zh' AS lang_b,
+             round(CAST(SUM(CAST(abs(en - zh) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN en + zh > 0.0
+                    THEN (en - zh) * (en - zh) / (en + zh) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'es' AS lang_a, 'fr' AS lang_b,
+             round(CAST(SUM(CAST(abs(es - fr) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN es + fr > 0.0
+                    THEN (es - fr) * (es - fr) / (es + fr) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'es' AS lang_a, 'zh' AS lang_b,
+             round(CAST(SUM(CAST(abs(es - zh) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN es + zh > 0.0
+                    THEN (es - zh) * (es - zh) / (es + zh) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide
+           UNION ALL
+           SELECT 'fr' AS lang_a, 'zh' AS lang_b,
+             round(CAST(SUM(CAST(abs(fr - zh) / 2.0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS tv,
+             round(CAST(SUM(CAST(CASE WHEN fr + zh > 0.0
+                    THEN (fr - zh) * (fr - zh) / (fr + zh) ELSE 0.0 END
+                  AS DECIMAL(38,18))) AS DOUBLE), 9) AS chi2
+           FROM wide)
+         ORDER BY lang_a, lang_b""",
     "d7_weighted_sample" ->
       """SELECT doc_id, lang, n_chars, round(key, 9) AS key FROM (
            SELECT doc_id, lang, n_chars,
