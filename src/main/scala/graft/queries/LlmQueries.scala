@@ -1094,6 +1094,41 @@ object LlmQueries {
         .orderBy("lang", "rk")
     }),
 
+    // D5 (entropy): per-document token-distribution Shannon entropy — low
+    // entropy flags template/boilerplate/looping text that repetition
+    // ratios alone miss (many distinct tokens, degenerate distribution).
+    // The LM-score micro-unit convention makes it hash-exact: each
+    // ln(c/n) is rounded to integer micro-nats (round(ln·1e6), the
+    // LmScore.lpMicro recipe, proven cross-engine by d5_lm_score), then
+    // everything is exact integer arithmetic. Every-doc contract: empty
+    // docs surface with (0, 0, 0) via the left join, the d5_encode
+    // convention.
+    "d5_token_entropy" -> ((s, sf) => {
+      val t = Tables.documents(s, sf)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val counts = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val withN = counts
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      val h = withN
+        .groupBy(col("doc_id"))
+        .agg(
+          (-sum(col("c") *
+            round(log(col("c").cast("double") / col("n").cast("double")) * 1e6)
+              .cast("long"))).as("h_micro"),
+          max(col("n")).as("n_tok"))
+      Tables.documents(s, sf)
+        .select(col("doc_id"))
+        .join(h, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("h_micro"), lit(0L)).as("h_micro"),
+          round(coalesce(col("h_micro"), lit(0L)).cast("double")
+            / greatest(coalesce(col("n_tok"), lit(0L)), lit(1L)).cast("double") / 1e6, 6)
+            .as("h_per_tok"))
+        .orderBy("doc_id")
+    }),
+
     // D7 (distribution shift): pairwise divergence between per-language
     // token distributions — total-variation and chi-square, the log-free
     // shift measures (KL's log would hinge on libm ulp parity; TV/chi2
@@ -2443,6 +2478,26 @@ object LlmQueries {
                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY lang, rk""",
+    "d5_token_entropy" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         w AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c),
+         h AS (
+           SELECT doc_id,
+             CAST(-SUM(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS h_micro,
+             CAST(max(n) AS BIGINT) AS n_tok
+           FROM w GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(n_tok, 0) AS n_tok,
+           COALESCE(h_micro, 0) AS h_micro,
+           round(CAST(COALESCE(h_micro, 0) AS DOUBLE)
+                 / CAST(GREATEST(COALESCE(n_tok, 0), 1) AS DOUBLE) / 1e6, 6) AS h_per_tok
+         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
     "d7_lang_divergence" ->
       """WITH tok AS (
            SELECT lang,
