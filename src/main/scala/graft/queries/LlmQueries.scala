@@ -434,6 +434,31 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // D2 (canonicalization): representative selection per near-dup
+    // cluster — keep the LONGEST member (ties to the smallest id), the
+    // SemDeDup end-step that turns "these docs are the same" into "this
+    // is the one we train on". One rank-1 window over the
+    // cluster-assignment frame (WindowGroupLimit prunes per partition).
+    "d2_cluster_rep" -> ((s, sf) => {
+      val clusters = Dedup
+        .connectedComponents(
+          Dedup
+            .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+              shingleSize = 3, threshold = 0.3)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("cluster"))
+      val sized = clusters
+        .join(Tables.documents(s, sf).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+      sized
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster"))
+        .agg(
+          max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy("cluster")
+    }),
+
     // D2 (contamination): train/eval overlap detection — the dedup question
     // a pipeline must answer BEFORE training (is the held-out slice leaked
     // into the training corpus?). Exact cross-corpus shingle Jaccard via
@@ -1875,6 +1900,36 @@ object LlmQueries {
            SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node WHERE cc.label < e.d)
          SELECT node AS doc_id, min(label) AS cluster FROM cc
          GROUP BY node ORDER BY doc_id""",
+    "d2_cluster_rep" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         cc(node, label) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node WHERE cc.label < e.d),
+         clusters AS (
+           SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+         ranked AS (
+           SELECT c.cluster, c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+           FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+         SELECT cluster, max(doc_id) FILTER (rn = 1) AS rep_doc_id,
+           count(*) AS cluster_size
+         FROM ranked GROUP BY cluster ORDER BY cluster""",
     "d3_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)

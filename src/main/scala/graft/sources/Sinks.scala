@@ -177,6 +177,27 @@ object Sinks {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Gzipped JSON-Lines shards — the standard LLM-corpus interchange
+    * format (one JSON object per line, .jsonl.gz files): hash-sharded by
+    * id so shard membership is stable across reruns and cluster sizes,
+    * one file per shard via partitioned write. Spark's native json writer
+    * does the serialization (codegen'd JacksonGenerator, no UDF); gzip
+    * keeps shards splittable-at-file-granularity — the layout every
+    * tokenizer/training loader consumes. */
+  def writeJsonlShards(
+      df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      path: String,
+      numShards: Int
+  ): Unit =
+    df.withColumn("shard", pmod(xxhash64(idCol), lit(numShards)))
+      .repartition(numShards, col("shard"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .option("compression", "gzip")
+      .json(path)
+
   /** Streaming form: foreachBatch applies the same split per micro-batch —
     * the exactly-once contract comes from the checkpoint + idempotent
     * (overwrite-by-batch-path) writes. */
