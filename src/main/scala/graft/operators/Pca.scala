@@ -154,10 +154,15 @@ object Pca {
             while (j < dim) {
               val p = vi * v(j)
               // Non-finite products cast to null (dropped) in the SQL
-              // twin; skipping matches that.
+              // twin; skipping matches that. Rounding replicates Spark's
+              // double→decimal cast EXACTLY: scala BigDecimal(Double)
+              // parses Double.toString — the shortest decimal form, not
+              // the exact binary expansion — then HALF_UP to scale 18
+              // (the same convention pinned bit-for-bit by the PageRank
+              // differential in DifferentialSpec).
               if (!p.isNaN && !p.isInfinite) {
                 acc(k) = acc(k).add(
-                  new java.math.BigDecimal(p)
+                  new java.math.BigDecimal(java.lang.Double.toString(p))
                     .setScale(18, java.math.RoundingMode.HALF_UP))
               }
               k += 1

@@ -208,4 +208,74 @@ class DifferentialSpec extends AnyFunSuite {
     } yield (l.k, l.v, r.v)).sorted
     assert(got === expected)
   }
+
+  test("random hash sets: OPH estimate tracks exact Jaccard within the k-bound") {
+    import graft.functions.{MinHashSketch, TextOps}
+    // 40 random set pairs with overlap drawn across (0, 1); at k = 256 the
+    // one-permutation estimator's std error is <= ~1/sqrt(k) ≈ 0.0625 —
+    // assert 4 sigma. Deterministic seeds, so no flake.
+    val k = 256
+    (0 until 40).foreach { i =>
+      val rnd   = new scala.util.Random(9000 + i)
+      val nA    = 50 + rnd.nextInt(400)
+      val share = rnd.nextDouble()
+      val base  = Array.tabulate(nA)(j => TextOps.splitmix64(j.toLong * 2654435761L + i))
+      val nSh   = (nA * share).toInt
+      val b     = base.take(nSh) ++
+        Array.tabulate(nA - nSh)(j => TextOps.splitmix64((j + 7919).toLong * 968665207L + i))
+      val exact = {
+        val (xa, xb) = (base.toSet, b.toSet)
+        xa.intersect(xb).size.toDouble / xa.union(xb).size
+      }
+      val est = MinHashSketch.estimateJaccard(
+        TextOps.ophSignature64(base, k), TextOps.ophSignature64(b, k))
+      assert(math.abs(est - exact) < 0.25, s"pair $i: est=$est exact=$exact")
+    }
+  }
+
+  test("random graphs: distributed PageRank matches an in-memory reference exactly") {
+    import graft.operators.PageRank
+    // The reference replicates the operator's arithmetic bit for bit:
+    // per-edge contributions rounded to DECIMAL(38,18) exactly as Spark's
+    // double->decimal cast does (scala BigDecimal(Double) parses
+    // Double.toString — the SHORTEST decimal form, not the exact binary
+    // expansion — then HALF_UP to scale 18), summed exactly, dangling mass
+    // redistributed — so the comparison is EXACT double equality, not a
+    // tolerance.
+    def reference(edges: List[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+      val verts  = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n      = verts.size
+      val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      var rank   = verts.map(_ -> 1.0).toMap
+      (0 until iters).foreach { _ =>
+        val danglingDec = verts.filterNot(outDeg.contains)
+          .map(v => new java.math.BigDecimal(java.lang.Double.toString(rank(v)))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        val dangling = danglingDec.doubleValue()
+        val contrib = scala.collection.mutable.Map.empty[Long, java.math.BigDecimal]
+        edges.foreach { case (s, t) =>
+          val c = new java.math.BigDecimal(java.lang.Double.toString(rank(s) / outDeg(s)))
+            .setScale(18, java.math.RoundingMode.HALF_UP)
+          contrib(t) = contrib.getOrElse(t, java.math.BigDecimal.ZERO).add(c)
+        }
+        rank = verts.map { v =>
+          val cs = contrib.getOrElse(v, java.math.BigDecimal.ZERO).doubleValue()
+          v -> ((1.0 - d) + d * (cs + dangling / n))
+        }.toMap
+      }
+      rank
+    }
+    (0 until 5).foreach { i =>
+      val rnd = new scala.util.Random(777 + i)
+      val n   = 5 + rnd.nextInt(25)
+      val m   = 1 + rnd.nextInt(60)
+      val edges = List.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val got = PageRank
+        .run(edges.toDF("s", "d"), col("s"), col("d"), iterations = 6)
+        .as[(Long, Double)].collect().toMap
+      val want = reference(edges, 6, 0.85)
+      assert(got === want, s"seed ${777 + i}")
+    }
+  }
 }
