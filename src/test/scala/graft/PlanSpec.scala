@@ -271,4 +271,19 @@ class PlanSpec extends AnyFunSuite {
       assert(df.queryExecution.executedPlan != null, s"$name failed to plan")
     }
   }
+
+  test("no registered query plans a CartesianProduct — anywhere, ever") {
+    // The one physical shape with no defensible use on this board: an
+    // UNPARTITIONED all-pairs product. BroadcastNestedLoopJoin appears
+    // legitimately (single-row scalar gates, broadcast query panels,
+    // bounded theta dims — the broadcast side is config-bounded by
+    // construction), but a CartesianProduct means two data-sized sides
+    // crossed — at 100 TB that plan never finishes. Even the explicit
+    // cross join (c08) rides a broadcast of the 5-row dim.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
+  }
 }
