@@ -243,6 +243,26 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // C9 (custom plan node): the SAME as-of semantics as c09_asof_join,
+    // planned through the whole-operator Catalyst extension
+    // (graft.plans.AsOfMergeJoin: custom LogicalPlan + Strategy +
+    // SparkPlan) — a streaming sort-merge that never materializes the
+    // per-key history blowup the join+window form pays. Identical output,
+    // same oracle; plan asserted Window-free in AsOfJoinSpec.
+    "c09_asof_merge" -> ((s, sf) => {
+      val ev = Tables.events(s, sf).filter(col("event_id") % 20 === 0)
+      graft.plans.AsOfMergeJoin
+        .asOfMerge(
+          ev,
+          Tables.orders(s, sf)
+            .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // C9 (forward direction): each sampled event's NEXT purchase — the
     // user's earliest purchase event at-or-after the touchpoint, the
     // attribution query the backward form can't answer. Same rank-1
@@ -1325,6 +1345,14 @@ object CoreQueries {
     "c08_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "c09_asof_join" ->
+      """SELECT event_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
+           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "c09_asof_merge" ->
       """SELECT event_id, ts, o_orderkey, o_orderdate FROM (
            SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate,
              row_number() OVER (PARTITION BY e.event_id

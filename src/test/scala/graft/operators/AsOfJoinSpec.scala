@@ -43,4 +43,52 @@ class AsOfJoinSpec extends AnyFunSuite {
       tieBreak = Seq(col("oid").desc))
     assert(out.count() === 1L)
   }
+
+  test("asOfMerge: custom plan node ≡ the composed join+window form, on random data") {
+    import graft.plans.AsOfMergeJoin
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(31L + seed)
+      val left = (0 until 200).map { i =>
+        (i.toLong, rnd.nextInt(8).toLong, ts(f"2024-01-${1 + rnd.nextInt(28)}%02d 0${rnd.nextInt(10)}:00:00"))
+      }.toDF("eid", "key", "t")
+      val right = (0 until 150).map { i =>
+        (i.toLong, rnd.nextInt(10).toLong, ts(f"2024-01-${1 + rnd.nextInt(28)}%02d 0${rnd.nextInt(10)}:00:00"))
+      }.toDF("oid", "okey", "ot")
+
+      val composed = AsOfJoin
+        .asOf(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"),
+          tieBreak = Seq(col("oid").desc))
+        .select("eid", "oid", "ot").as[(Long, Long, Timestamp)].collect().sorted.toSeq
+      val merged = AsOfMergeJoin
+        .asOfMerge(left, right, "key", "okey", "t", "ot", tieBreak = Seq("oid"))
+        .select("eid", "oid", "ot").as[(Long, Long, Timestamp)].collect().sorted.toSeq
+      assert(merged === composed, s"seed $seed")
+    }
+  }
+
+  test("asOfMerge: plans the custom exec — no Window, no rank, exchanges on the keys") {
+    import graft.plans.AsOfMergeJoin
+    val left  = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("eid", "key", "t")
+    val right = Seq((100L, 10L, ts("2024-01-02 00:00:00"))).toDF("oid", "okey", "ot")
+    val df = AsOfMergeJoin.asOfMerge(left, right, "key", "okey", "t", "ot", Seq("oid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), "custom as-of must not fall back to join+window")
+    // and it returns the right answer
+    val out = df.select("eid", "oid").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 100L)))
+  }
+
+  test("asOfMerge: repartitioned inputs give identical results (distribution contract)") {
+    import graft.plans.AsOfMergeJoin
+    val left = (0 until 100).map(i => (i.toLong, (i % 5).toLong, ts(f"2024-01-${1 + i % 28}%02d 00:00:00")))
+      .toDF("eid", "key", "t")
+    val right = (0 until 80).map(i => (i.toLong, (i % 7).toLong, ts(f"2024-01-${1 + i % 28}%02d 00:00:00")))
+      .toDF("oid", "okey", "ot")
+    val a = AsOfMergeJoin.asOfMerge(left, right, "key", "okey", "t", "ot", Seq("oid"))
+      .select("eid", "oid").as[(Long, Long)].collect().sorted.toSeq
+    val b = AsOfMergeJoin.asOfMerge(left.repartition(13), right.repartition(3), "key", "okey", "t", "ot", Seq("oid"))
+      .select("eid", "oid").as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
 }
