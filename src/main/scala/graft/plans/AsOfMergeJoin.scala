@@ -40,9 +40,13 @@ case class AsOfMergeJoinNode(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    tieBreak: Seq[Attribute])
+    tieBreak: Seq[Attribute],
+    outer: Boolean)
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // Left-outer mode null-extends the right side, so its attributes are
+  // nullable in the output schema (the standard outer-join adjustment).
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfMergeJoinNode =
     copy(left = newLeft, right = newRight)
@@ -51,8 +55,8 @@ case class AsOfMergeJoinNode(
 /** Planner strategy: one physical candidate, no alternatives. */
 object AsOfMergeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfMergeJoinNode(l, r, lk, rk, lt, rt, tb) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfMergeJoinNode(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
     case _ => Nil
   }
 }
@@ -64,10 +68,12 @@ case class AsOfMergeJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    tieBreak: Seq[Expression])
+    tieBreak: Seq[Expression],
+    outer: Boolean)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // Hash-cluster both sides on the key — the same contract a sort-merge
@@ -94,10 +100,15 @@ case class AsOfMergeJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val outputAttrs = output
 
+    val isOuter     = outer
+    val rightSchema = right.output
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner  = new JoinedRow
       val project = UnsafeProjection.create(outputAttrs, outputAttrs)
       val rBuf    = rIter.buffered
+      val nullRight =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightSchema.length)
 
       // One row of merge state: the best (= last-seen in sort order)
       // right candidate for the key currently being merged.
@@ -107,8 +118,11 @@ case class AsOfMergeJoinExec(
       lIter.flatMap { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow)
-        if (k == null || t == null) Iterator.empty
-        else {
+        if (k == null || t == null) {
+          // Null join attributes never match; outer keeps the left row.
+          if (isOuter) Iterator.single(project(joiner(lRow, nullRight)))
+          else Iterator.empty
+        } else {
           // A new left key invalidates the previous key's candidate.
           if (candidateKey != null && keyOrd.compare(candidateKey, k) != 0) {
             candidate = null; candidateKey = null
@@ -135,6 +149,7 @@ case class AsOfMergeJoinExec(
           }
           if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
             Iterator.single(project(joiner(lRow, candidate)))
+          else if (isOuter) Iterator.single(project(joiner(lRow, nullRight)))
           else Iterator.empty
         }
       }
@@ -166,7 +181,10 @@ object AsOfMergeJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      // pandas merge_asof's default: keep unmatched left rows with a
+      // null-extended right side. false = inner (drop them).
+      outer: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -183,6 +201,6 @@ object AsOfMergeJoin {
     require(lt.dataType == rt.dataType,
       s"time types differ: ${lt.dataType} vs ${rt.dataType} — cast before joining")
     GraftBridge.ofRows(spark,
-      AsOfMergeJoinNode(lp, rp, lk, rk, lt, rt, tieBreak.map(attr(rp, _, "right"))))
+      AsOfMergeJoinNode(lp, rp, lk, rk, lt, rt, tieBreak.map(attr(rp, _, "right")), outer))
   }
 }

@@ -79,6 +79,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 100L)))
   }
 
+  test("asOfMerge outer: every left row survives; matched rows equal the inner result") {
+    import graft.plans.AsOfMergeJoin
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // before any order -> null right
+      (3L, 99L, ts("2024-01-05 00:00:00"))  // key with no right rows -> null right
+    ).toDF("eid", "key", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-02 00:00:00")),
+      (101L, 10L, ts("2024-01-04 00:00:00"))
+    ).toDF("oid", "okey", "ot")
+
+    val outerOut = AsOfMergeJoin
+      .asOfMerge(left, right, "key", "okey", "t", "ot", Seq("oid"), outer = true)
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    assert(outerOut.size === 3, "outer as-of must keep every left row")
+    assert(outerOut(1L) === Some(101L))
+    assert(outerOut(2L) === None)
+    assert(outerOut(3L) === None)
+
+    val innerOut = AsOfMergeJoin
+      .asOfMerge(left, right, "key", "okey", "t", "ot", Seq("oid"))
+      .select("eid", "oid").as[(Long, Long)].collect().toMap
+    assert(outerOut.collect { case (k, Some(v)) => k -> v } === innerOut,
+      "outer's matched subset must equal the inner result")
+  }
+
   test("asOfMerge: repartitioned inputs give identical results (distribution contract)") {
     import graft.plans.AsOfMergeJoin
     val left = (0 until 100).map(i => (i.toLong, (i % 5).toLong, ts(f"2024-01-${1 + i % 28}%02d 00:00:00")))
