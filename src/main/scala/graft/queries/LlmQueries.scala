@@ -1783,7 +1783,106 @@ object LlmQueries {
           Tables.documents(s, sf)
             .withColumn("n_tok", size(toks(col("text"))).cast("long")),
           col("source"), col("n_tok"), temperature = 2.0, totalBudget = 100000L)
-        .orderBy("slice"))
+        .orderBy("slice")),
+
+    // D5 (CCNet buckets): the head/middle/tail perplexity split — score
+    // every doc with the held-in unigram LM (the d5_lm_score model), rank
+    // WITHIN language by mean log-prob (best first, doc_id tiebreak →
+    // total order → ntile is deterministic), cut into tertiles, report
+    // per-(lang, bucket) corpus mass. Plan: one corpus scan + broadcast
+    // LM join + doc-grain agg, then a per-lang window (partitioned — no
+    // global sort) and a dimension-sized final agg. Zero-token docs rank
+    // at the head via greatest(n_toks, 1) (mean 0.0 beats every real
+    // negative mean) instead of producing a cross-engine NaN ordering.
+    "d5_ccnet_buckets" -> ((s, sf) => {
+      val d  = Tables.documents(s, sf)
+      val lm = LmScore.trainUnigram(d.filter(col("doc_id") % 4 =!= 3), col("text"))
+      val scored = LmScore
+        .score(d, col("doc_id"), col("text"), lm)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn(
+          "mean_lp",
+          col("lp_sum").cast("double") / greatest(col("n_toks"), lit(1L)).cast("double"))
+      scored
+        .withColumn(
+          "bucket",
+          ntile(3)
+            .over(Window.partitionBy(col("lang")).orderBy(col("mean_lp").desc, col("doc_id")))
+            .cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_toks")).as("toks"),
+          round(max(col("mean_lp")), 6).as("best_mean_lp"),
+          round(min(col("mean_lp")), 6).as("worst_mean_lp"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // D7 (data-constrained scaling): epoch/repeat planning — given a
+    // token budget and temperature-flattened per-source allocations
+    // (T=2, the d7_mixture_weights rule), how many EPOCHS of each slice
+    // does its allocation imply, capped at 4 (the Muennighoff et al.
+    // repeat ceiling), and what does the repetition-decay model say the
+    // effective token yield is (each further epoch worth half the last:
+    // effective = u·(1−0.5^e)/0.5). Slice-grain arithmetic after one
+    // map-side-combined agg — the whole plan below the corpus scan is
+    // dimension-sized.
+    "d7_epoch_plan" -> ((s, sf) => {
+      val u = Tables.documents(s, sf)
+        .groupBy(col("source").as("slice"))
+        .agg(sum(size(toks(col("text"))).cast("long")).as("unique_toks"))
+      val w = u.withColumn("w", pow(col("unique_toks").cast("double"), lit(0.5)))
+      val wsum = w.agg(sum(col("w")).as("wsum"))
+      w.crossJoin(broadcast(wsum))
+        .withColumn(
+          "alloc_toks",
+          round(lit(50000.0) * col("w") / col("wsum")).cast("long"))
+        .withColumn(
+          "epochs_raw",
+          col("alloc_toks").cast("double") / col("unique_toks").cast("double"))
+        .withColumn("epochs", least(col("epochs_raw"), lit(4.0)))
+        .withColumn(
+          "effective_toks",
+          round(
+            col("unique_toks").cast("double") *
+              (lit(1.0) - pow(lit(0.5), col("epochs"))) / lit(0.5)).cast("long"))
+        .select(
+          col("slice"), col("unique_toks"), col("alloc_toks"),
+          round(col("epochs"), 6).as("epochs"), col("effective_toks"))
+        .orderBy("slice")
+    }),
+
+    // D7 (stream assembly): weighted-fair interleave — merge the per-
+    // language slices into ONE deterministic training stream where slice
+    // k's documents appear at virtual times p/√(slice size) (start-time
+    // fair queueing; bigger slices emit proportionally more often, every
+    // slice advances). The per-slice position is a PARTITIONED window
+    // (independent per-lang sorts); the global order is top-k via
+    // TakeOrdered, never a full single-partition sort; the final
+    // unpartitioned position window runs over the already-limited 500
+    // rows (bounded driver-side frame, same shape as the d6 top-100s).
+    "d7_interleave" -> ((s, sf) => {
+      val d = Tables.documents(s, sf)
+      val wts = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("w", sqrt(col("c").cast("double")))
+        .select(col("lang"), col("w"))
+      val positioned = d
+        .select(col("doc_id"), col("lang"))
+        .withColumn("p", row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        .join(broadcast(wts), "lang")
+        .withColumn("vt", col("p").cast("double") / col("w"))
+      positioned
+        .orderBy(col("vt"), col("lang"), col("doc_id"))
+        .limit(500)
+        .withColumn(
+          "pos",
+          row_number()
+            .over(Window.orderBy(col("vt"), col("lang"), col("doc_id")))
+            .cast("long"))
+        .select(col("pos"), col("doc_id"), col("lang"), round(col("vt"), 6).as("vt"))
+        .orderBy("pos")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -2931,6 +3030,75 @@ object LlmQueries {
          s AS (SELECT sum(w) AS wsum FROM w)
          SELECT slice, slice_toks, round(w / wsum, 6) AS budget_frac,
            CAST(round(100000 * w / wsum) AS BIGINT) AS token_budget
-         FROM w, s ORDER BY slice"""
+         FROM w, s ORDER BY slice""",
+    "d5_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+           FROM documents),
+         counts AS (
+           SELECT token, count(*) AS c FROM toks WHERE doc_id % 4 <> 3 GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM counts),
+         lm AS (
+           SELECT token,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+           FROM counts, tot),
+         oov AS (
+           SELECT CAST(round(ln(1.0 / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+           FROM tot),
+         scored AS (
+           SELECT d.doc_id, d.lang, count(t.token) AS n_toks,
+             CAST(coalesce(sum(coalesce(lm.lp_micro, oov.lp)) FILTER (WHERE t.token IS NOT NULL), 0) AS BIGINT) AS lp_sum
+           FROM documents d
+           LEFT JOIN toks t ON d.doc_id = t.doc_id
+           LEFT JOIN lm ON t.token = lm.token
+           CROSS JOIN oov
+           GROUP BY d.doc_id, d.lang),
+         b AS (
+           SELECT lang, n_toks,
+             CAST(lp_sum AS DOUBLE) / CAST(greatest(n_toks, 1) AS DOUBLE) AS mean_lp,
+             CAST(ntile(3) OVER (
+               PARTITION BY lang
+               ORDER BY CAST(lp_sum AS DOUBLE) / CAST(greatest(n_toks, 1) AS DOUBLE) DESC, doc_id)
+               AS BIGINT) AS bucket
+           FROM scored)
+         SELECT lang, bucket, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_toks) AS BIGINT) AS toks,
+           round(max(mean_lp), 6) AS best_mean_lp,
+           round(min(mean_lp), 6) AS worst_mean_lp
+         FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "d7_epoch_plan" ->
+      """WITH u AS (
+           SELECT source AS slice,
+             CAST(sum(CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT)) AS BIGINT) AS unique_toks
+           FROM documents GROUP BY source),
+         w AS (SELECT slice, unique_toks, pow(CAST(unique_toks AS DOUBLE), 0.5) AS w FROM u),
+         s AS (SELECT sum(w) AS wsum FROM w),
+         a AS (
+           SELECT slice, unique_toks,
+             CAST(round(50000.0 * w / wsum) AS BIGINT) AS alloc_toks
+           FROM w, s),
+         e AS (
+           SELECT slice, unique_toks, alloc_toks,
+             least(CAST(alloc_toks AS DOUBLE) / CAST(unique_toks AS DOUBLE), 4.0) AS ep
+           FROM a)
+         SELECT slice, unique_toks, alloc_toks, round(ep, 6) AS epochs,
+           CAST(round(CAST(unique_toks AS DOUBLE) * (1.0 - pow(0.5, ep)) / 0.5) AS BIGINT) AS effective_toks
+         FROM e ORDER BY slice""",
+    "d7_interleave" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
+         p AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS p
+           FROM documents),
+         v AS (
+           SELECT p.doc_id, p.lang, CAST(p.p AS DOUBLE) / w.w AS vt
+           FROM p JOIN w ON p.lang = w.lang),
+         r AS (
+           SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos,
+             doc_id, lang, round(vt, 6) AS vt
+           FROM v)
+         SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500"""
   )
 }
