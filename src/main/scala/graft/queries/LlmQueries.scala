@@ -1852,6 +1852,69 @@ object LlmQueries {
         .orderBy("slice")
     }),
 
+    // D3 (embedding QC): per-dimension moment profile — mean and
+    // population variance of every embedding coordinate, the diagnostic
+    // that motivates (and validates) d3_pca_whiten: dead dims, scale
+    // imbalance, mean offset. Components quantize to the exact 1e-9
+    // micro-grid (the d3_slice_centroid recipe); sums and sums-of-squares
+    // ride long / DECIMAL(38,0) — bit-exact under any partitioning — and
+    // only the final mean/variance divisions touch doubles. One narrow
+    // explode + one map-side-combined agg on a 64-row key space.
+    "d3_dim_stats" -> ((s, sf) => {
+      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      val meanQ = col("s").cast("double") / col("n").cast("double")
+      val ex2Q  = col("ss").cast("double") / col("n").cast("double")
+      Tables
+        .embeddings(s, sf)
+        .select(posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .select(col("pos").cast("long").as("pos"), xq.as("xq"))
+        .groupBy(col("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xq")).as("s"),
+          sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)")).as("ss"))
+        .select(
+          col("pos"), col("n"),
+          round(col("s").cast("double") / (col("n") * lit(1e9)), 6).as("mean"),
+          round((ex2Q - meanQ * meanQ) / lit(1e18), 6).as("variance"))
+        .orderBy("pos")
+    }),
+
+    // D5 (corpus health): Zipf slope — least-squares fit of ln(count)
+    // against ln(rank) over the top-200 tokens. Natural text sits near
+    // slope −1; a corpus that drifts far off is template spam or
+    // synthetic filler. The fit runs AFTER TakeOrdered bounds the frame
+    // to 200 rows, so the unpartitioned rank window and the closed-form
+    // normal-equation aggregation are driver-scale no matter the corpus
+    // size; everything upstream is one map-side-combined token count.
+    "d5_zipf_fit" -> ((s, sf) => {
+      val top = Tables
+        .documents(s, sf)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(200)
+        .withColumn(
+          "r",
+          row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("double"))
+      val slope =
+        (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+      top
+        .select(log(col("r")).as("x"), log(col("c").cast("double")).as("y"))
+        .agg(
+          count(lit(1)).cast("double").as("k"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("k").cast("long").as("n_fit"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("k"), 6).as("intercept"))
+    }),
+
     // D7 (stream assembly): weighted-fair interleave — merge the per-
     // language slices into ONE deterministic training stream where slice
     // k's documents appear at virtual times p/√(slice size) (start-time
@@ -3085,6 +3148,39 @@ object LlmQueries {
          SELECT slice, unique_toks, alloc_toks, round(ep, 6) AS epochs,
            CAST(round(CAST(unique_toks AS DOUBLE) * (1.0 - pow(0.5, ep)) / 0.5) AS BIGINT) AS effective_toks
          FROM e ORDER BY slice""",
+    "d3_dim_stats" ->
+      """WITH q AS (
+           SELECT CAST(i - 1 AS BIGINT) AS pos,
+             CAST(sign(CAST(embedding[i] AS DOUBLE))
+                 * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e9) AS BIGINT) AS xq
+           FROM embeddings CROSS JOIN range(1, 65) r(i)),
+         a AS (
+           SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS s,
+             sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS ss
+           FROM q GROUP BY pos)
+         SELECT pos, n,
+           round(CAST(s AS DOUBLE) / (n * 1e9), 6) AS mean,
+           round((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e18, 6) AS variance
+         FROM a ORDER BY pos""",
+    "d5_zipf_fit" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 200),
+         ranked AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+           FROM top),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM ranked)
+         SELECT CAST(k AS BIGINT) AS n_fit,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept
+         FROM m""",
     "d7_interleave" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
