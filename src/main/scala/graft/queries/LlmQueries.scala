@@ -964,6 +964,52 @@ object LlmQueries {
         .limit(15)
     }),
 
+    // D6 (retrieval eval): nDCG@{5,10,20} of the BM25 ranking, graded
+    // relevance = query-term frequency (the label-free proxy). Both the
+    // system list and the ideal list are TakeOrdered-bounded to 20 rows
+    // BEFORE any unpartitioned window touches them, and the k-panel
+    // cross join is a 3-row broadcast — the whole eval below the scoring
+    // pass is k-sized. Scoring reuses Bm25.score's micro-grid doc scores
+    // (oracle-proven by d6_bm25), so ordering ties resolve identically
+    // cross-engine on (rounded score, doc_id).
+    "d6_ndcg" -> ((s, sf) => {
+      val docs  = Tables.documents(s, sf)
+      val terms = Seq("scan", "hash", "dup")
+      val rel = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("rel"))
+      val scored = Bm25
+        .score(docs, col("doc_id"), col("text"), queryTerms = terms)
+        .join(rel, "doc_id") // every BM25-scored doc matches ≥1 term → inner join loses nothing
+        .select(col("doc_id"), col("bm25"), col("rel"))
+      def gains(df: DataFrame, by: Seq[Column]): DataFrame = df
+        .orderBy(by: _*)
+        .limit(20)
+        .withColumn("i", row_number().over(Window.orderBy(by: _*)).cast("double"))
+        .select(
+          (col("rel").cast("double") / log2(col("i") + lit(1.0))).as("g"), col("i"))
+      val kdf = docs.sparkSession
+        .range(1)
+        .select(explode(array(lit(5L), lit(10L), lit(20L))).as("k"))
+      def dcgAt(g: DataFrame, out: String): DataFrame = g
+        .crossJoin(broadcast(kdf))
+        .filter(col("i") <= col("k"))
+        .groupBy(col("k"))
+        .agg(sum(col("g")).as(out))
+      val sys   = dcgAt(gains(scored, Seq(col("bm25").desc, col("doc_id"))), "dcg")
+      val ideal = dcgAt(gains(scored, Seq(col("rel").desc, col("doc_id"))), "idcg")
+      sys
+        .join(ideal, "k")
+        .select(
+          col("k"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy("k")
+    }),
+
     // D7: per-(lang, source) corpus slice statistics.
     "d7_slice_stats" -> ((s, sf) => {
       val t = toks(col("text"))
@@ -3148,6 +3194,42 @@ object LlmQueries {
          SELECT slice, unique_toks, alloc_toks, round(ep, 6) AS epochs,
            CAST(round(CAST(unique_toks AS DOUBLE) * (1.0 - pow(0.5, ep)) / 0.5) AS BIGINT) AS effective_toks
          FROM e ORDER BY slice""",
+    "d6_ndcg" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         bdoc AS (
+           SELECT doc_id,
+             round(CAST(sum(CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS bm25
+           FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+           GROUP BY doc_id),
+         rel AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS rel FROM tf GROUP BY doc_id),
+         s2 AS (SELECT b.doc_id, b.bm25, r.rel FROM bdoc b JOIN rel r USING (doc_id)),
+         ranked AS (
+           SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
+           FROM s2 ORDER BY bm25 DESC, doc_id LIMIT 20),
+         ideal AS (
+           SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+           FROM s2 ORDER BY rel DESC, doc_id LIMIT 20),
+         ks AS (SELECT unnest([5, 10, 20]) AS k),
+         d AS (
+           SELECT k, sum(CAST(rel AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)) AS dcg
+           FROM ranked, ks WHERE i <= k GROUP BY k),
+         i2 AS (
+           SELECT k, sum(CAST(rel AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)) AS idcg
+           FROM ideal, ks WHERE i <= k GROUP BY k)
+         SELECT CAST(k AS BIGINT) AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+         FROM d JOIN i2 USING (k) ORDER BY k""",
     "d3_dim_stats" ->
       """WITH q AS (
            SELECT CAST(i - 1 AS BIGINT) AS pos,
