@@ -265,6 +265,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("r11 tail additions keep their scale shapes") {
+    // ccnet buckets: the LM attaches to the exploded corpus as a
+    // broadcast, never a corpus-vs-vocab shuffle join.
+    assert(planOf("d5_ccnet_buckets").contains("BroadcastHashJoin"))
+    // dim stats: one narrow explode + one partial/final agg pair — a
+    // join anywhere means the 64-row key space got mis-planned.
+    val dims = planOf("d3_dim_stats")
+    assert("HashAggregate".r.findAllIn(dims).length >= 2, dims.take(2000))
+    assert(!dims.contains("Join"), dims.take(2000))
+    // zipf + interleave + ndcg: every global order is TakeOrdered-bounded
+    // (top-200 / top-500 / top-20), never a full-corpus single-partition
+    // sort feeding the unpartitioned windows downstream.
+    Seq("d5_zipf_fit", "d7_interleave", "d6_ndcg").foreach { name =>
+      assert(planOf(name).contains("TakeOrderedAndProject"), name)
+    }
+    // epoch plan: slice-grain arithmetic joins stay broadcast.
+    val ep = planOf("d7_epoch_plan")
+    assert(!ep.contains("SortMergeJoin"), ep.take(2000))
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
