@@ -459,6 +459,42 @@ object LlmQueries {
         .orderBy("cluster")
     }),
 
+    // D2 (dedup economics): cluster-size histogram — per near-dup
+    // cluster size: how many clusters, how many docs they hold, and how
+    // many docs dedup would remove (size−1 each). The size-1 row is the
+    // singleton mass (CC emits only edged nodes, so it is derived as
+    // total − clustered from two scalar aggregates). This is the number
+    // a 100 TB dedup run is judged by — projected bytes saved — computed
+    // without materializing the deduped corpus.
+    "d2_dup_histogram" -> ((s, sf) => {
+      val d = Tables.documents(s, sf)
+      val clusters = Dedup
+        .connectedComponents(
+          Dedup
+            .ngramJaccardPairs(d, col("doc_id"), col("text"),
+              shingleSize = 3, threshold = 0.3)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("cluster"))
+      val hist = clusters
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(
+          col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+      val singles = d
+        .agg(count(lit(1)).as("total"))
+        .crossJoin(broadcast(clusters.agg(count(lit(1)).as("inclusters"))))
+        .select(
+          lit(1L).as("cluster_size"),
+          (col("total") - col("inclusters")).as("n_clusters"),
+          (col("total") - col("inclusters")).as("docs"),
+          lit(0L).as("removable"))
+      singles.unionByName(hist).orderBy("cluster_size")
+    }),
+
     // D2 (contamination): train/eval overlap detection — the dedup question
     // a pipeline must answer BEFORE training (is the held-out slice leaked
     // into the training corpus?). Exact cross-corpus shingle Jaccard via
@@ -2138,6 +2174,44 @@ object LlmQueries {
          SELECT cluster, max(doc_id) FILTER (rn = 1) AS rep_doc_id,
            count(*) AS cluster_size
          FROM ranked GROUP BY cluster ORDER BY cluster""",
+    "d2_dup_histogram" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         cc(node, label) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node WHERE cc.label < e.d),
+         clusters AS (
+           SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+         sizes AS (SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster),
+         hist AS (
+           SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters
+           FROM sizes GROUP BY cluster_size),
+         tot AS (SELECT count(*) AS total FROM documents),
+         cl AS (SELECT count(*) AS inclusters FROM clusters)
+         SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS docs,
+           CAST((cluster_size - 1) * n_clusters AS BIGINT) AS removable
+         FROM hist
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), CAST(total - inclusters AS BIGINT),
+           CAST(total - inclusters AS BIGINT), CAST(0 AS BIGINT)
+         FROM tot, cl
+         ORDER BY cluster_size""",
     "d3_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
