@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SkewJoin}
 import graft.tables.Tables
 
 /** Relational core (SURVEY.md §2.C C1–C32): the verification surface the
@@ -77,6 +77,23 @@ object CoreQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderstatus")),
+
+    // C3 (skew path): the fact-vs-dim enrich join routed through
+    // SkewJoin's salted form — each hot key splits across 8 salt
+    // sub-partitions, the dim side replicates 8× (cheap: it's the small
+    // side) — for the joins AQE's skew handling can't see (hot-key
+    // enrich, LSH buckets). The oracle is the PLAIN join: salting must
+    // be row-identical, routing only, and this query keeps that
+    // guarantee on the driver's board, not just in SkewJoinSpec.
+    "c03_join_salted" -> ((s, sf) =>
+      SkewJoin
+        .saltedInnerJoin(
+          Tables.events(s, sf),
+          Tables.customer(s, sf).select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id"), col("c_custkey"), factor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment")),
 
     // C4: left outer join, preserving order-less customers.
     "c04_join_left" -> ((s, sf) =>
@@ -1282,6 +1299,11 @@ object CoreQueries {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "c03_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "c04_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS order_cnt,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
