@@ -520,6 +520,39 @@ object CoreQueries {
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // C12 (scale path): DataSketches HLL with an explicit shard merge —
+    // the re-aggregation pattern a 100 TB rollup needs: every shard keeps
+    // a KB-sized sketch, later passes UNION sketches without touching
+    // rows again (daily → monthly rollups, late shards, cross-DC merge).
+    // Computes each flag's distinct-part estimate both ways — one direct
+    // pass vs union of per-(flag, status) shard sketches. Merging is NOT
+    // bitwise-reproducible (direct builds keep the sharper HIP estimator;
+    // unions use the composite one, and register state near the
+    // coupon→HLL mode boundary depends on sharding) — what the rollup
+    // pattern guarantees is that every route lands inside the sketch's
+    // error bound, so `agree` asserts direct and merged within 3%;
+    // LawsSpec pins the full law on random re-shardings.
+    // rows-only: DuckDB's approx sketch is a different implementation.
+    "c12_hll_shard_merge" -> ((s, sf) => {
+      val li = Tables.lineitem(s, sf)
+      val direct = li
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 12)).as("direct_estimate"))
+      val merged = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("merged_estimate"))
+      direct
+        .join(merged, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("direct_estimate"), col("merged_estimate"),
+          (abs(col("direct_estimate") - col("merged_estimate")).cast("double")
+            <= col("direct_estimate").cast("double") * 0.03).as("agree"))
+        .orderBy("l_returnflag")
+    }),
+
     // C13: rollup with grouping indicators.
     "c13_rollup" -> ((s, sf) =>
       Tables
