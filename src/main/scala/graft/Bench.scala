@@ -71,7 +71,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // 1-minute host load average (VERDICT r10 next-3): rounds 4–10 showed
+    // up-to-8× per-query inflation purely from host contention, so the
+    // judge needs the load in-band to tell a noisy run from a regression.
+    // -1.0 when the platform can't report it.
+    val load = math.rint(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     Console.out.flush()
@@ -81,6 +87,6 @@ object Bench {
     // per-query line in rounds 4–7 ("parsed": null), so the parse target
     // must fit entirely inside any reasonable tail window. Per-query data
     // stays in the full line above and, authoritatively, in the outFile.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":{},"sf":"$sfDir"}""")
   }
 }

@@ -67,6 +67,49 @@ object Funnel {
           4).as("conversion_rate"): _*)
   }
 
+  /** Per-stage drop-off report: one row per funnel step with the users
+    * reaching it, the users LOST versus the previous stage, and the
+    * step-over-step conversion rate. Stage 1's "previous stage" is the
+    * whole user population (`users_total` in [[report]]), so `lost` at
+    * stage 1 counts users who never enter the funnel at all.
+    *
+    * Cost: identical to [[report]] — one user-keyed exchange for the stage
+    * times, one single-row global aggregate; the per-stage pivot is an
+    * `explode` over a steps-sized literal array on that one row, so the
+    * added shape is O(steps) rows on the driver-bound tail, never
+    * data-sized. `step_rate` is null (not NaN/∞) when the previous stage
+    * is empty, matching SQL `nullif` semantics so the oracle can express
+    * the same guard. */
+  def dropoffReport(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    val stages = stageTimes(events, userCol, tsCol, typeCol, steps)
+    val counts = steps.indices.map(i => count(col(s"t${i + 1}")).as(s"r${i + 1}"))
+    val one = stages.agg(count(lit(1)).as("users_total"), counts: _*)
+    val stageRows = steps.zipWithIndex.map { case (step, i) =>
+      struct(
+        lit(i + 1).cast("long").as("stage"),
+        lit(step).as("step"),
+        col(s"r${i + 1}").as("reached"),
+        (if (i == 0) col("users_total") else col(s"r$i")).as("prev"))
+    }
+    one
+      .select(explode(array(stageRows: _*)).as("s"))
+      .select(
+        col("s.stage").as("stage"),
+        col("s.step").as("step"),
+        col("s.reached").as("reached"),
+        (col("s.prev") - col("s.reached")).as("lost"),
+        round(
+          when(col("s.prev") =!= 0,
+            col("s.reached").cast("double") / col("s.prev").cast("double")),
+          4).as("step_rate"))
+      .orderBy("stage")
+  }
+
   /** Weekly cohort retention: one row per (cohort_week, week_offset) with
     * the distinct active users. Cohort = Monday-truncated week of the
     * user's first event, assigned via a window min on the same user-keyed

@@ -338,6 +338,17 @@ object EventQueries {
         col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // B10 (per-stage form): the same funnel pivoted to one row per step
+    // with users lost vs the previous stage and the step conversion rate —
+    // the dashboard shape analysts actually read. Same single user-keyed
+    // exchange as b10_funnel; the pivot explodes a steps-sized literal
+    // array over the one-row aggregate, so nothing data-sized is added.
+    "b10_funnel_dropoff" -> ((s, sf) =>
+      graft.operators.Funnel.dropoffReport(
+        Tables.events(s, sf),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
+
     // B10: weekly cohort retention. Cohort = Monday-truncated week of a
     // user's first event, assigned as a whole-partition window min over
     // the same user_id exchange the activity weeks ride on — again no
@@ -513,6 +524,42 @@ object EventQueries {
            round(CAST(count(t3) AS DOUBLE) / CAST(count(t1) AS DOUBLE), 4)
              AS conversion_rate
          FROM u""",
+    "b10_funnel_dropoff" ->
+      """WITH w1 AS (
+           SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+           FROM events
+         ), w2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+           FROM w1
+         ), w3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+           FROM w2
+         ), u AS (
+           SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           FROM w3 GROUP BY user_id
+         ), c AS (
+           SELECT count(*) AS total, count(t1) AS r1, count(t2) AS r2,
+             count(t3) AS r3
+           FROM u
+         )
+         SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, r1 AS reached,
+           total - r1 AS lost,
+           round(CAST(r1 AS DOUBLE) / nullif(CAST(total AS DOUBLE), 0), 4)
+             AS step_rate
+         FROM c
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', r2, r1 - r2,
+           round(CAST(r2 AS DOUBLE) / nullif(CAST(r1 AS DOUBLE), 0), 4)
+         FROM c
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', r3, r2 - r3,
+           round(CAST(r3 AS DOUBLE) / nullif(CAST(r2 AS DOUBLE), 0), 4)
+         FROM c
+         ORDER BY stage""",
     "b10_retention" ->
       """WITH w AS (
            SELECT user_id, date_trunc('week', ts) AS week,

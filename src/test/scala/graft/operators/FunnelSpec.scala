@@ -143,6 +143,88 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated step NAMES: the same type can gate two stages; >= lets one event serve both") {
+    // steps = view → click → view. User 1 has a genuine second view after
+    // the click; user 2's only view precedes the click, so with >= the
+    // re-view stage is null; user 3's click and view share a timestamp, so
+    // the SINGLE view event satisfies stage 1 AND stage 3 (documented >=
+    // semantics — same-instant later stages count).
+    val rep = Seq("view", "click", "view")
+    val events = ev(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "view"),
+      (2L, 1, "view"), (2L, 2, "click"),
+      (3L, 1, "view"), (3L, 1, "click"))
+    val got = Funnel
+      .stageTimes(events, col("user_id"), col("ts"), col("event_type"), rep)
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect()
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, Some(ts(1)), Some(ts(2)), Some(ts(3))),
+      (2L, Some(ts(1)), Some(ts(2)), None),
+      (3L, Some(ts(1)), Some(ts(1)), Some(ts(1)))))
+  }
+
+  test("law: duplicated + out-of-order events never change stage times or the report") {
+    samples(logGen, 3).foreach { rows =>
+      // Duplicate a deterministic half of the log and reverse the order —
+      // at-least-once delivery + shard interleaving. min()-based stages
+      // must be idempotent under both.
+      val noisy = (rows ++ rows.zipWithIndex.collect { case (r, i) if i % 2 == 0 => r }).reverse
+      def stagesOf(rs: Seq[(Long, Int, String)]) = Funnel
+        .stageTimes(ev(rs: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .collect().map(_.toSeq).toSet
+      def reportOf(rs: Seq[(Long, Int, String)]) = Funnel
+        .report(ev(rs: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .collect().map(_.toSeq).toSet
+      assert(stagesOf(rows) === stagesOf(noisy))
+      assert(reportOf(rows) === reportOf(noisy))
+    }
+  }
+
+  test("dropoffReport: per-stage reached/lost/step_rate, stage-1 lost = non-entrants") {
+    val events = ev(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"), (2L, 2, "click"),
+      (3L, 1, "view"),
+      (4L, 1, "click")) // never views → lost at stage 1
+    val got = Funnel
+      .dropoffReport(events, col("user_id"), col("ts"), col("event_type"), steps)
+      .as[(Long, String, Long, Long, Double)]
+      .collect()
+    assert(got === Seq(
+      (1L, "view", 3L, 1L, 0.75),
+      (2L, "click", 2L, 1L, 0.6667),
+      (3L, "purchase", 1L, 1L, 0.5)))
+  }
+
+  test("dropoffReport on an empty log: zero reached, null step rates (no NaN/Inf)") {
+    val got = Funnel
+      .dropoffReport(ev(), col("user_id"), col("ts"), col("event_type"), steps)
+      .as[(Long, String, Long, Long, Option[Double])]
+      .collect()
+    assert(got.map(r => (r._1, r._3, r._4, r._5)) ===
+      Seq((1L, 0L, 0L, None), (2L, 0L, 0L, None), (3L, 0L, 0L, None)))
+  }
+
+  test("law: dropoff telescopes — users_total - reached_last = sum(lost); rates in [0,1]") {
+    samples(logGen, 5).foreach { rows =>
+      val total = Funnel
+        .report(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .select(col("users_total")).as[Long].collect().head
+      val d = Funnel
+        .dropoffReport(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .as[(Long, String, Long, Long, Option[Double])]
+        .collect()
+        .sortBy(_._1)
+      assert(total - d.last._3 === d.map(_._4).sum)
+      d.foreach { case (st, _, _, lost, rate) =>
+        assert(lost >= 0L, s"stage $st negative lost")
+        rate.foreach(r => assert(r >= 0.0 && r <= 1.0, s"stage $st rate $r"))
+      }
+    }
+  }
+
   test("cohortRetention: Monday cohorts, exact week offsets, distinct users") {
     // 2024-01-01 is a Monday. u1 first seen week 0, active weeks 0 and 2;
     // u2 first seen week 1 (two events same week dedup to one active row).
