@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, Dedup, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, Dedup, EditDistanceJoin, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -420,6 +420,22 @@ object LlmQueries {
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(50)),
 
+    // D2: CHARACTER-level edit-distance join (PassJoin aligned segments,
+    // EditDistanceJoin.scala) over the first 40 chars of each doc — the
+    // typo/OCR/near-identical-title primitive the token-level family
+    // can't express. Blocking is complete (pigeonhole: k edits leave one
+    // of k+1 segments verbatim, shifted ≤ k) and every candidate is
+    // verified with a banded levenshtein, so the result is EXACT →
+    // oracle-green vs DuckDB's unblocked all-pairs levenshtein. maxDist=4.
+    "d2_editdist_join" -> ((s, sf) =>
+      EditDistanceJoin
+        .pairs(
+          Tables.documents(s, sf).select(col("doc_id"), substring(col("text"), 1, 40).as("s40")),
+          col("doc_id"),
+          col("s40"),
+          maxDist = 4)
+        .orderBy("id_a", "id_b")),
+
     // D2: near-dup pairs → dedup CLUSTERS via distributed connected
     // components (large-star/small-star) — the step a real dedup pipeline
     // runs after pair generation, so it can keep one canonical doc per
@@ -570,6 +586,30 @@ object LlmQueries {
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           round(VectorOps.cosineNative(s, col("v_a"), col("v_b")), 9).as("cos_q"))
+        .orderBy("id_a")
+    }),
+
+    // D3 (matryoshka): cosine of the same adjacent pairs at PREFIX dims
+    // 8/16/32 vs the full 64 — the MRL question (Kusupati et al. 2022):
+    // how much ranking signal survives truncation, i.e. can the ANN index
+    // store 8x fewer bytes? Slicing is free (arrays are already
+    // materialized), each cosine is the same fold the d3 family uses, and
+    // the whole query stays one narrow self-join — the truncated-index
+    // cost model at 100 TB is THIS query's columns divided by full-dim
+    // cosine. Exact arithmetic → oracle-green vs DuckDB list slices.
+    "d3_matryoshka" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val a = e.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
+      val joined = a.join(b, col("id_b") === col("id_a") + 1)
+      def cosAt(dim: Int, name: String) =
+        round(
+          VectorOps.cosineNative(s, slice(col("v_a"), 1, dim), slice(col("v_b"), 1, dim)),
+          9).as(name)
+      joined
+        .select(
+          col("id_a"), col("id_b"),
+          cosAt(8, "cos_8"), cosAt(16, "cos_16"), cosAt(32, "cos_32"), cosAt(64, "cos_full"))
         .orderBy("id_a")
     }),
 
@@ -2070,6 +2110,14 @@ object LlmQueries {
          FROM base a JOIN base b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.sh, b.sh)) >= 1
          ORDER BY jac DESC, doc_a, doc_b LIMIT 50""",
+    "d2_editdist_join" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE abs(length(a.s) - length(b.s)) <= 4
+           AND levenshtein(a.s, b.s) <= 4
+         ORDER BY id_a, id_b""",
     "d2_contamination" ->
       """WITH base AS (
            SELECT doc_id,
@@ -2219,6 +2267,23 @@ object LlmQueries {
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
            ON b.vec_id = a.vec_id + 1
+         ORDER BY id_a""",
+    "d3_matryoshka" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v[1:8], b.v[1:8])
+                 / (sqrt(list_dot_product(a.v[1:8], a.v[1:8]))
+                    * sqrt(list_dot_product(b.v[1:8], b.v[1:8]))), 9) AS cos_8,
+           round(list_dot_product(a.v[1:16], b.v[1:16])
+                 / (sqrt(list_dot_product(a.v[1:16], a.v[1:16]))
+                    * sqrt(list_dot_product(b.v[1:16], b.v[1:16]))), 9) AS cos_16,
+           round(list_dot_product(a.v[1:32], b.v[1:32])
+                 / (sqrt(list_dot_product(a.v[1:32], a.v[1:32]))
+                    * sqrt(list_dot_product(b.v[1:32], b.v[1:32]))), 9) AS cos_32,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_full
+         FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
          ORDER BY id_a""",
     "d3_cosine_quantized" ->
       """WITH q AS (
