@@ -1312,7 +1312,46 @@ object CoreQueries {
           expr(
             "stack(3, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE), " +
               "'name_len', CAST(length(p_name) AS DOUBLE)) AS (metric, val)"))
-        .orderBy("p_partkey", "metric"))
+        .orderBy("p_partkey", "metric")),
+
+    // C33: Deequ-style data-quality audit (operators/DataQuality.scala) —
+    // the constraint battery a pipeline gates an ingest on. All five
+    // scan-level checks fold into ONE lineitem pass; uniqueness is one
+    // key shuffle (and the fixture genuinely violates it — duplicate
+    // (l_orderkey, l_linenumber) pairs); each referential check is one
+    // outer join against a broadcast-sized distinct PK set.
+    "c33_dq_audit" -> ((s, sf) => {
+      import graft.operators.DataQuality
+      import graft.operators.DataQuality.Check
+      val li = Tables.lineitem(s, sf)
+      DataQuality
+        .audit(
+          li,
+          Seq(
+            Check("completeness_l_orderkey", col("l_orderkey").isNotNull),
+            Check("completeness_l_shipdate", col("l_shipdate").isNotNull),
+            Check("compliance_quantity_le_45", col("l_quantity") <= 45.0),
+            Check("compliance_discount_range", col("l_discount").between(0.0, 0.1)),
+            Check("compliance_tax_nonneg", col("l_tax") >= 0.0)))
+        .unionByName(DataQuality.uniqueness(
+          li, "uniqueness_orderkey_linenumber", Seq(col("l_orderkey"), col("l_linenumber"))))
+        .unionByName(DataQuality.referential(
+          li, "ri_lineitem_orders", col("l_orderkey"), Tables.orders(s, sf), col("o_orderkey")))
+        .unionByName(DataQuality.referential(
+          Tables.orders(s, sf), "ri_orders_customer", col("o_custkey"),
+          Tables.customer(s, sf), col("c_custkey")))
+        .orderBy("check_name")
+    }),
+
+    // C34: SCD type-2 history (operators/Scd.scala) — change log → validity
+    // intervals, consecutive identical states collapsed. Join-free: three
+    // windows over one user_id exchange.
+    "c34_scd2_history" -> ((s, sf) =>
+      graft.operators.Scd
+        .history(
+          Tables.events(s, sf),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .orderBy("key", "version"))
   )
 
   val sql: Map[String, String] = Map(
@@ -1866,6 +1905,64 @@ object CoreQueries {
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
            UNION ALL
            SELECT p_partkey, 'name_len', CAST(length(p_name) AS DOUBLE) FROM part)
-         ORDER BY p_partkey, metric"""
+         ORDER BY p_partkey, metric""",
+    "c33_dq_audit" ->
+      """WITH scan AS (
+           SELECT 'completeness_l_orderkey' AS check_name, count(*) AS n_rows,
+             count(*) FILTER (WHERE l_orderkey IS NULL) AS violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'completeness_l_shipdate', count(*),
+             count(*) FILTER (WHERE l_shipdate IS NULL)
+           FROM lineitem
+           UNION ALL
+           SELECT 'compliance_quantity_le_45', count(*),
+             count(*) FILTER (WHERE NOT coalesce(l_quantity <= 45.0, FALSE))
+           FROM lineitem
+           UNION ALL
+           SELECT 'compliance_discount_range', count(*),
+             count(*) FILTER (WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE))
+           FROM lineitem
+           UNION ALL
+           SELECT 'compliance_tax_nonneg', count(*),
+             count(*) FILTER (WHERE NOT coalesce(l_tax >= 0.0, FALSE))
+           FROM lineitem
+           UNION ALL
+           SELECT 'uniqueness_orderkey_linenumber',
+             CAST(coalesce(sum(n), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+           FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'ri_lineitem_orders', count(*),
+             count(*) FILTER (WHERE l_orderkey IS NOT NULL AND o_orderkey IS NULL)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'ri_orders_customer', count(*),
+             count(*) FILTER (WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o_custkey = c_custkey)
+         SELECT check_name, n_rows, violations,
+           round(CASE WHEN n_rows = 0 THEN 1.0
+                      ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END, 6)
+             AS metric
+         FROM scan ORDER BY check_name""",
+    "c34_scd2_history" ->
+      """WITH marked AS (
+           SELECT user_id AS key, ts, event_type AS state, event_id,
+             lag(event_type) OVER w AS prev_state
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), runs AS (
+           SELECT key, ts, state, event_id
+           FROM marked WHERE prev_state IS NULL OR prev_state <> state
+         )
+         SELECT key, state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts) OVER w IS NULL AS is_current
+         FROM runs
+         WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+         ORDER BY key, version"""
   )
 }
