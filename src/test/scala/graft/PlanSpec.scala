@@ -285,6 +285,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!ep.contains("SortMergeJoin"), ep.take(2000))
   }
 
+  test("r11 late additions keep their scale shapes") {
+    // funnel drop-off: same join-free window cascade as b10_funnel — the
+    // per-stage pivot rides the single-row aggregate, adding no exchange
+    // class beyond the user shuffle + global rollup.
+    val fd = planOf("b10_funnel_dropoff")
+    assert(!fd.contains("Join"), fd.take(2000))
+    assert("Exchange".r.findAllIn(fd).length <= 3, fd.take(2000))
+    // edit-distance join: candidate generation joins prefix keys and the
+    // verify step joins strings back — equi-joins only; the global
+    // no-cartesian guard already forbids the all-pairs shape.
+    val ed = planOf("d2_editdist_join")
+    assert(ed.contains("Join"), ed.take(2000))
+    // dq audit: the five scan-level checks fold into ONE lineitem
+    // aggregate — count the lineitem scans: one for the audit pass, one
+    // for uniqueness, one for the RI fact side. More means a per-check
+    // scan crept in.
+    val dq = planOf("c33_dq_audit")
+    val lineitemScans = "lineitem".r.findAllIn(dq).length
+    assert(lineitemScans <= 6, s"$lineitemScans lineitem mentions: " + dq.take(3000))
+    // scd2: join-free — three windows on one key exchange.
+    val scd = planOf("c34_scd2_history")
+    assert(!scd.contains("Join"), scd.take(2000))
+    assert("Exchange".r.findAllIn(scd).length <= 2, scd.take(2000))
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
