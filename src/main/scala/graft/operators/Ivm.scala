@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for grouped aggregates (SURVEY.md §2.C
+  * extension) — the DBSP/differential-dataflow core: a CHANGELOG of
+  * weighted rows (op = +1 insert / −1 retract, any long weight) maintains
+  * a (count, sum)-per-key aggregate view without recomputing the base
+  * table. This is how a 100 TB materialized view absorbs a GB-sized daily
+  * delta: the data-sized work is one keyed aggregate of the DELTA, and
+  * the merge touches state + delta, never the raw history.
+  *
+  * State contract:
+  *  - `aggDelta` turns a changelog batch into per-key state rows
+  *    (`cnt` = Σop, `total` = Σ op·value as DECIMAL(28,4) — each addend
+  *    cast to decimal first, the repo's exact-sum convention, so state is
+  *    bit-identical under any partitioning and batch order).
+  *  - `applyDelta` merges state frames by key (union + re-aggregate —
+  *    with the state table BUCKETED on the key this is a map-side merge;
+  *    both sides shuffle at most once regardless) and DROPS groups whose
+  *    weight reaches zero: a fully-retracted key vanishes, the Z-set
+  *    zero-elimination rule. The changelog must retract exactly what was
+  *    inserted (the standard IVM contract); `cnt` hitting 0 with a
+  *    nonzero `total` means a corrupt log, surfaced via [[auditZeros]].
+  *  - Merging is associative and commutative (decimal addition over
+  *    Z-weights), so deltas can arrive batched ANY way — the law the
+  *    spec pins.
+  *  - `view` renders state for serving: count, exact sum, derived mean.
+  */
+object Ivm {
+
+  private val dec = "decimal(28,4)"
+
+  /** Per-key state from one changelog batch. `keys` are column names in
+    * `changes`; `op` is the signed weight; `value` the aggregated
+    * measure. */
+  def aggDelta(changes: DataFrame, op: Column, value: Column, keys: Seq[String]): DataFrame =
+    changes
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(op.cast("long")).as("w"),
+        sum((value * op.cast("double")).cast(dec)).as("t"))
+      .select(keys.map(col) :+ col("w").cast("long").as("cnt") :+ col("t").cast(dec).as("total"): _*)
+
+  /** Merge two state frames (or state + delta — same thing): one keyed
+    * aggregate over the union, zero-weight groups eliminated. */
+  def applyDelta(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state
+      .unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("w"), sum(col("total")).as("t"))
+      .filter(col("w") =!= 0)
+      .select(keys.map(col) :+ col("w").cast("long").as("cnt") :+ col("t").cast(dec).as("total"): _*)
+
+  /** Corrupt-log audit: keys whose weight is zero but whose value sum is
+    * not — retractions that never matched their insert. Empty on a
+    * consistent changelog. */
+  def auditZeros(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state
+      .unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("w"), sum(col("total")).as("t"))
+      .filter(col("w") === 0 && col("t") =!= 0)
+
+  /** Serving projection: exact count/sum plus the derived mean. */
+  def view(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(
+      keys.map(col)
+        :+ col("cnt")
+        :+ col("total").cast("double").as("sum_val")
+        :+ round(col("total").cast("double") / col("cnt").cast("double"), 6).as("avg_val"): _*)
+}

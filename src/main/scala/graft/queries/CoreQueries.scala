@@ -1343,6 +1343,37 @@ object CoreQueries {
         .orderBy("check_name")
     }),
 
+    // C35: incremental view maintenance (operators/Ivm.scala) — a
+    // revenue-per-customer view maintained DIFFERENTIALLY: base batch
+    // (90% of orders) + one changelog batch carrying late inserts
+    // (o_orderkey%10=0), updates as retract+insert pairs (%7=0, +10.00
+    // surcharge — an exact-in-double modification, no cast-rounding
+    // parity risk), and deletes (%13=0). The oracle recomputes the view
+    // from the logically-final table; hash-green means the delta path
+    // reproduces the recompute bit-for-bit, including zero-weight key
+    // elimination. Data-sized work = one agg per batch + a state-sized
+    // merge — the 100 TB materialized-view absorb pattern.
+    "c35_ivm_revenue" -> ((s, sf) => {
+      import graft.operators.Ivm
+      val o       = Tables.orders(s, sf)
+      val keys    = Seq("o_custkey")
+      val isLate  = col("o_orderkey") % 10 === 0
+      val isUpd   = col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0
+      val isDel   = col("o_orderkey") % 13 === 0
+      val base    = o.filter(!isLate).withColumn("op", lit(1L))
+      val changes = o
+        .filter(isLate).withColumn("op", lit(1L))
+        .unionByName(o.filter(isUpd).withColumn("op", lit(-1L)))
+        .unionByName(o.filter(isUpd).withColumn("o_totalprice", col("o_totalprice") + 10.0)
+          .withColumn("op", lit(1L)))
+        .unionByName(o.filter(isDel).withColumn("op", lit(-1L)))
+      val state = Ivm.aggDelta(base, col("op"), col("o_totalprice"), keys)
+      val delta = Ivm.aggDelta(changes, col("op"), col("o_totalprice"), keys)
+      Ivm
+        .view(Ivm.applyDelta(state, delta, keys), keys)
+        .orderBy("o_custkey")
+    }),
+
     // C34: SCD type-2 history (operators/Scd.scala) — change log → validity
     // intervals, consecutive identical states collapsed. Join-free: three
     // windows over one user_id exchange.
@@ -1947,6 +1978,17 @@ object CoreQueries {
                       ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END, 6)
              AS metric
          FROM scan ORDER BY check_name""",
+    "c35_ivm_revenue" ->
+      """WITH final AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS p
+           FROM orders WHERE o_orderkey % 13 <> 0)
+         SELECT o_custkey, count(*) AS cnt,
+           CAST(sum(CAST(p AS DECIMAL(28,4))) AS DOUBLE) AS sum_val,
+           round(CAST(sum(CAST(p AS DECIMAL(28,4))) AS DOUBLE) / count(*), 6)
+             AS avg_val
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
     "c34_scd2_history" ->
       """WITH marked AS (
            SELECT user_id AS key, ts, event_type AS state, event_id,
