@@ -979,6 +979,29 @@ object LlmQueries {
       Bpe.encode(docs, col("doc_id"), col("text"), merges, v).orderBy("doc_id")
     }),
 
+    // D7×D5: token-budget selection KEYED OFF SUBWORD COUNTS — the
+    // composition the whole D7 family exists for: budgets, packing, and
+    // manifests must count what the model consumes (BPE subwords), not
+    // whitespace words, which systematically under-count rare-word text.
+    // Same deterministic per-source greedy fill as d7_token_budget, with
+    // n_tok = n_subwords from the learned 60-merge tokenizer. Iterative
+    // trainer → rows-only; the budget-respecting and words≤subwords laws
+    // live in BpeSpec, the selection laws in MixtureSpec.
+    "d7_bpe_budget" -> ((s, sf) => {
+      val docs   = Tables.documents(s, sf)
+      val merges = Bpe.train(docs, col("text"), 60, 5000)
+      val v      = Bpe.vocab(docs, col("text"), merges)
+      val withBpe = docs
+        .join(
+          Bpe.encode(docs, col("doc_id"), col("text"), merges, v)
+            .select(col("doc_id"), col("n_subwords")),
+          "doc_id")
+      Mixture
+        .sampleToTokenBudget(withBpe, col("doc_id"), col("source"), col("n_subwords"), tokenBudget = 600L)
+        .select(col("doc_id"), col("source"), col("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // D6: TF-IDF — top 100 (doc, term) scores.
     "d6_tfidf" -> ((s, sf) => {
       val docs = Tables.documents(s, sf)

@@ -95,4 +95,33 @@ class BpeSpec extends AnyFunSuite {
     val ids = v.as[(Long, String)].collect().map(_._1).sorted.toList
     assert(ids === (1L to ids.length.toLong).toList)
   }
+
+  test("subword-counted budget selection composes (the d7_bpe_budget shape)") {
+    val docs   = corpus.withColumn("source", (col("doc_id") % 2).cast("string"))
+    val merges = Bpe.train(corpus, col("text"), 6)
+    val v      = Bpe.vocab(corpus, col("text"), merges)
+    val enc    = Bpe.encode(corpus, col("doc_id"), col("text"), merges, v)
+    // Subwords can only split words, never fuse across them: every doc
+    // has n_subwords >= n_words — the under-count the whitespace-keyed
+    // budget suffers from, and the reason this composition exists.
+    enc.select(col("n_words"), col("n_subwords")).as[(Long, Long)].collect().foreach {
+      case (w, sw) => assert(sw >= w, s"$sw subwords < $w words")
+    }
+    val withBpe = docs.join(enc.select(col("doc_id"), col("n_subwords")), "doc_id")
+    val budget  = 20L
+    val sel = Mixture
+      .sampleToTokenBudget(withBpe, col("doc_id"), col("source"), col("n_subwords"), budget)
+      .select(col("source"), col("n_subwords"))
+      .as[(String, Long)]
+      .collect()
+    // Greedy prefix fill: every source gets at least its first doc, and
+    // the selected mass can overshoot by at most one document.
+    val bySource = sel.groupBy(_._1)
+    assert(bySource.keySet === Set("0", "1"))
+    bySource.foreach { case (src, rows) =>
+      val total = rows.map(_._2).sum
+      val max   = rows.map(_._2).max
+      assert(total - max < budget, s"source $src: $total exceeds budget by more than one doc")
+    }
+  }
 }
