@@ -1374,6 +1374,38 @@ object CoreQueries {
         .orderBy("o_custkey")
     }),
 
+    // C34 (composition): point-in-time enrichment — the reason SCD2
+    // history exists. Tier-change events (signup/purchase/error) build the
+    // per-user state history; view/click facts are then as-of joined to
+    // the version active at their timestamp (AsOfJoin: one equi-join on
+    // user + WindowGroupLimit rank-1 — never an interval explosion).
+    // Zero-length runs (timestamp ties in the state log) lose to the
+    // later version via the version-desc tie-break, matching the
+    // half-open interval semantics. Facts before a user's first state
+    // row drop (inner as-of).
+    "c34_temporal_enrich" -> ((s, sf) => {
+      val ev   = Tables.events(s, sf)
+      val hist = graft.operators.Scd
+        .history(
+          ev.filter(col("event_type").isin("signup", "purchase", "error")),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .select(col("key"), col("state"), col("valid_from"), col("version"))
+      val facts = ev
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      AsOfJoin
+        .asOf(
+          facts, hist,
+          leftId = col("event_id"),
+          leftKey = col("user_id"), rightKey = col("key"),
+          leftTime = col("ts"), rightTime = col("valid_from"),
+          tieBreak = Seq(col("version").desc))
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("state"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // C34: SCD type-2 history (operators/Scd.scala) — change log → validity
     // intervals, consecutive identical states collapsed. Join-free: three
     // windows over one user_id exchange.
@@ -1989,6 +2021,28 @@ object CoreQueries {
            round(CAST(sum(CAST(p AS DECIMAL(28,4))) AS DOUBLE) / count(*), 6)
              AS avg_val
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+    "c34_temporal_enrich" ->
+      """WITH state_log AS (
+           SELECT user_id, ts, event_type, event_id FROM events
+           WHERE event_type IN ('signup', 'purchase', 'error')
+         ), marked AS (
+           SELECT user_id, ts, event_type AS state, event_id,
+             lag(event_type) OVER w AS prev
+           FROM state_log
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), runs AS (
+           SELECT user_id, ts, state,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version
+           FROM marked WHERE prev IS NULL OR prev <> state
+         ), facts AS (
+           SELECT event_id, user_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click')
+         )
+         SELECT f.event_id, f.user_id, f.ts, f.event_type, r.state, r.version
+         FROM facts f JOIN runs r ON f.user_id = r.user_id AND r.ts <= f.ts
+         QUALIFY row_number() OVER (PARTITION BY f.event_id ORDER BY r.ts DESC, r.version DESC) = 1
+         ORDER BY event_id""",
     "c34_scd2_history" ->
       """WITH marked AS (
            SELECT user_id AS key, ts, event_type AS state, event_id,
