@@ -589,30 +589,6 @@ object LlmQueries {
         .orderBy("id_a")
     }),
 
-    // D3 (matryoshka): cosine of the same adjacent pairs at PREFIX dims
-    // 8/16/32 vs the full 64 — the MRL question (Kusupati et al. 2022):
-    // how much ranking signal survives truncation, i.e. can the ANN index
-    // store 8x fewer bytes? Slicing is free (arrays are already
-    // materialized), each cosine is the same fold the d3 family uses, and
-    // the whole query stays one narrow self-join — the truncated-index
-    // cost model at 100 TB is THIS query's columns divided by full-dim
-    // cosine. Exact arithmetic → oracle-green vs DuckDB list slices.
-    "d3_matryoshka" -> ((s, sf) => {
-      val e = Tables.embeddings(s, sf)
-      val a = e.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
-      val joined = a.join(b, col("id_b") === col("id_a") + 1)
-      def cosAt(dim: Int, name: String) =
-        round(
-          VectorOps.cosineNative(s, slice(col("v_a"), 1, dim), slice(col("v_b"), 1, dim)),
-          9).as(name)
-      joined
-        .select(
-          col("id_a"), col("id_b"),
-          cosAt(8, "cos_8"), cosAt(16, "cos_16"), cosAt(32, "cos_32"), cosAt(64, "cos_full"))
-        .orderBy("id_a")
-    }),
-
     // D4: brute-force exact top-k similarity search (query = vec_id 0).
     "d4_topk_bruteforce" -> ((s, sf) => {
       val e = Tables.embeddings(s, sf)
@@ -2290,23 +2266,6 @@ object LlmQueries {
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
            ON b.vec_id = a.vec_id + 1
-         ORDER BY id_a""",
-    "d3_matryoshka" ->
-      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v[1:8], b.v[1:8])
-                 / (sqrt(list_dot_product(a.v[1:8], a.v[1:8]))
-                    * sqrt(list_dot_product(b.v[1:8], b.v[1:8]))), 9) AS cos_8,
-           round(list_dot_product(a.v[1:16], b.v[1:16])
-                 / (sqrt(list_dot_product(a.v[1:16], a.v[1:16]))
-                    * sqrt(list_dot_product(b.v[1:16], b.v[1:16]))), 9) AS cos_16,
-           round(list_dot_product(a.v[1:32], b.v[1:32])
-                 / (sqrt(list_dot_product(a.v[1:32], a.v[1:32]))
-                    * sqrt(list_dot_product(b.v[1:32], b.v[1:32]))), 9) AS cos_32,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_full
-         FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
          ORDER BY id_a""",
     "d3_cosine_quantized" ->
       """WITH q AS (
