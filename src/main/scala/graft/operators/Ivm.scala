@@ -43,15 +43,22 @@ object Ivm {
         sum((value * op.cast("double")).cast(dec)).as("t"))
       .select(keys.map(col) :+ col("w").cast("long").as("cnt") :+ col("t").cast(dec).as("total"): _*)
 
-  /** Merge two state frames (or state + delta — same thing): one keyed
-    * aggregate over the union, zero-weight groups eliminated. */
-  def applyDelta(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
-    state
-      .unionByName(delta)
+  /** Merge ANY number of state frames: ONE keyed aggregate over the
+    * union (not a left-fold of pairwise merges — a 1000-delta log still
+    * shuffles once), zero-weight groups eliminated. */
+  def mergeAll(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAll needs at least one state frame")
+    states
+      .reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("w"), sum(col("total")).as("t"))
       .filter(col("w") =!= 0)
       .select(keys.map(col) :+ col("w").cast("long").as("cnt") :+ col("t").cast(dec).as("total"): _*)
+  }
+
+  /** Merge two state frames (or state + delta — same thing). */
+  def applyDelta(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    mergeAll(Seq(state, delta), keys)
 
   /** Corrupt-log audit: keys whose weight is zero but whose value sum is
     * not — retractions that never matched their insert. Empty on a
@@ -63,11 +70,65 @@ object Ivm {
       .agg(sum(col("cnt")).as("w"), sum(col("total")).as("t"))
       .filter(col("w") === 0 && col("t") =!= 0)
 
-  /** Serving projection: exact count/sum plus the derived mean. */
+  /** STREAMING maintenance: each micro-batch of the changelog reduces to
+    * one state delta persisted at `storePath/delta=<batchId>`. The write
+    * is overwrite-by-batch-directory, so a replayed micro-batch (crash
+    * between commit points) rewrites the same directory instead of
+    * double-counting — exactly-once view maintenance on top of the
+    * checkpoint's at-least-once replay, the same contract as
+    * [[graft.pipelines.CorpusPrep.streamingPrepare]]. The served view is
+    * [[readView]]'s single merge over the delta log — associativity makes
+    * arrival order irrelevant, so no cross-batch coordination exists at
+    * all. Delta-log growth is bounded the same way CorpusPrep bounds its
+    * signature store (fold the log on a cadence); per-batch work is
+    * delta-sized, never history-sized. */
+  def maintainView(
+      changes: DataFrame,
+      op: Column,
+      value: Column,
+      keys: Seq[String],
+      storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processViewBatch(batch, op, value, keys, storePath, id)
+      }
+
+  /** One micro-batch of [[maintainView]], exposed for replay testing. */
+  def processViewBatch(
+      batch: DataFrame,
+      op: Column,
+      value: Column,
+      keys: Seq[String],
+      storePath: String,
+      id: Long): Unit =
+    aggDelta(batch, op, value, keys).write.mode("overwrite").parquet(s"$storePath/delta=$id")
+
+  /** The maintained view as of now: one [[mergeAll]] over every delta the
+    * stream has committed. Throws if no delta exists yet (the view's
+    * schema is data-defined). */
+  def readView(spark: org.apache.spark.sql.SparkSession, storePath: String, keys: Seq[String]): DataFrame = {
+    val dir = new java.io.File(storePath)
+    val deltas = Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.toString)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no committed deltas under $storePath")
+    mergeAll(Seq(spark.read.parquet(deltas.toIndexedSeq: _*)), keys)
+  }
+
+  /** Serving projection: exact count/sum plus the derived mean. The mean
+    * is null-guarded (ANSI mode throws on /0) for callers handing in a
+    * raw [[aggDelta]] frame that still carries zero-weight rows —
+    * [[mergeAll]]/[[applyDelta]] output never does. */
   def view(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(
       keys.map(col)
         :+ col("cnt")
         :+ col("total").cast("double").as("sum_val")
-        :+ round(col("total").cast("double") / col("cnt").cast("double"), 6).as("avg_val"): _*)
+        :+ round(
+          when(col("cnt") =!= 0, col("total").cast("double") / col("cnt").cast("double")),
+          6).as("avg_val"): _*)
 }

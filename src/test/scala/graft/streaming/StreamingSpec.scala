@@ -447,4 +447,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count(_._1 == 1L) === 4) // 12 tokens, w=5 s=3 → ceil(7/3)+1
     } finally q.stop()
   }
+
+  test("streaming IVM: micro-batch deltas maintain the view; replay is exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivm
+    val store = java.nio.file.Files.createTempDirectory("graft_ivm_store").toString
+    val ckpt  = java.nio.file.Files.createTempDirectory("graft_ivm_ckpt").toString
+    val keys  = Seq("k")
+    // Changelog: (key, value, op). Batch 2 retracts one of batch 1's rows
+    // (an update) and fully retracts key c.
+    val b1 = Seq(("a", 10.0, 1L), ("a", 20.0, 1L), ("b", 5.0, 1L), ("c", 7.0, 1L))
+    val b2 = Seq(("a", 20.0, -1L), ("a", 25.0, 1L), ("c", 7.0, -1L))
+    val mem = MemoryStream[(String, Double, Long)]
+    val q = Ivm
+      .maintainView(mem.toDF().toDF("k", "v", "op"), col("op"), col("v"), keys, store, ckpt)
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served = Ivm
+      .view(Ivm.readView(spark, store, keys), keys)
+      .as[(String, Long, Double, Double)].collect().toSet
+    val expected = Ivm
+      .view(
+        Ivm.mergeAll(
+          Seq(Ivm.aggDelta((b1 ++ b2).toDF("k", "v", "op"), col("op"), col("v"), keys)), keys),
+        keys)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(served === expected)
+    assert(!served.exists(_._1 == "c"), "fully-retracted key must vanish")
+    // Crash-replay: re-running a committed micro-batch overwrites its own
+    // delta directory — the served view must not double-count.
+    Ivm.processViewBatch(b2.toDF("k", "v", "op"), col("op"), col("v"), keys, store, 1L)
+    assert(served === expected)
+  }
 }
