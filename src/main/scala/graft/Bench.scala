@@ -18,6 +18,12 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Ambient 1-minute load, sampled BEFORE the session spins up: at the
+    // END of an 8-minute local[32] run the 1-min average mostly measures
+    // the bench itself, which is useless for telling contention from
+    // regression (VERDICT r10 next-3). -1.0 if the platform can't report.
+    val load = math.rint(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -71,12 +77,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    // 1-minute host load average (VERDICT r10 next-3): rounds 4–10 showed
-    // up-to-8× per-query inflation purely from host contention, so the
-    // judge needs the load in-band to tell a noisy run from a regression.
-    // -1.0 when the platform can't report it.
-    val load = math.rint(
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
     val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)

@@ -697,6 +697,52 @@ object CoreQueries {
             .as("z"))
         .orderBy("p_partkey")),
 
+    // C18 (layout ROI): WHY z-order — simulate writing lineitem as 64
+    // equal-z-range files under three layouts (z-order on (partkey,
+    // suppkey), linear on partkey, natural arrival order), collect each
+    // file's per-dimension zone map (min/max), and count the files a
+    // reader must scan for a 2-D box predicate and a suppkey-only
+    // predicate. The numbers ARE the partition-pruning story: linear
+    // wins nothing on the secondary dimension, natural wins nothing
+    // anywhere, z-order prunes on both. All integer arithmetic (`div`,
+    // long interleave) so the oracle matches exactly; the only scalars
+    // are the per-layout key bounds (the documented Z-order-bounds
+    // pattern) via a broadcast 1-row frame, never a collect.
+    "c18_zorder_skipping" -> ((s, sf) => {
+      val nFiles = 64
+      val li = Tables
+        .lineitem(s, sf)
+        .select(
+          col("l_orderkey").as("ok"),
+          col("l_partkey").as("lp"),
+          col("l_suppkey").as("ls"))
+        .withColumn("z", graft.functions.ZOrder.interleaveBits(s, col("lp"), col("ls")))
+      val layouts = Seq(("linear_partkey", "lp"), ("natural", "ok"), ("zorder", "z"))
+      layouts
+        .map { case (name, k) =>
+          val bounds = li.agg(min(col(k)).as("kmin"), max(col(k)).as("kmax"))
+          li.crossJoin(broadcast(bounds))
+            .withColumn("file", expr(s"(($k - kmin) * $nFiles) div (kmax - kmin + 1)"))
+            .groupBy(col("file"))
+            .agg(
+              min(col("lp")).as("min_p"), max(col("lp")).as("max_p"),
+              min(col("ls")).as("min_s"), max(col("ls")).as("max_s"))
+            .agg(
+              count(lit(1)).as("files_total"),
+              count(
+                when(
+                  col("min_p") <= 200 && col("max_p") >= 1
+                    && col("min_s") <= 20 && col("max_s") >= 1,
+                  lit(1))).as("files_box_scan"),
+              count(when(col("min_s") <= 20 && col("max_s") >= 1, lit(1)))
+                .as("files_suppkey_scan"))
+            .select(lit(name).as("layout"), col("files_total"),
+              col("files_box_scan"), col("files_suppkey_scan"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("layout")
+    }),
+
     // C19: top-k — plans TakeOrderedAndProject (no full sort at scale).
     "c19_topk" -> ((s, sf) =>
       Tables
@@ -1669,6 +1715,26 @@ object CoreQueries {
       s"""SELECT p_partkey,
          ${graft.catalyst.InterleaveBitsExpression.oracleSql("p_partkey", "CAST(p_size AS BIGINT)")} AS z
          FROM part ORDER BY p_partkey""",
+    "c18_zorder_skipping" -> {
+      val zSql = graft.catalyst.InterleaveBitsExpression.oracleSql("l_partkey", "l_suppkey")
+      s"""WITH base AS (
+           SELECT l_orderkey AS ok, l_partkey AS lp, l_suppkey AS ls,
+             $zSql AS z
+           FROM lineitem)
+         ${Seq(("linear_partkey", "lp"), ("natural", "ok"), ("zorder", "z")).map { case (n, k) =>
+        s"""SELECT '$n' AS layout, count(*) AS files_total,
+             count(*) FILTER (WHERE min_p <= 200 AND max_p >= 1
+               AND min_s <= 20 AND max_s >= 1) AS files_box_scan,
+             count(*) FILTER (WHERE min_s <= 20 AND max_s >= 1) AS files_suppkey_scan
+           FROM (
+             SELECT (($k - (SELECT min($k) FROM base)) * 64)
+                 // ((SELECT max($k) FROM base) - (SELECT min($k) FROM base) + 1) AS f,
+               min(lp) AS min_p, max(lp) AS max_p,
+               min(ls) AS min_s, max(ls) AS max_s
+             FROM base GROUP BY 1)"""
+      }.mkString("\n         UNION ALL\n         ")}
+         ORDER BY layout"""
+    },
     "c19_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
