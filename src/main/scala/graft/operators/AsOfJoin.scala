@@ -36,9 +36,21 @@ object AsOfJoin {
       rightKey: Column,
       leftTime: Column,
       rightTime: Column,
-      tieBreak: Seq[Column] = Seq.empty
+      tieBreak: Seq[Column] = Seq.empty,
+      toleranceSeconds: Option[Long] = None
   ): DataFrame = {
-    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
+    // Optional STALENESS BOUND (pandas merge_asof's `tolerance`): a match
+    // older than `toleranceSeconds` is no match at all — the difference
+    // between "the order before this event" and "the order that plausibly
+    // CAUSED this event". The bound is an extra join conjunct, so besides
+    // correctness it shrinks the join's candidate fan-out: at 100 TB the
+    // unbounded form pairs each left row with its key's ENTIRE right
+    // history before the rank-1 prune; the bounded form only with a
+    // window of it.
+    val fresh = toleranceSeconds
+      .map(secs => rightTime >= leftTime - expr(s"INTERVAL $secs SECONDS"))
+      .getOrElse(lit(true))
+    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime && fresh)
     val w      = Window.partitionBy(leftId).orderBy((rightTime.desc +: tieBreak): _*)
     joined
       .withColumn("__asof_rn", row_number().over(w))

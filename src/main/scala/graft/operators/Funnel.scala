@@ -30,14 +30,34 @@ object Funnel {
       userCol: Column,
       tsCol: Column,
       typeCol: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    stageTimesWithin(events, userCol, tsCol, typeCol, steps, withinSeconds = None)
+
+  /** [[stageTimes]] with an optional CONVERSION WINDOW (the
+    * Amplitude/Mixpanel funnel semantics): when `withinSeconds` is set,
+    * stages 2..N only count at or before `t1 + within` — a purchase a
+    * month after the view is no longer that view's conversion. Same
+    * join-free single-exchange plan; the bound is one extra conjunct on
+    * each stage predicate. */
+  def stageTimesWithin(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String],
+      withinSeconds: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val base = events.select(userCol.as("user"), tsCol.as("__ts"), typeCol.as("__type"))
     val byUser = Window.partitionBy(col("user"))
     val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val deadline = withinSeconds match {
+        case Some(secs) if i > 0 =>
+          col("__ts") <= col("t1") + expr(s"INTERVAL $secs SECONDS")
+        case _ => lit(true)
+      }
       val pred =
         if (i == 0) col("__type") === step
-        else col("__type") === step && col("__ts") >= col(s"t$i")
+        else col("__type") === step && col("__ts") >= col(s"t$i") && deadline
       df.withColumn(s"t${i + 1}", min(when(pred, col("__ts"))).over(byUser))
     }
     // Stage times are per-user constants; max() is just "any".

@@ -260,6 +260,33 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // C9 (tolerance): the as-of join with a staleness bound (pandas
+    // merge_asof semantics) — a match older than the bound is no match.
+    // The fixture's clocks are ~8200–9800 days apart (2024 events vs
+    // TPC-H 1992–98 orders), so the 8400-day bound genuinely splits the
+    // matches (~half survive) instead of being decorative. Besides the
+    // semantics, the bound is a join conjunct that shrinks candidate
+    // fan-out: the unbounded form pairs each event with its user's whole
+    // order history before the rank-1 prune, the bounded form only with
+    // a window of it.
+    "c09_asof_tolerance" -> ((s, sf) => {
+      val ev = Tables.events(s, sf).filter(col("event_id") % 20 === 0)
+      AsOfJoin
+        .asOf(
+          ev,
+          Tables.orders(s, sf),
+          leftId = col("event_id"),
+          leftKey = col("user_id"),
+          rightKey = col("o_custkey"),
+          leftTime = col("ts"),
+          rightTime = col("o_orderdate"),
+          tieBreak = Seq(col("o_orderkey").desc),
+          toleranceSeconds = Some(8400L * 24 * 3600)
+        )
+        .select(col("event_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // C9 (custom plan node): the SAME as-of semantics as c09_asof_join,
     // planned through the whole-operator Catalyst extension
     // (graft.plans.AsOfMergeJoin: custom LogicalPlan + Strategy +
@@ -1554,6 +1581,15 @@ object CoreQueries {
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
            FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "c09_asof_tolerance" ->
+      """SELECT event_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
+           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >= e.ts - INTERVAL 725760000 SECONDS)
          WHERE rn = 1 ORDER BY event_id""",
     "c09_asof_merge" ->
       """SELECT event_id, ts, o_orderkey, o_orderdate FROM (

@@ -349,6 +349,24 @@ object EventQueries {
         col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // B10 (conversion window): the same funnel with the Amplitude-style
+    // bound — later stages only count within 2 hours of the user's first
+    // view. One extra conjunct per stage predicate; plan unchanged.
+    "b10_funnel_windowed" -> ((s, sf) => {
+      val st = graft.operators.Funnel.stageTimesWithin(
+        Tables.events(s, sf),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"),
+        withinSeconds = Some(7200L))
+      st.agg(
+        count(lit(1)).as("users_total"),
+        count(col("t1")).as("reached_view"),
+        count(col("t2")).as("reached_click"),
+        count(col("t3")).as("reached_purchase"),
+        round(count(col("t3")).cast("double") / count(col("t1")).cast("double"), 4)
+          .as("conversion_rate"))
+    }),
+
     // B10: weekly cohort retention. Cohort = Monday-truncated week of a
     // user's first event, assigned as a whole-partition window min over
     // the same user_id exchange the activity weeks ride on — again no
@@ -560,6 +578,31 @@ object EventQueries {
            round(CAST(r3 AS DOUBLE) / nullif(CAST(r2 AS DOUBLE), 0), 4)
          FROM c
          ORDER BY stage""",
+    "b10_funnel_windowed" ->
+      """WITH w1 AS (
+           SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+           FROM events
+         ), w2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+               AND ts <= t1 + INTERVAL 7200 SECONDS THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+           FROM w1
+         ), w3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+               AND ts <= t1 + INTERVAL 7200 SECONDS THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+           FROM w2
+         ), u AS (
+           SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           FROM w3 GROUP BY user_id
+         )
+         SELECT count(*) AS users_total, count(t1) AS reached_view,
+           count(t2) AS reached_click, count(t3) AS reached_purchase,
+           round(CAST(count(t3) AS DOUBLE) / CAST(count(t1) AS DOUBLE), 4)
+             AS conversion_rate
+         FROM u""",
     "b10_retention" ->
       """WITH w AS (
            SELECT user_id, date_trunc('week', ts) AS week,

@@ -36,6 +36,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // only future order for key 20
   }
 
+  test("asOf tolerance: matches older than the staleness bound drop; inside-bound unchanged") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // latest order 1 day old → kept
+      (2L, 20L, ts("2024-03-01 00:00:00"))  // only order 2 months old → dropped
+    ).toDF("eid", "key", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-04 00:00:00")),
+      (101L, 20L, ts("2024-01-01 00:00:00"))
+    ).toDF("oid", "okey", "ot")
+    val bounded = AsOfJoin
+      .asOf(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"),
+        toleranceSeconds = Some(7L * 24 * 3600))
+      .select("eid", "oid").as[(Long, Long)].collect().toMap
+    assert(bounded === Map(1L -> 100L))
+    // tolerance = None must equal the unbounded overload
+    val unbounded = AsOfJoin
+      .asOf(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"))
+      .select("eid", "oid").as[(Long, Long)].collect().toMap
+    assert(unbounded === Map(1L -> 100L, 2L -> 101L))
+  }
+
   test("asOf emits exactly one row per matched left row") {
     val left  = Seq((1L, 1L, ts("2024-01-10 00:00:00"))).toDF("eid", "key", "t")
     val right = (1 to 50).map(i => (i.toLong, 1L, ts(f"2024-01-${i % 9 + 1}%02d 00:00:00"))).toDF("oid", "okey", "ot")

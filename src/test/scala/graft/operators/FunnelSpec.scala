@@ -225,6 +225,49 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion window: late stages outside t1 + within don't count") {
+    val events = ev(
+      (1L, 0, "view"), (1L, 5, "click"), (1L, 9, "purchase"),   // all inside 10 min
+      (2L, 0, "view"), (2L, 5, "click"), (2L, 30, "purchase"),  // purchase too late
+      (3L, 0, "view"), (3L, 30, "click"), (3L, 31, "purchase")) // click already late
+    val got = Funnel
+      .stageTimesWithin(events, col("user_id"), col("ts"), col("event_type"), steps,
+        withinSeconds = Some(600L))
+      .select(col("user"), col("t1").isNotNull, col("t2").isNotNull, col("t3").isNotNull)
+      .as[(Long, Boolean, Boolean, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, true, true, true),
+      (2L, true, true, false),
+      (3L, true, false, false)))
+  }
+
+  test("law: windowed funnel reach is a subset of the unwindowed funnel's") {
+    samples(logGen, 5).foreach { rows =>
+      def reach(within: Option[Long]) = Funnel
+        .stageTimesWithin(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps, within)
+        .select(col("user"), col("t2").isNotNull, col("t3").isNotNull)
+        .as[(Long, Boolean, Boolean)]
+        .collect()
+        .map(r => r._1 -> (r._2, r._3))
+        .toMap
+      val bounded   = reach(Some(3600L))
+      val unbounded = reach(None)
+      bounded.foreach { case (u, (b2, b3)) =>
+        val (u2, u3) = unbounded(u)
+        assert(!b2 || u2, s"user $u reaches stage 2 only when windowed")
+        assert(!b3 || u3, s"user $u reaches stage 3 only when windowed")
+      }
+      // within = None must be stageTimes exactly
+      assert(reach(None) === Funnel
+        .stageTimes(ev(rows: _*), col("user_id"), col("ts"), col("event_type"), steps)
+        .select(col("user"), col("t2").isNotNull, col("t3").isNotNull)
+        .as[(Long, Boolean, Boolean)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap)
+    }
+  }
+
   test("cohortRetention: Monday cohorts, exact week offsets, distinct users") {
     // 2024-01-01 is a Monday. u1 first seen week 0, active weeks 0 and 2;
     // u2 first seen week 1 (two events same week dedup to one active row).
