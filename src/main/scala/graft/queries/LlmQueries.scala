@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, Dedup, EditDistanceJoin, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -2066,6 +2066,172 @@ object LlmQueries {
             .cast("long"))
         .select(col("pos"), col("doc_id"), col("lang"), round(col("vt"), 6).as("vt"))
         .orderBy("pos")
+    }),
+
+    // D7 (SFT prep): chat-format conversation assembly with loss-mask
+    // accounting — the event log becomes per-user conversations of
+    // alternating user/assistant turns (4 chat-template overhead tokens
+    // per turn), and each conversation reports how many of its tokens
+    // actually train (assistant turns only). One window + one agg, both
+    // keyed on conv_id — AQE collapses them onto a single exchange.
+    "d7_chat_pack" -> ((s, sf) => {
+      val t = ChatPrep.turns(
+        Tables.events(s, sf),
+        col("user_id"), col("ts"), col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")))
+      ChatPrep.convStats(t).orderBy("conv_id")
+    }),
+
+    // D7 (batching): length-bucketed batching plan — documents binned to
+    // power-of-two sequence lengths (the standard padded-batch recipe);
+    // per bucket: doc count, real tokens, padding waste, and the batch
+    // geometry a fixed 16384-token/batch budget yields. The bucket key
+    // space is ~log2(max_len) rows, so the agg is map-side-combined into
+    // almost nothing; bucket_len is exact integer arithmetic via the
+    // bit-length of (n_tok − 1) — no float log2 edge cases at powers of 2.
+    "d7_length_buckets" -> ((s, sf) => {
+      val nTok = size(toks(col("text"))).cast("long")
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"), nTok.as("n_tok"))
+        .withColumn(
+          "bucket_len",
+          when(col("n_tok") <= 1, lit(1L))
+            .otherwise(pow(lit(2.0), length(bin(col("n_tok") - 1)).cast("double")).cast("long")))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_toks"))
+        .withColumn("padded_toks", col("n_docs") * col("bucket_len"))
+        .withColumn(
+          "waste_frac",
+          round(lit(1.0) - col("real_toks").cast("double") / col("padded_toks").cast("double"), 6))
+        .withColumn("batch_size", floor(lit(16384L) / col("bucket_len")).cast("long"))
+        .withColumn(
+          "n_batches",
+          ceil(col("n_docs").cast("double") / col("batch_size").cast("double")).cast("long"))
+        .select(
+          col("bucket_len"), col("n_docs"), col("real_toks"), col("padded_toks"),
+          col("waste_frac"), col("batch_size"), col("n_batches"))
+        .orderBy("bucket_len")
+    }),
+
+    // D6×D4 (contrastive mining): hard negatives — for each anchor, the
+    // top-5 most-similar vectors with a DIFFERENT label: maximally
+    // confusing non-matches, the standard negative-mining pass of
+    // contrastive/embedding training. The 3-row anchor panel broadcasts;
+    // per-anchor ranking rides the rank-filter window (WindowGroupLimit
+    // prunes before the shuffle). Label filter ≠ anchor label also
+    // excludes the anchor itself. At 100 TB the same query serves from
+    // the IVF index (probe instead of scan) — the brute-force form here
+    // is the oracle-checkable twin, like d4_topk_bruteforce.
+    "d6_hard_negatives" -> ((s, sf) => {
+      val e = Tables
+        .embeddings(s, sf)
+        .select(col("vec_id"), col("label"), VectorOps.asDouble(col("embedding")).as("v"))
+      val q = e
+        .filter(col("vec_id").isin(0L, 7L, 42L))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qvec"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .select(
+          col("qid"), col("vec_id"),
+          round(VectorOps.cosineNative(s, col("v"), col("qvec")), 9).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // D5 (tokenizer eval): per-language fertility/coverage — OOV rate
+    // against the learned top-100 vocab and chars-per-token (fertility),
+    // THE comparison table of any tokenizer-choice writeup (a language
+    // with high fertility pays more sequence length per character). The
+    // vocab is bounded → broadcast; everything else is one explode-agg
+    // rolled up to the 10-row lang key space.
+    "d5_tokenizer_fertility" -> ((s, sf) => {
+      val docs  = Tables.documents(s, sf)
+      val vocab = Vocab.build(docs, col("text"), 100)
+      val enc = Vocab
+        .encode(docs, col("doc_id"), col("text"), vocab)
+        .select(col("doc_id"), col("n_tok"), col("n_unk"))
+      docs
+        .select(
+          col("doc_id"), col("lang"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"))
+        .join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_toks"),
+          sum(col("n_unk")).as("total_unk"),
+          sum(col("nc")).as("total_chars"))
+        .select(
+          col("lang"), col("n_docs"), col("total_toks"),
+          round(col("total_unk").cast("double") / col("total_toks").cast("double"), 6)
+            .as("oov_rate"),
+          round(col("total_chars").cast("double") / col("total_toks").cast("double"), 6)
+            .as("chars_per_tok"))
+        .orderBy("lang")
+    }),
+
+    // D5 (privacy audit): k-anonymity over the quasi-identifier tuple
+    // (lang, source, 100-char size bucket) — every equivalence class with
+    // its population k and the standard release policy: k ≥ 5 release,
+    // 2 ≤ k < 5 generalize (widen the bucket), k = 1 suppress. One
+    // map-side-combined agg on a bounded key space; the per-doc risk join
+    // is just this table broadcast back if needed downstream.
+    "d5_k_anonymity" -> ((s, sf) =>
+      Tables
+        .documents(s, sf)
+        .select(
+          col("lang"), col("source"),
+          (floor(col("n_chars") / 100) * 100).cast("long").as("chars_bucket"))
+        .groupBy(col("lang"), col("source"), col("chars_bucket"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn(
+          "action",
+          when(col("k") >= 5, lit("release"))
+            .when(col("k") >= 2, lit("generalize"))
+            .otherwise(lit("suppress")))
+        .orderBy("lang", "source", "chars_bucket")),
+
+    // D2 (memorization risk): per-document duplicated-shingle fraction —
+    // how much of a doc's 5-token shingle set also occurs in ≥2 documents
+    // corpus-wide. High dup_frac = content the model will see many times
+    // (boilerplate, templates, licensed text) — the per-doc risk score
+    // behind span-level dedup policies (Lee et al. 2021). Shingle
+    // machinery identical to d2_span_dedup's; the cross-doc test is one
+    // hash agg on the shingle key + a semi-join back, and EVERY doc
+    // surfaces (left join; short docs report 0 shingles).
+    "d2_memorization_risk" -> ((s, sf) => {
+      val base = Tables
+        .documents(s, sf)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .withColumn(
+          "sh",
+          when(
+            size(col("toks")) >= 5,
+            array_distinct(
+              transform(
+                sequence(lit(0), size(col("toks")) - 5),
+                i => concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
+            .otherwise(array().cast("array<string>")))
+      val ex  = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val dup = ex.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("s"))
+      val per = ex.join(dup, Seq("s"), "left_semi").groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(per, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(
+            coalesce(
+              col("n_dup").cast("double") / nullif(col("n_shingles").cast("double"), lit(0.0)),
+              lit(0.0)),
+            6).as("dup_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3398,6 +3564,109 @@ object LlmQueries {
            SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos,
              doc_id, lang, round(vt, 6) AS vt
            FROM v)
-         SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500"""
+         SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500""",
+    "d7_chat_pack" ->
+      """WITH t AS (
+           SELECT user_id AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+             CAST(len(list_filter(string_split(lower(event_type || ' ' || props), ' '),
+                                  x -> length(x) > 0)) + 4 AS BIGINT) AS n_tok
+           FROM events)
+         SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n_tok) AS BIGINT) AS total_toks,
+           CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS loss_toks,
+           round(CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS loss_frac
+         FROM t GROUP BY conv_id ORDER BY conv_id""",
+    "d7_length_buckets" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 1 THEN 1
+                  ELSE CAST(power(2, length(bin(n_tok - 1))) AS BIGINT) END AS bucket_len
+           FROM d),
+         g AS (
+           SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS real_toks
+           FROM b GROUP BY bucket_len)
+         SELECT bucket_len, n_docs, real_toks,
+           n_docs * bucket_len AS padded_toks,
+           round(1.0 - CAST(real_toks AS DOUBLE) / CAST(n_docs * bucket_len AS DOUBLE), 6) AS waste_frac,
+           CAST(floor(16384 / bucket_len) AS BIGINT) AS batch_size,
+           CAST(ceil(CAST(n_docs AS DOUBLE)
+                     / CAST(CAST(floor(16384 / bucket_len) AS BIGINT) AS DOUBLE)) AS BIGINT) AS n_batches
+         FROM g ORDER BY bucket_len""",
+    "d6_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (
+           SELECT vec_id AS qid, label AS qlabel, v AS qvec FROM e WHERE vec_id IN (0, 7, 42)),
+         s AS (
+           SELECT qid, vec_id,
+             round(list_dot_product(v, qvec)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 9) AS cos
+           FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+         r AS (
+           SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    "d5_tokenizer_fertility" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT u.tok AS tok, count(*) AS cnt
+           FROM toks, unnest(toks) AS u(tok) GROUP BY u.tok),
+         top AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 100),
+         px AS (SELECT doc_id, u.tok AS tok FROM toks, unnest(toks) AS u(tok)),
+         j AS (
+           SELECT px.doc_id, count(*) AS n_tok,
+             sum(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END) AS n_unk
+           FROM px LEFT JOIN top ON px.tok = top.tok GROUP BY px.doc_id),
+         d AS (
+           SELECT doc_id, lang,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nc
+           FROM documents)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(j.n_tok), 0) AS BIGINT) AS total_toks,
+           round(CAST(sum(j.n_unk) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS oov_rate,
+           round(CAST(sum(d.nc) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS chars_per_tok
+         FROM d LEFT JOIN j ON d.doc_id = j.doc_id
+         GROUP BY d.lang ORDER BY d.lang""",
+    "d5_k_anonymity" ->
+      """SELECT lang, source, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
+           CAST(count(*) AS BIGINT) AS k,
+           CASE WHEN count(*) >= 5 THEN 'release'
+                WHEN count(*) >= 2 THEN 'generalize'
+                ELSE 'suppress' END AS action
+         FROM documents
+         GROUP BY lang, source, CAST(floor(n_chars / 100) * 100 AS BIGINT)
+         ORDER BY lang, source, chars_bucket""",
+    "d2_memorization_risk" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 5
+               THEN list_distinct(list_transform(range(0, len(toks) - 4),
+                      i -> array_to_string(list_slice(toks, CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' ')))
+               ELSE [] END AS sh
+           FROM base),
+         ex AS (SELECT doc_id, u.s AS s FROM sh, unnest(sh) AS u(s)),
+         dup AS (SELECT s FROM ex GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         per AS (
+           SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+           FROM ex JOIN dup ON ex.s = dup.s GROUP BY ex.doc_id)
+         SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+           round(coalesce(CAST(per.n_dup AS DOUBLE) / nullif(CAST(len(sh.sh) AS DOUBLE), 0.0), 0.0), 6) AS dup_frac
+         FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
+         ORDER BY sh.doc_id"""
   )
 }

@@ -310,6 +310,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(scd).length <= 2, scd.take(2000))
   }
 
+  test("r11 third-wave additions keep their scale shapes") {
+    // chat pack: window + agg on the same conv key — one exchange class,
+    // join-free.
+    val cp = planOf("d7_chat_pack")
+    assert(!cp.contains("Join"), cp.take(2000))
+    assert("Exchange".r.findAllIn(cp).length <= 2, cp.take(2000))
+    // hard negatives: anchor panel broadcasts (BNLJ over a 3-row side),
+    // and the per-anchor rank<=5 filter pushes WindowGroupLimit so only
+    // 5 rows per anchor survive to the rank shuffle.
+    val hn = planOf("d6_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin"), hn.take(2000))
+    assert(hn.contains("WindowGroupLimit"), hn.take(2000))
+    assert(!hn.contains("SortMergeJoin"), "anchor panel degraded to SMJ")
+    // length buckets: one hash agg on a ~log2(max_len)-row key space,
+    // partial+final (map-side combine) — no join, no window.
+    val lb = planOf("d7_length_buckets")
+    assert(!lb.contains("Join") && !lb.contains("Window"), lb.take(2000))
+    // memorization risk: shingle-key hash agg + semi-join back — the
+    // joins are equi-joins on doc_id/shingle, never all-pairs (the
+    // global cartesian guard covers the rest).
+    val mr = planOf("d2_memorization_risk")
+    assert(mr.contains("Join"), mr.take(2000))
+    // fertility: bounded vocab broadcasts against the exploded corpus.
+    val tf = planOf("d5_tokenizer_fertility")
+    assert(tf.contains("BroadcastHashJoin"), tf.take(2000))
+  }
+
   test("every registered query compiles to a physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
