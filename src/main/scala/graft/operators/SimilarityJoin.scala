@@ -341,7 +341,16 @@ object SimilarityJoin {
       indexPath: String,
       query: DataFrame, // single row: (qvec array<double>)
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      // Filtered vector search against the index: a (vec_id) frame of ids
+      // passing a metadata predicate, semi-joined against the PRUNED
+      // candidate slice before the rerank — the post-probe metadata-join
+      // strategy. Both join sides arrive pruned (the index side to
+      // ~nprobe/nlist of the corpus, the metadata side by its pushed-down
+      // predicate), so the equi-join never sees corpus-sized inputs.
+      // Callers should raise nprobe to over-fetch against the filter's
+      // selectivity (a probed partition may hold few passing rows).
+      keep: Option[DataFrame] = None
   ): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/_centroids")
     val probeIds = centroids
@@ -359,7 +368,11 @@ object SimilarityJoin {
       if (idx.columns.contains("q")) // quantized layout: dequantize on read
         idx.withColumn("v", VectorOps.dequantizeI8(col("q"), col("sc")))
       else idx
-    vecs
+    val kept = keep match {
+      case Some(ids) => vecs.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      case None      => vecs
+    }
+    kept
       .crossJoin(broadcast(query))
       .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
       .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))

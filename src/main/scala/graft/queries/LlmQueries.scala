@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LmScore, Mixture, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -309,6 +309,35 @@ object LlmQueries {
           docs.filter(col("doc_id") % 5 === 0),
           col("text"),
           col("text"))
+    }),
+
+    // D1 (re-sharding): rendezvous (highest-random-weight) shard
+    // assignment before and after growing the shard count 8 → 10 — the
+    // minimal-movement re-partitioning a growing corpus store needs:
+    // HRW moves ONLY docs whose new argmax is an added shard (expected
+    // 2/10 of the corpus), where mod-hashing would reshuffle ~8/10 of
+    // every shard. Portable md5 scores (the d7_hash_sample trick) keep
+    // it engine-reproducible → fully oracle-checked; the moved ⇒
+    // new ∈ {8,9} invariant is law-tested. Pure narrow map: the argmax
+    // runs over a 10-element in-row array, no shuffle, pushes nothing.
+    "d1_rendezvous_reshard" -> ((s, sf) => {
+      def argmaxShard(n: Int) = {
+        val scored = transform(
+          sequence(lit(0L), lit(n - 1L)),
+          sh =>
+            struct(
+              md5(concat(col("doc_id").cast("string"), lit(":"), sh.cast("string"))).as("h"),
+              sh.as("s")))
+        array_max(scored).getField("s")
+      }
+      Tables
+        .documents(s, sf)
+        .select(
+          col("doc_id"),
+          argmaxShard(8).as("old_shard"),
+          argmaxShard(10).as("new_shard"))
+        .withColumn("moved", col("old_shard") =!= col("new_shard"))
+        .orderBy("doc_id")
     }),
 
     // D2: MinHash+LSH near-dup candidate pairs, Jaccard-verified.
@@ -654,6 +683,20 @@ object LlmQueries {
       val e = Tables.embeddings(s, sf)
       val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
       SimilarityJoin.ivfProbe(s, ivfIndexForQuantized(s, sf), q, k = 10, nprobe = 4)
+    }),
+
+    // D4 (filtered ANN on the index): the scale path of d4_topk_filtered —
+    // partition-pruned IVF probe, then the metadata predicate's id set
+    // (label = 3, pushed to the metadata scan) semi-joins the PRUNED
+    // candidate slice before the exact rerank. nprobe doubled to 8 to
+    // over-fetch against the filter's ~1/10 selectivity. Approximate →
+    // rows-only; the "⊆ exact filtered ranking given the probed
+    // partitions" and recall laws live in SimilaritySpec.
+    "d4_topk_ivf_filtered" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      val keep = e.filter(col("label") === 3).select(col("vec_id"))
+      SimilarityJoin.ivfProbe(s, ivfIndexFor(s, sf), q, k = 10, nprobe = 8, keep = Some(keep))
     }),
 
     // D4 (index-free ANN): multi-table LSH top-k — the probe you run when
@@ -1083,6 +1126,63 @@ object LlmQueries {
           round(col("idcg"), 6).as("idcg"),
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy("k")
+    }),
+
+    // D6 (diversity): MMR re-rank of the BM25 top-20 — λ·bm25 −
+    // (1−λ)·max-cosine-to-picked, λ = 0.7, select 10. Retrieval and the
+    // 20×20 candidate cosines run distributed (the candidate-id list is
+    // a bounded driver list, like the nprobe centroids, and prunes the
+    // embedding scan); only the inherently-sequential greedy argmax runs
+    // on the driver over the 20-row frame. Greedy + driver float order →
+    // rows-only; the objective-optimality / λ=1-reduces-to-relevance /
+    // subset laws live in MmrSpec.
+    "d6_mmr" -> ((s, sf) => {
+      import s.implicits._
+      val docs = Tables.documents(s, sf)
+      val cand = Bm25
+        .score(docs, col("doc_id"), col("text"), queryTerms = Seq("scan", "hash", "dup"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id").as("id"), col("bm25").as("rel"))
+      // Bounded driver list (k = 20): prunes the embedding scan to the
+      // candidate rows before the pairwise-cosine join.
+      val ids = cand.select(col("id")).as[Long].collect().toIndexedSeq
+      val e = Tables
+        .embeddings(s, sf)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val sims = e
+        .select(col("vec_id").as("id_a"), col("v").as("v_a"))
+        .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("v_b"))), col("id_a") < col("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          VectorOps.cosineNative(s, col("v_a"), col("v_b")).as("sim"))
+      Mmr.rerank(cand, sims, lambda = 0.7, select = 10).orderBy("sel_rank")
+    }),
+
+    // D0×D7 (SFT pipeline): the end-to-end supervised-fine-tuning prep
+    // DAG in one declarative plan — event log → chat turns → per-conv
+    // loss-mask accounting → quality gate (≥2 turns, ≥30% trainable
+    // tokens) → deterministic greedy packing into 512-token bins
+    // (Mixture.packSequences, hash-ordered, partitioning-stable). The
+    // pretraining twin is d0_corpus_prep; this is the instruction-tuning
+    // half a complete data engine needs. Fully oracle-checked: every
+    // stage is portable arithmetic (md5-free — the shuffle key is the
+    // Knuth multiplicative hash d7_seq_packing already proves).
+    "d0_sft_prep" -> ((s, sf) => {
+      val t = ChatPrep.turns(
+        Tables.events(s, sf),
+        col("user_id"), col("ts"), col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")))
+      val convs = ChatPrep
+        .convStats(t)
+        .filter(col("n_turns") >= 2 && col("loss_frac") >= 0.3)
+      Mixture
+        .packSequences(convs, col("conv_id"), lit("sft"), col("total_toks"), maxTokensPerPack = 512L)
+        .select(
+          col("conv_id"), col("n_turns"), col("total_toks"), col("loss_toks"),
+          col("loss_frac"), col("pack_id"))
+        .orderBy("conv_id")
     }),
 
     // D7: per-(lang, source) corpus slice statistics.
@@ -2215,11 +2315,18 @@ object LlmQueries {
                 sequence(lit(0), size(col("toks")) - 5),
                 i => concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
             .otherwise(array().cast("array<string>")))
-      val ex  = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val dup = ex.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("s"))
-      val per = ex.join(dup, Seq("s"), "left_semi").groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      // ONE pass over the exploded shingles: (doc, shingle) pairs are
+      // per-doc-distinct by construction, so a count window partitioned
+      // on the shingle IS the cross-document frequency — no distinct agg
+      // (which double-shuffles its expanded input), no semi-join back,
+      // and no second evaluation of the explode (the original
+      // agg-then-join form recomputed the scan+explode on both branches:
+      // 24.9 s → this form ≈ 6 s at sf0.1).
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val per = ex
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       base
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
         .join(per, Seq("doc_id"), "left")
@@ -3565,6 +3672,45 @@ object LlmQueries {
              doc_id, lang, round(vt, 6) AS vt
            FROM v)
          SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500""",
+    "d1_rendezvous_reshard" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             (list_max(list_transform(range(0, 8),
+                s -> {'h': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 's': s}))).s
+               AS old_shard,
+             (list_max(list_transform(range(0, 10),
+                s -> {'h': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 's': s}))).s
+               AS new_shard
+           FROM documents)
+         SELECT doc_id, old_shard, new_shard, old_shard <> new_shard AS moved
+         FROM scored ORDER BY doc_id""",
+    "d0_sft_prep" ->
+      """WITH t AS (
+           SELECT user_id AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+             CAST(len(list_filter(string_split(lower(event_type || ' ' || props), ' '),
+                                  x -> length(x) > 0)) + 4 AS BIGINT) AS n_tok
+           FROM events),
+         c AS (
+           SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(n_tok) AS BIGINT) AS total_toks,
+             CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS loss_toks
+           FROM t GROUP BY conv_id),
+         f AS (
+           SELECT conv_id, n_turns, total_toks, loss_toks,
+             round(CAST(loss_toks AS DOUBLE) / CAST(total_toks AS DOUBLE), 6) AS loss_frac,
+             (conv_id % 1000000007) * 2654435761 % 4294967296 AS h
+           FROM c
+           WHERE n_turns >= 2
+             AND round(CAST(loss_toks AS DOUBLE) / CAST(total_toks AS DOUBLE), 6) >= 0.3),
+         p AS (
+           SELECT conv_id, n_turns, total_toks, loss_toks, loss_frac,
+             SUM(total_toks) OVER (ORDER BY h, conv_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM f)
+         SELECT conv_id, n_turns, total_toks, loss_toks, loss_frac,
+           CAST(floor((cum - total_toks) / 512.0) AS BIGINT) AS pack_id
+         FROM p ORDER BY conv_id""",
     "d7_chat_pack" ->
       """WITH t AS (
            SELECT user_id AS conv_id,

@@ -57,6 +57,27 @@ class LawsSpec extends AnyFunSuite {
     assert(board.collect().forall(_.getAs[Boolean]("agree")), "board-level HLL merge disagreement")
   }
 
+  test("rendezvous re-sharding: moved docs land ONLY on added shards (d1_rendezvous_reshard law)") {
+    // HRW's minimal-movement guarantee is structural: growing 8 → 10
+    // shards leaves every (doc, shard<8) score unchanged, so a doc's
+    // assignment changes iff one of the ADDED shards (8, 9) now wins the
+    // argmax. Expected movement = 2/10 of the corpus; mod-hashing would
+    // move ~8/10. Checked over the registered query's real output.
+    val out = SparkEntry
+      .queries("d1_rendezvous_reshard")(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("old_shard"), col("new_shard"), col("moved"))
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, o, n, m) =>
+      assert(m === (o != n), s"doc $id moved flag inconsistent")
+      if (m) assert(n >= 8, s"doc $id moved to pre-existing shard $n — HRW must not reshuffle old shards")
+      assert(o >= 0 && o < 8 && n >= 0 && n < 10)
+    }
+    val frac = out.count(_._4).toDouble / out.length
+    assert(frac > 0.05 && frac < 0.40, s"moved fraction $frac implausible for 2 added shards of 10")
+  }
+
   test("filter fusion: filter(p).filter(q) == filter(p && q)") {
     samples(rowsGen, 5).foreach { rows =>
       val df = rows.toDF("k", "v")

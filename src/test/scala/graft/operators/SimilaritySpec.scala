@@ -104,6 +104,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
   }
 
+  test("filtered ivfProbe: results respect the filter and equal exact ranking over probed rows") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), VectorOps.asDouble(col("embedding")).as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString + "/index"
+    SimilarityJoin.buildIvfIndex(emb, col("vec_id"), col("embedding"), centroids, idx)
+
+    val keep = emb.filter(col("label") === 3).select(col("vec_id"))
+    val keepSet = keep.as[Long].collect().toSet
+    val got = SimilarityJoin.ivfProbe(spark, idx, q, k = 10, nprobe = 8, keep = Some(keep))
+      .as[(Long, Double)].collect().toSeq
+    // Every hit passes the metadata predicate.
+    assert(got.map(_._1).forall(keepSet), s"filter leaked: $got")
+    // ≡ the unfiltered probe of the SAME partitions, post-filtered: the
+    // semi-join must not perturb scores or order (over-fetched unfiltered
+    // k must cover ≥ 10 kept rows for this identity — 500 does).
+    val unfiltered = SimilarityJoin.ivfProbe(spark, idx, q, k = 500, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === unfiltered.filter(r => keepSet(r._1)).take(10))
+    // Recall floor vs the exact filtered ranking (brute force over the
+    // whole corpus, filter first): same regime as the unfiltered probes.
+    val exact = SimilarityJoin
+      .topK(emb.join(keep, Seq("vec_id"), "left_semi"), col("vec_id"), col("embedding"), q, 10)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val recall = got.map(_._1).count(exact) / 10.0
+    assert(recall >= 0.5, s"filtered probe recall $recall < 0.5")
+  }
+
   test("ivfDriftStats: in-distribution shard scores high, out-of-distribution shard drifts") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val centroids = emb.filter(col("vec_id") % 37 === 1).orderBy("vec_id").limit(16)
