@@ -1128,6 +1128,56 @@ object LlmQueries {
         .orderBy("k")
     }),
 
+    // D6 (query expansion): pseudo-relevance feedback, RM3-lite — run the
+    // seed query, take the top-10 feedback docs, pick the 5 highest
+    // cnt·idf terms from them (seed terms excluded), re-run BM25 with the
+    // expanded query, report the top-15. The classic recall lever of a
+    // lexical retrieval stack. Everything stays keyed: the feedback-doc
+    // token stream is a 10-id broadcast semi-join, candidate-term df is
+    // computed only for candidate terms, and the 5 expansion terms are a
+    // bounded driver list (the nprobe-centroid convention) feeding the
+    // second scoring pass. Term weights land on a 1e-6 integer grid →
+    // deterministic cross-engine → fully oracle-checked.
+    "d6_prf_expansion" -> ((s, sf) => {
+      import s.implicits._
+      val docs = Tables.documents(s, sf)
+      val seed = Seq("scan", "hash", "dup")
+      val fb = Bm25
+        .score(docs, col("doc_id"), col("text"), seed)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"))
+      val tokStream = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      val cand = tokStream
+        .join(broadcast(fb), "doc_id")
+        .filter(!col("t").isin(seed: _*))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfc = tokStream
+        .join(broadcast(cand.select(col("t"))), Seq("t"), "left_semi")
+        .select(col("doc_id"), col("t"))
+        .distinct()
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val expTerms = cand
+        .join(dfc, "t")
+        .crossJoin(broadcast(n))
+        .withColumn(
+          "w",
+          col("cnt") * round(log(col("n_docs").cast("double") / col("df")) * 1e6).cast("long"))
+        .orderBy(col("w").desc, col("t"))
+        .limit(5)
+        .select(col("t"))
+        .as[String]
+        .collect() // bounded: 5 expansion terms
+        .toSeq
+      Bm25
+        .score(docs, col("doc_id"), col("text"), seed ++ expTerms)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // D6 (diversity): MMR re-rank of the BM25 top-20 — λ·bm25 −
     // (1−λ)·max-cosine-to-picked, λ = 0.7, select 10. Retrieval and the
     // 20×20 candidate cosines run distributed (the candidate-id list is
@@ -1183,6 +1233,66 @@ object LlmQueries {
           col("conv_id"), col("n_turns"), col("total_toks"), col("loss_toks"),
           col("loss_frac"), col("pack_id"))
         .orderBy("conv_id")
+    }),
+
+    // D7 (MLM prep): deterministic masked-LM masking plan — select ~15%
+    // of token positions per doc via the portable md5(doc:pos) gate (the
+    // d7_hash_sample trick at position grain), so the SAME positions mask
+    // on every engine, rerun, and partitioning — reproducible MLM batches
+    // without RNG state. Narrow explode + one doc-keyed agg; every doc
+    // surfaces (posexplode_outer), masked positions re-assemble sorted.
+    "d7_mlm_mask" -> ((s, sf) => {
+      val masked = col("tok").isNotNull &&
+        substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))),
+          1, 4) < "2666" // 0x2666/0x10000 ≈ 0.15
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"), posexplode_outer(toks(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(col("tok")).as("n_tok"),
+          sum(when(masked, 1L).otherwise(0L)).as("n_masked"),
+          concat_ws(
+            " ",
+            transform(sort_array(collect_list(when(masked, col("pos")))), _.cast("string")))
+            .as("masked_pos"))
+        .select(
+          col("doc_id"), col("n_tok"), col("n_masked"),
+          round(
+            coalesce(
+              col("n_masked").cast("double") / nullif(col("n_tok").cast("double"), lit(0.0)),
+              lit(0.0)),
+            6).as("mask_rate"),
+          col("masked_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // D5 (readability): Flesch reading-ease with a deterministic
+    // vowel-group syllable estimate — the lightweight audience-level
+    // signal quality pipelines report next to the Gopher battery. Pure
+    // per-row regexp arithmetic (codegen), no shuffle beyond the sort.
+    "d5_readability" -> ((s, sf) => {
+      val words = size(toks(col("text"))).cast("long")
+      val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+      val syl   = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("long")
+      val flesch = when(
+        col("n_words") > 0,
+        round(
+          lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sents").cast("double")
+            - lit(84.6) * col("n_syl").cast("double") / col("n_words").cast("double"),
+          6)).otherwise(lit(0.0))
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"), syl.as("n_syl"))
+        .withColumn("flesch", flesch)
+        .withColumn(
+          "band",
+          when(col("flesch") >= 60, lit("easy"))
+            .when(col("flesch") >= 30, lit("medium"))
+            .otherwise(lit("hard")))
+        .orderBy("doc_id")
     }),
 
     // D7: per-(lang, source) corpus slice statistics.
@@ -3672,6 +3782,109 @@ object LlmQueries {
              doc_id, lang, round(vt, 6) AS vt
            FROM v)
          SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500""",
+    "d6_prf_expansion" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf1 AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         df1 AS (SELECT t, count(*) AS df FROM tf1 GROUP BY t),
+         s1 AS (
+           SELECT doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+           FROM tf1 JOIN df1 USING (t) CROSS JOIN stats),
+         fb AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
+             FROM s1 GROUP BY doc_id)
+           ORDER BY bm25 DESC, doc_id LIMIT 10),
+         cand AS (
+           SELECT u.tok AS t, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE doc_id IN (SELECT doc_id FROM fb)
+             AND u.tok NOT IN ('scan', 'hash', 'dup')
+           GROUP BY u.tok),
+         dfc AS (
+           SELECT t, CAST(count(*) AS BIGINT) AS df FROM (
+             SELECT DISTINCT doc_id, u.tok AS t
+             FROM toks, unnest(toks) AS u(tok)
+             WHERE u.tok IN (SELECT t FROM cand))
+           GROUP BY t),
+         exp AS (
+           SELECT t FROM (
+             SELECT cand.t,
+               cand.cnt * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS w
+             FROM cand JOIN dfc USING (t) CROSS JOIN stats)
+           ORDER BY w DESC, t LIMIT 5),
+         terms AS (
+           SELECT t FROM exp
+           UNION
+           SELECT unnest(['scan', 'hash', 'dup']) AS t),
+         tf2 AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN (SELECT t FROM terms)
+           GROUP BY doc_id, dl, u.tok),
+         df2 AS (SELECT t, count(*) AS df FROM tf2 GROUP BY t),
+         s2 AS (
+           SELECT doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+           FROM tf2 JOIN df2 USING (t) CROSS JOIN stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+           round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
+         FROM s2 GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 15""",
+    "d7_mlm_mask" ->
+      """WITH toksrc AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         px AS (
+           SELECT doc_id, i - 1 AS pos
+           FROM toksrc, unnest(range(1, len(toks) + 1)) AS r(i)),
+         m AS (
+           SELECT doc_id, pos,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4) < '2666' AS msk
+           FROM px),
+         g AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             coalesce(string_agg(CASE WHEN msk THEN CAST(pos AS VARCHAR) END, ' ' ORDER BY pos), '')
+               AS masked_pos
+           FROM m GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_tok, 0) AS n_tok, coalesce(n_masked, 0) AS n_masked,
+           round(coalesce(CAST(n_masked AS DOUBLE) / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0), 6)
+             AS mask_rate,
+           coalesce(masked_pos, '') AS masked_pos
+         FROM documents d LEFT JOIN g USING (doc_id)
+         ORDER BY d.doc_id""",
+    "d5_readability" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syl
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_words, n_sents, n_syl,
+             CASE WHEN n_words > 0
+               THEN round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+                          - 84.6 * CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               ELSE 0.0 END AS flesch
+           FROM b)
+         SELECT doc_id, n_words, n_sents, n_syl, flesch,
+           CASE WHEN flesch >= 60 THEN 'easy'
+                WHEN flesch >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+         FROM f ORDER BY doc_id""",
     "d1_rendezvous_reshard" ->
       """WITH scored AS (
            SELECT doc_id,

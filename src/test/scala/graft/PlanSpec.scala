@@ -335,6 +335,18 @@ class PlanSpec extends AnyFunSuite {
     // fertility: bounded vocab broadcasts against the exploded corpus.
     val tf = planOf("d5_tokenizer_fertility")
     assert(tf.contains("BroadcastHashJoin"), tf.take(2000))
+    // readability: pure per-row regexp arithmetic — the only exchange is
+    // the output sort's.
+    val rd = planOf("d5_readability")
+    assert(!rd.contains("Join") && !rd.contains("Window"), rd.take(2000))
+    // MLM mask: explode + one doc-keyed agg; join-free.
+    val mm = planOf("d7_mlm_mask")
+    assert(!mm.contains("Join"), mm.take(2000))
+    // PRF second pass: feedback ids and per-term df/stats dims all ride
+    // broadcasts — the corpus-sized side is never shuffled for a join.
+    val pe = planOf("d6_prf_expansion")
+    assert(pe.contains("BroadcastHashJoin"), pe.take(2000))
+    assert(!pe.contains("SortMergeJoin"), "PRF dim join degraded to SMJ")
   }
 
   test("every registered query compiles to a physical plan") {
