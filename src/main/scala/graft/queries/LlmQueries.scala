@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -340,6 +340,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D2 (ops planning): the LSH parameter S-curves — candidate-pair
+    // probability P = 1 − (1 − j^r)^b for every (bands, rows) split of a
+    // 128-hash signature across the Jaccard grid, plus each config's
+    // threshold (1/b)^(1/r). THE table a team reads before committing a
+    // 100 TB dedup pass to one banding (MinHashParams' defaults trace to
+    // exactly this curve); choosing wrong either floods the verifier
+    // with low-similarity candidates or silently misses near-dups. Pure
+    // IEEE arithmetic on a 36-row grid → fully oracle-checked.
+    "d2_lsh_param_plan" -> ((s, sf) => {
+      import s.implicits._
+      val cfgs = Seq((64, 2), (32, 4), (16, 8), (8, 16)).toDF("bands", "rows_per_band")
+      cfgs
+        .select(
+          col("bands"), col("rows_per_band"),
+          explode(sequence(lit(1), lit(9))).as("j10"))
+        .select(
+          col("bands"), col("rows_per_band"),
+          (col("j10").cast("double") / 10.0).as("jaccard"))
+        .withColumn(
+          "p_candidate",
+          round(
+            lit(1.0) - pow(
+              lit(1.0) - pow(col("jaccard"), col("rows_per_band").cast("double")),
+              col("bands").cast("double")),
+            6))
+        .withColumn(
+          "threshold",
+          round(pow(lit(1.0) / col("bands").cast("double"), lit(1.0) / col("rows_per_band").cast("double")), 6))
+        .orderBy("bands", "jaccard")
+    }),
+
     // D2: MinHash+LSH near-dup candidate pairs, Jaccard-verified.
     // xxhash64-based → rows-only check; laws in DedupSpec.
     "d2_neardup_minhash" -> ((s, sf) =>
@@ -478,6 +509,28 @@ object LlmQueries {
             .select(col("doc_a"), col("doc_b")))
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
+
+    // D9 (label spreading): seeded label propagation over the near-dup
+    // graph — every 7th doc carries its `source` as a trusted label;
+    // 5 synchronous majority-vote rounds spread it through the similarity
+    // edges (LabelProp.scala: per-round keyed join + vote agg + rank-1
+    // window, checkpointed). The practical move: a tiny curated core
+    // labels everything connected to it. Iterative + vote ties →
+    // rows-only; pinned-seed / single-seed-component / repartition-
+    // invariance laws in LabelPropSpec.
+    "d9_label_prop" -> ((s, sf) => {
+      val docs = Tables.documents(s, sf)
+      val edges = Dedup
+        .ngramJaccardPairs(docs, col("doc_id"), col("text"), shingleSize = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val seeds = docs
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"))
+      LabelProp
+        .run(edges, seeds, rounds = 5)
+        .select(col("node").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
 
     // D2 (canonicalization): representative selection per near-dup
     // cluster — keep the LONGEST member (ties to the smallest id), the
@@ -3885,6 +3938,18 @@ object LlmQueries {
                 WHEN flesch >= 30 THEN 'medium'
                 ELSE 'hard' END AS band
          FROM f ORDER BY doc_id""",
+    "d2_lsh_param_plan" ->
+      """WITH cfg AS (
+           SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) AS c(bands, rows_per_band)),
+         grid AS (
+           SELECT bands, rows_per_band, CAST(j10 AS DOUBLE) / 10.0 AS jaccard
+           FROM cfg, generate_series(1, 9) AS g(j10))
+         SELECT bands, rows_per_band, jaccard,
+           round(1.0 - pow(1.0 - pow(jaccard, CAST(rows_per_band AS DOUBLE)),
+                           CAST(bands AS DOUBLE)), 6) AS p_candidate,
+           round(pow(1.0 / CAST(bands AS DOUBLE), 1.0 / CAST(rows_per_band AS DOUBLE)), 6)
+             AS threshold
+         FROM grid ORDER BY bands, jaccard""",
     "d1_rendezvous_reshard" ->
       """WITH scored AS (
            SELECT doc_id,
