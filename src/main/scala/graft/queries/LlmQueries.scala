@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -671,6 +671,37 @@ object LlmQueries {
         .orderBy("id_a")
     }),
 
+    // D3 (model migration): orthogonal Procrustes alignment between two
+    // embedding spaces — the "new model" here is a planted orthogonal
+    // transform (dimension reversal + alternating signs) of the old one,
+    // and the fitted rotation W = M(MᵀM)^(−1/2) must RECOVER it (the
+    // recovery identity is exact in algebra; see ProcrustesSpec). The
+    // registered output is the recovered mapping table: the ≤64 entries
+    // with |w| > 0.5 — old dim → new dim + sign. Distributed work is the
+    // decimal-exact d×d cross-covariance; the polar step is driver
+    // Jacobi (the Pca split). Eigensolve → no DuckDB twin → rows-only;
+    // orthogonality / recovery / alignment-residual / repartition-
+    // invariance laws in ProcrustesSpec.
+    "d3_procrustes_align" -> ((s, sf) => {
+      import s.implicits._
+      val dim = 64
+      val e = Tables
+        .embeddings(s, sf)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
+      val planted = transform(
+        sequence(lit(0), lit(dim - 1)),
+        j =>
+          (when(j % 2 === 0, lit(1.0)).otherwise(lit(-1.0))) *
+            element_at(col("x"), lit(dim) - j))
+      val w = Procrustes.fitOrthogonal(e.withColumn("y", planted), col("x"), col("y"), dim)
+      val rows = for {
+        i <- 0 until dim
+        j <- 0 until dim
+        if math.abs(w(i)(j)) > 0.5
+      } yield (i.toLong, j.toLong, math.rint(w(i)(j) * 1e6) / 1e6)
+      rows.toDF("from_dim", "to_dim", "w").orderBy("from_dim")
+    }),
+
     // D4: brute-force exact top-k similarity search (query = vec_id 0).
     "d4_topk_bruteforce" -> ((s, sf) => {
       val e = Tables.embeddings(s, sf)
@@ -1179,6 +1210,44 @@ object LlmQueries {
           round(col("idcg"), 6).as("idcg"),
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy("k")
+    }),
+
+    // D6 (retrieval eval): mean-reciprocal-rank panel — each term of the
+    // query set ranked as its own single-term BM25 query IN ONE PASS
+    // (term is a grouping key, not a re-run), relevant = docs with tf ≥ 2,
+    // RR = 1/first-relevant-rank. The companion metric to d6_ndcg (nDCG
+    // grades the whole list; MRR grades time-to-first-hit). Per-term rank
+    // windows run on the term-filtered match stream, never corpus-sized.
+    "d6_mrr" -> ((s, sf) => {
+      val docs  = Tables.documents(s, sf)
+      val terms = Seq("scan", "hash", "dup")
+      val toksDf = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      val stats = toksDf.agg(
+        count(lit(1)).as("n_docs"),
+        avg(size(col("toks")).cast("double")).as("avgdl"))
+      val tf = toksDf
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"), explode(col("toks")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("t"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "t")
+        .crossJoin(broadcast(stats))
+        .withColumn(
+          "s_micro",
+          round(
+            log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+              * 1e12).cast("long"))
+      val w = Window.partitionBy(col("t")).orderBy(col("s_micro").desc, col("doc_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("tf") >= 2)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_rel"), min(col("rank")).as("first_rank"))
+        .withColumn("rr", round(lit(1.0) / col("first_rank").cast("double"), 6))
+        .orderBy("t")
     }),
 
     // D6 (query expansion): pseudo-relevance feedback, RM3-lite — run the
@@ -3835,6 +3904,31 @@ object LlmQueries {
              doc_id, lang, round(vt, 6) AS vt
            FROM v)
          SELECT pos, doc_id, lang, vt FROM r ORDER BY pos LIMIT 500""",
+    "d6_mrr" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf AS (
+           SELECT u.tok AS t, doc_id, CAST(len(toks) AS DOUBLE) AS dl, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY u.tok, doc_id, dl),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         scored AS (
+           SELECT t, doc_id, tf,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+           FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+         ranked AS (
+           SELECT t, doc_id, tf,
+             CAST(row_number() OVER (PARTITION BY t ORDER BY s_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM scored)
+         SELECT t, CAST(count(*) AS BIGINT) AS n_rel, min(rank) AS first_rank,
+           round(1.0 / CAST(min(rank) AS DOUBLE), 6) AS rr
+         FROM ranked WHERE tf >= 2
+         GROUP BY t ORDER BY t""",
     "d6_prf_expansion" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
