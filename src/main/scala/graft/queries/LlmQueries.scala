@@ -40,7 +40,7 @@ object LlmQueries {
     * session. */
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
     ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf)
-    pqArtifactsFor(s, sf); sigStoreFor(s, sf); ()
+    pqArtifactsFor(s, sf); opqArtifactsFor(s, sf); sigStoreFor(s, sf); ()
   }
 
   /** Flat-PQ serving artifacts (codebooks + codes), materialized once per
@@ -63,6 +63,31 @@ object LlmQueries {
           .encode(e, col("vec_id"), col("embedding"), cb, p)
           .write.mode("overwrite").parquet(path)
         cb.write.mode("overwrite").parquet(s"$path/_codebooks")
+        path
+      }
+    )
+
+  /** OPQ-style serving artifacts: PQ trained in the PCA-ROTATED space
+    * (Ge et al., "Optimized Product Quantization", CVPR 2013 — the
+    * PCA-initialized variant): the energy-compacting rotation decorrelates
+    * subspaces before they quantize independently, which is the entire
+    * premise PQ's independence assumption leans on. Artifacts: rotated
+    * codes + `_codebooks` + the `_model` rotation itself (queries must
+    * rotate the same way). Built once per session like every index here. */
+  private def opqArtifactsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#opq", {
+        val p    = ProductQuantizer.PqParams()
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_opq_${sanitizedKey(sf)}"
+        val e    = Tables.embeddings(s, sf)
+        val model = Pca.fit(e, col("vec_id"), col("embedding"), dim = 64)
+        val rot   = Pca.project(e, col("vec_id"), col("embedding"), model, k = 64, whiten = false)
+        val cb    = ProductQuantizer.trainCodebooks(rot, col("id"), col("proj"), p)
+        ProductQuantizer
+          .encode(rot, col("id"), col("proj"), cb, p)
+          .write.mode("overwrite").parquet(path)
+        cb.write.mode("overwrite").parquet(s"$path/_codebooks")
+        model.write.mode("overwrite").parquet(s"$path/_model")
         path
       }
     )
@@ -836,6 +861,33 @@ object LlmQueries {
         e, col("vec_id"), col("embedding"),
         s.read.parquet(path), s.read.parquet(s"$path/_codebooks"), q,
         k = 10, shortlist = 50, ProductQuantizer.PqParams())
+    }),
+
+    // D4 (OPQ): the PQ serving pair IN THE PCA-ROTATED SPACE — the
+    // rotation decorrelates subspaces before independent quantization
+    // (the premise PQ leans on), then ADC-shortlists on rotated codes and
+    // exact-reranks in the ORIGINAL space. Composes d3_pca_whiten's fit
+    // with d4_topk_pq's serving path; artifacts (rotation + codebooks +
+    // codes) are session-built offline like every index here. Rows-only;
+    // recall/shape laws in ProductQuantizerSpec.
+    "d4_topk_opq" -> ((s, sf) => {
+      val p     = ProductQuantizer.PqParams()
+      val path  = opqArtifactsFor(s, sf)
+      val e     = Tables.embeddings(s, sf)
+      val model = s.read.parquet(s"$path/_model")
+      val qRot = Pca
+        .project(e.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), model, k = 64)
+        .select(col("proj").as("qvec"))
+      val shortlist = ProductQuantizer
+        .adcTopK(s.read.parquet(path), s.read.parquet(s"$path/_codebooks"), qRot, 50, p)
+        .select(col("vec_id"))
+      val q = e.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qv"))
+      e.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(VectorOps.cosineNative(s, col("v"), col("qv")), 9).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // D4 (IVFPQ): partition-pruned probe of the MATERIALIZED PQ index —

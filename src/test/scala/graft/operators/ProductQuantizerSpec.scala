@@ -119,6 +119,23 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(selected.length <= 4, s"probe read ${selected.length} partitions, expected <= nprobe=4")
   }
 
+  test("OPQ (PCA-rotated PQ) serving path: k rows, descending, recall floor vs exact") {
+    val got = graft.SparkEntry
+      .queries("d4_topk_opq")(spark, TestSpark.sf0001)
+      .as[(Long, Double)]
+      .collect()
+    assert(got.length === 10)
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)), "not descending")
+    val q = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val exact = SimilarityJoin
+      .topK(emb, col("vec_id"), col("embedding"), q, 10)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val recall = got.map(_._1).count(exact) / 10.0
+    // The rotation must not DESTROY the shortlist: same floor as the
+    // plain-PQ law (exact parity is not promised — the codebooks differ).
+    assert(recall >= 0.5, s"OPQ recall $recall < 0.5")
+  }
+
   test("codebook training is deterministic: two independent trains agree") {
     val a = ProductQuantizer.trainCodebooks(emb, col("vec_id"), col("embedding"), p)
       .as[(Int, Int, Array[Double])].collect().map(r => (r._1, r._2) -> r._3.toSeq).toMap
