@@ -927,7 +927,8 @@ object LlmQueries {
           s.read.parquet(pqPath), s.read.parquet(s"$pqPath/_codebooks"), qf,
           k = 10, shortlist = 50, ProductQuantizer.PqParams()), "pq"),
         ids(SimilarityJoin.lshTopK(e, col("vec_id"), col("embedding"), dim = 64, qd, k = 10,
-          tables = 16, bitsPerTable = 4), "lsh"))
+          tables = 16, bitsPerTable = 4), "lsh"),
+        ids(defs("d4_topk_opq")(s, sf), "opq"))
       candidates
         .reduce(_.unionByName(_))
         .join(broadcast(exactIds), Seq("vec_id"), "left_semi")
