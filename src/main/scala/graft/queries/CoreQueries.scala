@@ -1487,7 +1487,43 @@ object CoreQueries {
         .history(
           Tables.events(s, sf),
           col("user_id"), col("ts"), col("event_type"), col("event_id"))
-        .orderBy("key", "version"))
+        .orderBy("key", "version")),
+
+    // C36: recursive CTE (Spark 4's UnionLoop) — a data-driven monthly
+    // date spine from min to max order month, left-joined to monthly
+    // revenue so gap months surface as explicit zero rows (the shape
+    // every reporting rollup needs and a plain GROUP BY cannot produce).
+    // The recursion generates ~one row per month — bounded by the date
+    // range, never by data volume — and carries its own stop bound in
+    // the loop state (no correlated subquery in the recursive step), so
+    // the plan is a constant-depth loop over a one-row frame plus ONE
+    // aggregation of orders and a broadcast-sized join at any corpus
+    // scale. DuckDB twin is the same WITH RECURSIVE, verbatim semantics.
+    "c36_recursive_cte" -> ((s, sf) =>
+      s.sql(s"""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+          FROM parquet.`$sf/orders.parquet`
+        ),
+        months(m, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months WHERE m < hi
+        ),
+        rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM parquet.`$sf/orders.parquet`
+          GROUP BY 1
+        )
+        SELECT months.m,
+               CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+               COALESCE(rev.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN rev ON rev.m = months.m
+        ORDER BY months.m
+      """))
   )
 
   val sql: Map[String, String] = Map(
@@ -2161,6 +2197,29 @@ object CoreQueries {
            lead(ts) OVER w IS NULL AS is_current
          FROM runs
          WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
-         ORDER BY key, version"""
+         ORDER BY key, version""",
+    "c36_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+           SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                  CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+           FROM orders
+         ),
+         months(m, hi) AS (
+           SELECT lo, hi FROM bounds
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+         ),
+         rev AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  count(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders
+           GROUP BY 1
+         )
+         SELECT months.m,
+                CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+                COALESCE(rev.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+         FROM months LEFT JOIN rev ON rev.m = months.m
+         ORDER BY months.m"""
   )
 }

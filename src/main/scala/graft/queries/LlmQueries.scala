@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Triangles, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -2624,6 +2624,25 @@ object LlmQueries {
               lit(0.0)),
             6).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // D9 (graph structure): per-node triangle counts over the near-dup
+    // graph — the clique-vs-chain diagnostic that decides whether
+    // transitive closure (connectedComponents) is safe to collapse or
+    // over-merges. Degree-ordered node-iterator (operators/Triangles
+    // .scala): out-degree ≤ O(√m) under the (deg, id) orientation, so the
+    // wedge join survives hub skew that would square a naive self-join.
+    // Oracle: DuckDB recomputes the same Jaccard edges + naive a<b<c
+    // 3-way join (safe at oracle scale, not at 100 TB).
+    "d9_triangle_count" -> ((s, sf) => {
+      val edges = Dedup
+        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      Triangles
+        .perNodeCounts(edges, col("doc_a"), col("doc_b"))
+        .select(col("n").as("doc_id"), col("n_triangles"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4238,6 +4257,33 @@ object LlmQueries {
            CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
            round(coalesce(CAST(per.n_dup AS DOUBLE) / nullif(CAST(len(sh.sh) AS DOUBLE), 0.0), 0.0), 6) AS dup_frac
          FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
-         ORDER BY sh.doc_id"""
+         ORDER BY sh.doc_id""",
+    "d9_triangle_count" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM pairs e1
+           JOIN pairs e2 ON e2.a = e1.b
+           JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+         cnt AS (
+           SELECT n, count(*) AS c
+           FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+           GROUP BY n)
+         SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+         FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
+         ORDER BY doc_id"""
   )
 }
