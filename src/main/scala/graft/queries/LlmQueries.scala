@@ -2643,6 +2643,70 @@ object LlmQueries {
         .perNodeCounts(edges, col("doc_a"), col("doc_b"))
         .select(col("n").as("doc_id"), col("n_triangles"))
         .orderBy("doc_id")
+    }),
+
+    // D3 (representation health): embedding isotropy — the anisotropy
+    // diagnostic (Ethayarajh/Mu-Viswanath-style) that says whether cosine
+    // scores carry signal or every vector points the same way. Uses the
+    // resultant-vector identity: for unit vectors u_i with S = Σ u_i,
+    // mean pairwise cos = (‖S‖² − Σ‖u_i‖²) / (n(n−1)) — ONE narrow
+    // explode + a 64-row agg instead of the n² pair join. Exactness
+    // convention: components quantize to the 1e-9 micro-grid, all sums
+    // ride longs / DECIMAL(38,0) (HUGEINT on the oracle), one final
+    // double divide — so the identity holds bit-for-bit on both engines
+    // and any partitioning. centroid_norm = ‖S‖/n is the companion
+    // "common-direction mass" number (0 for perfectly isotropic).
+    "d3_isotropy" -> ((s, sf) => {
+      val qv = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      val e  = Tables.embeddings(s, sf)
+      val comps = e
+        .select(posexplode(VectorOps.normalize(VectorOps.asDouble(col("embedding")))).as(Seq("pos", "x")))
+        .select(col("pos"), qv.as("q"))
+        .groupBy(col("pos"))
+        .agg(
+          sum(col("q")).as("sd"),
+          sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("self_d"))
+      val tot = comps.agg(
+        sum(col("sd").cast(DecimalType(38, 0)) * col("sd")).as("s2"),
+        sum(col("self_d")).as("self2"))
+      val nRow = e.agg(count(lit(1)).as("n"))
+      tot
+        .crossJoin(nRow) // 1×1 rows: plans as a broadcast loop, not a data-sized product
+        .select(
+          col("n"),
+          round(
+            (col("s2") - col("self2")).cast("double")
+              / (col("n").cast("double") * (col("n") - 1).cast("double") * lit(1e18)),
+            9).as("mean_pair_cos"),
+          round(sqrt(col("s2").cast("double")) / (col("n").cast("double") * lit(1e9)), 9)
+            .as("centroid_norm"))
+    }),
+
+    // D5 (lexical diversity): MSTTR — mean segmental type-token ratio,
+    // the standard windowed TTR that removes raw TTR's length bias by
+    // averaging distinct/total over fixed 25-token segments (ragged tail
+    // dropped, per the metric's definition). Template/boilerplate docs
+    // score low at any length; the companion signal to d5_repetition's
+    // top-bigram share. Narrow explode → (doc, segment) agg → doc agg;
+    // decimal segment-TTR sums so the mean is order-independent.
+    "d5_msttr" -> ((s, sf) => {
+      val segLen = 25
+      val segs = Tables
+        .documents(s, sf)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), (col("pos") / segLen).cast("long").as("seg"))
+        .agg(countDistinct(col("tok")).as("types"), count(lit(1)).as("toks"))
+        .filter(col("toks") === segLen)
+      segs
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"), sum(col("types")).as("st"))
+        // exact long sum of per-segment type counts; ONE double divide at
+        // the end so both engines round the same value
+        .select(
+          col("doc_id"), col("n_segments"),
+          round(col("st").cast("double") / (col("n_segments").cast("double") * segLen), 9)
+            .as("msttr"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4284,6 +4348,38 @@ object LlmQueries {
            GROUP BY n)
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "d3_isotropy" ->
+      """WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+               FROM dv),
+         comps AS (
+           SELECT CAST(i - 1 AS BIGINT) AS pos,
+             SUM(CAST(sign(v[i]) * floor(abs(v[i]) * 1e9) AS BIGINT)) AS sd,
+             SUM(CAST(CAST(sign(v[i]) * floor(abs(v[i]) * 1e9) AS BIGINT) AS HUGEINT)
+                 * CAST(sign(v[i]) * floor(abs(v[i]) * 1e9) AS BIGINT)) AS self_d
+           FROM u CROSS JOIN range(1, 65) r(i)
+           GROUP BY 1),
+         tot AS (SELECT SUM(CAST(sd AS HUGEINT) * sd) AS s2, SUM(self_d) AS self2 FROM comps),
+         nn AS (SELECT count(*) AS n FROM embeddings)
+         SELECT nn.n AS n,
+           round(CAST(tot.s2 - tot.self2 AS DOUBLE)
+                 / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE) * 1e18), 9) AS mean_pair_cos,
+           round(sqrt(CAST(tot.s2 AS DOUBLE)) / (CAST(nn.n AS DOUBLE) * 1e9), 9) AS centroid_norm
+         FROM tot, nn""",
+    "d5_msttr" ->
+      """WITH d AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+                    FROM documents),
+         ex AS (SELECT doc_id,
+                  unnest(list_transform(tk, (x, i) -> {'seg': (i - 1) // 25, 'tok': x})) AS u
+                FROM d),
+         segs AS (
+           SELECT doc_id, u.seg AS seg, count(DISTINCT u.tok) AS types
+           FROM ex GROUP BY 1, 2 HAVING count(*) = 25)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(SUM(types) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 25), 9) AS msttr
+         FROM segs GROUP BY doc_id ORDER BY doc_id"""
   )
 }

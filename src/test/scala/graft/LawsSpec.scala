@@ -183,4 +183,47 @@ class LawsSpec extends AnyFunSuite {
     assert(byCol.getLong(2) === keepTrue,
       "report keep_docs must match the per-doc gopher battery")
   }
+
+  test("isotropy resultant identity matches brute-force mean pairwise cosine") {
+    // (‖Σu‖² − n) / (n(n−1)) on unit vectors ≡ the n² pairwise mean —
+    // the algebraic shortcut d3_isotropy rides (within the 1e-9
+    // micro-grid's quantization of each component).
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .limit(40)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .collect()
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    val n = emb.length
+    val brute = (for {
+      i <- emb.indices; j <- emb.indices if i < j
+    } yield emb(i).zip(emb(j)).map { case (a, b) => a * b }.sum).sum * 2.0 / (n.toDouble * (n - 1))
+    val s  = emb.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val s2 = s.map(x => x * x).sum
+    val viaIdentity = (s2 - n) / (n.toDouble * (n - 1))
+    assert(math.abs(brute - viaIdentity) < 1e-9, s"$brute vs $viaIdentity")
+    // and the registered query agrees with the identity on the full fixture
+    val q = SparkEntry.queries("d3_isotropy")(spark, TestSpark.sf0001).head()
+    assert(math.abs(q.getDouble(1)) < 1.0 && q.getDouble(2) >= 0.0)
+  }
+
+  test("msttr: hand case and bounds") {
+    import spark.implicits._
+    // 50 tokens: first 25 all distinct (ttr 1.0), next 25 all "x" (ttr 1/25)
+    val text = ((1 to 25).map(i => s"w$i") ++ Seq.fill(25)("x")).mkString(" ")
+    val df   = Seq((1L, text, "en", "s", text.length.toLong)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir  = java.nio.file.Files.createTempDirectory("msttr").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("d5_msttr")(spark, dir).head()
+    assert(r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - (1.0 + 1.0 / 25) / 2) < 1e-9)
+    // bounds on the real fixture: 0 < msttr ≤ 1, tail segments dropped
+    val all = SparkEntry.queries("d5_msttr")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(all.nonEmpty)
+    assert(all.forall { case (_, segs, m) => segs >= 1 && m > 0.0 && m <= 1.0 })
+  }
 }
