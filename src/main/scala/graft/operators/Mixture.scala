@@ -350,4 +350,62 @@ object Mixture {
       "__slc", "__sk", idCol, tokenCountCol, "__before", subShards)
       .filter(col("__before") < col("__budget"))
       .drop("__slice", "__budget", "__slc", "__sk", "__before")
+
+  /** First-fit-decreasing bin packing of sequences into fixed-capacity
+    * packs — the SFT/fine-tuning batch packer. [[packSequences]] is the
+    * right pretraining packer (documents concatenate and split across
+    * pack boundaries, so sequential cumsum assignment wastes nothing);
+    * FFD is the right packer when sequences must NOT split (chat
+    * transcripts, instruction pairs): it minimizes padding waste, with
+    * the classic 11/9·OPT+6/9 bin guarantee vs sequential next-fit's
+    * 2·OPT.
+    *
+    * Distribution contract: FFD is inherently sequential PER GROUP, so
+    * groups must be bounded. Items hash-split into `subGroups` sub-groups
+    * per slice ([[shuffleBucket]] on the id — deterministic on any
+    * partitioning/engine), FFD runs independently inside each via
+    * `flatMapGroups` (one shuffle on the group key; per-task memory =
+    * one sub-group's items, sized like a training shard — NOT the slice).
+    * Pack keys are hierarchical (`slice/sub/local`), the same
+    * prefix-machinery convention as the curriculum ranks. Oversized
+    * items (n_tok > cap) get a singleton pack, flagged `oversize`.
+    *
+    * Output: (slice, doc_id, n_tok, pack_key, oversize). Not ANSI-SQL
+    * expressible (the bin state is a loop carry) → registered rows-only;
+    * conservation / capacity / beats-sequential / partitioning-
+    * independence laws live in MixtureSpec. */
+  def packFirstFitDecreasing(
+      docs: DataFrame,
+      idCol: Column,
+      sliceCol: Column,
+      tokenCountCol: Column,
+      maxTokensPerPack: Long,
+      subGroups: Int = 1
+  ): DataFrame = {
+    require(maxTokensPerPack > 0, "pack capacity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in = docs.select(
+      sliceCol.cast("string").as("slice"),
+      idCol.cast("long").as("doc_id"),
+      tokenCountCol.cast("long").as("n_tok"),
+      shuffleBucket(shuffleKey(idCol), subGroups).as("sub"))
+    in.as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (slice, sub) = key
+        // FFD: largest first (ties by id for determinism), each item into
+        // the FIRST bin it fits; opens a new bin when none fits.
+        val items = it.toArray.sortBy { case (_, id, tok, _) => (-tok, id) }
+        val binRemaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, id, tok, _) =>
+          val fit = binRemaining.indexWhere(_ >= tok)
+          val bin =
+            if (fit >= 0) { binRemaining(fit) -= tok; fit }
+            else { binRemaining += (maxTokensPerPack - tok).max(0L); binRemaining.length - 1 }
+          (slice, id, tok, s"$slice/$sub/$bin", tok > maxTokensPerPack)
+        }
+      }
+      .toDF("slice", "doc_id", "n_tok", "pack_key", "oversize")
+  }
 }

@@ -2682,6 +2682,29 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D7 (SFT batching): first-fit-decreasing packing — sequences that
+    // must NOT split (chat transcripts, instruction pairs) packed into
+    // 512-token bins with minimal padding waste (FFD ≤ 11/9·OPT vs
+    // next-fit's 2·OPT). Hash-bounded sub-groups keep per-task FFD state
+    // shard-sized at any corpus scale; pack keys are hierarchical
+    // (slice/sub/local). Loop-carried bin state → no SQL twin →
+    // rows-only; conservation / capacity / beats-sequential /
+    // partitioning-independence laws in MixtureSpec.
+    "d7_ffd_packing" -> ((s, sf) => {
+      val docs = Tables
+        .documents(s, sf)
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+      Mixture
+        .packFirstFitDecreasing(docs, col("doc_id"), col("source"), col("n_tok"),
+          maxTokensPerPack = 512L, subGroups = 2)
+        .groupBy(col("slice"), col("pack_key"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          max(col("oversize").cast("int")).cast("boolean").as("has_oversize"))
+        .orderBy("slice", "pack_key")
+    }),
+
     // D5 (lexical diversity): MSTTR — mean segmental type-token ratio,
     // the standard windowed TTR that removes raw TTR's length bias by
     // averaging distinct/total over fixed 25-token segments (ragged tail

@@ -327,4 +327,65 @@ class MixtureSpec extends AnyFunSuite {
     val firstShard = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
     assert(firstShard !== firstShard.sorted, "within-shard order is not shuffled")
   }
+
+  test("FFD packing: conservation, capacity, hand case") {
+    val cap = 10L
+    val in = Seq(
+      (1L, "a", 7L), (2L, "a", 6L), (3L, "a", 4L), (4L, "a", 3L), (5L, "a", 2L),
+      (6L, "b", 12L), (7L, "b", 1L)).toDF("doc_id", "slice", "n_tok")
+    val out = Mixture
+      .packFirstFitDecreasing(in, col("doc_id"), col("slice"), col("n_tok"), cap)
+      .as[(String, Long, Long, String, Boolean)].collect()
+    // every input exactly once
+    assert(out.map(_._2).sorted.toSeq === (1L to 7L))
+    // per-pack capacity (oversize singletons exempt)
+    val byPack = out.groupBy(_._4)
+    byPack.foreach { case (k, items) =>
+      if (items.exists(_._5)) assert(items.length === 1, s"oversize pack $k not a singleton")
+      else assert(items.map(_._3).sum <= cap, s"pack $k over capacity")
+    }
+    // hand-run FFD on slice a (desc: 7,6,4,3,2): bins [7,3],[6,4],[2] → 3 bins
+    assert(byPack.keys.count(_.startsWith("a/")) === 3)
+    assert(out.filter(_._1 == "a").filter(x => Set(1L, 4L).contains(x._2)).map(_._4).distinct.length === 1,
+      "7 and 3 share a bin")
+    // slice b: oversize 12 alone (flagged), 1 in its own bin
+    assert(out.find(_._2 == 6L).get._5 === true)
+    assert(out.filter(_._1 == "b").map(_._4).distinct.length === 2)
+  }
+
+  test("FFD packing: first-fit tightness and token lower bound; deterministic on any partitioning") {
+    val cap = 256L
+    val ffd = Mixture
+      .packFirstFitDecreasing(docs, col("doc_id"), col("source"), col("n_tok"), cap)
+    // First-fit guarantee: within a group, no TWO packs can both be ≤ half
+    // full (the later one's items would have fit the earlier), and the
+    // group can't use more packs than the ceil(tokens/cap) lower bound
+    // times ~2 (any-fit bound). NOTE packSequences is NOT a valid
+    // comparison point: it lets a doc straddle the boundary, so its
+    // "packs" overflow cap — fewer bins, but not bins an SFT batch can use.
+    val packs = ffd
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .groupBy(r => (r._1, r._4.split("/")(1)))
+      .map { case (g, rows) =>
+        (g, rows.groupBy(_._4).map { case (_, items) => items.map(_._3).sum }.toSeq)
+      }
+    packs.foreach { case (g, sizes) =>
+      assert(sizes.count(_ <= cap / 2) <= 1, s"group $g: two half-empty packs ${sizes.sorted}")
+      val lower = (sizes.sum + cap - 1) / cap
+      assert(sizes.length <= 2 * lower, s"group $g: ${sizes.length} packs vs lower bound $lower")
+    }
+    // FFD must not lose or duplicate docs at fixture scale either
+    assert(ffd.count() === docs.count())
+    assert(ffd.select("doc_id").distinct().count() === docs.count())
+    // repartition invariance (incl. sub-grouped form)
+    for (sub <- Seq(1, 4)) {
+      val a = Mixture
+        .packFirstFitDecreasing(docs, col("doc_id"), col("source"), col("n_tok"), cap, sub)
+        .as[(String, Long, Long, String, Boolean)].collect().sortBy(_._2).toSeq
+      val b = Mixture
+        .packFirstFitDecreasing(docs.repartition(13), col("doc_id"), col("source"), col("n_tok"), cap, sub)
+        .as[(String, Long, Long, String, Boolean)].collect().sortBy(_._2).toSeq
+      assert(a === b, s"subGroups=$sub not partition-invariant")
+    }
+  }
 }
