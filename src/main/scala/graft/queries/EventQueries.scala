@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Decode
+import graft.operators.AsOfJoin
 import graft.tables.Tables
 
 /** Reference-surface queries over `events` (SURVEY.md §2.A) plus the batch
@@ -425,6 +426,49 @@ object EventQueries {
         .join(counts, Seq("user_id", "day"), "left_outer")
         .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("user_id", "day")
+    }),
+
+    // B13: CEP pattern matching, batch twin — the MATCH_RECOGNIZE shape
+    // "view → click → purchase, each step within 4 h of the next",
+    // emitting one row per COMPLETE match (the last qualifying step wins
+    // each slot). Composed from two backward as-of joins with a staleness
+    // tolerance (operators/AsOfJoin.scala: per-step candidate window +
+    // rank-1 prune — two keyed shuffles, no per-user state explosion).
+    // The streaming form of the same semantics is StreamOps
+    // .detectSequence (flatMapGroupsWithState); this twin gives the
+    // oracle a deterministic batch handle (DuckDB LATERAL rank-1).
+    "b13_cep_match" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("click_ts"))
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("view_ts"))
+      val pc = AsOfJoin
+        .asOf(
+          purchases, clicks,
+          leftId = col("purchase_id"),
+          leftKey = col("user_id"), rightKey = col("cu"),
+          leftTime = col("purchase_ts"), rightTime = col("click_ts"),
+          tieBreak = Seq(col("click_id").desc),
+          toleranceSeconds = Some(14400L))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("click_id"), col("click_ts"))
+      AsOfJoin
+        .asOf(
+          pc, views,
+          leftId = col("purchase_id"),
+          leftKey = col("user_id"), rightKey = col("vu"),
+          leftTime = col("click_ts"), rightTime = col("view_ts"),
+          tieBreak = Seq(col("view_id").desc),
+          toleranceSeconds = Some(14400L))
+        .select(
+          col("user_id"), col("view_id"), col("click_id"), col("purchase_id"),
+          col("view_ts"), col("click_ts"), col("purchase_ts"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -638,6 +682,30 @@ object EventQueries {
            FROM events GROUP BY 1, 2)
          SELECT g.user_id, g.day, COALESCE(c.cnt, 0) AS cnt
          FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
-         ORDER BY g.user_id, g.day"""
+         ORDER BY g.user_id, g.day""",
+    "b13_cep_match" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         pc AS (
+           SELECT p.purchase_id, p.user_id, p.purchase_ts, cc.click_id, cc.click_ts
+           FROM p, LATERAL (
+             SELECT click_id, click_ts FROM c
+             WHERE c.user_id = p.user_id
+               AND c.click_ts <= p.purchase_ts
+               AND c.click_ts >= p.purchase_ts - INTERVAL 14400 SECOND
+             ORDER BY click_ts DESC, click_id DESC LIMIT 1) cc)
+         SELECT pc.user_id, vv.view_id, pc.click_id, pc.purchase_id,
+                vv.view_ts, pc.click_ts, pc.purchase_ts
+         FROM pc, LATERAL (
+           SELECT view_id, view_ts FROM v
+           WHERE v.user_id = pc.user_id
+             AND v.view_ts <= pc.click_ts
+             AND v.view_ts >= pc.click_ts - INTERVAL 14400 SECOND
+           ORDER BY view_ts DESC, view_id DESC LIMIT 1) vv
+         ORDER BY pc.purchase_id"""
   )
 }
