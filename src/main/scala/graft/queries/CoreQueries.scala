@@ -666,6 +666,25 @@ object CoreQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // C15 (distribution ranks): percent_rank + cume_dist — the remaining
+    // ANSI ranking functions. Both are functions of the ORDER-BY key's
+    // rank only (tie order inside a peer group cannot change them), so
+    // ordering on the raw price is engine-deterministic; the final
+    // output order adds the key for the row-order compare.
+    "c15_window_dist" -> ((s, sf) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      Tables
+        .orders(s, sf)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
     // C16: analytic window functions with explicit frames.
     "c16_window_analytic" -> ((s, sf) => {
       val w  = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1758,6 +1777,14 @@ object CoreQueries {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "c15_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+         FROM orders
+         WHERE o_orderkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
     "c16_window_analytic" ->
       """SELECT o_custkey, o_orderkey,
          lag(o_totalprice, 1) OVER w AS prev_price,

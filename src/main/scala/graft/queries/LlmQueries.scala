@@ -2682,6 +2682,40 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D6 (retrieval, 2nd scorer): Dirichlet-smoothed query likelihood —
+    // the language-modeling ranker next to BM25's tf-idf one: score =
+    // Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)) over the SAME 3-term panel,
+    // so the two rankers are comparable row for row (and fusable by
+    // d6_rrf_fusion's machinery). Unlike BM25 a query term ABSENT from
+    // the doc still scores (the background model) — the doc×term grid is
+    // a 3-row broadcast, zero-filled tf. Per-term scores quantize to
+    // pico-units (exact long sums, the d6_bm25 convention); one corpus
+    // scan for tf/cf/|C|.
+    "d6_query_likelihood" -> ((s, sf) => {
+      val terms = Seq("scan", "hash", "dup")
+      val docs  = Tables.documents(s, sf).select(col("doc_id"), toks(col("text")).as("tk"))
+      val dl    = docs.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+      val ex    = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+      val hits  = ex.filter(col("t").isin(terms: _*))
+      val cf    = hits.groupBy(col("t")).agg(count(lit(1)).cast("double").as("cf"))
+      val tf    = hits.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+      val nTot  = ex.agg(count(lit(1)).cast("double").as("n_total"))
+      val sMicro = round(
+        log((coalesce(col("tf"), lit(0.0)) + (lit(300.0) * col("cf")) / col("n_total"))
+          / (col("dl") + lit(300.0))) * lit(1e12)).cast("long")
+      dl
+        .crossJoin(broadcast(cf))       // 3-row term dim
+        .crossJoin(broadcast(nTot))     // 1-row corpus total
+        .join(tf, Seq("doc_id", "t"), "left")
+        .select(col("doc_id"), sMicro.as("s"), (coalesce(col("tf"), lit(0.0)) > 0.0).cast("long").as("m"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("m")).as("n_matched"),
+          round(sum(col("s")).cast("double") / 1e12, 6).as("ql"))
+        .orderBy(col("ql").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // D7 (SFT batching): first-fit-decreasing packing — sequences that
     // must NOT split (chat transcripts, instruction pairs) packed into
     // 512-token bins with minimal padding waste (FFD ≤ 11/9·OPT vs
@@ -4372,6 +4406,28 @@ object LlmQueries {
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
          ORDER BY doc_id""",
+    "d6_query_likelihood" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+         ex AS (SELECT doc_id, u.tok AS t FROM toks, unnest(tk) AS u(tok)),
+         ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM ex),
+         hits AS (SELECT doc_id, t FROM ex WHERE t IN ('scan', 'hash', 'dup')),
+         cf AS (SELECT t, CAST(count(*) AS DOUBLE) AS cf FROM hits GROUP BY t),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM hits GROUP BY doc_id, t),
+         scored AS (
+           SELECT dl.doc_id,
+             CAST(round(
+               ln((coalesce(tf.tf, 0.0) + (300.0 * cf.cf) / ntot.n_total) / (dl.dl + 300.0))
+                 * 1e12) AS BIGINT) AS s,
+             CASE WHEN coalesce(tf.tf, 0.0) > 0.0 THEN 1 ELSE 0 END AS m
+           FROM dl CROSS JOIN cf CROSS JOIN ntot
+           LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = cf.t)
+         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_matched,
+           round(CAST(sum(s) AS DOUBLE) / 1e12, 6) AS ql
+         FROM scored GROUP BY doc_id
+         ORDER BY ql DESC, doc_id LIMIT 20""",
     "d3_isotropy" ->
       """WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          u AS (SELECT vec_id,
