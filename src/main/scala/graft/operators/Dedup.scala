@@ -712,4 +712,56 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family, on tokens): cut
+    * a document into variable-size chunks at positions where a k-token
+    * rolling window hashes to a boundary value. Because boundaries depend
+    * only on LOCAL content, an insertion early in a document shifts at
+    * most one chunk — unlike fixed-size blocks, where one inserted token
+    * re-keys every downstream block. That makes chunk-hash dedup the
+    * storage-level dedup: near-identical documents (crawl re-fetches,
+    * template families) share most chunk hashes even when exact-doc and
+    * even span-level dedup miss them.
+    *
+    * Determinism/oracle contract: the boundary predicate is
+    * `substr(md5(window), 1, hexZeros) = '0'*hexZeros` — pure string ops
+    * both engines evaluate identically (no float, no seed). Expected
+    * chunk length ≈ 16^hexZeros tokens. Plan shape: one explode + ONE
+    * per-doc window prefix-sum (boundary flags → chunk ids) + one
+    * (doc, chunk) agg — a single keyed shuffle on doc_id, then one on
+    * (doc, chunk); no pairwise anything, corpus-linear at any scale.
+    *
+    * Returns (doc_id, chunk_idx, n_tok, chunk_hash). Every doc with ≥1
+    * token emits ≥1 chunk; chunk_idx is dense from 0 in token order. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      windowTokens: Int = 4,
+      hexZeros: Int = 1
+  ): DataFrame = {
+    require(windowTokens >= 1 && hexZeros >= 1 && hexZeros <= 8)
+    val zeros = "0" * hexZeros
+    val ex = docs
+      .select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("p", "tok")))
+    // boundary AFTER position p when the k-window ending at p hits the
+    // boundary pattern; chunk id = count of boundaries strictly before p.
+    val isBoundary = (col("p") >= windowTokens - 1) &&
+      (substring(md5(concat_ws(" ", slice(col("tk"), col("p") - (windowTokens - 2), lit(windowTokens)))), 1, hexZeros)
+        === zeros)
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex
+      .withColumn("b", isBoundary.cast("long"))
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tok"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("p"), col("tok")))), s => s.getField("tok")),
+          " ")).as("chunk_hash"))
+  }
 }

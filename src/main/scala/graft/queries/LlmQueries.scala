@@ -2682,6 +2682,29 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D1 (storage-level dedup): content-defined chunking — variable-size
+    // chunks cut where a 4-token rolling window md5-hashes to a boundary
+    // nibble (Dedup.cdcChunks, FastCDC/rsync family). Chunk-hash overlap
+    // catches the re-fetched/templated near-copies that exact-doc dedup
+    // misses while staying corpus-LINEAR (no pair join at all — compare
+    // d2's candidate joins): per-doc shared-token mass is the projected
+    // storage saving of chunk-level dedup at 100 TB. One window count
+    // over chunk_hash (same one-pass trick as d2_span_dedup).
+    "d1_cdc_dedup" -> ((s, sf) => {
+      val chunks = Dedup.cdcChunks(Tables.documents(s, sf), col("doc_id"), col("text"))
+      chunks
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(when(col("occ") >= 2, col("n_tok")).otherwise(0L)).as("shared_tok"))
+        .withColumn("shared_frac",
+          round(col("shared_tok").cast("double") / col("n_tok").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // D6 (retrieval, 2nd scorer): Dirichlet-smoothed query likelihood —
     // the language-modeling ranker next to BM25's tf-idf one: score =
     // Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)) over the SAME 3-term panel,
@@ -4406,6 +4429,33 @@ object LlmQueries {
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
          ORDER BY doc_id""",
+    "d1_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+                    FROM documents),
+         ex AS (SELECT doc_id, tk,
+                  unnest(list_transform(tk, (x, i) -> {'p': i - 1, 'tok': x})) AS u
+                FROM d),
+         fl AS (SELECT doc_id, u.p AS p, u.tok AS tok,
+                  CASE WHEN u.p >= 3
+                         AND substr(md5(array_to_string(tk[u.p-2 : u.p+1], ' ')), 1, 1) = '0'
+                       THEN 1 ELSE 0 END AS b
+                FROM ex),
+         ch AS (SELECT doc_id, p, tok,
+                  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+                FROM fl),
+         chunks AS (
+           SELECT doc_id, chunk_idx, count(*) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
+           FROM ch GROUP BY 1, 2),
+         occ AS (SELECT *, count(*) OVER (PARTITION BY chunk_hash) AS occ FROM chunks)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN occ >= 2 THEN n_tok ELSE 0 END) AS BIGINT) AS shared_tok,
+           round(CAST(sum(CASE WHEN occ >= 2 THEN n_tok ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS shared_frac
+         FROM occ GROUP BY doc_id ORDER BY doc_id""",
     "d6_query_likelihood" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk

@@ -328,4 +328,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) === ((3L, "five distinct tokens right here", 5L, 0L)))
     assert(out.forall(_._4 === 0L))
   }
+
+  test("cdcChunks: chunks tile the token stream; dense indices; deterministic") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val chunks = Dedup.cdcChunks(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    val tokCounts = docs
+      .select(col("doc_id"), size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (d, cs) =>
+      assert(cs.map(_._2).sorted.toSeq === (0L until cs.length), s"doc $d chunk ids not dense")
+      assert(cs.map(_._3).sum === tokCounts(d), s"doc $d chunks don't tile its tokens")
+      assert(cs.forall(_._3 >= 1))
+    }
+    // every tokenized doc emits chunks
+    assert(byDoc.keySet === tokCounts.filter(_._2 > 0).keySet)
+    val again = Dedup.cdcChunks(docs.repartition(7), col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.sorted.toSeq === again.sorted.toSeq, "not partition-invariant")
+  }
+
+  test("cdcChunks: a prefix insertion only re-keys the head — the CDC shift property") {
+    // 600 tokens of deterministic content, then the same text with one
+    // token prepended. Fixed-size 16-token blocks would share ZERO block
+    // hashes; CDC re-synchronizes at the first boundary after the edit.
+    val words = (0 until 600).map(i => s"w${(i * 2654435761L) % 97}")
+    val base  = words.mkString(" ")
+    val shifted = ("zzz " + base)
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+    val h1 = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._4).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= (h1.size * 3) / 4,
+      s"CDC lost sync: only $shared of ${h1.size} chunks survive a 1-token prefix edit")
+  }
 }
