@@ -245,6 +245,48 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** D2 (asymmetric overlap): shingle CONTAINMENT pairs — c(A→B) =
+    * |A∩B|/|A|, the doc-inside-doc detector. Symmetric Jaccard misses the
+    * quote/excerpt/wrapper case by construction (a 50-shingle doc fully
+    * contained in a 5000-shingle doc has jac ≤ 0.01 but containment 1.0);
+    * decontamination and license-compliance sweeps care about exactly
+    * that asymmetry. Same de-quadratic shared-shingle candidate join as
+    * [[ngramJaccardPairs]], but NO size-compatibility prune — incomparable
+    * sizes are the point. Emits one row per unordered pair with BOTH
+    * directions (`cont_a` = into-A coverage, `cont_b` = into-B), kept when
+    * either direction clears the threshold. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("__text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextOps.distinctShingleHashesJvm(text, shingleSize)) }
+      .filter(_._2 != null)
+      .toDF("doc_id", "sh")
+    val exploded = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val l        = exploded.select(col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val r        = exploded.select(col("s").as("s_r"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    l.hint("shuffle_hash")
+      .join(r, col("s") === col("s_r") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ov"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(
+        greatest(
+          col("ov").cast("double") / col("n_a").cast("double"),
+          col("ov").cast("double") / col("n_b").cast("double")) >= threshold)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("ov").cast("double") / col("n_a").cast("double"), 9).as("cont_a"),
+        round(col("ov").cast("double") / col("n_b").cast("double"), 9).as("cont_b"))
+  }
+
   /** D2 (contamination flavor): exact k-token-shingle Jaccard pairs ACROSS
     * two corpora — the train/eval overlap check every LLM data pipeline
     * runs before training (was the eval set crawled into the training

@@ -2682,6 +2682,35 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D2 (asymmetric overlap): containment pairs — the doc-inside-doc
+    // detector symmetric Jaccard is blind to (excerpts, quoted docs,
+    // template wrappers). Both directions emitted per pair; threshold on
+    // the max direction. Dedup.containmentPairs: shared-shingle candidate
+    // join, deliberately no size prune (incomparable sizes are the
+    // signal).
+    "d2_containment" -> ((s, sf) =>
+      Dedup
+        .containmentPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // D9 (graph shape): degree histogram of the near-dup graph — the
+    // one-glance skew readout (a fat tail here is the hub that makes
+    // naive pair joins quadratic and is why Triangles orients by degree).
+    "d9_degree_hist" -> ((s, sf) => {
+      val e = Dedup
+        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      e.select(col("doc_a").as("n"))
+        .unionAll(e.select(col("doc_b").as("n")))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // D1 (storage-level dedup): content-defined chunking — variable-size
     // chunks cut where a 4-token rolling window md5-hashes to a boundary
     // nibble (Dedup.cdcChunks, FastCDC/rsync family). Chunk-hash overlap
@@ -4429,6 +4458,42 @@ object LlmQueries {
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
          ORDER BY doc_id""",
+    "d2_containment" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 9) AS cont_a,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 9) AS cont_b
+         FROM base a JOIN base b ON a.doc_id < b.doc_id
+         WHERE greatest(
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "d9_degree_hist" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         deg AS (
+           SELECT n, count(*) AS degree
+           FROM (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+           GROUP BY n)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree""",
     "d1_cdc_dedup" ->
       """WITH d AS (SELECT doc_id,
                       list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk

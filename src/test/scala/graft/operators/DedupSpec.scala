@@ -329,6 +329,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._4 === 0L))
   }
 
+  test("containmentPairs: planted excerpt scores 1.0 where Jaccard stays under threshold") {
+    val big   = (0 until 400).map(i => s"t${(i * 7919) % 389}").mkString(" ")
+    val small = big.split(" ").slice(100, 110).mkString(" ") // 10-token excerpt
+    val docs  = Seq((1L, big), (2L, small), (3L, "entirely different words here now")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    val hit = cont.find(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.isDefined, s"excerpt pair not found in ${cont.toSeq}")
+    assert(hit.get._4 === 1.0, "into-excerpt containment must be exactly 1.0")
+    assert(hit.get._3 < 0.5, "into-big containment must stay small")
+    val jac = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5).count()
+    assert(jac === 0L, "symmetric Jaccard at the same threshold must miss the excerpt")
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cdcChunks: chunks tile the token stream; dense indices; deterministic") {
     val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
     val chunks = Dedup.cdcChunks(docs, col("doc_id"), col("text"))
