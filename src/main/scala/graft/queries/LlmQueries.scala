@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Triangles, Vocab}
+import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, KCore, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Triangles, Vocab}
 import graft.tables.Tables
 
 /** LLM-data-pipeline queries (SURVEY.md §2.D D1–D9) over `documents` and
@@ -2682,6 +2682,61 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D9 (graph density): 2-core of the near-dup graph — the unique
+    // maximal subgraph where every doc keeps ≥2 similar neighbors:
+    // mutually-confirming duplicate clusters (cliques/cycles) with the
+    // chain-of-coincidence edges peeled away (operators/KCore.scala,
+    // synchronous shell peeling, checkpointed rounds). Iterative
+    // fixpoint → no SQL twin → rows-only; definition/maximality/
+    // determinism laws vs a brute-force reference in KCoreSpec.
+    "d9_kcore" -> ((s, sf) => {
+      val edges = Dedup
+        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      KCore
+        .kCore(edges, col("doc_a"), col("doc_b"), k = 2)
+        .select(col("node").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    }),
+
+    // D3 (embedding eval): kNN label consistency — the standard intrinsic
+    // quality probe for an embedding table: does majority vote over the 5
+    // nearest neighbors recover each probe's own label? Per-label
+    // accuracy is the report a team reads before trusting cosine-based
+    // dedup/clustering on a new embedding model. Probe panel broadcasts
+    // (1-in-10 slice); candidates ride the same broadcast-panel scan as
+    // d4_topk_batch (no all-pairs); self always lands in the top-6 (cos
+    // 1.0, id tie-break) and is dropped, leaving exactly 5 voters.
+    // Deterministic vote ties: max count, then min label.
+    "d3_knn_eval" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val probes = e
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), VectorOps.asDouble(col("embedding")).as("qvec"))
+      val nn = SimilarityJoin
+        .topKBatch(e, col("vec_id"), col("embedding"), probes, k = 6)
+        .filter(col("vec_id") =!= col("qid"))
+        .join(e.select(col("vec_id"), col("label").cast("long").as("nlabel")), Seq("vec_id"))
+      val votes = nn.groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("c"))
+      val wv    = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nlabel"))
+      val pred  = votes
+        .withColumn("r", row_number().over(wv))
+        .filter(col("r") === 1)
+        .select(col("qid"), col("nlabel").as("pred"))
+      pred
+        .join(
+          e.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel")),
+          Seq("qid"))
+        .groupBy(col("qlabel").as("label"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc", round(col("n_correct").cast("double") / col("n_probes").cast("double"), 6))
+        .orderBy("label")
+    }),
+
     // D2 (asymmetric overlap): containment pairs — the doc-inside-doc
     // detector symmetric Jaccard is blind to (excerpts, quoted docs,
     // template wrappers). Both directions emitted per pair; threshold on
@@ -4458,6 +4513,32 @@ object LlmQueries {
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
          ORDER BY doc_id""",
+    "d3_knn_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+         p AS (SELECT vec_id AS qid, v AS qvec, label AS qlabel FROM e WHERE vec_id % 10 = 0),
+         scored AS (
+           SELECT p.qid, e.vec_id, e.label AS nlabel,
+             round(list_dot_product(e.v, p.qvec)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qvec, p.qvec))), 9) AS cos
+           FROM e CROSS JOIN p),
+         top AS (
+           SELECT qid, vec_id, nlabel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+             FROM scored)
+           WHERE rk <= 6 AND vec_id <> qid),
+         votes AS (SELECT qid, nlabel, count(*) AS c FROM top GROUP BY 1, 2),
+         pred AS (
+           SELECT qid, nlabel AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS r
+             FROM votes)
+           WHERE r = 1)
+         SELECT p.qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred.pred = p.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred.pred = p.qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS acc
+         FROM pred JOIN p ON pred.qid = p.qid
+         GROUP BY p.qlabel ORDER BY label""",
     "d2_containment" ->
       """WITH base AS (
            SELECT doc_id,
