@@ -2682,6 +2682,72 @@ object LlmQueries {
             .as("centroid_norm"))
     }),
 
+    // D5 (collocations): top-20 adjacent-bigram PMI — the corpus-analysis
+    // pass that surfaces multiword units ("new york"-style) for
+    // tokenizer/vocab design: PMI = ln(c_ab·N / (c_a·c_b)), support floor
+    // c_ab ≥ 5 (PMI's low-count pathology), rounded BEFORE the ranking so
+    // both engines cut the same top-20. Exact integer counts all the way;
+    // one explode feeds both the unigram and bigram aggs.
+    "d5_collocations" -> ((s, sf) => {
+      val tk = Tables.documents(s, sf).select(toks(col("text")).as("tk"))
+      val bigrams = tk.select(
+        explode(
+          when(size(col("tk")) >= 2,
+            transform(
+              sequence(lit(1), size(col("tk")) - 1),
+              i => struct(
+                element_at(col("tk"), i).as("w1"),
+                element_at(col("tk"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val uni = tk
+        .select(explode(col("tk")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cw"))
+      val n = tk.select(explode(col("tk")).as("w")).agg(count(lit(1)).cast("double").as("n_tok"))
+      bigrams
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("w1"), col("w2"), col("cab"),
+          round(
+            log((col("cab").cast("double") * col("n_tok"))
+              / (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // D6 (retrieval UX): best-snippet extraction — per matching doc, the
+    // 10-token window with the most query-term hits (earliest window on
+    // ties), re-sliced to the display string. One explode + ONE forward-
+    // looking window frame (ROWS current..+9) + rank-1 — no join against
+    // a position table; integer hit counts keep the argmax engine-exact.
+    "d6_snippet" -> ((s, sf) => {
+      val terms = Seq("scan", "hash", "dup")
+      val base = Tables.documents(s, sf)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val ex = base
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+        .withColumn("hit", col("tok").isin(terms: _*).cast("long"))
+      val wf = Window.partitionBy(col("doc_id")).orderBy(col("p")).rowsBetween(0, 9)
+      val wr = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("p"))
+      val best = ex
+        .withColumn("hits", sum(col("hit")).over(wf))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1 && col("hits") >= 1)
+        .select(col("doc_id"), col("p").cast("long").as("start_pos"), col("hits"))
+      best
+        .join(base, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("start_pos"), col("hits"),
+          concat_ws(" ", slice(col("tk"), col("start_pos") + 1, lit(10))).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // D9 (graph density): 2-core of the near-dup graph — the unique
     // maximal subgraph where every doc keeps ≥2 similar neighbors:
     // mutually-confirming duplicate clusters (cliques/cycles) with the
@@ -4513,6 +4579,51 @@ object LlmQueries {
          SELECT nodes.n AS doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
          ORDER BY doc_id""",
+    "d5_collocations" ->
+      """WITH tk AS (SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+                     FROM documents),
+         bi AS (
+           SELECT u.b.w1 AS w1, u.b.w2 AS w2, count(*) AS cab
+           FROM (SELECT unnest(list_filter(
+                   list_transform(tk, (x, i) -> {'w1': x, 'w2': tk[i + 1]}),
+                   s -> s.w2 IS NOT NULL)) AS b
+                 FROM tk) u
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         uni AS (
+           SELECT u.w AS w, count(*) AS cw
+           FROM (SELECT unnest(tk) AS w FROM tk) u GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok
+               FROM (SELECT unnest(tk) AS w FROM tk))
+         SELECT bi.w1, bi.w2, CAST(bi.cab AS BIGINT) AS cab,
+           round(ln((CAST(bi.cab AS DOUBLE) * n.n_tok)
+                 / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 6) AS pmi
+         FROM bi
+         JOIN uni u1 ON u1.w = bi.w1
+         JOIN uni u2 ON u2.w = bi.w2
+         CROSS JOIN n
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    "d6_snippet" ->
+      """WITH base AS (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+                       FROM documents),
+         ex AS (SELECT doc_id, tk, u.p AS p,
+                  CASE WHEN u.tok IN ('scan', 'hash', 'dup') THEN 1 ELSE 0 END AS hit
+                FROM (SELECT doc_id, tk,
+                        unnest(list_transform(tk, (x, i) -> {'p': i - 1, 'tok': x})) AS u
+                      FROM base)),
+         win AS (
+           SELECT doc_id, tk, p,
+             sum(hit) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS hits
+           FROM ex),
+         best AS (
+           SELECT doc_id, tk, p AS start_pos, hits FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p) AS rk
+             FROM win)
+           WHERE rk = 1 AND hits >= 1)
+         SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos, CAST(hits AS BIGINT) AS hits,
+           array_to_string(tk[start_pos + 1 : start_pos + 10], ' ') AS snippet
+         FROM best ORDER BY doc_id""",
     "d3_knn_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS label
                     FROM embeddings),
