@@ -1,0 +1,172 @@
+package graft.sources.sharded
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{
+  BatchWrite,
+  DataWriter,
+  DataWriterFactory,
+  LogicalWriteInfo,
+  PhysicalWriteInfo,
+  Write,
+  WriteBuilder,
+  WriterCommitMessage
+}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory,
+  StreamingWrite
+}
+import org.apache.spark.sql.types.StructType
+
+/** WRITE side of the sharded connector (A9 on the DSv2 API) — the same
+  * `path/shard=N/<file>` layout [[ShardedStreamProvider]] reads, so the
+  * connector round-trips: `df.write.format(provider).mode("append")` then
+  * `spark.read[Stream].format(provider)` replays exactly what was
+  * committed, per shard, in file order.
+  *
+  * Commit protocol (the classic two-phase rename, as in Hadoop/Spark file
+  * committers — executors never publish directly):
+  *
+  *  1. each task writes its rows, grouped by the `shard` column, to
+  *     `path/_tmp/<writeId>/` under DETERMINISTIC names derived from
+  *     (epoch, partitionId, shard) — a retried/speculative attempt
+  *     overwrites its predecessor's temp file instead of duplicating it;
+  *  2. the task's commit message lists (tmp, shard, finalName);
+  *  3. the DRIVER commit moves every listed tmp into its `shard=N/` dir
+  *     (delete-then-rename: re-delivered epochs are idempotent, the
+  *     exactly-once half of streaming `foreachBatch` semantics) and
+  *     removes the write's temp dir; abort removes the temp dir without
+  *     publishing anything.
+  *
+  * Readers only ever see fully-written files (rename is atomic per file
+  * on a real FS), and the source's append-only contract is preserved:
+  * committed files are never rewritten, only added.
+  *
+  * The `seq` column is accepted and IGNORED on write: sequence numbers
+  * are assigned by the transport on READ from file order (ShardBackend's
+  * contract) — exactly like Kinesis, where the producer does not pick
+  * sequence numbers. Streaming epochs embed the epoch id in the final
+  * file name, so a replayed micro-batch republishes the same files. */
+class ShardedWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new ShardedWrite(path, info.queryId(), info.schema())
+}
+
+class ShardedWrite(path: String, queryId: String, schema: StructType) extends Write {
+  private def ord(name: String): Int = {
+    val i = schema.fieldIndex(name)
+    i
+  }
+  override def toBatch: BatchWrite =
+    new ShardedBatchWrite(path, queryId, ord("shard"), ord("payload"))
+  override def toStreaming: StreamingWrite =
+    new ShardedStreamingWrite(path, queryId, ord("shard"), ord("payload"))
+}
+
+case class ShardedCommitMessage(files: Seq[(String, Int, String)]) extends WriterCommitMessage
+
+object ShardedCommit {
+  private def fs(path: String) = new Path(path).getFileSystem(new Configuration())
+
+  def commit(root: String, writeId: String, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(root)
+    messages.foreach {
+      case ShardedCommitMessage(files) =>
+        files.foreach { case (tmp, shard, finalName) =>
+          val dir = new Path(root, s"shard=$shard")
+          f.mkdirs(dir)
+          val target = new Path(dir, finalName)
+          if (f.exists(target)) f.delete(target, false) // idempotent epoch replay
+          if (!f.rename(new Path(tmp), target))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+        }
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    f.delete(new Path(root, s"_tmp/$writeId"), true)
+  }
+
+  def abort(root: String, writeId: String): Unit =
+    fs(root).delete(new Path(root, s"_tmp/$writeId"), true)
+}
+
+/** Serializable, self-contained factory — shipped to executors, so it
+  * must not capture the driver-side Write objects. */
+case class ShardedWriterFactory(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+    extends DataWriterFactory
+    with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardedDataWriter(path, writeId, epoch = -1L, partitionId, shardOrd, payloadOrd)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ShardedDataWriter(path, writeId, epochId, partitionId, shardOrd, payloadOrd)
+}
+
+class ShardedBatchWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ShardedCommit.commit(path, writeId, messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ShardedCommit.abort(path, writeId)
+}
+
+class ShardedStreamingWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ShardedCommit.commit(path, writeId, messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ShardedCommit.abort(path, writeId)
+}
+
+/** Executor-side writer: one open temp stream per shard seen by this task
+  * (bounded by the shard count, not the row count), JSONL payload lines.
+  * Deterministic temp + final names keyed by (epoch, partition, shard):
+  * any re-execution of the same work overwrites rather than duplicates. */
+class ShardedDataWriter(
+    root: String,
+    writeId: String,
+    epoch: Long,
+    partitionId: Int,
+    shardOrd: Int,
+    payloadOrd: Int
+) extends DataWriter[InternalRow] {
+  private val conf    = new Configuration()
+  private val tmpDir  = new Path(root, s"_tmp/$writeId")
+  private val fsys    = tmpDir.getFileSystem(conf)
+  private val writers = scala.collection.mutable.Map.empty[Int, java.io.Writer]
+  private val files   = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+
+  private def writerFor(shard: Int): java.io.Writer =
+    writers.getOrElseUpdate(shard, {
+      fsys.mkdirs(tmpDir)
+      // writeId (the query id) in the FINAL name: two different writes
+      // must not collide, while a retry/replay of the SAME
+      // (write, epoch, partition) overwrites — both halves of the
+      // idempotence contract.
+      val finalName = s"part-$writeId-e$epoch-p$partitionId.jsonl"
+      val tmp       = new Path(tmpDir, s"e$epoch-p$partitionId-shard=$shard.jsonl")
+      files += ((tmp.toString, shard, finalName))
+      new java.io.OutputStreamWriter(fsys.create(tmp, true), "UTF-8")
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val shard   = row.getInt(shardOrd)
+    val payload = if (row.isNullAt(payloadOrd)) "" else row.getUTF8String(payloadOrd).toString
+    val w       = writerFor(shard)
+    w.write(payload)
+    w.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    ShardedCommitMessage(files.toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach { w =>
+    try w.close() catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
+}

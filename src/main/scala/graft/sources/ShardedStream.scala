@@ -140,17 +140,30 @@ private[sharded] object ShardBackend {
     shardFiles(root).map { case (s, files) => s -> files.map(_._2).sum }
 }
 
-class ShardedTable(path: String) extends Table with SupportsRead {
+class ShardedTable(path: String)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "sharded stream requires a path option")
   override def name(): String = s"sharded_stream($path)"
   override def schema(): StructType = ShardedStream.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ShardedScan(path, options)
     }
+
+  // WRITE half (A9 on DSv2): same layout, two-phase rename commit — see
+  // ShardedSink.scala.
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new ShardedWriteBuilder(path, info)
 }
 
 class ShardedScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
