@@ -370,4 +370,36 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
   }
+
+  test("r11 continuation wave keeps its scale shapes") {
+    // recursive CTE: the spine is a UnionLoop over a one-row frame; the
+    // revenue side joins via broadcast (it is month-cardinality).
+    val rc = planOf("c36_recursive_cte")
+    assert(rc.contains("UnionLoop"), rc.take(2000))
+    assert(rc.contains("BroadcastHashJoin"), rc.take(2000))
+    // CEP: each as-of step prunes to rank-1 via WindowGroupLimit before
+    // the full sort — per-key candidate windows never survive whole.
+    val cep = planOf("b13_cep_match")
+    assert(cep.contains("WindowGroupLimit"), cep.take(2000))
+    assert(!cep.contains("BroadcastNestedLoopJoin"), "as-of degraded to a loop join")
+    // query likelihood: the only non-equi join is the 3-row term-grid
+    // broadcast; tf attaches by equi-join.
+    val ql = planOf("d6_query_likelihood")
+    assert(!ql.contains("SortMergeJoin") || ql.contains("BroadcastHashJoin"), ql.take(2000))
+    // kNN eval: probe panel broadcasts (BNLJ over the bounded panel);
+    // rank<=6 pushes WindowGroupLimit.
+    val ke = planOf("d3_knn_eval")
+    assert(ke.contains("BroadcastNestedLoopJoin"), ke.take(2000))
+    assert(ke.contains("WindowGroupLimit"), ke.take(2000))
+    // CDC dedup: explode + ONE per-doc window prefix + aggs; the only
+    // join is the per-doc stats attach (equi on doc_id).
+    val cdc = planOf("d1_cdc_dedup")
+    assert(!cdc.contains("BroadcastNestedLoopJoin"), cdc.take(2000))
+    // collocations / snippet: no loop joins; snippet is join-light
+    // (window + one doc-keyed equi-join back to the token arrays).
+    val sn = planOf("d6_snippet")
+    assert(!sn.contains("BroadcastNestedLoopJoin"), sn.take(2000))
+    val dist = planOf("c15_window_dist")
+    assert(!dist.contains("Join"), dist.take(2000))
+  }
 }
