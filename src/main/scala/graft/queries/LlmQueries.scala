@@ -2748,6 +2748,55 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D3 (clustering quality): simplified silhouette per label — for each
+    // vector, a = distance to its OWN label centroid, b = distance to the
+    // nearest OTHER centroid, s = (b−a)/max(a,b); the per-label mean says
+    // whether the labels form separable clusters in embedding space (the
+    // companion number to d3_label_affinity's centroid-cosine matrix).
+    // "Simplified" (centroid-based, the scalable variant) — the classic
+    // per-point-pairwise silhouette is O(n²) by definition. Centroids are
+    // micro-grid exact (one corpus agg); the vector×centroid pass is a
+    // 10-row broadcast; per-label means quantize s to nano units so the
+    // sum is order-independent.
+    "d3_silhouette" -> ((s, sf) => {
+      val e  = Tables.embeddings(s, sf)
+      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      val cents = e
+        .select(col("label").cast("long").as("clabel"),
+          posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("clabel"), col("pos"))
+        .agg((sum(xq).cast("double") / (count(lit(1)) * lit(1e9))).as("c"))
+        .groupBy(col("clabel"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("c")))),
+          s0 => s0.getField("c")).as("cvec"))
+      val dist = e
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          VectorOps.asDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .select(
+          col("vec_id"), col("label"), col("clabel"),
+          sqrt(aggregate(
+            zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, d) => acc + d)).as("d"))
+      val ab = dist
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          min(when(col("clabel") === col("label"), col("d"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("d"))).as("b"))
+      ab
+        .select(
+          col("label"),
+          (round(
+            (col("b") - col("a")) / greatest(col("a"), col("b")) * lit(1e9))
+            .cast("long")).as("s_nano"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("s_nano")).cast("double") / (count(lit(1)) * lit(1e9)), 6).as("mean_silhouette"))
+        .orderBy("label")
+    }),
+
     // D9 (graph density): 2-core of the near-dup graph — the unique
     // maximal subgraph where every doc keeps ≥2 similar neighbors:
     // mutually-confirming duplicate clusters (cliques/cycles) with the
@@ -4624,6 +4673,30 @@ object LlmQueries {
          SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos, CAST(hits AS BIGINT) AS hits,
            array_to_string(tk[start_pos + 1 : start_pos + 10], ' ') AS snippet
          FROM best ORDER BY doc_id""",
+    "d3_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS lbl
+                    FROM embeddings),
+         comps AS (
+           SELECT lbl AS clabel, CAST(i - 1 AS BIGINT) AS pos,
+             SUM(CAST(sign(v[i]) * floor(abs(v[i]) * 1e9) AS BIGINT)) AS s, count(*) AS n
+           FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+         cvecs AS (
+           SELECT clabel, list(CAST(s AS DOUBLE) / (n * 1e9) ORDER BY pos) AS cvec
+           FROM comps GROUP BY clabel),
+         dist AS (
+           SELECT e.vec_id, e.lbl, cv.clabel,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - cv.cvec[i]) * (e.v[i] - cv.cvec[i])))) AS d
+           FROM e CROSS JOIN cvecs cv),
+         ab AS (
+           SELECT vec_id, lbl,
+             min(CASE WHEN clabel = lbl THEN d END) AS a,
+             min(CASE WHEN clabel <> lbl THEN d END) AS b
+           FROM dist GROUP BY 1, 2)
+         SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round((b - a) / greatest(a, b) * 1e9) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1e9), 6) AS mean_silhouette
+         FROM ab GROUP BY lbl ORDER BY label""",
     "d3_knn_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS label
                     FROM embeddings),
