@@ -241,6 +241,65 @@ object Multimodal {
     ).select(col("doc_id"), col("payload"), col("meta"), col("resized"))
   }
 
+  /** Average-hash (aHash) of a decoded image: integer area-average to an
+    * 8×8 grayscale grid, one bit per cell (cell ≥ grid mean), packed into
+    * a Long. All-integer arithmetic — no Graphics2D resampling, no
+    * floats — so the hash is bit-identical on any JVM/partitioning. The
+    * property that makes it a DEDUP key where byte hashes fail: the
+    * re-encoded, resized, or slightly-recompressed copy of an image
+    * averages to (almost) the same 8×8 grid, so near-copies land at small
+    * Hamming distance — cluster by exact hash for the strict tier, or
+    * LSH-band the 64 bits (16×4) for the banded tier, exactly like the
+    * text-side MinHash machinery. */
+  def imageAHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums   = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x  = 0
+      while (x < w) {
+        val rgb  = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000L
+        val c    = cy * 8 + x * 8 / w
+        sums(c) += gray
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.tabulate(64)(i => if (counts(i) == 0) 0L else sums(i) / counts(i))
+    val mean = cell.sum / 64
+    var hash = 0L
+    var i    = 0
+    while (i < 64) {
+      if (cell(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-doc aHash over a (doc_id, payload) frame; undecodable payloads
+    * emit `ok = false` with hash 0 (A8 malformed tolerance). */
+  def imageAHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) (id, 0L, false) else (id, imageAHash(img), true)
+        }
+      }
+      .toDF("doc_id", "ahash", "ok")
+  }
+
   /** Deterministic synthetic WAV: 16-bit signed little-endian PCM mono
     * whose sample values are modular arithmetic in (doc_id, sample index),
     * written through the JDK's own `javax.sound.sampled` WAV encoder. Like

@@ -1518,6 +1518,44 @@ object CoreQueries {
     // the plan is a constant-depth loop over a one-row frame plus ONE
     // aggregation of orders and a broadcast-sized join at any corpus
     // scale. DuckDB twin is the same WITH RECURSIVE, verbatim semantics.
+    // C37: ANALYZE-style column statistics — the (n, nulls, ndv, min,
+    // max) profile a cost-based optimizer (and every data catalog) keeps
+    // per column, computed for four lineitem columns in ONE scan: a
+    // single aggregate emits all 20 stats (Spark plans the multi-distinct
+    // via Expand — still one pass over the parquet), then `stack`
+    // unpivots them to the catalog's row-per-column shape. Exact ndv here
+    // (the profile is the ground truth the HLL path approximates —
+    // c12_approx_distinct is the scale tier).
+    "c37_analyze_stats" -> ((s, sf) =>
+      Tables
+        .lineitem(s, sf)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").isNull.cast("long")).as("null_q"),
+          countDistinct(col("l_quantity")).as("ndv_q"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          sum(col("l_extendedprice").isNull.cast("long")).as("null_p"),
+          countDistinct(col("l_extendedprice")).as("ndv_p"),
+          min(col("l_extendedprice")).as("min_p"),
+          max(col("l_extendedprice")).as("max_p"),
+          sum(col("l_discount").isNull.cast("long")).as("null_d"),
+          countDistinct(col("l_discount")).as("ndv_d"),
+          min(col("l_discount")).as("min_d"),
+          max(col("l_discount")).as("max_d"),
+          sum(col("l_tax").isNull.cast("long")).as("null_t"),
+          countDistinct(col("l_tax")).as("ndv_t"),
+          min(col("l_tax")).as("min_t"),
+          max(col("l_tax")).as("max_t"))
+        .selectExpr(
+          """stack(4,
+               'l_quantity',      n, null_q, ndv_q, min_q, max_q,
+               'l_extendedprice', n, null_p, ndv_p, min_p, max_p,
+               'l_discount',      n, null_d, ndv_d, min_d, max_d,
+               'l_tax',           n, null_t, ndv_t, min_t, max_t
+             ) AS (column_name, n, n_null, ndv, min_val, max_val)""")
+        .orderBy("column_name")),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2225,6 +2263,27 @@ object CoreQueries {
          FROM runs
          WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
          ORDER BY key, version""",
+    "c37_analyze_stats" ->
+      """WITH agg AS (
+           SELECT count(*) AS n,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+             count(DISTINCT l_quantity) AS ndv_q, min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+             SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_p,
+             count(DISTINCT l_extendedprice) AS ndv_p, min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+             SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_d,
+             count(DISTINCT l_discount) AS ndv_d, min(l_discount) AS min_d, max(l_discount) AS max_d,
+             SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS null_t,
+             count(DISTINCT l_tax) AS ndv_t, min(l_tax) AS min_t, max(l_tax) AS max_t
+           FROM lineitem)
+         SELECT 'l_quantity' AS column_name, n, CAST(null_q AS BIGINT) AS n_null,
+                CAST(ndv_q AS BIGINT) AS ndv, min_q AS min_val, max_q AS max_val FROM agg
+         UNION ALL
+         SELECT 'l_extendedprice', n, CAST(null_p AS BIGINT), CAST(ndv_p AS BIGINT), min_p, max_p FROM agg
+         UNION ALL
+         SELECT 'l_discount', n, CAST(null_d AS BIGINT), CAST(ndv_d AS BIGINT), min_d, max_d FROM agg
+         UNION ALL
+         SELECT 'l_tax', n, CAST(null_t AS BIGINT), CAST(ndv_t AS BIGINT), min_t, max_t FROM agg
+         ORDER BY column_name""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

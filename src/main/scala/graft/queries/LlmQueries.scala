@@ -2748,6 +2748,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D8 (perceptual dedup): image aHash — the content hash that survives
+    // re-encode/resize where byte hashes (d8_payload_dedup) break. Each
+    // doc's image is hashed raw AND after a real bilinear 2× resize +
+    // PNG re-encode; the per-doc Hamming distance is the robustness
+    // readout (small ⇒ the hash keys a near-dup tier the way MinHash
+    // bands do for text). JVM-side integer hash → no SQL twin →
+    // rows-only; determinism/robustness/discrimination laws in
+    // MultimodalSpec.
+    "d8_image_phash" -> ((s, sf) => {
+      val imgs = Multimodal.attachImagePayload(Tables.documents(s, sf), 16, 16)
+      val h1   = Multimodal.imageAHashes(imgs).filter(col("ok"))
+        .select(col("doc_id"), col("ahash"))
+      val h2 = Multimodal
+        .imageAHashes(Multimodal.resizeImage(imgs, 32, 32))
+        .filter(col("ok"))
+        .select(col("doc_id"), col("ahash").as("ahash_resized"))
+      h1.join(h2, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("ahash"), col("ahash_resized"),
+          bit_count(col("ahash").bitwiseXOR(col("ahash_resized"))).cast("long").as("hamming"))
+        .orderBy("doc_id")
+    }),
+
     // D3 (clustering quality): simplified silhouette per label — for each
     // vector, a = distance to its OWN label centroid, b = distance to the
     // nearest OTHER centroid, s = (b−a)/max(a,b); the per-label mean says

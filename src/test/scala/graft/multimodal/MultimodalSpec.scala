@@ -162,4 +162,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.length === 5)
     assert(bad.forall(d => !d.decode_ok && d.frame_idx === -1L))
   }
+
+  test("aHash: deterministic, resize-robust, discriminative, malformed-tolerant") {
+    import org.apache.spark.sql.functions._
+    val imgs = Multimodal.attachImagePayload(docs.limit(20), 16, 16)
+    val h = Multimodal.imageAHashes(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(h.forall(_._3))
+    // identical payload → identical hash (rerun)
+    val h2 = Multimodal.imageAHashes(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(h.sortBy(_._1).toSeq === h2.sortBy(_._1).toSeq)
+    // resize robustness: 2× bilinear upscale + PNG re-encode keeps the
+    // hash within a small Hamming radius (byte hashes share ZERO bits of
+    // structure after re-encode)
+    val hr = Multimodal.imageAHashes(Multimodal.resizeImage(imgs, 32, 32)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hams = h.map { case (id, hash, _) => java.lang.Long.bitCount(hash ^ hr(id)) }
+    assert(hams.forall(_ <= 12), s"resize broke the hash: ${hams.toSeq}")
+    // discrimination: distinct synthetic images do not all collide
+    assert(h.map(_._2).distinct.length > 10, "aHash degenerate across distinct images")
+    // malformed tolerance
+    val bad = Multimodal.imageAHashes(Multimodal.attachPayload(docs.limit(3))).collect()
+    assert(bad.forall(r => !r.getBoolean(2) && r.getLong(1) === 0L))
+  }
 }
