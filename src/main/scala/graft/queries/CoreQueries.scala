@@ -818,6 +818,14 @@ object CoreQueries {
       all.exceptAll(f).groupBy(col("k")).agg(count(lit(1)).as("cnt")).orderBy("k")
     }),
 
+    // C21: intersect-all (bag semantics — each key kept min(multiplicity)
+    // times, the counterpart to exceptAll's difference).
+    "c21_intersect_all" -> ((s, sf) => {
+      val f = Tables.orders(s, sf).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val o = Tables.orders(s, sf).filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      f.intersectAll(o).groupBy(col("k")).agg(count(lit(1)).as("cnt")).orderBy("k")
+    }),
+
     // C22: distinct projection.
     "c22_distinct" -> ((s, sf) =>
       Tables
@@ -1892,6 +1900,12 @@ object CoreQueries {
            SELECT o_custkey AS k FROM orders
            EXCEPT ALL
            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY k ORDER BY k""",
+    "c21_intersect_all" ->
+      """SELECT k, count(*) AS cnt FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT ALL
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
          GROUP BY k ORDER BY k""",
     "c22_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -2748,6 +2748,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // D5 (explicit denylist): blocklist filtering — the CCNet/RefinedWeb
+    // stage that is NOT a learned quality gate: documents touching a
+    // curated denylist drop outright, and the report says how much each
+    // source lost (the number a curation review reads). The blocklist is
+    // a literal array, so the hit test is a codegen'd arrays_overlap per
+    // row — no join, no shuffle before the per-source rollup.
+    "d5_blocklist_filter" -> ((s, sf) => {
+      val blocked = array(lit("spark"), lit("merge"), lit("window"))
+      Tables.documents(s, sf)
+        .select(col("source"),
+          arrays_overlap(TextOps.tokenSet(col("text")), blocked).cast("long").as("hit"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("hit")).as("n_blocked"),
+          (count(lit(1)) - sum(col("hit"))).as("n_kept"),
+          round(sum(col("hit")).cast("double") / count(lit(1)), 6).as("blocked_frac"))
+        .orderBy("source")
+    }),
+
     // D8 (perceptual dedup): image aHash — the content hash that survives
     // re-encode/resize where byte hashes (d8_payload_dedup) break. Each
     // doc's image is hashed raw AND after a real bilinear 2× resize +
@@ -4696,6 +4716,18 @@ object LlmQueries {
          SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos, CAST(hits AS BIGINT) AS hits,
            array_to_string(tk[start_pos + 1 : start_pos + 10], ' ') AS snippet
          FROM best ORDER BY doc_id""",
+    "d5_blocklist_filter" ->
+      """WITH d AS (
+           SELECT source,
+             CASE WHEN len(list_intersect(
+                    list_distinct(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)),
+                    ['spark', 'merge', 'window'])) > 0 THEN 1 ELSE 0 END AS hit
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(hit) AS BIGINT) AS n_blocked,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_kept,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS blocked_frac
+         FROM d GROUP BY source ORDER BY source""",
     "d3_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS lbl
                     FROM embeddings),
