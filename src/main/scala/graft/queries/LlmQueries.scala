@@ -2777,7 +2777,10 @@ object LlmQueries {
     // rows-only; determinism/robustness/discrimination laws in
     // MultimodalSpec.
     "d8_image_phash" -> ((s, sf) => {
+      // materialize the rendered payloads once: the raw-hash branch and
+      // the resize branch would otherwise each re-render every PNG
       val imgs = Multimodal.attachImagePayload(Tables.documents(s, sf), 16, 16)
+        .localCheckpoint(true)
       val h1   = Multimodal.imageAHashes(imgs).filter(col("ok"))
         .select(col("doc_id"), col("ahash"))
       val h2 = Multimodal
