@@ -41,7 +41,7 @@ object LlmQueries {
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
     ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf)
     pqArtifactsFor(s, sf); opqArtifactsFor(s, sf); sigStoreFor(s, sf)
-    clustersArtifactFor(s, sf); ()
+    clustersArtifactFor(s, sf); neardupEdgesFor(s, sf, threshold = 0.2); ()
   }
 
   /** Near-dup similarity EDGES (exact shingle-Jaccard pairs at τ=0.3),
@@ -51,18 +51,20 @@ object LlmQueries {
     * list, which is how a production graph pipeline actually runs.
     * `d2_ngram_jaccard` and the candidate-generation queries still
     * measure pair generation itself. */
-  private def neardupEdgesFor(s: SparkSession, sf: String): String =
+  private def neardupEdgesFor(s: SparkSession, sf: String, threshold: Double = 0.3): String = {
+    val tag = (threshold * 100).round
     ivfIndexes.getOrElseUpdate(
-      s"$sf#neardupedges", {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_${sanitizedKey(sf)}"
+      s"$sf#neardupedges$tag", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges${tag}_${sanitizedKey(sf)}"
         Dedup
           .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
-            shingleSize = 3, threshold = 0.3)
+            shingleSize = 3, threshold = threshold)
           .select(col("doc_a"), col("doc_b"))
           .write.mode("overwrite").parquet(path)
         path
       }
     )
+  }
 
   /** Near-dup cluster assignment (shingle-Jaccard edges → connected
     * components), materialized once per session — the clustering is an
@@ -725,6 +727,70 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           round(VectorOps.cosineNative(s, col("v_a"), col("v_b")), 9).as("cos_q"))
         .orderBy("id_a")
+    }),
+
+    // D3 (quantization QA): per-dimension error spectrum of the int8
+    // max-abs quantization — which dimensions lose the most signal in the
+    // 4× compressed index (a skewed spectrum says per-SUBSPACE scales —
+    // i.e. PQ — beat one per-vector scale). Squared errors quantize to
+    // pico units so per-dim means are order-independent exact sums; max
+    // error needs no quantization (max of identical doubles).
+    "d3_quant_error" -> ((s, sf) => {
+      val base = Tables
+        .embeddings(s, sf)
+        .select(VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("sc", VectorOps.maxAbsScale(col("v")))
+        .withColumn(
+          "dq",
+          VectorOps.dequantizeI8(VectorOps.quantizeI8(col("v"), col("sc")), col("sc")))
+        .select(posexplode(zip_with(col("v"), col("dq"), (x, d) => (x - d) * (x - d)))
+          .as(Seq("pos", "e2")))
+      base
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("e2") * 1e12).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e12)), 9).as("mse"),
+          round(max(col("e2")), 9).as("max_e2"))
+        .orderBy("pos")
+    }),
+
+    // D6 (learning-to-rank): the per-(doc, term) feature table an LTR
+    // trainer consumes — raw tf, doc length, corpus df, the BM25 idf in
+    // exact micro units, and the assembled BM25 term score. One corpus
+    // scan builds tf; df and corpus stats ride broadcast dims (the same
+    // frames d6_bm25 aggregates away — here they stay columns, because
+    // features ARE the product).
+    "d6_ltr_features" -> ((s, sf) => {
+      val termPanel = Seq("scan", "hash", "dup")
+      val tk = Tables.documents(s, sf).select(col("doc_id"), toks(col("text")).as("tk"))
+      // dl values are integers, so a plain double avg is exact on any
+      // partitioning (integer-valued double sums are exact below 2^53) —
+      // the same parity argument Bm25.score relies on
+      val stats = tk.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("tk")).cast("double")).as("avgdl"))
+      val tf = tk
+        .select(col("doc_id"), size(col("tk")).cast("double").as("dl"), explode(col("tk")).as("t"))
+        .filter(col("t").isin(termPanel: _*))
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      val idfMicro =
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6).cast("long")
+      tf
+        .join(broadcast(df), Seq("t"))
+        .crossJoin(broadcast(stats))
+        .select(
+          col("doc_id"), col("t"),
+          col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"),
+          idfMicro.as("idf_micro"),
+          round(
+            (idfMicro.cast("double") / 1e6) * col("tf") * 2.2
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+            .as("bm25_term"))
+        .orderBy("doc_id", "t")
     }),
 
     // D3 (model migration): orthogonal Procrustes alignment between two
@@ -1741,10 +1807,9 @@ object LlmQueries {
     // (10 decimal-exact rounds, checkpointed) → rows-only; uniformity/
     // mass-conservation/determinism laws in PageRankSpec.
     "d9_pagerank" -> ((s, sf) => {
-      val pairs = Dedup
-        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
-          shingleSize = 3, threshold = 0.2)
-        .select(col("doc_a"), col("doc_b"))
+      // offline graph build (τ=0.2 — denser than the dedup graph), same
+      // artifact discipline as the other D9 analytics
+      val pairs = s.read.parquet(neardupEdgesFor(s, sf, threshold = 0.2))
       val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       PageRank
@@ -4741,6 +4806,46 @@ object LlmQueries {
          SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos, CAST(hits AS BIGINT) AS hits,
            array_to_string(tk[start_pos + 1 : start_pos + 10], ' ') AS snippet
          FROM best ORDER BY doc_id""",
+    "d3_quant_error" ->
+      """WITH dv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (
+           SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM dv),
+         d AS (
+           SELECT list_transform(v, x ->
+             (x - greatest(-127.0, least(127.0, round(x / s, 0))) * s)
+             * (x - greatest(-127.0, least(127.0, round(x / s, 0))) * s)) AS e2
+           FROM q),
+         ex AS (
+           SELECT CAST(i - 1 AS BIGINT) AS pos, e2[i] AS e2
+           FROM d CROSS JOIN range(1, 65) r(i))
+         SELECT pos, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(e2 * 1e12) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1e12), 9) AS mse,
+           round(max(e2), 9) AS max_e2
+         FROM ex GROUP BY pos ORDER BY pos""",
+    "d6_ltr_features" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS tk
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM tk),
+         tf AS (
+           SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, u.tok AS t,
+             CAST(count(*) AS DOUBLE) AS tf
+           FROM tk, unnest(tk) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t)
+         SELECT tf.doc_id, tf.t,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(tf.dl AS BIGINT) AS dl,
+           CAST(round(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro,
+           round(
+             (CAST(round(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * 1e6) AS BIGINT) / 1e6)
+               * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl)), 6) AS bm25_term
+         FROM tf JOIN df USING (t) CROSS JOIN stats
+         ORDER BY doc_id, t""",
     "d5_blocklist_filter" ->
       """WITH d AS (
            SELECT source,
