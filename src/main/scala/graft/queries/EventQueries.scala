@@ -428,6 +428,29 @@ object EventQueries {
         .orderBy("user_id", "day")
     }),
 
+    // B4 (dynamic gap): session windows whose gap depends on the EVENT —
+    // views close after 10 min of silence, everything else holds the
+    // session 30 min (the "content pages time out fast, checkout flows
+    // don't" policy). Spark 3.2+ session_window with a Column gap; the
+    // DuckDB twin replays the merge rule exactly: an event joins the
+    // session while ts < the running max of (ts + gap) over prior events,
+    // session end = max(ts + gap) of the merged set.
+    "b4_session_dynamic" -> ((s, sf) =>
+      Tables
+        .events(s, sf)
+        .groupBy(
+          col("user_id"),
+          session_window(
+            col("ts"),
+            when(col("event_type") === "view", "10 minutes").otherwise("30 minutes")))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt"))
+        .orderBy("user_id", "session_start")),
+
     // B13: CEP pattern matching, batch twin — the MATCH_RECOGNIZE shape
     // "view → click → purchase, each step within 4 h of the next",
     // emitting one row per COMPLETE match (the last qualifying step wins
@@ -683,6 +706,27 @@ object EventQueries {
          SELECT g.user_id, g.day, COALESCE(c.cnt, 0) AS cnt
          FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
          ORDER BY g.user_id, g.day""",
+    "b4_session_dynamic" ->
+      """WITH ev AS (
+           SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'view'
+                       THEN INTERVAL 10 MINUTE ELSE INTERVAL 30 MINUTE END AS gap_end
+           FROM events),
+         marked AS (
+           SELECT user_id, ts, gap_end,
+             max(gap_end) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM ev),
+         sess AS (
+           SELECT user_id, ts, gap_end,
+             sum(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start, max(gap_end) AS session_end,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "b13_cep_match" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
                    FROM events WHERE event_type = 'purchase'),
