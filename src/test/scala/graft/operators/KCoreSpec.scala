@@ -76,6 +76,10 @@ class KCoreSpec extends AnyFunSuite {
     assert(x === y)
   }
 
+  test("empty edge set: empty core, no failure") {
+    assert(run(Seq.empty, 2) === Map.empty)
+  }
+
   test("non-convergence guard throws instead of returning a half-peeled graph") {
     // a 30-node chain peels one layer per round from each end: needs ~15
     // rounds; cap at 3 must throw.

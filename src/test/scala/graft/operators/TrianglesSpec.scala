@@ -79,6 +79,12 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("empty and self-loop-only edge sets produce empty output, no failure") {
+    assert(counts(Seq.empty) === Map.empty)
+    assert(counts(Seq((1L, 1L), (2L, 2L))) === Map.empty)
+    assert(Triangles.triangles(df(Seq.empty), col("a"), col("b")).count() === 0L)
+  }
+
   test("each triangle emitted once, with rank-ordered endpoints distinct") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (1L, 4L))
     val tri = Triangles.triangles(df(edges), col("a"), col("b"))
