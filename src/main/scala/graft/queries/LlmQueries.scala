@@ -2988,6 +2988,31 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // D2 (threshold tuning): the Jaccard-threshold sweep — pair count and
+    // touched-doc count at τ ∈ {0.2, 0.3, 0.5} from ONE candidate join at
+    // the loosest τ (tighter thresholds are filters over the same pair
+    // frame, not re-joins): the curve a curation team reads to pick the
+    // dedup threshold before committing a 100 TB pass.
+    "d2_threshold_sweep" -> ((s, sf) => {
+      import s.implicits._
+      val pairs = Dedup
+        .ngramJaccardPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
+          shingleSize = 3, threshold = 0.2)
+      val thr = Seq(0.2, 0.3, 0.5).toDF("thr")
+      // explode to endpoints: each pair contributes exactly two rows, so
+      // n_pairs = rows/2 and n_docs is a plain distinct count — no
+      // collect_list buffer to blow up on a dup-heavy corpus
+      pairs
+        .crossJoin(broadcast(thr))
+        .filter(col("jac") >= col("thr"))
+        .select(col("thr"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("thr"))
+        .agg(
+          (count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
+        .orderBy("thr")
+    }),
+
     // D2 (asymmetric overlap): containment pairs — the doc-inside-doc
     // detector symmetric Jaccard is blind to (excerpts, quoted docs,
     // template wrappers). Both directions emitted per pair; threshold on
@@ -4908,6 +4933,31 @@ object LlmQueries {
                  / count(*), 6) AS acc
          FROM pred JOIN p ON pred.qid = p.qid
          GROUP BY p.qlabel ORDER BY label""",
+    "d2_threshold_sweep" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.2),
+         ex AS (
+           SELECT t.thr, u.d
+           FROM pairs CROSS JOIN (VALUES (0.2), (0.3), (0.5)) t(thr),
+                unnest([doc_a, doc_b]) AS u(d)
+           WHERE pairs.jac >= t.thr)
+         SELECT thr, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         FROM ex GROUP BY thr ORDER BY thr""",
     "d2_containment" ->
       """WITH base AS (
            SELECT doc_id,
