@@ -177,6 +177,41 @@ class IntegrationSpec extends AnyFunSuite {
     assert(back.forall { case (shard, _) => shard == 0 || shard == 1 })
   }
 
+  test("relay resume: restart with new upstream data republishes ONLY the new records") {
+    val srcDir = Files.createTempDirectory("graft_relay2_src")
+    val dstDir = Files.createTempDirectory("graft_relay2_dst").toString
+    val ckpt   = Files.createTempDirectory("graft_relay2_ckpt").toString
+
+    def writeShardFile(shard: Int, name: String, payloads: Seq[String]): Unit = {
+      val dir = srcDir.resolve(s"shard=$shard")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(name), payloads.mkString("\n"))
+    }
+    val fmt = classOf[graft.sources.sharded.ShardedStreamProvider].getName
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format(fmt).option("path", srcDir.toString).load()
+      val (projected, _) = ArcPipeline.run(stream, col("payload"), ArcPipeline.FilterConfig(
+        allowedTypes = Seq("story"), sectionAllowlist = Seq("news"), website = Some("site-a")))
+      val q = projected
+        .select(lit(0).as("shard"), lit(0L).as("seq"),
+          to_json(struct(col("doc_id"))).as("payload"))
+        .writeStream.format(fmt)
+        .option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    writeShardFile(0, "f0.txt", Seq(payload(envelope(1, "story", "2024-03-01T10:00:00Z"))))
+    runOnce()
+    writeShardFile(0, "f1.txt", Seq(payload(envelope(2, "story", "2024-03-01T11:00:00Z"))))
+    runOnce()
+    val docs = spark.read.format(fmt).option("path", dstDir).load()
+      .select(get_json_object(col("payload"), "$.doc_id").as("d"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(docs === Seq("d1", "d2"), s"resume duplicated or dropped records: $docs")
+  }
+
   test("streaming epoch close-out: stream N batches → shards ≡ the batch pipeline's shards") {
     // The continuous half (streamingPrepare's incremental dedup/gate per
     // micro-batch) and the sink half (globalShuffle → writeTrainingShards)
