@@ -53,23 +53,42 @@ class ShardedWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBui
 }
 
 class ShardedWrite(path: String, queryId: String, schema: StructType) extends Write {
-  private def ord(name: String): Int = {
-    val i = schema.fieldIndex(name)
-    i
+  private def ord(name: String): Int = schema.fieldIndex(name)
+  // Capture the SESSION's Hadoop configuration on the DRIVER and ship it
+  // as a plain map: executors must open the target filesystem with the
+  // job's conf (credentials, fs.defaultFS, committer tuning), not a
+  // default-constructed one — the same reason Spark's own file sinks
+  // broadcast a SerializableConfiguration. Captured here (driver-side,
+  // at write build) because DataWriterFactory ships to executors.
+  private val confMap: Map[String, String] = {
+    val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val it = c.iterator()
+    val b  = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
   override def toBatch: BatchWrite =
-    new ShardedBatchWrite(path, queryId, ord("shard"), ord("payload"))
+    new ShardedBatchWrite(path, queryId, ord("shard"), ord("payload"), confMap)
   override def toStreaming: StreamingWrite =
-    new ShardedStreamingWrite(path, queryId, ord("shard"), ord("payload"))
+    new ShardedStreamingWrite(path, queryId, ord("shard"), ord("payload"), confMap)
 }
 
 case class ShardedCommitMessage(files: Seq[(String, Int, String)]) extends WriterCommitMessage
 
 object ShardedCommit {
-  private def fs(path: String) = new Path(path).getFileSystem(new Configuration())
+  def confFrom(confMap: Map[String, String]): Configuration = {
+    // default-loaded base so an empty map (direct construction in tests)
+    // still resolves file:// — the captured map then overrides on top
+    val c = new Configuration()
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private def fs(path: String, confMap: Map[String, String]) =
+    new Path(path).getFileSystem(confFrom(confMap))
 
-  def commit(root: String, writeId: String, messages: Array[WriterCommitMessage]): Unit = {
-    val f = fs(root)
+  def commit(root: String, writeId: String, messages: Array[WriterCommitMessage],
+      confMap: Map[String, String]): Unit = {
+    val f = fs(root, confMap)
     messages.foreach {
       case ShardedCommitMessage(files) =>
         files.foreach { case (tmp, shard, finalName) =>
@@ -85,39 +104,42 @@ object ShardedCommit {
     f.delete(new Path(root, s"_tmp/$writeId"), true)
   }
 
-  def abort(root: String, writeId: String): Unit =
-    fs(root).delete(new Path(root, s"_tmp/$writeId"), true)
+  def abort(root: String, writeId: String, confMap: Map[String, String]): Unit =
+    fs(root, confMap).delete(new Path(root, s"_tmp/$writeId"), true)
 }
 
 /** Serializable, self-contained factory — shipped to executors, so it
   * must not capture the driver-side Write objects. */
-case class ShardedWriterFactory(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+case class ShardedWriterFactory(path: String, writeId: String, shardOrd: Int, payloadOrd: Int,
+    confMap: Map[String, String])
     extends DataWriterFactory
     with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardedDataWriter(path, writeId, epoch = -1L, partitionId, shardOrd, payloadOrd)
+    new ShardedDataWriter(path, writeId, epoch = -1L, partitionId, shardOrd, payloadOrd, confMap)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardedDataWriter(path, writeId, epochId, partitionId, shardOrd, payloadOrd)
+    new ShardedDataWriter(path, writeId, epochId, partitionId, shardOrd, payloadOrd, confMap)
 }
 
-class ShardedBatchWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+class ShardedBatchWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int,
+    confMap: Map[String, String] = Map.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd)
+    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd, confMap)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    ShardedCommit.commit(path, writeId, messages)
+    ShardedCommit.commit(path, writeId, messages, confMap)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    ShardedCommit.abort(path, writeId)
+    ShardedCommit.abort(path, writeId, confMap)
 }
 
-class ShardedStreamingWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int)
+class ShardedStreamingWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int,
+    confMap: Map[String, String] = Map.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd)
+    ShardedWriterFactory(path, writeId, shardOrd, payloadOrd, confMap)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    ShardedCommit.commit(path, writeId, messages)
+    ShardedCommit.commit(path, writeId, messages, confMap)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    ShardedCommit.abort(path, writeId)
+    ShardedCommit.abort(path, writeId, confMap)
 }
 
 /** Executor-side writer: one open temp stream per shard seen by this task
@@ -130,9 +152,11 @@ class ShardedDataWriter(
     epoch: Long,
     partitionId: Int,
     shardOrd: Int,
-    payloadOrd: Int
+    payloadOrd: Int,
+    confMap: Map[String, String] = Map.empty
 ) extends DataWriter[InternalRow] {
-  private val conf    = new Configuration()
+  private val conf =
+    if (confMap.isEmpty) new Configuration() else ShardedCommit.confFrom(confMap)
   private val tmpDir  = new Path(root, s"_tmp/$writeId")
   private val fsys    = tmpDir.getFileSystem(conf)
   private val writers = scala.collection.mutable.Map.empty[Int, java.io.Writer]
