@@ -721,6 +721,26 @@ object CoreQueries {
     }),
 
     // C18: multi-key sort with explicit null placement.
+    // C17 (numeric RANGE frame): value-based window bounds — peers within
+    // ±1000 of each order's price, the "similar-priced cohort" stat that
+    // ROWS frames cannot express (row offsets ignore value gaps).
+    "c17_window_range_num" -> ((s, sf) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 1000L)
+      Tables
+        .orders(s, sf)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          count(lit(1)).over(w).as("cohort_n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double").as("cohort_sum"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
     "c18_sort_nulls" -> ((s, sf) =>
       Tables
         .orders(s, sf)
@@ -1823,6 +1843,15 @@ object CoreQueries {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "c17_window_range_num" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS cohort_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cohort_sum
+         FROM orders
+         WHERE o_orderkey % 5 = 0
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+         ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
     "c15_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
            round(percent_rank() OVER w, 9) AS pct_rank,

@@ -2988,6 +2988,33 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // D7 (split QA): near-dup leakage across the train/val/test boundary —
+    // the audit that catches what a random split silently does to
+    // evaluation: near-duplicate pairs straddling splits inflate eval
+    // scores exactly like verbatim contamination. Composes the session's
+    // materialized similarity edges with the deterministic modular-hash
+    // split; output is the per-(split, split) crossing matrix, CROSSING
+    // rows being the leak. Both inputs are engine-replayable, so the
+    // audit is fully oracle-checked.
+    "d7_split_leakage" -> ((s, sf) => {
+      val split = Mixture
+        .stratifiedSplit(
+          Tables.documents(s, sf), col("doc_id"),
+          fractions = Seq("train" -> 80, "val" -> 90), defaultLabel = "test")
+        .select(col("doc_id"), col("split"))
+      val edges = s.read.parquet(neardupEdgesFor(s, sf))
+      edges
+        .join(split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), Seq("doc_a"))
+        .join(split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), Seq("doc_b"))
+        .select(
+          least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("crossing", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // D2 (threshold tuning): the Jaccard-threshold sweep — pair count and
     // touched-doc count at τ ∈ {0.2, 0.3, 0.5} from ONE candidate join at
     // the loosest τ (tighter thresholds are filters over the same pair
@@ -4933,6 +4960,36 @@ object LlmQueries {
                  / count(*), 6) AS acc
          FROM pred JOIN p ON pred.qid = p.qid
          GROUP BY p.qlabel ORDER BY label""",
+    "d7_split_leakage" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM base a JOIN base b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+                    - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   (((doc_id % 1000000007) * 2654435761 % 4294967296) * 100) // 4294967296 AS pct
+                 FROM documents)),
+         m AS (
+           SELECT least(sa.split, sb.split) AS split_lo,
+                  greatest(sa.split, sb.split) AS split_hi
+           FROM pairs
+           JOIN sp sa ON sa.doc_id = pairs.doc_a
+           JOIN sp sb ON sb.doc_id = pairs.doc_b)
+         SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           split_lo <> split_hi AS crossing
+         FROM m GROUP BY split_lo, split_hi
+         ORDER BY split_lo, split_hi""",
     "d2_threshold_sweep" ->
       """WITH base AS (
            SELECT doc_id,
