@@ -1324,6 +1324,42 @@ object LlmQueries {
     // pass is k-sized. Scoring reuses Bm25.score's micro-grid doc scores
     // (oracle-proven by d6_bm25), so ordering ties resolve identically
     // cross-engine on (rounded score, doc_id).
+    // D6 (eval panel, binary-relevance half): precision/recall@k of the
+    // BM25 ranking — the binary companions to nDCG's graded gains and
+    // MRR's first-hit rank, completing the standard retrieval dashboard.
+    // Relevance = ≥2 panel-term occurrences (same signal nDCG grades);
+    // exact integer hit counts, one ranked top-20 evaluated at three k.
+    "d6_pr_at_k" -> ((s, sf) => {
+      val docs  = Tables.documents(s, sf)
+      val terms = Seq("scan", "hash", "dup")
+      val rel = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("relc"))
+        .withColumn("is_rel", (col("relc") >= 2).cast("long"))
+      val ranked = Bm25
+        .score(docs, col("doc_id"), col("text"), queryTerms = terms)
+        .join(rel, "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val kdf = s.range(1).select(explode(array(lit(5L), lit(10L), lit(20L))).as("k"))
+      val tot = rel.agg(sum(col("is_rel")).as("n_rel"))
+      ranked
+        .crossJoin(broadcast(kdf))
+        .filter(col("i") <= col("k"))
+        .groupBy(col("k"))
+        .agg(sum(col("is_rel")).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("k"), col("hits"),
+          round(col("hits").cast("double") / col("k").cast("double"), 6).as("p_at_k"),
+          round(col("hits").cast("double") / col("n_rel").cast("double"), 6).as("r_at_k"))
+        .orderBy("k")
+    }),
+
     "d6_ndcg" -> ((s, sf) => {
       val docs  = Tables.documents(s, sf)
       val terms = Seq("scan", "hash", "dup")
@@ -4456,6 +4492,37 @@ object LlmQueries {
          SELECT CAST(k AS BIGINT) AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
            round(dcg / idcg, 6) AS ndcg
          FROM d JOIN i2 USING (k) ORDER BY k""",
+    "d6_pr_at_k" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+         tf AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks, unnest(toks) AS u(tok)
+           WHERE u.tok IN ('scan', 'hash', 'dup')
+           GROUP BY doc_id, dl, u.tok),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         bdoc AS (
+           SELECT doc_id,
+             round(CAST(sum(CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS bm25
+           FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+           GROUP BY doc_id),
+         rel AS (
+           SELECT doc_id, CASE WHEN sum(tf) >= 2 THEN 1 ELSE 0 END AS is_rel
+           FROM tf GROUP BY doc_id),
+         ranked AS (
+           SELECT r.is_rel, row_number() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS i
+           FROM bdoc b JOIN rel r USING (doc_id)
+           ORDER BY b.bm25 DESC, b.doc_id LIMIT 20),
+         tot AS (SELECT CAST(sum(is_rel) AS BIGINT) AS n_rel FROM rel),
+         ks AS (SELECT unnest([5, 10, 20]) AS k)
+         SELECT CAST(k AS BIGINT) AS k, CAST(sum(is_rel) AS BIGINT) AS hits,
+           round(CAST(sum(is_rel) AS DOUBLE) / k, 6) AS p_at_k,
+           round(CAST(sum(is_rel) AS DOUBLE) / n_rel, 6) AS r_at_k
+         FROM ranked, ks, tot WHERE i <= k GROUP BY k, n_rel ORDER BY k""",
     "d3_dim_stats" ->
       """WITH q AS (
            SELECT CAST(i - 1 AS BIGINT) AS pos,
