@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * each round is two plain aggregations and two anti-joins, all keyed
   * shuffles with map-side combine; no driver state beyond the one scalar
   * "how many dropped this round". Rounds are bounded by the longest
-  * peeling chain (≤ n, tiny in practice: each round removes a whole
-  * "shell layer"); per-round `localCheckpoint` truncates lineage exactly
-  * like connectedComponents, and exceeding `maxRounds` THROWS rather than
-  * returning a half-peeled graph (the repo's non-convergence convention).
+  * peeling chain — usually a handful of shell layers, but worst-case
+  * O(n) on a pure path graph (a 2k-node chain peels from both ends in
+  * ~k rounds), so the default bound is generous: each round is just two
+  * cheap keyed aggregations. Per-round `localCheckpoint` truncates
+  * lineage exactly like connectedComponents, and exceeding `maxRounds`
+  * THROWS rather than returning a half-peeled graph (the repo's
+  * non-convergence convention).
   *
   * The fixpoint is order-independent (peeling is confluent — removing any
   * sub-k node never makes another node eligible to stay), so the result
@@ -30,7 +33,7 @@ import org.apache.spark.sql.functions._
   * k-core. */
 object KCore {
 
-  def kCore(edges: DataFrame, a: Column, b: Column, k: Int, maxRounds: Int = 100): DataFrame = {
+  def kCore(edges: DataFrame, a: Column, b: Column, k: Int, maxRounds: Int = 100000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     def canonicalize(df: DataFrame): DataFrame = df
       .select(least(a, b).as("u"), greatest(a, b).as("v"))

@@ -2716,8 +2716,8 @@ object LlmQueries {
     // corpus-wide. High dup_frac = content the model will see many times
     // (boilerplate, templates, licensed text) — the per-doc risk score
     // behind span-level dedup policies (Lee et al. 2021). Shingle
-    // machinery identical to d2_span_dedup's; the cross-doc test is one
-    // hash agg on the shingle key + a semi-join back, and EVERY doc
+    // machinery identical to d2_span_dedup's; the cross-doc test is a
+    // skew-immune hash agg on the shingle key joined back, and EVERY doc
     // surfaces (left join; short docs report 0 shingles).
     "d2_memorization_risk" -> ((s, sf) => {
       val base = Tables
@@ -2732,23 +2732,38 @@ object LlmQueries {
                 sequence(lit(0), size(col("toks")) - 5),
                 i => concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
             .otherwise(array().cast("array<string>")))
-      // ONE pass over the exploded shingles: (doc, shingle) pairs are
-      // per-doc-distinct by construction, so a count window partitioned
-      // on the shingle IS the cross-document frequency — no distinct agg
-      // (which double-shuffles its expanded input), no semi-join back,
-      // and no second evaluation of the explode (the original
-      // agg-then-join form recomputed the scan+explode on both branches:
-      // 24.9 s → this form ≈ 6 s at sf0.1).
-      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      // Materialize the exploded (doc, shingle) stream ONCE (the shingle
+      // transform is the expensive part; an agg-then-join over the lazy
+      // plan re-evaluates it on both branches — 24.9 s at sf0.1). Pairs
+      // are per-doc-distinct by construction, so groupBy(s).count() IS
+      // the cross-document frequency. Partial+final hash agg is hot-key
+      // immune — a boilerplate shingle shared by half the corpus folds
+      // map-side into one partial row per task, unlike the earlier
+      // count-window over Window.partitionBy(s), which buffered the
+      // whole hot shingle's partition on a single reducer (an O(N)
+      // straggler/OOM at 100 TB).
+      val ex = base
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .localCheckpoint()
+      val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      // Shingles are per-doc distinct, so the exploded row count per doc
+      // IS size(sh) — both per-doc numbers fall out of one agg over the
+      // checkpointed stream; the shingle transform never runs twice.
+      // Docs with zero shingles have no exploded rows; the left join
+      // from the bare doc_id scan restores them at coalesce(0).
       val per = ex
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .join(freq, Seq("s"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
-      base
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      Tables
+        .documents(s, sf)
+        .select(col("doc_id"))
         .join(per, Seq("doc_id"), "left")
         .select(
-          col("doc_id"), col("n_shingles"),
+          col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
           round(
             coalesce(

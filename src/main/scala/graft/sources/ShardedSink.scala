@@ -115,9 +115,9 @@ case class ShardedWriterFactory(path: String, writeId: String, shardOrd: Int, pa
     extends DataWriterFactory
     with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardedDataWriter(path, writeId, epoch = -1L, partitionId, shardOrd, payloadOrd, confMap)
+    new ShardedDataWriter(path, writeId, epoch = -1L, partitionId, taskId, shardOrd, payloadOrd, confMap)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardedDataWriter(path, writeId, epochId, partitionId, shardOrd, payloadOrd, confMap)
+    new ShardedDataWriter(path, writeId, epochId, partitionId, taskId, shardOrd, payloadOrd, confMap)
 }
 
 class ShardedBatchWrite(path: String, writeId: String, shardOrd: Int, payloadOrd: Int,
@@ -144,13 +144,21 @@ class ShardedStreamingWrite(path: String, writeId: String, shardOrd: Int, payloa
 
 /** Executor-side writer: one open temp stream per shard seen by this task
   * (bounded by the shard count, not the row count), JSONL payload lines.
-  * Deterministic temp + final names keyed by (epoch, partition, shard):
-  * any re-execution of the same work overwrites rather than duplicates. */
+  * The FINAL name is deterministic per (writeId, epoch, partition) so a
+  * replayed epoch republishes (overwrites) the same files; the TEMP name
+  * additionally carries the task-attempt id (`taskId` is unique per
+  * attempt), because two attempts of the same task can run CONCURRENTLY
+  * (speculation, or a zombie attempt still writing while its retry runs)
+  * and a shared deterministic temp name would let them interleave bytes
+  * in one file. Each attempt writes its own temp; the driver commit
+  * renames only the tmp paths listed by the attempt whose commit message
+  * Spark accepted, and abort sweeps the write's whole temp dir. */
 class ShardedDataWriter(
     root: String,
     writeId: String,
     epoch: Long,
     partitionId: Int,
+    taskId: Long,
     shardOrd: Int,
     payloadOrd: Int,
     confMap: Map[String, String] = Map.empty
@@ -170,7 +178,7 @@ class ShardedDataWriter(
       // (write, epoch, partition) overwrites — both halves of the
       // idempotence contract.
       val finalName = s"part-$writeId-e$epoch-p$partitionId.jsonl"
-      val tmp       = new Path(tmpDir, s"e$epoch-p$partitionId-shard=$shard.jsonl")
+      val tmp       = new Path(tmpDir, s"e$epoch-p$partitionId-t$taskId-shard=$shard.jsonl")
       files += ((tmp.toString, shard, finalName))
       new java.io.OutputStreamWriter(fsys.create(tmp, true), "UTF-8")
     })
@@ -178,7 +186,15 @@ class ShardedDataWriter(
   override def write(row: InternalRow): Unit = {
     val shard   = row.getInt(shardOrd)
     val payload = if (row.isNullAt(payloadOrd)) "" else row.getUTF8String(payloadOrd).toString
-    val w       = writerFor(shard)
+    // JSONL frames records by '\n'; an embedded newline would silently
+    // split one payload into several records on read-back and break the
+    // connector's write→read round-trip. Fail the task loudly instead —
+    // valid single-line JSON (the contract) never contains a raw newline.
+    if (payload.indexOf('\n') >= 0 || payload.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        s"sharded sink payload contains an embedded newline (shard=$shard); " +
+          "JSONL framing requires one-line payloads — escape as \\n/\\r in the JSON")
+    val w = writerFor(shard)
     w.write(payload)
     w.write('\n')
   }

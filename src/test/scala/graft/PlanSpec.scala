@@ -80,6 +80,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d2_memorization_risk: shingle frequency is a hash agg, never a per-shingle window") {
+    // A count window partitioned on the shingle VALUE buffers every
+    // occurrence of a hot shingle (corpus boilerplate) on one reducer —
+    // an O(N) straggler at scale. The de-skewed form must plan the
+    // cross-doc frequency as a partial+final hash agg over the
+    // checkpointed explode, with NO Window operator anywhere.
+    val p = planOf("d2_memorization_risk")
+    assert(!p.contains("Window"), s"per-shingle window reappeared:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "shingle frequency lacks a partial phase")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") || p.contains("Scan"),
+      "exploded stream not materialized once (localCheckpoint missing)")
+  }
+
   test("d7_token_budget: hierarchical-prefix plan — corpus shuffles bounded, offsets broadcast") {
     val p = planOf("d7_token_budget")
     assert(p.contains("Window"), p.take(2000))
