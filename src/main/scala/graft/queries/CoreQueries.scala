@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, Cdc, SkewJoin}
 import graft.tables.Tables
 
 /** Relational core (SURVEY.md §2.C C1–C32): the verification surface the
@@ -1584,6 +1584,35 @@ object CoreQueries {
              ) AS (column_name, n, n_null, ndv, min_val, max_val)""")
         .orderBy("column_name")),
 
+    // C38: CDC upsert apply (operators/Cdc.scala) — MERGE INTO as a batch
+    // operator. Changelog synthesized deterministically from orders (key =
+    // o_custkey, recency = (o_orderdate, o_orderkey), op = D on every 10th
+    // order else U, payload derived from the order row), applied to the
+    // customer snapshot last-writer-wins: latest D drops the customer,
+    // latest U replaces the row, untouched customers pass through. One
+    // window rank on the delta's key exchange + one anti-join against the
+    // snapshot — the snapshot is never windowed, so a TB snapshot with a
+    // GB delta does delta-sized per-key work. Oracle replays the identical
+    // rank/anti/union in SQL.
+    "c38_cdc_apply" -> ((s, sf) => {
+      val snap = Tables.customer(s, sf)
+      val changelog = Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey").as("c_custkey"),
+          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"),
+          col("o_orderpriority").as("c_mktsegment"),
+          col("o_orderdate").as("chg_ts"),
+          col("o_orderkey").as("chg_seq"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      Cdc
+        .upsert(snap, changelog, Seq("c_custkey"),
+          orderCols = Seq(col("chg_ts"), col("chg_seq")), opCol = col("op"))
+        .orderBy("c_custkey")
+    }),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2327,6 +2356,31 @@ object CoreQueries {
          UNION ALL
          SELECT 'l_tax', n, CAST(null_t AS BIGINT), CAST(ndv_t AS BIGINT), min_t, max_t FROM agg
          ORDER BY column_name""",
+    "c38_cdc_apply" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         )
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

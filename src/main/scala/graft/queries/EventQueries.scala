@@ -323,6 +323,32 @@ object EventQueries {
         .orderBy("l_id", "r_id")
     }),
 
+    // B14 batch twin of the STREAM-STREAM SEMI interval join: clicks that
+    // converted — a purchase by the same user inside [click.ts, +1h] —
+    // each click emitted AT MOST ONCE however many purchases match
+    // (existence, not enumeration: the inner join's per-match fan-out is
+    // exactly what attribution counting must NOT do). Literally
+    // StreamOps.streamStreamIntervalSemiJoin on batch frames (watermark a
+    // batch no-op), the same plan StreamingSpec drives with two
+    // MemoryStreams and a state-eviction assertion; the oracle is the
+    // EXISTS form. LeftSemi keeps only left columns and Spark plans it as
+    // a keyed semi-join — right side never amplifies the output at 100 TB.
+    "b14_stream_stream_semi" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.streaming.StreamOps
+        .streamStreamIntervalSemiJoin(
+          clicks, purchases, "l_ts", "r_ts",
+          lateness = "10 minutes", window = "1 hour",
+          keyCond = col("l_user") === col("r_user"))
+        .orderBy("l_id")
+    }),
+
     // B10: ordered-step funnel (view → click → purchase). The classic
     // event-analytics operator the reference's feed exists to feed. Stage
     // sequencing is JOIN-FREE: each stage timestamp is a whole-partition
@@ -586,6 +612,14 @@ object EventQueries {
            ON a.user_id = b.user_id AND a.event_id <> b.event_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          ORDER BY l_id, r_id""",
+    "b14_stream_stream_semi" ->
+      """SELECT a.event_id AS l_id, a.user_id AS l_user, a.ts AS l_ts
+         FROM events a
+         WHERE a.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+         ORDER BY l_id""",
     "b10_funnel" ->
       """WITH w1 AS (
            SELECT user_id, ts, event_type,

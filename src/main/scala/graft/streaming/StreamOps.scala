@@ -165,6 +165,36 @@ object StreamOps {
     )
   }
 
+  /** Stream-stream LEFT SEMI interval join: emit each left event AT MOST
+    * ONCE iff some right event lands in [left.ts, left.ts + window] —
+    * the "did this click convert" existence test, without duplicating the
+    * left row per match the way the inner join does (a click with 40
+    * matching purchases is still one converted click). Spark supports
+    * semi stream-stream joins with the same watermark + time-range state
+    * contract as inner: left rows buffer only until the watermark passes
+    * the end of their match window, right rows until they can no longer
+    * complete any live left interval — state stays bounded at any stream
+    * length. Output columns are the LEFT side's only (semi-join shape). */
+  def streamStreamIntervalSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      lateness: String,
+      window: String,
+      keyCond: Column
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      keyCond &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+      "left_semi"
+    )
+  }
+
   // --- B7: arbitrary stateful processing -------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -286,6 +286,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B14: stream-stream SEMI interval join — one row per converted click, state evicted, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = clicks.toDF().toDF("l_id", "cu", "click_ts")
+    val r = purchases.toDF().toDF("pu", "purchase_ts")
+    val joined = StreamOps.streamStreamIntervalSemiJoin(
+      l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "30 MINUTES",
+      keyCond = col("cu") === col("pu"))
+    val q = joined.writeStream.format("memory").queryName("t_sssemi").outputMode("append").start()
+    try {
+      clicks.addData(
+        (10L, 1L, ts("2024-01-01 10:00:00")), // converts (twice over)
+        (11L, 2L, ts("2024-01-01 10:00:00"))) // never converts
+      purchases.addData(
+        (1L, ts("2024-01-01 10:05:00")),
+        (1L, ts("2024-01-01 10:10:00")))      // second match must NOT duplicate the click
+      q.processAllAvailable()
+      val got = spark.table("t_sssemi").select("l_id").as[Long].collect().toSeq
+      assert(got === Seq(10L), s"semi join must emit each converted click exactly once: $got")
+      // semi shape: only left columns survive
+      assert(spark.table("t_sssemi").columns.toSeq === Seq("l_id", "cu", "click_ts"))
+
+      // advance BOTH watermarks far past every live interval → buffered
+      // state (click 11 waiting on a possible match, purchases kept for
+      // possible future clicks) must be evicted, and the join must report
+      // removed rows in its state-operator metrics
+      clicks.addData((90L, 9L, ts("2024-01-01 12:00:00")))
+      purchases.addData((8L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      clicks.addData((91L, 9L, ts("2024-01-01 13:00:00")))
+      purchases.addData((8L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark never evicted join state (numRowsRemoved == 0)")
+
+      // a purchase behind the watermark (10:05 when the watermark is past
+      // 12:50) is LATE: it must be dropped, not matched to click 11
+      purchases.addData((2L, ts("2024-01-01 10:05:00")))
+      clicks.addData((92L, 9L, ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      val after = spark.table("t_sssemi").select("l_id").as[Long].collect().toSet
+      assert(!after.contains(11L), s"late purchase resurrected an expired click: $after")
+    } finally q.stop()
+  }
+
   test("B7: transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
