@@ -72,6 +72,16 @@ object Bpe {
     // Driver-side merge loop over the bounded table.
     val words: Array[(Array[String], Long)] =
       wordCounts.map { case (w, c) => (symbolize(w), c) }
+    learnMerges(words, numMerges).toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** The shared merge-learning loop: numMerges rounds of (count pairs,
+    * pick (count desc, pair asc) winner, merge every occurrence) over the
+    * bounded symbolized-word table — identical for the char-level and
+    * byte-level trainers, which differ only in symbolization. */
+  private def learnMerges(
+      words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -107,7 +117,7 @@ object Bpe {
         rank += 1
       }
     }
-    out.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+    out.toSeq
   }
 
   /** Subword-id vocabulary for a learned merge table: (vocab_id, symbol).
@@ -222,4 +232,139 @@ object Bpe {
     * by the roundtrip law — decode(split(w)) == w for every word. */
   private[operators] def joinSubwords(subwords: Seq[String]): String =
     subwords.mkString("").replace(EndOfWord, " ").trim
+
+  // --- Byte-level BPE (GPT-2 family) -----------------------------------
+  //
+  // Modern tokenizers (GPT-2, Llama-family) differ from Sennrich'16 in
+  // two ways that change token counts exactly where D5/D7 accounting
+  // cares: (1) the base alphabet is the 256 BYTES of UTF-8, so non-ASCII
+  // text starts multi-symbol per character and there is NO possible UNK;
+  // (2) a regex PRE-TOKENIZER (contractions / letter runs / digit runs /
+  // punctuation runs, each optionally space-prefixed) bounds merges
+  // instead of whitespace words, so punctuation-heavy text splits very
+  // differently from the whitespace trainer. Same learned-merge loop.
+
+  /** The GPT-2 pre-tokenizer regex, verbatim semantics: contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, then whitespace (trailing-space
+    * lookahead keeps a single space attached to the following token).
+    * Every char of any string is covered by exactly one match, so the
+    * match sequence concatenates back to the input — the roundtrip law. */
+  val PretokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2's bijective byte→printable-char table: visible ASCII and the
+    * Latin-1 printables map to themselves; the 68 remaining bytes map to
+    * 256+n. Keeps merge symbols printable/joinable while staying a
+    * bijection (unlike hex-escaping, concatenation stays unambiguous). */
+  private[operators] val byteToChar: Array[Char] = {
+    val keep = ((('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt)).toSet
+    val out  = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  private[operators] val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => (c, b) }.toMap
+
+  private[operators] def byteSymbolize(pretoken: String): Array[String] =
+    pretoken.getBytes("UTF-8").map(b => byteToChar(b & 0xff).toString)
+
+  /** Decode a byte-level symbol sequence back to text: invert the byte
+    * map per char, then UTF-8 decode — exact inverse of symbolization,
+    * whatever merges produced the symbols. */
+  private[operators] def joinByteSymbols(symbols: Seq[String]): String = {
+    val bytes = symbols.flatMap(_.map(c => charToByte(c).toByte)).toArray
+    new String(bytes, "UTF-8")
+  }
+
+  /** Learn byte-level merges: one distributed pretoken-count pass (the
+    * regex runs inside the scan via `regexp_extract_all` — codegen'd, no
+    * UDF), truncated to the top `maxWords` pretokens, then the shared
+    * driver merge loop over byte symbols. Same (rank, left, right,
+    * merged, cnt) shape as [[train]]. */
+  def trainBytes(
+      docs: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      maxWords: Int = 50000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pretokCounts: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(textCol, lit(PretokenPattern), lit(0))).as("pt"))
+      .groupBy(col("pt"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pt"))
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    val words = pretokCounts.map { case (w, c) => (byteSymbolize(w), c) }
+    learnMerges(words, numMerges).toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** Byte-level vocabulary: the full 256-byte alphabet first (ids 1-256 in
+    * byte order — closed over ANY input, trained-on or not), then merged
+    * symbols in rank order. Id 0 stays reserved for schema parity with the
+    * char-level tier, but byte-level encoding can never emit it. */
+  def vocabBytes(merges: DataFrame): DataFrame = {
+    val spark = merges.sparkSession
+    import spark.implicits._
+    val base   = (0 until 256).map(b => byteToChar(b).toString)
+    val merged = merges.orderBy(col("rank")).select(col("merged")).as[String].collect()
+    (base ++ merged).zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+      .toDF("vocab_id", "symbol")
+  }
+
+  /** Encode docs byte-level: pre-tokenize with [[PretokenPattern]], byte-
+    * symbolize, greedy lowest-rank merges ([[applyMerges]] — the rule is
+    * symbolization-agnostic), ids against [[vocabBytes]]. Same broadcast +
+    * shuffle-free narrow-map shape as [[encode]]; per-partition pretoken
+    * cache (Zipf again). (doc_id, n_pretok, n_tokens, ids) — no n_unk
+    * column: byte coverage makes UNK structurally impossible. */
+  def encodeBytes(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankOf: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank"))
+      .as[(String, String, Int)]
+      .collect()
+      .map { case (l, r, k) => ((l, r), k) }
+      .toMap
+    val idOf: Map[String, Long] = vocabBytes(merges)
+      .select(col("symbol"), col("vocab_id")).as[(String, Long)].collect().toMap
+    val bRanks = spark.sparkContext.broadcast(rankOf)
+    val bIds   = spark.sparkContext.broadcast(idOf)
+    docs
+      .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("txt"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks   = bRanks.value
+        val ids     = bIds.value
+        val pattern = java.util.regex.Pattern.compile(PretokenPattern)
+        val cache   = mutable.HashMap.empty[String, Array[String]]
+        def split(pt: String): Array[String] =
+          cache.getOrElseUpdate(pt, applyMerges(byteSymbolize(pt), ranks))
+        it.map { case (docId, txt) =>
+          val text = if (txt == null) "" else txt
+          val m    = pattern.matcher(text)
+          val toks = mutable.ArrayBuffer.empty[String]
+          var nPre = 0L
+          while (m.find()) {
+            nPre += 1
+            toks ++= split(m.group())
+          }
+          // every symbol is in the closed byte vocab — .apply is safe
+          (docId, nPre, toks.length.toLong, toks.map(ids).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "n_pretok", "n_tokens", "ids")
+  }
 }

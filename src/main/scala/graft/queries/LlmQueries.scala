@@ -1232,6 +1232,47 @@ object LlmQueries {
       Bpe.encode(docs, col("doc_id"), col("text"), merges, v).orderBy("doc_id")
     }),
 
+    // D5: BYTE-LEVEL BPE fertility vs the char-level tier — the GPT-2
+    // family tokenizer (256-byte alphabet + regex pre-tokenizer) trained
+    // and applied next to the Sennrich trainer on the same corpus, rolled
+    // up per language: pretokens, byte-level tokens, char-level subwords,
+    // and the tokens-per-pretoken fertility both ways. Non-ASCII languages
+    // pay multi-byte characters at the byte tier (higher fertility, zero
+    // possible UNK) while the char tier pays OOV instead — exactly the
+    // trade the D7 budget accounting needs to see. Iterative trainers →
+    // rows-only; roundtrip/coverage/fertility laws in BpeSpec.
+    "d5_bpe_bytes" -> ((s, sf) => {
+      val docs    = Tables.documents(s, sf)
+      val bMerges = Bpe.trainBytes(docs, col("text"), 60, 5000)
+      val cMerges = Bpe.train(docs, col("text"), 60, 5000)
+      val cVocab  = Bpe.vocab(docs, col("text"), cMerges)
+      val bEnc = Bpe
+        .encodeBytes(docs, col("doc_id"), col("text"), bMerges)
+        .select(col("doc_id"), col("n_pretok"), col("n_tokens"))
+      val cEnc = Bpe
+        .encode(docs, col("doc_id"), col("text"), cMerges, cVocab)
+        .select(col("doc_id"), col("n_subwords"), col("n_unk"))
+      docs
+        .select(col("doc_id"), col("lang"))
+        .join(bEnc, "doc_id")
+        .join(cEnc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_pretok")).as("total_pretok"),
+          sum(col("n_tokens")).as("total_byte_toks"),
+          sum(col("n_subwords")).as("total_char_toks"),
+          sum(col("n_unk")).as("char_unk"))
+        .select(
+          col("lang"), col("n_docs"), col("total_pretok"),
+          col("total_byte_toks"), col("total_char_toks"), col("char_unk"),
+          round(col("total_byte_toks").cast("double") /
+            nullif(col("total_pretok").cast("double"), lit(0.0)), 6).as("byte_fertility"),
+          round(col("total_char_toks").cast("double") /
+            nullif(col("total_pretok").cast("double"), lit(0.0)), 6).as("char_fertility"))
+        .orderBy("lang")
+    }),
+
     // D7×D5: token-budget selection KEYED OFF SUBWORD COUNTS — the
     // composition the whole D7 family exists for: budgets, packing, and
     // manifests must count what the model consumes (BPE subwords), not

@@ -124,4 +124,67 @@ class BpeSpec extends AnyFunSuite {
       assert(total - max < budget, s"source $src: $total exceeds budget by more than one doc")
     }
   }
+
+  // --- byte-level tier --------------------------------------------------
+
+  test("byte map is a bijection and byte symbolization roundtrips any unicode text") {
+    assert(Bpe.byteToChar.distinct.length === 256, "byte→char table not injective")
+    Seq("hello world", "café naïve", "日本語テスト", "emoji 😀 mixed",
+        "tabs\tand\nnewlines", "").foreach { s =>
+      assert(Bpe.joinByteSymbols(Bpe.byteSymbolize(s).toSeq) === s)
+    }
+  }
+
+  test("pre-tokenizer matches concatenate back to the input (total coverage)") {
+    val p = java.util.regex.Pattern.compile(Bpe.PretokenPattern)
+    Seq("It's a test, isn't it?  2nd try... café!", "  leading  spaces",
+        "digits123mixed, 42 a'll we'll") .foreach { s =>
+      val m  = p.matcher(s)
+      val sb = new StringBuilder
+      while (m.find()) sb ++= m.group()
+      assert(sb.toString === s, s"pretokenizer dropped characters of '$s'")
+    }
+    // contraction + space-prefix shapes, the GPT-2 signature behavior
+    def toks(s: String) = {
+      val m = p.matcher(s); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(); b.result()
+    }
+    assert(toks("isn't it") === Seq("isn", "'t", " it"))
+    assert(toks("a 42x") === Seq("a", " 42", "x"))
+  }
+
+  test("trainBytes merges are deterministic and encodeBytes matches trainer segmentation") {
+    val m1 = Bpe.trainBytes(corpus, col("text"), 8).as[(Int, String, String, String, Long)]
+      .collect().sortBy(_._1).toList
+    val m2 = Bpe.trainBytes(corpus.repartition(7), col("text"), 8)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toList
+    assert(m1 === m2, "byte-level merge table depends on partitioning")
+    // greedy encode of a trained-on pretoken reproduces one whole-word
+    // symbol chain consistent with the merges: encoding is UNK-free and
+    // token counts are bounded by byte counts
+    val enc = Bpe.encodeBytes(corpus, col("doc_id"), col("text"), Bpe.trainBytes(corpus, col("text"), 8))
+      .as[(Long, Long, Long, String)].collect()
+    enc.foreach { case (_, nPre, nTok, ids) =>
+      assert(nTok >= nPre, "merges fused across pretoken boundaries")
+      assert(ids.split(" ").forall(s => s.nonEmpty && s.toLong >= 1L), "byte encoding emitted UNK")
+    }
+  }
+
+  test("byte-level encoding roundtrips non-ASCII exactly and never emits UNK") {
+    val docs = Seq((1L, "café déjà vu"), (2L, "日本語 text"), (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, col("text"), 10)
+    val vocab  = Bpe.vocabBytes(merges)
+    val symOf  = vocab.as[(Long, String)].collect().map { case (i, s) => (i, s) }.toMap
+    val enc    = Bpe.encodeBytes(docs, col("doc_id"), col("text"), merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val texts  = docs.as[(Long, String)].collect().toMap
+    enc.foreach { case (id, _, _, ids) =>
+      val syms = if (ids.isEmpty) Seq.empty[String] else ids.split(" ").toSeq.map(s => symOf(s.toLong))
+      assert(Bpe.joinByteSymbols(syms) === texts(id), s"doc $id did not roundtrip")
+    }
+    // non-ASCII pays multi-byte fertility at the byte tier: 日本語 is 3
+    // chars but 9 bytes, so with few merges tokens exceed characters
+    val jp = enc.find(_._1 == 2L).get
+    assert(jp._3 > "日本語 text".length, "byte tier did not reflect multi-byte cost")
+  }
 }
