@@ -1,0 +1,262 @@
+package graft.multimodal
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Container-level media metadata (SURVEY.md §2.D D8): parse MP4 (ISO
+  * BMFF box tree) and EBML/Matroska-WebM headers with PURE BYTE
+  * ARITHMETIC — no codec, no external library — the way every media
+  * catalog stats 100 TB of video without decoding a single frame.
+  * Duration/track metadata lives in a few hundred header bytes; a scan
+  * that reads only those bytes is I/O-bound on metadata, not video.
+  *
+  * Writers ([[renderMp4]], [[renderWebm]]) plant structurally-valid
+  * fixtures whose every field is modular arithmetic of the doc id, so
+  * the registered query `d8_video_meta` is exactly reproducible by the
+  * DuckDB oracle — the parse path itself is what the hash check
+  * exercises (same trick as d8_image_decode's PNG sums).
+  *
+  * Scale shape: parsing is a shuffle-free `mapPartitions` over the
+  * payload column; malformed payloads surface as `decode_ok = false`
+  * rows (dead-letter column, never an executor exception) — the A8
+  * malformed-tolerance contract extended to binary media.
+  */
+object Containers {
+
+  final case class ContainerMeta(
+      doc_id: Long,
+      decode_ok: Boolean,
+      container: String, // "mp4" | "webm" | "unknown"
+      brand: String,     // ftyp major brand / EBML DocType
+      timescale: Long,   // mvhd timescale / EBML TimecodeScale (ns)
+      duration_ms: Long,
+      n_tracks: Long,
+      handlers: String)  // sorted comma-joined track handler 4ccs
+
+  // --- byte helpers -----------------------------------------------------
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  // --- MP4 (ISO BMFF) ---------------------------------------------------
+
+  private def mp4Box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatMap(_.toSeq).toArray
+    u32(body.length + 8L) ++ tp.getBytes("US-ASCII") ++ body
+  }
+
+  /** Movie duration in mvhd units (timescale 600) for doc `d` — the
+    * planted ground truth the oracle recomputes. */
+  def mp4Duration(d: Long): Long = 600L + (d * 37L) % 120000L
+  val Mp4Timescale = 600L
+
+  /** Minimal structurally-valid metadata-only MP4: ftyp + moov(mvhd,
+    * trak(tkhd, mdia(mdhd, hdlr))×n). No mdat — a catalog scan never
+    * needs samples. Even doc%4==0 gets a second (audio) track. */
+  def renderMp4(d: Long): Array[Byte] = {
+    def fullBoxBody(tail: Array[Byte]): Array[Byte] = u32(0L) ++ tail // version+flags then payload
+    val mvhd = mp4Box("mvhd", fullBoxBody(
+      u32(0L) ++ u32(0L) ++                       // ctime, mtime
+        u32(Mp4Timescale) ++ u32(mp4Duration(d)) ++
+        new Array[Byte](80)))                     // rate..next_track_id: zeros
+    def trak(trackId: Long, handler: String, mdTs: Long, mdDur: Long): Array[Byte] = {
+      val tkhd = mp4Box("tkhd", fullBoxBody(
+        u32(0L) ++ u32(0L) ++ u32(trackId) ++ u32(0L) ++ u32(0L) ++
+          new Array[Byte](8) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0) ++
+          new Array[Byte](36) ++                  // matrix
+          u32(320L << 16) ++ u32(240L << 16)))    // 16.16 fixed dims
+      val mdhd = mp4Box("mdhd", fullBoxBody(
+        u32(0L) ++ u32(0L) ++ u32(mdTs) ++ u32(mdDur) ++ u16(0x55c4) ++ u16(0)))
+      val hdlr = mp4Box("hdlr", fullBoxBody(
+        u32(0L) ++ handler.getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array(0.toByte)))
+      mp4Box("trak", tkhd, mp4Box("mdia", mdhd, hdlr))
+    }
+    val tracks = mutable.ArrayBuffer(trak(1L, "vide", 90000L, (d * 11L) % 500000L))
+    if (d % 4 == 0) tracks += trak(2L, "soun", 48000L, (d * 13L) % 800000L)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), u32(0x200L))
+    ftyp ++ mp4Box("moov", (mvhd +: tracks.toSeq): _*)
+  }
+
+  private val Mp4Containers = Set("moov", "trak", "mdia")
+
+  private def parseMp4(d: Long, b: Array[Byte]): ContainerMeta = {
+    var brand = ""
+    var ts = 0L
+    var dur = 0L
+    val handlers = mutable.ArrayBuffer.empty[String]
+    var nTracks = 0L
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(b, off)
+        val tp   = fourcc(b, off + 4)
+        if (size < 8 || off + size > to) throw new IllegalArgumentException("bad box size")
+        tp match {
+          case "ftyp" => brand = fourcc(b, off + 8)
+          case "mvhd" =>
+            // full-box: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+            ts = be32(b, off + 20); dur = be32(b, off + 24)
+          case "trak" => nTracks += 1; walk(off + 8, off + size.toInt)
+          case "hdlr" => handlers += fourcc(b, off + 16) // ver/flags(4) predef(4) then handler
+          case t if Mp4Containers(t) => walk(off + 8, off + size.toInt)
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, b.length)
+    if (ts <= 0) throw new IllegalArgumentException("no mvhd")
+    ContainerMeta(d, decode_ok = true, "mp4", brand, ts, dur * 1000L / ts,
+      nTracks, handlers.sorted.mkString(","))
+  }
+
+  // --- EBML / Matroska-WebM --------------------------------------------
+
+  private val IdEbml = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)
+  private val IdDocType = Array(0x42, 0x82).map(_.toByte)
+  private val IdSegment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+  private val IdInfo = Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte)
+  private val IdTimecodeScale = Array(0x2a, 0xd7, 0xb1).map(_.toByte)
+  private val IdDuration = Array(0x44, 0x89).map(_.toByte)
+  private val IdTracks = Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte)
+  private val IdTrackEntry = Array(0xae).map(_.toByte)
+  private val IdTrackType = Array(0x83).map(_.toByte)
+
+  /** EBML data-size varint, fixed 8-byte form (0x01 marker + 7 value
+    * bytes) — legal for any size and keeps the writer trivial; the
+    * parser below handles the general 1-8 byte form. */
+  private def ebmlSize(n: Long): Array[Byte] =
+    Array(0x01.toByte) ++ (6 to 0 by -1).map(i => ((n >> (8 * i)) & 0xff).toByte)
+
+  private def el(id: Array[Byte], body: Array[Byte]*): Array[Byte] = {
+    val b = body.flatMap(_.toSeq).toArray
+    id ++ ebmlSize(b.length.toLong) ++ b
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >> (8 * n)) != 0) n += 1
+    ((n - 1) to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  private def ebmlFloat64(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    (7 to 0 by -1).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  /** Planted WebM duration in ms for doc `d`. */
+  def webmDurationMs(d: Long): Long = (d * 53L) % 3600000L
+  val WebmTimecodeScale = 1000000L // ns per timecode unit → timecodes are ms
+
+  /** Minimal WebM header: EBML(DocType=webm) + Segment(Info(TimecodeScale,
+    * Duration), Tracks(TrackEntry(TrackType)×n)). Odd doc%3==0 gets a
+    * second (audio, TrackType=2) track. */
+  def renderWebm(d: Long): Array[Byte] = {
+    val header = el(IdEbml, el(IdDocType, "webm".getBytes("US-ASCII")))
+    val info = el(IdInfo,
+      el(IdTimecodeScale, ebmlUint(WebmTimecodeScale)),
+      el(IdDuration, ebmlFloat64(webmDurationMs(d).toDouble)))
+    val entries = mutable.ArrayBuffer(el(IdTrackEntry, el(IdTrackType, ebmlUint(1L))))
+    if (d % 3 == 0) entries += el(IdTrackEntry, el(IdTrackType, ebmlUint(2L)))
+    header ++ el(IdSegment, info, el(IdTracks, entries.toSeq: _*))
+  }
+
+  /** General EBML varint at `off`: (value, width). `keepMarker` for
+    * element IDs (IDs are compared marker-inclusive), cleared for sizes. */
+  private def ebmlVarint(b: Array[Byte], off: Int, keepMarker: Boolean): (Long, Int) = {
+    val first = b(off) & 0xff
+    if (first == 0) throw new IllegalArgumentException("invalid EBML varint")
+    val width = Integer.numberOfLeadingZeros(first) - 23 // leading zeros within 8 bits + 1
+    var v = if (keepMarker) first.toLong else (first & ((1 << (8 - width)) - 1)).toLong
+    (1 until width).foreach(i => v = (v << 8) | (b(off + i) & 0xffL))
+    (v, width)
+  }
+
+  private def parseWebm(d: Long, b: Array[Byte]): ContainerMeta = {
+    var docType = ""
+    var tcScale = 1000000L // Matroska default
+    var durUnits = 0.0
+    var nTracks = 0L
+    val handlers = mutable.ArrayBuffer.empty[String]
+
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off < to) {
+        val (id, idW)    = ebmlVarint(b, off, keepMarker = true)
+        val (size, szW)  = ebmlVarint(b, off + idW, keepMarker = false)
+        val body         = off + idW + szW
+        val end          = body + size.toInt
+        if (end > to) throw new IllegalArgumentException("bad EBML size")
+        id match {
+          case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
+            walk(body, end, depth + 1)
+          case 0xaeL => // TrackEntry
+            nTracks += 1; walk(body, end, depth + 1)
+          case 0x4282L => docType = new String(b, body, size.toInt, "US-ASCII")
+          case 0x2ad7b1L =>
+            tcScale = (0 until size.toInt).foldLeft(0L)((a, i) => (a << 8) | (b(body + i) & 0xffL))
+          case 0x4489L =>
+            val bits = (0 until size.toInt).foldLeft(0L)((a, i) => (a << 8) | (b(body + i) & 0xffL))
+            durUnits =
+              if (size == 4) java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+              else java.lang.Double.longBitsToDouble(bits)
+          case 0x83L => // TrackType: 1=video, 2=audio — normalized to 4ccs
+            val t = (0 until size.toInt).foldLeft(0L)((a, i) => (a << 8) | (b(body + i) & 0xffL))
+            handlers += (if (t == 1L) "vide" else if (t == 2L) "soun" else s"trk$t")
+          case _ => ()
+        }
+        off = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (docType.isEmpty) throw new IllegalArgumentException("no DocType")
+    // duration_ms = durUnits timecodes × tcScale ns / 1e6
+    val ms = math.round(durUnits * tcScale / 1000000.0)
+    ContainerMeta(d, decode_ok = true, "webm", docType, tcScale, ms,
+      nTracks, handlers.sorted.mkString(","))
+  }
+
+  // --- surface ----------------------------------------------------------
+
+  /** Attach a planted container payload per doc: even ids → MP4, odd →
+    * WebM (two container families through one parse surface). */
+  def attachContainerPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(d => (d, if (d % 2 == 0) renderMp4(d) else renderWebm(d))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Parse the container header of each payload — dispatch on magic
+    * bytes, malformed rows dead-letter as decode_ok=false. Shuffle-free
+    * narrow map; only header bytes are touched. */
+  def parseContainerMeta(df: DataFrame): Dataset[ContainerMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) =>
+        try {
+          if (b.length >= 12 && fourcc(b, 4) == "ftyp") parseMp4(d, b)
+          else if (b.length >= 4 && b.take(4).sameElements(IdEbml)) parseWebm(d, b)
+          else ContainerMeta(d, decode_ok = false, "unknown", "", 0L, 0L, 0L, "")
+        } catch {
+          case _: RuntimeException =>
+            ContainerMeta(d, decode_ok = false, "unknown", "", 0L, 0L, 0L, "")
+        }
+      })
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Containers, Multimodal}
 import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, KCore, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Triangles, Vocab}
 import graft.tables.Tables
 
@@ -2217,6 +2217,22 @@ object LlmQueries {
           col("width"), col("height"), col("sum_gray"))
         .orderBy("doc_id", "frame_idx")),
 
+    // D8: container-level video metadata — parse planted MP4 box trees
+    // (even ids) and EBML/WebM headers (odd ids) with pure byte
+    // arithmetic (multimodal/Containers.scala): brand/DocType, movie
+    // timescale, duration, track count, handler types — the catalog scan
+    // that stats 100 TB of video reading only header bytes, no codec.
+    // Every planted field is modular arithmetic of doc_id, so DuckDB
+    // recomputes the expected table exactly; the box/varint walk itself
+    // is what the hash check exercises.
+    "d8_video_meta" -> ((s, sf) =>
+      Containers
+        .parseContainerMeta(Containers.attachContainerPayload(Tables.documents(s, sf)))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("container"), col("brand"), col("timescale"),
+          col("duration_ms"), col("n_tracks"), col("handlers"))
+        .orderBy("doc_id")),
+
     // D8: REAL image resize — decode, bilinear-rescale 16×16 → 8×8 with
     // Graphics2D, PNG re-encode, decode again. Interpolated sums are
     // codec-kernel-specific → rows-only; dimension/determinism/brightness
@@ -4260,6 +4276,21 @@ object LlmQueries {
          WHERE gf.f % 2 = 0
          GROUP BY d.doc_id, gf.f
          ORDER BY d.doc_id, frame_idx""",
+    "d8_video_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END AS brand,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000000 END AS BIGINT) AS timescale,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN ((600 + (doc_id * 37) % 120000) * 1000) // 600
+                ELSE (doc_id * 53) % 3600000 END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+                ELSE CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END END AS BIGINT) AS n_tracks,
+           CASE WHEN doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 4 = 0 THEN 'soun,vide' ELSE 'vide' END
+                ELSE CASE WHEN doc_id % 3 = 0 THEN 'soun,vide' ELSE 'vide' END END AS handlers
+         FROM documents ORDER BY doc_id""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
