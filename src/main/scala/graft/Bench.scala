@@ -47,14 +47,20 @@ object Bench {
         "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
-    // Offline artifacts (IVF index): built once per corpus in production;
-    // excluded from per-query timings so d4_topk_ivf measures the probe.
+    // Offline artifacts (IVF index, near-dup edge graph): built once per
+    // corpus in production; excluded from per-query timings so the
+    // serving queries measure the probe/scan. The build cost is REPORTED
+    // separately (artifact_build_sec) so the per-query speedups that came
+    // from moving work into artifacts are not read as engine wins —
+    // round-over-round totals stay interpretable (ADVICE r11).
+    val tArt0 = System.nanoTime()
     graft.queries.LlmQueries.prebuildIndexes(spark, sfDir)
+    val artifactSec = math.rint((System.nanoTime() - tArt0) / 1e9 * 100) / 100
 
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune projection work away and under-measure).
@@ -69,15 +75,26 @@ object Bench {
       // Rounded to 0.1 ms — sub-100µs digits are noise, and a shorter JSON
       // line survives the driver's bounded stdout-tail capture
       // (BENCH_r04/r05 "parsed": null came from a truncated line).
+      if (ok) math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000 else -1.0
+    }
+    val results = selected.map { case (name, fn) =>
+      val first = runOnce(name, fn)
+      // Sub-half-second queries are jitter-dominated (GC pause ≈ their
+      // whole runtime): report the MEDIAN of 3 runs for those. Slow
+      // queries stay single-run — their signal dwarfs jitter and
+      // repeating them would double the bench.
       val sec =
-        if (ok) math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000 else -1.0
+        if (first >= 0 && first < 0.5) {
+          val runs = Seq(first, runOnce(name, fn), runOnce(name, fn)).filter(_ >= 0)
+          if (runs.isEmpty) -1.0 else runs.sorted.apply(runs.length / 2)
+        } else first
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"artifact_build_sec":$artifactSec,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     Console.out.flush()
@@ -87,6 +104,6 @@ object Bench {
     // per-query line in rounds 4–7 ("parsed": null), so the parse target
     // must fit entirely inside any reasonable tail window. Per-query data
     // stays in the full line above and, authoritatively, in the outFile.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"artifact_build_sec":$artifactSec,"queries":{},"sf":"$sfDir"}""")
   }
 }
