@@ -99,6 +99,26 @@ class CdcSpec extends AnyFunSuite {
     assert(got === Set(1L))
   }
 
+  test("incremental apply: folding the changelog in N batches equals one-shot apply") {
+    // the lakehouse daily-merge law: MERGE(MERGE(snap, day1), day2) ==
+    // MERGE(snap, day1 ∪ day2) — holds because last-writer-wins only
+    // depends on each key's latest record, whichever batch carried it
+    val rnd = new scala.util.Random(7)
+    val s = (1L to 30L).map(k => (k, s"base$k", k * 2.0))
+    val c = (1L to 200L).map { seq =>
+      val k  = rnd.nextInt(45).toLong + 1
+      val op = if (rnd.nextInt(5) == 0) "D" else "U"
+      (k, s"c$seq", rnd.nextInt(500) / 10.0, seq, op)
+    }
+    val oneShot = apply0(snap(s: _*), log(c: _*))
+    val batched = c.grouped(50).foldLeft(snap(s: _*)) { (acc, batch) =>
+      Cdc.upsert(acc, log(batch: _*), keys, Seq(col("seq")), col("op")).localCheckpoint()
+    }
+    val gotBatched = batched.as[(Long, String, Double)].collect()
+      .map { case (k, n, b) => k -> (n, b) }.toMap
+    assert(gotBatched === oneShot)
+  }
+
   test("IVM consistency: delta-maintained sum equals recompute over the upserted snapshot") {
     val s = snap((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     val c = log(
