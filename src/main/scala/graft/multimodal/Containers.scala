@@ -226,6 +226,159 @@ object Containers {
       nTracks, handlers.sorted.mkString(","))
   }
 
+  // --- FLAC / MP3 audio headers ----------------------------------------
+
+  final case class AudioMeta(
+      doc_id: Long,
+      decode_ok: Boolean,
+      format: String,    // "flac" | "mp3" | "unknown"
+      sample_rate: Long,
+      channels: Long,
+      bits_per_sample: Long, // 0 for mp3 (not a header field there)
+      duration_ms: Long,
+      bitrate_kbps: Long)    // 0 for flac (lossless, no header bitrate)
+
+  /** Planted FLAC total samples for doc `d` (sample rate fixed 44100). */
+  def flacTotalSamples(d: Long): Long = 44100L + (d * 97L) % 4410000L
+
+  /** Minimal FLAC: "fLaC" magic + one last-flagged STREAMINFO block —
+    * the 34-byte bit-packed struct every FLAC file leads with
+    * (min/max block size, min/max frame size, 20-bit sample rate,
+    * 3-bit channels-1, 5-bit bps-1, 36-bit total samples, MD5). */
+  def renderFlac(d: Long): Array[Byte] = {
+    val sampleRate = 44100L
+    val channels   = 1L + (d % 4) / 2 // even docs alternate mono/stereo
+    val bps        = 16L
+    val total      = flacTotalSamples(d)
+    val body = new Array[Byte](34)
+    // min/max block size (u16 each), min/max frame size (u24 each)
+    body(0) = 0x10; body(1) = 0; body(2) = 0x10; body(3) = 0
+    // bytes 10..17 pack: rate(20) | chan-1(3) | bps-1(5) | total(36)
+    val packed = (sampleRate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    (0 until 8).foreach(i => body(10 + i) = ((packed >> (8 * (7 - i))) & 0xff).toByte)
+    "fLaC".getBytes("US-ASCII") ++
+      Array((0x80).toByte, 0.toByte, 0.toByte, 34.toByte) ++ // last-block flag | type 0, u24 len
+      body
+  }
+
+  private def parseFlac(d: Long, b: Array[Byte]): AudioMeta = {
+    var off = 4
+    var found: AudioMeta = null
+    var last = false
+    while (!last && found == null) {
+      val hdr  = b(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val tp   = hdr & 0x7f
+      val len  = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      if (tp == 0) {
+        if (len < 34) throw new IllegalArgumentException("short STREAMINFO")
+        val base = off + 4
+        var packed = 0L
+        (0 until 8).foreach(i => packed = (packed << 8) | (b(base + 10 + i) & 0xffL))
+        val rate  = (packed >>> 44) & 0xfffffL
+        val chans = ((packed >>> 41) & 0x7L) + 1
+        val bps   = ((packed >>> 36) & 0x1fL) + 1
+        val total = packed & 0xfffffffffL
+        if (rate == 0) throw new IllegalArgumentException("zero sample rate")
+        found = AudioMeta(d, decode_ok = true, "flac", rate, chans, bps,
+          total * 1000L / rate, 0L)
+      }
+      off += 4 + len
+      if (off > b.length) throw new IllegalArgumentException("bad block length")
+    }
+    if (found == null) throw new IllegalArgumentException("no STREAMINFO")
+    found
+  }
+
+  // MPEG-1 Layer III tables (the public header spec)
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates    = Array(44100L, 48000L, 32000L, 0L)
+
+  /** Planted MP3 frame count for doc `d`. */
+  def mp3FrameCount(d: Long): Long = 10L + (d * 13L) % 990L
+  /** Planted MP3 bitrate index for doc `d` (1..14 → 32..320 kbps). */
+  def mp3BitrateIndex(d: Long): Int = 1 + (d % 14L).toInt
+
+  /** Minimal MPEG-1 Layer III stream: `n` consecutive frames with valid
+    * sync headers (0xFFFB…) and spec-sized zero payloads — frame size =
+    * 144 × bitrate / rate (+padding 0). CBR duration = frames × 1152
+    * samples. */
+  def renderMp3(d: Long): Array[Byte] = {
+    val bi     = mp3BitrateIndex(d)
+    val rate   = 44100L
+    val frames = mp3FrameCount(d)
+    val frameLen = (144L * Mp3Bitrates(bi) * 1000L / rate).toInt
+    val out = new Array[Byte](frameLen * frames.toInt)
+    var off = 0
+    (0L until frames).foreach { _ =>
+      out(off) = 0xff.toByte
+      out(off + 1) = 0xfb.toByte                      // MPEG-1, layer III, no CRC
+      out(off + 2) = ((bi << 4) | 0x00).toByte        // bitrate idx, rate idx 0 (44100), no pad
+      out(off + 3) = 0xc0.toByte                      // mono
+      off += frameLen
+    }
+    out
+  }
+
+  private def parseMp3(d: Long, b: Array[Byte]): AudioMeta = {
+    var off = 0
+    var frames = 0L
+    var rate = 0L
+    var bitrate = 0L
+    var channels = 0L
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0)
+        throw new IllegalArgumentException("lost sync")
+      val version = (b(off + 1) >> 3) & 0x3
+      val layer   = (b(off + 1) >> 1) & 0x3
+      if (version != 3 || layer != 1) throw new IllegalArgumentException("not MPEG-1 layer III")
+      val bi  = (b(off + 2) >> 4) & 0xf
+      val ri  = (b(off + 2) >> 2) & 0x3
+      val pad = (b(off + 2) >> 1) & 0x1
+      if (bi == 0 || bi == 15 || ri == 3) throw new IllegalArgumentException("bad header")
+      rate = Mp3Rates(ri)
+      bitrate = Mp3Bitrates(bi).toLong
+      channels = if (((b(off + 3) >> 6) & 0x3) == 3) 1L else 2L
+      frames += 1
+      off += (144L * bitrate * 1000L / rate).toInt + pad
+    }
+    if (frames == 0) throw new IllegalArgumentException("no frames")
+    // MPEG-1 layer III: 1152 samples per frame
+    AudioMeta(d, decode_ok = true, "mp3", rate, channels, 0L,
+      frames * 1152L * 1000L / rate, bitrate)
+  }
+
+  /** Attach a planted audio payload per doc: even ids → FLAC, odd → MP3. */
+  def attachAudioHeaderPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(d => (d, if (d % 2 == 0) renderFlac(d) else renderMp3(d))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Parse audio container/frame headers — magic-dispatched, malformed
+    * rows dead-letter. Same shuffle-free header-bytes-only scan shape as
+    * [[parseContainerMeta]]. */
+  def parseAudioMeta(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) =>
+        try {
+          if (b.length >= 8 && fourcc(b, 0) == "fLaC") parseFlac(d, b)
+          else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) parseMp3(d, b)
+          else AudioMeta(d, decode_ok = false, "unknown", 0L, 0L, 0L, 0L, 0L)
+        } catch {
+          case _: RuntimeException =>
+            AudioMeta(d, decode_ok = false, "unknown", 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
   // --- surface ----------------------------------------------------------
 
   /** Attach a planted container payload per doc: even ids → MP4, odd →

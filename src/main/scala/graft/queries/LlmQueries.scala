@@ -2233,6 +2233,19 @@ object LlmQueries {
           col("duration_ms"), col("n_tracks"), col("handlers"))
         .orderBy("doc_id")),
 
+    // D8: audio header metadata — FLAC STREAMINFO (bit-packed 20-bit
+    // rate / 3-bit channels / 5-bit bps / 36-bit total samples) and
+    // MPEG-1 Layer III frame-sync walk (bitrate/rate/mode from the
+    // 4-byte header, CBR duration from the frame count) — the audio twin
+    // of d8_video_meta, same pure-byte pattern, header bytes only.
+    "d8_audio_meta" -> ((s, sf) =>
+      Containers
+        .parseAudioMeta(Containers.attachAudioHeaderPayload(Tables.documents(s, sf)))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("format"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("duration_ms"), col("bitrate_kbps"))
+        .orderBy("doc_id")),
+
     // D8: REAL image resize — decode, bilinear-rescale 16×16 → 8×8 with
     // Graphics2D, PNG re-encode, decode again. Interpolated sums are
     // codec-kernel-specific → rows-only; dimension/determinism/brightness
@@ -4290,6 +4303,22 @@ object LlmQueries {
            CASE WHEN doc_id % 2 = 0
                 THEN CASE WHEN doc_id % 4 = 0 THEN 'soun,vide' ELSE 'vide' END
                 ELSE CASE WHEN doc_id % 3 = 0 THEN 'soun,vide' ELSE 'vide' END END AS handlers
+         FROM documents ORDER BY doc_id""",
+    "d8_audio_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS format,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 1 END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS BIGINT) AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN ((44100 + (doc_id * 97) % 4410000) * 1000) // 44100
+                ELSE ((10 + (doc_id * 13) % 990) * 1152 * 1000) // 44100
+                END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                     [CAST(doc_id % 14 AS INTEGER) + 1]
+                END AS BIGINT) AS bitrate_kbps
          FROM documents ORDER BY doc_id""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -51,6 +51,42 @@ class ContainersSpec extends AnyFunSuite {
     assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
   }
 
+  private def audioOf(ids: Long*) = Containers
+    .parseAudioMeta(
+      Containers.attachAudioHeaderPayload(ids.map(i => (i, s"d$i")).toDF("doc_id", "text")))
+    .collect()
+    .map(m => m.doc_id -> m)
+    .toMap
+
+  test("FLAC STREAMINFO bit-unpacking recovers rate/channels/bps/duration") {
+    val m = audioOf(2L, 4L, 6L)
+    assert(m(2L).format === "flac" && m(2L).sample_rate === 44100L)
+    assert(m(2L).channels === 2L && m(4L).channels === 1L) // (d%4)/2 alternation
+    assert(m(2L).bits_per_sample === 16L)
+    assert(m(2L).duration_ms === Containers.flacTotalSamples(2L) * 1000L / 44100L)
+    assert(m(2L).bitrate_kbps === 0L)
+  }
+
+  test("MP3 frame-sync walk counts frames and reads bitrate/mode") {
+    val m = audioOf(1L, 3L, 15L)
+    assert(m(1L).format === "mp3" && m(1L).sample_rate === 44100L)
+    assert(m(1L).channels === 1L && m(1L).bits_per_sample === 0L)
+    assert(m(1L).duration_ms === Containers.mp3FrameCount(1L) * 1152L * 1000L / 44100L)
+    // doc 15: bitrate index 1 + 15%14 = 2 → 40 kbps
+    assert(m(15L).bitrate_kbps === 40L)
+  }
+
+  test("audio parse dead-letters malformed payloads") {
+    val bad = Seq(
+      (1L, Containers.renderFlac(2L).take(10)),  // truncated STREAMINFO
+      (2L, Containers.renderMp3(1L).take(2)),    // sync byte, then nothing
+      (3L, Array[Byte](0, 1, 2, 3)),
+      (4L, Containers.renderMp3(7L))             // valid control row
+    ).toDF("doc_id", "payload")
+    val out = Containers.parseAudioMeta(bad).collect().map(m => m.doc_id -> m.decode_ok).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("unknown boxes and EBML elements are skipped, not fatal") {
     // splice an unknown 'free' box between ftyp and moov
     val base  = Containers.renderMp4(6L)
