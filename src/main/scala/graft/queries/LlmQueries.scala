@@ -2790,54 +2790,50 @@ object LlmQueries {
     // skew-immune hash agg on the shingle key joined back, and EVERY doc
     // surfaces (left join; short docs report 0 shingles).
     "d2_memorization_risk" -> ((s, sf) => {
-      val base = Tables
-        .documents(s, sf)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-        .withColumn(
-          "sh",
-          when(
-            size(col("toks")) >= 5,
-            array_distinct(
-              transform(
-                sequence(lit(0), size(col("toks")) - 5),
-                i => concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
-            .otherwise(array().cast("array<string>")))
-      // Materialize the exploded (doc, shingle) stream ONCE (the shingle
-      // transform is the expensive part; an agg-then-join over the lazy
-      // plan re-evaluates it on both branches — 24.9 s at sf0.1). Pairs
-      // are per-doc-distinct by construction, so groupBy(s).count() IS
-      // the cross-document frequency. Partial+final hash agg is hot-key
-      // immune — a boilerplate shingle shared by half the corpus folds
-      // map-side into one partial row per task, unlike the earlier
-      // count-window over Window.partitionBy(s), which buffered the
-      // whole hot shingle's partition on a single reducer (an O(N)
-      // straggler/OOM at 100 TB).
-      val ex = base
-        .select(col("doc_id"), explode(col("sh")).as("s"))
+      // Shingle stream = Dedup.shingleHashes: ONE mapPartitions JVM pass
+      // (tokenize → slide → FNV-64 fingerprint → per-doc distinct) in
+      // place of the declarative split/transform/concat_ws/explode
+      // chain, which runs interpreted (HOFs don't codegen) and
+      // materializes every shingle string — profiled at sf0.1 that chain
+      // was 6.0 s of a 7.7 s query; this pass is sub-second.
+      // Fingerprint identity ≡ the oracle's string shingles modulo
+      // 64-bit collisions (absent in the fixtures — the row is
+      // hash-green vs the STRING-shingle DuckDB twin; the tokenization
+      // bit-equality law is in DedupSpec). Materialized ONCE as 16-byte
+      // (doc_id, h) rows: an agg over the lazy plan would re-tokenize
+      // per consumer (24.9 s), a string checkpoint measured 9.5 s.
+      val ex = Dedup
+        .shingleHashes(Tables.documents(s, sf), col("doc_id"), col("text"), 5)
         .localCheckpoint()
-      val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      // Shingles are per-doc distinct, so the exploded row count per doc
-      // IS size(sh) — both per-doc numbers fall out of one agg over the
-      // checkpointed stream; the shingle transform never runs twice.
-      // Docs with zero shingles have no exploded rows; the left join
-      // from the bare doc_id scan restores them at coalesce(0).
-      val per = ex
-        .join(freq, Seq("s"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      // Skew-immunity without a corpus-sized join-back: a (doc, shingle)
+      // pair is a DUP iff its shingle occurs in ≥2 docs, so per doc
+      //   n_dup = n_shingles − #(shingles unique to this doc),
+      // and both terms are plain partial+final hash aggs — the hot
+      // boilerplate shingle folds map-side into ≤ #tasks partial rows,
+      // where the earlier count-window over Window.partitionBy(s) put
+      // the whole hot shingle on ONE reducer (O(N) straggler at 100 TB).
+      // min(doc_id) identifies the owner exactly when the count is 1.
+      val tot = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val uniq = ex
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("d0"))
+        .filter(col("c") === 1)
+        .groupBy(col("d0").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
       Tables
         .documents(s, sf)
         .select(col("doc_id"))
-        .join(per, Seq("doc_id"), "left")
+        .join(tot, Seq("doc_id"), "left")
+        .join(uniq, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_shingles"), lit(0L)) - coalesce(col("n_uniq"), lit(0L))).as("n_dup"),
           round(
             coalesce(
-              col("n_dup").cast("double") / nullif(col("n_shingles").cast("double"), lit(0.0)),
+              (coalesce(col("n_shingles"), lit(0L)) - coalesce(col("n_uniq"), lit(0L)))
+                .cast("double") /
+                nullif(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(0.0)),
               lit(0.0)),
             6).as("dup_frac"))
         .orderBy("doc_id")

@@ -380,4 +380,44 @@ class DedupSpec extends AnyFunSuite {
     assert(shared >= (h1.size * 3) / 4,
       s"CDC lost sync: only $shared of ${h1.size} chunks survive a 1-token prefix edit")
   }
+
+  test("shingleHashes (JVM twin) bit-matches the declarative string-shingle pipeline") {
+    import graft.functions.TextOps
+    // edge shapes: dup docs, multi-space runs, mixed case, non-ASCII,
+    // exactly-k tokens, sub-k tokens (must vanish), null text
+    val docs = (corpus.as[(Long, String)].collect().toSeq ++ Seq(
+      (10L, "Mixed   CASE   tokens  with   runs    of spaces here now ok"),
+      (11L, "café déjà vu naïve über straße tokens regarder 中文 内容 also"),
+      (12L, "one two three four five"), // exactly k
+      (13L, "too short"),               // < k → zero shingles
+      (14L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    val k = 5
+
+    val jvm = Dedup.shingleHashes(docs, col("doc_id"), col("text"), k)
+    // declarative reference: the concat_ws pipeline shingleHashes replaces
+    val ref = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("sh",
+        when(size(col("toks")) >= k,
+          array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+    // per-doc distinct-shingle counts identical
+    val nJvm = jvm.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val nRef = ref.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(nJvm === nRef, "per-doc shingle counts diverge from the declarative pipeline")
+
+    // fingerprinting is injective on this corpus (no FNV collisions) and
+    // cross-doc sharing structure is identical: every shingle's doc SET
+    // has a hash-side counterpart with the same doc set
+    val byStr = ref.as[(Long, String)].collect().groupBy(_._2).map { case (_, v) => v.map(_._1).toSet }
+      .groupBy(identity).map { case (k2, v) => (k2, v.size) }
+    val byHash = jvm.as[(Long, Long)].collect().groupBy(_._2).map { case (_, v) => v.map(_._1).toSet }
+      .groupBy(identity).map { case (k2, v) => (k2, v.size) }
+    assert(byHash === byStr, "cross-doc sharing structure diverges (collision or identity drift)")
+  }
 }
