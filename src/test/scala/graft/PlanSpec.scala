@@ -93,6 +93,34 @@ class PlanSpec extends AnyFunSuite {
       "exploded stream not materialized once (localCheckpoint missing)")
   }
 
+  test("c38_cdc_apply: changelog rank pushes to WindowGroupLimit; snapshot is never windowed") {
+    val p = planOf("c38_cdc_apply")
+    // rank=1 over the delta must prune below the sort (a key updated 10⁶
+    // times costs its reducer the top row, not the history)...
+    assert(p.contains("WindowGroupLimit"), "last-writer rank not pushed below the window sort")
+    // ...and the window must be the CHANGELOG's only — the snapshot side
+    // contributes a scan + anti-join, nothing per-key
+    assert("\\bWindow\\b".r.findAllIn(p).length <= 2, // Window + WindowGroupLimit spans
+      s"snapshot side acquired a window:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), "untouched-keys path lost its anti-join")
+  }
+
+  test("b14_stream_stream_semi: plans a keyed semi-join, never BNLJ/cartesian") {
+    val p = planOf("b14_stream_stream_semi")
+    assert(p.contains("LeftSemi"), s"semi join degraded:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "stream-stream semi twin degraded to an unkeyed join")
+  }
+
+  test("d8 container walks: shuffle-free narrow scans up to the final sort") {
+    Seq("d8_video_meta", "d8_audio_meta").foreach { name =>
+      val p = planOf(name)
+      // one range exchange for the orderBy is expected; nothing else
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$name: header parse acquired a shuffle:\n${p.take(2000)}")
+    }
+  }
+
   test("d7_token_budget: hierarchical-prefix plan — corpus shuffles bounded, offsets broadcast") {
     val p = planOf("d7_token_budget")
     assert(p.contains("Window"), p.take(2000))
