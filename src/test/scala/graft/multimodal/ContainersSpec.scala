@@ -87,6 +87,38 @@ class ContainersSpec extends AnyFunSuite {
     assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("EBML general varints of every width parse back to the planted Duration") {
+    // the writer emits fixed 8-byte sizes; a real mux uses minimal-width
+    // varints — hand-build headers with every size width 1..8 and check
+    // the general parser recovers the same planted fields
+    def sizeVarint(n: Long, width: Int): Array[Byte] = {
+      val marker = 1L << (8 - width) // leading-byte marker bit
+      val total  = (marker << (8 * (width - 1))) | n
+      ((width - 1) to 0 by -1).map(i => ((total >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def el(id: Array[Byte], width: Int, body: Array[Byte]): Array[Byte] =
+      id ++ sizeVarint(body.length.toLong, width) ++ body
+    def f64(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (7 to 0 by -1).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+    }
+    (1 to 8).foreach { w =>
+      val payload =
+        el(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte), w,
+          el(Array(0x42, 0x82).map(_.toByte), w, "webm".getBytes("US-ASCII"))) ++
+        el(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte), w,
+          el(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte), w,
+            el(Array(0x2a, 0xd7, 0xb1).map(_.toByte), w, Array(0x0f.toByte, 0x42.toByte, 0x40.toByte)) ++
+            el(Array(0x44, 0x89).map(_.toByte), w, f64(1234.0))))
+      val out = Containers
+        .parseContainerMeta(Seq((7L, payload)).toDF("doc_id", "payload"))
+        .collect().head
+      assert(out.decode_ok, s"width-$w varint failed to parse")
+      assert(out.brand === "webm" && out.duration_ms === 1234L && out.timescale === 1000000L,
+        s"width-$w varint mis-parsed: $out")
+    }
+  }
+
   test("unknown boxes and EBML elements are skipped, not fatal") {
     // splice an unknown 'free' box between ftyp and moov
     val base  = Containers.renderMp4(6L)
