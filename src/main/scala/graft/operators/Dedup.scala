@@ -822,7 +822,16 @@ object Dedup {
     * 64-bit collisions (~n²/2⁶⁵, the repo's accepted n-gram risk).
     * Docs with fewer than k tokens emit nothing — restore them with a
     * left join from the doc table, as every consumer of the exploded
-    * shingle stream already does. */
+    * shingle stream already does.
+    *
+    * Sibling of [[graft.functions.TextOps.shingleHashesJvm]] /
+    * `distinctShingleHashesJvm` (the MinHash path's xxhash64-EXACT
+    * twins, which must bit-match the Column `xxhash64` form and keep the
+    * whole-document shingle for short docs): this one owns the
+    * memorization-risk contract instead — per-doc DISTINCT, k-token
+    * minimum (short docs vanish), and a free hash choice (FNV-1a inlined
+    * over chars — no per-shingle string allocation at all, where the
+    * xxhash twins must materialize each shingle string to hash it). */
   def shingleHashes(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"shingle size must be >= 1, got $k")
     val spark = df.sparkSession
@@ -832,7 +841,13 @@ object Dedup {
       .mapPartitions { it =>
         it.flatMap { case (id, textOrNull) =>
           val text = if (textOrNull == null) "" else textOrNull
-          val ts   = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          // UTF8String.toLowerCase IS Spark's lower() — routing through it
+          // (not String.toLowerCase, which is default-locale-sensitive)
+          // keeps tokenization bit-equal to TextOps.tokens under any JVM
+          // locale, the same discipline as TextOps.shingleHashesJvm
+          val ts = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString
+            .split(" ").filter(_.nonEmpty)
           if (ts.length < k) Iterator.empty
           else {
             val seen = new java.util.HashSet[java.lang.Long]()
