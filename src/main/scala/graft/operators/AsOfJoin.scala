@@ -81,4 +81,43 @@ object AsOfJoin {
       .filter(col("__asof_rn") === 1)
       .drop("__asof_rn")
   }
+
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): the right row
+    * minimizing |rightTime − leftTime|, equal distances broken toward the
+    * BACKWARD match (the earlier right row — pandas' rule), then by
+    * `tieBreak`. Completes the direction family next to [[asOf]]
+    * (backward) and [[asOfForward]].
+    *
+    * `toleranceSeconds` bounds the match to ±tolerance and — as in
+    * [[asOf]] — is also the SCALE lever: it rides the join as a
+    * conjunct, so each left row pairs with a bounded time window of its
+    * key's history instead of all of it before the rank-1 prune. Pass
+    * None only when the per-key right history is known to be small. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: Column,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightTime: Column,
+      tieBreak: Seq[Column] = Seq.empty,
+      toleranceSeconds: Option[Long] = None
+  ): DataFrame = {
+    val near = toleranceSeconds
+      .map { secs =>
+        rightTime >= leftTime - expr(s"INTERVAL $secs SECONDS") &&
+          rightTime <= leftTime + expr(s"INTERVAL $secs SECONDS")
+      }
+      .getOrElse(lit(true))
+    val joined = left.join(right, leftKey === rightKey && near)
+    val dist   = abs(unix_micros(rightTime) - unix_micros(leftTime))
+    val w = Window
+      .partitionBy(leftId)
+      .orderBy((dist.asc +: rightTime.asc +: tieBreak): _*)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
 }

@@ -333,6 +333,33 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // C9 (nearest flavor): pandas merge_asof direction='nearest' — the
+    // purchase closest in time to each sampled event, either direction,
+    // equal distances broken backward (the earlier purchase), within a
+    // ±2 h tolerance that both defines the semantics and bounds the
+    // join's per-key candidate window at scale. Completes the as-of
+    // direction family (backward / forward / tolerance / nearest).
+    "c09_asof_nearest" -> ((s, sf) => {
+      val ev = Tables.events(s, sf).filter(col("event_id") % 20 === 0)
+      val purchases = Tables.events(s, sf)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      AsOfJoin
+        .asOfNearest(
+          ev,
+          purchases,
+          leftId = col("event_id"),
+          leftKey = col("user_id"),
+          rightKey = col("p_user"),
+          leftTime = col("ts"),
+          rightTime = col("p_ts"),
+          tieBreak = Seq(col("p_id").asc),
+          toleranceSeconds = Some(7200L)
+        )
+        .select(col("event_id"), col("ts"), col("p_id"), col("p_ts"))
+        .orderBy("event_id")
+    }),
+
     // C17 (time-RANGE flavor): sliding one-hour window per user over the
     // event stream — RANGE frame keyed on event-time microseconds, the
     // frame kind the ROWS queries above don't exercise (peers enter and
@@ -1757,6 +1784,18 @@ object CoreQueries {
            FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              ON p.user_id = e.user_id AND p.ts >= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "c09_asof_nearest" ->
+      """SELECT event_id, ts, p_id, p_ts FROM (
+           SELECT e.event_id, e.ts, p.event_id AS p_id, p.ts AS p_ts,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)) ASC,
+                                         p.ts ASC, p.event_id ASC) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 20 = 0) e
+           JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             ON p.user_id = e.user_id
+             AND p.ts >= e.ts - INTERVAL 7200 SECONDS
+             AND p.ts <= e.ts + INTERVAL 7200 SECONDS)
          WHERE rn = 1 ORDER BY event_id""",
     "c17_window_range_time" ->
       """SELECT event_id, user_id,

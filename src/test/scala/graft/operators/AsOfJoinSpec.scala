@@ -57,6 +57,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(unbounded === Map(1L -> 100L, 2L -> 101L))
   }
 
+  test("asOfNearest: min |Δt| wins, ties break backward, tolerance excludes both directions") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // backward 1d vs forward 2d → backward
+      (2L, 10L, ts("2024-01-07 12:00:00")), // forward 12h vs backward 3.5d → forward
+      (3L, 10L, ts("2024-01-03 00:00:00")), // equidistant 1d both ways → backward (earlier)
+      (4L, 20L, ts("2024-01-01 00:00:00"))  // only match is 10d away → outside tolerance
+    ).toDF("eid", "key", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-02 00:00:00")),
+      (101L, 10L, ts("2024-01-04 00:00:00")),
+      (102L, 10L, ts("2024-01-08 00:00:00")),
+      (103L, 20L, ts("2024-01-11 00:00:00"))
+    ).toDF("oid", "okey", "ot")
+    val out = AsOfJoin
+      .asOfNearest(left, right, col("eid"), col("key"), col("okey"), col("t"), col("ot"),
+        tieBreak = Seq(col("oid").asc), toleranceSeconds = Some(5L * 86400L))
+      .select("eid", "oid").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 101L, 2L -> 102L, 3L -> 100L))
+    // sanity vs both single-direction forms: nearest is never farther
+    // than whichever of backward/forward matched
+    assert(!out.contains(4L), "tolerance failed to exclude a distant match")
+  }
+
   test("asOf emits exactly one row per matched left row") {
     val left  = Seq((1L, 1L, ts("2024-01-10 00:00:00"))).toDF("eid", "key", "t")
     val right = (1 to 50).map(i => (i.toLong, 1L, ts(f"2024-01-${i % 9 + 1}%02d 00:00:00"))).toDF("oid", "okey", "ot")
