@@ -74,7 +74,15 @@ object Cdc {
     * plain read of the newest version — [[readSnapshot]] — and version
     * retention is a cadence decision exactly like lakehouse VACUUM.
     * Per-batch work is |delta| × one window + |snapshot| × one
-    * anti-join — the delta-sized discipline of [[upsert]] itself. */
+    * anti-join, and the batch REWRITES the full snapshot — coarse
+    * copy-on-write. Honest scale note: at TB snapshots a real lakehouse
+    * narrows the rewrite to touched partitions/files (MERGE file
+    * skipping) or defers it entirely (delta log + merge-on-read — the
+    * [[Ivm]] path, which this store deliberately does not replicate
+    * because MERGE rows are not retract-complete Z-sets). The right
+    * cadence at scale is therefore micro-batches sized so |delta| ≫
+    * batch overhead, with this operator per PARTITION of a
+    * date/key-partitioned snapshot rather than the monolith. */
   def maintainSnapshot(
       changes: DataFrame,
       seed: DataFrame,
