@@ -349,6 +349,33 @@ object EventQueries {
         .orderBy("l_id")
     }),
 
+    // B15 batch twin of a CHAINED-STATEFUL streaming pipeline:
+    // stream-stream interval join (clicks ⋈ purchases within 1 h, the b14
+    // shape minus the semi collapse) feeding a tumbling hourly count of
+    // conversion PAIRS — two stateful operators back to back, the
+    // attribution-dashboard topology Structured Streaming only supports
+    // since multi-stateful chaining landed (both operators share the
+    // watermark; StreamingSpec drives the identical plan on two
+    // MemoryStreams). Batch = the same plan with watermarks no-op.
+    "b15_join_then_window" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.streaming.StreamOps
+        .streamStreamIntervalJoin(
+          clicks, purchases, "l_ts", "r_ts",
+          lateness = "10 minutes", window = "1 hour",
+          keyCond = col("l_user") === col("r_user"))
+        .groupBy(window(col("l_ts"), "1 hour"))
+        .agg(count(lit(1)).as("pairs"), count_distinct(col("l_id")).as("clicks_converted"))
+        .select(col("window.start").as("window_start"), col("pairs"), col("clicks_converted"))
+        .orderBy("window_start")
+    }),
+
     // B10: ordered-step funnel (view → click → purchase). The classic
     // event-analytics operator the reference's feed exists to feed. Stage
     // sequencing is JOIN-FREE: each stage timestamp is a whole-partition
@@ -620,6 +647,15 @@ object EventQueries {
            WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
          ORDER BY l_id""",
+    "b15_join_then_window" ->
+      """SELECT date_trunc('hour', a.ts) AS window_start,
+           count(*) AS pairs,
+           count(DISTINCT a.event_id) AS clicks_converted
+         FROM events a JOIN events b
+           ON a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.user_id = a.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY window_start""",
     "b10_funnel" ->
       """WITH w1 AS (
            SELECT user_id, ts, event_type,

@@ -332,6 +332,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B15: chained stateful ops — stream-stream join feeding a windowed agg emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = clicks.toDF().toDF("l_id", "cu", "click_ts")
+    val r = purchases.toDF().toDF("pu", "purchase_ts")
+    val joined = StreamOps.streamStreamIntervalJoin(
+      l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "1 HOUR",
+      keyCond = col("cu") === col("pu"))
+    val agg = joined
+      .groupBy(window(col("click_ts"), "1 hour"))
+      .agg(count(lit(1)).as("pairs"))
+      .select(col("window.start").as("window_start"), col("pairs"))
+    val q = agg.writeStream.format("memory").queryName("t_jtw").outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 1L, ts("2024-01-01 10:05:00")),
+        (2L, 2L, ts("2024-01-01 10:10:00")),
+        (3L, 1L, ts("2024-01-01 11:20:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:15:00")),  // pairs with click 1 (10:00 window)
+        (1L, ts("2024-01-01 10:50:00")),  // second pair for click 1
+        (2L, ts("2024-01-01 10:40:00")),  // pairs with click 2
+        (1L, ts("2024-01-01 11:30:00")))  // pairs with click 3 (11:00 window)
+      q.processAllAvailable()
+      // advance the shared watermark far past 11:00 so BOTH stateful
+      // operators close: join state evicts AND the 10:00 window finalizes
+      clicks.addData((90L, 9L, ts("2024-01-01 14:00:00")))
+      purchases.addData((8L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      clicks.addData((91L, 9L, ts("2024-01-01 15:00:00")))
+      purchases.addData((8L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("t_jtw")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(got.get(ts("2024-01-01 10:00:00")) === Some(3L),
+        s"10:00 window should hold 3 join pairs: $got")
+      assert(got.get(ts("2024-01-01 11:00:00")) === Some(1L), s"11:00 window missing: $got")
+      // batch twin on the same rows equals the streamed append output
+      val bl = Seq((1L, 1L, ts("2024-01-01 10:05:00")), (2L, 2L, ts("2024-01-01 10:10:00")),
+        (3L, 1L, ts("2024-01-01 11:20:00"))).toDF("l_id", "cu", "click_ts")
+      val br = Seq((1L, ts("2024-01-01 10:15:00")), (1L, ts("2024-01-01 10:50:00")),
+        (2L, ts("2024-01-01 10:40:00")), (1L, ts("2024-01-01 11:30:00")))
+        .toDF("pu", "purchase_ts")
+      val twin = StreamOps.streamStreamIntervalJoin(
+          bl, br, "click_ts", "purchase_ts", "10 minutes", "1 HOUR",
+          col("cu") === col("pu"))
+        .groupBy(window(col("click_ts"), "1 hour"))
+        .agg(count(lit(1)).as("pairs"))
+        .select(col("window.start"), col("pairs"))
+        .as[(Timestamp, Long)].collect().toMap
+      assert(got.view.filterKeys(k => twin.contains(k)).toMap === twin)
+    } finally q.stop()
+  }
+
   test("B7: transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
