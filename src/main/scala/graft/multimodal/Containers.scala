@@ -98,20 +98,32 @@ object Containers {
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
-        val size = be32(b, off)
-        val tp   = fourcc(b, off + 4)
-        if (size < 8 || off + size > to) throw new IllegalArgumentException("bad box size")
+        val size32 = be32(b, off)
+        val tp     = fourcc(b, off + 4)
+        // ISO BMFF size escapes every real file uses: size==1 → 64-bit
+        // largesize follows the type (the >4 GB mdat case — a metadata
+        // walk must SKIP it, not choke on it); size==0 → box extends to
+        // the end of the enclosing scope (legal only for the last box).
+        val (size, hdr): (Long, Int) =
+          if (size32 == 1L) {
+            if (off + 16 > to) throw new IllegalArgumentException("truncated largesize")
+            val hi = be32(b, off + 8); val lo = be32(b, off + 12)
+            ((hi << 32) | lo, 16)
+          } else if (size32 == 0L) ((to - off).toLong, 8)
+          else (size32, 8)
+        if (size < hdr || off + size > to) throw new IllegalArgumentException("bad box size")
+        val end = (off + size).toInt
         tp match {
-          case "ftyp" => brand = fourcc(b, off + 8)
+          case "ftyp" => brand = fourcc(b, off + hdr)
           case "mvhd" =>
             // full-box: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
-            ts = be32(b, off + 20); dur = be32(b, off + 24)
-          case "trak" => nTracks += 1; walk(off + 8, off + size.toInt)
-          case "hdlr" => handlers += fourcc(b, off + 16) // ver/flags(4) predef(4) then handler
-          case t if Mp4Containers(t) => walk(off + 8, off + size.toInt)
+            ts = be32(b, off + hdr + 12); dur = be32(b, off + hdr + 16)
+          case "trak" => nTracks += 1; walk(off + hdr, end)
+          case "hdlr" => handlers += fourcc(b, off + hdr + 8) // ver/flags(4) predef(4) then handler
+          case t if Mp4Containers(t) => walk(off + hdr, end)
           case _ => ()
         }
-        off += size.toInt
+        off = end
       }
     }
     walk(0, b.length)

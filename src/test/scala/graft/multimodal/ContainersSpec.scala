@@ -87,6 +87,31 @@ class ContainersSpec extends AnyFunSuite {
     assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("MP4 size escapes: 64-bit largesize boxes are skipped; size=0 extends to EOF") {
+    val base = Containers.renderMp4(8L)
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // splice an mdat using the 64-bit largesize form (size field = 1)
+    val payload  = Array.fill[Byte](32)(7)
+    val largeBox = u32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      u32(0L) ++ u32(16L + payload.length) ++ payload
+    val ftypLen = 16
+    val spliced = base.take(ftypLen) ++ largeBox ++ base.drop(ftypLen)
+    val out = Containers
+      .parseContainerMeta(Seq((8L, spliced)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(out.decode_ok, "largesize mdat killed the metadata walk")
+    assert(out.duration_ms === Containers.mp4Duration(8L) * 1000L / 600L)
+    assert(out.n_tracks === 2L) // doc 8 ≡ 0 mod 4 → video + audio
+    // size=0 final box (extends to EOF) parses too
+    val eofBox  = u32(0L) ++ "free".getBytes("US-ASCII") ++ Array.fill[Byte](10)(3)
+    val withEof = base ++ eofBox
+    val out2 = Containers
+      .parseContainerMeta(Seq((8L, withEof)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(out2.decode_ok && out2.n_tracks === 2L, "size-0 trailing box broke the walk")
+  }
+
   test("EBML general varints of every width parse back to the planted Duration") {
     // the writer emits fixed 8-byte sizes; a real mux uses minimal-width
     // varints — hand-build headers with every size width 1..8 and check
