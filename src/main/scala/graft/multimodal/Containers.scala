@@ -364,7 +364,7 @@ object Containers {
   def attachAudioHeaderPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    docs // byte-arithmetic render is trivial per row — rebalance not worth its shuffle
       .select(col("doc_id").cast("long"))
       .as[Long]
       .mapPartitions(_.map(d => (d, if (d % 2 == 0) renderFlac(d) else renderMp3(d))))
@@ -398,7 +398,7 @@ object Containers {
   def attachContainerPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    docs // byte-arithmetic render is trivial per row — rebalance not worth its shuffle
       .select(col("doc_id").cast("long"))
       .as[Long]
       .mapPartitions(_.map(d => (d, if (d % 2 == 0) renderMp4(d) else renderWebm(d))))

@@ -129,7 +129,8 @@ object Multimodal {
   def attachImagePayload(docs: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.tables.Tables
+      .rebalanceForCpu(docs) // render-bound narrow map; no-op on well-split inputs
       .select(col("doc_id").cast("long").as("doc_id"))
       .as[Long]
       .mapPartitions { ids =>
@@ -326,7 +327,9 @@ object Multimodal {
   def attachAudioPayload(docs: DataFrame, nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    docs // NO rebalance here: javax.sound decode downstream serializes on a
+      // global provider-registry lock, so added parallelism only adds
+      // contention (measured 1.2 s -> 3.3 s at 32 tasks); render is cheap
       .select(col("doc_id").cast("long").as("doc_id"))
       .as[Long]
       .mapPartitions(ids => ids.map(id => (id, renderWav(id, nSamples, sampleRate))))
@@ -485,7 +488,8 @@ object Multimodal {
   def attachVideoPayload(docs: DataFrame, w: Int = 8, h: Int = 8, nFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.tables.Tables
+      .rebalanceForCpu(docs) // render-bound narrow map; no-op on well-split inputs
       .select(col("doc_id").cast("long").as("doc_id"))
       .as[Long]
       .mapPartitions { ids =>

@@ -60,7 +60,8 @@ object Bpe {
 
     // ONE corpus pass: explode → partial+final hash agg → top-k by count.
     // (count desc, word asc) makes the truncation boundary deterministic.
-    val wordCounts: Array[(String, Long)] = docs
+    val wordCounts: Array[(String, Long)] = graft.tables.Tables
+      .rebalanceForCpu(docs) // tokenize-bound scan; no-op on well-split inputs
       .select(explode(TextOps.tokens(textCol)).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
@@ -170,7 +171,9 @@ object Bpe {
     val bRanks = spark.sparkContext.broadcast(rankOf)
     val bIds   = spark.sparkContext.broadcast(idOf)
 
-    val prepared = docs.select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks"))
+    val prepared = graft.tables.Tables
+      .rebalanceForCpu(docs) // merge-loop-bound narrow map; no-op on well-split inputs
+      .select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks"))
     prepared
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -293,7 +296,8 @@ object Bpe {
       maxWords: Int = 50000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pretokCounts: Array[(String, Long)] = docs
+    val pretokCounts: Array[(String, Long)] = graft.tables.Tables
+      .rebalanceForCpu(docs) // regex-pretokenize-bound scan; no-op on well-split inputs
       .select(explode(regexp_extract_all(textCol, lit(PretokenPattern), lit(0))).as("pt"))
       .groupBy(col("pt"))
       .agg(count(lit(1)).as("cnt"))
@@ -342,7 +346,8 @@ object Bpe {
       .select(col("symbol"), col("vocab_id")).as[(String, Long)].collect().toMap
     val bRanks = spark.sparkContext.broadcast(rankOf)
     val bIds   = spark.sparkContext.broadcast(idOf)
-    docs
+    graft.tables.Tables
+      .rebalanceForCpu(docs) // per-byte merge loop; no-op on well-split inputs
       .select(idCol.cast("long").as("doc_id"), textCol.cast("string").as("txt"))
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -20,6 +20,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** ADAPTIVE rebalance for CPU-bound narrow stages (tokenize, render,
+    * codec, fingerprint): when the source under-partitions — a single
+    * unsplittable parquet row group, a small compressed file hiding
+    * minutes of per-row CPU — the whole stage serializes on one core no
+    * matter how many executors exist. If the input has fewer than half
+    * the cluster's default parallelism in partitions, shuffle it out;
+    * otherwise NO-OP, so at real scale (thousands of input splits) no
+    * exchange is added and narrow plans stay narrow. The rebalance
+    * shuffles raw input rows once — by definition cheaper than the
+    * CPU-bound work it parallelizes, which is the only context callers
+    * may use it in. */
+  def rebalanceForCpu(df: DataFrame): DataFrame = {
+    val spark  = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "region")
   def nation(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "nation")
   def customer(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "customer")
