@@ -278,4 +278,99 @@ class DifferentialSpec extends AnyFunSuite {
       assert(got === want, s"seed ${777 + i}")
     }
   }
+
+  test("random events: asOfNearest matches a per-left in-memory scan") {
+    import java.sql.Timestamp
+    import graft.operators.AsOfJoin
+    (0 until 4).foreach { i =>
+      val rnd = new scala.util.Random(4242 + i)
+      def t(off: Long) = new Timestamp(1700000000000L + off * 1000L)
+      val left = List.tabulate(80)(j =>
+        (j.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(100000).toLong)))
+      val right = List.tabulate(120)(j =>
+        (1000L + j, rnd.nextInt(6).toLong, t(rnd.nextInt(100000).toLong)))
+      val tol = 20000L // seconds
+      val got = AsOfJoin
+        .asOfNearest(
+          left.toDF("lid", "k", "lt"), right.toDF("rid", "rk", "rt"),
+          leftId = col("lid"), leftKey = col("k"), rightKey = col("rk"),
+          leftTime = col("lt"), rightTime = col("rt"),
+          tieBreak = Seq(col("rid").asc), toleranceSeconds = Some(tol))
+        .select("lid", "rid").as[(Long, Long)].collect().toMap
+      // reference: scan each left row's key-matching candidates; min
+      // (|Δ|, rightTime, rid) — the operator's declared total order
+      val want = left.flatMap { case (lid, k, lt) =>
+        val cands = right.filter { case (_, rk, rt) =>
+          rk == k && math.abs(rt.getTime - lt.getTime) <= tol * 1000L
+        }
+        if (cands.isEmpty) None
+        else {
+          val best = cands.minBy { case (rid, _, rt) =>
+            (math.abs(rt.getTime - lt.getTime), rt.getTime, rid)
+          }
+          Some(lid -> best._1)
+        }
+      }.toMap
+      assert(got === want, s"seed ${4242 + i}")
+    }
+  }
+
+  test("random corpora: byte-level BPE trainer matches a naive in-memory reference") {
+    import graft.operators.Bpe
+    // independent reference: regex pretokenize + byte symbolize + the
+    // textbook quadratic merge loop, structured differently from the
+    // production trainer (no mutable in-place merge — rebuilt lists)
+    def reference(texts: Seq[String], numMerges: Int): List[(Int, String, String)] = {
+      val p = java.util.regex.Pattern.compile(Bpe.PretokenPattern)
+      // independent re-derivation of GPT-2's bytes_to_unicode table
+      val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+      val b2c  = { var n = 0; (0 until 256).map { b =>
+        if (keep(b)) b.toChar else { val c = (256 + n).toChar; n += 1; c } } }
+      def symbolize(pt: String): List[String] =
+        pt.getBytes("UTF-8").toList.map(b => b2c(b & 0xff).toString)
+      val words = scala.collection.mutable.Map.empty[List[String], Long]
+      texts.foreach { tx =>
+        val m = p.matcher(tx)
+        while (m.find()) {
+          val syms = symbolize(m.group())
+          words(syms) = words.getOrElse(syms, 0L) + 1L
+        }
+      }
+      var cur = words.toList
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(pr => pairs(pr) = pairs.getOrElse(pr, 0L) + c)
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), _) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((rank, l, r))
+          def mergeWord(syms: List[String]): List[String] = syms match {
+            case a :: b :: rest if a == l && b == r => (l + r) :: mergeWord(rest)
+            case a :: rest                          => a :: mergeWord(rest)
+            case Nil                                => Nil
+          }
+          cur = cur.map { case (syms, c) => (mergeWord(syms), c) }
+            .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toList
+          rank += 1
+        }
+      }
+      out.toList
+    }
+    val vocab = Vector("the", "cat", "sat", "mat", "on", "a", "café", "naïve", "42", "it's")
+    (0 until 3).foreach { i =>
+      val rnd   = new scala.util.Random(9090 + i)
+      val texts = List.fill(30)(List.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = Bpe
+        .trainBytes(texts.zipWithIndex.map { case (tx, j) => (j.toLong, tx) }.toDF("doc_id", "text"),
+          col("text"), numMerges = 12)
+        .select("rank", "left", "right").as[(Int, String, String)]
+        .collect().sortBy(_._1).toList
+      assert(got === reference(texts, 12), s"seed ${9090 + i}")
+    }
+  }
 }
