@@ -349,6 +349,29 @@ object EventQueries {
         .orderBy("l_id")
     }),
 
+    // B14 FULL OUTER batch twin: the reconciliation join — converted
+    // click↔purchase pairs PLUS unconverted clicks (null right) PLUS
+    // unattributed purchases (null left), one pass. In streaming the
+    // null-extended rows emit when the watermark closes their windows;
+    // batch is those semantics at watermark = ∞. Explicit NULLS FIRST on
+    // both engines (Spark ASC default differs from DuckDB's).
+    "b14_stream_stream_full" -> ((s, sf) => {
+      val ev = Tables.events(s, sf)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.streaming.StreamOps
+        .streamStreamIntervalJoinFullOuter(
+          clicks, purchases, "l_ts", "r_ts",
+          lateness = "10 minutes", window = "1 hour",
+          keyCond = col("l_user") === col("r_user"))
+        .select(col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+        .orderBy(col("l_id").asc_nulls_first, col("r_id").asc_nulls_first)
+    }),
+
     // B15 batch twin of a CHAINED-STATEFUL streaming pipeline:
     // stream-stream interval join (clicks ⋈ purchases within 1 h, the b14
     // shape minus the semi collapse) feeding a tumbling hourly count of
@@ -647,6 +670,13 @@ object EventQueries {
            WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
          ORDER BY l_id""",
+    "b14_stream_stream_full" ->
+      """SELECT a.event_id AS l_id, b.event_id AS r_id, a.ts AS l_ts, b.ts AS r_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON b.user_id = a.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY l_id NULLS FIRST, r_id NULLS FIRST""",
     "b15_join_then_window" ->
       """SELECT date_trunc('hour', a.ts) AS window_start,
            count(*) AS pairs,

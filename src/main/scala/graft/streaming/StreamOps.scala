@@ -165,6 +165,36 @@ object StreamOps {
     )
   }
 
+  /** Stream-stream FULL OUTER interval join: matched pairs flow through
+    * like the inner form; a LEFT row with no right match in its interval
+    * emits null-extended once the watermark closes its window (as in
+    * [[streamStreamIntervalJoinLeftOuter]]), and a RIGHT row that
+    * completed no live left interval emits null-extended once the
+    * watermark proves no left row can still open one — the
+    * reconciliation shape ("orders without payments AND payments without
+    * orders" in one pass). Same watermark + time-range state contract;
+    * Spark supports full_outer stream-stream joins under exactly these
+    * bounds. */
+  def streamStreamIntervalJoinFullOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      lateness: String,
+      window: String,
+      keyCond: Column
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      keyCond &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+      "full_outer"
+    )
+  }
+
   /** Stream-stream LEFT SEMI interval join: emit each left event AT MOST
     * ONCE iff some right event lands in [left.ts, left.ts + window] —
     * the "did this click convert" existence test, without duplicating the

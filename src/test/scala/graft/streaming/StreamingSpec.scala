@@ -332,6 +332,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B14 full outer: both unmatched sides emit null-extended once their windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val l = clicks.toDF().toDF("l_id", "cu", "click_ts")
+    val r = purchases.toDF().toDF("r_id", "pu", "purchase_ts")
+    val joined = StreamOps.streamStreamIntervalJoinFullOuter(
+      l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "30 MINUTES",
+      keyCond = col("cu") === col("pu"))
+    val q = joined.writeStream.format("memory").queryName("t_ssfo").outputMode("append").start()
+    try {
+      clicks.addData(
+        (10L, 1L, ts("2024-01-01 10:00:00")),  // converts
+        (11L, 2L, ts("2024-01-01 10:00:00")))  // never converts → null right
+      purchases.addData(
+        (20L, 1L, ts("2024-01-01 10:10:00")),  // the match
+        (21L, 3L, ts("2024-01-01 10:20:00")))  // no click for user 3 → null left
+      q.processAllAvailable()
+      // close every window on both sides
+      Seq("12:00:00", "13:00:00").foreach { t0 =>
+        clicks.addData((90L, 9L, ts(s"2024-01-01 $t0")))
+        purchases.addData((91L, 8L, ts(s"2024-01-01 $t0")))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("t_ssfo")
+        .select(col("l_id"), col("r_id")).collect()
+        .map(r0 => (if (r0.isNullAt(0)) None else Some(r0.getLong(0)),
+                    if (r0.isNullAt(1)) None else Some(r0.getLong(1))))
+        .toSet
+      assert(rows.contains((Some(10L), Some(20L))), s"matched pair missing: $rows")
+      assert(rows.contains((Some(11L), None)), s"unmatched click never null-emitted: $rows")
+      assert(rows.contains((None, Some(21L))), s"unmatched purchase never null-emitted: $rows")
+    } finally q.stop()
+  }
+
   test("B15: chained stateful ops — stream-stream join feeding a windowed agg emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val clicks    = MemoryStream[(Long, Long, Timestamp)]
