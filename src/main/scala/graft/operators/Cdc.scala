@@ -127,7 +127,11 @@ object Cdc {
     val dir = new java.io.File(storePath)
     Option(dir.listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      // a crash mid-write leaves a v= directory WITHOUT Spark's _SUCCESS
+      // marker — it must be invisible as a parent, or the next batch
+      // would build on a torn snapshot; its replay overwrites it anyway
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("v=").toLong)
       .toIndexedSeq
   }

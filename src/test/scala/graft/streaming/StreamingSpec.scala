@@ -619,6 +619,19 @@ class StreamingSpec extends AnyFunSuite {
     Cdc.processSnapshotBatch(b1.toDF("k", "name", "bal", "seq", "op"),
       seed, keys, Seq(col("seq")), col("op"), store, 0L)
     assert(served === oneShot)
+    // Torn write: a version directory WITHOUT the _SUCCESS marker (crash
+    // mid-write) must be invisible — both to serving and as a parent
+    val torn = new java.io.File(store, "v=9")
+    torn.mkdirs()
+    new java.io.File(torn, "part-00000.parquet").createNewFile()
+    assert(served === oneShot, "torn uncommitted version leaked into serving")
+    Cdc.processSnapshotBatch(
+      Seq((7L, "g", 70.0, 9L, "I")).toDF("k", "name", "bal", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, 10L)
+    val after = Cdc.readSnapshot(spark, store)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after === oneShot + (7L -> ("g", 70.0)),
+      "batch 10 failed to build on the newest COMMITTED version")
   }
 
   test("streaming IVM: micro-batch deltas maintain the view; replay is exactly-once") {
