@@ -112,7 +112,11 @@ object Ivm {
     val dir = new java.io.File(storePath)
     val deltas = Option(dir.listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      // a crash mid-write leaves a delta= directory without Spark's
+      // _SUCCESS marker: reading it would fold a torn partial delta into
+      // the view; the checkpoint replays that batch and overwrites it
+      .filter(f => f.isDirectory && f.getName.startsWith("delta=") &&
+        new java.io.File(f, "_SUCCESS").exists())
       .map(_.toString)
     if (deltas.isEmpty)
       throw new IllegalStateException(s"no committed deltas under $storePath")

@@ -392,6 +392,10 @@ object CorpusPrep {
           .map(_.getPath)
           .filter(_.getName.startsWith("delta="))
           .filter(d => beforeBatch.forall(b => d.getName.stripPrefix("delta=").toLong < b))
+          // torn-write guard (same as Ivm.readView / Cdc store): a delta
+          // written by a crashed batch has no _SUCCESS marker and must be
+          // invisible — its checkpoint replay rewrites it whole
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
           .map(_.toString)
     if (deltas.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
