@@ -107,7 +107,11 @@ object Pca {
   def fit(emb: DataFrame, idCol: Column, vecCol: Column, dim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(VectorOps.asDouble(vecCol).as("v"))
+    // Gram-partial loop is ~n·d²/2 BigDecimal ops — rebalance an
+    // under-partitioned source (single-row-group embeddings file) so the
+    // pass parallelizes; no-op on well-split inputs
+    val vecs = graft.tables.Tables
+      .rebalanceForCpu(emb.select(VectorOps.asDouble(vecCol).as("v")))
     // One pass: n and the decimal-exact component sums → mean.
     val meanRow = vecs
       .select(posexplode(col("v")).as(Seq("i", "x")))

@@ -32,8 +32,9 @@ object Procrustes {
     import spark.implicits._
     // M = Σ_rows xᵢ·yⱼ — decimal-exact, partitioning-independent (the Pca
     // Gram-partial recipe, full rectangle instead of upper triangle).
-    val cells = pairs
-      .select(VectorOps.asDouble(xCol).as("x"), VectorOps.asDouble(yCol).as("y"))
+    val cells = graft.tables.Tables
+      .rebalanceForCpu( // n·d² BigDecimal loop — parallelize under-partitioned sources
+        pairs.select(VectorOps.asDouble(xCol).as("x"), VectorOps.asDouble(yCol).as("y")))
       .as[(Seq[Double], Seq[Double])]
       .mapPartitions { it =>
         val acc = Array.fill[java.math.BigDecimal](dim * dim)(java.math.BigDecimal.ZERO)
