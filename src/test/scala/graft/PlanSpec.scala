@@ -121,6 +121,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceForCpu: no-ops on well-partitioned input, repartitions an under-split one") {
+    import org.apache.spark.sql.functions.col
+    val cores = spark.sparkContext.defaultParallelism
+    // well-split: at least half the cores → returned UNCHANGED (same plan
+    // object, no Exchange) — the 100 TB contract: real inputs with many
+    // splits never pay a rebalance exchange
+    val wide = spark.range(1000).repartition(cores).toDF()
+    val keptWide = graft.tables.Tables.rebalanceForCpu(wide)
+    assert(keptWide eq wide, "well-partitioned input was rebalanced")
+    // under-split: 1 partition on a multi-core session → spread out
+    if (cores >= 2) {
+      val narrow = spark.range(1000).coalesce(1).toDF()
+      val spread = graft.tables.Tables.rebalanceForCpu(narrow)
+      assert(spread.rdd.getNumPartitions === cores,
+        s"under-split input not spread: ${spread.rdd.getNumPartitions} of $cores")
+      assert(spread.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq === (0L until 1000L),
+        "rebalance changed the data")
+    }
+  }
+
   test("d7_token_budget: hierarchical-prefix plan — corpus shuffles bounded, offsets broadcast") {
     val p = planOf("d7_token_budget")
     assert(p.contains("Window"), p.take(2000))
