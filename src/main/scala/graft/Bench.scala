@@ -78,6 +78,14 @@ object Bench {
       if (ok) math.rint((System.nanoTime() - t0) / 1e9 * 10000) / 10000 else -1.0
     }
     val results = selected.map { case (name, fn) =>
+      // Session hygiene between queries: localCheckpoint RDDs persisted by
+      // a query are never referenced again once its sink completes, but
+      // they stay in the BlockManager — 250 queries of leftovers build GC
+      // pressure that inflates LATE queries (the d0 family drifted 6.5 →
+      // 8.6 s over a session). Offline artifacts are parquet paths on
+      // disk, so dropping in-memory state never re-triggers their builds.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       val first = runOnce(name, fn)
       // Sub-half-second queries are jitter-dominated (GC pause ≈ their
       // whole runtime): report the MEDIAN of 3 runs for those. Slow
