@@ -76,6 +76,49 @@ class ContainersSpec extends AnyFunSuite {
     assert(m(15L).bitrate_kbps === 40L)
   }
 
+  test("FLAC bit-unpacking survives random rates/channels/bps (hand-built STREAMINFO)") {
+    // build STREAMINFO directly so the fields exercise the full bit
+    // widths, not just the writer's fixed 44100/16 choices
+    def flac(rate: Long, chans: Long, bps: Long, total: Long): Array[Byte] = {
+      val body   = new Array[Byte](34)
+      val packed = (rate << 44) | ((chans - 1) << 41) | ((bps - 1) << 36) | total
+      (0 until 8).foreach(i => body(10 + i) = ((packed >> (8 * (7 - i))) & 0xff).toByte)
+      "fLaC".getBytes("US-ASCII") ++
+        Array(0x80.toByte, 0.toByte, 0.toByte, 34.toByte) ++ body
+    }
+    val rnd = new scala.util.Random(31337)
+    (0 until 25).foreach { _ =>
+      val rate  = 1L + rnd.nextInt(0xfffff)        // full 20-bit range
+      val chans = 1L + rnd.nextInt(8)              // 3-bit field
+      val bps   = 4L + rnd.nextInt(29)             // 5-bit field
+      val total = math.abs(rnd.nextLong()) & 0xfffffffffL // 36 bits
+      val out = Containers
+        .parseAudioMeta(Seq((1L, flac(rate, chans, bps, total))).toDF("doc_id", "payload"))
+        .collect().head
+      assert(out.decode_ok, s"($rate,$chans,$bps,$total) failed to parse")
+      assert(out.sample_rate === rate && out.channels === chans && out.bits_per_sample === bps)
+      assert(out.duration_ms === total * 1000L / rate)
+    }
+  }
+
+  test("MP3 walk honors the padding bit (frame length +1)") {
+    // two frames, both padded: header bytes 0xFF 0xFB, bitrate idx 9
+    // (128 kbps @ 44100 → 417-byte unpadded frames), pad bit set
+    val frameLen = (144L * 128000L / 44100L).toInt + 1
+    val out = new Array[Byte](frameLen * 2)
+    Seq(0, frameLen).foreach { off =>
+      out(off) = 0xff.toByte; out(off + 1) = 0xfb.toByte
+      out(off + 2) = ((9 << 4) | (0 << 2) | (1 << 1)).toByte // idx 9, 44100, padded
+      out(off + 3) = 0xc0.toByte
+    }
+    val m = Containers
+      .parseAudioMeta(Seq((1L, out)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(m.decode_ok, "padded frames lost sync")
+    assert(m.duration_ms === 2L * 1152L * 1000L / 44100L, s"frame count wrong: $m")
+    assert(m.bitrate_kbps === 128L)
+  }
+
   test("audio parse dead-letters malformed payloads") {
     val bad = Seq(
       (1L, Containers.renderFlac(2L).take(10)),  // truncated STREAMINFO
