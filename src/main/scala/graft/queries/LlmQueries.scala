@@ -2049,8 +2049,10 @@ object LlmQueries {
         .select(
           col("doc_id"),
           TextOps.redactPii(col("raw")).as("clean"),
-          regexp_count(col("raw"), lit(TextOps.emailPattern)).as("n_emails"),
-          regexp_count(col("raw"), lit(TextOps.phonePattern)).as("n_phones"))
+          // cast to long: regexp_count returns INT, and the oracle's
+          // count() is BIGINT — the one dtype mismatch on the board
+          regexp_count(col("raw"), lit(TextOps.emailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(TextOps.phonePattern)).cast("long").as("n_phones"))
         .orderBy("doc_id")
     }),
 
