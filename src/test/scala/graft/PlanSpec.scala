@@ -43,6 +43,10 @@ class PlanSpec extends AnyFunSuite {
   test("c09: as-of rank=1 plans WindowGroupLimit (per-partition top-1 pushdown)") {
     assert(planOf("c09_asof_join").contains("WindowGroupLimit"),
       "as-of rank=1 not pushed below the window sort")
+    // the nearest direction ranks by a computed |Δt| expression — the
+    // group-limit pushdown must survive the non-column sort key
+    assert(planOf("c09_asof_nearest").contains("WindowGroupLimit"),
+      "nearest-as-of rank=1 not pushed below the window sort")
     // c15 deliberately does NOT get the pushdown: its ntile(4) needs the
     // whole partition, which blocks group-limit pruning — that the
     // optimizer declines there is also the correct plan.
