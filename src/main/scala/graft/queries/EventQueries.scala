@@ -323,6 +323,36 @@ object EventQueries {
         .orderBy("l_id", "r_id")
     }),
 
+    // A11: KPL deaggregation — Kinesis producers pack many user records
+    // per Kinesis record (magic + protobuf AggregatedRecord + md5); the
+    // reference's consumer side must unpack before the A3-A8 decode
+    // chain runs. Planted aggregates (3 user records per event, keys and
+    // payloads modular arithmetic of event_id) built by the same writer
+    // KplSpec roundtrips; the parse is a pure protobuf-wire walk
+    // (sources/Kpl.scala) with checksum verification, exploded in one
+    // narrow flatMap. DuckDB reproduces the planted table exactly.
+    "a11_kpl_deaggregate" -> ((s, sf) => {
+      import s.implicits._
+      val aggs = Tables
+        .events(s, sf)
+        .select(col("event_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val recs = (0 until 3).map { i =>
+            (s"pk${(id + i) % 5}", s"payload-$id-$i".getBytes("UTF-8"))
+          }
+          (id, graft.sources.Kpl.aggregate(recs))
+        })
+        .toDF("agg_id", "payload")
+      graft.sources.Kpl
+        .deaggregateRecords(aggs)
+        .filter(col("decode_ok"))
+        .select(
+          col("agg_id"), col("rec_idx"), col("partition_key"),
+          col("data").cast("string").as("data_str"))
+        .orderBy("agg_id", "rec_idx")
+    }),
+
     // B14 batch twin of the STREAM-STREAM SEMI interval join: clicks that
     // converted — a purchase by the same user inside [click.ts, +1h] —
     // each click emitted AT MOST ONCE however many purchases match
@@ -662,6 +692,13 @@ object EventQueries {
            ON a.user_id = b.user_id AND a.event_id <> b.event_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          ORDER BY l_id, r_id""",
+    "a11_kpl_deaggregate" ->
+      """SELECT e.event_id AS agg_id,
+           CAST(g.i AS BIGINT) AS rec_idx,
+           'pk' || ((e.event_id + g.i) % 5) AS partition_key,
+           'payload-' || e.event_id || '-' || g.i AS data_str
+         FROM events e CROSS JOIN generate_series(0, 2) AS g(i)
+         ORDER BY agg_id, rec_idx""",
     "b14_stream_stream_semi" ->
       """SELECT a.event_id AS l_id, a.user_id AS l_user, a.ts AS l_ts
          FROM events a
