@@ -86,6 +86,35 @@ class IntegrationSpec extends AnyFunSuite {
     assert(!closed().exists(_._2 == "redirect"))
   }
 
+  test("KPL-aggregated feed: deaggregate → decode → filter equals the unaggregated pipeline") {
+    import spark.implicits._
+    // a producer that KPL-aggregates 3 Arc envelopes per Kinesis record
+    // (gzipped, as Arc ships them); the consumer must unpack first —
+    // A11 composed with the A3→A8 chain, the REAL reference topology
+    val envs = (1 to 9).map(i =>
+      envelope(i, if (i % 3 == 0) "redirect" else "story", "2024-03-01T10:15:00Z"))
+    val aggs = envs.grouped(3).zipWithIndex.map { case (group, gi) =>
+      (gi.toLong, graft.sources.Kpl.aggregate(group.map(e => (s"pk$gi", gz(e)))))
+    }.toSeq
+    val cfg = ArcPipeline.FilterConfig(
+      allowedTypes = Seq("story", "video"), sectionAllowlist = Seq("news"),
+      website = Some("site-a"))
+
+    val users = graft.sources.Kpl
+      .deaggregateRecords(aggs.toDF("agg_id", "payload"))
+      .filter(col("decode_ok"))
+      .select(col("data").as("payload"))
+    val (out, dlq) = ArcPipeline.runRecords(users, cfg)
+
+    // twin: the same envelopes fed unaggregated
+    val (twin, _) = ArcPipeline.runRecords(
+      envs.map(e => Tuple1(gz(e))).toDF("payload"), cfg)
+    val got  = out.select(col("event_id")).as[String].collect().sorted.toSeq
+    val want = twin.select(col("event_id")).as[String].collect().sorted.toSeq
+    assert(got === want && got.size === 6, s"deaggregated pipeline diverged: $got vs $want")
+    assert(dlq.count() === 0)
+  }
+
   test("kinesis-sim over the DSv2 sharded connector: shard feed → decode → filter → sink, resume") {
     // The same reference dataflow, but the transport is the engine's own
     // DSv2 connector: shard dirs of raw payload lines, per-shard sequence
