@@ -38,6 +38,23 @@ class ShardedSinkSpec extends AnyFunSuite {
       new java.io.File(s"$root/_tmp").list().isEmpty, "temp dir must be cleaned on commit")
   }
 
+  test("payloads with embedded newlines are rejected at write time (JSONL framing)") {
+    val root = Files.createTempDirectory("sharded_sink_nl").toString
+    val bad  = Seq((0, 0L, "line1\nline2")).toDF("shard", "seq", "payload")
+    val e = intercept[Exception] {
+      bad.coalesce(1).write.format(fmt).option("path", root).mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("embedded newline")),
+      s"wrong failure: $e")
+    // nothing published: a failed write must leave no shard files behind
+    val published = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard="))
+    assert(published.isEmpty, s"failed write published files: ${published.toSeq}")
+  }
+
   test("second batch append adds files — append-only, earlier data intact") {
     val root = Files.createTempDirectory("sharded_sink2").toString
     Seq((0, 0L, "x0")).toDF("shard", "seq", "payload")
