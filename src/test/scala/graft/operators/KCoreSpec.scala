@@ -88,4 +88,12 @@ class KCoreSpec extends AnyFunSuite {
       KCore.kCore(df(chain), col("a"), col("b"), 2, maxRounds = 3).collect()
     }
   }
+
+  test("default round bound survives a long chain (the O(n)-rounds worst case)") {
+    // a 240-node path needs ~120 peel rounds for k=2 — over the old
+    // default of 100 (ADVICE r11); the raised default must converge to
+    // the correct answer: a chain has no 2-core at all
+    val chain = (0L until 240L).sliding(2).map(s => (s.head, s.last)).toSeq
+    assert(run(chain, 2) === Map.empty)
+  }
 }
