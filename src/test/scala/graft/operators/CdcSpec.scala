@@ -67,6 +67,15 @@ class CdcSpec extends AnyFunSuite {
     assert(apply0(snap(s: _*), log(c: _*)) === reference(s, c))
   }
 
+  test("changelog missing a snapshot payload column is refused at plan time") {
+    val s = snap((1L, "a", 1.0))
+    val c = Seq((1L, 2L, "U")).toDF("k", "seq", "op") // no name/bal payload
+    val e = intercept[IllegalArgumentException] {
+      Cdc.upsert(s, c, keys, Seq(col("seq")), col("op"))
+    }
+    assert(e.getMessage.contains("name") && e.getMessage.contains("bal"))
+  }
+
   test("delete of an absent key is a no-op; untouched keys pass through") {
     val s   = snap((1L, "a", 1.0), (2L, "b", 2.0))
     val c   = log((9L, "x", 0.0, 1L, "D"))

@@ -42,6 +42,15 @@ class KplSpec extends AnyFunSuite {
     }
   }
 
+  test("large payloads force multi-byte length varints and still roundtrip") {
+    val big = new Array[Byte](70000) // > 2^16: 3-byte varint lengths
+    new scala.util.Random(1).nextBytes(big)
+    val out = rt(Seq(("k", big), ("k2", "tail".getBytes("UTF-8"))))
+    assert(out.length === 2 && out.forall(_.decode_ok))
+    assert(out.head.data.sameElements(big))
+    assert(new String(out(1).data, "UTF-8") === "tail")
+  }
+
   test("non-aggregated payload passes through as one record") {
     val out = Kpl.deaggregate(7L, "plain json line".getBytes("UTF-8"))
     assert(out === Seq(Kpl.UserRecord(7L, true, 0L, "", out.head.data)))
