@@ -87,6 +87,27 @@ object Containers {
     ftyp ++ mp4Box("moov", (mvhd +: tracks.toSeq): _*)
   }
 
+  /** Version-1 mvhd variant of [[renderMp4]] — 64-bit ctime/mtime/duration,
+    * the layout most real encoders emit for long/recent files. Same planted
+    * values as the version-0 render, so both parse to identical metadata. */
+  def renderMp4V1(d: Long): Array[Byte] = {
+    def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    val mvhd = mp4Box("mvhd",
+      Array(1.toByte, 0.toByte, 0.toByte, 0.toByte) ++ // version 1, flags 0
+        u64(0L) ++ u64(0L) ++                          // ctime, mtime (64-bit)
+        u32(Mp4Timescale) ++ u64(mp4Duration(d)) ++    // timescale, 64-bit duration
+        new Array[Byte](80))
+    val v0 = renderMp4(d)
+    // splice: reuse renderMp4's ftyp + traks, swap in the v1 mvhd
+    val ftypLen = be32(v0, 0).toInt
+    val moovOff = ftypLen
+    val mvhdLen = be32(v0, moovOff + 8).toInt
+    val rest    = java.util.Arrays.copyOfRange(v0, moovOff + 8 + mvhdLen, v0.length)
+    val moovBody = mvhd ++ rest
+    java.util.Arrays.copyOfRange(v0, 0, ftypLen) ++
+      u32(moovBody.length + 8L) ++ "moov".getBytes("US-ASCII") ++ moovBody
+  }
+
   private val Mp4Containers = Set("moov", "trak", "mdia")
 
   private def parseMp4(d: Long, b: Array[Byte]): ContainerMeta = {
@@ -116,8 +137,19 @@ object Containers {
         tp match {
           case "ftyp" => brand = fourcc(b, off + hdr)
           case "mvhd" =>
-            // full-box: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
-            ts = be32(b, off + hdr + 12); dur = be32(b, off + hdr + 16)
+            // full-box, layout depends on the version byte — real files
+            // commonly use version 1 (64-bit ctime/mtime/duration), and
+            // reading it with version-0 offsets returns decode_ok=true
+            // with garbage timescale/duration. Dispatch; unknown versions
+            // dead-letter.
+            (b(off + hdr) & 0xff) match {
+              case 0 => // ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+                ts = be32(b, off + hdr + 12); dur = be32(b, off + hdr + 16)
+              case 1 => // ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+                ts = be32(b, off + hdr + 20)
+                dur = (be32(b, off + hdr + 24) << 32) | be32(b, off + hdr + 28)
+              case v => throw new IllegalArgumentException(s"unsupported mvhd version $v")
+            }
           case "trak" => nTracks += 1; walk(off + hdr, end)
           case "hdlr" => handlers += fourcc(b, off + hdr + 8) // ver/flags(4) predef(4) then handler
           case t if Mp4Containers(t) => walk(off + hdr, end)
@@ -207,8 +239,14 @@ object Containers {
         val (id, idW)    = ebmlVarint(b, off, keepMarker = true)
         val (size, szW)  = ebmlVarint(b, off + idW, keepMarker = false)
         val body         = off + idW + szW
-        val end          = body + size.toInt
-        if (end > to) throw new IllegalArgumentException("bad EBML size")
+        // bound-check in LONG arithmetic BEFORE truncating: an EBML size
+        // with bit 31 set would truncate to a negative/backward end that
+        // passes `end > to`, and `off = end` would then loop without
+        // progress — malformed payloads must dead-letter, never spin
+        // (parseMp4's `size < hdr` check is the equivalent guard there).
+        val endL         = body.toLong + size
+        if (size < 0L || endL > to) throw new IllegalArgumentException("bad EBML size")
+        val end          = endL.toInt // body > off always (idW, szW >= 1) → progress
         id match {
           case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
             walk(body, end, depth + 1)

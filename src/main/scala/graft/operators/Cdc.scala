@@ -107,7 +107,7 @@ object Cdc {
       storePath: String,
       id: Long): Unit = {
     val spark = batch.sparkSession
-    val prior = committedVersions(storePath).filter(_ < id).sorted.lastOption match {
+    val prior = committedVersions(spark, storePath).filter(_ < id).sorted.lastOption match {
       case Some(v) => spark.read.parquet(s"$storePath/v=$v")
       case None    => seed
     }
@@ -118,22 +118,235 @@ object Cdc {
   /** The maintained snapshot as of now: the newest committed version.
     * Throws if the stream has not committed anything yet. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
-    val vs = committedVersions(storePath)
+    val vs = committedVersions(spark, storePath)
     if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
     spark.read.parquet(s"$storePath/v=${vs.max}")
   }
 
-  private def committedVersions(storePath: String): Seq[Long] = {
-    val dir = new java.io.File(storePath)
-    Option(dir.listFiles())
-      .getOrElse(Array.empty)
+  /** Committed version directories under `storePath` — enumerated via the
+    * Hadoop FileSystem API (like CorpusPrep's delta listing), so the store
+    * works on whatever filesystem the path names (local, hdfs://, s3a://);
+    * a `java.io.File` listing would silently see an empty store on any
+    * non-local scheme and rebuild every batch from the seed. */
+  private def committedVersions(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
       // a crash mid-write leaves a v= directory WITHOUT Spark's _SUCCESS
       // marker — it must be invisible as a parent, or the next batch
       // would build on a torn snapshot; its replay overwrites it anyway
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toLong)
-      .toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  // --- partition-scoped snapshot store ---------------------------------
+  //
+  // [[maintainSnapshot]] rewrites the FULL snapshot every micro-batch —
+  // fine for demo-sized state, hopeless at a TB snapshot with a GB/day
+  // changelog. This store is the real lakehouse MERGE shape: the snapshot
+  // is hash-bucketed on the merge key, each micro-batch rewrites ONLY the
+  // buckets its delta touches, and a tiny per-version MANIFEST maps every
+  // bucket to the batch that last wrote it — untouched buckets are carried
+  // into the new version BY REFERENCE (a manifest row), their files never
+  // opened, never rewritten. Per-batch cost is |delta| + |touched
+  // buckets|, i.e. GB-scale work against a TB-scale store when the delta's
+  // key set is concentrated — exactly Delta/Iceberg MERGE file skipping,
+  // minus the formats' extra machinery.
+  //
+  // Layout:
+  //   storePath/parts/_bucket=<p>/_writer=<batch>/part-*.parquet
+  //   storePath/manifest/v=<batch>/   (rows: _bucket INT, _writer LONG)
+  //
+  // The manifest write is the COMMIT POINT (Spark's _SUCCESS marker): a
+  // crash mid-parts-write leaves orphan (bucket, writer) directories that
+  // no manifest references — invisible to serving, overwritten verbatim by
+  // the checkpoint's replay of the same batch (the parts write is dynamic
+  // partition overwrite keyed on (bucket, writer), and a replayed batch
+  // recomputes the identical partitions from the identical parent
+  // manifest). Exactly-once on top of at-least-once replay, same contract
+  // as [[maintainSnapshot]] but per-bucket.
+
+  private def partsPath(storePath: String)    = s"$storePath/parts"
+  private def manifestPath(storePath: String) = s"$storePath/manifest"
+
+  /** Deterministic bucket of a row's merge key: `xxhash64(keys) mod n`.
+    * Recomputed identically on the snapshot and changelog sides — never
+    * stored in the data, so the payload schema stays exactly the user's. */
+  def bucketExpr(keys: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+
+  /** STREAMING partition-scoped maintenance: [[maintainSnapshot]]'s
+    * contract (exactly-once versioned snapshots, last-writer-wins MERGE)
+    * with per-batch work proportional to the TOUCHED buckets, not the
+    * snapshot. `nBuckets` sizes the rewrite granularity: a batch touching
+    * k of n buckets rewrites k/n of the snapshot. Pick n so a bucket is a
+    * few hundred MB at the target scale (file-sized), and note the
+    * manifest and touched-bucket list are n-bounded driver state. */
+  def maintainPartitionedSnapshot(
+      changes: DataFrame,
+      seed: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[Column],
+      opCol: Column,
+      storePath: String,
+      checkpoint: String,
+      nBuckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id)
+      }
+
+  /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for
+    * replay/vacuum laws. */
+  def processPartitionedBatch(
+      batch: DataFrame,
+      seed: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[Column],
+      opCol: Column,
+      storePath: String,
+      nBuckets: Int,
+      id: Long): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
+    val (prior, carried) = parent match {
+      case None =>
+        // first batch: materialize the full seed — every bucket is "touched"
+        (seed, Map.empty[Int, Long])
+      case Some(v) =>
+        val manifest = readManifest(spark, storePath, v)
+        // the delta's bucket set — bounded by nBuckets (config, not data)
+        val touched = batch
+          .select(bucketExpr(keys, nBuckets).as("_bucket")).distinct()
+          .as[Int].collect().toSet
+        val parentDirs = touched.toSeq.sorted.flatMap(p =>
+          manifest.get(p).map(w => s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
+        val touchedSnap =
+          if (parentDirs.isEmpty) seed.limit(0)
+          else spark.read
+            .option("basePath", partsPath(storePath))
+            .parquet(parentDirs: _*)
+            .select(seed.columns.map(col).toIndexedSeq: _*)
+        (touchedSnap, manifest.view.filterKeys(p => !touched.contains(p)).toMap)
+    }
+    // ONE pass over delta + touched buckets; dynamic partition overwrite
+    // clears exactly the (bucket, writer=id) combos this frame contains —
+    // idempotent under replay, invisible to every other bucket.
+    upsert(prior, batch, keys, orderCols, opCol)
+      .withColumn("_bucket", bucketExpr(keys, nBuckets))
+      .withColumn("_writer", lit(id))
+      .write
+      .partitionBy("_bucket", "_writer")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(partsPath(storePath))
+    // which touched buckets ended NON-empty: filesystem metadata (dynamic
+    // overwrite only creates dirs for non-empty combos) — no second data
+    // pass, no cache. A bucket the batch fully emptied simply drops out.
+    val written = listWrittenBuckets(spark, storePath, id)
+    val entries = (carried ++ written.map(_ -> id)).toSeq.sortBy(_._1)
+    // manifest commit point: tiny single-file write, _SUCCESS-guarded
+    entries.toDF("_bucket", "_writer").coalesce(1)
+      .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
+  }
+
+  /** The partition-scoped snapshot as of `version` (default: newest
+    * committed). Reads only the bucket directories the manifest names.
+    * Throws if nothing is committed, or if every bucket has been deleted
+    * (an empty store carries no schema to serve). */
+  def readPartitionedSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    val manifest = readManifest(spark, storePath, v)
+    if (manifest.isEmpty)
+      throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
+    val dirs = manifest.toSeq.sortBy(_._1)
+      .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
+    spark.read
+      .option("basePath", partsPath(storePath))
+      .parquet(dirs: _*)
+      .drop("_bucket", "_writer")
+  }
+
+  /** Committed manifest versions (the store's serving history). */
+  def manifestVersions(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] =
+    committedVersions(spark, manifestPath(storePath))
+
+  /** Retention (lakehouse VACUUM): keep the newest `keepVersions`
+    * committed manifests, delete older manifests plus every
+    * (bucket, writer) directory no retained manifest references. Writer
+    * directories whose version never committed are LEFT ALONE — they
+    * belong to an in-flight or crashed batch whose replay will overwrite
+    * them; deleting them here would race the writer. `keepVersions >= 2`
+    * is required so the newest batch's PARENT stays replayable (a crash
+    * between the parts write and the checkpoint commit replays the newest
+    * id against the version below it). */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keepVersions: Int): Unit = {
+    require(keepVersions >= 2, "keepVersions >= 2 (the newest batch's parent must stay replayable)")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = manifestVersions(spark, storePath).sorted
+    if (vs.size <= keepVersions) return
+    val keep = vs.takeRight(keepVersions).toSet
+    val committed = vs.toSet // snapshot BEFORE deleting manifests
+    val referenced: Set[(Int, Long)] =
+      keep.flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
+    vs.filterNot(keep).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true))
+    val partsRoot = new org.apache.hadoop.fs.Path(partsPath(storePath))
+    if (!fs.exists(partsRoot)) return
+    for {
+      bucketDir <- fs.listStatus(partsRoot) if bucketDir.isDirectory &&
+        bucketDir.getPath.getName.startsWith("_bucket=")
+      p = bucketDir.getPath.getName.stripPrefix("_bucket=").toInt
+      writerDir <- fs.listStatus(bucketDir.getPath) if writerDir.isDirectory &&
+        writerDir.getPath.getName.startsWith("_writer=")
+      w = writerDir.getPath.getName.stripPrefix("_writer=").toLong
+      // only reap data whose version COMMITTED and is now unreferenced;
+      // uncommitted writers are in-flight and owned by their replay
+      if committed.contains(w) && !referenced.contains((p, w))
+    } fs.delete(writerDir.getPath, true)
+  }
+
+  private def readManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      v: Long): Map[Int, Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
+      .select(col("_bucket").cast("int"), col("_writer").cast("long"))
+      .as[(Int, Long)].collect().toMap // nBuckets-bounded: config, not data
+  }
+
+  private def listWrittenBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      id: Long): Set[Int] = {
+    val root = new org.apache.hadoop.fs.Path(partsPath(storePath))
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s"_writer=$id")))
+      .map(_.getPath.getName.stripPrefix("_bucket=").toInt)
+      .toSet
   }
 
   /** The deletions the apply performed: keys whose latest record is `D`

@@ -1640,6 +1640,41 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // C38b: the SAME MERGE executed through the partition-scoped snapshot
+    // store (Cdc.processPartitionedBatch): the changelog splits into two
+    // recency-ordered micro-batches (all of batch 1 is later than all of
+    // batch 0, so the last-writer-wins fold law applies), each batch
+    // rewrites ONLY the key-hash buckets its delta touches and carries
+    // every other bucket by manifest reference — the lakehouse MERGE
+    // file-skipping shape. The served snapshot must hash-match the
+    // one-shot c38 oracle exactly; idempotent under re-runs because a
+    // replayed batch id rewrites the same (bucket, writer) dirs from the
+    // same parent manifest.
+    "c38_cdc_partitioned" -> ((s, sf) => {
+      val snap = Tables.customer(s, sf)
+      val changelog = Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey").as("c_custkey"),
+          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"),
+          col("o_orderpriority").as("c_mktsegment"),
+          col("o_orderdate").as("chg_ts"),
+          col("o_orderkey").as("chg_seq"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val cut  = to_date(lit("1995-06-01"))
+      val keys = Seq("c_custkey")
+      val ord  = Seq(col("chg_ts"), col("chg_seq"))
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
+        snap, keys, ord, col("op"), store, nBuckets = 16, id = 0L)
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
+        snap, keys, ord, col("op"), store, nBuckets = 16, id = 1L)
+      Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
+    }),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2396,6 +2431,33 @@ object CoreQueries {
          SELECT 'l_tax', n, CAST(null_t AS BIGINT), CAST(ndv_t AS BIGINT), min_t, max_t FROM agg
          ORDER BY column_name""",
     "c38_cdc_apply" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         )
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
+    // identical MERGE semantics — the partitioned store must serve exactly
+    // the one-shot result, so the oracle is the same rank/anti/union replay
+    "c38_cdc_partitioned" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,
                   'upd#' || o_orderkey AS c_name,

@@ -353,6 +353,36 @@ object EventQueries {
         .orderBy("agg_id", "rec_idx")
     }),
 
+    // A11b: the KPL chain THROUGH THE TRANSPORT ENCODING — the sharded
+    // DSv2 stream carries payloads as text lines, so the real consumer
+    // composition is base64(aggregate) → line → unbase64 → deaggregate
+    // (IntegrationSpec drives exactly this end to end as a streaming
+    // relay with checkpoint resume). This batch twin runs the identical
+    // column DAG and must hash-match the SAME planted oracle as
+    // a11_kpl_deaggregate: the transport encode/decode is lossless and
+    // the deagg walk is transport-agnostic.
+    "a11_kpl_transport" -> ((s, sf) => {
+      import s.implicits._
+      val lines = Tables
+        .events(s, sf)
+        .select(col("event_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val recs = (0 until 3).map { i =>
+            (s"pk${(id + i) % 5}", s"payload-$id-$i".getBytes("UTF-8"))
+          }
+          (id, java.util.Base64.getEncoder.encodeToString(graft.sources.Kpl.aggregate(recs)))
+        })
+        .toDF("agg_id", "line")
+      graft.sources.Kpl
+        .deaggregateRecords(lines.select(col("agg_id"), unbase64(col("line")).as("payload")))
+        .filter(col("decode_ok"))
+        .select(
+          col("agg_id"), col("rec_idx"), col("partition_key"),
+          col("data").cast("string").as("data_str"))
+        .orderBy("agg_id", "rec_idx")
+    }),
+
     // B14 batch twin of the STREAM-STREAM SEMI interval join: clicks that
     // converted — a purchase by the same user inside [click.ts, +1h] —
     // each click emitted AT MOST ONCE however many purchases match
@@ -693,6 +723,15 @@ object EventQueries {
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          ORDER BY l_id, r_id""",
     "a11_kpl_deaggregate" ->
+      """SELECT e.event_id AS agg_id,
+           CAST(g.i AS BIGINT) AS rec_idx,
+           'pk' || ((e.event_id + g.i) % 5) AS partition_key,
+           'payload-' || e.event_id || '-' || g.i AS data_str
+         FROM events e CROSS JOIN generate_series(0, 2) AS g(i)
+         ORDER BY agg_id, rec_idx""",
+    // transport-composed twin: base64 round-trip is lossless, so the
+    // planted oracle is identical to a11_kpl_deaggregate's
+    "a11_kpl_transport" ->
       """SELECT e.event_id AS agg_id,
            CAST(g.i AS BIGINT) AS rec_idx,
            'pk' || ((e.event_id + g.i) % 5) AS partition_key,

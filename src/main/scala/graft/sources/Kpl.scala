@@ -120,8 +120,15 @@ object Kpl {
         wire match {
           case 2 => // length-delimited
             val (len, o2) = varint(body, off, body.length)
+            // validate in LONG arithmetic before truncating: a crafted
+            // length >= 2^31 would truncate negative, slip past the bound
+            // check, and `off = end` would re-parse the same tag forever —
+            // an infinite loop instead of a dead-letter. len >= 0 also
+            // guarantees end = o2 + len > off (varint consumed >= 1 byte),
+            // so every iteration advances.
+            if (len < 0L || o2 + len > body.length)
+              throw new IllegalArgumentException("bad field length")
             val end = o2 + len.toInt
-            if (end > body.length) throw new IllegalArgumentException("truncated field")
             field match {
               case 1 => keys += new String(body, o2, len.toInt, "UTF-8")
               case 3 => // nested Record
@@ -136,8 +143,10 @@ object Kpl {
                     case (2, 0) => val (_, ro2) = varint(body, ro, end); ro = ro2
                     case (_, 2) =>
                       val (l2, ro2) = varint(body, ro, end)
+                      // same Long-arithmetic guard as the outer walk
+                      if (l2 < 0L || ro2 + l2 > end)
+                        throw new IllegalArgumentException("bad record field length")
                       val e2 = ro2 + l2.toInt
-                      if (e2 > end) throw new IllegalArgumentException("truncated record field")
                       if ((rtag >>> 3).toInt == 3)
                         data = java.util.Arrays.copyOfRange(body, ro2, e2)
                       ro = e2

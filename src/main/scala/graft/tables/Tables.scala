@@ -34,7 +34,15 @@ object Tables {
   def rebalanceForCpu(df: DataFrame): DataFrame = {
     val spark  = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // streaming frames have no inspectable partitioning at build time (and
+    // `.rdd` would throw); micro-batch sources size their own splits
+    if (df.isStreaming) return df
+    // `df.queryExecution.toRdd` inspects the CACHED physical plan without
+    // `df.rdd`'s extra deserializer round — `.rdd` wraps the plan in a new
+    // Dataset and plans it a second time on every call, a cost this
+    // build-time probe was paying even on the common no-op path
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts * 2 < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "region")

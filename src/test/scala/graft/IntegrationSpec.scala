@@ -206,6 +206,78 @@ class IntegrationSpec extends AnyFunSuite {
     assert(back.forall { case (shard, _) => shard == 0 || shard == 1 })
   }
 
+  test("KPL relay: sharded stream → deaggregate → decode → filter → sharded sink; corrupt " +
+      "aggregate dead-letters mid-stream; resume is exactly-once through the explode") {
+    // The REAL Kinesis consumer topology end to end on the engine's own
+    // transports: each source LINE is a base64'd KPL aggregate of three
+    // gzipped Arc envelopes; the stream must unpack (A11), decode (A3–A5),
+    // filter (A6), and republish survivors (A9) — with one corrupt
+    // aggregate (flipped md5) dead-lettering as data, not an exception,
+    // and a checkpoint restart republishing ONLY new user records (the
+    // deagg explode must not double-emit on resume).
+    val srcDir = Files.createTempDirectory("graft_kplrelay_src")
+    val dstDir = Files.createTempDirectory("graft_kplrelay_dst").toString
+    val dlqDir = Files.createTempDirectory("graft_kplrelay_dlq").toString
+    val ckpt   = Files.createTempDirectory("graft_kplrelay_ckpt").toString
+    val ckptD  = Files.createTempDirectory("graft_kplrelay_ckptd").toString
+
+    def agg(ids: Seq[Int], typ: Int => String): Array[Byte] =
+      graft.sources.Kpl.aggregate(ids.map(i =>
+        (s"pk${i % 2}", gz(envelope(i, typ(i), "2024-03-01T10:15:00Z")))))
+    def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+    def writeShardFile(shard: Int, name: String, lines: Seq[String]): Unit = {
+      val dir = srcDir.resolve(s"shard=$shard")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(name), lines.mkString("\n"))
+    }
+    val corrupt = agg(Seq(97, 98, 99), _ => "story")
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x5a).toByte // break the md5
+    writeShardFile(0, "f0.txt", Seq(b64(agg(1 to 3, i => if (i == 2) "redirect" else "story"))))
+    writeShardFile(1, "f0.txt", Seq(b64(agg(4 to 6, _ => "story")), b64(corrupt)))
+
+    val fmt = classOf[graft.sources.sharded.ShardedStreamProvider].getName
+    val cfg = ArcPipeline.FilterConfig(
+      allowedTypes = Seq("story", "video"), sectionAllowlist = Seq("news"), website = Some("site-a"))
+    def users() = graft.sources.Kpl.deaggregateRecords(
+      spark.readStream.format(fmt).option("path", srcDir.toString).load()
+        .select((col("shard").cast("long") * 1000000L + col("seq")).as("agg_id"),
+          unbase64(col("payload")).as("payload")))
+    def runOnce(): Unit = {
+      // relay query: good user records through the Arc chain to the sink
+      val (projected, _) = ArcPipeline.runRecords(
+        users().filter(col("decode_ok")).select(col("data").as("payload")), cfg)
+      val q = projected
+        .select(pmod(xxhash64(col("doc_id")), lit(2)).cast("int").as("shard"),
+          lit(0L).as("seq"), to_json(struct(col("doc_id"), col("content_type"))).as("payload"))
+        .writeStream.format(fmt)
+        .option("path", dstDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      // DLQ query: corrupt aggregates land as rows (A8 contract), own checkpoint
+      val qd = users().filter(!col("decode_ok")).select(col("agg_id"))
+        .writeStream.format("parquet")
+        .option("path", dlqDir).option("checkpointLocation", ckptD)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      qd.awaitTermination(120000); qd.stop()
+    }
+    runOnce()
+    def docs(): Seq[String] = spark.read.format(fmt).option("path", dstDir).load()
+      .select(get_json_object(col("payload"), "$.doc_id").as("d"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    // aggregate 0: d1,d3 (d2 redirect filtered); aggregate 1: d4,d5,d6;
+    // corrupt aggregate contributes NOTHING downstream, one DLQ row
+    assert(docs() === Seq("d1", "d3", "d4", "d5", "d6"))
+    val dlq = spark.read.parquet(dlqDir).collect().map(_.getLong(0)).toSeq
+    assert(dlq === Seq(1000001L), s"corrupt aggregate did not dead-letter exactly once: $dlq")
+
+    // resume: one NEW aggregate in shard 0 → exactly its survivors append
+    writeShardFile(0, "f1.txt", Seq(b64(agg(Seq(7, 8), _ => "story"))))
+    runOnce()
+    assert(docs() === Seq("d1", "d3", "d4", "d5", "d6", "d7", "d8"),
+      "checkpoint resume duplicated or dropped deaggregated records")
+    assert(spark.read.parquet(dlqDir).count() === 1L, "DLQ re-emitted on resume")
+  }
+
   test("relay resume: restart with new upstream data republishes ONLY the new records") {
     val srcDir = Files.createTempDirectory("graft_relay2_src")
     val dstDir = Files.createTempDirectory("graft_relay2_dst").toString

@@ -51,6 +51,38 @@ class ContainersSpec extends AnyFunSuite {
     assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
   }
 
+  test("EBML size with bit 31 set dead-letters instead of looping") {
+    // 2^31 truncates to a negative Int end that passed the old `end > to`
+    // check while `off = end` made no progress — this test HANGS on a
+    // regression. Size encoded in the writer's 8-byte form (0x01 marker).
+    val size31 = Array(0x01, 0x00, 0x00, 0x00, 0x80, 0x00, 0x00, 0x00).map(_.toByte)
+    val evil   = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ size31
+    val out = Containers.parseContainerMeta(Seq((1L, evil)).toDF("doc_id", "payload")).collect()
+    assert(out.length === 1 && !out.head.decode_ok, "oversized EBML size accepted")
+  }
+
+  test("version-1 mvhd (64-bit times) parses to the same metadata; unknown versions dead-letter") {
+    val ids = Seq(2L, 4L, 7L)
+    val v1 = Containers
+      .parseContainerMeta(ids.map(i => (i, Containers.renderMp4V1(i))).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    val v0 = Containers
+      .parseContainerMeta(ids.map(i => (i, Containers.renderMp4(i))).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { i =>
+      assert(v1(i).decode_ok, s"v1 mvhd rejected for doc $i")
+      assert(v1(i) === v0(i), s"v1 parse diverged from v0 for doc $i")
+    }
+    // an unsupported mvhd version must dead-letter, not return garbage
+    val b = Containers.renderMp4V1(2L)
+    val bad = b.clone()
+    // locate the mvhd box: ftyp len, then moov hdr (8), then mvhd hdr (8) → version byte
+    val ftypLen = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    bad(ftypLen + 8 + 8) = 2.toByte
+    val out = Containers.parseContainerMeta(Seq((9L, bad)).toDF("doc_id", "payload")).collect()
+    assert(!out.head.decode_ok, "unknown mvhd version parsed as garbage")
+  }
+
   private def audioOf(ids: Long*) = Containers
     .parseAudioMeta(
       Containers.attachAudioHeaderPayload(ids.map(i => (i, s"d$i")).toDF("doc_id", "text")))

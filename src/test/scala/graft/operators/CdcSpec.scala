@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -126,6 +128,134 @@ class CdcSpec extends AnyFunSuite {
     val gotBatched = batched.as[(Long, String, Double)].collect()
       .map { case (k, n, b) => k -> (n, b) }.toMap
     assert(gotBatched === oneShot)
+  }
+
+  // --- partition-scoped store laws -------------------------------------
+
+  private val nBuckets = 8
+
+  private def bucketOf(k: Long): Int =
+    Seq(k).toDF("k").select(Cdc.bucketExpr(keys, nBuckets)).as[Int].head()
+
+  /** (path, length, mtime) for every data file under `dir` — the
+    * byte-identity fingerprint the untouched-partitions law compares. */
+  private def fileState(dir: String): Set[(String, Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toSet
+      finally s.close()
+    }
+  }
+
+  private def readPart(store: String): Map[Long, (String, Double)] =
+    Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def runBatch(store: String, seed: DataFrame, id: Long,
+      rows: (Long, String, Double, Long, String)*): Unit =
+    Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+      Seq(col("seq")), col("op"), store, nBuckets, id)
+
+  test("partitioned store: multi-batch maintenance equals one-shot upsert; " +
+      "a batch touching one bucket leaves every other bucket byte-identical") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_part").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.5))
+    val seed = snap(s: _*)
+    val b0 = (1L to 60L by 3).zipWithIndex.map { case (k, i) =>
+      (k, s"b0_$k", k * 2.0, 100L + i, if (k % 10 == 0) "D" else "U") }
+    runBatch(store, seed, 0L, b0: _*)
+    val state0 = fileState(s"$store/parts")
+
+    // batch 1 touches exactly ONE key → exactly one bucket may change
+    val b1 = Seq((5L, "b1_5", 55.0, 500L, "U"))
+    runBatch(store, seed, 1L, b1: _*)
+    val hot    = bucketOf(5L)
+    val state1 = fileState(s"$store/parts")
+    val untouched0 = state0.filterNot(_._1.contains(s"_bucket=$hot/"))
+    assert(untouched0.subsetOf(state1),
+      "an untouched bucket's files were rewritten (path/length/mtime changed)")
+    assert((state1 -- state0).forall(_._1.contains(s"_bucket=$hot/_writer=1")),
+      "batch 1 created files outside its touched bucket")
+
+    // equivalence to the one-shot MERGE over the concatenated changelog
+    assert(readPart(store) === reference(s, b0 ++ b1))
+
+    // replay of committed batch 1 (crash between commit points): same
+    // parent manifest, same partitions, snapshot unchanged
+    runBatch(store, seed, 1L, b1: _*)
+    assert(readPart(store) === reference(s, b0 ++ b1))
+
+    // torn manifest (crash mid-manifest-write): a v= dir without _SUCCESS
+    // is invisible as a version and as a parent
+    val torn = new java.io.File(s"$store/manifest/v=9"); torn.mkdirs()
+    new java.io.File(torn, "part-00000.parquet").createNewFile()
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    runBatch(store, seed, 10L, (7L, "g", 70.0, 700L, "U"))
+    assert(readPart(store) === reference(s, b0 ++ b1 ++ Seq((7L, "g", 70.0, 700L, "U"))),
+      "batch 10 failed to build on the newest COMMITTED manifest")
+  }
+
+  test("partitioned store: deleting every key of a bucket drops its manifest entry") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toString
+    val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
+    runBatch(store, snap(s: _*), 0L, (99L, "noop", 0.0, 1L, "U"))
+    val victims = (1L to 20L).filter(bucketOf(_) == bucketOf(1L)) :+ 99L
+    val dels = victims.filter(bucketOf(_) == bucketOf(1L)).zipWithIndex
+      .map { case (k, i) => (k, "x", 0.0, 10L + i, "D") }
+    runBatch(store, snap(s: _*), 1L, dels: _*)
+    val expect = reference(s :+ ((99L, "noop", 0.0)), dels)
+    assert(readPart(store) === expect)
+    val manifest = spark.read.parquet(s"$store/manifest/v=1")
+      .select(col("_bucket").cast("int")).as[Int].collect().toSet
+    assert(!manifest.contains(bucketOf(1L)), "emptied bucket still in the manifest")
+  }
+
+  test("partitioned store: vacuum keeps newest K, reaps only unreferenced committed data") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_vac").toString
+    val s = (1L to 30L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val batches = (0L to 3L).map(id =>
+      id -> Seq((id * 3 + 1, s"b${id}", id * 10.0, 100L + id, "U")))
+    batches.foreach { case (id, rows) => runBatch(store, seed, id, rows: _*) }
+    val latest = readPart(store)
+
+    // an in-flight (uncommitted) writer dir must survive vacuum
+    val inflight = new java.io.File(s"$store/parts/_bucket=0/_writer=99")
+    inflight.mkdirs()
+    new java.io.File(inflight, "part-inflight.parquet").createNewFile()
+
+    intercept[IllegalArgumentException](Cdc.vacuum(spark, store, 1))
+    Cdc.vacuum(spark, store, 2)
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(2L, 3L))
+    assert(readPart(store) === latest, "vacuum changed the served snapshot")
+    // the retained older version still serves (replay parent guarantee)
+    Cdc.readPartitionedSnapshot(spark, store, Some(2L)).collect()
+    assert(inflight.exists(), "vacuum deleted an in-flight writer directory")
+
+    // every surviving committed (bucket, writer) dir is referenced by a
+    // kept manifest — nothing unreferenced survived, nothing referenced died
+    val kept = Seq(2L, 3L).flatMap(v =>
+      spark.read.parquet(s"$store/manifest/v=$v")
+        .select(col("_bucket").cast("int"), col("_writer").cast("long"))
+        .as[(Int, Long)].collect()).toSet
+    val onDisk = for {
+      b <- new java.io.File(s"$store/parts").listFiles().toSeq
+      if b.getName.startsWith("_bucket=")
+      w <- b.listFiles().toSeq if w.getName.startsWith("_writer=")
+      wv = w.getName.stripPrefix("_writer=").toLong if wv != 99L
+    } yield (b.getName.stripPrefix("_bucket=").toInt, wv)
+    assert(onDisk.toSet === kept, "disk state diverged from retained manifests")
+
+    // replay of the newest batch still works after vacuum (parent kept)
+    val (lid, lrows) = batches.last
+    runBatch(store, seed, lid, lrows: _*)
+    assert(readPart(store) === latest)
   }
 
   test("IVM consistency: delta-maintained sum equals recompute over the upserted snapshot") {

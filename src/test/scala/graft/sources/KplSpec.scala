@@ -76,6 +76,27 @@ class KplSpec extends AnyFunSuite {
       "dangling key index accepted")
   }
 
+  test("md5-consistent oversized length varint dead-letters instead of looping") {
+    // a length >= 2^31 truncates negative in Int; before the Long-arithmetic
+    // guard the walk's `off = end` then re-parsed the same tag forever —
+    // this test HANGS (not fails) on a regression, with a valid checksum so
+    // the md5 gate cannot save it
+    def withLen(len: Seq[Byte]): Array[Byte] = {
+      val body = (((1 << 3) | 2).toByte +: len).toArray
+      val md5  = java.security.MessageDigest.getInstance("MD5").digest(body)
+      Kpl.Magic ++ body ++ md5
+    }
+    val twoPow31 = Seq(0x80, 0x80, 0x80, 0x80, 0x08).map(_.toByte) // varint 2^31
+    assert(Kpl.deaggregate(1L, withLen(twoPow31)).forall(!_.decode_ok),
+      "negative-truncating length accepted")
+    // nested record field with the same oversized length
+    val rec  = (((3 << 3) | 2).toByte +: Seq(0x80, 0x80, 0x80, 0x80, 0x08).map(_.toByte)).toArray
+    val body = Array(((3 << 3) | 2).toByte, rec.length.toByte) ++ rec
+    val md5  = java.security.MessageDigest.getInstance("MD5").digest(body)
+    assert(Kpl.deaggregate(1L, Kpl.Magic ++ body ++ md5).forall(!_.decode_ok),
+      "negative-truncating nested length accepted")
+  }
+
   test("Spark surface explodes aggregates narrowly and dead-letters per record") {
     val p1 = Kpl.aggregate(Seq(("a", "x".getBytes), ("b", "y".getBytes)))
     val p2 = "raw".getBytes("UTF-8")

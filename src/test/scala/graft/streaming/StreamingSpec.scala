@@ -634,6 +634,43 @@ class StreamingSpec extends AnyFunSuite {
       "batch 10 failed to build on the newest COMMITTED version")
   }
 
+  test("streaming partitioned CDC: touched buckets rewrite, untouched buckets carry by reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Cdc
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_pstore").toString
+    val ckpt  = java.nio.file.Files.createTempDirectory("graft_cdc_pckpt").toString
+    val keys  = Seq("k")
+    val n     = 8
+    val seed  = (1L to 40L).map(k => (k, s"orig$k", k * 1.5)).toDF("k", "name", "bal")
+    val b1 = Seq((1L, "a1", 10.0, 1L, "U"), (30L, "c", 30.0, 2L, "I"))
+    val b2 = Seq((1L, "a2", 11.0, 3L, "U")) // touches ONE key → one bucket
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = Cdc
+      .maintainPartitionedSnapshot(
+        mem.toDF().toDF("k", "name", "bal", "seq", "op"),
+        seed, keys, Seq(col("seq")), col("op"), store, ckpt, n)
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val oneShot = Cdc
+      .upsert(seed, (b1 ++ b2).toDF("k", "name", "bal", "seq", "op"),
+        keys, Seq(col("seq")), col("op"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(served === oneShot)
+    // batch 1 (touching only key 1's bucket) must have written exactly one
+    // bucket directory under _writer=1 — every other bucket carried over
+    val hot = Seq(1L).toDF("k").select(Cdc.bucketExpr(keys, n)).as[Int].head()
+    val writtenByB1 = new java.io.File(s"$store/parts").listFiles()
+      .filter(d => d.getName.startsWith("_bucket=") &&
+        new java.io.File(d, "_writer=1").exists())
+      .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+    assert(writtenByB1 === Set(hot), "micro-batch 1 rewrote buckets it did not touch")
+  }
+
   test("streaming IVM: micro-batch deltas maintain the view; replay is exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Ivm
