@@ -88,11 +88,15 @@ object Bench {
       spark.catalog.clearCache()
       val first = runOnce(name, fn)
       // Sub-half-second queries are jitter-dominated (GC pause ≈ their
-      // whole runtime): report the MEDIAN of 3 runs for those. Slow
-      // queries stay single-run — their signal dwarfs jitter and
-      // repeating them would double the bench.
+      // whole runtime): report the MEDIAN of 3 runs for those. The >5 s
+      // HEADLINE rows also get median-of-3 (VERDICT r12 next-7): they
+      // dominate the total, so one ambient-load spike on a single run
+      // moves the round-over-round comparison more than every small row
+      // combined — ~40 s of reruns buys a stable headline. The middle
+      // band stays single-run (signal dwarfs jitter, doubling it would
+      // double the bench).
       val sec =
-        if (first >= 0 && first < 0.5) {
+        if (first >= 0 && (first < 0.5 || first >= 5.0)) {
           val runs = Seq(first, runOnce(name, fn), runOnce(name, fn)).filter(_ >= 0)
           if (runs.isEmpty) -1.0 else runs.sorted.apply(runs.length / 2)
         } else first

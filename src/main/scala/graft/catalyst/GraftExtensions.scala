@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.l2DistDescriptor)
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketDescriptor)
     ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
@@ -49,6 +50,19 @@ object GraftExtensions {
       ""
     ),
     (children: Seq[Expression]) => CosineSimilarityExpression(children.head, children(1))
+  )
+
+  private[catalyst] val l2DistDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_l2dist"),
+    new ExpressionInfo(
+      classOf[L2DistanceExpression].getName,
+      null,
+      "graft_l2dist",
+      "graft_l2dist(a, b) - euclidean distance of two ARRAY<DOUBLE> vectors (fused codegen loop).",
+      ""
+    ),
+    (children: Seq[Expression]) => L2DistanceExpression(children.head, children(1))
   )
 
   private[catalyst] val sigAgreementDescriptor
@@ -151,7 +165,7 @@ object GraftExtensions {
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
-    Seq(gunzipDescriptor, cosineDescriptor, sigAgreementDescriptor, lshBucketDescriptor,
+    Seq(gunzipDescriptor, cosineDescriptor, l2DistDescriptor, sigAgreementDescriptor, lshBucketDescriptor,
         interleaveBitsDescriptor, bloomAggDescriptor, mightContainDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {

@@ -34,6 +34,15 @@ object VectorOps {
     call_function("graft_cosine", a, b)
   }
 
+  /** Hot-path euclidean distance via the native codegen expression
+    * ([[graft.catalyst.L2DistanceExpression]]) — bit-identical to
+    * `sqrt(aggregate(zip_with(a,b,(x,y)=>(x−y)²), 0.0, _+_))` (same
+    * accumulation order; law in CosineExpressionSpec). */
+  def l2Native(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.catalyst.GraftExtensions.register(spark)
+    call_function("graft_l2dist", a, b)
+  }
+
   /** Cast float vectors (fixture `embeddings.embedding`) to double — exact
     * widening on both Spark and DuckDB sides. */
   def asDouble(a: Column): Column = a.cast("array<double>")

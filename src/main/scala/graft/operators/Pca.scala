@@ -112,21 +112,48 @@ object Pca {
     // pass parallelizes; no-op on well-split inputs
     val vecs = graft.tables.Tables
       .rebalanceForCpu(emb.select(VectorOps.asDouble(vecCol).as("v")))
-    // One pass: n and the decimal-exact component sums → mean.
+    // One pass: n and the decimal-exact component sums → mean. Same
+    // per-partition JVM-partial shape as the Gram loop below (no d× row
+    // explode through the agg): each element rounds via Double.toString →
+    // HALF_UP scale 18 — EXACTLY Spark's double→decimal(38,18) cast the
+    // old posexplode plan applied — then BigDecimal partials sum exactly,
+    // so the fitted mean stays bit-identical under any partitioning.
     val meanRow = vecs
-      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var acc: Array[java.math.BigDecimal] = null
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          if (acc == null) acc = Array.fill(v.length)(java.math.BigDecimal.ZERO)
+          n += 1
+          var i = 0
+          while (i < v.length) {
+            val x = v(i)
+            if (!x.isNaN && !x.isInfinite) // non-finite casts to null (dropped) in the SQL twin
+              acc(i) = acc(i).add(
+                new java.math.BigDecimal(java.lang.Double.toString(x))
+                  .setScale(18, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else Iterator.tabulate(acc.length)(i => (i, n, BigDecimal(acc(i))))
+      }
+      .toDF("i", "pn", "ps")
       .groupBy(col("i"))
-      .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(38,18)")).as("s"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps").cast("decimal(38,18)")).as("s"))
       // Sum exactly in decimal, then divide in DOUBLE: decimal division
       // rounds to the result type's capped scale (~1e-7 error), while a
       // double quotient of the exact sum keeps full precision and stays
       // deterministic.
-      .select(col("i"), (col("s").cast("double") / col("n").cast("double")).as("m"))
+      .select(col("i"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
       .orderBy("i")
-      .as[(Int, Double)]
+      .as[(Int, Long, Double)]
       .collect()
-    val n    = vecs.count().toDouble
-    val mean = meanRow.map(_._2)
+    val n    = meanRow.headOption.map(_._2.toDouble).getOrElse(0.0)
+    val mean = meanRow.map(_._3)
     val meanLit = array(mean.map(lit): _*)
     // Second pass: upper-triangle products of the CENTERED vector, packed
     // index k = i·dim − i(i−1)/2 + (j−i) — d(d+1)/2 rows after the

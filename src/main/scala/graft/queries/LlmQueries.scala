@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorOps}
+import graft.functions.{MinHashSketch, MinHashSketchAggregator, TextOps, VectorAgg, VectorOps}
 import graft.multimodal.{Containers, Multimodal}
 import graft.operators.{Bm25, Bpe, ChatPrep, Dedup, EditDistanceJoin, KCore, LabelProp, LmScore, Mixture, Mmr, Outliers, PageRank, Pca, Procrustes, ProductQuantizer, Rrf, SimilarityJoin, SnapshotDiff, Triangles, Vocab}
 import graft.tables.Tables
@@ -736,6 +736,11 @@ object LlmQueries {
     // pico units so per-dim means are order-independent exact sums; max
     // error needs no quantization (max of identical doubles).
     "d3_quant_error" -> ((s, sf) => {
+      // whole-vector aggregation (functions/VectorAgg.scala): one global
+      // buffer sums pico-quantized errors (exact longs) and maxes raw
+      // errors — no 64× posexplode through the agg; the d-row unpack runs
+      // on the single aggregated row. Bit-identical to the exploded plan
+      // (long sums associative, max exact).
       val base = Tables
         .embeddings(s, sf)
         .select(VectorOps.asDouble(col("embedding")).as("v"))
@@ -743,15 +748,17 @@ object LlmQueries {
         .withColumn(
           "dq",
           VectorOps.dequantizeI8(VectorOps.quantizeI8(col("v"), col("sc")), col("sc")))
-        .select(posexplode(zip_with(col("v"), col("dq"), (x, d) => (x - d) * (x - d)))
-          .as(Seq("pos", "e2")))
+        .select(zip_with(col("v"), col("dq"), (x, d) => (x - d) * (x - d)).as("e2"))
       base
-        .groupBy(col("pos").cast("long").as("pos"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(round(col("e2") * 1e12).cast("long")).cast("double")
-            / (count(lit(1)) * lit(1e12)), 9).as("mse"),
-          round(max(col("e2")), 9).as("max_e2"))
+          VectorAgg.sumLong(transform(col("e2"), e => round(e * 1e12).cast("long"))).as("sv"),
+          VectorAgg.maxDouble(col("e2")).as("mv"))
+        .select(col("n"), posexplode(arrays_zip(col("sv"), col("mv"))).as(Seq("pos", "z")))
+        .select(
+          col("pos").cast("long").as("pos"), col("n"),
+          round(col("z.sv").cast("double") / (col("n") * lit(1e12)), 9).as("mse"),
+          round(col("z.mv"), 9).as("max_e2"))
         .orderBy("pos")
     }),
 
@@ -1273,26 +1280,30 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
-    // D7×D5: token-budget selection KEYED OFF SUBWORD COUNTS — the
+    // D7×D5: token-budget selection KEYED OFF TOKENIZER COUNTS — the
     // composition the whole D7 family exists for: budgets, packing, and
-    // manifests must count what the model consumes (BPE subwords), not
-    // whitespace words, which systematically under-count rare-word text.
-    // Same deterministic per-source greedy fill as d7_token_budget, with
-    // n_tok = n_subwords from the learned 60-merge tokenizer. Iterative
-    // trainer → rows-only; the budget-respecting and words≤subwords laws
-    // live in BpeSpec, the selection laws in MixtureSpec.
+    // manifests must count what the model consumes (tokenizer tokens),
+    // not whitespace words, which systematically under-count rare-word
+    // text. The accounting basis is the BYTE-LEVEL tier
+    // (Bpe.trainBytes/encodeBytes): its 256-byte alphabet is closed over
+    // any input, so counts are UNK-free — the char tier's n_unk rows are
+    // exactly the tokens a budget ledger would miscount (an OOV word
+    // collapses to ONE <unk> however long it is). The char-vs-byte
+    // comparison stays measured in d5_bpe_bytes. Same deterministic
+    // per-source greedy fill as d7_token_budget. Iterative trainer →
+    // rows-only; UNK-free and words≤tokens laws in BpeSpec, selection
+    // laws in MixtureSpec.
     "d7_bpe_budget" -> ((s, sf) => {
-      val docs   = Tables.documents(s, sf)
-      val merges = Bpe.train(docs, col("text"), 60, 5000)
-      val v      = Bpe.vocab(docs, col("text"), merges)
+      val docs    = Tables.documents(s, sf)
+      val bMerges = Bpe.trainBytes(docs, col("text"), 60, 5000)
       val withBpe = docs
         .join(
-          Bpe.encode(docs, col("doc_id"), col("text"), merges, v)
-            .select(col("doc_id"), col("n_subwords")),
+          Bpe.encodeBytes(docs, col("doc_id"), col("text"), bMerges)
+            .select(col("doc_id"), col("n_tokens")),
           "doc_id")
       Mixture
-        .sampleToTokenBudget(withBpe, col("doc_id"), col("source"), col("n_subwords"), tokenBudget = 600L)
-        .select(col("doc_id"), col("source"), col("n_subwords"))
+        .sampleToTokenBudget(withBpe, col("doc_id"), col("source"), col("n_tokens"), tokenBudget = 600L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1697,15 +1708,23 @@ object LlmQueries {
         .orderBy("id")),
 
     "d3_slice_centroid" -> ((s, sf) => {
-      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      // whole-vector aggregation (functions/VectorAgg.scala): quantize to
+      // the 1e-9 grid, sum ARRAYS per bucket — long addition is
+      // associative, so this is bit-identical to the old posexplode →
+      // groupBy(bucket, pos) plan while pushing 64× fewer rows through the
+      // aggregate; the 8-row result explodes AFTER the agg for the oracle
+      // shape. Same micro-grid exactness, same single double divide.
       Tables
         .embeddings(s, sf)
         .select(
           (col("vec_id") % 8).as("bucket"),
-          posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("bucket"), col("pos").cast("long").as("pos"))
-        .agg(
-          (sum(xq).cast("double") / (count(lit(1)) * lit(1e9))).as("centroid"))
+          VectorAgg.quantizeNano(VectorOps.asDouble(col("embedding"))).as("q"))
+        .groupBy(col("bucket"))
+        .agg(VectorAgg.sumLong(col("q")).as("sv"), count(lit(1)).as("n"))
+        .select(col("bucket"), posexplode(col("sv")).as(Seq("pos", "sq")), col("n"))
+        .select(
+          col("bucket"), col("pos").cast("long").as("pos"),
+          (col("sq").cast("double") / (col("n") * lit(1e9))).as("centroid"))
         .orderBy("bucket", "pos")
     }),
 
@@ -2571,18 +2590,26 @@ object LlmQueries {
     // only the final mean/variance divisions touch doubles. One narrow
     // explode + one map-side-combined agg on a 64-row key space.
     "d3_dim_stats" -> ((s, sf) => {
-      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      // whole-vector moments (functions/VectorAgg.scala): ONE global
+      // buffer sums components (exact longs) and squares (base-1e18
+      // limbs, 126-bit exact) — no 64× posexplode through the aggregate;
+      // the d-row unpack happens on the single aggregated row. The limb
+      // pair reassembles to the same DECIMAL(38,0) the old plan (and the
+      // oracle) summed, then each moment takes exactly one double cast —
+      // bit-identical results.
       val meanQ = col("s").cast("double") / col("n").cast("double")
       val ex2Q  = col("ss").cast("double") / col("n").cast("double")
       Tables
         .embeddings(s, sf)
-        .select(posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
-        .select(col("pos").cast("long").as("pos"), xq.as("xq"))
-        .groupBy(col("pos"))
+        .select(VectorAgg.quantizeNano(VectorOps.asDouble(col("embedding"))).as("q"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("xq")).as("s"),
-          sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)")).as("ss"))
+          VectorAgg.sumLong(col("q")).as("sv"),
+          VectorAgg.sumSquares(col("q")).as("ssl"))
+        .select(col("n"), posexplode(col("sv")).as(Seq("pos", "s")), col("ssl"))
+        .select(
+          col("pos").cast("long").as("pos"), col("n"), col("s"),
+          VectorAgg.squaresToDecimal(col("ssl"), col("pos")).as("ss"))
         .select(
           col("pos"), col("n"),
           round(col("s").cast("double") / (col("n") * lit(1e9)), 6).as("mean"),
@@ -2731,11 +2758,16 @@ object LlmQueries {
     }),
 
     // D5 (tokenizer eval): per-language fertility/coverage — OOV rate
-    // against the learned top-100 vocab and chars-per-token (fertility),
-    // THE comparison table of any tokenizer-choice writeup (a language
-    // with high fertility pays more sequence length per character). The
-    // vocab is bounded → broadcast; everything else is one explode-agg
-    // rolled up to the 10-row lang key space.
+    // against the learned top-100 vocab, chars-per-token, and the BYTE
+    // accounting columns (bytes and bytes-per-token of the non-space
+    // text): THE comparison table of any tokenizer-choice writeup (a
+    // language with high fertility pays more sequence length per
+    // character; non-ASCII languages pay multi-byte characters at the
+    // byte tier, which is what d7_bpe_budget's UNK-free ledger counts —
+    // UTF-8 octet counts are deterministic and SQL-expressible, so this
+    // table stays fully oracle-checked while carrying the byte-tier
+    // currency). The vocab is bounded → broadcast; everything else is one
+    // explode-agg rolled up to the 10-row lang key space.
     "d5_tokenizer_fertility" -> ((s, sf) => {
       val docs  = Tables.documents(s, sf)
       val vocab = Vocab.build(docs, col("text"), 100)
@@ -2745,20 +2777,24 @@ object LlmQueries {
       docs
         .select(
           col("doc_id"), col("lang"),
-          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"))
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"),
+          octet_length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nb"))
         .join(enc, "doc_id")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_toks"),
           sum(col("n_unk")).as("total_unk"),
-          sum(col("nc")).as("total_chars"))
+          sum(col("nc")).as("total_chars"),
+          sum(col("nb")).as("total_bytes"))
         .select(
-          col("lang"), col("n_docs"), col("total_toks"),
+          col("lang"), col("n_docs"), col("total_toks"), col("total_bytes"),
           round(col("total_unk").cast("double") / col("total_toks").cast("double"), 6)
             .as("oov_rate"),
           round(col("total_chars").cast("double") / col("total_toks").cast("double"), 6)
-            .as("chars_per_tok"))
+            .as("chars_per_tok"),
+          round(col("total_bytes").cast("double") / col("total_toks").cast("double"), 6)
+            .as("bytes_per_tok"))
         .orderBy("lang")
     }),
 
@@ -2869,21 +2905,27 @@ object LlmQueries {
     // and any partitioning. centroid_norm = ‖S‖/n is the companion
     // "common-direction mass" number (0 for perfectly isotropic).
     "d3_isotropy" -> ((s, sf) => {
-      val qv = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
-      val e  = Tables.embeddings(s, sf)
-      val comps = e
-        .select(posexplode(VectorOps.normalize(VectorOps.asDouble(col("embedding")))).as(Seq("pos", "x")))
-        .select(col("pos"), qv.as("q"))
-        .groupBy(col("pos"))
+      // whole-vector aggregation (functions/VectorAgg.scala): ONE pass
+      // carries n, the resultant component sums (exact longs), and the
+      // per-component square sums (base-1e18 limbs) — no 64× posexplode
+      // through the agg and no second corpus scan for n. The 64-element
+      // unpack + the Σsd²/Σself reductions run on the single aggregated
+      // row; all integers identical to the exploded plan's decimal sums.
+      Tables
+        .embeddings(s, sf)
+        .select(VectorAgg
+          .quantizeNano(VectorOps.normalize(VectorOps.asDouble(col("embedding")))).as("q"))
         .agg(
-          sum(col("q")).as("sd"),
-          sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("self_d"))
-      val tot = comps.agg(
-        sum(col("sd").cast(DecimalType(38, 0)) * col("sd")).as("s2"),
-        sum(col("self_d")).as("self2"))
-      val nRow = e.agg(count(lit(1)).as("n"))
-      tot
-        .crossJoin(nRow) // 1×1 rows: plans as a broadcast loop, not a data-sized product
+          count(lit(1)).as("n"),
+          VectorAgg.sumLong(col("q")).as("sv"),
+          VectorAgg.sumSquares(col("q")).as("ssl"))
+        .select(col("n"), posexplode(col("sv")).as(Seq("pos", "sd")), col("ssl"))
+        .select(col("n"), col("sd"),
+          VectorAgg.squaresToDecimal(col("ssl"), col("pos")).as("self_d"))
+        .groupBy(col("n"))
+        .agg(
+          sum(col("sd").cast(DecimalType(38, 0)) * col("sd")).as("s2"),
+          sum(col("self_d")).as("self2"))
         .select(
           col("n"),
           round(
@@ -3017,26 +3059,29 @@ object LlmQueries {
     // 10-row broadcast; per-label means quantize s to nano units so the
     // sum is order-independent.
     "d3_silhouette" -> ((s, sf) => {
-      val e  = Tables.embeddings(s, sf)
-      val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
+      val e = Tables.embeddings(s, sf)
+      // centroids via whole-vector aggregation (functions/VectorAgg.scala):
+      // ONE hash agg straight to the centroid ARRAY — no posexplode blowup,
+      // no (clabel, pos) re-group, no collect_list re-assembly. Long sums
+      // keep the micro-grid exactness; transform applies the single double
+      // divide per component in array order (== the old sort_array(pos)).
       val cents = e
         .select(col("label").cast("long").as("clabel"),
-          posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("clabel"), col("pos"))
-        .agg((sum(xq).cast("double") / (count(lit(1)) * lit(1e9))).as("c"))
+          VectorAgg.quantizeNano(VectorOps.asDouble(col("embedding"))).as("q"))
         .groupBy(col("clabel"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("c")))),
-          s0 => s0.getField("c")).as("cvec"))
+        .agg(VectorAgg.sumLong(col("q")).as("sv"), count(lit(1)).as("n"))
+        .select(col("clabel"),
+          transform(col("sv"), s0 => s0.cast("double") / (col("n") * lit(1e9))).as("cvec"))
       val dist = e
         .select(col("vec_id"), col("label").cast("long").as("label"),
           VectorOps.asDouble(col("embedding")).as("v"))
         .crossJoin(broadcast(cents))
         .select(
           col("vec_id"), col("label"), col("clabel"),
-          sqrt(aggregate(
-            zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, d) => acc + d)).as("d"))
+          // native fused loop — bit-identical to the zip_with/aggregate
+          // form (CosineExpressionSpec law); this is the n×|labels| inner
+          // loop, where interpreted HOF lambdas were the query's real cost
+          VectorOps.l2Native(s, col("v"), col("cvec")).as("d"))
       val ab = dist
         .groupBy(col("vec_id"), col("label"))
         .agg(
@@ -4929,12 +4974,15 @@ object LlmQueries {
            FROM px LEFT JOIN top ON px.tok = top.tok GROUP BY px.doc_id),
          d AS (
            SELECT doc_id, lang,
-             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nc
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nc,
+             CAST(strlen(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nb
            FROM documents)
          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(coalesce(sum(j.n_tok), 0) AS BIGINT) AS total_toks,
+           CAST(coalesce(sum(d.nb), 0) AS BIGINT) AS total_bytes,
            round(CAST(sum(j.n_unk) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS oov_rate,
-           round(CAST(sum(d.nc) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS chars_per_tok
+           round(CAST(sum(d.nc) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS chars_per_tok,
+           round(CAST(sum(d.nb) AS DOUBLE) / CAST(sum(j.n_tok) AS DOUBLE), 6) AS bytes_per_tok
          FROM d LEFT JOIN j ON d.doc_id = j.doc_id
          GROUP BY d.lang ORDER BY d.lang""",
     "d5_k_anonymity" ->

@@ -10,9 +10,12 @@ object RunOne {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args(0)
     args.drop(1).foreach { name =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.mode("overwrite").parquet(s"/tmp/runone/$name.parquet")
-      println(s"$name rows=" + spark.read.parquet(s"/tmp/runone/$name.parquet").count())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name rows=" + spark.read.parquet(s"/tmp/runone/$name.parquet").count() +
+        f" sec=$sec%.2f")
     }
     spark.stop()
   }

@@ -179,11 +179,33 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation phase — sketch would shuffle raw rows:\n${p.take(3000)}")
   }
 
-  test("d3_slice_centroid: posexplode keeps partial+final hash aggregation") {
-    val p = planOf("d3_slice_centroid")
-    assert(p.contains("Generate posexplode"), p.take(2000))
-    assert(p.contains("HashAggregate"), p.take(2000))
-    assert(p.contains("partial_"), "no map-side combine before the (bucket,pos) shuffle")
+  test("d3 centroid family: whole-vector aggregation — no explode below the aggregate") {
+    // the old shape exploded every d-dim vector into d rows BEFORE the agg
+    // (a d× blowup through the hash map); the VectorAgg rewrite aggregates
+    // whole arrays and unpacks only the aggregated rows. Audit: silhouette
+    // has NO Generate at all; slice_centroid/dim_stats may Generate only
+    // ABOVE their aggregate (i.e. every Generate's subtree contains it).
+    val sil = SparkEntry.queries("d3_silhouette")(spark, sf).queryExecution
+    assert(sil.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, "d3_silhouette explodes vectors again")
+    assert(sil.executedPlan.toString.contains("ObjectHashAggregate"),
+      "silhouette centroid sum is not the typed vector aggregator")
+    Seq("d3_slice_centroid", "d3_dim_stats", "d3_quant_error", "d3_isotropy").foreach { q =>
+      val qe   = SparkEntry.queries(q)(spark, sf).queryExecution
+      val gens = qe.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.nonEmpty, s"$q: expected the post-agg unpack Generate")
+      gens.foreach { g =>
+        assert(g.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty, s"$q: Generate sits below the aggregate (vector explode came back)")
+      }
+      val p = qe.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"), s"$q: vector-sum UDAF not aggregating")
+      assert(p.contains("partial_"), s"$q: no map-side partial for the vector sum")
+    }
   }
 
   test("b9_interval_join_left: bucketed range join is an equi-join, never BNLJ/cartesian") {

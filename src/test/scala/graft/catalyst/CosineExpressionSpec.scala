@@ -27,6 +27,38 @@ class CosineExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("native l2 distance is bit-identical to the HOF formulation; nulls match") {
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), VectorOps.asDouble(col("embedding")).as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), VectorOps.asDouble(col("embedding")).as("v_b"))
+    val rows = a.join(b, col("id_b") === col("id_a") + 7).select(
+      sqrt(aggregate(
+        zip_with(col("v_a"), col("v_b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)).as("hof"),
+      call_function("graft_l2dist", col("v_a"), col("v_b")).as("native")
+    ).collect()
+    assert(rows.length > 400)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    val nulls = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))), // length mismatch
+      (None, Some(Seq(1.0, 2.0)))                      // null array
+    ).toDF("a", "b")
+    val out = nulls.select(call_function("graft_l2dist", col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    // interpreted eval agrees with the reference formula
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val la = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)), ArrayType(DoubleType))
+    val lb = Literal.create(ArrayData.toArrayData(Array(-1.0, 0.5, 2.0)), ArrayType(DoubleType))
+    val interp = L2DistanceExpression(la, lb).eval(null).asInstanceOf[Double]
+    assert(math.abs(interp - math.sqrt(4.0 + 2.25 + 1.0)) < 1e-15)
+  }
+
   test("CosineFusionRule rewrites the HOF cosine pattern to the native expression") {
     GraftExtensions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")

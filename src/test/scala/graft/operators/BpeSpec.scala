@@ -170,6 +170,46 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-counted budget selection is UNK-free where the char tier miscounts (d7_bpe_budget basis)") {
+    // a planted doc of UNSEEN non-ASCII words: the char tier collapses
+    // each OOV word to ONE <unk> (under-counting exactly what a budget
+    // ledger must not), while the byte tier's closed 256-symbol alphabet
+    // counts every octet — the reason d7_bpe_budget keys off encodeBytes
+    val docs = corpus
+      .unionByName(Seq((9L, "日本語 født Müßig")).toDF("doc_id", "text"))
+      .withColumn("source", (col("doc_id") % 2).cast("string"))
+    val cMerges = Bpe.train(corpus, col("text"), 6) // trained WITHOUT doc 9
+    val cVocab  = Bpe.vocab(corpus, col("text"), cMerges)
+    val cEnc = Bpe.encode(docs, col("doc_id"), col("text"), cMerges, cVocab)
+      .select(col("doc_id"), col("n_subwords"), col("n_unk"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(cEnc(9L)._2 > 0, "char tier should UNK on unseen non-ASCII words")
+
+    val bMerges = Bpe.trainBytes(corpus, col("text"), 6)
+    val bEnc = Bpe.encodeBytes(docs, col("doc_id"), col("text"), bMerges)
+    val b9 = bEnc.filter(col("doc_id") === 9L)
+      .select(col("n_pretok"), col("n_tokens")).as[(Long, Long)].head()
+    // UNK-free accounting: the unseen doc's byte-token count reflects its
+    // full multi-byte mass (strictly more tokens than the char tier's
+    // unk-collapsed subword count), and every pretoken yields >= 1 token
+    assert(b9._2 >= b9._1, "a pretoken vanished from the byte count")
+    assert(b9._2 > cEnc(9L)._1 - cEnc(9L)._2,
+      "byte tier did not out-count the char tier's non-UNK remainder")
+
+    // the budget composition (re-keyed d7_bpe_budget): per-source greedy
+    // fill over byte counts — overshoot bounded by one doc, as with chars
+    val withTok = docs.join(bEnc.select(col("doc_id"), col("n_tokens")), "doc_id")
+    val budget  = 30L
+    val sel = Mixture
+      .sampleToTokenBudget(withTok, col("doc_id"), col("source"), col("n_tokens"), budget)
+      .select(col("source"), col("n_tokens")).as[(String, Long)].collect()
+    sel.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._2).sum
+      assert(total - rows.map(_._2).max < budget,
+        s"source $src: $total exceeds byte-token budget by more than one doc")
+    }
+  }
+
   test("byte-level encoding roundtrips non-ASCII exactly and never emits UNK") {
     val docs = Seq((1L, "café déjà vu"), (2L, "日本語 text"), (3L, "")).toDF("doc_id", "text")
     val merges = Bpe.trainBytes(docs, col("text"), 10)

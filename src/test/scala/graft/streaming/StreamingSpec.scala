@@ -367,6 +367,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("B14 bounded state: numRowsTotal plateaus at the live-window population over a long stream") {
+    // the QUANTITATIVE eviction law: state size must track the watermark
+    // HORIZON (window + lateness ≈ 2 batch steps here), not the stream
+    // length — a 100 TB stream is only runnable if the join's memory is a
+    // function of the window, so a plateau is the scale contract and a
+    // linear totals curve is a leak. Both b14 shapes drive 12 batches of
+    // constant population with advancing event time.
+    implicit val sqlCtx = spark.sqlContext
+    def drive(shape: String)
+        (mk: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val clicks    = MemoryStream[(Long, Long, Timestamp)]
+      val purchases = MemoryStream[(Long, Long, Timestamp)]
+      val joined = mk(
+        clicks.toDF().toDF("l_id", "cu", "click_ts"),
+        purchases.toDF().toDF("r_id", "pu", "purchase_ts"))
+      val q = joined.writeStream.format("memory")
+        .queryName(s"t_bound_$shape").outputMode("append").start()
+      try {
+        val base = ts("2024-01-01 10:00:00").getTime
+        val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (0 until 12).foreach { i =>
+          val t = new Timestamp(base + i * 20L * 60 * 1000)
+          clicks.addData((100L + i, (i % 3).toLong, t))
+          purchases.addData((200L + i, (i % 3).toLong, t))
+          q.processAllAvailable()
+          totals += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        }
+        val mid = totals.slice(4, 8).max
+        val end = totals.takeRight(4).max
+        assert(end <= mid, s"$shape: state grew with stream length: $totals")
+        assert(end < 24, s"$shape: state holds ~the whole stream, not the live window: $totals")
+      } finally q.stop()
+    }
+    drive("semi") { (l, r) =>
+      StreamOps.streamStreamIntervalSemiJoin(
+        l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "30 MINUTES",
+        keyCond = col("cu") === col("pu"))
+    }
+    drive("full") { (l, r) =>
+      StreamOps.streamStreamIntervalJoinFullOuter(
+        l, r, "click_ts", "purchase_ts", lateness = "10 minutes", window = "30 MINUTES",
+        keyCond = col("cu") === col("pu"))
+    }
+  }
+
   test("B15: chained stateful ops — stream-stream join feeding a windowed agg emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val clicks    = MemoryStream[(Long, Long, Timestamp)]
