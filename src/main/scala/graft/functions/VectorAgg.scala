@@ -136,6 +136,20 @@ object VectorAgg {
   def quantizeNano(v: Column): Column =
     transform(v, x => (signum(x) * floor(abs(x) * lit(1e9))).cast("long"))
 
+  /** The centroid recompute as one whole-vector aggregation: mean vector
+    * per `keyCol` on the 1e-9 micro-grid — exact long sums, one double
+    * divide per component, bit-identical under any partitioning. Returns
+    * (key, cvec). The shape every Lloyd-style recompute (IVF, PQ
+    * codebooks, label centroids) shares. */
+  def sumCentroids(
+      df: org.apache.spark.sql.DataFrame, keyCol: Column, vecCol: Column): org.apache.spark.sql.DataFrame =
+    df.select(keyCol.as("__k"), quantizeNano(vecCol).as("__q"))
+      .groupBy(col("__k"))
+      .agg(sumLong(col("__q")).as("__sv"), count(lit(1)).as("__n"))
+      .select(
+        col("__k").as(keyCol.toString),
+        transform(col("__sv"), s => s.cast("double") / (col("__n") * lit(1e9))).as("cvec"))
+
   /** Reassemble [[sumSquares]]'s limb pair for component `pos` (0-based)
     * into the DECIMAL(38,0) the oracle sums: hi·1e18 + lo, exact. */
   def squaresToDecimal(limbs: Column, pos: Column): Column = {

@@ -147,15 +147,20 @@ object ProductQuantizer {
     // broadcast subtree, turning `iters` scans into O(iters²).
     var cb = seedCodebooks(emb, idCol, vecCol, p).localCheckpoint()
     for (_ <- 1 to p.iters)
+      // whole-vector recompute (functions/VectorAgg): micro-grid long sums
+      // per (sub, code) — no d/m× posexplode + re-group + collect_list
+      // reassembly, and the codewords are EXACT integer means under any
+      // partitioning (avg(double) summed in shuffle arrival order).
       cb = bestCodes(rows, cb, p)
         .join(rows, Seq("id", "sub")) // re-attach sv: keyed (id, sub) join
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
+        .select(col("sub"), col("code"),
+          graft.functions.VectorAgg.quantizeNano(col("sv")).as("q"))
         .groupBy(col("sub"), col("code"))
         .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("mx")))), s => s.getField("mx"))
-            .as("cw"))
+          graft.functions.VectorAgg.sumLong(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          transform(col("s"), x => x.cast("double") / (col("n") * lit(1e9))).as("cw"))
         .localCheckpoint()
     cb
   }

@@ -68,15 +68,31 @@ object SimilarityJoin {
     * centroid set is any small deterministic sample (callers pass e.g.
     * `vec_id % stride = 0` rows); nlist centroids broadcast to executors. */
   def ivfAssign(emb: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
-    // centroids: (cid, cvec array<double>)
-    val scored = emb
+    // centroids: (cid, cvec array<double>). Assignment is NARROW: the
+    // centroid table collapses to ONE broadcast row holding the
+    // cid-sorted (cid, cvec) array, and every vector argmaxes over it in
+    // place — nlist native cosines per row, zero corpus fanout, zero
+    // shuffle, zero join-back. (The old shape crossJoined the corpus
+    // against the centroids and re-grouped by id — a corpus-sized
+    // exchange plus a corpus self-join just to reattach `v`.) Tie-break
+    // matches max_by(struct(sim, -cid)) exactly: the per-element struct
+    // is (sim, -cid, cid), so array_max picks highest sim then LOWEST
+    // cid, on the identical native-cosine values.
+    val packed = centroids.agg(
+      array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorOps.cosineNative(emb.sparkSession, col("v"), col("cvec")))
-    val best = scored
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
-    emb.select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v")).join(best, "id")
+      .crossJoin(broadcast(packed)) // 1 row: a broadcast scalar, not a data join
+      .select(
+        col("id"), col("v"),
+        array_max(transform(
+          col("cents"),
+          c => struct(
+            VectorOps.cosineNative(emb.sparkSession, col("v"), c.getField("cvec")).as("sim"),
+            (-c.getField("cid")).as("ncid"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+      .filter(col("cid").isNotNull) // empty centroid table → no assignments (old inner-join semantics)
   }
 
   /** Deterministic Lloyd refinement for IVF centroids: `iters` k-means
@@ -99,14 +115,16 @@ object SimilarityJoin {
     // turning `iters` assignment scans into O(iters²).
     var c = seeds.localCheckpoint()
     for (_ <- 1 to iters)
-      c = ivfAssign(emb, idCol, vecCol, c)
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
-            .as("cvec"))
+      // Recompute via the whole-vector aggregator (functions/VectorAgg):
+      // quantize to the 1e-9 micro-grid, sum ARRAYS per cluster — one
+      // ObjectHashAggregate instead of the d× posexplode + re-group +
+      // collect_list reassembly, and the mean is EXACT integer arithmetic
+      // under any partitioning (the old avg(double) summed in shuffle
+      // arrival order, so the fitted centroids were only stable by
+      // local-mode accident). 1e-9 per-component quantization is far
+      // below any cosine-assignment decision boundary the laws probe.
+      c = graft.functions.VectorAgg
+        .sumCentroids(ivfAssign(emb, idCol, vecCol, c), col("cid"), col("v"))
         .localCheckpoint()
     c
   }
