@@ -184,7 +184,12 @@ object Cdc {
     * snapshot. `nBuckets` sizes the rewrite granularity: a batch touching
     * k of n buckets rewrites k/n of the snapshot. Pick n so a bucket is a
     * few hundred MB at the target scale (file-sized), and note the
-    * manifest and touched-bucket list are n-bounded driver state. */
+    * manifest and touched-bucket list are n-bounded driver state.
+    * `vacuumEvery > 0` runs [[vacuum]] (keeping `keepVersions`) after
+    * every N-th batch — the VACUUM cadence wired into maintenance so the
+    * store's version history is bounded by policy, not stream length;
+    * replay stays safe because vacuum never drops the newest batch's
+    * parent (`keepVersions >= 2`) and never touches uncommitted writers. */
   def maintainPartitionedSnapshot(
       changes: DataFrame,
       seed: DataFrame,
@@ -193,11 +198,15 @@ object Cdc {
       opCol: Column,
       storePath: String,
       checkpoint: String,
-      nBuckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      nBuckets: Int,
+      vacuumEvery: Int = 0,
+      keepVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id)
+        if (vacuumEvery > 0 && id % vacuumEvery == 0)
+          vacuum(batch.sparkSession, storePath, keepVersions)
       }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for
@@ -285,6 +294,74 @@ object Cdc {
   def manifestVersions(
       spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] =
     committedVersions(spark, manifestPath(storePath))
+
+  /** CHANGE FEED between two committed versions of the partition-scoped
+    * store (Delta CDF / Iceberg changelog shape): every key whose row
+    * differs between `fromV` and `toV`, classified `I` (absent → present),
+    * `U` (present both, payload changed), or `D` (present → absent), with
+    * the row emitted as it stands at `toV` for I/U and at `fromV` for D.
+    *
+    * The 100 TB argument is the MANIFEST DIFF: a bucket whose (bucket →
+    * writer) entry is identical in both manifests was carried by
+    * reference through every intermediate batch — its files are the same
+    * files, so it is pruned WITHOUT OPENING THEM. Only buckets the
+    * interval actually rewrote are read and full-outer-joined on the
+    * merge key (bucket-local work, keyed shuffle). A day's change feed
+    * over a TB store therefore costs IO proportional to what the day
+    * touched, exactly like the maintenance writes themselves.
+    *
+    * Round-trip law (CdcSpec): upserting this feed (ordered after
+    * `fromV`'s data) into snapshot `fromV` reproduces snapshot `toV`. */
+  def changesBetween(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      fromV: Long,
+      toV: Long,
+      keys: Seq[String]): DataFrame = {
+    val vs = manifestVersions(spark, storePath).toSet
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"both versions must be committed under $storePath (have ${vs.toSeq.sorted.mkString(",")})")
+    val m1 = readManifest(spark, storePath, fromV)
+    val m2 = readManifest(spark, storePath, toV)
+    // identical (bucket → writer) entry ⇒ identical FILES (carried by
+    // reference) ⇒ zero diff, zero IO
+    val changed = (m1.keySet ++ m2.keySet).filter(p => m1.get(p) != m2.get(p)).toSeq.sorted
+    def slice(manifest: Map[Int, Long]): Option[DataFrame] = {
+      val dirs = changed.flatMap(p => manifest.get(p).map(w =>
+        s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", partsPath(storePath))
+        .parquet(dirs: _*).drop("_bucket", "_writer"))
+    }
+    // schema source for empty sides: whichever side has data; if NEITHER
+    // version stores any row in a changed bucket the feed is empty — but
+    // then nothing changed, so any committed bucket serves the schema
+    val template = slice(m2).orElse(slice(m1)).getOrElse {
+      return readPartitionedSnapshot(spark, storePath, Some(toV)).limit(0)
+        .withColumn("_change_type", lit(""))
+        .filter(lit(false))
+    }
+    val cols = template.columns.toSeq
+    val payload = cols.filterNot(keys.contains)
+    val before = slice(m1).getOrElse(template.limit(0))
+      .select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val after = slice(m2).getOrElse(template.limit(0))
+      .select(cols.map(c => col(c).as(s"__a_$c")).toIndexedSeq: _*)
+    val joinCond = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
+    val inB = keys.map(k => col(s"__b_$k").isNotNull).reduce(_ && _)
+    val inA = keys.map(k => col(s"__a_$k").isNotNull).reduce(_ && _)
+    val samePayload =
+      if (payload.isEmpty) lit(true)
+      else struct(payload.map(c => col(s"__b_$c")): _*) <=> struct(payload.map(c => col(s"__a_$c")): _*)
+    before.join(after, joinCond, "full_outer")
+      .withColumn("_change_type",
+        when(!inB, lit("I")).when(!inA, lit("D"))
+          .when(!samePayload, lit("U")).otherwise(lit(null)))
+      .filter(col("_change_type").isNotNull)
+      .select(cols.map(c =>
+        when(col("_change_type") === "D", col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c))
+        :+ col("_change_type"): _*)
+  }
 
   /** Retention (lakehouse VACUUM): keep the newest `keepVersions`
     * committed manifests, delete older manifests plus every

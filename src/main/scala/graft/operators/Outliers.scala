@@ -38,15 +38,12 @@ object Outliers {
       groupCol.as("grp"),
       VectorOps.asDouble(vecCol).as("v"))
 
-    // Exact per-dimension mean on the 1e-9 grid.
-    val xq = (signum(col("x")) * floor(abs(col("x")) * lit(1e9))).cast("long")
-    val cent = base
-      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("grp"), col("pos"))
-      .agg((sum(xq).cast("double") / (count(lit(1)) * lit(1e9))).as("c"))
-      .groupBy(col("grp"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("grp"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    // Exact per-dimension mean on the 1e-9 grid — whole-vector aggregation
+    // (functions/VectorAgg.sumCentroids): bit-identical to the exploded
+    // (grp, pos) plan, without the d× row blowup through the agg.
+    val cent = graft.functions.VectorAgg
+      .sumCentroids(base, col("grp"), col("v"))
+      .withColumnRenamed("cvec", "centroid")
 
     val scored = base
       .join(broadcast(cent), Seq("grp"))

@@ -1675,6 +1675,41 @@ object CoreQueries {
       Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
     }),
 
+    // C38c: the CHANGE FEED between two versions of the partitioned store
+    // (Delta CDF shape) — every key whose row differs between v0 and v1,
+    // classified I/U/D, emitted as-at v1 (I/U) or as-at v0 (D). The scan
+    // is manifest-diff pruned: buckets carried by reference between the
+    // versions are never opened (law in CdcSpec), so a day's feed over a
+    // TB store costs IO proportional to what the day touched. The oracle
+    // recomputes both MERGE snapshots in SQL and full-joins the diff.
+    "c38_cdc_changes" -> ((s, sf) => {
+      val snap = Tables.customer(s, sf)
+      val changelog = Tables
+        .orders(s, sf)
+        .select(
+          col("o_custkey").as("c_custkey"),
+          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"),
+          col("o_orderpriority").as("c_mktsegment"),
+          col("o_orderdate").as("chg_ts"),
+          col("o_orderkey").as("chg_seq"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val cut  = to_date(lit("1995-06-01"))
+      val keys = Seq("c_custkey")
+      val ord  = Seq(col("chg_ts"), col("chg_seq"))
+      // (re)build both versions — replay-idempotent, shared with c38_cdc_partitioned
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
+        snap, keys, ord, col("op"), store, nBuckets = 16, id = 0L)
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
+        snap, keys, ord, col("op"), store, nBuckets = 16, id = 1L)
+      Cdc.changesBetween(s, store, 0L, 1L, keys)
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("c_custkey")
+    }),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2481,6 +2516,62 @@ object CoreQueries {
          UNION ALL
          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
+    "c38_cdc_changes" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         l0 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1995-06-01')
+           WHERE rn = 1
+         ),
+         s0 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l0 WHERE op <> 'D'
+         ),
+         l1 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         s1 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l1 WHERE op <> 'D'
+         )
+         SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN b.c_name ELSE a.c_name END AS c_name,
+           CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey ELSE a.c_nationkey END AS c_nationkey,
+           CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal ELSE a.c_acctbal END AS c_acctbal,
+           CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment ELSE a.c_mktsegment END AS c_mktsegment,
+           CASE WHEN b.c_custkey IS NULL THEN 'I'
+                WHEN a.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type
+         FROM s0 b FULL JOIN s1 a ON a.c_custkey = b.c_custkey
+         WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+            OR b.c_name IS DISTINCT FROM a.c_name
+            OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+            OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+            OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
          ORDER BY c_custkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (

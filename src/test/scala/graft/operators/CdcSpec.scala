@@ -258,6 +258,62 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === latest)
   }
 
+  test("change feed: classifies I/U/D between versions; round-trips v1 → v2; prunes carried buckets") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_feed").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.5))
+    val seed = snap(s: _*)
+    val b0 = (1L to 60L by 3).zipWithIndex.map { case (k, i) =>
+      (k, s"b0_$k", k * 2.0, 100L + i, if (k % 10 == 0) "D" else "U") }
+    runBatch(store, seed, 0L, b0: _*)
+    // batch 1: an update, an insert, a delete, and a no-op rewrite (same
+    // payload re-asserted — must NOT surface in the feed)
+    val noopKey = 2L // untouched by b0 (2 ∉ 1,4,7,…); snapshot payload orig2/3.0
+    val b1 = Seq(
+      (5L, "b1_5", 55.0, 500L, "U"),
+      (200L, "new", 9.0, 501L, "I"),
+      (7L, "x", 0.0, 502L, "D"),
+      (noopKey, s"orig$noopKey", noopKey * 1.5, 503L, "U"))
+    runBatch(store, seed, 1L, b1: _*)
+
+    val feed = Cdc.changesBetween(spark, store, 0L, 1L, keys)
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(feed(5L) === (("b1_5", 55.0, "U")))
+    assert(feed(200L) === (("new", 9.0, "I")))
+    assert(feed(7L)._3 === "D")
+    assert(!feed.contains(noopKey), "payload-identical rewrite leaked into the feed")
+    assert(feed.size === 3, s"unexpected feed rows: $feed")
+
+    // round-trip law: upsert the feed into snapshot v0 ⇒ snapshot v1
+    val v0 = Cdc.readPartitionedSnapshot(spark, store, Some(0L))
+    val v1 = Cdc.readPartitionedSnapshot(spark, store, Some(1L))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val feedDf = Cdc.changesBetween(spark, store, 0L, 1L, keys)
+      .withColumn("seq", lit(1L))
+    val replayed = Cdc
+      .upsert(v0, feedDf, keys, Seq(col("seq")), col("_change_type"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(replayed === v1, "applying the change feed to v0 did not reproduce v1")
+
+    // pruning law: carried buckets are never opened — the scan's input
+    // files all live under the buckets whose manifest entries differ
+    val hot = b1.map(_._1).map(bucketOf).toSet
+    val planFiles = Cdc.changesBetween(spark, store, 0L, 1L, keys)
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Seq.empty
+          }
+      }.flatten
+    assert(planFiles.nonEmpty)
+    planFiles.foreach { f =>
+      val ok = hot.exists(p => f.contains(s"_bucket=$p/"))
+      assert(ok, s"change feed read a carried (unchanged) bucket's file: $f")
+    }
+  }
+
   test("IVM consistency: delta-maintained sum equals recompute over the upserted snapshot") {
     val s = snap((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     val c = log(

@@ -690,20 +690,27 @@ class StreamingSpec extends AnyFunSuite {
     val seed  = (1L to 40L).map(k => (k, s"orig$k", k * 1.5)).toDF("k", "name", "bal")
     val b1 = Seq((1L, "a1", 10.0, 1L, "U"), (30L, "c", 30.0, 2L, "I"))
     val b2 = Seq((1L, "a2", 11.0, 3L, "U")) // touches ONE key → one bucket
+    val b3 = Seq((30L, "c2", 33.0, 4L, "U"))
     val mem = MemoryStream[(Long, String, Double, Long, String)]
     val q = Cdc
       .maintainPartitionedSnapshot(
         mem.toDF().toDF("k", "name", "bal", "seq", "op"),
-        seed, keys, Seq(col("seq")), col("op"), store, ckpt, n)
+        seed, keys, Seq(col("seq")), col("op"), store, ckpt, n,
+        vacuumEvery = 1, keepVersions = 2) // VACUUM cadence wired into maintenance
       .start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
     } finally q.stop()
+    // auto-vacuum bounded the version history to keepVersions...
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(1L, 2L),
+      "auto-vacuum did not prune the version history to keepVersions")
+    // ...without touching what the newest version serves
     val served = Cdc.readPartitionedSnapshot(spark, store)
       .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val oneShot = Cdc
-      .upsert(seed, (b1 ++ b2).toDF("k", "name", "bal", "seq", "op"),
+      .upsert(seed, (b1 ++ b2 ++ b3).toDF("k", "name", "bal", "seq", "op"),
         keys, Seq(col("seq")), col("op"))
       .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(served === oneShot)
