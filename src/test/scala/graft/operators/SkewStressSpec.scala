@@ -127,6 +127,52 @@ class SkewStressSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a planted skewed sort-merge partition at runtime (composition law)") {
+    // The engine's OWN skew tools (salting, hash-agg shapes, LSH caps)
+    // are measured above; this pins the COMPOSITION with Spark's runtime
+    // half: a sort-merge join whose build of one key dwarfs the rest must
+    // come out of AQE with the skewed partition SPLIT (skew=true in the
+    // final adaptive plan), not serialized onto one task. Thresholds are
+    // lowered to test scale; the lever at 100 TB is the same flag set.
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      // left: 50k rows of key 0 (one fat partition) + a thin tail
+      val left = spark.range(0, 50000).select(lit(0L).as("k"), concat(lit(pad), col("id")).as("l"))
+        .unionAll(spark.range(1, 2000).select(col("id").as("k"), lit(pad).as("l")))
+      val right = spark.range(0, 2000).select(col("id").as("k"), lit("r").as("r"))
+      val joined = left.join(right, "k")
+      // collect (not count): count would prune the fat payload column and
+      // shrink the shuffle below the skew threshold; the assertion must
+      // execute joined's OWN QueryExecution so the adaptive final plan is
+      // inspectable on it afterwards
+      assert(joined.collect().length === 50000 + 1999)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${finalPlan.take(3000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("LSH banding caps a degenerate bucket out of the pair product and audits it") {
     val hot  = (0 until 400).map(i => (i.toLong, "the same spam page text repeated verbatim across the farm"))
     val rest = (400 until 420).map(i => (i.toLong, s"unique document number $i with its own words ${i * 31}"))
