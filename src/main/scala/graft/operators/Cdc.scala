@@ -189,7 +189,18 @@ object Cdc {
     * every N-th batch — the VACUUM cadence wired into maintenance so the
     * store's version history is bounded by policy, not stream length;
     * replay stays safe because vacuum never drops the newest batch's
-    * parent (`keepVersions >= 2`) and never touches uncommitted writers. */
+    * parent (`keepVersions >= 2`) and never touches uncommitted writers.
+    *
+    * `feedPath` materializes the CHANGE FEED incrementally (the Delta CDF
+    * shape): after each batch commits, [[changesBetween]](parent, id)
+    * lands at `feedPath/v=<id>` — manifest-diff bounded, so the feed
+    * write re-reads only the buckets the batch itself touched — and
+    * DOWNSTREAM consumers tail the feed as an ordinary parquet file
+    * stream (`spark.readStream.schema(...).parquet(feedPath)`), no custom
+    * source needed. The first batch establishes the baseline and writes
+    * no feed (there is no prior committed version to diff against);
+    * a replayed batch overwrites its own `v=` directory, so the feed is
+    * exactly-once like the store. */
   def maintainPartitionedSnapshot(
       changes: DataFrame,
       seed: DataFrame,
@@ -200,13 +211,19 @@ object Cdc {
       checkpoint: String,
       nBuckets: Int,
       vacuumEvery: Int = 0,
-      keepVersions: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      keepVersions: Int = 2,
+      feedPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
         processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id)
+        for (fp <- feedPath; pv <- parent)
+          changesBetween(spark, storePath, pv, id, keys)
+            .write.mode("overwrite").parquet(s"$fp/v=$id")
         if (vacuumEvery > 0 && id % vacuumEvery == 0)
-          vacuum(batch.sparkSession, storePath, keepVersions)
+          vacuum(spark, storePath, keepVersions)
       }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for

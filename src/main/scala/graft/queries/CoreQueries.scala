@@ -37,6 +37,46 @@ object CoreQueries {
     when(c === floor(c), c.cast("long"))
       .otherwise(raise_error(concat(lit("non-integral value in BIGINT-moment agg: "), c.cast("string"))).cast("long"))
 
+  /** The orders-derived changelog all c38 CDC queries share. */
+  private def cdcChangelog(s: SparkSession, sf: String): DataFrame =
+    Tables
+      .orders(s, sf)
+      .select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+        (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderdate").as("chg_ts"),
+        col("o_orderkey").as("chg_seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+
+  // The partitioned CDC store as a SESSION ARTIFACT (the IVF-index
+  // discipline): c38_cdc_partitioned measures the MERGE writes themselves
+  // and (re)builds unconditionally — replay-idempotent over this same
+  // path — while the feed/lookup queries measure SERVING against the
+  // built store, not a rebuild.
+  private val cdcStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdcStoreFor(s: SparkSession, sf: String): String =
+    cdcStores.getOrElseUpdate(sf, buildCdcStore(s, sf))
+
+  /** Bench hook: build the session artifacts up front so their cost lands
+    * in `artifact_build_sec`, not inside the first serving query. */
+  def prebuildArtifacts(s: SparkSession, sf: String): Unit = { cdcStoreFor(s, sf); () }
+
+  private def buildCdcStore(s: SparkSession, sf: String): String = {
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
+      sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val changelog = cdcChangelog(s, sf)
+    val cut = to_date(lit("1995-06-01"))
+    val ord = Seq(col("chg_ts"), col("chg_seq"))
+    Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
+      Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, nBuckets = 16, id = 0L)
+    Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
+      Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, nBuckets = 16, id = 1L)
+    store
+  }
+
   val defs: Map[String, Q] = Map(
     // C1: predicate zoo — between, isin, comparison, like, null-safe eq.
     "c01_filter_predicates" -> ((s, sf) =>
@@ -1651,27 +1691,10 @@ object CoreQueries {
     // replayed batch id rewrites the same (bucket, writer) dirs from the
     // same parent manifest.
     "c38_cdc_partitioned" -> ((s, sf) => {
-      val snap = Tables.customer(s, sf)
-      val changelog = Tables
-        .orders(s, sf)
-        .select(
-          col("o_custkey").as("c_custkey"),
-          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
-          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
-          col("o_totalprice").as("c_acctbal"),
-          col("o_orderpriority").as("c_mktsegment"),
-          col("o_orderdate").as("chg_ts"),
-          col("o_orderkey").as("chg_seq"),
-          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
-        sf.replaceAll("[^A-Za-z0-9._-]", "_")
-      val cut  = to_date(lit("1995-06-01"))
-      val keys = Seq("c_custkey")
-      val ord  = Seq(col("chg_ts"), col("chg_seq"))
-      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
-        snap, keys, ord, col("op"), store, nBuckets = 16, id = 0L)
-      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
-        snap, keys, ord, col("op"), store, nBuckets = 16, id = 1L)
+      // measures the MERGE writes themselves: builds both versions
+      // unconditionally (replay-idempotent over the shared store path)
+      val store = buildCdcStore(s, sf)
+      cdcStores.put(sf, store) // downstream serving queries reuse this build
       Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
     }),
 
@@ -1682,31 +1705,22 @@ object CoreQueries {
     // versions are never opened (law in CdcSpec), so a day's feed over a
     // TB store costs IO proportional to what the day touched. The oracle
     // recomputes both MERGE snapshots in SQL and full-joins the diff.
-    "c38_cdc_changes" -> ((s, sf) => {
-      val snap = Tables.customer(s, sf)
-      val changelog = Tables
-        .orders(s, sf)
-        .select(
-          col("o_custkey").as("c_custkey"),
-          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
-          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
-          col("o_totalprice").as("c_acctbal"),
-          col("o_orderpriority").as("c_mktsegment"),
-          col("o_orderdate").as("chg_ts"),
-          col("o_orderkey").as("chg_seq"),
-          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
-        sf.replaceAll("[^A-Za-z0-9._-]", "_")
-      val cut  = to_date(lit("1995-06-01"))
-      val keys = Seq("c_custkey")
-      val ord  = Seq(col("chg_ts"), col("chg_seq"))
-      // (re)build both versions — replay-idempotent, shared with c38_cdc_partitioned
-      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
-        snap, keys, ord, col("op"), store, nBuckets = 16, id = 0L)
-      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
-        snap, keys, ord, col("op"), store, nBuckets = 16, id = 1L)
-      Cdc.changesBetween(s, store, 0L, 1L, keys)
+    "c38_cdc_changes" -> ((s, sf) =>
+      // serving query: reads the session-artifact store (manifest-diff
+      // pruned feed), measuring the feed — not a store rebuild
+      Cdc.changesBetween(s, cdcStoreFor(s, sf), 0L, 1L, Seq("c_custkey"))
         .withColumnRenamed("_change_type", "change_type")
+        .orderBy("c_custkey")),
+
+    // C38d: POINT LOOKUP against the partitioned store — a bounded key
+    // panel served by reading only the buckets those keys hash to
+    // (files-scanned law in CdcSpec); must equal filtering the full MERGE
+    // result, which is exactly what the oracle computes.
+    "c38_cdc_lookup" -> ((s, sf) => {
+      // serving query: bucket-pruned point reads against the artifact store
+      import s.implicits._
+      val panel = (1L to 200L by 7).toDF("c_custkey")
+      Cdc.lookupKeys(s, cdcStoreFor(s, sf), Seq("c_custkey"), panel, nBuckets = 16)
         .orderBy("c_custkey")
     }),
 
@@ -2572,6 +2586,35 @@ object CoreQueries {
             OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
             OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
             OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ORDER BY c_custkey""",
+    "c38_cdc_lookup" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'
+         )
+         SELECT * FROM merged
+         WHERE c_custkey IN (SELECT i FROM generate_series(1, 200, 7) AS t(i))
          ORDER BY c_custkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (

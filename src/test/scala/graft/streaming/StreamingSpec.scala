@@ -691,12 +691,14 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = Seq((1L, "a1", 10.0, 1L, "U"), (30L, "c", 30.0, 2L, "I"))
     val b2 = Seq((1L, "a2", 11.0, 3L, "U")) // touches ONE key → one bucket
     val b3 = Seq((30L, "c2", 33.0, 4L, "U"))
+    val feed = java.nio.file.Files.createTempDirectory("graft_cdc_pfeed").toString
     val mem = MemoryStream[(Long, String, Double, Long, String)]
     val q = Cdc
       .maintainPartitionedSnapshot(
         mem.toDF().toDF("k", "name", "bal", "seq", "op"),
         seed, keys, Seq(col("seq")), col("op"), store, ckpt, n,
-        vacuumEvery = 1, keepVersions = 2) // VACUUM cadence wired into maintenance
+        vacuumEvery = 1, keepVersions = 2, // VACUUM cadence wired into maintenance
+        feedPath = Some(feed))             // incremental CDF materialization
       .start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
@@ -714,6 +716,24 @@ class StreamingSpec extends AnyFunSuite {
         keys, Seq(col("seq")), col("op"))
       .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(served === oneShot)
+    // incremental change feed (CDF): baseline batch 0 writes none; each
+    // later version's feed holds exactly its batch's effective changes,
+    // and a plain file-stream consumer tails the concatenation
+    assert(!new java.io.File(s"$feed/v=0").exists(), "baseline batch wrote a feed")
+    def feedOf(v: Long) = spark.read.parquet(s"$feed/v=$v")
+      .as[(Long, String, Double, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(feedOf(1L) === Map(1L -> (("a2", 11.0, "U"))))
+    assert(feedOf(2L) === Map(30L -> (("c2", 33.0, "U"))))
+    val feedSchema = spark.read.parquet(s"$feed/v=1").schema
+    val tailQ = spark.readStream.schema(feedSchema).parquet(s"$feed/v=*")
+      .writeStream.format("memory").queryName("t_cdf_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    tailQ.awaitTermination(60000); tailQ.stop()
+    val tailed = spark.table("t_cdf_tail")
+      .as[(Long, String, Double, String)].collect().map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(tailed === Set((1L, "a2", 11.0, "U"), (30L, "c2", 33.0, "U")),
+      s"file-stream consumer diverged from the feed: $tailed")
+
     // batch 1 (touching only key 1's bucket) must have written exactly one
     // bucket directory under _writer=1 — every other bucket carried over
     val hot = Seq(1L).toDF("k").select(Cdc.bucketExpr(keys, n)).as[Int].head()
