@@ -83,6 +83,27 @@ class ContainersSpec extends AnyFunSuite {
     assert(!out.head.decode_ok, "unknown mvhd version parsed as garbage")
   }
 
+  test("fuzz: random bytes through every container/audio walk terminate and never throw") {
+    val rnd = new scala.util.Random(97)
+    val rows = (1L to 500L).map { i =>
+      val len = rnd.nextInt(300)
+      val b   = new Array[Byte](len); rnd.nextBytes(b)
+      // half the rows get a real magic prefix to force the deep walks
+      val payload = (i % 6) match {
+        case 0 => "ftypisom".getBytes("US-ASCII").patch(0, Array[Byte](0, 0, 0, 32), 0) ++ b
+        case 1 => Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ b
+        case 2 => "fLaC".getBytes("US-ASCII") ++ b
+        case 3 => Array(0xff, 0xfb).map(_.toByte) ++ b
+        case _ => b
+      }
+      (i, payload)
+    }
+    val containers = Containers.parseContainerMeta(rows.toDF("doc_id", "payload")).collect()
+    assert(containers.length === 500) // one row in, one row out — ok or dead-letter
+    val audio = Containers.parseAudioMeta(rows.toDF("doc_id", "payload")).collect()
+    assert(audio.length === 500)
+  }
+
   private def audioOf(ids: Long*) = Containers
     .parseAudioMeta(
       Containers.attachAudioHeaderPayload(ids.map(i => (i, s"d$i")).toDF("doc_id", "text")))

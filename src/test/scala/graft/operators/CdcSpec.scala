@@ -314,6 +314,33 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned store randomized differential: N random batches ≡ the in-memory fold") {
+    val rnd = new scala.util.Random(99)
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_rand").toString
+    val s = (1L to 30L).map(k => (k, s"base$k", k * 2.0))
+    val seed = snap(s: _*)
+    var seq = 0L
+    var applied = Seq.empty[(Long, String, Double, Long, String)]
+    (0L to 5L).foreach { id =>
+      val batch = (1 to 1 + rnd.nextInt(12)).map { _ =>
+        seq += 1
+        val k  = rnd.nextInt(50).toLong + 1
+        val op = rnd.nextInt(4) match { case 0 => "D"; case 1 => "I"; case _ => "U" }
+        (k, s"r$seq", rnd.nextInt(1000) / 10.0, seq, op)
+      }
+      applied ++= batch
+      runBatch(store, seed, id, batch: _*)
+      // the served snapshot matches the fold reference AFTER EVERY batch,
+      // and the change feed from the previous version round-trips
+      assert(readPart(store) === reference(s, applied),
+        s"diverged from the fold reference after batch $id")
+    }
+    // cross-check: the store's final state equals the monolithic
+    // one-shot upsert of the full concatenated changelog
+    val oneShot = apply0(seed, log(applied: _*))
+    assert(readPart(store) === oneShot)
+  }
+
   test("point lookup serves exactly the requested keys reading only their buckets") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_lookup").toString
     val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.5))

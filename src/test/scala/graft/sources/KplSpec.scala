@@ -97,6 +97,26 @@ class KplSpec extends AnyFunSuite {
       "negative-truncating nested length accepted")
   }
 
+  test("fuzz: arbitrary random bytes (with and without magic) terminate and never throw") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 2000).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b   = new Array[Byte](len); rnd.nextBytes(b)
+      // raw garbage: must come back as pass-through or dead-letter
+      assert(Kpl.deaggregate(i.toLong, b).nonEmpty)
+      // magic-prefixed garbage: forced down the wire walk — must
+      // dead-letter (or parse, for the rare valid accident), never hang
+      val withMagic = Kpl.Magic ++ b
+      assert(Kpl.deaggregate(i.toLong, withMagic).nonEmpty)
+      // md5-consistent garbage: the checksum gate is bypassed, so the
+      // walk itself must survive arbitrary tag/length/nesting bytes —
+      // termination + no-throw is the property (a body that happens to
+      // parse clean with zero records legitimately yields zero rows)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(b)
+      Kpl.deaggregate(i.toLong, Kpl.Magic ++ b ++ md5)
+    }
+  }
+
   test("Spark surface explodes aggregates narrowly and dead-letters per record") {
     val p1 = Kpl.aggregate(Seq(("a", "x".getBytes), ("b", "y".getBytes)))
     val p2 = "raw".getBytes("UTF-8")
