@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gunzipDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.l2DistDescriptor)
+    ext.injectFunction(GraftExtensions.morton3Descriptor)
     ext.injectFunction(GraftExtensions.sigAgreementDescriptor)
     ext.injectFunction(GraftExtensions.lshBucketDescriptor)
     ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
@@ -50,6 +51,20 @@ object GraftExtensions {
       ""
     ),
     (children: Seq[Expression]) => CosineSimilarityExpression(children.head, children(1))
+  )
+
+  private[catalyst] val morton3Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_morton3"),
+    new ExpressionInfo(
+      classOf[Morton3Expression].getName,
+      null,
+      "graft_morton3",
+      "graft_morton3(x, y, z) - 3-D Morton (Z-order) key: round-robin interleave of the low " +
+        "20 bits of three BIGINTs (fused codegen loop).",
+      ""
+    ),
+    (children: Seq[Expression]) => Morton3Expression(children.head, children(1), children(2))
   )
 
   private[catalyst] val l2DistDescriptor
@@ -165,7 +180,8 @@ object GraftExtensions {
     * existing session (sessions built with `spark.sql.extensions` get both
     * through [[GraftExtensions]] instead). */
   def register(spark: SparkSession): Unit = {
-    Seq(gunzipDescriptor, cosineDescriptor, l2DistDescriptor, sigAgreementDescriptor, lshBucketDescriptor,
+    Seq(gunzipDescriptor, cosineDescriptor, l2DistDescriptor, morton3Descriptor,
+        sigAgreementDescriptor, lshBucketDescriptor,
         interleaveBitsDescriptor, bloomAggDescriptor, mightContainDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {

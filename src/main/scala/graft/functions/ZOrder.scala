@@ -19,6 +19,14 @@ object ZOrder {
     call_function("graft_interleave_bits", x, y)
   }
 
+  /** 3-D Morton key ([[graft.catalyst.Morton3Expression]]) — 20 bits per
+    * dimension, round-robin interleaved. Pre-scale inputs with
+    * [[scaleToBits]](…, bits ≤ 20). */
+  def morton3(spark: SparkSession, x: Column, y: Column, z: Column): Column = {
+    graft.catalyst.GraftExtensions.register(spark)
+    call_function("graft_morton3", x, y, z)
+  }
+
   /** Min-max scale a numeric column into [0, 2^bits): the normalization
     * step before interleaving — Z-order needs both dimensions on
     * comparable integer scales or the wider-range column dominates the

@@ -830,6 +830,21 @@ object CoreQueries {
             .as("z"))
         .orderBy("p_partkey")),
 
+    // C18 (3-D clustering key): the ternary Morton expression — the
+    // multi-column Z-ORDER BY key (catalyst/Morton3Expression, 20 bits
+    // per dimension, fused codegen). Oracle: the generated 60-term
+    // shift-and-or twin evaluates the identical arithmetic in DuckDB.
+    "c18_zorder3" -> ((s, sf) =>
+      Tables
+        .part(s, sf)
+        .select(
+          col("p_partkey"),
+          graft.functions.ZOrder
+            .morton3(s, col("p_partkey"), col("p_size").cast("long"),
+              (col("p_partkey") % 997).cast("long"))
+            .as("z3"))
+        .orderBy("p_partkey")),
+
     // C18 (layout ROI): WHY z-order — simulate writing lineitem as 64
     // equal-z-range files under three layouts (z-order on (partkey,
     // suppkey), linear on partkey, natural arrival order), collect each
@@ -2040,6 +2055,11 @@ object CoreQueries {
     "c18_zorder" ->
       s"""SELECT p_partkey,
          ${graft.catalyst.InterleaveBitsExpression.oracleSql("p_partkey", "CAST(p_size AS BIGINT)")} AS z
+         FROM part ORDER BY p_partkey""",
+    "c18_zorder3" ->
+      s"""SELECT p_partkey,
+         ${graft.catalyst.Morton3Expression.oracleSql(
+           "p_partkey", "CAST(p_size AS BIGINT)", "(p_partkey % 997)")} AS z3
          FROM part ORDER BY p_partkey""",
     "c18_zorder_skipping" -> {
       val zSql = graft.catalyst.InterleaveBitsExpression.oracleSql("l_partkey", "l_suppkey")

@@ -151,6 +151,38 @@ object Sinks {
       .parquet(path)
   }
 
+  /** [[writeClustered]] generalized to THREE clustering columns via the
+    * 3-D Morton key ([[graft.catalyst.Morton3Expression]], 20 bits per
+    * dimension): every output file covers a small BOX of the
+    * (c1, c2, c3) space, so footer stats prune on any of the three
+    * columns — the multi-column Z-ORDER BY of lakehouse engines. Same
+    * one-tiny-stats-pass normalization as the 2-D path. */
+  def writeClusteredK(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int
+  ): Unit = {
+    require(cols.length == 3, "writeClusteredK clusters exactly 3 columns (use writeClustered for 2)")
+    val spark = df.sparkSession
+    val b = df.agg(
+      min(col(cols(0))).cast("long"), max(col(cols(0))).cast("long"),
+      min(col(cols(1))).cast("long"), max(col(cols(1))).cast("long"),
+      min(col(cols(2))).cast("long"), max(col(cols(2))).cast("long"))
+      .collect().head
+    def scaled(i: Int): org.apache.spark.sql.Column =
+      graft.functions.ZOrder.scaleToBits(
+        col(cols(i)), lit(b.getLong(2 * i)), lit(b.getLong(2 * i + 1)),
+        bits = graft.catalyst.Morton3Expression.BitsPerDim)
+    df.withColumn("__z", graft.functions.ZOrder.morton3(spark, scaled(0), scaled(1), scaled(2)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Training-shard emit — the terminal step of the corpus-prep pipeline:
     * deterministically shuffle the corpus
     * ([[graft.operators.Mixture.globalShuffle]] — a pure function of

@@ -71,6 +71,44 @@ class InterleaveBitsSpec extends AnyFunSuite {
     assert(spanNear < math.abs(far - near.min), "distant point not separated in key space")
   }
 
+  test("morton3 matches the bit-by-bit definition; nulls propagate; interpreted ≡ codegen") {
+    def naive3(x: Long, y: Long, z: Long): Long = {
+      var out = 0L
+      for (b <- 0 until 20) {
+        out |= ((x >> b) & 1L) << (3 * b)
+        out |= ((y >> b) & 1L) << (3 * b + 1)
+        out |= ((z >> b) & 1L) << (3 * b + 2)
+      }
+      out
+    }
+    val rnd = new scala.util.Random(5)
+    val rows = Seq((0L, 0L, 0L), (1L, 2L, 4L), ((1L << 20) - 1, (1L << 20) - 1, (1L << 20) - 1),
+      ((1L << 20) + 9L, 1L, 2L)) ++ // bit 20+ masked
+      (1 to 50).map(_ => (rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val got = rows.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.morton3(spark, col("x"), col("y"), col("z")).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, m) =>
+      val mask = (1L << 20) - 1
+      assert(m === naive3(x & mask, y & mask, z & mask), s"($x, $y, $z)")
+      assert(m >= 0L)
+    }
+    // null propagation
+    val n = Seq((Some(1L), None: Option[Long], Some(2L))).toDF("x", "y", "z")
+      .select(ZOrder.morton3(spark, col("x"), col("y"), col("z"))).collect()
+    assert(n.head.isNullAt(0))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = Morton3Expression(Literal(5L), Literal(3L), Literal(6L)).eval(null)
+    assert(interp === naive3(5L, 3L, 6L))
+    // oracle SQL twin computes the identical key on the Spark SQL engine
+    val viaSql = spark.sql(
+      s"SELECT ${Morton3Expression.oracleSql("5", "3", "6")} AS m")
+      .as[Long].head()
+    assert(viaSql === naive3(5L, 3L, 6L))
+  }
+
   test("scaleToBits maps bounds to [0, 2^bits) and constants to 0") {
     val df = Seq(0L, 50L, 100L).toDF("v")
     val scaled = df.select(

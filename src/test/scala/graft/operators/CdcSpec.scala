@@ -314,6 +314,34 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("composite merge keys: upsert, partitioned store, and lookup on (k1, k2)") {
+    // multi-column merge keys are the common real case (tenant + entity);
+    // every store surface must key on the tuple, not a single column
+    val ck = Seq("k1", "k2")
+    val seed = Seq((1L, "a", 10.0), (1L, "b", 11.0), (2L, "a", 20.0))
+      .toDF("k1", "k2", "v")
+    val chg = Seq(
+      (1L, "a", 99.0, 1L, "U"),  // update (1,a) — must NOT touch (1,b)
+      (2L, "a", 0.0, 2L, "D"),   // delete (2,a)
+      (3L, "c", 30.0, 3L, "I"))  // insert (3,c)
+      .toDF("k1", "k2", "v", "seq", "op")
+    val expect = Map((1L, "a") -> 99.0, (1L, "b") -> 11.0, (3L, "c") -> 30.0)
+    val one = Cdc.upsert(seed, chg, ck, Seq(col("seq")), col("op"))
+      .as[(Long, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(one === expect)
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_composite").toString
+    Cdc.processPartitionedBatch(chg, seed, ck, Seq(col("seq")), col("op"), store, 8, 0L)
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(served === expect)
+    val feed = Cdc.changesBetween(spark, store, 0L, 0L, ck) // same version: empty
+    assert(feed.count() === 0L)
+    val looked = Cdc.lookupKeys(spark, store, ck,
+        Seq((1L, "b"), (9L, "z")).toDF("k1", "k2"), 8)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(looked === Seq((1L, "b", 11.0)))
+  }
+
   test("partitioned store randomized differential: N random batches ≡ the in-memory fold") {
     val rnd = new scala.util.Random(99)
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_rand").toString

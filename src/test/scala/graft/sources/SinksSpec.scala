@@ -96,6 +96,36 @@ class SinksSpec extends AnyFunSuite {
       "1-D sort unexpectedly pruned the non-sort dimension (fixture too small?)")
   }
 
+  test("writeClusteredK: 3-D Morton files cover small boxes — skipping works on ALL three dims") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("graft_zorder3").toString
+    Sinks.writeClusteredK(li, dir, Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+    assert(spark.read.parquet(dir).count() === li.count())
+    val stats = spark.read.parquet(dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(
+        min("l_orderkey").as("olo"), max("l_orderkey").as("ohi"),
+        min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.length >= 4, s"expected several files, got ${stats.length}")
+    // a narrow window on EACH dimension prunes at least one file — the
+    // 3-way clustering property a 1-D (or 2-D) sort cannot give
+    def prunes(lo: Long, hi: Long, loHi: ((String, Long, Long, Long, Long, Long, Long)) => (Long, Long)): Boolean = {
+      val w = (hi - lo) / 20
+      stats.count { s => val (flo, fhi) = loHi(s); fhi >= lo && flo <= lo + w } < stats.length
+    }
+    assert(prunes(stats.map(_._2).min, stats.map(_._3).max, s => (s._2, s._3)),
+      "no file pruned on orderkey")
+    assert(prunes(stats.map(_._4).min, stats.map(_._5).max, s => (s._4, s._5)),
+      "no file pruned on partkey")
+    assert(prunes(stats.map(_._6).min, stats.map(_._7).max, s => (s._6, s._7)),
+      "no file pruned on suppkey")
+  }
+
   test("writeTrainingShards: one dir per shard, rows stored in shuffled pos order") {
     import spark.implicits._
     val dir  = Files.createTempDirectory("graft_shards").toString
