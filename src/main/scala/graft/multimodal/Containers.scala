@@ -429,6 +429,99 @@ object Containers {
       })
   }
 
+  // --- JPEG (marker walk) ----------------------------------------------
+
+  final case class JpegMeta(
+      doc_id: Long,
+      decode_ok: Boolean,
+      width: Long,
+      height: Long,
+      n_components: Long,
+      progressive: Boolean)
+
+  /** Planted JPEG dimensions for doc `d` — the ground truth the oracle
+    * recomputes (the ENCODER's bytes are irrelevant; the parse recovers
+    * exactly these from the SOF segment). */
+  def jpegWidth(d: Long): Long  = 16L + (d * 7L) % 120L
+  def jpegHeight(d: Long): Long = 16L + (d * 11L) % 90L
+
+  /** REAL baseline JPEG bytes (javax.imageio writer) of a planted-size
+    * image — the parse target is a genuine encoder's marker stream
+    * (JFIF APP0, quant/huffman tables, SOF0), not a hand-built fixture. */
+  def renderJpeg(d: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      jpegWidth(d).toInt, jpegHeight(d).toInt, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // deterministic content (doesn't matter for the header walk)
+    img.setRGB(0, 0, (d * 2654435761L).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** JPEG MARKER WALK: scan FFxx segments to the first SOF (start of
+    * frame), read precision/height/width/components from its fixed
+    * layout, classify baseline (SOF0/1) vs progressive (SOF2). Stops
+    * before entropy-coded data (SOS) — a catalog stats image dimensions
+    * from ~1 KB of header, never the scan data. Same Long-validated
+    * progress discipline as the MP4/EBML walks. */
+  private def parseJpeg(d: Long, b: Array[Byte]): JpegMeta = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      throw new IllegalArgumentException("no SOI")
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) throw new IllegalArgumentException("lost marker sync")
+      val marker = b(off + 1) & 0xff
+      marker match {
+        case 0xd8 | 0x01 => off += 2 // SOI / TEM: no payload
+        case m if m >= 0xd0 && m <= 0xd7 => off += 2 // RSTn: no payload
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOF")
+        case 0xda => throw new IllegalArgumentException("SOS before SOF")
+        case m =>
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          if (len < 2 || off + 2 + len > b.length)
+            throw new IllegalArgumentException("bad segment length")
+          if ((m >= 0xc0 && m <= 0xc3) || (m >= 0xc5 && m <= 0xc7) ||
+              (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf)) {
+            // SOF: precision(1) height(2) width(2) ncomp(1)
+            if (len < 8) throw new IllegalArgumentException("short SOF")
+            val h  = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+            val w  = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+            val nc = b(off + 9) & 0xff
+            return JpegMeta(d, decode_ok = true, w.toLong, h.toLong, nc.toLong,
+              progressive = (m == 0xc2 || m == 0xc6 || m == 0xca || m == 0xce))
+          }
+          off += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("no SOF")
+  }
+
+  /** Attach a REAL encoded JPEG per doc (planted dimensions). */
+  def attachJpegPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.tables.Tables
+      .rebalanceForCpu(docs.select(col("doc_id").cast("long"))) // encoder-bound scan
+      .as[Long]
+      .mapPartitions(_.map(d => (d, renderJpeg(d))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Parse JPEG headers — malformed rows dead-letter, same shuffle-free
+    * header-bytes scan as the other walks. */
+  def parseJpegMeta(df: DataFrame): Dataset[JpegMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) =>
+        try parseJpeg(d, b)
+        catch {
+          case _: RuntimeException => JpegMeta(d, decode_ok = false, 0L, 0L, 0L, progressive = false)
+        }
+      })
+  }
+
   // --- surface ----------------------------------------------------------
 
   /** Attach a planted container payload per doc: even ids → MP4, odd →

@@ -2271,6 +2271,21 @@ object LlmQueries {
           col("duration_ms"), col("n_tracks"), col("handlers"))
         .orderBy("doc_id")),
 
+    // D8: JPEG header metadata — the image side of the catalog tier:
+    // dimensions/components/progressive from the SOF marker of REAL
+    // javax.imageio-encoded JPEGs (the parse target is a genuine
+    // encoder's marker stream, not a hand-built fixture), read in a
+    // marker walk that stops before any entropy-coded data. The planted
+    // dimensions are modular arithmetic of doc_id, so DuckDB recomputes
+    // the exact table — the parse path is what the hash check exercises.
+    "d8_jpeg_meta" -> ((s, sf) =>
+      Containers
+        .parseJpegMeta(Containers.attachJpegPayload(Tables.documents(s, sf)))
+        .filter(col("decode_ok"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_components"), col("progressive"))
+        .orderBy("doc_id")),
+
     // D8: audio header metadata — FLAC STREAMINFO (bit-packed 20-bit
     // rate / 3-bit channels / 5-bit bps / 36-bit total samples) and
     // MPEG-1 Layer III frame-sync walk (bitrate/rate/mode from the
@@ -4349,6 +4364,15 @@ object LlmQueries {
          WHERE gf.f % 2 = 0
          GROUP BY d.doc_id, gf.f
          ORDER BY d.doc_id, frame_idx""",
+    // planted dims recomputed; javax.imageio writes baseline (SOF0)
+    // 3-component YCbCr for RGB input
+    "d8_jpeg_meta" ->
+      """SELECT doc_id,
+           CAST(16 + (doc_id * 7) % 120 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 11) % 90 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           FALSE AS progressive
+         FROM documents ORDER BY doc_id""",
     "d8_video_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,

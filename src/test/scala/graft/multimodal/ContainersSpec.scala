@@ -83,6 +83,30 @@ class ContainersSpec extends AnyFunSuite {
     assert(!out.head.decode_ok, "unknown mvhd version parsed as garbage")
   }
 
+  test("JPEG marker walk recovers planted dims from real encoder output; progressive + corrupt handled") {
+    val ids = Seq(1L, 2L, 37L)
+    val out = Containers
+      .parseJpegMeta(ids.map(i => (i, Containers.renderJpeg(i))).toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { i =>
+      assert(out(i).decode_ok, s"real JPEG rejected for doc $i")
+      assert(out(i).width === Containers.jpegWidth(i) && out(i).height === Containers.jpegHeight(i))
+      assert(out(i).n_components === 3L && !out(i).progressive)
+    }
+    // hand-built progressive frame: SOI + SOF2(len 11: prec, h, w, 1 comp + 3 comp bytes)
+    val sof2 = Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 8, 0x01, 0x00, 0x02, 0x00, 1, 1, 0x11, 0)
+      .map(_.toByte)
+    val p = Containers.parseJpegMeta(Seq((9L, sof2)).toDF("doc_id", "payload")).collect().head
+    assert(p.decode_ok && p.progressive && p.width === 512L && p.height === 256L && p.n_components === 1L)
+    // corrupt: truncated mid-segment, SOS-before-SOF, garbage — all dead-letter
+    val bad = Seq(
+      (1L, Containers.renderJpeg(5L).take(6)),
+      (2L, Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)),
+      (3L, Array[Byte](1, 2, 3)))
+    val badOut = Containers.parseJpegMeta(bad.toDF("doc_id", "payload")).collect()
+    assert(badOut.forall(!_.decode_ok))
+  }
+
   test("fuzz: random bytes through every container/audio walk terminate and never throw") {
     val rnd = new scala.util.Random(97)
     val rows = (1L to 500L).map { i =>
@@ -94,6 +118,7 @@ class ContainersSpec extends AnyFunSuite {
         case 1 => Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ b
         case 2 => "fLaC".getBytes("US-ASCII") ++ b
         case 3 => Array(0xff, 0xfb).map(_.toByte) ++ b
+        case 4 => Array(0xff, 0xd8).map(_.toByte) ++ b // JPEG SOI + garbage
         case _ => b
       }
       (i, payload)
@@ -102,6 +127,8 @@ class ContainersSpec extends AnyFunSuite {
     assert(containers.length === 500) // one row in, one row out — ok or dead-letter
     val audio = Containers.parseAudioMeta(rows.toDF("doc_id", "payload")).collect()
     assert(audio.length === 500)
+    val jpeg = Containers.parseJpegMeta(rows.toDF("doc_id", "payload")).collect()
+    assert(jpeg.length === 500)
   }
 
   private def audioOf(ids: Long*) = Containers
