@@ -398,14 +398,81 @@ object Containers {
       frames * 1152L * 1000L / rate, bitrate)
   }
 
-  /** Attach a planted audio payload per doc: even ids → FLAC, odd → MP3. */
+  /** Planted WAV frame (sample) count for doc `d` (rate fixed 22050). */
+  def wavFrames(d: Long): Long = 22050L + (d * 71L) % 2205000L
+
+  /** Minimal canonical WAV: RIFF/WAVE + PCM fmt chunk (channels, rate,
+    * bits) + a data chunk header whose SIZE carries the planted frame
+    * count — a header walk never reads the samples, so the chunk body is
+    * omitted exactly like the MP4 fixtures omit mdat. */
+  def renderWav(d: Long): Array[Byte] = {
+    def le16(v: Int): Array[Byte]  = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val rate     = 22050L
+    val channels = 1 + (d % 6).toInt / 3 // thirds alternate mono/stereo
+    val bits     = 16
+    val block    = channels * bits / 8
+    val dataLen  = wavFrames(d) * block
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * block) ++ le16(block) ++ le16(bits)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + dataLen) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16L) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen)
+  }
+
+  private def parseWav(d: Long, b: Array[Byte]): AudioMeta = {
+    def le16(off: Int): Int  = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long = (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    if (b.length < 12 || fourcc(b, 8) != "WAVE") throw new IllegalArgumentException("not WAVE")
+    var off = 12
+    var rate = 0L; var channels = 0L; var bits = 0L; var block = 0L; var dataLen = -1L
+    // chunk walk: fmt must precede data (canonical order); sizes validated
+    // in Long arithmetic with forward progress (the EBML/KPL discipline)
+    while (off + 8 <= b.length && dataLen < 0) {
+      val id  = fourcc(b, off)
+      val len = le32(off + 4)
+      if (len < 0) throw new IllegalArgumentException("bad chunk length")
+      id match {
+        case "fmt " =>
+          if (len < 16 || off + 8 + 16 > b.length) throw new IllegalArgumentException("short fmt")
+          if (le16(off + 8) != 1) throw new IllegalArgumentException("not PCM")
+          channels = le16(off + 10).toLong
+          rate     = le32(off + 12)
+          block    = le16(off + 20).toLong
+          bits     = le16(off + 22).toLong
+        case "data" =>
+          // the header walk stops HERE: the sample body is never read
+          // (fixtures omit it; real files would follow with len bytes)
+          dataLen = len
+        case _ => ()
+      }
+      if (id != "data") {
+        val next = off.toLong + 8L + len + (len & 1L) // RIFF chunks pad to even
+        if (next <= off || next > b.length) throw new IllegalArgumentException("bad chunk bounds")
+        off = next.toInt
+      }
+    }
+    if (rate == 0 || block == 0 || dataLen < 0)
+      throw new IllegalArgumentException("missing fmt/data")
+    AudioMeta(d, decode_ok = true, "wav", rate, channels, bits,
+      dataLen / block * 1000L / rate, 0L)
+  }
+
+  /** Attach a planted audio payload per doc: ids cycle FLAC → MP3 → WAV
+    * (three header families through one parse surface). */
   def attachAudioHeaderPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs // byte-arithmetic render is trivial per row — rebalance not worth its shuffle
       .select(col("doc_id").cast("long"))
       .as[Long]
-      .mapPartitions(_.map(d => (d, if (d % 2 == 0) renderFlac(d) else renderMp3(d))))
+      .mapPartitions(_.map(d => (d, (d % 3) match {
+        case 0 => renderFlac(d)
+        case 1 => renderMp3(d)
+        case _ => renderWav(d)
+      })))
       .toDF("doc_id", "payload")
   }
 
@@ -420,6 +487,7 @@ object Containers {
       .mapPartitions(_.map { case (d, b) =>
         try {
           if (b.length >= 8 && fourcc(b, 0) == "fLaC") parseFlac(d, b)
+          else if (b.length >= 12 && fourcc(b, 0) == "RIFF") parseWav(d, b)
           else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) parseMp3(d, b)
           else AudioMeta(d, decode_ok = false, "unknown", 0L, 0L, 0L, 0L, 0L)
         } catch {

@@ -4390,19 +4390,23 @@ object LlmQueries {
          FROM documents ORDER BY doc_id""",
     "d8_audio_meta" ->
       """SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS format,
-           CAST(44100 AS BIGINT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 1 END AS BIGINT)
-             AS channels,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS BIGINT) AS bits_per_sample,
-           CAST(CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 3 = 0 THEN 'flac'
+                WHEN doc_id % 3 = 1 THEN 'mp3' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + (doc_id % 4) // 2
+                     WHEN doc_id % 3 = 1 THEN 1
+                     ELSE 1 + (doc_id % 6) // 3 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 END AS BIGINT) AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 3 = 0
                 THEN ((44100 + (doc_id * 97) % 4410000) * 1000) // 44100
-                ELSE ((10 + (doc_id * 13) % 990) * 1152 * 1000) // 44100
+                WHEN doc_id % 3 = 1
+                THEN ((10 + (doc_id * 13) % 990) * 1152 * 1000) // 44100
+                ELSE ((22050 + (doc_id * 71) % 2205000) * 1000) // 22050
                 END AS BIGINT) AS duration_ms,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-                ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+           CAST(CASE WHEN doc_id % 3 = 1
+                THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
                      [CAST(doc_id % 14 AS INTEGER) + 1]
-                END AS BIGINT) AS bitrate_kbps
+                ELSE 0 END AS BIGINT) AS bitrate_kbps
          FROM documents ORDER BY doc_id""",
     "d9_semantic_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -113,12 +113,13 @@ class ContainersSpec extends AnyFunSuite {
       val len = rnd.nextInt(300)
       val b   = new Array[Byte](len); rnd.nextBytes(b)
       // half the rows get a real magic prefix to force the deep walks
-      val payload = (i % 6) match {
+      val payload = (i % 7) match {
         case 0 => "ftypisom".getBytes("US-ASCII").patch(0, Array[Byte](0, 0, 0, 32), 0) ++ b
         case 1 => Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ b
         case 2 => "fLaC".getBytes("US-ASCII") ++ b
         case 3 => Array(0xff, 0xfb).map(_.toByte) ++ b
         case 4 => Array(0xff, 0xd8).map(_.toByte) ++ b // JPEG SOI + garbage
+        case 5 => "RIFFxxxxWAVE".getBytes("US-ASCII") ++ b
         case _ => b
       }
       (i, payload)
@@ -139,21 +140,37 @@ class ContainersSpec extends AnyFunSuite {
     .toMap
 
   test("FLAC STREAMINFO bit-unpacking recovers rate/channels/bps/duration") {
-    val m = audioOf(2L, 4L, 6L)
-    assert(m(2L).format === "flac" && m(2L).sample_rate === 44100L)
-    assert(m(2L).channels === 2L && m(4L).channels === 1L) // (d%4)/2 alternation
-    assert(m(2L).bits_per_sample === 16L)
-    assert(m(2L).duration_ms === Containers.flacTotalSamples(2L) * 1000L / 44100L)
-    assert(m(2L).bitrate_kbps === 0L)
+    val m = audioOf(6L, 12L, 18L) // ids ≡ 0 (mod 3) render FLAC
+    assert(m(6L).format === "flac" && m(6L).sample_rate === 44100L)
+    assert(m(6L).channels === 2L && m(12L).channels === 1L) // (d%4)/2 alternation
+    assert(m(6L).bits_per_sample === 16L)
+    assert(m(6L).duration_ms === Containers.flacTotalSamples(6L) * 1000L / 44100L)
+    assert(m(6L).bitrate_kbps === 0L)
   }
 
   test("MP3 frame-sync walk counts frames and reads bitrate/mode") {
-    val m = audioOf(1L, 3L, 15L)
+    val m = audioOf(1L, 7L, 43L) // ids ≡ 1 (mod 3) render MP3
     assert(m(1L).format === "mp3" && m(1L).sample_rate === 44100L)
     assert(m(1L).channels === 1L && m(1L).bits_per_sample === 0L)
     assert(m(1L).duration_ms === Containers.mp3FrameCount(1L) * 1152L * 1000L / 44100L)
-    // doc 15: bitrate index 1 + 15%14 = 2 → 40 kbps
-    assert(m(15L).bitrate_kbps === 40L)
+    // doc 43: bitrate index 1 + 43%14 = 2 → 40 kbps
+    assert(m(43L).bitrate_kbps === 40L)
+  }
+
+  test("WAV RIFF chunk walk recovers fmt/data fields; corrupt chunks dead-letter") {
+    val m = audioOf(2L, 5L) // ids ≡ 2 (mod 3) render WAV
+    assert(m(2L).format === "wav" && m(2L).sample_rate === 22050L)
+    assert(m(2L).channels === 1L && m(5L).channels === 2L) // (d%6)/3 alternation
+    assert(m(2L).bits_per_sample === 16L && m(2L).bitrate_kbps === 0L)
+    assert(m(2L).duration_ms === Containers.wavFrames(2L) * 1000L / 22050L)
+    // corrupt: truncated fmt, non-PCM, missing data chunk — all dead-letter
+    val good = Containers.renderWav(2L)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // wFormatTag -> IEEE float
+    val noData = good.take(36)                // RIFF+fmt only, no data header
+    val out = Containers.parseAudioMeta(Seq(
+      (1L, good.take(14)), (2L, nonPcm), (3L, noData)).toDF("doc_id", "payload"))
+      .collect().map(r => r.doc_id -> r.decode_ok).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> false))
   }
 
   test("FLAC bit-unpacking survives random rates/channels/bps (hand-built STREAMINFO)") {
