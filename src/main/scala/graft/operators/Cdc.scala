@@ -366,7 +366,13 @@ object Cdc {
     * touched, exactly like the maintenance writes themselves.
     *
     * Round-trip law (CdcSpec): upserting this feed (ordered after
-    * `fromV`'s data) into snapshot `fromV` reproduces snapshot `toV`. */
+    * `fromV`'s data) into snapshot `fromV` reproduces snapshot `toV`.
+    *
+    * Merge keys are non-null by the store's contract (they are hashed
+    * for bucketing); presence on each side of the diff is detected via
+    * key nullability after the full-outer join, so a null key stored in
+    * violation of that contract would misclassify — same precondition as
+    * [[upsert]]'s determinism note on `orderCols`. */
   def changesBetween(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
