@@ -68,10 +68,14 @@ object VectorAgg {
         s"vector_sum_sq: mixed dimensions ${out.length / 2} vs ${a.length}")
       var i = 0
       while (i < a.length) {
+        // Fold sq into the limb pair BEFORE adding: sq alone can reach
+        // ~9.22e18, so lo + sq overflows Long for |x| in (2.87, 3.04].
+        // Splitting first keeps every intermediate < 2e18.
         val sq = Math.multiplyExact(a(i), a(i))
-        var lo = Math.addExact(out(2 * i + 1), sq) // lo < 1e18 invariant + sq <= ~9.2e18
-        out(2 * i) = Math.addExact(out(2 * i), lo / LIMB)
-        lo %= LIMB
+        var lo = out(2 * i + 1) + (sq % LIMB) // both < 1e18 => safe
+        var hi = Math.addExact(out(2 * i), sq / LIMB)
+        if (lo >= LIMB) { hi = Math.addExact(hi, 1L); lo -= LIMB }
+        out(2 * i) = hi
         out(2 * i + 1) = lo
         i += 1
       }
@@ -114,7 +118,12 @@ object VectorAgg {
         require(a.length == b.length,
           s"vector_max: mixed dimensions ${b.length} vs ${a.length}")
         var i = 0
-        while (i < b.length) { if (a(i) > b(i)) b(i) = a(i); i += 1 }
+        // Total ordering (NaN greatest, like Spark's max) so the result
+        // is partitioning-independent even with NaN inputs.
+        while (i < b.length) {
+          if (java.lang.Double.compare(a(i), b(i)) > 0) b(i) = a(i)
+          i += 1
+        }
         b
       }
   }

@@ -538,6 +538,11 @@ object Containers {
     var off = 2
     while (off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff) throw new IllegalArgumentException("lost marker sync")
+      // ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+      // fill bytes — skip the run so padded streams don't read a bogus
+      // marker/length pair.
+      while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 4 > b.length) throw new IllegalArgumentException("truncated after fill bytes")
       val marker = b(off + 1) & 0xff
       marker match {
         case 0xd8 | 0x01 => off += 2 // SOI / TEM: no payload

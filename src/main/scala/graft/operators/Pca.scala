@@ -126,6 +126,8 @@ object Pca {
         while (it.hasNext) {
           val v = it.next()
           if (acc == null) acc = Array.fill(v.length)(java.math.BigDecimal.ZERO)
+          require(v.length == acc.length,
+            s"pca: ragged input — vector of dim ${v.length} after dim ${acc.length}")
           n += 1
           var i = 0
           while (i < v.length) {

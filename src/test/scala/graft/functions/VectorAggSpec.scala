@@ -85,4 +85,34 @@ class VectorAggSpec extends AnyFunSuite {
       big.groupBy("g").agg(VectorAgg.sumLong(col("v"))).collect()
     }
   }
+
+  test("sumSquares stays exact for near-max components (|x| up to ~3.03 nano-quantized)") {
+    // sq of 3037000499 is ~9.22e18: folding it onto a near-full lo limb
+    // overflowed Long before the limb-split fix. Exercise the whole
+    // (2.87, 3.04] window plus repeats of the max component.
+    val comps = Seq(3037000499L, -3037000499L, 2900000001L, 3000000000L,
+      2870000001L, 3037000499L, 3037000499L, 1L)
+    val rows  = comps.map(c => (1L, Array(c)))
+    val ref   = comps.map(c => BigInt(c) * BigInt(c)).sum
+    Seq(1, 5).foreach { parts =>
+      val got = rows.toDF("g", "v")
+        .repartition(parts)
+        .groupBy("g").agg(VectorAgg.sumSquares(col("v")).as("limbs"))
+        .select(VectorAgg.squaresToDecimal(col("limbs"), lit(0)).cast("string").as("ss"))
+        .as[String].head()
+      assert(BigInt(got) === ref, s"near-max square sum diverged at $parts partitions")
+    }
+  }
+
+  test("maxDouble treats NaN as greatest regardless of arrival order / partitioning") {
+    val rows = Seq((1L, Array(1.0, 5.0)), (1L, Array(Double.NaN, 2.0)), (1L, Array(3.0, 4.0)))
+    Seq(1, 3).foreach { parts =>
+      val got = rows.toDF("g", "v")
+        .repartition(parts)
+        .groupBy("g").agg(VectorAgg.maxDouble(col("v")).as("m"))
+        .as[(Long, Seq[Double])].head()._2
+      assert(got(0).isNaN, s"NaN lost at $parts partitions")
+      assert(got(1) === 5.0)
+    }
+  }
 }

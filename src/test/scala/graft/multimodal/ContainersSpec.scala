@@ -98,11 +98,19 @@ class ContainersSpec extends AnyFunSuite {
       .map(_.toByte)
     val p = Containers.parseJpegMeta(Seq((9L, sof2)).toDF("doc_id", "payload")).collect().head
     assert(p.decode_ok && p.progressive && p.width === 512L && p.height === 256L && p.n_components === 1L)
+    // ITU T.81 B.1.1.2: 0xFF fill bytes may pad between segments — a
+    // spec-legal stream some encoders emit must still parse. Inject a run
+    // of fill bytes before the SOF2 marker of the hand-built frame.
+    val padded = sof2.take(2) ++ Array.fill(5)(0xff.toByte) ++ sof2.drop(2)
+    val pp = Containers.parseJpegMeta(Seq((10L, padded)).toDF("doc_id", "payload")).collect().head
+    assert(pp.decode_ok && pp.progressive && pp.width === 512L && pp.height === 256L,
+      "0xFF fill bytes between segments dead-lettered a spec-legal stream")
     // corrupt: truncated mid-segment, SOS-before-SOF, garbage — all dead-letter
     val bad = Seq(
       (1L, Containers.renderJpeg(5L).take(6)),
       (2L, Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)),
-      (3L, Array[Byte](1, 2, 3)))
+      (3L, Array[Byte](1, 2, 3)),
+      (4L, Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte))) // trailing fill, truncated
     val badOut = Containers.parseJpegMeta(bad.toDF("doc_id", "payload")).collect()
     assert(badOut.forall(!_.decode_ok))
   }

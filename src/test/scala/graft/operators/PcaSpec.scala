@@ -106,6 +106,21 @@ class PcaSpec extends AnyFunSuite {
     assert(evecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("fit refuses ragged inputs loudly (no silent mean corruption)") {
+    // A shorter vector after a longer one would silently under-sum while
+    // still counting toward n; a longer one would throw AIOOBE. Both must
+    // surface as the explicit ragged-input error instead.
+    val ragged = Seq(
+      (1L, Array(1.0, 2.0, 3.0)),
+      (2L, Array(4.0, 5.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.fit(ragged.coalesce(1), col("vec_id"), col("embedding"), 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ragged")), s"unexpected error: ${messages(e)}")
+  }
+
   test("fit is exactly partitioning-independent (decimal sums + deterministic Jacobi)") {
     val again = Pca.fit(emb.repartition(7), col("vec_id"), col("embedding"), dim)
       .select("comp", "eigenvalue", "evec")
