@@ -192,15 +192,25 @@ object Cdc {
     * parent (`keepVersions >= 2`) and never touches uncommitted writers.
     *
     * `feedPath` materializes the CHANGE FEED incrementally (the Delta CDF
-    * shape): after each batch commits, [[changesBetween]](parent, id)
+    * shape): after each batch commits, [[changesBetweenCdf]](parent, id)
     * lands at `feedPath/v=<id>` — manifest-diff bounded, so the feed
     * write re-reads only the buckets the batch itself touched — and
     * DOWNSTREAM consumers tail the feed as an ordinary parquet file
     * stream (`spark.readStream.schema(...).parquet(feedPath)`), no custom
-    * source needed. The first batch establishes the baseline and writes
-    * no feed (there is no prior committed version to diff against);
-    * a replayed batch overwrites its own `v=` directory, so the feed is
-    * exactly-once like the store. */
+    * source needed. The rows are CDF-COMPLETE (insert / delete /
+    * update_preimage / update_postimage + `_commit_version`), i.e.
+    * retract-complete: [[cdfToZset]] + [[Ivm.aggDelta]] maintain any
+    * downstream aggregate off the feed alone. The first batch establishes
+    * the baseline and writes no feed (there is no prior committed version
+    * to diff against); a replayed batch overwrites its own `v=`
+    * directory, so the feed is exactly-once like the store.
+    *
+    * Feed RETENTION follows the store's: when `vacuumEvery` fires, feed
+    * versions older than the retained manifest window are pruned too —
+    * the Kafka-retention contract: a consumer may lag at most
+    * `keepVersions − 1` committed batches; [[readFeedSince]] fails loudly
+    * (never silently empty) when asked to resume from beyond the
+    * window. */
   def maintainPartitionedSnapshot(
       changes: DataFrame,
       seed: DataFrame,
@@ -220,10 +230,10 @@ object Cdc {
         val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
         processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id)
         for (fp <- feedPath; pv <- parent)
-          changesBetween(spark, storePath, pv, id, keys)
+          changesBetweenCdf(spark, storePath, pv, id, keys)
             .write.mode("overwrite").parquet(s"$fp/v=$id")
         if (vacuumEvery > 0 && id % vacuumEvery == 0)
-          vacuum(spark, storePath, keepVersions)
+          vacuum(spark, storePath, keepVersions, feedPath)
       }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for
@@ -261,6 +271,16 @@ object Cdc {
             .select(seed.columns.map(col).toIndexedSeq: _*)
         (touchedSnap, manifest.view.filterKeys(p => !touched.contains(p)).toMap)
     }
+    // Stale-attempt hygiene: an EARLIER run of this same id (fresh
+    // checkpoint over a reused store path, or regenerated source data)
+    // may have left _writer=<id> dirs in buckets THIS attempt will not
+    // write; dynamic overwrite never clears combos absent from the
+    // current frame, and listWrittenBuckets would commit them into the
+    // manifest as live data. Delete every pre-existing _writer=<id> dir
+    // first so the post-write listing reflects exactly this attempt.
+    // (A checkpointed replay rewrites identical content, so the purge is
+    // a no-op there beyond the rewrite it was doing anyway.)
+    purgeWriterDirs(spark, storePath, id)
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
     // idempotent under replay, invisible to every other bucket.
@@ -378,7 +398,74 @@ object Cdc {
       storePath: String,
       fromV: Long,
       toV: Long,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): DataFrame =
+    diffJoined(spark, storePath, fromV, toV, keys) match {
+      case Left(emptySchema) =>
+        emptySchema.withColumn("_change_type", lit("")).filter(lit(false))
+      case Right((joined, cols)) =>
+        joined.select(cols.map(c =>
+          when(col("_change_type") === "D", col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c))
+          :+ col("_change_type"): _*)
+    }
+
+  /** CDF-COMPLETE change feed (the exact Delta Lake Change Data Feed row
+    * shape): like [[changesBetween]] but an update emits TWO rows —
+    * `update_preimage` (the row as it stood at `fromV`) and
+    * `update_postimage` (as at `toV`) — alongside `insert` and `delete`;
+    * `_commit_version` stamps every row with `toV`. Both sides of an
+    * update are already on hand after the manifest-diff-pruned full-outer
+    * join, so completeness is a projection change, not extra IO.
+    *
+    * Why it matters: pre-images are what make the feed RETRACT-COMPLETE —
+    * [[cdfToZset]] turns it into Z-set deltas (insert/postimage = +1,
+    * delete/preimage = −1) that maintain any [[Ivm]] view downstream with
+    * no snapshot re-read, even when an update MOVES a row between groups
+    * (the old group must lose the old payload, which only the pre-image
+    * carries). Law in CdcSpec/StreamingSpec: the feed-driven view equals
+    * the recompute over the served snapshot at every version. */
+  def changesBetweenCdf(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      fromV: Long,
+      toV: Long,
+      keys: Seq[String]): DataFrame =
+    diffJoined(spark, storePath, fromV, toV, keys) match {
+      case Left(emptySchema) =>
+        emptySchema
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+          .filter(lit(false))
+      case Right((joined, cols)) =>
+        def side(prefix: String, tpe: Column) =
+          struct(cols.map(c => col(s"${prefix}_$c").as(c)) :+ tpe.as("_change_type"): _*)
+        joined
+          .select(explode(when(col("_change_type") === "U",
+              array(side("__b", lit("update_preimage")), side("__a", lit("update_postimage"))))
+            .when(col("_change_type") === "I", array(side("__a", lit("insert"))))
+            .otherwise(array(side("__b", lit("delete"))))).as("__r"))
+          .select(cols.map(c => col(s"__r.$c")) :+ col("__r._change_type").as("_change_type"): _*)
+          .withColumn("_commit_version", lit(toV))
+    }
+
+  /** Bridge a CDF-complete feed ([[changesBetweenCdf]] rows) to the Z-set
+    * changelog [[Ivm.aggDelta]] consumes: `_op` = +1 for
+    * insert/update_postimage, −1 for delete/update_preimage. */
+  def cdfToZset(feed: DataFrame): DataFrame =
+    feed.withColumn("_op",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+        .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
+        .otherwise(raise_error(concat(lit("not a CDF-complete feed row: "), col("_change_type")))))
+
+  /** The manifest-diff-pruned full-outer join both feed shapes project
+    * from: Left(empty template) when no bucket changed between the
+    * versions, Right(joined rows with `__b_`/`__a_` sides and a non-null
+    * coarse `_change_type` ∈ {I, U, D}, plus the payload column list). */
+  private def diffJoined(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      fromV: Long,
+      toV: Long,
+      keys: Seq[String]): Either[DataFrame, (DataFrame, Seq[String])] = {
     val vs = manifestVersions(spark, storePath).toSet
     require(vs.contains(fromV) && vs.contains(toV),
       s"both versions must be committed under $storePath (have ${vs.toSeq.sorted.mkString(",")})")
@@ -398,9 +485,7 @@ object Cdc {
     // version stores any row in a changed bucket the feed is empty — but
     // then nothing changed, so any committed bucket serves the schema
     val template = slice(m2).orElse(slice(m1)).getOrElse {
-      return readPartitionedSnapshot(spark, storePath, Some(toV)).limit(0)
-        .withColumn("_change_type", lit(""))
-        .filter(lit(false))
+      return Left(readPartitionedSnapshot(spark, storePath, Some(toV)).limit(0))
     }
     val cols = template.columns.toSeq
     val payload = cols.filterNot(keys.contains)
@@ -414,14 +499,13 @@ object Cdc {
     val samePayload =
       if (payload.isEmpty) lit(true)
       else struct(payload.map(c => col(s"__b_$c")): _*) <=> struct(payload.map(c => col(s"__a_$c")): _*)
-    before.join(after, joinCond, "full_outer")
-      .withColumn("_change_type",
-        when(!inB, lit("I")).when(!inA, lit("D"))
-          .when(!samePayload, lit("U")).otherwise(lit(null)))
-      .filter(col("_change_type").isNotNull)
-      .select(cols.map(c =>
-        when(col("_change_type") === "D", col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c))
-        :+ col("_change_type"): _*)
+    Right((
+      before.join(after, joinCond, "full_outer")
+        .withColumn("_change_type",
+          when(!inB, lit("I")).when(!inA, lit("D"))
+            .when(!samePayload, lit("U")).otherwise(lit(null)))
+        .filter(col("_change_type").isNotNull),
+      cols))
   }
 
   /** Retention (lakehouse VACUUM): keep the newest `keepVersions`
@@ -432,17 +516,34 @@ object Cdc {
     * them; deleting them here would race the writer. `keepVersions >= 2`
     * is required so the newest batch's PARENT stays replayable (a crash
     * between the parts write and the checkpoint commit replays the newest
-    * id against the version below it). */
+    * id against the version below it).
+    *
+    * When `feedPath` is given, the materialized change feed is pruned on
+    * the SAME window: feed versions older than the oldest retained
+    * manifest are deleted. This is the Kafka-retention contract for
+    * consumers — a checkpointed file-stream consumer that has already
+    * ingested a version never re-reads it (the file source tracks seen
+    * files), so pruning behind the window is invisible to any consumer
+    * lagging less than `keepVersions` batches; a NEW consumer needing
+    * history beyond the window must bootstrap from
+    * [[readPartitionedSnapshot]] instead ([[readFeedSince]] enforces this
+    * loudly). */
   def vacuum(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      keepVersions: Int): Unit = {
+      keepVersions: Int,
+      feedPath: Option[String] = None): Unit = {
     require(keepVersions >= 2, "keepVersions >= 2 (the newest batch's parent must stay replayable)")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = manifestVersions(spark, storePath).sorted
     if (vs.size <= keepVersions) return
     val keep = vs.takeRight(keepVersions).toSet
+    for (fp <- feedPath) {
+      val floor = keep.min
+      committedVersions(spark, fp).filter(_ < floor).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$fp/v=$v"), true))
+    }
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     val referenced: Set[(Int, Long)] =
       keep.flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
@@ -463,6 +564,40 @@ object Cdc {
     } fs.delete(writerDir.getPath, true)
   }
 
+  /** Committed versions present in a materialized feed directory. */
+  def feedVersions(
+      spark: org.apache.spark.sql.SparkSession, feedPath: String): Seq[Long] =
+    committedVersions(spark, feedPath)
+
+  /** BATCH-read the materialized feed from `sinceV` (exclusive) onward —
+    * the bootstrap/catch-up read a non-streaming consumer does. Fails
+    * LOUDLY when `sinceV` has fallen behind the retention window (the
+    * versions between `sinceV` and the oldest retained feed entry were
+    * vacuumed): a silent empty/partial read would make the consumer's
+    * maintained state diverge irrecoverably. `sinceV` equal to or newer
+    * than the newest feed entry returns an empty frame (nothing new) —
+    * that is inside the contract, not a retention miss. */
+  def readFeedSince(
+      spark: org.apache.spark.sql.SparkSession,
+      feedPath: String,
+      sinceV: Long): DataFrame = {
+    val vs = feedVersions(spark, feedPath).sorted
+    if (vs.isEmpty)
+      throw new IllegalStateException(s"no committed feed versions under $feedPath")
+    val wanted = vs.filter(_ > sinceV)
+    if (wanted.isEmpty)
+      return spark.read.parquet(s"$feedPath/v=${vs.max}").limit(0)
+    // batch ids are consecutive (Spark checkpoint contract), so the next
+    // version a consumer at sinceV needs is sinceV+1; if the oldest
+    // retained entry is newer, the gap was vacuumed — lag > retention
+    if (wanted.head > sinceV + 1)
+      throw new IllegalStateException(
+        s"feed retention exceeded: resume point v=$sinceV needs v=${sinceV + 1} " +
+          s"but the oldest retained feed version is v=${wanted.head}; " +
+          "bootstrap from readPartitionedSnapshot instead")
+    spark.read.parquet(wanted.map(v => s"$feedPath/v=$v"): _*)
+  }
+
   private def readManifest(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
@@ -471,6 +606,25 @@ object Cdc {
     spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
       .select(col("_bucket").cast("int"), col("_writer").cast("long"))
       .as[(Int, Long)].collect().toMap // nBuckets-bounded: config, not data
+  }
+
+  /** Delete every `_bucket=*` / `_writer=<id>` directory under the store —
+    * run before a batch's parts write so stale dirs from an earlier run
+    * of the same id (different inputs) can't leak into the manifest via
+    * [[listWrittenBuckets]]. nBuckets-bounded FS metadata work. */
+  private def purgeWriterDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      id: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(partsPath(storePath))
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
+      .foreach { st =>
+        val wd = new org.apache.hadoop.fs.Path(st.getPath, s"_writer=$id")
+        if (fs.exists(wd)) fs.delete(wd, true)
+      }
   }
 
   private def listWrittenBuckets(

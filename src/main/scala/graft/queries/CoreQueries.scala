@@ -1739,6 +1739,29 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // C38e: the CDF feed COMPOSED with IVM — the consumer contract the
+    // change feed exists for. The per-nation (count, exact-sum, mean)
+    // view initial-loads once from snapshot v0, then absorbs the v0→v1
+    // CDF-complete feed as Z-set deltas (insert/update_postimage = +1,
+    // delete/update_preimage = −1): pre-images make the feed
+    // retract-complete, so an update that MOVES a customer between
+    // nations debits the old nation and credits the new one with no
+    // snapshot re-read. Work at scale: |feed| keyed aggregate + a
+    // state-sized merge — never |snapshot|. The oracle recomputes the
+    // aggregate over the fully-merged v1 snapshot; exact decimal sums
+    // make the incremental and recompute paths bit-identical.
+    "c38_cdc_feed_ivm" -> ((s, sf) => {
+      import graft.operators.Ivm
+      val store = cdcStoreFor(s, sf)
+      val nkeys = Seq("c_nationkey")
+      val state0 = Ivm.aggDelta(
+        Cdc.readPartitionedSnapshot(s, store, Some(0L)).withColumn("_op", lit(1L)),
+        col("_op"), col("c_acctbal"), nkeys)
+      val zset = Cdc.cdfToZset(Cdc.changesBetweenCdf(s, store, 0L, 1L, Seq("c_custkey")))
+      val delta = Ivm.aggDelta(zset, col("_op"), col("c_acctbal"), nkeys)
+      Ivm.view(Ivm.applyDelta(state0, delta, nkeys), nkeys).orderBy("c_nationkey")
+    }),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2636,6 +2659,37 @@ object CoreQueries {
          SELECT * FROM merged
          WHERE c_custkey IN (SELECT i FROM generate_series(1, 200, 7) AS t(i))
          ORDER BY c_custkey""",
+    // feed-driven IVM ≡ aggregate over the fully-merged snapshot (s1 of
+    // the c38_cdc_changes recompute), c35's exact-decimal conventions
+    "c38_cdc_feed_ivm" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         l1 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         s1 AS (
+           SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_nationkey, c_acctbal
+           FROM l1 WHERE op <> 'D'
+         )
+         SELECT c_nationkey, count(*) AS cnt,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_val,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / count(*), 6)
+             AS avg_val
+         FROM s1 GROUP BY c_nationkey ORDER BY c_nationkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

@@ -201,6 +201,33 @@ class CdcSpec extends AnyFunSuite {
       "batch 10 failed to build on the newest COMMITTED manifest")
   }
 
+  test("partitioned store: stale _writer dirs from an earlier run of the same id are purged, not committed") {
+    // Fresh checkpoint over a reused store path: an EARLIER run of id=1
+    // wrote buckets the current run of id=1 does not touch. Those dirs
+    // must not leak into the manifest as live data.
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_stale").toString
+    val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L, (1L, "b0", 10.0, 100L, "U"))
+    // plant the stale attempt: a real parquet row under a bucket the
+    // current batch 1 will NOT write, tagged _writer=1
+    val staleKey = (2L to 20L).find(k => bucketOf(k) != bucketOf(1L)).get
+    val staleBucket = bucketOf(staleKey)
+    Seq((staleKey, "STALE", -1.0)).toDF("k", "name", "bal")
+      .write.mode("overwrite")
+      .parquet(s"$store/parts/_bucket=$staleBucket/_writer=1")
+    // current run of id=1 touches only key 1's bucket
+    runBatch(store, seed, 1L, (1L, "b1", 11.0, 200L, "U"))
+    val manifest = spark.read.parquet(s"$store/manifest/v=1")
+      .select(col("_bucket").cast("int"), col("_writer").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    assert(manifest.get(staleBucket) !== Some(1L),
+      "stale _writer=1 dir was committed into the manifest as live data")
+    assert(readPart(store) === reference(s,
+      Seq((1L, "b0", 10.0, 100L, "U"), (1L, "b1", 11.0, 200L, "U"))),
+      "stale attempt data leaked into the served snapshot")
+  }
+
   test("partitioned store: deleting every key of a bucket drops its manifest entry") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toString
     val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
@@ -312,6 +339,77 @@ class CdcSpec extends AnyFunSuite {
       val ok = hot.exists(p => f.contains(s"_bucket=$p/"))
       assert(ok, s"change feed read a carried (unchanged) bucket's file: $f")
     }
+  }
+
+  test("CDF-complete feed: updates emit pre+post images; feed-driven IVM view " +
+      "equals the recompute at EVERY version (group-moving updates included)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_cdf").toString
+    val s = (1L to 30L).map(k => (k, s"g${k % 3}_orig", k * 1.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L, (99L, "g0_new", 9.0, 1L, "I"))
+    // batch 1 moves key 5 from group g2 to group g0 (the case only
+    // pre-images can maintain), deletes key 6, inserts key 100
+    runBatch(store, seed, 1L,
+      (5L, "g0_moved", 55.0, 10L, "U"),
+      (6L, "x", 0.0, 11L, "D"),
+      (100L, "g1_new", 17.0, 12L, "I"))
+    // batch 2: update key 5 in place, re-insert key 6
+    runBatch(store, seed, 2L,
+      (5L, "g0_moved2", 56.0, 20L, "U"),
+      (6L, "g2_back", 6.5, 21L, "I"))
+
+    // CDF row-shape law on v0 → v1
+    val cdf = Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+      .select("k", "name", "bal", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(cdf === Set(
+      (5L, "g2_orig", 5.0, "update_preimage", 1L),
+      (5L, "g0_moved", 55.0, "update_postimage", 1L),
+      (6L, "g0_orig", 6.0, "delete", 1L),
+      (100L, "g1_new", 17.0, "insert", 1L)), s"CDF shape diverged: $cdf")
+
+    // IVM composition: maintain count/sum-of-bal per name-prefix group
+    // off the feed alone; must equal the recompute at every version
+    val group = substring(col("name"), 1, 2)
+    def stateOf(df: org.apache.spark.sql.DataFrame, op: org.apache.spark.sql.Column) =
+      Ivm.aggDelta(df.withColumn("g", group), op, col("bal"), Seq("g"))
+    def render(state: org.apache.spark.sql.DataFrame) =
+      Ivm.view(state, Seq("g")).as[(String, Long, Double, Double)].collect().toSet
+    var state = stateOf(Cdc.readPartitionedSnapshot(spark, store, Some(0L)), lit(1))
+    Seq(1L, 2L).foreach { v =>
+      val zset = Cdc.cdfToZset(Cdc.changesBetweenCdf(spark, store, v - 1, v, keys))
+      state = Ivm.applyDelta(state, stateOf(zset, col("_op")), Seq("g"))
+      val recompute = stateOf(Cdc.readPartitionedSnapshot(spark, store, Some(v)), lit(1))
+      assert(render(state) === render(recompute),
+        s"feed-maintained view diverged from the v=$v recompute")
+    }
+  }
+
+  test("feed retention: vacuum prunes the feed on the manifest window; " +
+      "readFeedSince serves inside it and fails loudly beyond it") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_ret").toString
+    val feed  = java.nio.file.Files.createTempDirectory("graft_cdc_retfeed").toString
+    val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    (0L to 4L).foreach { id =>
+      runBatch(store, seed, id, (id + 1, s"b$id", id * 10.0, 100L + id, "U"))
+      if (id > 0)
+        Cdc.changesBetweenCdf(spark, store, id - 1, id, keys)
+          .write.mode("overwrite").parquet(s"$feed/v=$id")
+    }
+    Cdc.vacuum(spark, store, keepVersions = 2, feedPath = Some(feed))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(3L, 4L))
+    assert(Cdc.feedVersions(spark, feed).sorted === Seq(3L, 4L),
+      "vacuum did not prune the feed to the manifest window")
+    // inside the window: a consumer at v=2 resumes cleanly with v=3,4
+    val caught = Cdc.readFeedSince(spark, feed, 2L)
+      .select(col("_commit_version")).distinct().as[Long].collect().toSet
+    assert(caught === Set(3L, 4L))
+    // at the head: nothing new, empty — not an error
+    assert(Cdc.readFeedSince(spark, feed, 4L).count() === 0L)
+    // beyond the window: v=2 was pruned — loud failure, never silent
+    val e = intercept[IllegalStateException](Cdc.readFeedSince(spark, feed, 1L))
+    assert(e.getMessage.contains("retention"), e.getMessage)
   }
 
   test("composite merge keys: upsert, partitioned store, and lookup on (k1, k2)") {

@@ -716,22 +716,29 @@ class StreamingSpec extends AnyFunSuite {
         keys, Seq(col("seq")), col("op"))
       .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(served === oneShot)
-    // incremental change feed (CDF): baseline batch 0 writes none; each
-    // later version's feed holds exactly its batch's effective changes,
-    // and a plain file-stream consumer tails the concatenation
+    // incremental change feed (CDF-COMPLETE): baseline batch 0 writes
+    // none; each later version's feed holds its batch's effective changes
+    // with updates split into pre/post images + _commit_version, and a
+    // plain file-stream consumer tails the concatenation
     assert(!new java.io.File(s"$feed/v=0").exists(), "baseline batch wrote a feed")
     def feedOf(v: Long) = spark.read.parquet(s"$feed/v=$v")
-      .as[(Long, String, Double, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(feedOf(1L) === Map(1L -> (("a2", 11.0, "U"))))
-    assert(feedOf(2L) === Map(30L -> (("c2", 33.0, "U"))))
+      .select("k", "name", "bal", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(feedOf(1L) === Set(
+      (1L, "a1", 10.0, "update_preimage", 1L),
+      (1L, "a2", 11.0, "update_postimage", 1L)))
+    assert(feedOf(2L) === Set(
+      (30L, "c", 30.0, "update_preimage", 2L),
+      (30L, "c2", 33.0, "update_postimage", 2L)))
     val feedSchema = spark.read.parquet(s"$feed/v=1").schema
     val tailQ = spark.readStream.schema(feedSchema).parquet(s"$feed/v=*")
       .writeStream.format("memory").queryName("t_cdf_tail")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     tailQ.awaitTermination(60000); tailQ.stop()
     val tailed = spark.table("t_cdf_tail")
-      .as[(Long, String, Double, String)].collect().map(r => (r._1, r._2, r._3, r._4)).toSet
-    assert(tailed === Set((1L, "a2", 11.0, "U"), (30L, "c2", 33.0, "U")),
+      .select("k", "name", "bal", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(tailed === feedOf(1L) ++ feedOf(2L),
       s"file-stream consumer diverged from the feed: $tailed")
 
     // batch 1 (touching only key 1's bucket) must have written exactly one
