@@ -159,6 +159,7 @@ object Cdc {
   // Layout:
   //   storePath/parts/_bucket=<p>/_writer=<batch>/part-*.parquet
   //   storePath/manifest/v=<batch>/   (rows: _bucket INT, _writer LONG)
+  //   storePath/schema/v=<batch>/     (one line: payload schema as DDL)
   //
   // The manifest write is the COMMIT POINT (Spark's _SUCCESS marker): a
   // crash mid-parts-write leaves orphan (bucket, writer) directories that
@@ -171,6 +172,62 @@ object Cdc {
 
   private def partsPath(storePath: String)    = s"$storePath/parts"
   private def manifestPath(storePath: String) = s"$storePath/manifest"
+  private def schemaPath(storePath: String)   = s"$storePath/schema"
+
+  /** Per-version payload schema (DDL text under `schema/v=<id>`), written
+    * just before the manifest commit so every COMMITTED version carries
+    * one. This is what makes ADDITIVE EVOLUTION serveable: buckets carried
+    * by reference keep their old files, so a post-evolution snapshot mixes
+    * parquet files with and without the new columns — reading them under
+    * the version's recorded schema fills the absent columns with NULL
+    * (plain parquet schema-on-read), no footer-merging pass, no rewrite of
+    * untouched data. None for stores written before schemas were recorded
+    * (their schema is uniform by construction, so the file-derived read
+    * stays correct). */
+  private[operators] def storedSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v")
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      spark.read.text(dir.toString).head().getString(0)))
+  }
+
+  /** The payload schema extended with the layout's two partition columns,
+    * for explicit-schema reads of `parts/` directories. */
+  private def withPartCols(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    StructType(st.fields ++ Seq(
+      StructField("_bucket", IntegerType, nullable = true),
+      StructField("_writer", LongType, nullable = true)))
+  }
+
+  /** Read bucket directories of version `v` under that version's recorded
+    * schema when one exists (nulls for columns predating the files), or
+    * file-derived schema for pre-evolution stores. Returns payload columns
+    * only (`_bucket`/`_writer` dropped). */
+  private def readBucketDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      dirs: Seq[String],
+      v: Long): DataFrame = {
+    val base = spark.read.option("basePath", partsPath(storePath))
+    storedSchema(spark, storePath, v)
+      .fold(base)(st => base.schema(withPartCols(st)))
+      .parquet(dirs: _*)
+      .drop("_bucket", "_writer")
+  }
+
+  /** Widen `df` to `target`: existing columns pass through, columns the
+    * frame predates become typed NULLs, order = target order. */
+  private def conformTo(
+      df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(target.fields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
   /** Deterministic bucket of a row's merge key: `xxhash64(keys) mod n`.
     * Recomputed identically on the snapshot and changelog sides — never
@@ -222,13 +279,15 @@ object Cdc {
       nBuckets: Int,
       vacuumEvery: Int = 0,
       keepVersions: Int = 2,
-      feedPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      feedPath: Option[String] = None,
+      payloadCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
-        processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id)
+        processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id,
+          payloadCols)
         for (fp <- feedPath; pv <- parent)
           changesBetweenCdf(spark, storePath, pv, id, keys)
             .write.mode("overwrite").parquet(s"$fp/v=$id")
@@ -237,7 +296,21 @@ object Cdc {
       }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for
-    * replay/vacuum laws. */
+    * replay/vacuum laws.
+    *
+    * SCHEMA EVOLUTION (`payloadCols`): by default the store's schema is
+    * bound to the parent version's recorded schema (or `seed`'s for a
+    * fresh/pre-evolution store) — a changelog column the store does not
+    * know is metadata (recency, op), not payload. Passing `payloadCols`
+    * names the batch's payload explicitly, and the store evolves
+    * ADDITIVELY: columns in `payloadCols` the stored schema lacks are
+    * appended (typed from the batch), carried buckets keep their files
+    * and serve NULL for the new columns, and the widened schema is
+    * recorded for this version. Non-additive changes fail LOUDLY —
+    * dropping a stored column (`payloadCols` must cover the stored
+    * schema) or changing a stored column's type both throw before any
+    * write, because silently coercing either corrupts every carried
+    * bucket. */
   def processPartitionedBatch(
       batch: DataFrame,
       seed: DataFrame,
@@ -246,15 +319,37 @@ object Cdc {
       opCol: Column,
       storePath: String,
       nBuckets: Int,
-      id: Long): Unit = {
+      id: Long,
+      payloadCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = batch.sparkSession
     import spark.implicits._
     val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
+    val priorSchema = parent.flatMap(v => storedSchema(spark, storePath, v))
+      .getOrElse(seed.schema)
+    val target: org.apache.spark.sql.types.StructType =
+      if (payloadCols.isEmpty) priorSchema
+      else {
+        import org.apache.spark.sql.types.{StructField, StructType}
+        require(keys.forall(payloadCols.contains),
+          s"payloadCols must contain every merge key (${keys.mkString(",")})")
+        val dropped = priorSchema.fieldNames.filterNot(payloadCols.contains)
+        require(dropped.isEmpty,
+          s"schema evolution is additive-only: payloadCols drops stored columns ${dropped.mkString(",")}")
+        val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+        val absent = payloadCols.filterNot(batchTypes.contains)
+        require(absent.isEmpty, s"payload columns absent from batch: ${absent.mkString(",")}")
+        priorSchema.fields.foreach(f => require(batchTypes(f.name) == f.dataType,
+          s"type change on stored column ${f.name}: stored ${f.dataType.sql}, " +
+            s"batch ${batchTypes(f.name).sql} — rewrite the store, evolution cannot coerce carried buckets"))
+        StructType(priorSchema.fields ++ payloadCols
+          .filterNot(priorSchema.fieldNames.contains)
+          .map(c => StructField(c, batchTypes(c), nullable = true)))
+      }
     val (prior, carried) = parent match {
       case None =>
         // first batch: materialize the full seed — every bucket is "touched"
-        (seed, Map.empty[Int, Long])
+        (conformTo(seed, target), Map.empty[Int, Long])
       case Some(v) =>
         val manifest = readManifest(spark, storePath, v)
         // the delta's bucket set — bounded by nBuckets (config, not data)
@@ -264,11 +359,8 @@ object Cdc {
         val parentDirs = touched.toSeq.sorted.flatMap(p =>
           manifest.get(p).map(w => s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
         val touchedSnap =
-          if (parentDirs.isEmpty) seed.limit(0)
-          else spark.read
-            .option("basePath", partsPath(storePath))
-            .parquet(parentDirs: _*)
-            .select(seed.columns.map(col).toIndexedSeq: _*)
+          if (parentDirs.isEmpty) conformTo(seed.limit(0), target)
+          else conformTo(readBucketDirs(spark, storePath, parentDirs, v), target)
         (touchedSnap, manifest.view.filterKeys(p => !touched.contains(p)).toMap)
     }
     // Stale-attempt hygiene: an EARLIER run of this same id (fresh
@@ -297,6 +389,11 @@ object Cdc {
     // pass, no cache. A bucket the batch fully emptied simply drops out.
     val written = listWrittenBuckets(spark, storePath, id)
     val entries = (carried ++ written.map(_ -> id)).toSeq.sortBy(_._1)
+    // schema sidecar FIRST, manifest commit second: a committed version
+    // always carries its schema; a crash between the two leaves an
+    // uncommitted version whose replay overwrites both
+    Seq(target.toDDL).toDF("ddl").coalesce(1)
+      .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
     // manifest commit point: tiny single-file write, _SUCCESS-guarded
     entries.toDF("_bucket", "_writer").coalesce(1)
       .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
@@ -321,10 +418,7 @@ object Cdc {
       throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
     val dirs = manifest.toSeq.sortBy(_._1)
       .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
-    spark.read
-      .option("basePath", partsPath(storePath))
-      .parquet(dirs: _*)
-      .drop("_bucket", "_writer")
+    readBucketDirs(spark, storePath, dirs, v)
   }
 
   /** Committed manifest versions (the store's serving history). */
@@ -363,10 +457,7 @@ object Cdc {
       .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
     if (dirs.isEmpty)
       return readPartitionedSnapshot(spark, storePath, Some(v)).limit(0).filter(lit(false))
-    spark.read
-      .option("basePath", partsPath(storePath))
-      .parquet(dirs: _*)
-      .drop("_bucket", "_writer")
+    readBucketDirs(spark, storePath, dirs, v)
       .join(broadcast(lookup.select(keys.map(col): _*).distinct()), keys, "left_semi")
   }
 
@@ -474,12 +565,15 @@ object Cdc {
     // identical (bucket → writer) entry ⇒ identical FILES (carried by
     // reference) ⇒ zero diff, zero IO
     val changed = (m1.keySet ++ m2.keySet).filter(p => m1.get(p) != m2.get(p)).toSeq.sorted
+    // BOTH sides read under toV's recorded schema: evolution is additive,
+    // so toV's schema is a superset of fromV's and the fromV files fill
+    // the later columns with NULL — pre-images of rows that predate an
+    // added column report it as absent, which is exactly what they were.
     def slice(manifest: Map[Int, Long]): Option[DataFrame] = {
       val dirs = changed.flatMap(p => manifest.get(p).map(w =>
         s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
       if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", partsPath(storePath))
-        .parquet(dirs: _*).drop("_bucket", "_writer"))
+      else Some(readBucketDirs(spark, storePath, dirs, toV))
     }
     // schema source for empty sides: whichever side has data; if NEITHER
     // version stores any row in a changed bucket the feed is empty — but
@@ -547,8 +641,10 @@ object Cdc {
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     val referenced: Set[(Int, Long)] =
       keep.flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
-    vs.filterNot(keep).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true))
+    vs.filterNot(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v"), true)
+    }
     val partsRoot = new org.apache.hadoop.fs.Path(partsPath(storePath))
     if (!fs.exists(partsRoot)) return
     for {
@@ -595,7 +691,13 @@ object Cdc {
         s"feed retention exceeded: resume point v=$sinceV needs v=${sinceV + 1} " +
           s"but the oldest retained feed version is v=${wanted.head}; " +
           "bootstrap from readPartitionedSnapshot instead")
-    spark.read.parquet(wanted.map(v => s"$feedPath/v=$v"): _*)
+    // mergeSchema: feed versions written before an ADDITIVE schema
+    // evolution lack the later columns; merging the (retention-bounded)
+    // footers serves the union schema with NULLs for the pre-evolution
+    // rows — without it Spark samples ONE footer and could silently drop
+    // the new columns from the whole read.
+    spark.read.option("mergeSchema", "true")
+      .parquet(wanted.map(v => s"$feedPath/v=$v"): _*)
   }
 
   private def readManifest(

@@ -228,6 +228,70 @@ class CdcSpec extends AnyFunSuite {
       "stale attempt data leaked into the served snapshot")
   }
 
+  test("partitioned store schema evolution: an added column serves both eras " +
+      "without rewriting carried buckets; non-additive changes are refused before any write") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L, (1L, "b0", 10.0, 100L, "U"))
+    val state0 = fileState(s"$store/parts")
+
+    // batch 1 ADDS `tier` (payloadCols names the widened payload) and
+    // touches only key 2's bucket
+    val evo = Seq((2L, "b1", 22.0, "gold", 200L, "U"))
+      .toDF("k", "name", "bal", "tier", "seq", "op")
+    Cdc.processPartitionedBatch(evo, seed, keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 1L, payloadCols = Seq("k", "name", "bal", "tier"))
+
+    // carried buckets: files untouched, yet served under the NEW schema
+    val hot = bucketOf(2L)
+    assert(state0.filterNot(_._1.contains(s"_bucket=$hot/"))
+      .subsetOf(fileState(s"$store/parts")), "evolution rewrote carried buckets")
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+    assert(served.columns.toSeq === Seq("k", "name", "bal", "tier"))
+    val byK = served.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), Option(r.getString(3)))).toMap
+    assert(byK(2L) === (("b1", 22.0, Some("gold"))))
+    assert(byK(1L) === (("b0", 10.0, None)), "pre-evolution row must serve NULL for the new column")
+    assert(byK(3L) === (("orig3", 3.0, None)))
+
+    // point lookup across eras serves the widened schema too
+    val lk = Cdc.lookupKeys(spark, store, keys, Seq(1L, 2L).toDF("k"), nBuckets).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(lk === Map(1L -> None, 2L -> Some("gold")))
+
+    // CDF feed across the evolution: pre-image predates the column → NULL
+    val u = Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+      .filter(col("k") === 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"), Option(r.getAs[String]("tier")))).toSet
+    assert(u === Set(("update_preimage", None), ("update_postimage", Some("gold"))))
+
+    // a later batch WITHOUT payloadCols binds to the EVOLVED schema
+    val b2 = Seq((3L, "b2", 33.0, "silver", 300L, "U"))
+      .toDF("k", "name", "bal", "tier", "seq", "op")
+    Cdc.processPartitionedBatch(b2, seed, keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 2L)
+    assert(Cdc.readPartitionedSnapshot(spark, store)
+      .filter(col("k") === 3L).head().getAs[String]("tier") === "silver")
+
+    // type change on a stored column: refused loudly, nothing committed
+    val bad = Seq((4L, "x", "NOT_A_NUMBER", "gold", 400L, "U"))
+      .toDF("k", "name", "bal", "tier", "seq", "op")
+    val e1 = intercept[IllegalArgumentException] {
+      Cdc.processPartitionedBatch(bad, seed, keys, Seq(col("seq")), col("op"),
+        store, nBuckets, 3L, payloadCols = Seq("k", "name", "bal", "tier"))
+    }
+    assert(e1.getMessage.contains("type change"))
+    // dropping a stored column: refused loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.processPartitionedBatch(evo, seed, keys, Seq(col("seq")), col("op"),
+        store, nBuckets, 3L, payloadCols = Seq("k", "bal", "tier"))
+    }
+    assert(e2.getMessage.contains("additive-only"))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L),
+      "a refused evolution must not commit a version")
+  }
+
   test("partitioned store: deleting every key of a bucket drops its manifest entry") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toString
     val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
