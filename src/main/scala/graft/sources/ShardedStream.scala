@@ -77,6 +77,33 @@ object ShardedStream {
     StructField("seq", LongType, nullable = false),
     StructField("payload", StringType, nullable = true)
   ))
+
+  /** RESHARD the stream: close every shard in `parents` and declare
+    * `children` as their successors (Kinesis split = 1 parent → 2
+    * children, merge = 2 parents → 1 child; both are this one operation).
+    * Writes the lineage markers the reader gates on: `_closed` in each
+    * parent dir (no more appends), `_parents` in each child dir naming
+    * the parents. Appends already written to a child before the reshard
+    * call are illegal (children BEGIN at the reshard), matching the
+    * service contract where children do not exist until the split. */
+  def reshard(root: String, parents: Seq[Int], children: Seq[Int]): Unit = {
+    require(parents.nonEmpty && children.nonEmpty, "reshard needs parents and children")
+    val spark = SparkSession.active
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parents.foreach { p =>
+      val dir = new Path(rootPath, s"shard=$p")
+      require(fs.exists(dir), s"cannot close absent shard $p")
+      fs.create(new Path(dir, "_closed"), true).close()
+    }
+    children.foreach { c =>
+      val dir = new Path(rootPath, s"shard=$c")
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, "_parents"), true)
+      try out.write(parents.sorted.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 }
 
 /** Directory-backed shard access. Planning needs per-file RECORD counts
@@ -138,6 +165,38 @@ private[sharded] object ShardBackend {
   /** Current high-water mark per shard (total records). */
   def latestSeqs(root: String): Map[Int, Long] =
     shardFiles(root).map { case (s, files) => s -> files.map(_._2).sum }
+
+  /** Reshard lineage markers (the DescribeStream view a service backend
+    * reports): which shards are CLOSED (`_closed` marker — no further
+    * appends) and each shard's declared PARENTS (`_parents` file — the
+    * shard is a reshard child and must not be consumed past its parents).
+    * One LIST per trigger, piggybacking the shard listing's scale. */
+  def lineage(root: String): (Map[Int, Seq[Int]], Set[Int]) = {
+    val spark = SparkSession.active
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return (Map.empty, Set.empty)
+    val dirs = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    val closed = dirs.collect {
+      case d if fs.exists(new Path(d.getPath, "_closed")) =>
+        d.getPath.getName.stripPrefix("shard=").toInt
+    }.toSet
+    val parents = dirs.flatMap { d =>
+      val pf = new Path(d.getPath, "_parents")
+      if (!fs.exists(pf)) None
+      else {
+        val in = fs.open(pf)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val ps = body.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        if (ps.isEmpty) None
+        else Some(d.getPath.getName.stripPrefix("shard=").toInt -> ps)
+      }
+    }.toMap
+    (parents, closed)
+  }
 }
 
 class ShardedTable(path: String)
@@ -240,13 +299,38 @@ class ShardedMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used (admission control)")
 
+  /** RESHARD GATE (split/merge lineage, the Kinesis parent-child
+    * contract): a child shard's records are not admitted until every
+    * parent is CLOSED and fully consumed at the current start offset —
+    * until then the child's admissible head is pinned at the consumer's
+    * own position. Because the gate opens only on a batch BOUNDARY (the
+    * batch that drains the parent commits its offset first; the next
+    * `latestOffset` sees the parent drained and unlocks the child), no
+    * micro-batch ever mixes a parent's tail with its children's heads —
+    * per-parent order is preserved across the reshard, and checkpoint
+    * resume needs nothing beyond the per-shard map (lineage is backend
+    * metadata, re-read each trigger, exactly like DescribeStream).
+    * A parent whose directory has been retention-expired counts as
+    * drained — its data is gone for every consumer, again the service
+    * behavior. Gating is transitive through generations: a grandchild's
+    * parent (the child) cannot itself be drained before ITS parents. */
+  private def gatedHead(from: Int => Long): Map[Int, Long] = {
+    val latest = head()
+    val (parents, closed) = ShardBackend.lineage(path)
+    def drained(s: Int): Boolean =
+      !latest.contains(s) || (closed.contains(s) && from(s) >= latest(s))
+    latest.map { case (s, h) =>
+      if (parents.getOrElse(s, Nil).forall(drained)) s -> h else s -> from(s)
+    }
+  }
+
   /** Admission-controlled head: cap total new records at the ReadLimit,
     * splitting the budget evenly across shards with a backlog (remainder
     * to the lowest shard ids — deterministic, so offset progression is
     * replayable from the checkpoint log). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from   = start.asInstanceOf[ShardedOffset].seqs.withDefaultValue(0L)
-    val head   = this.head()
+    val head   = gatedHead(from)
     val budget = limit match {
       case m: ReadMaxRows => m.maxRows()
       case _              => Long.MaxValue

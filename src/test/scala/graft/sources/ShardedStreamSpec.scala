@@ -102,6 +102,53 @@ class ShardedStreamSpec extends AnyFunSuite {
     assert(batches >= 3, s"expected >=3 micro-batches, saw $batches")
   }
 
+  test("reshard: children are admitted only after their parents drain; " +
+      "checkpoint resume crosses split AND merge exactly-once, per-parent order preserved") {
+    val root = Files.createTempDirectory("sharded_reshard")
+    val ckpt = Files.createTempDirectory("sharded_reshard_ckpt").toString
+    // Parent shard 0 with 3 records, then a SPLIT into children 1 and 2
+    // whose data already exists BEFORE the stream starts — the gate, not
+    // arrival time, must sequence parent before children.
+    writeShards(root, Map(0 -> Seq(Seq("p0", "p1", "p2"))))
+    graft.sources.sharded.ShardedStream.reshard(root.toString, Seq(0), Seq(1, 2))
+    writeShards(root, Map(1 -> Seq(Seq("c1a", "c1b")), 2 -> Seq(Seq("c2a"))))
+
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, Int, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("path", root.toString)
+        .option("maxRecordsPerTrigger", "2") // forces the boundary mid-run
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.synchronized {
+            seen ++= df.collect().map(r => (id, r.getInt(0), r.getString(2)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.map(_._3).sorted.toSeq === Seq("c1a", "c1b", "c2a", "p0", "p1", "p2"),
+      "reshard lost or duplicated records")
+    // per-parent order: every parent record's batch precedes every child's
+    val lastParentBatch = seen.filter(_._2 == 0).map(_._1).max
+    val firstChildBatch = seen.filter(_._2 != 0).map(_._1).min
+    assert(lastParentBatch < firstChildBatch,
+      s"a micro-batch mixed the parent's tail with child data: $seen")
+
+    // MERGE children 1+2 into shard 3, append, RESUME from the checkpoint
+    graft.sources.sharded.ShardedStream.reshard(root.toString, Seq(1, 2), Seq(3))
+    writeShards(root, Map(3 -> Seq(Seq("m0", "m1"))))
+    drain()
+    val all = seen.map(_._3).sorted.toSeq
+    assert(all === Seq("c1a", "c1b", "c2a", "m0", "m1", "p0", "p1", "p2"),
+      "resume across the merge re-read or dropped records")
+    assert(seen.filter(_._2 == 3).map(_._1).min > seen.filter(_._2 < 3).map(_._1).max,
+      "merge child admitted before both parents drained")
+  }
+
   test("stream composes with the decode pipeline (payload -> typed filter)") {
     val root = Files.createTempDirectory("sharded_compose")
     writeShards(root, Map(
