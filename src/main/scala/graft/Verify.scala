@@ -16,6 +16,23 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Cost-based optimization: only catalog tables with ANALYZE stats
+      // (tables/Warehouse.scala) are affected; path-based reads have no
+      // catalog stats and keep their size-based plans.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // One-file-per-bucket is guaranteed by the warehouse writer
+      // (repartition-by-bucket-hash before bucketBy), so the reader may
+      // trust per-file sortBy order and SMJ over co-bucketed twins skips
+      // its Sorts too (Spark 3+ keeps this behind the legacy flag after
+      // SPARK-28595 because generic writers can't promise 1 file/bucket).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Session artifacts (bucketed twins) are per-run: a FRESH warehouse
+      // dir per JVM, or saveAsTable collides with a previous run's orphan
+      // location (catalog is in-memory, the default ./spark-warehouse is
+      // not).
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

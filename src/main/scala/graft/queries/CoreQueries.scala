@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{AsOfJoin, Cdc, SkewJoin}
-import graft.tables.Tables
+import graft.tables.{Tables, Warehouse}
 
 /** Relational core (SURVEY.md §2.C C1–C32): the verification surface the
   * DuckDB oracle hash-compares. Everything is declarative DataFrame API so
@@ -62,7 +62,14 @@ object CoreQueries {
 
   /** Bench hook: build the session artifacts up front so their cost lands
     * in `artifact_build_sec`, not inside the first serving query. */
-  def prebuildArtifacts(s: SparkSession, sf: String): Unit = { cdcStoreFor(s, sf); () }
+  def prebuildArtifacts(s: SparkSession, sf: String): Unit = {
+    cdcStoreFor(s, sf)
+    // Bucketed fact-table twins + catalog statistics (the repeated-join
+    // artifact): written once per corpus in production, so the c03/c37
+    // serving queries measure the exchange-free join, not the write.
+    Warehouse.analyze(s, sf)
+    ()
+  }
 
   private def buildCdcStore(s: SparkSession, sf: String): String = {
     val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
@@ -134,6 +141,28 @@ object CoreQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
         .orderBy("c_mktsegment")),
+
+    // C3 (bucketed-artifact path): the SAME join as c03_join_inner, but
+    // over the warehouse's bucketed twins (`bucketBy(16, orderkey)` +
+    // `sortBy`, one file per bucket — tables/Warehouse.scala). The scan
+    // itself reports HashPartitioning on the join key and per-file sort
+    // order, so the SortMergeJoin needs ZERO Exchange and ZERO Sort on
+    // either side (PlanSpec pins both). This is the 100 TB repeated-join
+    // lever: a fact table joined on the same key by many queries a day
+    // pays its shuffle ONCE, at write time. `hint("merge")` pins SMJ so
+    // the tiny sf fixtures can't broadcast away the very plan shape this
+    // query exists to serve; at real scale neither side is broadcastable
+    // and SMJ is what Catalyst picks anyway. Oracle = the plain
+    // c03_join_inner SQL: bucketing must be layout-only, row-identical.
+    "c03_join_bucketed" -> ((s, sf) => {
+      val (ord, li) = Warehouse.bucketedPair(s, sf)
+      s.table(ord)
+        .hint("merge")
+        .join(s.table(li), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
 
     // C4: left outer join, preserving order-less customers.
     "c04_join_left" -> ((s, sf) =>
@@ -1666,6 +1695,29 @@ object CoreQueries {
              ) AS (column_name, n, n_null, ndv, min_val, max_val)""")
         .orderBy("column_name")),
 
+    // C37b: the ANALYZE profile WIRED INTO the optimizer — the catalog
+    // twins carry real rowCount/NDV/min-max column statistics
+    // (Warehouse.analyze pushes `ANALYZE TABLE ... FOR COLUMNS` into the
+    // session catalog), so `optimizedPlan.stats` costs this 3-table chain
+    // on cardinalities instead of raw file sizes and CostBasedJoinReorder
+    // can re-parenthesize it (PlanSpec pins the before/after reorder).
+    // The query is deliberately WRITTEN in the worst order — the two fact
+    // tables first, the selective customer filter last — because at
+    // 100 TB nobody hand-orders every join; the optimizer must. Oracle =
+    // the same 3-table join in SQL (DuckDB reorders on its own stats):
+    // stats must be plan-only, row-identical.
+    "c37_cbo_reorder" -> ((s, sf) => {
+      val (ord, li, cust) = Warehouse.analyze(s, sf)
+      s.table(li)
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(
+          s.table(cust).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // C38: CDC upsert apply (operators/Cdc.scala) — MERGE INTO as a batch
     // operator. Changelog synthesized deterministically from orders (key =
     // o_custkey, recency = (o_orderdate, o_orderkey), op = D on every 10th
@@ -1811,6 +1863,12 @@ object CoreQueries {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // Bucketing is layout-only: the oracle is the PLAIN inner-join SQL.
+    "c03_join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "c04_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS order_cnt,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
@@ -2522,6 +2580,15 @@ object CoreQueries {
          UNION ALL
          SELECT 'l_tax', n, CAST(null_t AS BIGINT), CAST(ndv_t AS BIGINT), min_t, max_t FROM agg
          ORDER BY column_name""",
+    // Catalog stats are plan-only: the oracle is the plain 3-table join.
+    "c37_cbo_reorder" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "c38_cdc_apply" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

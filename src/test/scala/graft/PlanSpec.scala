@@ -489,4 +489,60 @@ class PlanSpec extends AnyFunSuite {
     val dist = planOf("c15_window_dist")
     assert(!dist.contains("Join"), dist.take(2000))
   }
+
+  test("c03_bucketed: co-bucketed fact join needs ZERO Exchange and ZERO Sort") {
+    import org.apache.spark.sql.functions.col
+    val (ord, li) = graft.tables.Warehouse.bucketedPair(spark, sf)
+    // The raw join (before the aggregate adds its own group-by exchange):
+    // both scans report HashPartitioning(orderkey, 16) + per-file sort
+    // order (one file per bucket), so SMJ plans with no shuffle and no
+    // sort on EITHER side — the write paid them once, for every future
+    // join on this key.
+    val j = spark
+      .table(ord)
+      .hint("merge")
+      .join(spark.table(li), col("o_orderkey") === col("l_orderkey"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange"), s"bucketed join shuffled:\n${p.take(2500)}")
+    assert(!p.contains("Sort ["), s"bucketed join re-sorted (bucket sort order not trusted):\n${p.take(2500)}")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n${p.take(2500)}")
+    // The registered query's only exchanges are its OWN aggregate +
+    // order-by — none on the join key.
+    val full = planOf("c03_join_bucketed")
+    val joinKeyExchanges = full.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("o_orderkey") || l.contains("l_orderkey"))).toList
+    assert(joinKeyExchanges.isEmpty, s"join-key shuffle crept back:\n$joinKeyExchanges")
+  }
+
+  test("c37: catalog ANALYZE stats reach the optimizer and flip the join order") {
+    import org.apache.spark.sql.functions.col
+    val (ord, li, cust) = graft.tables.Warehouse.analyze(spark, sf)
+    // Stats are visible: rowCount on the analyzed table is the real one.
+    val liRows = spark.table(li).queryExecution.optimizedPlan.stats.rowCount
+    assert(liRows.isDefined && liRows.get.toLong > 0, s"no rowCount stats on $li")
+    def optimizedJoinTree(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      try {
+        // Deliberately worst written order: fact ⋈ fact first, the
+        // selective dimension filter last.
+        spark
+          .table(li)
+          .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(
+            spark.table(cust).filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .queryExecution.optimizedPlan.toString
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      }
+    }
+    val before = optimizedJoinTree(cbo = false)
+    val after  = optimizedJoinTree(cbo = true)
+    assert(before != after,
+      s"CostBasedJoinReorder left the worst-order 3-table join untouched:\n${after.take(2500)}")
+  }
 }

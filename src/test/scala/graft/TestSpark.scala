@@ -13,6 +13,17 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CBO on, like Verify/Bench: catalog tables carry ANALYZE stats
+      // (tables/Warehouse.scala); path-based parquet reads have none, so
+      // for them this is a no-op and plans stay as asserted below.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // One-file-per-bucket is guaranteed by the warehouse writer
+      // (repartition-by-bucket-hash before bucketBy), so the reader may
+      // trust per-file sortBy order and SMJ over co-bucketed twins skips
+      // its Sorts too (Spark 3+ keeps this behind the legacy flag after
+      // SPARK-28595 because generic writers can't promise 1 file/bucket).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config(
         "spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString
