@@ -61,6 +61,10 @@ object Bench {
       // not).
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_warehouse").toString)
+      // The engine's own V2 catalog: partitioned CDC stores served as
+      // bucket-reporting tables (storage-partitioned joins; sources/cdc)
+      .config("spark.sql.catalog.graft", "graft.sources.cdc.CdcCatalog")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

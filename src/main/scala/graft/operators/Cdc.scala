@@ -426,6 +426,33 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] =
     committedVersions(spark, manifestPath(storePath))
 
+  /** The serving layout of `version` (default: newest committed) for
+    * EXTERNAL readers — the DSv2 catalog table (sources/cdc) plans its
+    * bucket-aligned scan from this: resolved version, payload schema the
+    * version recorded (file-derived for pre-evolution stores), and the
+    * bucket → parts-directory map the manifest names. */
+  def servingLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): (Long, org.apache.spark.sql.types.StructType, Map[Int, String]) = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    val manifest = readManifest(spark, storePath, v)
+    val schema = storedSchema(spark, storePath, v).getOrElse {
+      if (manifest.isEmpty)
+        throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
+      readPartitionedSnapshot(spark, storePath, Some(v)).schema
+    }
+    val dirs = manifest.map { case (p, w) =>
+      p -> s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    }
+    (v, schema, dirs)
+  }
+
   /** POINT LOOKUP against the partition-scoped store: serve the rows for
     * a bounded set of keys reading ONLY the buckets those keys hash to —
     * the O(|keys|/n · store) read path a keyed snapshot store owes its

@@ -1,0 +1,203 @@
+package graft.sources.cdc
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Cdc
+
+/** A DSv2 `TableCatalog` + `FunctionCatalog` serving partitioned CDC
+  * stores ([[graft.operators.Cdc]]) as catalog tables that REPORT their
+  * bucket layout to Catalyst — the storage-partitioned-join (SPJ)
+  * contract Iceberg bucket-partitioned tables speak.
+  *
+  * Why this exists (the 100 TB serve-side story): the store's maintenance
+  * side already writes bucket-scoped files (hash(merge key) mod n). A
+  * consumer joining two stores keyed the same way — account state ⋈
+  * activity rollup, snapshot ⋈ snapshot-at-v for drift — should NOT
+  * shuffle either side: the layout already co-locates matching keys.
+  * Reporting `KeyGroupedPartitioning(bucket(n, keys), n)` from the scan
+  * (plus a `FunctionCatalog` resolving the bucket transform, plus one
+  * `HasPartitionKey` input partition per bucket) lets Spark plan the join
+  * with ZERO Exchange under `spark.sql.sources.v2.bucketing.enabled` —
+  * the V2 mirror of the warehouse's `bucketBy` twins, for data that lives
+  * in the engine's own store format rather than the session catalog.
+  *
+  * Registration is programmatic (the stores are session artifacts, not
+  * metastore rows): `CdcCatalog.register(name, storePath, keys, nBuckets)`
+  * then `spark.table("graft.name")` after configuring
+  * `spark.sql.catalog.graft = graft.sources.cdc.CdcCatalog`. A `version`
+  * pin serves a historical snapshot (time travel); default is the newest
+  * committed version, re-resolved every time the table is loaded, so a
+  * long-lived session always serves the latest commit.
+  *
+  * Each scan partition is ONE bucket (every bucket 0..n-1 emits a
+  * partition — absent manifest entries read zero rows — so both sides of
+  * a join always present identical partition-key sets and Spark never
+  * needs to fill gaps). Supported payload types are the store fixtures'
+  * primitive set (long/int/double/float/string/boolean/date); anything
+  * else is refused at load time with a clear message rather than
+  * mis-decoded at read time.
+  */
+object CdcCatalog {
+
+  /** One registered store: where it lives, how it buckets, which version
+    * to serve (None = newest committed at load time). */
+  case class StoreDef(
+      storePath: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      version: Option[Long] = None)
+
+  // JVM-wide registry (the catalog instance is constructed reflectively
+  // by Spark per session; definitions are process state like the
+  // session-artifact caches in CoreQueries/LlmQueries)
+  private val registry = TrieMap.empty[String, StoreDef]
+
+  def register(
+      name: String,
+      storePath: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      version: Option[Long] = None): Unit = {
+    require(keys.nonEmpty, "a CDC store table needs at least one merge key")
+    require(nBuckets > 0, "nBuckets must be positive")
+    registry.put(name, StoreDef(storePath, keys, nBuckets, version))
+  }
+
+  def unregister(name: String): Unit = registry.remove(name)
+
+  private[cdc] def lookup(name: String): Option[StoreDef] = registry.get(name)
+  private[cdc] def names: Seq[String] = registry.keys.toSeq.sorted
+
+  private[cdc] val SupportedTypes: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, StringType, BooleanType, DateType)
+}
+
+class CdcCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    CdcCatalog.names.map(n => Identifier.of(Array.empty[String], n)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    CdcCatalog.lookup(ident.name).fold[Table](throw new NoSuchTableException(ident)) {
+      d => new CdcStoreTable(s"$catalogName.${ident.name}", d)
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    CdcCatalog.lookup(ident.name).isDefined
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "CDC store tables are registered via CdcCatalog.register, written via Cdc.processPartitionedBatch")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER is the maintenance side's job (payloadCols evolution)")
+  override def dropTable(ident: Identifier): Boolean = {
+    val known = CdcCatalog.lookup(ident.name).isDefined
+    CdcCatalog.unregister(ident.name) // deregisters only; files stay (vacuum owns deletion)
+    known
+  }
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename by re-registering under the new name")
+
+  // FunctionCatalog: the bucket transform's function, so Catalyst can
+  // convert the reported `bucket(n, keys)` transform into a
+  // TransformExpression and prove two scans co-partitioned.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") CdcBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The store's bucket function as a V2 catalog function:
+  * `pmod(xxhash64(keys), n)` — EXACTLY [[Cdc.bucketExpr]], evaluated
+  * through the same Catalyst `XxHash64` so the two can never drift.
+  * `canonicalName` is what Spark compares to prove two scans use the
+  * same partition function. */
+object CdcBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(nBuckets, keys...): pmod(xxhash64(keys), nBuckets) — the CDC store layout hash"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(
+      inputType.fields.nonEmpty && inputType.fields.head.dataType == IntegerType,
+      s"bucket expects (int nBuckets, keys...), got ${inputType.catalogString}")
+    new CdcBucketBound(inputType.fields.drop(1).map(_.dataType))
+  }
+}
+
+class CdcBucketBound(keyTypes: Array[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.cdc.bucket"
+  override def isResultNullable(): Boolean = false
+
+  // the store's own hash, via the same Catalyst expression bucketExpr
+  // compiles to — input field 0 is nBuckets, keys start at 1
+  @transient private lazy val hash = XxHash64(
+    keyTypes.zipWithIndex.map { case (t, i) =>
+      BoundReference(i + 1, t, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+    }.toIndexedSeq,
+    42L) // the xxhash64 SQL function's fixed seed — bucketExpr's exact hash
+
+  override def produceResult(input: InternalRow): Integer = {
+    val h = hash.eval(input).asInstanceOf[Long]
+    val n = input.getInt(0)
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+}
+
+/** One registered CDC store, served at its resolved version. The layout
+  * (version, recorded payload schema, bucket → directory map) is resolved
+  * once per `loadTable` on the driver from nBuckets-bounded metadata. */
+class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability._
+
+  private[cdc] val (servedVersion, payloadSchema, bucketDirs) =
+    Cdc.servingLayout(SparkSession.active, d.storePath, d.version)
+
+  {
+    val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
+    require(bad.isEmpty,
+      s"unsupported payload types in $tableName: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        s" (supported: long/int/double/float/string/boolean/date)")
+    val missing = d.keys.filterNot(payloadSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"merge keys absent from $tableName payload schema: ${missing.mkString(", ")}")
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = payloadSchema
+  override def capabilities(): util.Set[TableCapability] = Set(BATCH_READ).asJava
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(d.nBuckets, d.keys: _*))
+  override def properties(): util.Map[String, String] =
+    Map("version" -> servedVersion.toString, "path" -> d.storePath).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    new CdcScanBuilder(this, d)
+}

@@ -516,6 +516,19 @@ class PlanSpec extends AnyFunSuite {
     assert(joinKeyExchanges.isEmpty, s"join-key shuffle crept back:\n$joinKeyExchanges")
   }
 
+  test("c38_spj: the bucket-aligned store join plans with ZERO exchange on the join key") {
+    // Both DSv2 scans report KeyGroupedPartitioning(bucket(16, key)), so
+    // the store⋈store join needs no shuffle on EITHER side; the only
+    // exchange in the registered query is its own group-by/order-by.
+    val full = planOf("c38_cdc_spj")
+    assert(full.contains("BatchScan"), full.take(2000))
+    val joinKeyExchanges = full.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("c_custkey") || l.contains("o_custkey"))).toList
+    assert(joinKeyExchanges.isEmpty,
+      s"storage-partitioned join shuffled on the key:\n$joinKeyExchanges")
+  }
+
   test("c37: catalog ANALYZE stats reach the optimizer and flip the join order") {
     import org.apache.spark.sql.functions.col
     val (ord, li, cust) = graft.tables.Warehouse.analyze(spark, sf)

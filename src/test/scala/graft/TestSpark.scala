@@ -28,6 +28,10 @@ object TestSpark {
         "spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString
       )
+      // The engine's own V2 catalog: partitioned CDC stores served as
+      // bucket-reporting tables (storage-partitioned joins; sources/cdc)
+      .config("spark.sql.catalog.graft", "graft.sources.cdc.CdcCatalog")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,138 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Cdc
+
+/** Laws for the DSv2 CDC-store catalog (sources/cdc):
+  *  - a registered table serves exactly readPartitionedSnapshot (latest
+  *    and version-pinned), through an additive schema evolution;
+  *  - column pruning reaches the parquet read (scan readSchema shrinks);
+  *  - the scan reports its bucket layout: joining two stores keyed and
+  *    bucketed alike plans with ZERO Exchange (storage-partitioned join)
+  *    and returns the same rows as the shuffled plan with V2 bucketing
+  *    disabled;
+  *  - bucket identity: every served row's key hashes to the bucket of
+  *    the partition that produced it (the function catalog's bucket()
+  *    IS the store's layout hash).
+  */
+class CdcCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val nBuckets = 8
+
+  private def log(rows: (Long, String, Double, Long, String)*): DataFrame =
+    rows.toDF("k", "name", "bal", "seq", "op")
+
+  /** Two-batch store over a 40-key seed; returns its path. */
+  private def buildStore(tag: String, seedRows: Seq[(Long, String, Double)]): String = {
+    val store = java.nio.file.Files.createTempDirectory(s"graft_cat_$tag").toString
+    val seed = seedRows.toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      log((1L, "b0", 10.0, 100L, "U"), (39L, "gone", 0.0, 101L, "D")),
+      seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    Cdc.processPartitionedBatch(
+      log((2L, "b1", 22.0, 200L, "U"), (41L, "new", 41.0, 201L, "I")),
+      seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 1L)
+    store
+  }
+
+  private def seed40(tag: String): Seq[(Long, String, Double)] =
+    (1L to 40L).map(k => (k, s"$tag$k", k * 1.0))
+
+  private def collectRows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "name", "bal").as[(Long, String, Double)].collect().toSet
+
+  test("catalog table serves the snapshot — latest, version-pinned, and post-evolution") {
+    val store = buildStore("serve", seed40("s"))
+    CdcCatalog.register("cat_serve", store, keys, nBuckets)
+    CdcCatalog.register("cat_serve_v0", store, keys, nBuckets, version = Some(0L))
+
+    assert(collectRows(spark.table("graft.cat_serve")) ===
+      collectRows(Cdc.readPartitionedSnapshot(spark, store)))
+    assert(collectRows(spark.table("graft.cat_serve_v0")) ===
+      collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(0L))))
+
+    // additive evolution: batch 2 adds `tier`; the catalog table serves
+    // the widened schema with NULLs for pre-evolution rows
+    val evo = Seq((3L, "b2", 33.0, "gold", 300L, "U"))
+      .toDF("k", "name", "bal", "tier", "seq", "op")
+    Cdc.processPartitionedBatch(evo, seed40("s").toDF("k", "name", "bal"), keys,
+      Seq(col("seq")), col("op"), store, nBuckets, 2L,
+      payloadCols = Seq("k", "name", "bal", "tier"))
+    val served = spark.table("graft.cat_serve") // re-resolves to v2
+    assert(served.columns.toSeq === Seq("k", "name", "bal", "tier"))
+    val tiers = served.select("k", "tier").as[(Long, Option[String])].collect().toMap
+    assert(tiers(3L) === Some("gold"))
+    assert(tiers(2L) === None, "pre-evolution row must serve NULL for the added column")
+    CdcCatalog.unregister("cat_serve"); CdcCatalog.unregister("cat_serve_v0")
+  }
+
+  test("column pruning reaches the scan; bucket identity holds for every served row") {
+    val store = buildStore("prune", seed40("p"))
+    CdcCatalog.register("cat_prune", store, keys, nBuckets)
+    val df = spark.table("graft.cat_prune").select("k", "bal")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("k", "bal"),
+      s"projection not pushed: ${scans.head.scan.readSchema()}")
+    assert(df.count() === 40)
+
+    // every row arrives from the partition whose bucket its key hashes to
+    val withBucket = spark.table("graft.cat_prune")
+      .select(col("k"), spark_partition_id().as("pid"),
+        Cdc.bucketExpr(keys, nBuckets).as("b"))
+      .as[(Long, Int, Int)].collect()
+    // partition ids follow planInputPartitions order: pid == bucket
+    withBucket.foreach { case (k, pid, b) =>
+      assert(pid === b, s"key $k served from partition $pid but hashes to bucket $b")
+    }
+    CdcCatalog.unregister("cat_prune")
+  }
+
+  test("storage-partitioned join: two aligned stores join with ZERO exchange, " +
+      "rows identical to the shuffled plan") {
+    val storeA = buildStore("spjA", seed40("a"))
+    val storeB = buildStore("spjB", seed40("b"))
+    CdcCatalog.register("cat_spj_a", storeA, keys, nBuckets)
+    CdcCatalog.register("cat_spj_b", storeB, keys, nBuckets)
+
+    def joined(): DataFrame = spark.table("graft.cat_spj_a").as("a")
+      .join(spark.table("graft.cat_spj_b").as("b"), "k")
+      .select(col("k"), col("a.name").as("an"), col("b.name").as("bn"),
+        (col("a.bal") + col("b.bal")).as("tot"))
+
+    val spj = joined()
+    val rows = spj.as[(Long, String, String, Double)].collect().toSet
+    val plan = spj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"SPJ shuffled:\n${plan.take(2500)}")
+
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = joined()
+      val shuffledPlan = shuffled.queryExecution.executedPlan.toString
+      assert(shuffledPlan.contains("Exchange"),
+        s"control plan unexpectedly exchange-free:\n${shuffledPlan.take(2000)}")
+      assert(shuffled.as[(Long, String, String, Double)].collect().toSet === rows,
+        "SPJ changed the join result")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+    CdcCatalog.unregister("cat_spj_a"); CdcCatalog.unregister("cat_spj_b")
+  }
+
+  test("unknown table and non-additive surface fail loudly") {
+    intercept[Exception] { spark.table("graft.no_such_store").collect() }
+    val store = buildStore("guard", seed40("g"))
+    CdcCatalog.register("cat_guard_badkey", store, Seq("nope"), nBuckets)
+    val e = intercept[Exception] { spark.table("graft.cat_guard_badkey").collect() }
+    assert(e.getMessage.contains("merge keys absent") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge keys absent")))
+    CdcCatalog.unregister("cat_guard_badkey")
+  }
+}
