@@ -44,11 +44,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Cost-based optimization: only catalog tables with ANALYZE stats
-      // (tables/Warehouse.scala) are affected; path-based reads have no
-      // catalog stats and keep their size-based plans.
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // One-file-per-bucket is guaranteed by the warehouse writer
       // (repartition-by-bucket-hash before bucketBy), so the reader may
       // trust per-file sortBy order and SMJ over co-bucketed twins skips

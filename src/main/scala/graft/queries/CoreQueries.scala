@@ -1749,10 +1749,20 @@ object CoreQueries {
     // stats must be plan-only, row-identical.
     "c37_cbo_reorder" -> ((s, sf) => {
       val (ord, li, cust) = Warehouse.analyze(s, sf)
-      s.table(li)
-        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      // CBO in an ISOLATED child session: newSession() shares the
+      // SparkContext, cache, and the external catalog (so the bucketed
+      // twins and their ANALYZE stats are visible) but NOT the SQL conf —
+      // the reorder demo pays the cost-estimation planning tax here
+      // alone. Globally-enabled CBO was measured to slow EVERY query's
+      // planning ~15-20% (BasicStatsPlanVisitor walks each plan) while
+      // benefiting only this one, so the flag is scoped, not global.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.table(li)
+        .join(s2.table(ord), col("l_orderkey") === col("o_orderkey"))
         .join(
-          s.table(cust).filter(col("c_mktsegment") === "BUILDING"),
+          s2.table(cust).filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
@@ -1866,7 +1876,13 @@ object CoreQueries {
     // row-identical to the plain recompute.
     "c38_cdc_spj" -> ((s, sf) => {
       val (stateTbl, activityTbl) = spjTablesFor(s, sf)
+      // hint("merge") pins SMJ: the scans report REAL sizes, so the tiny
+      // sf fixtures would broadcast away the very exchange-free shape
+      // this query serves; at store scale neither side broadcasts and
+      // SMJ-over-KeyGroupedPartitioning is what Catalyst picks anyway
+      // (same discipline as c03_join_bucketed).
       s.table(stateTbl)
+        .hint("merge")
         .join(s.table(activityTbl), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -1874,6 +1890,19 @@ object CoreQueries {
           dsum(col("total_spend")).as("spend"),
           dsum(col("c_acctbal")).as("bal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // C38 (catalog point lookup): the same bounded panel as
+    // c38_cdc_lookup, but THROUGH the catalog table — the IN panel
+    // pushes into the V2 scan, hashes driver-side through the store's
+    // own bucket function, and the scan plans ONLY the panel's buckets
+    // (CdcCatalogSpec pins partitions-scanned; Spark still re-evaluates
+    // the filter, so pruning is layout advice, never correctness).
+    "c38_cdc_cat_lookup" -> ((s, sf) => {
+      val (stateTbl, _) = spjTablesFor(s, sf)
+      s.table(stateTbl)
+        .filter(col("c_custkey").isin((1L to 200L by 7): _*))
+        .orderBy("c_custkey")
     }),
 
     "c36_recursive_cte" -> ((s, sf) =>
@@ -2874,6 +2903,37 @@ object CoreQueries {
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
          FROM state JOIN activity ON c_custkey = o_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // same MERGE replay as c38_cdc_lookup — the catalog read path and
+    // its bucket pruning must be row-identical to the plain recompute
+    "c38_cdc_cat_lookup" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'
+         )
+         SELECT * FROM merged
+         WHERE c_custkey IN (SELECT i FROM generate_series(1, 200, 7) AS t(i))
+         ORDER BY c_custkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

@@ -1,5 +1,7 @@
 package graft.sources.cdc
 
+import java.util.OptionalLong
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -9,13 +11,15 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Column-pruning scan over a CDC store's bucket directories.
+/** Column-pruning, bucket-pruning scan over a CDC store's directories.
   *
   * Scale shape: planning is nBuckets-bounded driver metadata (the
   * manifest's bucket → dir map came with the table; one LIST per
@@ -23,21 +27,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * carrying `HasPartitionKey` = its bucket id, and the scan reports
   * `KeyGroupedPartitioning(bucket(n, keys), n)` — together these are
   * what lets Spark prove two store scans co-partitioned and plan their
-  * join with no Exchange (storage-partitioned join). Every bucket 0..n-1
-  * emits a partition, empty ones included, so both sides of a join
-  * always expose identical partition-key sets.
+  * join with no Exchange (storage-partitioned join). An unfiltered scan
+  * emits every bucket 0..n-1, empty ones included, so both sides of a
+  * join always expose identical partition-key sets.
   *
-  * The read itself is plain parquet via parquet-hadoop's Group API with
-  * the projection pushed into `parquet.read.schema` (only requested
-  * columns are materialized). The projection is clipped per file against
-  * the file's own schema, so buckets carried by reference across an
-  * ADDITIVE schema evolution serve typed NULLs for columns their files
-  * predate — the same contract as [[graft.operators.Cdc.servingLayout]]'s
-  * DataFrame readers. */
+  * Pushdown, both kinds:
+  *  - COLUMNS ride `parquet.read.schema` — only requested columns are
+  *    materialized. The projection is clipped per file against the
+  *    file's own schema, so buckets carried by reference across an
+  *    ADDITIVE schema evolution serve typed NULLs for columns their
+  *    files predate (the same contract as
+  *    [[graft.operators.Cdc.servingLayout]]'s DataFrame readers).
+  *  - FILTERS that pin the merge key prune BUCKETS: an `=` conjunct on
+  *    every key (or a bounded `IN` panel on a single-key store) hashes
+  *    its literals through the store's own bucket function driver-side
+  *    and the scan plans ONLY those buckets' partitions — the catalog
+  *    twin of [[graft.operators.Cdc.lookupKeys]]'s pruned point reads.
+  *    Spark re-evaluates every pushed filter on the returned rows, so
+  *    pruning is layout advice, never a correctness dependency.
+  *
+  * The scan also reports its size ([[SupportsReportStatistics]]: the
+  * pruned file bytes), so join planning sees real sizes — a
+  * dimension-sized store broadcasts, store-scale sides keep the SPJ
+  * shape. */
 class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+  private var prunedBuckets: Option[Set[Int]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve payload field order; an empty projection (count(*)) keeps
@@ -45,18 +65,64 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     required = StructType(table.schema().fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = {
-    // resolve each non-empty bucket's file list now, on the driver
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files: Map[Int, Array[String]] = table.bucketDirs.map { case (b, dir) =>
-      val p = new Path(dir)
-      val fs = p.getFileSystem(conf)
-      b -> fs.listStatus(p)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
-        .sorted
+  /** Bounded IN panels only: a million-value IN is a join in disguise —
+    * the driver must not hash data-sized literal lists. */
+  private val MaxInPanel = 1024
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val keyTypes = d.keys.map(k => table.schema()(k).dataType)
+    def bucketOf(values: Seq[Any]): Int = {
+      val h = XxHash64(
+        values.zip(keyTypes).map { case (v, t) => Literal.create(v, t) }, 42L)
+        .eval(null).asInstanceOf[Long]
+      val m = h % d.nBuckets
+      (if (m < 0) m + d.nBuckets else m).toInt
     }
-    new CdcScan(table.name(), required, d.keys, d.nBuckets, files)
+    // per-key literal value panel from `=` / null-safe `=` / IN
+    // (several conjuncts on one key → the tightest panel wins)
+    val panels: Map[String, Seq[Any]] = filters.toSeq.collect {
+      case EqualTo(a, v) if d.keys.contains(a) && v != null       => a -> Seq(v)
+      case EqualNullSafe(a, v) if d.keys.contains(a) && v != null => a -> Seq(v)
+      case In(a, vs) if d.keys.contains(a) && vs.nonEmpty &&
+        vs.length <= MaxInPanel && !vs.contains(null)             => a -> vs.toSeq
+    }.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).minBy(_.length) }
+    if (d.keys.forall(panels.contains)) {
+      // cross product of per-key panels (bounded: singletons except IN)
+      val combos = d.keys.foldLeft(Seq(Seq.empty[Any])) { (acc, k) =>
+        acc.flatMap(prefix => panels(k).map(v => prefix :+ v))
+      }
+      if (combos.length <= MaxInPanel) {
+        prunedBuckets = Some(combos.map(bucketOf).toSet)
+        pushed = filters.filter {
+          case EqualTo(a, _) => d.keys.contains(a)
+          case EqualNullSafe(a, _) => d.keys.contains(a)
+          case In(a, _) => d.keys.contains(a)
+          case _ => false
+        }
+      }
+    }
+    filters // Spark re-evaluates everything; pruning is layout advice
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // resolve each surviving bucket's file list now, on the driver
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files: Map[Int, Array[(String, Long)]] = table.bucketDirs
+      .filter { case (b, _) => prunedBuckets.forall(_.contains(b)) }
+      .map { case (b, dir) =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(conf)
+        b -> fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => s.getPath.toString -> s.getLen)
+          .sortBy(_._1)
+      }
+    val buckets = prunedBuckets
+      .map(_.toSeq.sorted)
+      .getOrElse(0 until d.nBuckets)
+    new CdcScan(table.name(), required, d.keys, d.nBuckets, buckets, files)
   }
 }
 
@@ -65,21 +131,33 @@ class CdcScan(
     requiredSchema: StructType,
     keys: Seq[String],
     nBuckets: Int,
-    filesByBucket: Map[Int, Array[String]])
-    extends Scan with Batch with SupportsReportPartitioning {
+    buckets: Seq[Int],
+    filesByBucket: Map[Int, Array[(String, Long)]])
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"$tableName buckets=$nBuckets cols=${requiredSchema.fieldNames.mkString(",")}"
+    s"$tableName buckets=${buckets.length}/$nBuckets cols=${requiredSchema.fieldNames.mkString(",")}"
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keys: _*)), nBuckets)
+    new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keys: _*)), buckets.length)
 
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until nBuckets).map { b =>
-      CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty))
+    buckets.map { b =>
+      CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1))
     }.toArray[InputPartition]
+
+  /** Real sizes for the planner: the PRUNED byte count, so a
+    * dimension-sized (or heavily pruned) store side can broadcast while
+    * store-scale sides keep the exchange-free SPJ shape. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(requiredSchema)

@@ -533,7 +533,17 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val (ord, li, cust) = graft.tables.Warehouse.analyze(spark, sf)
     // Stats are visible: rowCount on the analyzed table is the real one.
-    val liRows = spark.table(li).queryExecution.optimizedPlan.stats.rowCount
+    // (rowCount only rides plan stats under CBO — like the registered
+    // query, which runs in its own CBO-on child session.)
+    // A bare `.stats` read resolves SQLConf from the ACTIVE session (the
+    // execution paths run under withActive, so the registered query
+    // doesn't need this dance — only this direct plan poke does).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    val liRows =
+      try s2.table(li).queryExecution.optimizedPlan.stats.rowCount
+      finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
     assert(liRows.isDefined && liRows.get.toLong > 0, s"no rowCount stats on $li")
     def optimizedJoinTree(cbo: Boolean): String = {
       spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
@@ -549,8 +559,10 @@ class PlanSpec extends AnyFunSuite {
             col("o_custkey") === col("c_custkey"))
           .queryExecution.optimizedPlan.toString
       } finally {
-        spark.conf.set("spark.sql.cbo.enabled", "true")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        // restore the session default (CBO is scoped to c37's isolated
+        // child session, never global — see CoreQueries.c37_cbo_reorder)
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
       }
     }
     val before = optimizedJoinTree(cbo = false)

@@ -13,11 +13,6 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // CBO on, like Verify/Bench: catalog tables carry ANALYZE stats
-      // (tables/Warehouse.scala); path-based parquet reads have none, so
-      // for them this is a no-op and plans stay as asserted below.
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // One-file-per-bucket is guaranteed by the warehouse writer
       // (repartition-by-bucket-hash before bucketBy), so the reader may
       // trust per-file sortBy order and SMJ over co-bucketed twins skips

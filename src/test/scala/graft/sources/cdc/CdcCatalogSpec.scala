@@ -103,7 +103,11 @@ class CdcCatalogSpec extends AnyFunSuite {
     CdcCatalog.register("cat_spj_a", storeA, keys, nBuckets)
     CdcCatalog.register("cat_spj_b", storeB, keys, nBuckets)
 
+    // hint("merge"): scans report real (tiny) sizes, so without it the
+    // fixture-scale store broadcasts — the hint pins the SMJ shape whose
+    // exchange-freeness this law exists to assert
     def joined(): DataFrame = spark.table("graft.cat_spj_a").as("a")
+      .hint("merge")
       .join(spark.table("graft.cat_spj_b").as("b"), "k")
       .select(col("k"), col("a.name").as("an"), col("b.name").as("bn"),
         (col("a.bal") + col("b.bal")).as("tot"))
@@ -124,6 +128,61 @@ class CdcCatalogSpec extends AnyFunSuite {
         "SPJ changed the join result")
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
     CdcCatalog.unregister("cat_spj_a"); CdcCatalog.unregister("cat_spj_b")
+  }
+
+  private def scannedBuckets(df: DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec =>
+      b.partitions.flatten.collect { case p: CdcBucketPartition => p.bucket }
+    }.flatten
+
+  test("key filters prune buckets; non-key filters scan everything; rows stay exact") {
+    val store = buildStore("bprune", seed40("q"))
+    CdcCatalog.register("cat_bprune", store, keys, nBuckets)
+    val t = spark.table("graft.cat_bprune")
+
+    def bucketOf(k: Long): Int =
+      Seq(k).toDF("k").select(Cdc.bucketExpr(keys, nBuckets)).as[Int].head()
+
+    // point equality → exactly the key's bucket, and only its rows
+    val eq = t.filter(col("k") === 7L)
+    assert(scannedBuckets(eq) === Seq(bucketOf(7L)))
+    assert(collectRows(eq) === Set((7L, "q7", 7.0)))
+
+    // bounded IN panel → the union of the panel's buckets
+    val panel = Seq(3L, 7L, 21L)
+    val in = t.filter(col("k").isin(panel: _*))
+    assert(scannedBuckets(in).toSet === panel.map(bucketOf).toSet)
+    assert(in.as[(Long, String, Double)].collect().map(_._1).toSet === panel.toSet)
+
+    // a non-key predicate cannot prune layout: every bucket scans
+    val nonKey = t.filter(col("bal") > 100.0)
+    assert(scannedBuckets(nonKey).length === nBuckets)
+    CdcCatalog.unregister("cat_bprune")
+  }
+
+  test("composite-key store: pruning needs EVERY key pinned; scan reports real bytes") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cat_comp").toString
+    val seed = (1L to 30L).map(k => (k, (k % 3).toString, s"v$k")).toDF("k1", "k2", "v")
+    Cdc.processPartitionedBatch(
+      Seq((1L, "1", "upd", 9L, "U")).toDF("k1", "k2", "v", "seq", "op"),
+      seed, Seq("k1", "k2"), Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    CdcCatalog.register("cat_comp", store, Seq("k1", "k2"), nBuckets)
+    val t = spark.table("graft.cat_comp")
+
+    val both = t.filter(col("k1") === 5L && col("k2") === "2")
+    assert(scannedBuckets(both).length === 1)
+    assert(both.select("v").as[String].collect().toSeq === Seq("v5"))
+
+    // only one of two keys pinned → the bucket hash is undetermined
+    val half = t.filter(col("k1") === 5L)
+    assert(scannedBuckets(half).length === nBuckets)
+
+    // reported statistics: real pruned bytes, not the default "huge"
+    val full = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = both.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(full > 0 && full < BigInt(Long.MaxValue) / 2, s"stats not reported: $full")
+    assert(pruned < full, s"pruned scan ($pruned) should report fewer bytes than full ($full)")
+    CdcCatalog.unregister("cat_comp")
   }
 
   test("unknown table and non-additive surface fail loudly") {
