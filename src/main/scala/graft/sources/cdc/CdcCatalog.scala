@@ -172,8 +172,19 @@ class CdcBucketBound(keyTypes: Array[DataType]) extends ScalarFunction[Integer] 
 
 /** One registered CDC store, served at its resolved version. The layout
   * (version, recorded payload schema, bucket → directory map) is resolved
-  * once per `loadTable` on the driver from nBuckets-bounded metadata. */
-class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef) extends Table with SupportsRead {
+  * once per `loadTable` on the driver from nBuckets-bounded metadata.
+  *
+  * The table also WRITES: `df.writeTo("graft.name").append()` (and SQL
+  * `INSERT INTO`) is keyed UPSERT — every appended row is a full-payload
+  * `op=U` record at recency = the new version, so later appends win per
+  * key and the write commits ONE new store version through the same
+  * touched-bucket MERGE path as the maintenance API (Kudu-style upsert
+  * tables). Deletes and schema evolution stay on the maintenance API
+  * (`processPartitionedBatch`) where recency/op are explicit; `INSERT
+  * OVERWRITE` is refused — a store's history is append-only, retention
+  * is `vacuum`'s job. */
+class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
+    extends Table with SupportsRead with SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability._
 
   private[cdc] val (servedVersion, payloadSchema, bucketDirs) =
@@ -192,7 +203,8 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef) extends Table wit
 
   override def name(): String = tableName
   override def schema(): StructType = payloadSchema
-  override def capabilities(): util.Set[TableCapability] = Set(BATCH_READ).asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(BATCH_READ, V1_BATCH_WRITE).asJava
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(d.nBuckets, d.keys: _*))
   override def properties(): util.Map[String, String] =
@@ -200,4 +212,34 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef) extends Table wit
 
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new CdcScanBuilder(this, d)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  s"INSERT OVERWRITE into $tableName is not supported: a CDC store's " +
+                    "history is append-only (retention is vacuum's job)")
+                require(d.version.isEmpty,
+                  s"$tableName is version-pinned (time travel) — writes go to the live table")
+                val spark = data.sparkSession
+                val next = Cdc.manifestVersions(spark, d.storePath).max + 1
+                // keyed UPSERT: full-payload U records at recency = the
+                // new version; a failed attempt's orphan dirs are purged
+                // and overwritten by the retry (same id), the manifest
+                // commit stays the atomic point
+                import org.apache.spark.sql.functions.{col, lit}
+                Cdc.processPartitionedBatch(
+                  data.withColumn("_seq", lit(next)).withColumn("_op", lit("U")),
+                  Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
+                  d.keys, Seq(col("_seq")), col("_op"),
+                  d.storePath, d.nBuckets, next)
+              }
+            }
+        }
+    }
 }

@@ -185,6 +185,46 @@ class CdcCatalogSpec extends AnyFunSuite {
     CdcCatalog.unregister("cat_comp")
   }
 
+  test("writeTo append is keyed UPSERT: one new version through the MERGE path; " +
+      "INSERT INTO works; OVERWRITE and version-pinned writes refuse") {
+    val store = buildStore("wr", seed40("w"))
+    CdcCatalog.register("cat_wr", store, keys, nBuckets)
+    CdcCatalog.register("cat_wr_v0", store, keys, nBuckets, version = Some(0L))
+    val v1 = Cdc.manifestVersions(spark, store).max
+
+    // DataFrame append: update key 5, insert key 50
+    Seq((5L, "upd5", 55.0), (50L, "new50", 50.0)).toDF("k", "name", "bal")
+      .writeTo("graft.cat_wr").append()
+    assert(Cdc.manifestVersions(spark, store).max === v1 + 1, "append must commit ONE version")
+    val afterA = collectRows(spark.table("graft.cat_wr"))
+    assert(afterA.contains((5L, "upd5", 55.0)) && afterA.contains((50L, "new50", 50.0)))
+    assert(afterA.contains((3L, "w3", 3.0)), "untouched keys must survive the append")
+
+    // the append is a real MERGE commit: it rides the change feed
+    val feed = Cdc.changesBetweenCdf(spark, store, v1, v1 + 1, keys)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed === Set((5L, "update_preimage"), (5L, "update_postimage"), (50L, "insert")),
+      s"unexpected feed: $feed")
+
+    // SQL INSERT INTO: same path
+    spark.sql("INSERT INTO graft.cat_wr VALUES (6, 'sql6', 66.0)")
+    assert(collectRows(spark.table("graft.cat_wr")).contains((6L, "sql6", 66.0)))
+    assert(Cdc.manifestVersions(spark, store).max === v1 + 2)
+
+    // refusals: OVERWRITE, and writes to a version pin
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft.cat_wr VALUES (1, 'x', 0.0)")
+    }
+    assert(e1.getMessage.contains("append-only") ||
+      Option(e1.getCause).exists(_.getMessage.contains("append-only")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq((1L, "x", 0.0)).toDF("k", "name", "bal").writeTo("graft.cat_wr_v0").append()
+    }
+    assert(e2.getMessage.contains("version-pinned") ||
+      Option(e2.getCause).exists(_.getMessage.contains("version-pinned")), e2.getMessage)
+    CdcCatalog.unregister("cat_wr"); CdcCatalog.unregister("cat_wr_v0")
+  }
+
   test("unknown table and non-additive surface fail loudly") {
     intercept[Exception] { spark.table("graft.no_such_store").collect() }
     val store = buildStore("guard", seed40("g"))
