@@ -426,6 +426,20 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] =
     committedVersions(spark, manifestPath(storePath))
 
+  /** Commit wall-clock per version: the manifest `_SUCCESS` marker's
+    * mtime — the atomic commit point's own filesystem timestamp, so
+    * `TIMESTAMP AS OF` time travel needs no extra metadata write.
+    * Millis since epoch, sorted by version. */
+  def versionCommitTimes(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(manifestPath(storePath))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestVersions(spark, storePath).sorted.map { v =>
+      val marker = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v/_SUCCESS")
+      v -> fs.getFileStatus(marker).getModificationTime
+    }
+  }
+
   /** The serving layout of `version` (default: newest committed) for
     * EXTERNAL readers — the DSv2 catalog table (sources/cdc) plans its
     * bucket-aligned scan from this: resolved version, payload schema the

@@ -1905,6 +1905,27 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // C38 (catalog DPP serving): the dim's SELECTIVE date filter reaches
+    // the store scan as a RUNTIME key panel (SupportsRuntimeV2Filtering):
+    // Spark runs the dim side first, hands its surviving custkeys to the
+    // scan as an IN predicate, and whole buckets drop before any store
+    // file is opened — DPP, but over the store's hash-bucket layout
+    // instead of partition directories. Pruning is layout advice only
+    // (the join re-checks every key), so rows never depend on it; the
+    // panel is MaxInPanel-bounded, so a huge dim degrades to a full scan
+    // rather than a driver-side hash of data-sized literal lists.
+    "c38_cdc_cat_dpp" -> ((s, sf) => {
+      val (stateTbl, _) = spjTablesFor(s, sf)
+      val dim = Tables.orders(s, sf)
+        .filter(col("o_orderdate") >= to_date(lit("1995-06-01")) &&
+          col("o_orderdate") < to_date(lit("1995-06-08")))
+        .select(col("o_custkey")).distinct()
+      s.table(stateTbl)
+        .join(dim, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -2934,6 +2955,40 @@ object CoreQueries {
          SELECT * FROM merged
          WHERE c_custkey IN (SELECT i FROM generate_series(1, 200, 7) AS t(i))
          ORDER BY c_custkey""",
+    // catalog DPP serving ≡ merged snapshot joined to the dim's keys
+    "c38_cdc_cat_dpp" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'
+         ),
+         dim AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1995-06-08'
+         )
+         SELECT m.c_custkey, m.c_name, m.c_acctbal, m.c_mktsegment
+         FROM merged m JOIN dim d ON m.c_custkey = d.o_custkey
+         ORDER BY m.c_custkey""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

@@ -60,10 +60,18 @@ object CdcCatalog {
       nBuckets: Int,
       version: Option[Long] = None)
 
+  /** One registered feed table: the store's materialized CDF directory
+    * ([[graft.operators.Cdc.maintainPartitionedSnapshot]]'s `feedPath`)
+    * plus the store it feeds from (schema authority — additive evolution
+    * makes the store's newest recorded schema the union every feed
+    * version clips into). */
+  case class FeedDef(feedPath: String, storePath: String)
+
   // JVM-wide registry (the catalog instance is constructed reflectively
   // by Spark per session; definitions are process state like the
   // session-artifact caches in CoreQueries/LlmQueries)
   private val registry = TrieMap.empty[String, StoreDef]
+  private val feedRegistry = TrieMap.empty[String, FeedDef]
 
   def register(
       name: String,
@@ -76,10 +84,20 @@ object CdcCatalog {
     registry.put(name, StoreDef(storePath, keys, nBuckets, version))
   }
 
-  def unregister(name: String): Unit = registry.remove(name)
+  /** Expose a store's materialized change feed as `<catalog>.<name>` —
+    * batch-readable CDF history plus `readStream.table` tailing
+    * ([[CdcFeedTable]]). */
+  def registerFeed(name: String, storePath: String, feedPath: String): Unit = {
+    require(!registry.contains(name), s"$name is already a store table")
+    feedRegistry.put(name, FeedDef(feedPath, storePath))
+  }
+
+  def unregister(name: String): Unit = { registry.remove(name); feedRegistry.remove(name) }
 
   private[cdc] def lookup(name: String): Option[StoreDef] = registry.get(name)
-  private[cdc] def names: Seq[String] = registry.keys.toSeq.sorted
+  private[cdc] def lookupFeed(name: String): Option[FeedDef] = feedRegistry.get(name)
+  private[cdc] def names: Seq[String] =
+    (registry.keys ++ feedRegistry.keys).toSeq.sorted
 
   private[cdc] val SupportedTypes: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, StringType, BooleanType, DateType)
@@ -96,12 +114,51 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
     CdcCatalog.names.map(n => Identifier.of(Array.empty[String], n)).toArray
 
   override def loadTable(ident: Identifier): Table =
-    CdcCatalog.lookup(ident.name).fold[Table](throw new NoSuchTableException(ident)) {
-      d => new CdcStoreTable(s"$catalogName.${ident.name}", d)
+    CdcCatalog.lookup(ident.name)
+      .map[Table](d => new CdcStoreTable(s"$catalogName.${ident.name}", d))
+      .orElse(CdcCatalog.lookupFeed(ident.name)
+        .map(d => new CdcFeedTable(s"$catalogName.${ident.name}", d)))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  /** SQL time travel — `VERSION AS OF <v>` pins a committed store
+    * version (the registered pin, if any, is overridden by the query's
+    * explicit ask). Feed tables refuse: the feed IS the history. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    CdcCatalog.lookup(ident.name).fold[Table] {
+      if (CdcCatalog.lookupFeed(ident.name).isDefined)
+        throw new UnsupportedOperationException(
+          s"${ident.name} is a change-feed table — it already serves the version history; " +
+            "VERSION AS OF applies to the store table")
+      throw new NoSuchTableException(ident)
+    } { d =>
+      val v =
+        try version.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"VERSION AS OF wants a numeric committed store version, got '$version'") }
+      new CdcStoreTable(s"$catalogName.${ident.name}", d.copy(version = Some(v)))
+    }
+
+  /** SQL time travel — `TIMESTAMP AS OF <t>` serves the newest version
+    * whose COMMIT time (the manifest `_SUCCESS` marker's mtime — the
+    * atomic commit point itself) is at or before `t`. Loud when `t`
+    * predates the oldest retained commit: serving the oldest instead
+    * would silently misrepresent history vacuum already dropped. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    CdcCatalog.lookup(ident.name).fold[Table](throw new NoSuchTableException(ident)) { d =>
+      val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+      val commits = Cdc.versionCommitTimes(SparkSession.active, d.storePath)
+      val at = commits.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+        throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF $tsMillis ms predates the oldest retained commit of " +
+            s"${ident.name} (${commits.headOption.fold("<empty store>")(c =>
+              s"v=${c._1} @ ${c._2} ms")}); older history was vacuumed")
+      }
+      new CdcStoreTable(s"$catalogName.${ident.name}", d.copy(version = Some(at)))
     }
 
   override def tableExists(ident: Identifier): Boolean =
-    CdcCatalog.lookup(ident.name).isDefined
+    CdcCatalog.lookup(ident.name).isDefined || CdcCatalog.lookupFeed(ident.name).isDefined
 
   override def createTable(
       ident: Identifier,
@@ -113,7 +170,7 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER is the maintenance side's job (payloadCols evolution)")
   override def dropTable(ident: Identifier): Boolean = {
-    val known = CdcCatalog.lookup(ident.name).isDefined
+    val known = tableExists(ident)
     CdcCatalog.unregister(ident.name) // deregisters only; files stay (vacuum owns deletion)
     known
   }
@@ -184,7 +241,7 @@ class CdcBucketBound(keyTypes: Array[DataType]) extends ScalarFunction[Integer] 
   * OVERWRITE` is refused — a store's history is append-only, retention
   * is `vacuum`'s job. */
 class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   import org.apache.spark.sql.connector.catalog.TableCapability._
 
   private[cdc] val (servedVersion, payloadSchema, bucketDirs) =
@@ -204,7 +261,7 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   override def name(): String = tableName
   override def schema(): StructType = payloadSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(BATCH_READ, V1_BATCH_WRITE).asJava
+    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE).asJava
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(d.nBuckets, d.keys: _*))
   override def properties(): util.Map[String, String] =
@@ -213,9 +270,63 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new CdcScanBuilder(this, d)
 
+  /** `DELETE FROM` as a keyed MERGE: predicates that pin the merge keys
+    * to a bounded panel (=/IN conjuncts, every key covered) become one
+    * `op=D` changelog row per key tuple, committed as ONE new store
+    * version through the same touched-bucket path as every other write —
+    * bucket-scoped IO, no snapshot rewrite. Anything short of a full key
+    * pin refuses ([[CdcScan.pinnedKeyTuples]]): widening `k=5 AND
+    * bal>10` to `k=5` would delete rows the predicate kept, and
+    * arbitrary-predicate deletes are the maintenance API's job. TRUNCATE
+    * arrives here as an always-true predicate and refuses the same way. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    d.version.isEmpty &&
+      CdcScan.pinnedKeyTuples(predicates, d.keys, payloadSchema).isDefined
+
+  // TruncatableTable's default would silently NO-OP when canDeleteWhere
+  // refuses the always-true predicate (TruncateTableExec ignores a false
+  // return) — an append-only store must refuse OUT LOUD instead.
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"TRUNCATE TABLE $tableName is not supported: a CDC store's history is " +
+        "append-only (retention is vacuum's job)")
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(d.version.isEmpty,
+      s"$tableName is version-pinned (time travel) — deletes go to the live table")
+    val tuples = CdcScan.pinnedKeyTuples(predicates, d.keys, payloadSchema).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE FROM $tableName needs =/IN predicates pinning every merge key " +
+          s"(${d.keys.mkString(", ")}) to a bounded panel; arbitrary-predicate " +
+          "deletes are the maintenance API's job (processPartitionedBatch)"))
+    if (tuples.isEmpty) return // a NULL-only panel matches no row: no-op, no version
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit}
+    import scala.jdk.CollectionConverters._
+    val next = Cdc.manifestVersions(spark, d.storePath).max + 1
+    val keySchema = StructType(d.keys.map(k => payloadSchema(k)).toArray)
+    val keyDf = spark.createDataFrame(
+      tuples.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava, keySchema)
+    val changelog = payloadSchema.fields.filterNot(f => d.keys.contains(f.name))
+      .foldLeft(keyDf)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+      .withColumn("_seq", lit(next)).withColumn("_op", lit("D"))
+    Cdc.processPartitionedBatch(changelog,
+      Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
+      d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+  }
+
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // Declared so OVERWRITE resolves to OUR refusal (not Spark's generic
+      // unsupported-operation): a store's history is append-only.
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        throw new UnsupportedOperationException(
+          s"INSERT OVERWRITE into $tableName is not supported: a CDC store's " +
+            "history is append-only (retention is vacuum's job)")
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =

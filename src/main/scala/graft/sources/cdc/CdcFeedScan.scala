@@ -1,0 +1,282 @@
+package graft.sources.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Cdc
+
+/** The store's MATERIALIZED change feed as a catalog table — the Delta
+  * Lake streaming-CDF contract on the engine's own store format:
+  *
+  *   spark.table("graft.x_changes")          // retained CDF history
+  *   spark.readStream.table("graft.x_changes") // incremental tail
+  *
+  * Rows are exactly what the maintenance side landed at `feedPath/v=<id>`
+  * ([[Cdc.maintainPartitionedSnapshot]]): the CDF-complete row shape —
+  * payload + `_change_type` ∈ {insert, delete, update_preimage,
+  * update_postimage} + `_commit_version` — so a downstream [[graft
+  * .operators.Ivm]] view maintains incrementally off this table alone.
+  *
+  * Scale shape: the feed is append-only parquet, one `v=<id>` directory
+  * per committed store version. A streaming OFFSET is a committed
+  * version number ("everything ≤ v served"); each micro-batch plans one
+  * input partition per FILE of the versions in `(start, end]` — no
+  * listing beyond the new versions, no join, no state. Batch reads plan
+  * every retained version the same way. Column pruning rides the same
+  * per-file clipped projection as the store scan, so pre-evolution feed
+  * files serve typed NULL for columns they predate.
+  *
+  * Retention (the Kafka contract, enforced LOUDLY): versions behind the
+  * vacuum window are gone. A checkpointed stream that resumes inside the
+  * window continues exactly-once; one whose next needed version was
+  * vacuumed throws — never silently skips — because a consumer that
+  * missed deltas must bootstrap from [[Cdc.readPartitionedSnapshot]],
+  * not limp on with diverged state ([[Cdc.readFeedSince]]'s law). */
+class CdcFeedTable(tableName: String, d: CdcCatalog.FeedDef) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability._
+
+  private[cdc] val tableSchema: StructType = {
+    // additive evolution means the STORE's newest recorded schema is the
+    // superset every feed version's files clip into
+    val (_, payload, _) = Cdc.servingLayout(SparkSession.active, d.storePath)
+    val bad = payload.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
+    require(bad.isEmpty,
+      s"unsupported payload types in $tableName: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    StructType(payload.fields
+      :+ StructField("_change_type", StringType, nullable = true)
+      :+ StructField("_commit_version", LongType, nullable = true))
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(BATCH_READ); caps.add(MICRO_BATCH_READ); caps
+  }
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcFeedScanBuilder(this, d, options)
+}
+
+class CdcFeedScanBuilder(
+    table: CdcFeedTable, d: CdcCatalog.FeedDef, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // inclusive version bounds accumulated from _commit_version conjuncts
+  private var loV: Option[Long] = None
+  private var hiV: Option[Long] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(table.schema().fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  /** VERSION pruning for batch consumers: `_commit_version` range
+    * conjuncts (=, <, <=, >, >=, IN) narrow which `v=<id>` directories
+    * the scan even lists — the incremental catch-up read
+    * (`WHERE _commit_version > <checkpoint>`) opens only the new
+    * versions' files. Every filter is returned as residual, so Spark
+    * re-evaluates it on the rows and pruning stays layout advice, never
+    * a correctness dependency. (Batch range reads are HISTORY queries
+    * over the retained window — the loud lag contract belongs to the
+    * streaming tail and `readFeedSince`, whose resume points promise
+    * contiguity.) */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    def tighten(lo: Option[Long], hi: Option[Long]): Unit = {
+      loV = (loV.toSeq ++ lo.toSeq).maxOption
+      hiV = (hiV.toSeq ++ hi.toSeq).minOption
+    }
+    filters.foreach {
+      case EqualTo("_commit_version", v)            => asLong(v).foreach(l => tighten(Some(l), Some(l)))
+      case EqualNullSafe("_commit_version", v)      => asLong(v).foreach(l => tighten(Some(l), Some(l)))
+      case GreaterThan("_commit_version", v)        => asLong(v).foreach(l => tighten(Some(l + 1), None))
+      case GreaterThanOrEqual("_commit_version", v) => asLong(v).foreach(l => tighten(Some(l), None))
+      case LessThan("_commit_version", v)           => asLong(v).foreach(l => tighten(None, Some(l - 1)))
+      case LessThanOrEqual("_commit_version", v)    => asLong(v).foreach(l => tighten(None, Some(l)))
+      case In("_commit_version", vs) if vs.nonEmpty && vs.forall(v => asLong(v).isDefined) =>
+        tighten(Some(vs.flatMap(asLong).min), Some(vs.flatMap(asLong).max))
+      case _ => ()
+    }
+    pushed = filters
+    filters // all residual: Spark re-checks every predicate on the rows
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV)
+  }
+}
+
+class CdcFeedScan(
+    tableName: String,
+    requiredSchema: StructType,
+    d: CdcCatalog.FeedDef,
+    maxVersionsPerTrigger: Option[Int] = None,
+    loVersion: Option[Long] = None,
+    hiVersion: Option[Long] = None)
+    extends Scan with Batch {
+
+  private[cdc] def plannedVersions: Seq[Long] =
+    CdcFeedScan.retainedVersions(d.feedPath)
+      .filter(v => loVersion.forall(v >= _) && hiVersion.forall(v <= _))
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val all = CdcFeedScan.retainedVersions(d.feedPath)
+    s"$tableName feed versions=${plannedVersions.size}/${all.size} " +
+      s"cols=${requiredSchema.fieldNames.mkString(",")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedVersions
+      .flatMap(v => CdcFeedScan.versionFiles(d.feedPath, v))
+      .map(f => CdcFeedPartition(Array(f)): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger)
+}
+
+object CdcFeedScan {
+  private[cdc] def retainedVersions(feedPath: String): Seq[Long] =
+    Cdc.feedVersions(SparkSession.active, feedPath).sorted
+
+  /** Driver-side listing of ONE committed version's part files. */
+  private[cdc] def versionFiles(feedPath: String, v: Long): Seq[String] = {
+    val dir = new Path(s"$feedPath/v=$v")
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+}
+
+case class CdcFeedPartition(files: Array[String]) extends InputPartition
+
+/** Version-offset micro-batch tail of the feed. `CdcFeedOffset(v)` means
+  * "every committed feed version ≤ v has been served". The maintainer's
+  * version ids are Spark streaming batch ids, hence CONSECUTIVE — which
+  * is what lets a resume detect a vacuumed gap instead of skipping it.
+  *
+  * Admission control: `option("maxVersionsPerTrigger", n)` caps each
+  * micro-batch at n store versions (carried on Spark's `ReadLimit
+  * .maxRows` — the unit here is VERSIONS). The point is catch-up: a
+  * consumer resuming after long lag replays the backlog as n-version
+  * batches instead of one giant batch sized by its outage. */
+class CdcFeedStream(
+    tableName: String,
+    requiredSchema: StructType,
+    d: CdcCatalog.FeedDef,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract, implemented NATIVELY: Spark's generic
+  // wrapper for sources without this trait hides the delegate's
+  // getDefaultReadLimit (admission control silently degrades to one
+  // drain-everything batch). Pin the end at query start; the run drains
+  // up to it in admission-sized batches and terminates even if the
+  // maintainer keeps committing.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = CdcFeedScan.retainedVersions(d.feedPath)
+    availableNowCap = Some(if (vs.isEmpty) Long.MinValue else vs.max)
+  }
+
+  override def initialOffset(): Offset = {
+    val vs = CdcFeedScan.retainedVersions(d.feedPath)
+    if (vs.isEmpty) throw new IllegalStateException(
+      s"no committed feed versions under ${d.feedPath} — start the stream after " +
+        "the store's maintainer has committed at least one feed version")
+    CdcFeedOffset(vs.min - 1) // first batch serves from the oldest retained version
+  }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxVersionsPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n.toLong))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (admission control)")
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[CdcFeedOffset].v
+    val avail = CdcFeedScan.retainedVersions(d.feedPath)
+      .filter(_ > from)
+      .filter(v => availableNowCap.forall(v <= _))
+    if (avail.isEmpty) return start
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows().min(Int.MaxValue.toLong).toInt
+      case _ => Int.MaxValue
+    }
+    CdcFeedOffset(avail.take(cap).max)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val vs = CdcFeedScan.retainedVersions(d.feedPath)
+    if (vs.isEmpty) null else CdcFeedOffset(vs.max)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[CdcFeedOffset].v
+    val to = end.asInstanceOf[CdcFeedOffset].v
+    if (to <= from) return Array.empty
+    val wanted = CdcFeedScan.retainedVersions(d.feedPath).filter(v => v > from && v <= to)
+    // retention law (Cdc.readFeedSince): versions are consecutive, so a
+    // hole at the front means vacuum outran this consumer's checkpoint
+    if (wanted.isEmpty || wanted.head > from + 1)
+      throw new IllegalStateException(
+        s"feed retention exceeded for $tableName: resume point v=$from needs " +
+          s"v=${from + 1} but the oldest retained feed version is " +
+          s"${wanted.headOption.fold("<none>")(v => s"v=$v")}; " +
+          "bootstrap from the snapshot table instead")
+    wanted.flatMap(v => CdcFeedScan.versionFiles(d.feedPath, v))
+      .map(f => CdcFeedPartition(Array(f)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(requiredSchema)
+
+  override def deserializeOffset(json: String): Offset = CdcFeedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CdcFeedOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}

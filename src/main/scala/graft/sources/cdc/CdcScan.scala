@@ -65,19 +65,11 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     required = StructType(table.schema().fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  /** Bounded IN panels only: a million-value IN is a join in disguise —
-    * the driver must not hash data-sized literal lists. */
-  private val MaxInPanel = 1024
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import CdcScan.MaxInPanel
     val keyTypes = d.keys.map(k => table.schema()(k).dataType)
-    def bucketOf(values: Seq[Any]): Int = {
-      val h = XxHash64(
-        values.zip(keyTypes).map { case (v, t) => Literal.create(v, t) }, 42L)
-        .eval(null).asInstanceOf[Long]
-      val m = h % d.nBuckets
-      (if (m < 0) m + d.nBuckets else m).toInt
-    }
+    def bucketOf(values: Seq[Any]): Int =
+      CdcScan.bucketOfLiterals(values.zip(keyTypes), d.nBuckets)
     // per-key literal value panel from `=` / null-safe `=` / IN
     // (several conjuncts on one key → the tightest panel wins)
     val panels: Map[String, Seq[Any]] = filters.toSeq.collect {
@@ -122,7 +114,80 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     val buckets = prunedBuckets
       .map(_.toSeq.sorted)
       .getOrElse(0 until d.nBuckets)
-    new CdcScan(table.name(), required, d.keys, d.nBuckets, buckets, files)
+    new CdcScan(table.name(), required, d.keys,
+      d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files)
+  }
+}
+
+object CdcScan {
+  /** Bounded IN panels only: a million-value IN is a join in disguise —
+    * the driver must not hash data-sized literal lists. */
+  private[cdc] val MaxInPanel = 1024
+
+  /** The store's layout hash over literal key values, driver-side — the
+    * same `pmod(xxhash64(keys), n)` as [[graft.operators.Cdc.bucketExpr]],
+    * evaluated through Catalyst's own XxHash64. Accepts both EXTERNAL
+    * literals (v1 Filter pushdown: String, java.sql.Date) and INTERNAL
+    * ones (V2 runtime predicates: UTF8String, epoch-day Int). */
+  private[cdc] def bucketOfLiterals(values: Seq[(Any, DataType)], n: Int): Int = {
+    val lits = values.map {
+      case (u: UTF8String, t)                       => Literal(u, t)
+      case (i: Integer, t) if t == DateType         => Literal(i, t)
+      case (v, t)                                   => Literal.create(v, t)
+    }
+    val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long]
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+
+  /** Parse V2 predicate conjuncts into the bounded EXTERNAL key tuples
+    * they pin: every conjunct must be `=` / bounded `IN` on a merge key
+    * (nested ANDs are flattened), every key must end up pinned, and the
+    * panel product stays under [[MaxInPanel]]. `None` on any miss — the
+    * caller must refuse rather than widen the predicate's meaning
+    * (DELETE WHERE k=5 AND bal>10 must never become DELETE WHERE k=5). */
+  private[cdc] def pinnedKeyTuples(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      keys: Seq[String],
+      schema: StructType): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def keyOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case r: NamedReference if keys.contains(r.fieldNames.mkString(".")) =>
+        Some(r.fieldNames.mkString("."))
+      case _ => None
+    }
+    def external(v: Any, k: String): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, schema(k).dataType)
+    // each conjunct → (key, values) or None (unpinnable)
+    def panelOf(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Seq[(String, Set[Any])]] = {
+      val kids = p.children()
+      p.name() match {
+        case "AND" =>
+          val parts = kids.toSeq.map {
+            case c: org.apache.spark.sql.connector.expressions.filter.Predicate => panelOf(c)
+            case _ => None
+          }
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+        case "=" if kids.length == 2 && kids(1).isInstanceOf[V2Literal[_]] =>
+          keyOf(kids(0)).map(k => Seq(k -> Set(external(kids(1).asInstanceOf[V2Literal[_]].value, k))))
+        case "IN" if kids.length >= 2 && kids.length - 1 <= MaxInPanel &&
+            kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          keyOf(kids.head).map(k =>
+            Seq(k -> kids.tail.map(c => external(c.asInstanceOf[V2Literal[_]].value, k)).toSet))
+        case _ => None
+      }
+    }
+    val conjuncts = predicates.toSeq.map(panelOf)
+    if (conjuncts.exists(_.isEmpty)) return None
+    // NULL literals drop out: SQL = / IN never match NULL, so they pin
+    // nothing (an empty panel means the predicate matches no row at all)
+    val byKey = conjuncts.flatMap(_.get)
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ intersect _).filter(_ != null)).toMap
+    if (!keys.forall(byKey.contains)) return None
+    val tuples = keys.map(k => byKey(k).toSeq)
+      .foldLeft(Seq(Seq.empty[Any]))((acc, vs) => acc.flatMap(t => vs.map(v => t :+ v)))
+    if (tuples.size > MaxInPanel) None else Some(tuples)
   }
 }
 
@@ -130,10 +195,13 @@ class CdcScan(
     tableName: String,
     requiredSchema: StructType,
     keys: Seq[String],
+    keyTypes: Seq[DataType],
     nBuckets: Int,
     buckets: Seq[Int],
     filesByBucket: Map[Int, Array[(String, Long)]])
-    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -143,10 +211,50 @@ class CdcScan(
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keys: _*)), buckets.length)
 
+  // RUNTIME bucket pruning (the V2 DPP contract): when this scan joins a
+  // filterable side on the merge key, Spark executes that side first,
+  // collects its distinct key values, and hands them here as =/IN
+  // predicates — hashing them through the layout function drops whole
+  // buckets BEFORE any store file is opened. Single-key stores only: a
+  // per-key runtime panel cannot determine a composite hash.
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+  private[cdc] def runtimePrunedBuckets: Option[Set[Int]] = runtimeBuckets
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (keys.length == 1 && requiredSchema.fieldNames.contains(keys.head))
+      Array(Expressions.column(keys.head))
+    else Array.empty
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.mkString(".") == keys.head
+      case _                 => false
+    }
+    val panels: Seq[Set[Any]] = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.length >= 2 && kids.length - 1 <= CdcScan.MaxInPanel &&
+            isKeyRef(kids.head) && kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(kids.tail.map(_.asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]).toSet)
+        case "=" if kids.length == 2 && isKeyRef(kids(0)) && kids(1).isInstanceOf[V2Literal[_]] =>
+          Some(Set(kids(1).asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]))
+        case _ => None
+      }
+    }
+    if (panels.nonEmpty) {
+      val vals = panels.reduce(_ intersect _).filter(_ != null)
+      runtimeBuckets = Some(vals.map(v =>
+        CdcScan.bucketOfLiterals(Seq(v -> keyTypes.head), nBuckets)))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    buckets.map { b =>
-      CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1))
-    }.toArray[InputPartition]
+    buckets
+      .filter(b => runtimeBuckets.forall(_.contains(b)))
+      .map { b =>
+        CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1))
+      }.toArray[InputPartition]
 
   /** Real sizes for the planner: the PRUNED byte count, so a
     * dimension-sized (or heavily pruned) store side can broadcast while
@@ -170,7 +278,11 @@ case class CdcBucketPartition(bucket: Int, files: Array[String])
 
 class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(partition.asInstanceOf[CdcBucketPartition], requiredSchema)
+    partition match {
+      case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema)
+      case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema)
+      case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
+    }
 }
 
 /** Streams one bucket's files. Per file: read the footer, clip the
@@ -178,7 +290,7 @@ class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactor
   * parquet types so physical layouts always match), push it through
   * `parquet.read.schema`, then decode Groups positionally. Columns the
   * file predates (additive evolution) decode as NULL. */
-class CdcPartitionReader(partition: CdcBucketPartition, requiredSchema: StructType)
+class CdcPartitionReader(files: Array[String], requiredSchema: StructType)
     extends PartitionReader[InternalRow] {
 
   // executor-side: files carry their scheme (file://, hdfs://); a default
@@ -194,8 +306,8 @@ class CdcPartitionReader(partition: CdcBucketPartition, requiredSchema: StructTy
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     fileIdx += 1
-    if (fileIdx >= partition.files.length) return false
-    val path = new Path(partition.files(fileIdx))
+    if (fileIdx >= files.length) return false
+    val path = new Path(files(fileIdx))
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
     val present = requiredSchema.fields.filter(f => fileSchema.containsField(f.name))

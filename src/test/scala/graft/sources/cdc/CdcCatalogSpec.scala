@@ -185,6 +185,45 @@ class CdcCatalogSpec extends AnyFunSuite {
     CdcCatalog.unregister("cat_comp")
   }
 
+  test("runtime bucket filtering: a broadcast dim's key panel prunes store buckets " +
+      "before any store file is opened") {
+    val store = buildStore("rf", seed40("r"))
+    CdcCatalog.register("cat_rf", store, keys, nBuckets)
+    // the dim's SELECTIVE filter is what DPP forwards: its surviving key
+    // values arrive at the scan as a runtime IN panel. The dim must be a
+    // file-backed scan — a LocalRelation would constant-fold the filter
+    // away before the PartitionPruning rule looks for it.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_cat_rf_dim").toString
+    Seq((5L, "x"), (7L, "x"), (9L, "y")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val conf = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    spark.conf.set(conf, "false") // force the fallback benefit estimate at fixture scale
+    try {
+      val df = spark.table("graft.cat_rf")
+        .join(dim.filter(col("tag") === "x"), "k")
+        .select(col("k"), col("name"))
+      // collect df ITSELF (not a derived Dataset): runtime filtering
+      // happens at execution, on this QueryExecution's scan instance
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((5L, "r5"), (7L, "r7")))
+      // descend through AQE wrappers: QueryStageExec keeps its subtree in
+      // `plan`, not `children`, so a plain collect can't see the scan
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[CdcScan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan).collect { case s: CdcScan => s }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      val scans = scansIn(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+      def bucketOf(k: Long): Int =
+        Seq(k).toDF("k").select(Cdc.bucketExpr(keys, nBuckets)).as[Int].head()
+      assert(scans.head.runtimePrunedBuckets === Some(Set(bucketOf(5L), bucketOf(7L))),
+        s"runtime panel did not reach the scan: ${scans.head.runtimePrunedBuckets}")
+    } finally spark.conf.unset(conf)
+    CdcCatalog.unregister("cat_rf")
+  }
+
   test("writeTo append is keyed UPSERT: one new version through the MERGE path; " +
       "INSERT INTO works; OVERWRITE and version-pinned writes refuse") {
     val store = buildStore("wr", seed40("w"))
@@ -223,6 +262,68 @@ class CdcCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version-pinned") ||
       Option(e2.getCause).exists(_.getMessage.contains("version-pinned")), e2.getMessage)
     CdcCatalog.unregister("cat_wr"); CdcCatalog.unregister("cat_wr_v0")
+  }
+
+  test("SQL time travel: VERSION AS OF pins a commit; TIMESTAMP AS OF resolves " +
+      "commit times and is loud before the oldest retained") {
+    val store = buildStore("tt", seed40("t"))
+    CdcCatalog.register("cat_tt", store, keys, nBuckets)
+    try {
+      assert(collectRows(spark.sql("SELECT * FROM graft.cat_tt VERSION AS OF 0")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(0L))))
+      assert(collectRows(spark.sql("SELECT * FROM graft.cat_tt VERSION AS OF 1")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(1L))))
+      intercept[Exception](spark.sql("SELECT * FROM graft.cat_tt VERSION AS OF 9").collect())
+      // pin the commit wall-clock deterministically (the _SUCCESS mtime IS
+      // the commit timestamp): v0 at 1970-01-02T00:00Z, v1 a day later
+      val day = 86400000L
+      assert(new java.io.File(s"$store/manifest/v=0/_SUCCESS").setLastModified(day))
+      assert(new java.io.File(s"$store/manifest/v=1/_SUCCESS").setLastModified(2 * day))
+      assert(Cdc.versionCommitTimes(spark, store) === Seq(0L -> day, 1L -> 2 * day))
+      assert(collectRows(spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-02 12:00:00'")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(0L))))
+      assert(collectRows(spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-03 00:00:00'")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(1L))))
+      val e = intercept[Exception](spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-01 06:00:00'").collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("predates the oldest retained commit")),
+        s"expected the loud pre-history error, got: ${messages(e).mkString(" | ")}")
+    } finally CdcCatalog.unregister("cat_tt")
+  }
+
+  test("DELETE FROM is a keyed MERGE: =/IN key panels delete through the bucket path; " +
+      "anything short of a full key pin refuses") {
+    val store = buildStore("del", seed40("d"))
+    CdcCatalog.register("cat_del", store, keys, nBuckets)
+    CdcCatalog.register("cat_del_v0", store, keys, nBuckets, version = Some(0L))
+    try {
+      val v1 = Cdc.manifestVersions(spark, store).max
+      spark.sql("DELETE FROM graft.cat_del WHERE k = 5")
+      assert(Cdc.manifestVersions(spark, store).max === v1 + 1, "delete must commit ONE version")
+      val after1 = collectRows(spark.table("graft.cat_del"))
+      assert(!after1.exists(_._1 == 5L) && after1.exists(_._1 == 3L))
+      spark.sql("DELETE FROM graft.cat_del WHERE k IN (7, 9, 7)")
+      val after2 = collectRows(spark.table("graft.cat_del"))
+      assert(after2.map(_._1).intersect(Set(5L, 7L, 9L)).isEmpty)
+      assert(after2.exists(_._1 == 3L), "untouched keys must survive")
+      // the deletes ride the change feed like any other MERGE commit
+      val feed = Cdc.changesBetweenCdf(spark, store, v1 + 1, v1 + 2, keys)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(feed === Set((7L, "delete"), (9L, "delete")), s"unexpected feed: $feed")
+      // refusals: non-key predicate, partially-pinned conjunct, pinned
+      // version, TRUNCATE (an always-true delete) — all loud, none commit
+      val vNow = Cdc.manifestVersions(spark, store).max
+      intercept[Exception](spark.sql("DELETE FROM graft.cat_del WHERE bal > 1.0"))
+      intercept[Exception](spark.sql("DELETE FROM graft.cat_del WHERE k = 3 AND bal > 1.0"))
+      intercept[Exception](spark.sql("DELETE FROM graft.cat_del_v0 WHERE k = 3"))
+      intercept[Exception](spark.sql("TRUNCATE TABLE graft.cat_del"))
+      assert(Cdc.manifestVersions(spark, store).max === vNow, "a refused delete committed")
+      assert(collectRows(spark.table("graft.cat_del")) === after2)
+    } finally { CdcCatalog.unregister("cat_del"); CdcCatalog.unregister("cat_del_v0") }
   }
 
   test("unknown table and non-additive surface fail loudly") {

@@ -1,0 +1,212 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Cdc
+
+/** Laws for the catalog FEED table ([[CdcFeedTable]] — the streaming-CDF
+  * contract on the store's materialized change feed):
+  *  - batch read serves exactly the retained feed history (the
+  *    concatenation of every committed `v=<id>` directory), CDF row shape
+  *    intact, with column pruning reaching the scan;
+  *  - `readStream.table` tails the same rows; a checkpoint resume after
+  *    new versions land serves ONLY the new versions (exactly-once);
+  *  - retention is LOUD: a resume whose next needed version was vacuumed
+  *    throws (never silently skips); a fresh stream starts at the oldest
+  *    retained version.
+  */
+class CdcFeedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val n = 8
+
+  /** Maintained store with an incremental feed: seed + 3 micro-batches
+    * (versions 0,1,2; feed lands at v=1 and v=2). Returns (store, feed). */
+  private def buildFed(): (String, String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_feedtbl_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_ckpt").toString
+    val feed = java.nio.file.Files.createTempDirectory("graft_feedtbl_feed").toString
+    val seed = (1L to 40L).map(k => (k, s"orig$k", k * 1.5)).toDF("k", "name", "bal")
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = Cdc.maintainPartitionedSnapshot(
+      mem.toDF().toDF("k", "name", "bal", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, ckpt, n,
+      feedPath = Some(feed)).start()
+    try {
+      mem.addData((1L, "a1", 10.0, 1L, "U"), (30L, "nu", 30.0, 2L, "I"))
+      q.processAllAvailable()
+      mem.addData((1L, "a2", 11.0, 3L, "U"), (7L, "gone", 0.0, 4L, "D"))
+      q.processAllAvailable()
+      mem.addData((30L, "nu2", 33.0, 5L, "U"))
+      q.processAllAvailable()
+    } finally q.stop()
+    (store, feed)
+  }
+
+  /** The maintainer's per-version feed materialization, replayed for one
+    * out-of-band batch (what the next maintainer micro-batch would do). */
+  private def landVersion(
+      store: String, feed: String, id: Long,
+      rows: Seq[(Long, String, Double, Long, String)]): Unit = {
+    val parent = Cdc.manifestVersions(spark, store).filter(_ < id).max
+    val seed = Cdc.readPartitionedSnapshot(spark, store).limit(0)
+    Cdc.processPartitionedBatch(rows.toDF("k", "name", "bal", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, n, id)
+    Cdc.changesBetweenCdf(spark, store, parent, id, keys)
+      .write.mode("overwrite").parquet(s"$feed/v=$id")
+  }
+
+  private type CdfRow = (Long, String, Double, String, Long)
+  private def cdfSet(df: org.apache.spark.sql.DataFrame): Set[CdfRow] =
+    df.select("k", "name", "bal", "_change_type", "_commit_version")
+      .as[CdfRow].collect().toSet
+  private def feedOf(feed: String, v: Long): Set[CdfRow] =
+    cdfSet(spark.read.parquet(s"$feed/v=$v"))
+
+  test("batch read serves the retained CDF history; column pruning reaches the scan") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_hist", store, feed)
+    try {
+      val expected = feedOf(feed, 1L) ++ feedOf(feed, 2L)
+      assert(expected.nonEmpty)
+      assert(cdfSet(spark.table("graft.feed_hist")) === expected)
+      // schema = payload ++ CDF columns, in order
+      assert(spark.table("graft.feed_hist").columns.toSeq ===
+        Seq("k", "name", "bal", "_change_type", "_commit_version"))
+      // pruning: a 2-column projection reaches the scan as a 2-column read
+      val pruned = spark.table("graft.feed_hist").select("k", "_change_type")
+      val scan = pruned.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case s: CdcFeedScan => s }
+      assert(scan.isDefined, pruned.queryExecution.executedPlan.toString.take(1500))
+      assert(scan.get.readSchema().fieldNames.toSeq === Seq("k", "_change_type"))
+    } finally CdcCatalog.unregister("feed_hist")
+  }
+
+  test("readStream.table tails the feed; checkpoint resume serves ONLY new versions") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_tail", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_sckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("graft.feed_tail")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce()
+      assert(cdfSet(spark.read.parquet(out)) === feedOf(feed, 1L) ++ feedOf(feed, 2L))
+      // two more store versions land, then the consumer resumes
+      landVersion(store, feed, 3L, Seq((2L, "b3", 20.0, 6L, "U")))
+      landVersion(store, feed, 4L, Seq((30L, "nu3", 34.0, 7L, "U")))
+      runOnce()
+      val all = cdfSet(spark.read.parquet(out))
+      assert(all === feedOf(feed, 1L) ++ feedOf(feed, 2L) ++ feedOf(feed, 3L) ++ feedOf(feed, 4L),
+        "resume re-read or dropped feed versions")
+      // exactly-once: no row was delivered twice across the two runs
+      assert(spark.read.parquet(out).count() ===
+        (1L to 4L).map(v => feedOf(feed, v).size.toLong).sum)
+    } finally CdcCatalog.unregister("feed_tail")
+  }
+
+  test("_commit_version range pushdown prunes version directories; rows stay exact") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_rng", store, feed)
+    landVersion(store, feed, 3L, Seq((2L, "b3", 20.0, 6L, "U")))
+    try {
+      def scanOf(df: org.apache.spark.sql.DataFrame): CdcFeedScan =
+        df.queryExecution.executedPlan
+          .collect { case b: BatchScanExec => b.scan }
+          .collectFirst { case s: CdcFeedScan => s }.get
+      // the incremental catch-up read: only versions > checkpoint planned
+      val inc = spark.table("graft.feed_rng").filter(col("_commit_version") > 1L)
+      assert(scanOf(inc).plannedVersions === Seq(2L, 3L),
+        s"planned ${scanOf(inc).plannedVersions}")
+      assert(cdfSet(inc) === feedOf(feed, 2L) ++ feedOf(feed, 3L))
+      // point and band reads
+      val point = spark.table("graft.feed_rng").filter(col("_commit_version") === 2L)
+      assert(scanOf(point).plannedVersions === Seq(2L))
+      assert(cdfSet(point) === feedOf(feed, 2L))
+      val band = spark.table("graft.feed_rng")
+        .filter(col("_commit_version") >= 2L && col("_commit_version") < 3L)
+      assert(scanOf(band).plannedVersions === Seq(2L))
+      // a non-version filter prunes nothing and still returns exact rows
+      val other = spark.table("graft.feed_rng").filter(col("k") === 1L)
+      assert(scanOf(other).plannedVersions === Seq(1L, 2L, 3L))
+      assert(cdfSet(other) ===
+        (feedOf(feed, 1L) ++ feedOf(feed, 2L) ++ feedOf(feed, 3L)).filter(_._1 == 1L))
+    } finally CdcCatalog.unregister("feed_rng")
+  }
+
+  test("admission control: maxVersionsPerTrigger replays the backlog one version per micro-batch") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_adm", store, feed)
+    landVersion(store, feed, 3L, Seq((2L, "b3", 20.0, 6L, "U")))
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_aout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_ackpt").toString
+    try {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("graft.feed_adm")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // all three versions served...
+      assert(cdfSet(spark.read.parquet(out)) ===
+        feedOf(feed, 1L) ++ feedOf(feed, 2L) ++ feedOf(feed, 3L))
+      // ...across THREE bounded micro-batches, each one store version
+      val progress = new java.io.File(s"$ckpt/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).sorted
+      assert(progress.length === 3,
+        s"expected 3 one-version micro-batches, got offsets ${progress.toSeq}")
+    } finally CdcCatalog.unregister("feed_adm")
+  }
+
+  test("retention is loud: a lagging resume throws; a fresh stream starts at the oldest retained") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_ret", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_rout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_rckpt").toString
+    def runOnce(o: String, c: String): Unit = {
+      val q = spark.readStream.table("graft.feed_ret")
+        .writeStream.format("parquet")
+        .option("path", o).option("checkpointLocation", c)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      // consumer checkpoints at v=2, then falls 3 versions behind a
+      // keepVersions=2 vacuum: its next needed version (3) is gone
+      runOnce(out, ckpt)
+      landVersion(store, feed, 3L, Seq((2L, "b3", 20.0, 6L, "U")))
+      landVersion(store, feed, 4L, Seq((3L, "c4", 30.0, 7L, "U")))
+      landVersion(store, feed, 5L, Seq((4L, "d5", 40.0, 8L, "U")))
+      Cdc.vacuum(spark, store, keepVersions = 2, feedPath = Some(feed))
+      assert(Cdc.feedVersions(spark, feed).sorted === Seq(4L, 5L),
+        "vacuum should retain only feed versions inside the manifest window")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runOnce(out, ckpt)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("feed retention exceeded")),
+        s"expected a loud retention error, got: ${messages(e).mkString(" | ")}")
+      // a FRESH consumer (new checkpoint) bootstraps from what is retained
+      val out2 = java.nio.file.Files.createTempDirectory("graft_feedtbl_rout2").toString
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_feedtbl_rckpt2").toString
+      runOnce(out2, ckpt2)
+      assert(cdfSet(spark.read.parquet(out2)) === feedOf(feed, 4L) ++ feedOf(feed, 5L))
+    } finally CdcCatalog.unregister("feed_ret")
+  }
+}
