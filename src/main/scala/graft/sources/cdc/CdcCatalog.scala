@@ -261,7 +261,7 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   override def name(): String = tableName
   override def schema(): StructType = payloadSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE).asJava
+    Set(BATCH_READ, V1_BATCH_WRITE, TRUNCATE, STREAMING_WRITE).asJava
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(d.nBuckets, d.keys: _*))
   override def properties(): util.Map[String, String] =
@@ -320,7 +320,11 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        // Update mode arrives as appended upsert rows (the Kafka-sink
+        // convention) — exactly this table's write semantics, so streaming
+        // aggregations maintain per-key results in the store
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       // Declared so OVERWRITE resolves to OUR refusal (not Spark's generic
       // unsupported-operation): a store's history is append-only.
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
@@ -329,6 +333,18 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
             "history is append-only (retention is vacuum's job)")
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(d.version.isEmpty,
+              s"$tableName is version-pinned (time travel) — writes go to the live table")
+            val missing = payloadSchema.fields.filterNot(f =>
+              info.schema().fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+            require(missing.isEmpty && info.schema().length == payloadSchema.length,
+              s"streaming write schema must match $tableName payload " +
+                s"(${payloadSchema.toDDL}), got ${info.schema().toDDL} — evolution " +
+                "stays on the maintenance API (processPartitionedBatch payloadCols)")
+            new CdcStreamingWrite(tableName, d, info.schema(), info.queryId())
+          }
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {

@@ -1,0 +1,262 @@
+package graft.sources.cdc
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.operators.Cdc
+
+/** `df.writeStream.toTable("graft.x")` — STREAMING keyed upsert into a
+  * catalog CDC store: every micro-batch commits exactly ONE new store
+  * version through the same touched-bucket MERGE path as the batch
+  * `INSERT INTO` (each row a full-payload `op=U` record at recency = the
+  * new version), so a stream of events maintains the store continuously
+  * and downstream consumers read it like any other version history
+  * (snapshots, time travel, `changesBetween`, point lookups).
+  *
+  * EXACTLY-ONCE is the store's own replay idempotence, no extra
+  * transaction log: the version id is `base + epochId`, where `base` is
+  * pinned ONCE per streaming query in a tiny sidecar
+  * (`storePath/_streams/q=<queryId>` — written BEFORE the first commit,
+  * so the mapping exists whenever any version does). Spark replays a
+  * failed epoch under the SAME epochId; it resolves to the SAME version
+  * id, and either that version is already committed (skip — the work is
+  * done) or [[Cdc.processPartitionedBatch]] rewrites it idempotently.
+  * A per-epoch INTENT marker (written before the merge, pruned as epochs
+  * advance) is what entitles the skip: a committed version WITHOUT this
+  * stream's intent means another writer took the slot — loud, below.
+  *
+  * SCALE SHAPE: executors stream rows straight to per-task parquet
+  * staging files (constant memory — no buffering, no driver collect);
+  * `commit(epoch)` runs the distributed MERGE over exactly those staged
+  * files and deletes them after the manifest commit. Staging IO is
+  * ∝ the epoch's data; merge IO is ∝ touched buckets — the same
+  * contract as every other write into the store.
+  *
+  * SINGLE WRITER (the store's standing maintenance contract): one
+  * streaming query owns the store's version line while it runs. An
+  * interleaved writer moves `max(version)` past the stream's next slot
+  * and the commit fails LOUDLY (never silently skips as a replay).
+  *
+  * Supports `outputMode(Update)` as upsert-append (the Kafka-sink
+  * convention): an updated aggregate row is exactly a keyed upsert here,
+  * so streaming aggregations maintain per-key results in the store. */
+class CdcStreamingWrite(
+    tableName: String,
+    d: CdcCatalog.StoreDef,
+    writeSchema: StructType,
+    queryId: String)
+    extends StreamingWrite {
+
+  import CdcStreamingWrite._
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new CdcStagingWriterFactory(d.storePath, queryId, writeSchema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val committed = Cdc.manifestVersions(spark, d.storePath)
+    require(committed.nonEmpty,
+      s"$tableName has no committed version — streaming writes maintain an EXISTING " +
+        "store (seed it with processPartitionedBatch or buildCdcStore first)")
+    val version = baseFor(spark, d.storePath, queryId, epochId, committed.max) + epochId
+    // The intent marker separates REPLAY from INTRUSION when the version
+    // is already committed: a replayed epoch wrote its intent before the
+    // first attempt's merge; an interleaved writer that landed on exactly
+    // this slot did not — that must fail LOUDLY, never skip as a replay.
+    val replayed = hasIntent(spark, d.storePath, queryId, epochId)
+    if (!committed.contains(version) || !replayed) {
+      require(!committed.contains(version),
+        s"$tableName version line moved: this stream's epoch $epochId maps to " +
+          s"version $version, which another writer already committed (no intent " +
+          "marker from this stream) — a store has ONE maintainer at a time")
+      require(version == committed.max + 1,
+        s"$tableName version line moved: this stream's epoch $epochId maps to " +
+          s"version $version but the newest committed version is ${committed.max} — " +
+          "another writer ran concurrently (a store has ONE maintainer at a time)")
+      recordIntent(spark, d.storePath, queryId, epochId)
+      val files = messages.collect { case StagedEpochFile(path, rows) if rows > 0 => path }
+      import org.apache.spark.sql.functions.{col, lit}
+      val batch =
+        if (files.isEmpty) // empty epoch: commit an empty version so the
+          // version line stays one-per-epoch (carry-everything manifest)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+        else spark.read.schema(writeSchema).parquet(files.toIndexedSeq: _*)
+      Cdc.processPartitionedBatch(
+        batch.withColumn("_seq", lit(version)).withColumn("_op", lit("U")),
+        Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
+        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, version)
+    }
+    dropStaging(spark, d.storePath, queryId, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropStaging(SparkSession.active, d.storePath, queryId, epochId)
+}
+
+object CdcStreamingWrite {
+
+  private[cdc] def stagingDir(storePath: String, queryId: String, epochId: Long): String =
+    s"$storePath/_staging/q=$queryId/e=$epochId"
+
+  /** The query's pinned version base: `version = base + epochId`. Written
+    * once, BEFORE the first commit it governs, via temp-file + atomic
+    * rename — a replay of that first epoch reads the same base back and
+    * lands on the same version. Keyed by the streaming query's STABLE id
+    * (checkpoint metadata), so restarts keep the mapping; a fresh
+    * checkpoint is a new query id and pins a new base past the versions
+    * the old run committed. */
+  private def baseFor(
+      spark: SparkSession, storePath: String, queryId: String,
+      epochId: Long, maxCommitted: Long): Long = {
+    val file = new Path(s"$storePath/_streams/q=$queryId")
+    val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(file)) {
+      val in = fs.open(file)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    } else {
+      val base = maxCommitted + 1 - epochId
+      val tmp = new Path(s"$storePath/_streams/.q=$queryId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, file)) { // lost a (same-driver) race: trust the winner
+        fs.delete(tmp, false)
+        require(fs.exists(file), s"failed to pin stream base at $file")
+        return baseFor(spark, storePath, queryId, epochId, maxCommitted)
+      }
+      base
+    }
+  }
+
+  /** Per-epoch intent marker, created BEFORE the epoch's merge: its
+    * existence is what lets a replayed commit recognize its own committed
+    * version (skip) while an interleaved writer's version on the same
+    * slot stays a loud error. Only the newest epoch can replay, so older
+    * intents are pruned as each new one lands — bounded metadata. */
+  private def intentDir(storePath: String, queryId: String) =
+    new Path(s"$storePath/_streams/intents_q=$queryId")
+
+  private def hasIntent(
+      spark: SparkSession, storePath: String, queryId: String, epochId: Long): Boolean = {
+    val dir = intentDir(storePath, queryId)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(dir, s"e=$epochId"))
+  }
+
+  private def recordIntent(
+      spark: SparkSession, storePath: String, queryId: String, epochId: Long): Unit = {
+    val dir = intentDir(storePath, queryId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(dir, s"e=$epochId"), true).close()
+    fs.listStatus(dir).foreach { st =>
+      val e = st.getPath.getName.stripPrefix("e=")
+      if (e.forall(_.isDigit) && e.toLong < epochId) fs.delete(st.getPath, false)
+    }
+  }
+
+  private def dropStaging(
+      spark: SparkSession, storePath: String, queryId: String, epochId: Long): Unit = {
+    val dir = new Path(stagingDir(storePath, queryId, epochId))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+  }
+
+  /** The staging file schema — the store's supported payload types, as
+    * plain optional parquet primitives (the exact physical shapes
+    * [[CdcPartitionReader]] and Spark's own reader decode). */
+  private[cdc] def messageTypeFor(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType    => Types.optional(PrimitiveTypeName.INT64)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType   => Types.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType  =>
+          Types.optional(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType())
+        case DateType    =>
+          Types.optional(PrimitiveTypeName.INT32).as(LogicalTypeAnnotation.dateType())
+        case t => throw new IllegalArgumentException(
+          s"unsupported type $t (CdcStoreTable validates at load — this is a bug)")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+}
+
+/** One parquet staging file per (partition, task attempt); the task id
+  * keys the name, so a speculative or retried attempt writes its own
+  * file and only the attempt whose commit message reaches the driver
+  * contributes to the merge. */
+class CdcStagingWriterFactory(storePath: String, queryId: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CdcStagingWriter(
+      s"${CdcStreamingWrite.stagingDir(storePath, queryId, epochId)}/part-$partitionId-$taskId.parquet",
+      schema)
+}
+
+case class StagedEpochFile(path: String, rows: Long) extends WriterCommitMessage
+
+/** Streams rows straight to one parquet staging file — opened lazily on
+  * the first row (an empty partition stages nothing), constant memory
+  * beyond parquet's own page buffers. */
+class CdcStagingWriter(path: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val messageType = CdcStreamingWrite.messageTypeFor(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      // executor-side: the path carries its scheme; a default
+      // Configuration resolves the right FileSystem (same as the reader)
+      writer = ExampleParquetWriter.builder(new Path(path))
+        .withType(messageType).withConf(new Configuration()).build()
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType    => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType  => g.add(i, row.getDouble(i))
+        case FloatType   => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType  => g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case DateType    => g.add(i, row.getInt(i)) // days since epoch
+        case t => throw new IllegalArgumentException(s"unsupported type $t")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    StagedEpochFile(path, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    new Path(path).getFileSystem(new Configuration()).delete(new Path(path), false)
+  }
+
+  override def close(): Unit = ()
+}

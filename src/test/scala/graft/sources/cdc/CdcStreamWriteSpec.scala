@@ -1,0 +1,227 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Cdc
+
+/** Laws for STREAMING writes into catalog CDC stores
+  * ([[CdcStreamingWrite]] — `writeStream.toTable("graft.x")`):
+  *  - every micro-batch commits exactly ONE new store version through the
+  *    keyed-upsert MERGE path; the snapshot is the stream's last-write-
+  *    wins replay;
+  *  - a replayed epoch (same epochId) lands on the SAME version id and is
+  *    skipped once committed — exactly-once with no transaction log;
+  *  - an interleaved writer moves the version line and the next stream
+  *    commit fails LOUDLY (single-maintainer contract);
+  *  - Update-mode streaming aggregations maintain per-key results in the
+  *    store (upsert-as-append);
+  *  - the full loop closes: store A's change feed, tailed as a stream,
+  *    transforms into store B via toTable — an incremental pipeline with
+  *    no snapshot re-reads anywhere.
+  */
+class CdcStreamWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val n = 8
+  private val payload = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType),
+    StructField("bal", DoubleType)))
+
+  /** Store seeded at v=0 with rows k=1..20. */
+  private def seedStore(): String = {
+    val store = java.nio.file.Files.createTempDirectory("graft_swrite_store").toString
+    val seed = (1L to 20L).map(k => (k, s"orig$k", k * 1.5)).toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      seed.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seed.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 0L)
+    store
+  }
+
+  private def snapshot(store: String): Set[(Long, String, Double)] =
+    Cdc.readPartitionedSnapshot(spark, store)
+      .select("k", "name", "bal").as[(Long, String, Double)].collect().toSet
+
+  test("toTable commits one upsert version per micro-batch; snapshot is the keyed replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = seedStore()
+    CdcCatalog.register("sw_basic", store, keys, n)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swrite_ckpt").toString
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      val q = mem.toDF().toDF("k", "name", "bal")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("graft.sw_basic")
+      try {
+        mem.addData((1L, "up1", 10.0), (30L, "new30", 30.0))
+        q.processAllAvailable()
+        mem.addData((1L, "up2", 11.0), (30L, "new30b", 31.0), (31L, "new31", 41.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // one version per epoch, on top of the seed's v=0
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L))
+      val expected = (2L to 20L).map(k => (k, s"orig$k", k * 1.5)).toSet ++
+        Set((1L, "up2", 11.0), (30L, "new30b", 31.0), (31L, "new31", 41.0))
+      assert(snapshot(store) === expected)
+      // the versions are ordinary store history: time travel still serves v=1
+      val v1 = Cdc.readPartitionedSnapshot(spark, store, Some(1L))
+        .select("k", "name").as[(Long, String)].collect().toMap
+      assert(v1(1L) === "up1" && v1(30L) === "new30")
+    } finally CdcCatalog.unregister("sw_basic")
+  }
+
+  /** Direct replay drill: stage → commit → re-stage the SAME epoch →
+    * commit again. The second commit must recognize the committed version
+    * and skip — snapshot and version line unchanged. Also: an epoch that
+    * staged nothing commits an EMPTY version (carry-everything manifest),
+    * keeping the version line one-per-epoch. */
+  test("a replayed epoch commits exactly once; an empty epoch commits an empty version") {
+    val store = seedStore()
+    val d = CdcCatalog.StoreDef(store, keys, n)
+    val sw = new CdcStreamingWrite("graft.sw_replay", d, payload, "qrep")
+    def stage(epoch: Long, rows: Seq[(Long, String, Double)], task: Long) = {
+      val w = new CdcStagingWriterFactory(store, "qrep", payload).createWriter(0, task, epoch)
+      rows.foreach { case (k, nm, b) =>
+        w.write(InternalRow(k, UTF8String.fromString(nm), b)) }
+      w.commit()
+    }
+    sw.commit(0L, Array(stage(0L, Seq((1L, "e0", 1.0)), 1L)))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    val after = snapshot(store)
+    assert(after.contains((1L, "e0", 1.0)))
+    // replay: Spark re-runs the epoch's tasks (new task ids), re-commits
+    sw.commit(0L, Array(stage(0L, Seq((1L, "e0", 1.0)), 2L)))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L),
+      "a replayed epoch must not mint a new version")
+    assert(snapshot(store) === after)
+    // empty epoch: no staged rows → empty version, all buckets carried
+    sw.commit(1L, Array.empty)
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L))
+    assert(snapshot(store) === after, "an empty version must carry every bucket")
+  }
+
+  test("an interleaved writer moves the version line: the next stream commit is LOUD") {
+    val store = seedStore()
+    val d = CdcCatalog.StoreDef(store, keys, n)
+    val sw = new CdcStreamingWrite("graft.sw_fence", d, payload, "qfence")
+    def staged(epoch: Long, k: Long) = {
+      val w = new CdcStagingWriterFactory(store, "qfence", payload).createWriter(0, epoch * 10, epoch)
+      w.write(InternalRow(k, UTF8String.fromString(s"e$epoch"), 1.0))
+      w.commit()
+    }
+    sw.commit(0L, Array(staged(0L, 1L))) // v=1
+    // another maintainer commits v=2 behind the stream's back
+    val intruder = Seq((2L, "batch", 9.9)).toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      intruder.withColumn("_seq", lit(2L)).withColumn("_op", lit("U")),
+      intruder.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 2L)
+    val e = intercept[IllegalArgumentException] { sw.commit(1L, Array(staged(1L, 3L))) }
+    assert(e.getMessage.contains("version line moved"), e.getMessage)
+    assert(!snapshot(store).contains((3L, "e1", 1.0)), "the fenced epoch must not land")
+  }
+
+  test("update-mode streaming aggregation maintains per-key counts in the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_swrite_agg").toString
+    val seed = Seq((0L, 0L)).toDF("k", "cnt") // seeded counter table
+    Cdc.processPartitionedBatch(
+      seed.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seed.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 0L)
+    CdcCatalog.register("sw_agg", store, keys, n)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swrite_aggc").toString
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().toDF("k")
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .toTable("graft.sw_agg")
+      try {
+        mem.addData(1L, 1L, 2L)
+        q.processAllAvailable()
+        mem.addData(1L, 3L)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = Cdc.readPartitionedSnapshot(spark, store)
+        .select("k", "cnt").as[(Long, Long)].collect().toMap
+      // update mode re-emits only changed keys; upsert keeps the rest
+      assert(got === Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally CdcCatalog.unregister("sw_agg")
+  }
+
+  test("closed loop: store A's feed, tailed as a stream, maintains store B via toTable") {
+    implicit val sqlCtx = spark.sqlContext
+    // store A with a materialized feed (the maintenance side)
+    val storeA = java.nio.file.Files.createTempDirectory("graft_swloop_a").toString
+    val feedA = java.nio.file.Files.createTempDirectory("graft_swloop_feed").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("graft_swloop_ca").toString
+    val seedA = (1L to 10L).map(k => (k, s"a$k", k * 1.0)).toDF("k", "name", "bal")
+    val memA = MemoryStream[(Long, String, Double, Long, String)]
+    val qA = Cdc.maintainPartitionedSnapshot(
+      memA.toDF().toDF("k", "name", "bal", "seq", "op"),
+      seedA, keys, Seq(col("seq")), col("op"), storeA, ckptA, n,
+      feedPath = Some(feedA)).start()
+    try {
+      memA.addData((1L, "a1x", 100.0, 1L, "U"), (11L, "a11", 11.0, 2L, "I"))
+      qA.processAllAvailable()
+      memA.addData((2L, "a2x", 200.0, 3L, "U"), (11L, "gone", 0.0, 4L, "D"))
+      qA.processAllAvailable()
+    } finally qA.stop()
+    // store B: the downstream projection (k, bal) of A's post-images
+    val storeB = java.nio.file.Files.createTempDirectory("graft_swloop_b").toString
+    val seedB = Cdc.readPartitionedSnapshot(spark, storeA, Some(0L)).select("k", "bal")
+    Cdc.processPartitionedBatch(
+      seedB.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seedB.limit(0), keys, Seq(col("_seq")), col("_op"), storeB, n, 0L)
+    CdcCatalog.registerFeed("sw_loop_feed", storeA, feedA)
+    CdcCatalog.register("sw_loop_b", storeB, keys, n)
+    val ckptB = java.nio.file.Files.createTempDirectory("graft_swloop_cb").toString
+    try {
+      // the incremental pipeline: feed tail → transform → keyed upsert.
+      // (Deletes ride as upserts of a tombstone balance here — B's schema
+      // has no op column; a full-fidelity mirror would map `delete` to
+      // op=D on the maintenance API.)
+      val q = spark.readStream.table("graft.sw_loop_feed")
+        .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+        .select(col("k"),
+          when(col("_change_type") === "delete", lit(-1.0)).otherwise(col("bal")).as("bal"))
+        .writeStream.option("checkpointLocation", ckptB)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.sw_loop_b")
+      q.awaitTermination()
+      val got = Cdc.readPartitionedSnapshot(spark, storeB)
+        .select("k", "bal").as[(Long, Double)].collect().toMap
+      val expected = (3L to 10L).map(k => k -> k * 1.0).toMap ++
+        Map(1L -> 100.0, 2L -> 200.0, 11L -> -1.0)
+      assert(got === expected)
+    } finally { CdcCatalog.unregister("sw_loop_feed"); CdcCatalog.unregister("sw_loop_b") }
+  }
+
+  test("version-pinned tables refuse streaming writes") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = seedStore()
+    CdcCatalog.register("sw_pinned", store, keys, n, version = Some(0L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swrite_pc").toString
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      val e = intercept[Exception] {
+        val q = mem.toDF().toDF("k", "name", "bal")
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable("graft.sw_pinned")
+        try { mem.addData((1L, "x", 1.0)); q.processAllAvailable() } finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("version-pinned")),
+        messages(e).mkString(" | "))
+    } finally CdcCatalog.unregister("sw_pinned")
+  }
+}
