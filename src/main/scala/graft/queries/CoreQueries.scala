@@ -1901,6 +1901,47 @@ object CoreQueries {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // C38g: the whole MERGE expressed as SQL `MERGE INTO` through the
+    // catalog's row-level operation path (sources/cdc/CdcRowLevel.scala —
+    // the delta-based SupportsDelta contract): seed the store from
+    // customer, dedupe the changelog to last-writer-wins per key in the
+    // USING subquery (MERGE demands unique source matches), and land
+    // matched-update / matched-delete / not-matched-insert verdicts as
+    // ONE store version. The target scan is the ordinary bucket-pruned
+    // store scan; staged delta IO ∝ matched rows; the write ∝ touched
+    // buckets. Must hash-match the same merged recompute the imperative
+    // API is checked against — one semantics, two front doors.
+    "c38_cdc_merge_sql" -> ((s, sf) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmerge_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      // fresh store every run: the query measures seed + one SQL MERGE
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val seed = Tables.customer(s, sf)
+      Cdc.processPartitionedBatch(
+        seed.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+        seed.limit(0), Seq("c_custkey"), Seq(col("_seq")), col("_op"), store, 16, 0L)
+      val tbl = "cdc_merge_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      graft.sources.cdc.CdcCatalog.register(tbl, store, Seq("c_custkey"), 16)
+      cdcChangelog(s, sf).createOrReplaceTempView("cdc_merge_log")
+      s.sql(s"""
+        MERGE INTO graft.$tbl t
+        USING (
+          SELECT * FROM (
+            SELECT *, row_number()
+              OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+            FROM cdc_merge_log) WHERE rn = 1) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.c_name = s.c_name,
+          t.c_nationkey = s.c_nationkey, t.c_acctbal = s.c_acctbal,
+          t.c_mktsegment = s.c_mktsegment
+        WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
+          (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+          VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment)""")
+      s.table(s"graft.$tbl").orderBy("c_custkey")
+    }),
+
     // C38 (storage-partitioned join): the account-state store joined
     // with the bucket-aligned activity-rollup store THROUGH the DSv2
     // catalog (sources/cdc) — both scans report KeyGroupedPartitioning
@@ -2845,6 +2886,34 @@ object CoreQueries {
             OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
             OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
          ORDER BY c_custkey""",
+    // SQL MERGE INTO ≡ the same last-writer-wins merged snapshot
+    "c38_cdc_merge_sql" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'
+         )
+         SELECT * FROM merged ORDER BY c_custkey""",
     // feed table ≡ the CDF shape of the same snapshot diff: updates emit
     // BOTH images, inserts the post side, deletes the pre side, all
     // stamped with the committing version

@@ -241,11 +241,18 @@ class CdcBucketBound(keyTypes: Array[DataType]) extends ScalarFunction[Integer] 
   * OVERWRITE` is refused — a store's history is append-only, retention
   * is `vacuum`'s job. */
 class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.catalog.TableCapability._
 
-  private[cdc] val (servedVersion, payloadSchema, bucketDirs) =
-    Cdc.servingLayout(SparkSession.active, d.storePath, d.version)
+  private[cdc] val (servedVersion, payloadSchema, bucketDirs) = {
+    val (v, raw, dirs) = Cdc.servingLayout(SparkSession.active, d.storePath, d.version)
+    // merge keys are NON-NULL by the store's contract (the layout hash
+    // is defined on them); declaring it lets Spark accept them as row-id
+    // attributes for the delta-based DML path (NULLABLE_ROW_ID refusal)
+    (v, StructType(raw.fields.map(f =>
+      if (d.keys.contains(f.name)) f.copy(nullable = false) else f)), dirs)
+  }
 
   {
     val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
@@ -315,6 +322,21 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
     Cdc.processPartitionedBatch(changelog,
       Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
       d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE`, the
+    * delta-based row-level contract ([[CdcRowLevelOperation]]): Spark
+    * scans the target through the ordinary bucket-pruned store scan,
+    * evaluates the statement, and the per-row verdicts stage as
+    * changelog rows committed through the MERGE path. Bounded-key-panel
+    * DELETEs never get here — `canDeleteWhere` claims them first
+    * (metadata-only, no target scan). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(d.version.isEmpty,
+      s"$tableName is version-pinned (time travel) — row-level writes go to the live table")
+    () => new CdcRowLevelOperation(this, d, info.command)
   }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

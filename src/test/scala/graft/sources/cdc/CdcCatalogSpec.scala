@@ -295,8 +295,8 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("cat_tt")
   }
 
-  test("DELETE FROM is a keyed MERGE: =/IN key panels delete through the bucket path; " +
-      "anything short of a full key pin refuses") {
+  test("DELETE FROM is a keyed MERGE: =/IN key panels delete through the metadata-only " +
+      "bucket path; wider predicates take the row-level scan; pins and TRUNCATE refuse") {
     val store = buildStore("del", seed40("d"))
     CdcCatalog.register("cat_del", store, keys, nBuckets)
     CdcCatalog.register("cat_del_v0", store, keys, nBuckets, version = Some(0L))
@@ -314,15 +314,19 @@ class CdcCatalogSpec extends AnyFunSuite {
       val feed = Cdc.changesBetweenCdf(spark, store, v1 + 1, v1 + 2, keys)
         .select("k", "_change_type").as[(Long, String)].collect().toSet
       assert(feed === Set((7L, "delete"), (9L, "delete")), s"unexpected feed: $feed")
-      // refusals: non-key predicate, partially-pinned conjunct, pinned
-      // version, TRUNCATE (an always-true delete) — all loud, none commit
+      // predicates WIDER than a key panel fall through to the row-level
+      // path (CdcRowLevelSpec owns its laws): a target scan finds the
+      // matched rows and the delete still commits ONE version
       val vNow = Cdc.manifestVersions(spark, store).max
-      intercept[Exception](spark.sql("DELETE FROM graft.cat_del WHERE bal > 1.0"))
-      intercept[Exception](spark.sql("DELETE FROM graft.cat_del WHERE k = 3 AND bal > 1.0"))
+      spark.sql("DELETE FROM graft.cat_del WHERE k = 3 AND bal > 1.0")
+      assert(Cdc.manifestVersions(spark, store).max === vNow + 1)
+      val after3 = collectRows(spark.table("graft.cat_del"))
+      assert(!after3.exists(_._1 == 3L) && after3.exists(_._1 == 4L))
+      // refusals stay loud and commit nothing: pinned version, TRUNCATE
       intercept[Exception](spark.sql("DELETE FROM graft.cat_del_v0 WHERE k = 3"))
       intercept[Exception](spark.sql("TRUNCATE TABLE graft.cat_del"))
-      assert(Cdc.manifestVersions(spark, store).max === vNow, "a refused delete committed")
-      assert(collectRows(spark.table("graft.cat_del")) === after2)
+      assert(Cdc.manifestVersions(spark, store).max === vNow + 1, "a refused delete committed")
+      assert(collectRows(spark.table("graft.cat_del")) === after3)
     } finally { CdcCatalog.unregister("cat_del"); CdcCatalog.unregister("cat_del_v0") }
   }
 

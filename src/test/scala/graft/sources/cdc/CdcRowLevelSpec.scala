@@ -1,0 +1,124 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Cdc
+
+/** Laws for SQL row-level DML on catalog CDC stores
+  * ([[CdcRowLevelOperation]] — the delta-based `SupportsDelta` path):
+  *  - `UPDATE ... WHERE <any predicate>` rewrites matched rows only,
+  *    commits ONE store version, and rides the change feed as updates;
+  *  - an UPDATE that MOVES a key retires the old identity and lands the
+  *    new one (delete + upsert, no same-key recency tie);
+  *  - `MERGE INTO` with matched-update / not-matched-insert /
+  *    matched-delete clauses lands the full verdict set as one version;
+  *  - `DELETE ... WHERE <non-key predicate>` works through the target
+  *    scan (the metadata-only path keeps claiming bounded key panels —
+  *    CdcCatalogSpec owns that split);
+  *  - version-pinned tables refuse all of it, loudly.
+  */
+class CdcRowLevelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val n = 8
+
+  private def freshStore(tag: String): String = {
+    val store = java.nio.file.Files.createTempDirectory(s"graft_rlo_$tag").toString
+    val seed = (1L to 40L).map(k => (k, s"orig$k", k * 1.0)).toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      seed.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seed.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 0L)
+    store
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "name", "bal").as[(Long, String, Double)].collect().toSet
+
+  test("UPDATE with an arbitrary predicate rewrites matched rows as one MERGE version") {
+    val store = freshStore("upd")
+    CdcCatalog.register("rlo_upd", store, keys, n)
+    try {
+      spark.sql("UPDATE graft.rlo_upd SET bal = bal * 10, name = 'boosted' WHERE bal > 37.5")
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L),
+        "UPDATE must commit exactly one version")
+      val got = rows(spark.table("graft.rlo_upd"))
+      val expected = (1L to 37L).map(k => (k, s"orig$k", k * 1.0)).toSet ++
+        (38L to 40L).map(k => (k, "boosted", k * 10.0)).toSet
+      assert(got === expected)
+      // the statement rides the change feed as updates with both images
+      val feed = Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(feed === (38L to 40L).flatMap(k =>
+        Seq((k, "update_preimage"), (k, "update_postimage"))).toSet)
+    } finally CdcCatalog.unregister("rlo_upd")
+  }
+
+  test("an UPDATE that moves the key retires the old identity and lands the new") {
+    val store = freshStore("mv")
+    CdcCatalog.register("rlo_mv", store, keys, n)
+    try {
+      spark.sql("UPDATE graft.rlo_mv SET k = k + 100 WHERE k = 3")
+      val got = rows(spark.table("graft.rlo_mv"))
+      assert(!got.exists(_._1 == 3L), "the old key must be gone")
+      assert(got.contains((103L, "orig3", 3.0)), "the moved row must land under the new key")
+      assert(got.size === 40)
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    } finally CdcCatalog.unregister("rlo_mv")
+  }
+
+  test("MERGE INTO lands update + insert + delete verdicts as one version") {
+    val store = freshStore("merge")
+    CdcCatalog.register("rlo_merge", store, keys, n)
+    try {
+      Seq((1L, "src1", 111.0), (2L, "src2", 222.0), (50L, "src50", 500.0))
+        .toDF("k", "name", "bal").createOrReplaceTempView("rlo_src")
+      spark.sql("""
+        MERGE INTO graft.rlo_merge t USING rlo_src s ON t.k = s.k
+        WHEN MATCHED AND s.bal > 200 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)""")
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L),
+        "MERGE must commit exactly one version")
+      val got = rows(spark.table("graft.rlo_merge"))
+      val expected = (3L to 40L).map(k => (k, s"orig$k", k * 1.0)).toSet ++
+        Set((1L, "src1", 111.0), (50L, "src50", 500.0)) // k=2 deleted (bal 222 > 200)
+      assert(got === expected)
+      // feed fidelity for the mixed verdict set
+      val feed = Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(feed === Set((1L, "update_preimage"), (1L, "update_postimage"),
+        (2L, "delete"), (50L, "insert")), s"unexpected feed: $feed")
+    } finally CdcCatalog.unregister("rlo_merge")
+  }
+
+  test("a MERGE that matches nothing is a no-op: no version minted") {
+    val store = freshStore("noop")
+    CdcCatalog.register("rlo_noop", store, keys, n)
+    try {
+      Seq((1L, "same", 1.0)).toDF("k", "name", "bal").createOrReplaceTempView("rlo_noop_src")
+      spark.sql("""
+        MERGE INTO graft.rlo_noop t USING rlo_noop_src s ON t.k = s.k
+        WHEN MATCHED AND t.bal > 1000 THEN DELETE""")
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L),
+        "an all-miss statement must not mint a version")
+    } finally CdcCatalog.unregister("rlo_noop")
+  }
+
+  test("version-pinned tables refuse row-level DML loudly") {
+    val store = freshStore("pin")
+    CdcCatalog.register("rlo_pin", store, keys, n, version = Some(0L))
+    try {
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val e = intercept[Exception](
+        spark.sql("UPDATE graft.rlo_pin SET bal = 0 WHERE bal > 1.0"))
+      assert(messages(e).exists(_.contains("version-pinned")), messages(e).mkString(" | "))
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L))
+    } finally CdcCatalog.unregister("rlo_pin")
+  }
+}
