@@ -138,7 +138,7 @@ class CdcFeedScan(
     maxVersionsPerTrigger: Option[Int] = None,
     loVersion: Option[Long] = None,
     hiVersion: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   private[cdc] def plannedVersions: Seq[Long] =
     CdcFeedScan.retainedVersions(d.feedPath)
@@ -146,6 +146,24 @@ class CdcFeedScan(
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Real sizes for the planner — the VERSION-PRUNED byte count, so an
+    * incremental catch-up read (usually a few small versions) broadcasts
+    * when joined against big state instead of being costed like the
+    * whole retained history. */
+  override def estimateStatistics(): Statistics = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val bytes = plannedVersions.map { v =>
+      val dir = new Path(s"${d.feedPath}/v=$v")
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String = {
     val all = CdcFeedScan.retainedVersions(d.feedPath)
     s"$tableName feed versions=${plannedVersions.size}/${all.size} " +

@@ -140,6 +140,11 @@ class CdcFeedTableSpec extends AnyFunSuite {
       val band = spark.table("graft.feed_rng")
         .filter(col("_commit_version") >= 2L && col("_commit_version") < 3L)
       assert(scanOf(band).plannedVersions === Seq(2L))
+      // the planner sees the PRUNED size: a catch-up read costs less
+      // than the retained history (broadcast decisions stay honest)
+      val full = spark.table("graft.feed_rng")
+      assert(scanOf(point).estimateStatistics().sizeInBytes().getAsLong <
+        scanOf(full).estimateStatistics().sizeInBytes().getAsLong)
       // a non-version filter prunes nothing and still returns exact rows
       val other = spark.table("graft.feed_rng").filter(col("k") === 1L)
       assert(scanOf(other).plannedVersions === Seq(1L, 2L, 3L))
