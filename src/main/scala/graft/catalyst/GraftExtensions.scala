@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectOptimizerRule(_ => CosineFusionRule)
+    ext.injectOptimizerRule(_ => DeltaDmlRuntimeFiltering)
   }
 }
 
@@ -191,6 +192,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(CosineFusionRule)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CosineFusionRule
+    }
+    if (!spark.experimental.extraOptimizations.contains(DeltaDmlRuntimeFiltering)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DeltaDmlRuntimeFiltering
     }
   }
 }

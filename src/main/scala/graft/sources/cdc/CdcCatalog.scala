@@ -336,6 +336,10 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(d.version.isEmpty,
       s"$tableName is version-pinned (time travel) — row-level writes go to the live table")
+    // runs at ANALYSIS time — early enough to land the delta-DML runtime
+    // pruning rule (graft.catalyst.DeltaDmlRuntimeFiltering) in the
+    // optimizer before this very statement is optimized
+    graft.catalyst.GraftExtensions.register(SparkSession.active)
     () => new CdcRowLevelOperation(this, d, info.command)
   }
 

@@ -109,6 +109,60 @@ class CdcRowLevelSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("rlo_noop")
   }
 
+  test("MERGE with a selective file-backed source prunes target buckets at runtime") {
+    val store = freshStore("dpp")
+    CdcCatalog.register("rlo_dpp", store, keys, n)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_rlo_dpp_dim").toString
+    Seq((5L, "x", 555.0), (7L, "x", 777.0), (9L, "y", 999.0)).toDF("k", "tag", "nb")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rlo_dpp_src")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // the command executes eagerly — capture its executed plan off the
+    // (async) execution listener and fish the target scan out of it
+    @volatile var captured = List.empty[CdcScan]
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[CdcScan] = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan).collect { case s: CdcScan => s }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+    }.flatten
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured = scansIn(qe.executedPlan).toList ++ captured
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql("""MERGE INTO graft.rlo_dpp t
+        USING (SELECT k, nb FROM rlo_dpp_src WHERE tag = 'x') s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.bal = s.nb""")
+      // correctness first: pruning must stay layout advice
+      val got = rows(spark.table("graft.rlo_dpp"))
+      val expected = (1L to 40L).map {
+        case 5L => (5L, "orig5", 555.0)
+        case 7L => (7L, "orig7", 777.0)
+        case k  => (k, s"orig$k", k * 1.0)
+      }.toSet
+      assert(got === expected)
+      // then the scale law: the source's surviving keys arrived as a
+      // runtime panel and dropped every bucket they don't hash to
+      var waited = 0
+      while (captured.forall(_.runtimePrunedBuckets.isEmpty) && waited < 30000) {
+        Thread.sleep(200); waited += 200
+      }
+      val pruned = captured.flatMap(_.runtimePrunedBuckets).headOption
+      assert(pruned.isDefined,
+        s"the runtime panel never reached the MERGE target scan (captured ${captured.size} scans)")
+      val want = Set(5L, 7L).map(k =>
+        CdcScan.bucketOfLiterals(Seq(k -> org.apache.spark.sql.types.LongType), n))
+      assert(pruned.get === want, s"pruned to ${pruned.get}, expected buckets $want")
+    } finally {
+      CdcCatalog.unregister("rlo_dpp")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("version-pinned tables refuse row-level DML loudly") {
     val store = freshStore("pin")
     CdcCatalog.register("rlo_pin", store, keys, n, version = Some(0L))
