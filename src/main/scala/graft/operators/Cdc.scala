@@ -376,9 +376,17 @@ object Cdc {
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
     // idempotent under replay, invisible to every other bucket.
+    // KEY-SORTED within each output file (a per-partition sort, no extra
+    // shuffle; the (_bucket,_writer) prefix also satisfies the partition
+    // writer's required ordering, so Spark adds no unstable sort of its
+    // own): sorted files carry TIGHT per-row-group key statistics, which
+    // is what lets point reads skip row groups inside a bucket — the
+    // sub-bucket half of the lookup story (parquet stats pushdown in
+    // sources/cdc/CdcScan and Spark's own parquet IN pushdown).
     upsert(prior, batch, keys, orderCols, opCol)
       .withColumn("_bucket", bucketExpr(keys, nBuckets))
       .withColumn("_writer", lit(id))
+      .sortWithinPartitions(("_bucket" +: "_writer" +: keys).map(col): _*)
       .write
       .partitionBy("_bucket", "_writer")
       .option("partitionOverwriteMode", "dynamic")

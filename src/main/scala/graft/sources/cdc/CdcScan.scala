@@ -58,6 +58,11 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
+  // per-key literal panels, kept even when they don't pin every key: a
+  // single key's panel can't prune BUCKETS on a composite store, but it
+  // still skips ROW GROUPS inside every bucket (sorted files carry tight
+  // key statistics; the reader pushes the panel into parquet's filter)
+  private var keyPanels: Map[String, Seq[Any]] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve payload field order; an empty projection (count(*)) keeps
@@ -78,6 +83,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       case In(a, vs) if d.keys.contains(a) && vs.nonEmpty &&
         vs.length <= MaxInPanel && !vs.contains(null)             => a -> vs.toSeq
     }.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).minBy(_.length) }
+    keyPanels = panels
     if (d.keys.forall(panels.contains)) {
       // cross product of per-key panels (bounded: singletons except IN)
       val combos = d.keys.foldLeft(Seq(Seq.empty[Any])) { (acc, k) =>
@@ -115,7 +121,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .map(_.toSeq.sorted)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
-      d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files)
+      d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels)
   }
 }
 
@@ -198,7 +204,8 @@ class CdcScan(
     keyTypes: Seq[DataType],
     nBuckets: Int,
     buckets: Seq[Int],
-    filesByBucket: Map[Int, Array[(String, Long)]])
+    filesByBucket: Map[Int, Array[(String, Long)]],
+    staticPanels: Map[String, Seq[Any]] = Map.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -218,6 +225,7 @@ class CdcScan(
   // buckets BEFORE any store file is opened. Single-key stores only: a
   // per-key runtime panel cannot determine a composite hash.
   @volatile private var runtimeBuckets: Option[Set[Int]] = None
+  @volatile private var runtimePanel: Option[Set[Any]] = None
   private[cdc] def runtimePrunedBuckets: Option[Set[Int]] = runtimeBuckets
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -244,17 +252,49 @@ class CdcScan(
     }
     if (panels.nonEmpty) {
       val vals = panels.reduce(_ intersect _).filter(_ != null)
+      runtimePanel = Some(vals)
       runtimeBuckets = Some(vals.map(v =>
         CdcScan.bucketOfLiterals(Seq(v -> keyTypes.head), nBuckets)))
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Per-key panels the READER pushes into parquet (AND of bounded INs):
+    * row groups whose key statistics exclude every panel value never
+    * decode — the sub-bucket half of point reads over the store's
+    * key-sorted files. Values normalize to external scala types here so
+    * one reader-side encoding serves both the v1 pushdown literals and
+    * the runtime (internal) panel. */
+  private def readerPanels: Array[(String, Array[Any])] = {
+    def norm(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other         => other
+    }
+    val runtime = runtimePanel.map(vs => keys.head -> vs.toSeq).toMap
+    (staticPanels.keySet ++ runtime.keySet).iterator.map { k =>
+      val s = staticPanels.get(k).map(_.map(norm).toSet)
+      val r = runtime.get(k).map(_.map(norm).toSet)
+      val merged: Set[Any] = (s, r) match {
+        case (Some(a), Some(b)) => a intersect b
+        case (a, b)             => a.orElse(b).get
+      }
+      k -> merged.toArray
+    }.filter { case (k, vs) =>
+      vs.nonEmpty && (requiredSchema.fields.find(_.name == k).map(_.dataType) match {
+        case Some(LongType) | Some(IntegerType) | Some(StringType) => true
+        case Some(_) => false
+        case None    => false // key projected out: stats pruning forfeited
+      })
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val panels = readerPanels
     buckets
       .filter(b => runtimeBuckets.forall(_.contains(b)))
       .map { b =>
-        CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1))
+        CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels)
       }.toArray[InputPartition]
+  }
 
   /** Real sizes for the planner: the PRUNED byte count, so a
     * dimension-sized (or heavily pruned) store side can broadcast while
@@ -271,7 +311,10 @@ class CdcScan(
     new CdcReaderFactory(requiredSchema)
 }
 
-case class CdcBucketPartition(bucket: Int, files: Array[String])
+case class CdcBucketPartition(
+    bucket: Int,
+    files: Array[String],
+    keyFilters: Array[(String, Array[Any])] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -279,7 +322,7 @@ case class CdcBucketPartition(bucket: Int, files: Array[String])
 class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema)
+      case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters)
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema)
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
     }
@@ -290,8 +333,40 @@ class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactor
   * parquet types so physical layouts always match), push it through
   * `parquet.read.schema`, then decode Groups positionally. Columns the
   * file predates (additive evolution) decode as NULL. */
-class CdcPartitionReader(files: Array[String], requiredSchema: StructType)
+class CdcPartitionReader(
+    files: Array[String],
+    requiredSchema: StructType,
+    keyFilters: Array[(String, Array[Any])] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  /** Key panels as a parquet filter (AND of per-key OR-of-eq): row groups
+    * whose tight key statistics (files are key-sorted at write) exclude
+    * every value never decode. Spark re-evaluates every predicate on the
+    * returned rows, so this is IO advice, never correctness. Only built
+    * from columns the projection carries (and the file contains). */
+  private def parquetFilter(fileSchema: MessageType): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val conjuncts: Seq[FilterPredicate] =
+      keyFilters.toSeq.filter(f => fileSchema.containsField(f._1)).flatMap {
+      case (name, values) =>
+        val eqs: Seq[FilterPredicate] =
+          requiredSchema.fields.find(_.name == name).map(_.dataType) match {
+          case Some(LongType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.longColumn(name), java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)))
+          case Some(IntegerType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.intColumn(name), java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue)))
+          case Some(StringType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.binaryColumn(name),
+              org.apache.parquet.io.api.Binary.fromString(v.toString)))
+          case _ => Nil
+        }
+        if (eqs.isEmpty) None else Some(eqs.reduce(FilterApi.or(_, _)))
+    }
+    conjuncts.reduceOption(FilterApi.and(_, _))
+  }
 
   // executor-side: files carry their scheme (file://, hdfs://); a default
   // Configuration resolves the right FileSystem for both
@@ -321,7 +396,11 @@ class CdcPartitionReader(files: Array[String], requiredSchema: StructType)
     }
     val fileConf = new Configuration(conf)
     fileConf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    reader = ParquetReader.builder(new GroupReadSupport(), path).withConf(fileConf).build()
+    val builder = ParquetReader.builder(new GroupReadSupport(), path).withConf(fileConf)
+    reader = parquetFilter(fileSchema)
+      .map(p => builder.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p)))
+      .getOrElse(builder)
+      .build()
     true
   }
 
