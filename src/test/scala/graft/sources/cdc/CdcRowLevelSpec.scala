@@ -58,6 +58,39 @@ class CdcRowLevelSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("rlo_upd")
   }
 
+  test("a key-pinned UPDATE statically prunes the target scan to the key's bucket") {
+    val store = freshStore("updpt")
+    CdcCatalog.register("rlo_updpt", store, keys, n)
+    @volatile var captured = List.empty[CdcScan]
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[CdcScan] = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan).collect { case s: CdcScan => s }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+    }.flatten
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured = scansIn(qe.executedPlan).toList ++ captured
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql("UPDATE graft.rlo_updpt SET bal = 0.0 WHERE k = 7")
+      assert(rows(spark.table("graft.rlo_updpt")).contains((7L, "orig7", 0.0)))
+      var waited = 0
+      while (captured.isEmpty && waited < 30000) { Thread.sleep(200); waited += 200 }
+      assert(captured.nonEmpty, "no target scan captured")
+      // the static k=7 conjunct pushed into the row-level scan builder:
+      // ONE bucket planned (the description carries buckets=planned/total)
+      val d7 = captured.map(_.description()).find(_.contains("buckets=1/"))
+      assert(d7.isDefined, s"expected a 1-bucket scan, got ${captured.map(_.description())}")
+    } finally {
+      CdcCatalog.unregister("rlo_updpt")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("an UPDATE that moves the key retires the old identity and lands the new") {
     val store = freshStore("mv")
     CdcCatalog.register("rlo_mv", store, keys, n)
