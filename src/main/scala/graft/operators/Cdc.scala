@@ -714,6 +714,16 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession, feedPath: String): Seq[Long] =
     committedVersions(spark, feedPath)
 
+  /** Commit wall-clock of one FEED version — its `_SUCCESS` marker's
+    * mtime, the same no-extra-metadata convention as
+    * [[versionCommitTimes]]. Millis since epoch. */
+  def feedCommitTime(
+      spark: org.apache.spark.sql.SparkSession, feedPath: String, v: Long): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$feedPath/v=$v/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(marker).getModificationTime
+  }
+
   /** BATCH-read the materialized feed from `sinceV` (exclusive) onward —
     * the bootstrap/catch-up read a non-streaming consumer does. Fails
     * LOUDLY when `sinceV` has fallen behind the retention window (the

@@ -1896,6 +1896,9 @@ object CoreQueries {
       val tbl = feedTableFor(s, sf)
       s.table(tbl)
         .filter(col("_commit_version") >= 1L)
+        // wall-clock commit time is real but non-deterministic — the
+        // deterministic CDF columns are what the oracle hashes
+        .drop("_commit_timestamp")
         .withColumnRenamed("_change_type", "change_type")
         .withColumnRenamed("_commit_version", "commit_version")
         .orderBy("c_custkey", "change_type")

@@ -51,7 +51,11 @@ class CdcFeedTable(tableName: String, d: CdcCatalog.FeedDef) extends Table with 
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     StructType(payload.fields
       :+ StructField("_change_type", StringType, nullable = true)
-      :+ StructField("_commit_version", LongType, nullable = true))
+      :+ StructField("_commit_version", LongType, nullable = true)
+      // Delta-CDF parity: the committing version's wall clock — served as
+      // a per-version constant from the feed commit marker's own mtime
+      // (no column in the files, no extra metadata write)
+      :+ StructField("_commit_timestamp", TimestampType, nullable = true))
   }
 
   override def name(): String = tableName
@@ -127,7 +131,8 @@ class CdcFeedScanBuilder(
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
-    new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV)
+    val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+    new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV, startingVersion)
   }
 }
 
@@ -137,7 +142,8 @@ class CdcFeedScan(
     d: CdcCatalog.FeedDef,
     maxVersionsPerTrigger: Option[Int] = None,
     loVersion: Option[Long] = None,
-    hiVersion: Option[Long] = None)
+    hiVersion: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private[cdc] def plannedVersions: Seq[Long] =
@@ -172,15 +178,14 @@ class CdcFeedScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedVersions
-      .flatMap(v => CdcFeedScan.versionFiles(d.feedPath, v))
-      .map(f => CdcFeedPartition(Array(f)): InputPartition)
+      .flatMap(v => CdcFeedScan.versionPartitions(d.feedPath, v))
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger)
+    new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger, startingVersion)
 }
 
 object CdcFeedScan {
@@ -196,9 +201,19 @@ object CdcFeedScan {
       .map(_.getPath.toString)
       .sorted
   }
+
+  /** One input partition per file of one version, each carrying the
+    * version's commit wall-clock (micros) for the `_commit_timestamp`
+    * constant the reader serves. */
+  private[cdc] def versionPartitions(feedPath: String, v: Long): Seq[InputPartition] = {
+    val tsMicros =
+      graft.operators.Cdc.feedCommitTime(SparkSession.active, feedPath, v) * 1000L
+    versionFiles(feedPath, v).map(f => CdcFeedPartition(Array(f), tsMicros): InputPartition)
+  }
 }
 
-case class CdcFeedPartition(files: Array[String]) extends InputPartition
+case class CdcFeedPartition(files: Array[String], commitTsMicros: Long = 0L)
+    extends InputPartition
 
 /** Version-offset micro-batch tail of the feed. `CdcFeedOffset(v)` means
   * "every committed feed version ≤ v has been served". The maintainer's
@@ -214,7 +229,8 @@ class CdcFeedStream(
     tableName: String,
     requiredSchema: StructType,
     d: CdcCatalog.FeedDef,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -236,7 +252,16 @@ class CdcFeedStream(
     if (vs.isEmpty) throw new IllegalStateException(
       s"no committed feed versions under ${d.feedPath} — start the stream after " +
         "the store's maintainer has committed at least one feed version")
-    CdcFeedOffset(vs.min - 1) // first batch serves from the oldest retained version
+    startingVersion match {
+      case Some(v) =>
+        // Delta's startingVersion contract, enforced LOUDLY: a start
+        // behind retention would silently skip vacuumed deltas
+        require(v >= vs.min,
+          s"startingVersion $v predates the oldest retained feed version ${vs.min} " +
+            s"of $tableName — bootstrap from the snapshot table instead")
+        CdcFeedOffset(v - 1)
+      case None => CdcFeedOffset(vs.min - 1) // oldest retained version
+    }
   }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -282,9 +307,7 @@ class CdcFeedStream(
           s"v=${from + 1} but the oldest retained feed version is " +
           s"${wanted.headOption.fold("<none>")(v => s"v=$v")}; " +
           "bootstrap from the snapshot table instead")
-    wanted.flatMap(v => CdcFeedScan.versionFiles(d.feedPath, v))
-      .map(f => CdcFeedPartition(Array(f)): InputPartition)
-      .toArray
+    wanted.flatMap(v => CdcFeedScan.versionPartitions(d.feedPath, v)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -323,7 +323,8 @@ class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactor
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters)
-      case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema)
+      case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
+        constants = Map("_commit_timestamp" -> f.commitTsMicros))
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
     }
 }
@@ -336,7 +337,8 @@ class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactor
 class CdcPartitionReader(
     files: Array[String],
     requiredSchema: StructType,
-    keyFilters: Array[(String, Array[Any])] = Array.empty)
+    keyFilters: Array[(String, Array[Any])] = Array.empty,
+    constants: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   /** Key panels as a parquet filter (AND of per-key OR-of-eq): row groups
@@ -420,7 +422,11 @@ class CdcPartitionReader(
     while (i < requiredSchema.length) {
       val pos = fieldPos(i)
       values(i) =
-        if (pos < 0 || g.getFieldRepetitionCount(pos) == 0) null
+        // partition-level constants (e.g. the feed's `_commit_timestamp`)
+        // serve columns no file carries; other absent columns are NULL
+        // (additive evolution)
+        if (pos < 0 || g.getFieldRepetitionCount(pos) == 0)
+          constants.getOrElse(requiredSchema.fields(i).name, null)
         else requiredSchema.fields(i).dataType match {
           case LongType    => g.getLong(pos, 0)
           case IntegerType => g.getInteger(pos, 0)

@@ -80,7 +80,19 @@ class CdcFeedTableSpec extends AnyFunSuite {
       assert(cdfSet(spark.table("graft.feed_hist")) === expected)
       // schema = payload ++ CDF columns, in order
       assert(spark.table("graft.feed_hist").columns.toSeq ===
-        Seq("k", "name", "bal", "_change_type", "_commit_version"))
+        Seq("k", "name", "bal", "_change_type", "_commit_version", "_commit_timestamp"))
+      // _commit_timestamp is the committing version's own wall clock (the
+      // feed commit marker's mtime), constant within a version and
+      // non-decreasing across them
+      val ts = spark.table("graft.feed_hist")
+        .select("_commit_version", "_commit_timestamp").distinct()
+        .as[(Long, java.sql.Timestamp)].collect().toSeq.sortBy(_._1)
+      assert(ts.map(_._1) === Seq(1L, 2L), "one timestamp per version")
+      ts.foreach { case (v, t) =>
+        assert(t.getTime === Cdc.feedCommitTime(spark, feed, v),
+          s"v=$v timestamp is not the feed commit marker's mtime")
+      }
+      assert(ts.map(_._2.getTime) === ts.map(_._2.getTime).sorted)
       // pruning: a 2-column projection reaches the scan as a 2-column read
       val pruned = spark.table("graft.feed_hist").select("k", "_change_type")
       val scan = pruned.queryExecution.executedPlan
@@ -176,6 +188,39 @@ class CdcFeedTableSpec extends AnyFunSuite {
       assert(progress.length === 3,
         s"expected 3 one-version micro-batches, got offsets ${progress.toSeq}")
     } finally CdcCatalog.unregister("feed_adm")
+  }
+
+  test("startingVersion pins the tail's first version; behind retention it is loud") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_sv", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_svout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_svckpt").toString
+    try {
+      val q = spark.readStream
+        .option("startingVersion", "2")
+        .table("graft.feed_sv")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(cdfSet(spark.read.parquet(out)) === feedOf(feed, 2L),
+        "the tail must begin at exactly startingVersion")
+      // behind retention: loud, never a silent skip
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q2 = spark.readStream
+          .option("startingVersion", "0")
+          .table("graft.feed_sv")
+          .writeStream.format("parquet")
+          .option("path", java.nio.file.Files.createTempDirectory("graft_sv2").toString)
+          .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_sv2c").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("predates the oldest retained feed version")),
+        messages(e).mkString(" | "))
+    } finally CdcCatalog.unregister("feed_sv")
   }
 
   test("retention is loud: a lagging resume throws; a fresh stream starts at the oldest retained") {
