@@ -96,6 +96,13 @@ object CdcCatalog {
 
   private[cdc] def lookup(name: String): Option[StoreDef] = registry.get(name)
   private[cdc] def lookupFeed(name: String): Option[FeedDef] = feedRegistry.get(name)
+
+  /** The feed a store FEEDS, if one is registered: writers that commit
+    * new store versions (the streaming toTable sink) materialize each
+    * version's CDF there, so downstream `readStream.table` consumers keep
+    * tailing — the multi-hop (medallion) contract. */
+  private[cdc] def feedPathForStore(storePath: String): Option[String] =
+    feedRegistry.values.collectFirst { case d if d.storePath == storePath => d.feedPath }
   private[cdc] def names: Seq[String] =
     (registry.keys ++ feedRegistry.keys).toSeq.sorted
 

@@ -97,6 +97,18 @@ class CdcStreamingWrite(
         Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
         d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, version)
     }
+    // MULTI-HOP (medallion) contract: if this store has a registered feed
+    // table, materialize THIS version's CDF there — manifest-diff pruned,
+    // same as the maintenance side — so downstream readStream.table
+    // consumers keep tailing stores this sink maintains. Every version
+    // gets a feed entry (empty included: the tail's gap detection needs
+    // the version line contiguous); the overwrite is replay-idempotent,
+    // and a crash between the store commit and this write heals on the
+    // replay's skip path (which still re-runs this materialization).
+    CdcCatalog.feedPathForStore(d.storePath).foreach { feedPath =>
+      Cdc.changesBetweenCdf(spark, d.storePath, version - 1, version, d.keys)
+        .write.mode("overwrite").parquet(s"$feedPath/v=$version")
+    }
     dropStaging(spark, d.storePath, queryId, epochId)
   }
 

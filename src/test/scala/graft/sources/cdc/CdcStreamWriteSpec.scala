@@ -205,6 +205,88 @@ class CdcStreamWriteSpec extends AnyFunSuite {
     } finally { CdcCatalog.unregister("sw_loop_feed"); CdcCatalog.unregister("sw_loop_b") }
   }
 
+  test("medallion chain: bronze feed → silver store+feed → gold store, all incremental") {
+    implicit val sqlCtx = spark.sqlContext
+    // BRONZE: maintained store with a materialized feed
+    val bStore = java.nio.file.Files.createTempDirectory("graft_med_b").toString
+    val bFeed = java.nio.file.Files.createTempDirectory("graft_med_bf").toString
+    val bCkpt = java.nio.file.Files.createTempDirectory("graft_med_bc").toString
+    val seedB = (1L to 12L).map(k => (k, s"b$k", k * 1.0)).toDF("k", "name", "bal")
+    val memB = MemoryStream[(Long, String, Double, Long, String)]
+    val qB = Cdc.maintainPartitionedSnapshot(
+      memB.toDF().toDF("k", "name", "bal", "seq", "op"),
+      seedB, keys, Seq(col("seq")), col("op"), bStore, bCkpt, n,
+      feedPath = Some(bFeed)).start()
+    def bronzeBatch(rows: (Long, String, Double, Long, String)*): Unit = {
+      memB.addData(rows: _*); qB.processAllAvailable()
+    }
+    // bronze v0 = seed merged with the FIRST wave (the maintainer's first
+    // micro-batch materializes the seed; the feed starts at v1)
+    bronzeBatch((1L, "up", 10.0, 1L, "U"), (20L, "new", 20.0, 2L, "I"))
+    // SILVER: maintained BY the streaming sink, with its own feed — the
+    // sink materializes each committed version's CDF there, so gold can
+    // tail silver exactly as silver tails bronze
+    val sStore = java.nio.file.Files.createTempDirectory("graft_med_s").toString
+    val sFeed = java.nio.file.Files.createTempDirectory("graft_med_sf").toString
+    val seedS = Cdc.readPartitionedSnapshot(spark, bStore, Some(0L)).select("k", "bal")
+    Cdc.processPartitionedBatch(
+      seedS.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seedS.limit(0), keys, Seq(col("_seq")), col("_op"), sStore, n, 0L)
+    val gStore = java.nio.file.Files.createTempDirectory("graft_med_g").toString
+    // gold's seed = the gold transform applied to silver's seed (an
+    // initial load); the stream then maintains it incrementally
+    val seedG = Cdc.readPartitionedSnapshot(spark, sStore, Some(0L))
+      .select(col("k"), (col("bal") * 100).as("bal"))
+    Cdc.processPartitionedBatch(
+      seedG.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+      seedG.limit(0), keys, Seq(col("_seq")), col("_op"), gStore, n, 0L)
+    CdcCatalog.registerFeed("med_bfeed", bStore, bFeed)
+    CdcCatalog.register("med_silver", sStore, keys, n)
+    CdcCatalog.registerFeed("med_sfeed", sStore, sFeed)
+    CdcCatalog.register("med_gold", gStore, keys, n)
+    val sCkpt = java.nio.file.Files.createTempDirectory("graft_med_sc").toString
+    val gCkpt = java.nio.file.Files.createTempDirectory("graft_med_gc").toString
+    def hopSilver(): Unit = {
+      val q = spark.readStream.table("graft.med_bfeed")
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("k"), col("bal"))
+        .writeStream.option("checkpointLocation", sCkpt)
+        .trigger(Trigger.AvailableNow()).toTable("graft.med_silver")
+      q.awaitTermination()
+    }
+    def hopGold(): Unit = {
+      val q = spark.readStream.table("graft.med_sfeed")
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("k"), (col("bal") * 100).as("bal"))
+        .writeStream.option("checkpointLocation", gCkpt)
+        .trigger(Trigger.AvailableNow()).toTable("graft.med_gold")
+      q.awaitTermination()
+    }
+    def gold(): Map[Long, Double] = Cdc.readPartitionedSnapshot(spark, gStore)
+      .select("k", "bal").as[(Long, Double)].collect().toMap
+    try {
+      // gold's initial load = bronze v0 through both transforms
+      val expected0 = ((2L to 12L).map(k => k -> k * 100.0) ++
+        Seq(1L -> 1000.0, 20L -> 2000.0)).toMap
+      assert(gold() === expected0)
+      // a bronze wave propagates through both hops incrementally
+      bronzeBatch((2L, "up2", 200.0, 3L, "U"), (21L, "new21", 21.0, 4L, "I"))
+      hopSilver(); hopGold()
+      val expected1 = expected0 ++ Map(2L -> 20000.0, 21L -> 2100.0)
+      assert(gold() === expected1)
+      // and a second wave rides ONLY the new feed versions
+      bronzeBatch((3L, "up3", 300.0, 5L, "U"))
+      hopSilver(); hopGold()
+      assert(gold() === expected1 ++ Map(3L -> 30000.0))
+      // silver's feed was written by the SINK, one version per epoch,
+      // and is what gold actually consumed
+      assert(Cdc.feedVersions(spark, sFeed).nonEmpty)
+    } finally {
+      qB.stop()
+      Seq("med_bfeed", "med_silver", "med_sfeed", "med_gold").foreach(CdcCatalog.unregister)
+    }
+  }
+
   test("version-pinned tables refuse streaming writes") {
     implicit val sqlCtx = spark.sqlContext
     val store = seedStore()
