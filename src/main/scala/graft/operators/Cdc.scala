@@ -369,10 +369,15 @@ object Cdc {
     // write; dynamic overwrite never clears combos absent from the
     // current frame, and listWrittenBuckets would commit them into the
     // manifest as live data. Delete every pre-existing _writer=<id> dir
-    // first so the post-write listing reflects exactly this attempt.
-    // (A checkpointed replay rewrites identical content, so the purge is
-    // a no-op there beyond the rewrite it was doing anyway.)
-    purgeWriterDirs(spark, storePath, id)
+    // first so the post-write listing reflects exactly this attempt —
+    // but ONLY when v=id never committed: once the manifest references
+    // _writer=id dirs as live data, purging them would leave the store's
+    // newest committed version unreadable in the purge-to-rewrite window
+    // (and permanently, under a crash mid-rewrite). A committed id's
+    // replay rewrites identical content via dynamic overwrite anyway, so
+    // the purge is only for genuinely uncommitted stale attempts.
+    if (!manifestVersions(spark, storePath).contains(id))
+      purgeWriterDirs(spark, storePath, id)
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
     // idempotent under replay, invisible to every other bucket.
@@ -683,9 +688,14 @@ object Cdc {
     if (vs.size <= keepVersions) return
     val keep = vs.takeRight(keepVersions).toSet
     for (fp <- feedPath) {
+      // the feed may live on a different scheme/authority than the store
+      // (store on hdfs://, feed on s3a://): resolve ITS filesystem, not
+      // the store's
+      val feedFs = new org.apache.hadoop.fs.Path(fp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val floor = keep.min
       committedVersions(spark, fp).filter(_ < floor).foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$fp/v=$v"), true))
+        feedFs.delete(new org.apache.hadoop.fs.Path(s"$fp/v=$v"), true))
     }
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     val referenced: Set[(Int, Long)] =

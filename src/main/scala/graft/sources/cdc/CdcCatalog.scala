@@ -81,6 +81,10 @@ object CdcCatalog {
       version: Option[Long] = None): Unit = {
     require(keys.nonEmpty, "a CDC store table needs at least one merge key")
     require(nBuckets > 0, "nBuckets must be positive")
+    // symmetric to registerFeed's guard: loadTable resolves stores FIRST,
+    // so a store registered under a feed table's name would silently
+    // shadow the feed for every reader
+    require(!feedRegistry.contains(name), s"$name is already a feed table")
     registry.put(name, StoreDef(storePath, keys, nBuckets, version))
   }
 
@@ -103,6 +107,21 @@ object CdcCatalog {
     * tailing — the multi-hop (medallion) contract. */
   private[cdc] def feedPathForStore(storePath: String): Option[String] =
     feedRegistry.values.collectFirst { case d if d.storePath == storePath => d.feedPath }
+
+  /** Materialize version `v`'s CDF at the store's registered feed (no-op
+    * without one) — called after EVERY commit that mints a store version
+    * (streaming epoch, INSERT INTO, DELETE, row-level DML), so the feed's
+    * consecutive version line never gains a hole: a gap would make the
+    * streaming tail's retention check throw a misleading "retention
+    * exceeded" at consumers needing that version, and batch feed reads
+    * would silently omit the commit's changes. Manifest-diff pruned
+    * (bounded by what `v` touched); overwrite keeps it replay-idempotent. */
+  private[cdc] def materializeFeed(
+      spark: SparkSession, storePath: String, keys: Seq[String], v: Long): Unit =
+    feedPathForStore(storePath).foreach { feedPath =>
+      Cdc.changesBetweenCdf(spark, storePath, v - 1, v, keys)
+        .write.mode("overwrite").parquet(s"$feedPath/v=$v")
+    }
   private[cdc] def names: Seq[String] =
     (registry.keys ++ feedRegistry.keys).toSeq.sorted
 
@@ -329,6 +348,7 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
     Cdc.processPartitionedBatch(changelog,
       Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
       d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+    CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
   }
 
   /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE`, the
@@ -398,6 +418,7 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
                   Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
                   d.keys, Seq(col("_seq")), col("_op"),
                   d.storePath, d.nBuckets, next)
+                CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
               }
             }
         }

@@ -89,6 +89,7 @@ class CdcDeltaWrite(table: CdcStoreTable, d: CdcCatalog.StoreDef, info: LogicalW
           .withColumn("_seq", lit(next)),
         Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
         d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+      CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
     } finally dropStaging(spark)
   }
 

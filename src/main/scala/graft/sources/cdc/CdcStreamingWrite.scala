@@ -105,10 +105,7 @@ class CdcStreamingWrite(
     // the version line contiguous); the overwrite is replay-idempotent,
     // and a crash between the store commit and this write heals on the
     // replay's skip path (which still re-runs this materialization).
-    CdcCatalog.feedPathForStore(d.storePath).foreach { feedPath =>
-      Cdc.changesBetweenCdf(spark, d.storePath, version - 1, version, d.keys)
-        .write.mode("overwrite").parquet(s"$feedPath/v=$version")
-    }
+    CdcCatalog.materializeFeed(spark, d.storePath, d.keys, version)
     dropStaging(spark, d.storePath, queryId, epochId)
   }
 

@@ -228,6 +228,35 @@ class CdcSpec extends AnyFunSuite {
       "stale attempt data leaked into the served snapshot")
   }
 
+  test("partitioned store: a replay of a COMMITTED id that crashes mid-rewrite leaves " +
+      "the committed version readable (live dirs are never purged up front)") {
+    // Crash-window law for the stale-attempt purge: once manifest v=id is
+    // committed, its _writer=id dirs are LIVE data — a replay must not
+    // delete them before rewriting (a crash between purge and rewrite
+    // would leave the newest committed version pointing at missing
+    // directories). Simulate the crash with a batch poisoned to throw
+    // mid-write; the committed snapshot must survive intact.
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_replaycrash").toString
+    val s = (1L to 20L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L, (1L, "b0", 10.0, 100L, "U"))
+    runBatch(store, seed, 1L, (1L, "b1", 11.0, 200L, "U")) // v=1 COMMITS
+    val served = readPart(store)
+    // the "replay" of id=1 crashes during the parts write (raise_error
+    // fires on the data path, after the purge decision point)
+    val poisoned = log((1L, "b1", 11.0, 200L, "U"))
+      .withColumn("name",
+        when(col("k") === 1L, raise_error(lit("crash mid-rewrite")).cast("string"))
+          .otherwise(col("name")))
+    intercept[Exception] {
+      Cdc.processPartitionedBatch(poisoned, seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, 1L)
+    }
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    assert(readPart(store) === served,
+      "crashed replay of a committed id corrupted the committed version")
+  }
+
   test("partitioned store schema evolution: an added column serves both eras " +
       "without rewriting carried buckets; non-additive changes are refused before any write") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString

@@ -338,5 +338,17 @@ class CdcCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("merge keys absent") ||
       Option(e.getCause).exists(_.getMessage.contains("merge keys absent")))
     CdcCatalog.unregister("cat_guard_badkey")
+    // name collisions refuse BOTH ways: loadTable resolves stores first,
+    // so a store registered under a feed's name would shadow the feed
+    CdcCatalog.registerFeed("cat_guard_feed", store, s"$store/feed")
+    intercept[IllegalArgumentException] {
+      CdcCatalog.register("cat_guard_feed", store, keys, nBuckets)
+    }
+    CdcCatalog.unregister("cat_guard_feed")
+    CdcCatalog.register("cat_guard_store", store, keys, nBuckets)
+    intercept[IllegalArgumentException] {
+      CdcCatalog.registerFeed("cat_guard_store", store, s"$store/feed")
+    }
+    CdcCatalog.unregister("cat_guard_store")
   }
 }

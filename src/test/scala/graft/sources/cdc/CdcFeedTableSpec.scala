@@ -223,6 +223,41 @@ class CdcFeedTableSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("feed_sv")
   }
 
+  test("batch DML on a feed-registered store materializes feed entries: the version " +
+      "line stays contiguous and a tailing consumer sees every DML's changes") {
+    val (store, feed) = buildFed()
+    CdcCatalog.register("feed_dml_store", store, keys, n)
+    CdcCatalog.registerFeed("feed_dml", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_dout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_dckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("graft.feed_dml")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce() // checkpoint at v=2
+      // three batch DML paths, each minting one store version: INSERT
+      // (InsertableRelation), keyed DELETE (deleteWhere), and a wide
+      // DELETE (the delta-based row-level path)
+      spark.sql("INSERT INTO graft.feed_dml_store VALUES (60, 'ins60', 6.0)") // v=3
+      spark.sql("DELETE FROM graft.feed_dml_store WHERE k = 2")               // v=4
+      spark.sql("DELETE FROM graft.feed_dml_store WHERE k = 3 AND bal > 0.0") // v=5
+      assert(Cdc.manifestVersions(spark, store).max === 5L)
+      assert(Cdc.feedVersions(spark, feed).sorted === Seq(1L, 2L, 3L, 4L, 5L),
+        "every DML commit must land a feed entry — no holes in the version line")
+      assert(feedOf(feed, 3L) === Set((60L, "ins60", 6.0, "insert", 3L)))
+      assert(feedOf(feed, 4L).map(r => (r._1, r._4)) === Set((2L, "delete")))
+      assert(feedOf(feed, 5L).map(r => (r._1, r._4)) === Set((3L, "delete")))
+      // the tailing consumer resumes across the DML versions seamlessly
+      runOnce()
+      assert(cdfSet(spark.read.parquet(out)) ===
+        (1L to 5L).map(feedOf(feed, _)).reduce(_ ++ _))
+    } finally { CdcCatalog.unregister("feed_dml"); CdcCatalog.unregister("feed_dml_store") }
+  }
+
   test("retention is loud: a lagging resume throws; a fresh stream starts at the oldest retained") {
     val (store, feed) = buildFed()
     CdcCatalog.registerFeed("feed_ret", store, feed)
