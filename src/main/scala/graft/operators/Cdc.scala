@@ -349,15 +349,15 @@ object Cdc {
     val (prior, carried) = parent match {
       case None =>
         // first batch: materialize the full seed — every bucket is "touched"
-        (conformTo(seed, target), Map.empty[Int, Long])
+        (conformTo(seed, target), Map.empty[Int, (Long, Option[Long])])
       case Some(v) =>
-        val manifest = readManifest(spark, storePath, v)
+        val manifest = readManifestFull(spark, storePath, v)
         // the delta's bucket set — bounded by nBuckets (config, not data)
         val touched = batch
           .select(bucketExpr(keys, nBuckets).as("_bucket")).distinct()
           .as[Int].collect().toSet
         val parentDirs = touched.toSeq.sorted.flatMap(p =>
-          manifest.get(p).map(w => s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
+          manifest.get(p).map { case (w, _) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" })
         val touchedSnap =
           if (parentDirs.isEmpty) conformTo(seed.limit(0), target)
           else conformTo(readBucketDirs(spark, storePath, parentDirs, v), target)
@@ -401,14 +401,29 @@ object Cdc {
     // overwrite only creates dirs for non-empty combos) — no second data
     // pass, no cache. A bucket the batch fully emptied simply drops out.
     val written = listWrittenBuckets(spark, storePath, id)
-    val entries = (carried ++ written.map(_ -> id)).toSeq.sortBy(_._1)
+    // per-bucket ROW COUNTS ride the manifest (driver-side footer reads,
+    // nBuckets-bounded): touched buckets count their fresh files; carried
+    // buckets keep the parent's recorded count (pre-migration manifests
+    // lacking one are counted once here and recorded forward). The scan's
+    // estimateStatistics serves these to the CBO — numRows and, keys
+    // being unique, key NDV — so store-table joins cost like ANALYZEd
+    // warehouse tables.
+    val writtenRows: Map[Int, Long] = written.iterator.map { p =>
+      p -> dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$id")
+    }.toMap
+    val carriedRows: Map[Int, (Long, Long)] = carried.map { case (p, (w, r)) =>
+      p -> (w, r.getOrElse(
+        dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$w")))
+    }
+    val entries = (carriedRows ++ writtenRows.map { case (p, r) => p -> (id, r) })
+      .toSeq.map { case (p, (w, r)) => (p, w, r) }.sortBy(_._1)
     // schema sidecar FIRST, manifest commit second: a committed version
     // always carries its schema; a crash between the two leaves an
     // uncommitted version whose replay overwrites both
     Seq(target.toDDL).toDF("ddl").coalesce(1)
       .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
     // manifest commit point: tiny single-file write, _SUCCESS-guarded
-    entries.toDF("_bucket", "_writer").coalesce(1)
+    entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
       .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
   }
 
@@ -696,6 +711,12 @@ object Cdc {
       val floor = keep.min
       committedVersions(spark, fp).filter(_ < floor).foreach(v =>
         feedFs.delete(new org.apache.hadoop.fs.Path(s"$fp/v=$v"), true))
+      // compacted segments prune WHOLE (a segment is the atomic replay
+      // unit): only when every version in it is behind the floor;
+      // straddling segments keep a little extra history, never less
+      feedSegments(spark, fp).filter(_._2 < floor).foreach { case (lo, hi) =>
+        feedFs.delete(new org.apache.hadoop.fs.Path(s"$fp/seg=$lo-$hi"), true)
+      }
     }
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     val referenced: Set[(Int, Long)] =
@@ -719,10 +740,102 @@ object Cdc {
     } fs.delete(writerDir.getPath, true)
   }
 
-  /** Committed versions present in a materialized feed directory. */
+  /** Committed SINGLE-version directories (`v=<id>`) present in a
+    * materialized feed. Versions folded into compacted segments are
+    * listed by [[feedSegments]]; the full retained version line is
+    * [[feedRetainedVersions]]. */
   def feedVersions(
       spark: org.apache.spark.sql.SparkSession, feedPath: String): Seq[Long] =
     committedVersions(spark, feedPath)
+
+  /** Committed compacted segments (`seg=<from>-<to>` directories) in
+    * version order. Each holds the concatenated CDF rows of feed
+    * versions from..to with `_commit_version` intact and
+    * `_commit_timestamp` MATERIALIZED as a column (the per-version
+    * commit markers die with the `v=` dirs). */
+  def feedSegments(
+      spark: org.apache.spark.sql.SparkSession, feedPath: String): Seq[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(feedPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map { st =>
+        val range = st.getPath.getName.stripPrefix("seg=").split("-")
+        (range(0).toLong, range(1).toLong)
+      }.sortBy(_._1)
+  }
+
+  /** Every retained feed version — segment ranges expanded plus single
+    * `v=` dirs (a single covered by a committed segment is a compaction
+    * leftover mid-delete; the segment wins). Sorted. */
+  def feedRetainedVersions(
+      spark: org.apache.spark.sql.SparkSession, feedPath: String): Seq[Long] = {
+    val segs = feedSegments(spark, feedPath)
+    val inSeg = (v: Long) => segs.exists { case (lo, hi) => v >= lo && v <= hi }
+    (segs.flatMap { case (lo, hi) => lo to hi } ++
+      feedVersions(spark, feedPath).filterNot(inSeg)).sorted
+  }
+
+  /** FEED LOG COMPACTION (the Kafka segment-coalescing shape): fold runs
+    * of `segmentSize` CONSECUTIVE old `v=<id>` directories into one
+    * `seg=<from>-<to>` parquet directory each, so a consumer replaying
+    * deep history opens a bounded file count instead of one tiny
+    * directory per fine-grained epoch. Semantics preserved exactly:
+    * `_commit_version` rides in the rows as before, and
+    * `_commit_timestamp` is materialized from each version's commit
+    * marker BEFORE the marker is deleted, so batch reads and the feed
+    * table serve identical values pre/post compaction.
+    *
+    * The newest `keepRecentSingles` versions (default: one segment's
+    * worth) always stay single — a SEGMENT is the atomic replay unit for
+    * the streaming tail, so compaction bounds how far behind a live
+    * consumer may checkpoint, exactly like retention does: a consumer
+    * whose resume point lies INSIDE a segment must bootstrap (the tail
+    * throws, never double-serves). Crash-safe: a segment commits
+    * (`_SUCCESS`) before its `v=` dirs are deleted, and readers prefer
+    * committed segments over leftover singles, so re-running compaction
+    * after any crash converges. */
+  def compactFeed(
+      spark: org.apache.spark.sql.SparkSession,
+      feedPath: String,
+      segmentSize: Int,
+      keepRecentSingles: Int = -1): Unit = {
+    require(segmentSize >= 2, "segmentSize >= 2 (a 1-version segment is the v= dir it replaces)")
+    val keep = if (keepRecentSingles < 0) segmentSize else keepRecentSingles
+    val fs = new org.apache.hadoop.fs.Path(feedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = feedSegments(spark, feedPath)
+    val inSeg = (v: Long) => segs.exists { case (lo, hi) => v >= lo && v <= hi }
+    val singles = feedVersions(spark, feedPath).sorted
+    // heal any crashed prior compaction first: singles a committed
+    // segment already covers are dead weight (readers ignore them)
+    singles.filter(inSeg).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$feedPath/v=$v"), true))
+    val candidates = singles.filterNot(inSeg).dropRight(keep)
+    // only FULL runs of consecutive versions compact; leftovers stay single
+    val runs = candidates.foldLeft(Vector.empty[Vector[Long]]) { (acc, v) =>
+      if (acc.nonEmpty && acc.last.last == v - 1 && acc.last.size < segmentSize)
+        acc.init :+ (acc.last :+ v)
+      else acc :+ Vector(v)
+    }.filter(_.size == segmentSize)
+    runs.foreach { run =>
+      val withTs = run.map { v =>
+        val ts = feedCommitTime(spark, feedPath, v)
+        spark.read.parquet(s"$feedPath/v=$v")
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+      }
+      // one file per segment: compaction exists for FINE-GRAINED old
+      // epochs (a directory per single-row version), so the coalesced
+      // segment is small by construction; size segmentSize so that holds
+      withTs.reduce(_.unionByName(_, allowMissingColumns = true))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedPath/seg=${run.head}-${run.last}")
+      // segment committed: the v= dirs it covers are now redundant
+      run.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$feedPath/v=$v"), true))
+    }
+  }
 
   /** Commit wall-clock of one FEED version — its `_SUCCESS` marker's
     * mtime, the same no-extra-metadata convention as
@@ -746,12 +859,17 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       feedPath: String,
       sinceV: Long): DataFrame = {
-    val vs = feedVersions(spark, feedPath).sorted
+    val vs = feedRetainedVersions(spark, feedPath)
     if (vs.isEmpty)
       throw new IllegalStateException(s"no committed feed versions under $feedPath")
     val wanted = vs.filter(_ > sinceV)
+    val segs = feedSegments(spark, feedPath)
+    def dirOf(v: Long): String = segs.find { case (lo, hi) => v >= lo && v <= hi }
+      .map { case (lo, hi) => s"$feedPath/seg=$lo-$hi" }
+      .getOrElse(s"$feedPath/v=$v")
     if (wanted.isEmpty)
-      return spark.read.parquet(s"$feedPath/v=${vs.max}").limit(0)
+      return spark.read.parquet(dirOf(vs.max))
+        .drop("_commit_timestamp").filter(lit(false))
     // batch ids are consecutive (Spark checkpoint contract), so the next
     // version a consumer at sinceV needs is sinceV+1; if the oldest
     // retained entry is newer, the gap was vacuumed — lag > retention
@@ -764,9 +882,16 @@ object Cdc {
     // evolution lack the later columns; merging the (retention-bounded)
     // footers serves the union schema with NULLs for the pre-evolution
     // rows — without it Spark samples ONE footer and could silently drop
-    // the new columns from the whole read.
-    spark.read.option("mergeSchema", "true")
-      .parquet(wanted.map(v => s"$feedPath/v=$v"): _*)
+    // the new columns from the whole read. A wanted version inside a
+    // compacted segment reads the whole segment dir; the
+    // `_commit_version > sinceV` filter restores exactness (batch plans
+    // re-check it row-level). `_commit_timestamp` is a segment-only
+    // column — dropped so the frame's schema is identical whether the
+    // read crossed a segment or not (the catalog feed TABLE serves it).
+    val dirs = wanted.map(dirOf).distinct
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .drop("_commit_timestamp")
+      .filter(col("_commit_version") > sinceV)
   }
 
   private def readManifest(
@@ -777,6 +902,58 @@ object Cdc {
     spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
       .select(col("_bucket").cast("int"), col("_writer").cast("long"))
       .as[(Int, Long)].collect().toMap // nBuckets-bounded: config, not data
+  }
+
+  /** Manifest with the recorded per-bucket ROW COUNT — `None` for
+    * manifests written before counts rode along (the next commit records
+    * them forward; readers treat absence as unknown, never as zero). */
+  private[graft] def readManifestFull(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      v: Long): Map[Int, (Long, Option[Long])] = {
+    import spark.implicits._
+    val df = spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
+    if (df.columns.contains("_rows"))
+      df.select(col("_bucket").cast("int"), col("_writer").cast("long"),
+          col("_rows").cast("long"))
+        .as[(Int, Long, Option[Long])].collect()
+        .map { case (p, w, r) => p -> (w, r) }.toMap
+    else readManifest(spark, storePath, v).view.mapValues((_, Option.empty[Long])).toMap
+  }
+
+  /** Recorded row counts per bucket of `version` (default newest) — only
+    * buckets whose manifest entry carries one (pre-migration manifests
+    * may lack counts until their buckets are next rewritten). The DSv2
+    * scan sums these into `estimateStatistics.numRows`. */
+  def servingRowCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): Map[Int, Long] = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    readManifestFull(spark, storePath, v).collect { case (p, (_, Some(r))) => p -> r }
+  }
+
+  /** Row count of one bucket directory from its parquet FOOTERS — driver
+    * metadata reads (no data pages), used once per touched bucket at
+    * commit time. */
+  private def dirRowCount(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Delete every `_bucket=*` / `_writer=<id>` directory under the store —

@@ -72,6 +72,9 @@ object CoreQueries {
     // Materialized feed version for the catalog feed table (written once
     // by the maintainer in production; c38_cdc_feed_table serves it).
     feedTableFor(s, sf)
+    // Compacted-feed fixture (maintainer + compaction run once;
+    // c38_cdc_feed_compact serves through the segment).
+    compactFeedTableFor(s, sf)
     ()
   }
 
@@ -140,6 +143,41 @@ object CoreQueries {
       Cdc.changesBetweenCdf(s, store, 0L, 1L, Seq("c_custkey"))
         .write.mode("overwrite").parquet(s"$feed/v=1")
       val t = "cdc_feed_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed)
+      s"graft.$t"
+    })
+
+  // A THREE-version store whose two feed versions are COMPACTED into one
+  // segment (Cdc.compactFeed) — the c38_cdc_feed_compact fixture: the
+  // catalog feed table must serve identical CDF rows through the segment
+  // as it would through the fine-grained v= dirs (the oracle replays both
+  // diffs in SQL and never sees the layout).
+  private val compactFeedTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def compactFeedTableFor(s: SparkSession, sf: String): String =
+    compactFeedTables.getOrElseUpdate(sf, {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdccompact_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val changelog = cdcChangelog(s, sf)
+      val d1 = to_date(lit("1994-06-01"))
+      val d2 = to_date(lit("1996-06-01"))
+      val ord = Seq(col("chg_ts"), col("chg_seq"))
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < d1),
+        Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, 16, 0L)
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= d1 && col("chg_ts") < d2),
+        Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, 16, 1L)
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= d2),
+        Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, 16, 2L)
+      val feed = s"${store}_feed"
+      Cdc.changesBetweenCdf(s, store, 0L, 1L, Seq("c_custkey"))
+        .write.mode("overwrite").parquet(s"$feed/v=1")
+      Cdc.changesBetweenCdf(s, store, 1L, 2L, Seq("c_custkey"))
+        .write.mode("overwrite").parquet(s"$feed/v=2")
+      Cdc.compactFeed(s, feed, segmentSize = 2, keepRecentSingles = 0)
+      require(Cdc.feedSegments(s, feed) == Seq((1L, 2L)),
+        s"compaction fixture did not compact: ${Cdc.feedSegments(s, feed)}")
+      val t = "cdc_feedcmp_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed)
       s"graft.$t"
     })
@@ -1904,6 +1942,23 @@ object CoreQueries {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // C38f2 (compacted feed): the SAME catalog feed-table serve path, but
+    // the two retained versions live in ONE compacted segment
+    // (Cdc.compactFeed — Kafka-style coalescing of fine-grained epochs).
+    // The oracle replays both version diffs in SQL with no idea the
+    // layout changed: compaction must be invisible to every reader —
+    // `_commit_version` rides as data, `_commit_timestamp` was
+    // materialized from the commit markers before they died.
+    "c38_cdc_feed_compact" -> ((s, sf) => {
+      val tbl = compactFeedTableFor(s, sf)
+      s.table(tbl)
+        .filter(col("_commit_version") >= 1L)
+        .drop("_commit_timestamp")
+        .withColumnRenamed("_change_type", "change_type")
+        .withColumnRenamed("_commit_version", "commit_version")
+        .orderBy("c_custkey", "commit_version", "change_type")
+    }),
+
     // C38g: the whole MERGE expressed as SQL `MERGE INTO` through the
     // catalog's row-level operation path (sources/cdc/CdcRowLevel.scala —
     // the delta-based SupportsDelta contract): seed the store from
@@ -2983,6 +3038,105 @@ object CoreQueries {
                 CAST(1 AS BIGINT) AS commit_version
          FROM diff WHERE k0 IS NOT NULL
          ORDER BY c_custkey, change_type""",
+    "c38_cdc_feed_compact" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         l0 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1994-06-01')
+           WHERE rn = 1
+         ),
+         s0 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l0 WHERE op <> 'D'
+         ),
+         l1 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1996-06-01')
+           WHERE rn = 1
+         ),
+         s1 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l1 WHERE op <> 'D'
+         ),
+         l2 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         s2 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l2 WHERE op <> 'D'
+         ),
+         diff01 AS (
+           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
+                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
+                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
+           FROM s0 b FULL JOIN s1 a ON a.c_custkey = b.c_custkey
+           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+              OR b.c_name IS DISTINCT FROM a.c_name
+              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ),
+         diff12 AS (
+           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
+                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
+                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
+           FROM s1 b FULL JOIN s2 a ON a.c_custkey = b.c_custkey
+           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+              OR b.c_name IS DISTINCT FROM a.c_name
+              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         )
+         SELECT k1 AS c_custkey, an AS c_name, ank AS c_nationkey,
+                ab AS c_acctbal, am AS c_mktsegment,
+                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff01 WHERE k1 IS NOT NULL
+         UNION ALL
+         SELECT k0, bn, bnk, bb, bm,
+                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff01 WHERE k0 IS NOT NULL
+         UNION ALL
+         SELECT k1, an, ank, ab, am,
+                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM diff12 WHERE k1 IS NOT NULL
+         UNION ALL
+         SELECT k0, bn, bnk, bb, bm,
+                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM diff12 WHERE k0 IS NOT NULL
+         ORDER BY c_custkey, commit_version, change_type""",
     "c38_cdc_lookup" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

@@ -280,6 +280,12 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
       if (d.keys.contains(f.name)) f.copy(nullable = false) else f)), dirs)
   }
 
+  /** Manifest-recorded row counts per bucket (absent for buckets whose
+    * manifests predate count recording) — the scan sums these into
+    * `estimateStatistics.numRows` so the CBO costs store joins. */
+  private[cdc] val bucketRows: Map[Int, Long] =
+    Cdc.servingRowCounts(SparkSession.active, d.storePath, Some(servedVersion))
+
   {
     val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
     require(bad.isEmpty,

@@ -1,0 +1,164 @@
+package graft.sources.cdc
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+// the OLD mapred FileSplit: SpecificParquetRecordReaderBase casts its
+// mapreduce.InputSplit argument to it (mapred.FileSplit extends the
+// mapreduce one, so it satisfies both signatures)
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.parquet.hadoop.ParquetInputFormat
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** VECTORIZED read path for CDC store and feed partitions: decodes each
+  * parquet file through Spark's own `VectorizedParquetRecordReader` into
+  * `ColumnarBatch`es — column-at-a-time, no per-value boxing, the same
+  * engine Spark's built-in parquet scans run on. At serve scale this is
+  * the dominant constant factor on every catalog query (typically 3-5×
+  * over row-at-a-time Group decoding).
+  *
+  * Contract parity with the row path ([[CdcPartitionReader]], kept as
+  * the `PartitionReader[InternalRow]` fallback):
+  *  - COLUMN PRUNING: only `requiredSchema`'s data columns are requested
+  *    from the file (`SPARK_ROW_REQUESTED_SCHEMA` — Spark's read support
+  *    clips it per file against the file's own schema).
+  *  - ADDITIVE EVOLUTION: columns a file predates decode as all-NULL
+  *    vectors (the vectorized reader's native missing-column handling —
+  *    exactly Spark's own mergeSchema behavior).
+  *  - CONSTANT COLUMNS (the feed's `_commit_timestamp`): served through
+  *    `initBatch`'s partition-value mechanism — a constant vector, never
+  *    materialized in the files.
+  *  - KEY-PANEL FILTERS: pushed as a parquet `FilterPredicate`; with no
+  *    record assembly in the vectorized path this is row-group/page
+  *    (column-index) pruning ONLY — provably-non-matching ranges are
+  *    skipped, everything else surfaces and Spark's residual predicates
+  *    re-check it, so here the panel really is IO advice. Key columns
+  *    exist in every store file (merge keys are payload from the seed
+  *    on — evolution is additive), so the filter never references an
+  *    absent column.
+  */
+class CdcColumnarReader(
+    files: Array[String],
+    requiredSchema: StructType,
+    keyFilters: Array[(String, Array[Any])] = Array.empty,
+    constants: Map[String, Any] = Map.empty)
+    extends PartitionReader[ColumnarBatch] {
+
+  // requiredSchema splits into file-decoded data columns and per-partition
+  // constants; the vectorized reader emits [data ++ constants], which is
+  // remapped back to requiredSchema order (constants are appended last by
+  // every current caller, but the permutation keeps that a non-invariant)
+  private val constFields = requiredSchema.fields.filter(f => constants.contains(f.name))
+  private val dataSchema = StructType(requiredSchema.fields.filterNot(f => constants.contains(f.name)))
+  private val constSchema = StructType(constFields)
+  private val constRow = InternalRow.fromSeq(constFields.map(f => constants(f.name)).toIndexedSeq)
+  private val outPos: Array[Int] = {
+    val emitted = dataSchema.fieldNames ++ constSchema.fieldNames
+    requiredSchema.fieldNames.map(n => emitted.indexOf(n))
+  }
+  private val identityOrder = outPos.zipWithIndex.forall { case (p, i) => p == i }
+
+  /** Same panel → parquet-filter translation as the row path, minus the
+    * per-file schema clip (key columns exist in every store file). */
+  private val filterPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val conjuncts: Seq[FilterPredicate] = keyFilters.toSeq.flatMap { case (name, values) =>
+      val eqs: Seq[FilterPredicate] =
+        requiredSchema.fields.find(_.name == name).map(_.dataType) match {
+          case Some(LongType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.longColumn(name), java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)))
+          case Some(IntegerType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.intColumn(name), java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue)))
+          case Some(StringType) =>
+            values.toSeq.map(v => FilterApi.eq(
+              FilterApi.binaryColumn(name),
+              org.apache.parquet.io.api.Binary.fromString(v.toString)))
+          case _ => Nil
+        }
+      if (eqs.isEmpty) None else Some(eqs.reduce(FilterApi.or(_, _)))
+    }
+    conjuncts.reduceOption(FilterApi.and(_, _))
+  }
+
+  // executor-side; files carry their scheme. The confs are what Spark's
+  // own parquet scan ships to its readers: the requested catalyst schema
+  // plus the converter flags ParquetReadSupport/ParquetToSparkSchema-
+  // Converter read (they are REQUIRED conf — the no-arg ReadSupport path
+  // has no SQLConf to fall back on). ONE Configuration per partition
+  // (construction copies the default resources — per-file would tax
+  // every small file), shared across this partition's files: schema and
+  // filter are partition-constant.
+  private lazy val conf: Configuration = {
+    val c = new Configuration()
+    c.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, false)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    filterPredicate.foreach(p => ParquetInputFormat.setFilterPredicate(c, p))
+    c
+  }
+
+  private var fileIdx = -1
+  private var reader: VectorizedParquetRecordReader = _
+  private var batch: ColumnarBatch = _ // the reader's reused batch, remapped
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    batch = null
+    fileIdx += 1
+    if (fileIdx >= files.length) return false
+    val path = new Path(files(fileIdx))
+    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    // every store/feed file is Spark-4-written (maintenance writes +
+    // staging merges): modern calendar, no rebase — CORRECTED on both
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, CdcColumnarReader.BatchCapacity)
+    val attempt = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graft-cdc", 0), TaskType.MAP, 0), 0))
+    r.initialize(new FileSplit(path, 0, len, Array.empty[String]), attempt)
+    r.initBatch(constSchema, constRow)
+    r.enableReturningBatches()
+    reader = r
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !openNext()) return false
+      if (reader.nextKeyValue()) {
+        val raw = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        if (identityOrder) batch = raw
+        else { // vectors are stable per file: wrap once, track row count
+          if (batch == null)
+            batch = new ColumnarBatch(outPos.map(raw.column), raw.numRows())
+          batch.setNumRows(raw.numRows())
+        }
+        return true
+      }
+      reader.close(); reader = null; batch = null
+    }
+    false // unreachable
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+object CdcColumnarReader {
+  /** Rows per ColumnarBatch — Spark's own default
+    * (`spark.sql.parquet.columnarReaderBatchSize`). */
+  val BatchCapacity = 4096
+}

@@ -132,7 +132,17 @@ class CdcFeedScanBuilder(
       n
     }
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
-    new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV, startingVersion)
+    // Delta-CDF parity: a stream may pin its start by COMMIT TIME instead
+    // of version — epoch millis or a SQL timestamp string; resolved
+    // against the per-version commit markers at stream init
+    val startingTimestamp = Option(options.get("startingTimestamp")).map { s =>
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+      else java.sql.Timestamp.valueOf(s).getTime
+    }
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV,
+      startingVersion, startingTimestamp)
   }
 }
 
@@ -143,11 +153,20 @@ class CdcFeedScan(
     maxVersionsPerTrigger: Option[Int] = None,
     loVersion: Option[Long] = None,
     hiVersion: Option[Long] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    startingTimestampMillis: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
+  /** Units OVERLAPPING the pushed version range: a compacted segment is
+    * included whole when any of its versions is wanted — the residual
+    * `_commit_version` predicates (every pushed filter is returned
+    * residual) trim the over-read exactly. */
+  private[cdc] def plannedUnits: Seq[CdcFeedScan.FeedUnit] =
+    CdcFeedScan.retainedUnits(d.feedPath)
+      .filter(u => loVersion.forall(u.hi >= _) && hiVersion.forall(u.lo <= _))
+
   private[cdc] def plannedVersions: Seq[Long] =
-    CdcFeedScan.retainedVersions(d.feedPath)
+    plannedUnits.flatMap(u => u.lo to u.hi)
       .filter(v => loVersion.forall(v >= _) && hiVersion.forall(v <= _))
 
   override def readSchema(): StructType = requiredSchema
@@ -159,8 +178,8 @@ class CdcFeedScan(
     * whole retained history. */
   override def estimateStatistics(): Statistics = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val bytes = plannedVersions.map { v =>
-      val dir = new Path(s"${d.feedPath}/v=$v")
+    val bytes = plannedUnits.map { u =>
+      val dir = new Path(CdcFeedScan.unitDir(d.feedPath, u))
       val fs = dir.getFileSystem(conf)
       fs.listStatus(dir).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum
@@ -177,42 +196,85 @@ class CdcFeedScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    plannedVersions
-      .flatMap(v => CdcFeedScan.versionPartitions(d.feedPath, v))
+    plannedUnits
+      .flatMap(u => CdcFeedScan.unitPartitions(d.feedPath, u))
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger, startingVersion)
+    new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger,
+      startingVersion, startingTimestampMillis)
 }
 
 object CdcFeedScan {
-  private[cdc] def retainedVersions(feedPath: String): Seq[Long] =
-    Cdc.feedVersions(SparkSession.active, feedPath).sorted
 
-  /** Driver-side listing of ONE committed version's part files. */
-  private[cdc] def versionFiles(feedPath: String, v: Long): Seq[String] = {
-    val dir = new Path(s"$feedPath/v=$v")
-    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.listStatus(dir).toSeq
+  /** One atomic unit of retained feed history: a single `v=<id>`
+    * directory, or a compacted `seg=<from>-<to>` segment
+    * ([[Cdc.compactFeed]]) — the latter replays WHOLE (its rows carry
+    * `_commit_version`/`_commit_timestamp` as data, so batch residual
+    * filters stay exact, but the streaming tail cannot split it). */
+  private[cdc] sealed trait FeedUnit {
+    def lo: Long; def hi: Long
+    def size: Long = hi - lo + 1
+  }
+  private[cdc] case class SingleVersion(v: Long) extends FeedUnit {
+    def lo: Long = v; def hi: Long = v
+  }
+  private[cdc] case class FeedSegment(lo: Long, hi: Long) extends FeedUnit
+
+  /** Retained units in version order: committed segments plus the single
+    * dirs they don't cover (a covered single is a crashed compaction's
+    * leftover mid-delete; the segment wins). */
+  private[cdc] def retainedUnits(feedPath: String): Seq[FeedUnit] = {
+    val spark = SparkSession.active
+    val segs = Cdc.feedSegments(spark, feedPath)
+    val inSeg = (v: Long) => segs.exists { case (lo, hi) => v >= lo && v <= hi }
+    (segs.map { case (lo, hi) => FeedSegment(lo, hi): FeedUnit } ++
+      Cdc.feedVersions(spark, feedPath).filterNot(inSeg).map(SingleVersion(_): FeedUnit))
+      .sortBy(_.lo)
+  }
+
+  private[cdc] def retainedVersions(feedPath: String): Seq[Long] =
+    retainedUnits(feedPath).flatMap(u => u.lo to u.hi)
+
+  /** Driver-side listing of one unit directory's part files. */
+  private[cdc] def dirFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
       .sorted
   }
 
-  /** One input partition per file of one version, each carrying the
-    * version's commit wall-clock (micros) for the `_commit_timestamp`
-    * constant the reader serves. */
-  private[cdc] def versionPartitions(feedPath: String, v: Long): Seq[InputPartition] = {
-    val tsMicros =
-      graft.operators.Cdc.feedCommitTime(SparkSession.active, feedPath, v) * 1000L
-    versionFiles(feedPath, v).map(f => CdcFeedPartition(Array(f), tsMicros): InputPartition)
+  private[cdc] def unitDir(feedPath: String, u: FeedUnit): String = u match {
+    case SingleVersion(v)    => s"$feedPath/v=$v"
+    case FeedSegment(lo, hi) => s"$feedPath/seg=$lo-$hi"
   }
+
+  /** One input partition per file of one unit. Single versions carry
+    * their commit wall-clock (micros) for the `_commit_timestamp`
+    * constant the reader serves; segment files carry the timestamp AS
+    * DATA (materialized at compaction), flagged `tsInData`. */
+  private[cdc] def unitPartitions(feedPath: String, u: FeedUnit): Seq[InputPartition] =
+    u match {
+      case SingleVersion(v) =>
+        val tsMicros =
+          graft.operators.Cdc.feedCommitTime(SparkSession.active, feedPath, v) * 1000L
+        dirFiles(unitDir(feedPath, u)).map(f =>
+          CdcFeedPartition(Array(f), tsMicros): InputPartition)
+      case seg: FeedSegment =>
+        dirFiles(unitDir(feedPath, seg)).map(f =>
+          CdcFeedPartition(Array(f), 0L, tsInData = true): InputPartition)
+    }
 }
 
-case class CdcFeedPartition(files: Array[String], commitTsMicros: Long = 0L)
+case class CdcFeedPartition(
+    files: Array[String],
+    commitTsMicros: Long = 0L,
+    tsInData: Boolean = false)
     extends InputPartition
 
 /** Version-offset micro-batch tail of the feed. `CdcFeedOffset(v)` means
@@ -230,7 +292,8 @@ class CdcFeedStream(
     requiredSchema: StructType,
     d: CdcCatalog.FeedDef,
     maxVersionsPerTrigger: Option[Int] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    startingTimestampMillis: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -243,24 +306,58 @@ class CdcFeedStream(
   // maintainer keeps committing.
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit = {
-    val vs = CdcFeedScan.retainedVersions(d.feedPath)
-    availableNowCap = Some(if (vs.isEmpty) Long.MinValue else vs.max)
+    val units = CdcFeedScan.retainedUnits(d.feedPath)
+    availableNowCap = Some(if (units.isEmpty) Long.MinValue else units.last.hi)
   }
 
   override def initialOffset(): Offset = {
-    val vs = CdcFeedScan.retainedVersions(d.feedPath)
-    if (vs.isEmpty) throw new IllegalStateException(
+    val units = CdcFeedScan.retainedUnits(d.feedPath)
+    if (units.isEmpty) throw new IllegalStateException(
       s"no committed feed versions under ${d.feedPath} — start the stream after " +
         "the store's maintainer has committed at least one feed version")
     startingVersion match {
       case Some(v) =>
         // Delta's startingVersion contract, enforced LOUDLY: a start
-        // behind retention would silently skip vacuumed deltas
-        require(v >= vs.min,
-          s"startingVersion $v predates the oldest retained feed version ${vs.min} " +
+        // behind retention would silently skip vacuumed deltas, and a
+        // start INSIDE a compacted segment would double-serve the
+        // segment's earlier versions (a segment replays whole)
+        require(v >= units.head.lo,
+          s"startingVersion $v predates the oldest retained feed version ${units.head.lo} " +
             s"of $tableName — bootstrap from the snapshot table instead")
+        units.find(u => v >= u.lo && v <= u.hi) match {
+          case Some(u) if u.lo != v => throw new IllegalArgumentException(
+            s"startingVersion $v is inside compacted segment [${u.lo},${u.hi}] of " +
+              s"$tableName — a segment is the atomic replay unit; start at ${u.lo}, " +
+              "or read the history as a batch with a _commit_version filter")
+          case _ => ()
+        }
         CdcFeedOffset(v - 1)
-      case None => CdcFeedOffset(vs.min - 1) // oldest retained version
+      case None => startingTimestampMillis match {
+        case Some(ts) =>
+          // the tail starts at the first version COMMITTED at or after
+          // `ts` (the feed commit marker's own mtime — the same clock
+          // _commit_timestamp serves). Resolved over the SINGLE versions
+          // (compacted segments have no markers and replay whole — a ts
+          // inside compacted history must bootstrap). The same retention
+          // contract as startingVersion, both ways loud: a ts behind the
+          // oldest resolvable commit would silently skip deltas, and a
+          // ts after the newest commit names history that doesn't exist
+          // yet (Delta parity — never an implicit "start at latest").
+          val singles = units.collect { case CdcFeedScan.SingleVersion(v) => v }
+          val times = singles.map(v =>
+            v -> Cdc.feedCommitTime(SparkSession.active, d.feedPath, v))
+          require(times.nonEmpty && ts >= times.head._2,
+            s"startingTimestamp $ts ms predates the oldest retained single feed commit " +
+              s"of $tableName (older history is vacuumed or compacted) — " +
+              "bootstrap from the snapshot table instead")
+          times.find(_._2 >= ts) match {
+            case Some((v, _)) => CdcFeedOffset(v - 1)
+            case None => throw new IllegalArgumentException(
+              s"startingTimestamp $ts ms is after the newest feed commit " +
+                s"(v=${times.last._1} @ ${times.last._2} ms) of $tableName")
+          }
+        case None => CdcFeedOffset(units.head.lo - 1) // oldest retained version
+      }
     }
   }
 
@@ -277,37 +374,57 @@ class CdcFeedStream(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val from = start.asInstanceOf[CdcFeedOffset].v
-    val avail = CdcFeedScan.retainedVersions(d.feedPath)
-      .filter(_ > from)
-      .filter(v => availableNowCap.forall(v <= _))
+    // offsets only ever land on UNIT boundaries: a compacted segment is
+    // atomic (its rows can't be split across micro-batches), so admission
+    // control counts versions but always takes whole units — a segment
+    // larger than the cap still ships as one batch when it's next
+    val avail = CdcFeedScan.retainedUnits(d.feedPath)
+      .filter(_.lo > from)
+      .filter(u => availableNowCap.forall(u.hi <= _))
     if (avail.isEmpty) return start
     val cap = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        r.maxRows().min(Int.MaxValue.toLong).toInt
-      case _ => Int.MaxValue
+        r.maxRows().min(Int.MaxValue.toLong)
+      case _ => Long.MaxValue
     }
-    CdcFeedOffset(avail.take(cap).max)
+    var taken = 0L
+    var end = from
+    val it = avail.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val u = it.next()
+      // the FIRST unit always ships (progress guarantee, segment atomicity);
+      // stop at the first unit that would overflow the cap — never skip one
+      if (taken == 0L || taken + u.size <= cap) { taken += u.size; end = u.hi }
+      else full = true
+    }
+    CdcFeedOffset(end)
   }
 
   override def reportLatestOffset(): Offset = {
-    val vs = CdcFeedScan.retainedVersions(d.feedPath)
-    if (vs.isEmpty) null else CdcFeedOffset(vs.max)
+    val units = CdcFeedScan.retainedUnits(d.feedPath)
+    if (units.isEmpty) null else CdcFeedOffset(units.last.hi)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[CdcFeedOffset].v
     val to = end.asInstanceOf[CdcFeedOffset].v
     if (to <= from) return Array.empty
-    val wanted = CdcFeedScan.retainedVersions(d.feedPath).filter(v => v > from && v <= to)
+    val wanted = CdcFeedScan.retainedUnits(d.feedPath)
+      .filter(u => u.lo > from && u.hi <= to)
     // retention law (Cdc.readFeedSince): versions are consecutive, so a
-    // hole at the front means vacuum outran this consumer's checkpoint
-    if (wanted.isEmpty || wanted.head > from + 1)
+    // hole at the front means vacuum outran this consumer's checkpoint —
+    // or compaction folded the resume point into a segment (offsets land
+    // on unit boundaries, so a checkpoint can only end up inside a
+    // segment when compaction ran PAST it; same contract, same loudness)
+    if (wanted.isEmpty || wanted.head.lo > from + 1)
       throw new IllegalStateException(
         s"feed retention exceeded for $tableName: resume point v=$from needs " +
-          s"v=${from + 1} but the oldest retained feed version is " +
-          s"${wanted.headOption.fold("<none>")(v => s"v=$v")}; " +
+          s"v=${from + 1} but the oldest retained feed unit starts at " +
+          s"${wanted.headOption.fold("<none>")(u => s"v=${u.lo}")} " +
+          "(vacuumed, or compacted past the checkpoint); " +
           "bootstrap from the snapshot table instead")
-    wanted.flatMap(v => CdcFeedScan.versionPartitions(d.feedPath, v)).toArray
+    wanted.flatMap(u => CdcFeedScan.unitPartitions(d.feedPath, u)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

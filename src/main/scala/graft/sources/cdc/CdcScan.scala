@@ -17,6 +17,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column-pruning, bucket-pruning scan over a CDC store's directories.
@@ -121,7 +122,8 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .map(_.toSeq.sorted)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
-      d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels)
+      d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
+      table.bucketRows)
   }
 }
 
@@ -205,7 +207,8 @@ class CdcScan(
     nBuckets: Int,
     buckets: Seq[Int],
     filesByBucket: Map[Int, Array[(String, Long)]],
-    staticPanels: Map[String, Seq[Any]] = Map.empty)
+    staticPanels: Map[String, Seq[Any]] = Map.empty,
+    rowsByBucket: Map[Int, Long] = Map.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -219,42 +222,61 @@ class CdcScan(
     new KeyGroupedPartitioning(Array(Expressions.bucket(nBuckets, keys: _*)), buckets.length)
 
   // RUNTIME bucket pruning (the V2 DPP contract): when this scan joins a
-  // filterable side on the merge key, Spark executes that side first,
+  // filterable side on merge keys, Spark executes that side first,
   // collects its distinct key values, and hands them here as =/IN
-  // predicates — hashing them through the layout function drops whole
-  // buckets BEFORE any store file is opened. Single-key stores only: a
-  // per-key runtime panel cannot determine a composite hash.
+  // predicates PER KEY — hashing them through the layout function drops
+  // whole buckets BEFORE any store file is opened. Buckets prune when the
+  // runtime panels pin EVERY key (single-key stores: one panel; composite
+  // stores: the bounded cross-product of the per-key panels — the same
+  // superset construction as the static path, so a bucket is dropped only
+  // if NO combination of per-key values hashes into it). Keys with a
+  // panel but not full coverage still contribute per-key ROW-GROUP
+  // filtering through readerPanels.
   @volatile private var runtimeBuckets: Option[Set[Int]] = None
-  @volatile private var runtimePanel: Option[Set[Any]] = None
+  @volatile private var runtimePanels: Map[String, Set[Any]] = Map.empty
   private[cdc] def runtimePrunedBuckets: Option[Set[Int]] = runtimeBuckets
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (keys.length == 1 && requiredSchema.fieldNames.contains(keys.head))
-      Array(Expressions.column(keys.head))
-    else Array.empty
+    keys.filter(requiredSchema.fieldNames.contains).map(Expressions.column).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
-    def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
-      case r: NamedReference => r.fieldNames.mkString(".") == keys.head
-      case _                 => false
+    def keyOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case r: NamedReference if keys.contains(r.fieldNames.mkString(".")) =>
+        Some(r.fieldNames.mkString("."))
+      case _ => None
     }
-    val panels: Seq[Set[Any]] = predicates.toSeq.flatMap { p =>
+    val panels: Seq[(String, Set[Any])] = predicates.toSeq.flatMap { p =>
       val kids = p.children()
       p.name() match {
         case "IN" if kids.length >= 2 && kids.length - 1 <= CdcScan.MaxInPanel &&
-            isKeyRef(kids.head) && kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
-          Some(kids.tail.map(_.asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]).toSet)
-        case "=" if kids.length == 2 && isKeyRef(kids(0)) && kids(1).isInstanceOf[V2Literal[_]] =>
-          Some(Set(kids(1).asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]))
+            kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          keyOf(kids.head).map(k =>
+            k -> kids.tail.map(_.asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]).toSet)
+        case "=" if kids.length == 2 && kids(1).isInstanceOf[V2Literal[_]] =>
+          keyOf(kids(0)).map(k =>
+            k -> Set(kids(1).asInstanceOf[V2Literal[_]].value.asInstanceOf[Any]))
         case _ => None
       }
     }
     if (panels.nonEmpty) {
-      val vals = panels.reduce(_ intersect _).filter(_ != null)
-      runtimePanel = Some(vals)
-      runtimeBuckets = Some(vals.map(v =>
-        CdcScan.bucketOfLiterals(Seq(v -> keyTypes.head), nBuckets)))
+      // several panels on one key intersect (each is a superset of the
+      // key's true value set, so the intersection still is)
+      val byKey = panels.groupBy(_._1).view
+        .mapValues(_.map(_._2).reduce(_ intersect _).filter(_ != null)).toMap
+      runtimePanels = byKey
+      if (keys.forall(byKey.contains)) {
+        // bounded cross-product of per-key panels → the bucket superset,
+        // exactly the static pushFilters construction. Over the cap the
+        // product is a join in disguise: keep row-group panels, skip
+        // bucket pruning.
+        val combos = keys.foldLeft(Seq(Seq.empty[Any])) { (acc, k) =>
+          acc.flatMap(prefix => byKey(k).toSeq.map(v => prefix :+ v))
+        }
+        if (combos.length <= CdcScan.MaxInPanel)
+          runtimeBuckets = Some(combos.map(c =>
+            CdcScan.bucketOfLiterals(c.zip(keyTypes), nBuckets)).toSet)
+      }
     }
   }
 
@@ -269,7 +291,7 @@ class CdcScan(
       case u: UTF8String => u.toString
       case other         => other
     }
-    val runtime = runtimePanel.map(vs => keys.head -> vs.toSeq).toMap
+    val runtime = runtimePanels.view.mapValues(_.toSeq).toMap
     (staticPanels.keySet ++ runtime.keySet).iterator.map { k =>
       val s = staticPanels.get(k).map(_.map(norm).toSet)
       val r = runtime.get(k).map(_.map(norm).toSet)
@@ -298,12 +320,40 @@ class CdcScan(
 
   /** Real sizes for the planner: the PRUNED byte count, so a
     * dimension-sized (or heavily pruned) store side can broadcast while
-    * store-scale sides keep the exchange-free SPJ shape. */
+    * store-scale sides keep the exchange-free SPJ shape. Row counts come
+    * from the manifest (recorded per bucket at commit) and sum over the
+    * PLANNED buckets only — reported only when every planned non-empty
+    * bucket has one (a partial sum would misstate the table). Keys are
+    * unique per row, so a single-key store also reports key NDV =
+    * numRows (composite stores skip per-column NDV: a component column's
+    * own NDV is ≤ numRows and unknown). This is what lets the CBO cost
+    * and reorder joins over store tables like ANALYZEd warehouse tables. */
   override def estimateStatistics(): Statistics = {
     val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum
+    val known = buckets.forall(b =>
+      rowsByBucket.contains(b) || filesByBucket.getOrElse(b, Array.empty).isEmpty)
+    val rows =
+      if (known) OptionalLong.of(buckets.iterator.map(rowsByBucket.getOrElse(_, 0L)).sum)
+      else OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (rows.isPresent && keys.length == 1 &&
+            requiredSchema.fieldNames.contains(keys.head)) {
+          m.put(Expressions.column(keys.head),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong = rows
+              override def nullCount(): OptionalLong = OptionalLong.of(0L)
+            })
+        }
+        m
+      }
     }
   }
 
@@ -319,12 +369,44 @@ case class CdcBucketPartition(
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-class CdcReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
+object CdcReaderFactory {
+  /** Session toggle for the vectorized path (A/B escape hatch; default
+    * on). Resolved DRIVER-side when the factory is created, so a plain
+    * `spark.conf.set("graft.cdc.columnar", "false")` steers executors. */
+  private[cdc] def columnarEnabled: Boolean =
+    scala.util.Try(SparkSession.active.conf.get("graft.cdc.columnar"))
+      .toOption.forall(_.toBoolean)
+}
+
+class CdcReaderFactory(
+    requiredSchema: StructType,
+    columnar: Boolean = CdcReaderFactory.columnarEnabled)
+    extends PartitionReaderFactory {
+  // a compacted segment's files carry _commit_timestamp as DATA
+  // (materialized at compaction); single-version files serve it as the
+  // commit marker's per-partition constant
+  private def feedConstants(f: CdcFeedPartition): Map[String, Any] =
+    if (f.tsInData) Map.empty else Map("_commit_timestamp" -> f.commitTsMicros)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters)
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
-        constants = Map("_commit_timestamp" -> f.commitTsMicros))
+        constants = feedConstants(f))
+      case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
+    }
+
+  // The serve path is COLUMNAR ([[CdcColumnarReader]]): every supported
+  // payload type decodes through Spark's vectorized parquet reader, so
+  // the scan feeds whole-stage codegen ColumnarBatches exactly like
+  // Spark's built-in parquet source. The row reader above remains the
+  // spec-pinned fallback for Spark code paths that ask for rows.
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case b: CdcBucketPartition => new CdcColumnarReader(b.files, requiredSchema, b.keyFilters)
+      case f: CdcFeedPartition   => new CdcColumnarReader(f.files, requiredSchema,
+        constants = feedConstants(f))
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
     }
 }
@@ -343,9 +425,20 @@ class CdcPartitionReader(
 
   /** Key panels as a parquet filter (AND of per-key OR-of-eq): row groups
     * whose tight key statistics (files are key-sorted at write) exclude
-    * every value never decode. Spark re-evaluates every predicate on the
-    * returned rows, so this is IO advice, never correctness. Only built
-    * from columns the projection carries (and the file contains). */
+    * every value never decode.
+    *
+    * CORRECTNESS INVARIANT (this filter is load-bearing in THIS reader):
+    * `FilterCompat.get` enables parquet's RECORD-level filtering too, so
+    * rows outside the panel are dropped before Spark ever sees them — and
+    * Spark's residual re-evaluation cannot restore a dropped row. That is
+    * only sound because every per-key panel is a SUPERSET of the values
+    * any row matching the pushed predicates can carry (panels derive from
+    * =/IN conjuncts via minBy/intersect — never widened, only tightened).
+    * Any future panel derivation that loosens this must restrict the
+    * filter to row-group stats pruning instead. (The vectorized columnar
+    * path has no record assembly, so there the same filter really is
+    * row-group/page pruning only.) Only built from columns the projection
+    * carries (and the file contains). */
   private def parquetFilter(fileSchema: MessageType): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     val conjuncts: Seq[FilterPredicate] =
@@ -435,6 +528,7 @@ class CdcPartitionReader(
           case StringType  => UTF8String.fromBytes(g.getBinary(pos, 0).getBytes)
           case BooleanType => g.getBoolean(pos, 0)
           case DateType    => g.getInteger(pos, 0) // parquet DATE = days since epoch
+          case TimestampType => g.getLong(pos, 0)  // TIMESTAMP(MICROS) in segment files
           case t => throw new IllegalArgumentException(
             s"unsupported type $t (CdcStoreTable validates at load — this is a bug)")
         }

@@ -2,11 +2,6 @@ package graft.sources.cdc
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
-import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
@@ -181,29 +176,6 @@ object CdcStreamingWrite {
     fs.delete(dir, true)
   }
 
-  /** The staging file schema — the store's supported payload types, as
-    * plain optional parquet primitives (the exact physical shapes
-    * [[CdcPartitionReader]] and Spark's own reader decode). */
-  private[cdc] def messageTypeFor(schema: StructType): MessageType = {
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType    => Types.optional(PrimitiveTypeName.INT64)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-        case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType   => Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType  =>
-          Types.optional(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType())
-        case DateType    =>
-          Types.optional(PrimitiveTypeName.INT32).as(LogicalTypeAnnotation.dateType())
-        case t => throw new IllegalArgumentException(
-          s"unsupported type $t (CdcStoreTable validates at load — this is a bug)")
-      }
-      b.addField(t.named(f.name))
-    }
-    b.named("spark_schema")
-  }
 }
 
 /** One parquet staging file per (partition, task attempt); the task id
@@ -223,37 +195,39 @@ case class StagedEpochFile(path: String, rows: Long) extends WriterCommitMessage
 
 /** Streams rows straight to one parquet staging file — opened lazily on
   * the first row (an empty partition stages nothing), constant memory
-  * beyond parquet's own page buffers. */
+  * beyond parquet's own page buffers. Encoding is Spark's OWN
+  * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+  * consuming `InternalRow` directly — no per-value Group boxing, the
+  * same writer Spark's parquet sink runs (the write twin of
+  * [[CdcColumnarReader]]'s vectorized read path). */
 class CdcStagingWriter(path: String, schema: StructType)
     extends DataWriter[InternalRow] {
 
-  private val messageType = CdcStreamingWrite.messageTypeFor(schema)
-  private val factory = new SimpleGroupFactory(messageType)
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null)
+    if (writer == null) {
       // executor-side: the path carries its scheme; a default
-      // Configuration resolves the right FileSystem (same as the reader)
-      writer = ExampleParquetWriter.builder(new Path(path))
-        .withType(messageType).withConf(new Configuration()).build()
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType    => g.add(i, row.getLong(i))
-        case IntegerType => g.add(i, row.getInt(i))
-        case DoubleType  => g.add(i, row.getDouble(i))
-        case FloatType   => g.add(i, row.getFloat(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType  => g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case DateType    => g.add(i, row.getInt(i)) // days since epoch
-        case t => throw new IllegalArgumentException(s"unsupported type $t")
-      }
-      i += 1
+      // Configuration resolves the right FileSystem (same as the reader).
+      // The write-support confs mirror Spark's own parquet sink: modern
+      // (non-legacy) layout, micros timestamps, CORRECTED rebase — the
+      // exact physical shapes CdcColumnarReader/CdcPartitionReader and
+      // spark.read decode.
+      val conf = new Configuration()
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+        .setSchema(schema, conf)
+      val sql = org.apache.spark.sql.internal.SQLConf
+      conf.set(sql.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+      conf.set(sql.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+      conf.set(sql.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+      conf.set(sql.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+      conf.set(sql.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+      conf.set(sql.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+      writer = new CdcStagingWriter.InternalRowWriterBuilder(new Path(path))
+        .withConf(conf).build()
     }
-    writer.write(g)
+    writer.write(row)
     rows += 1L
   }
 
@@ -268,4 +242,19 @@ class CdcStagingWriter(path: String, schema: StructType)
   }
 
   override def close(): Unit = ()
+}
+
+object CdcStagingWriter {
+  /** Parquet's builder hook for a custom WriteSupport: hands back
+    * Spark's InternalRow write support, configured via the conf set
+    * above (builders are the supported extension point — no reflection,
+    * no example API). */
+  private class InternalRowWriterBuilder(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, InternalRowWriterBuilder](path) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+  }
 }

@@ -224,6 +224,56 @@ class CdcCatalogSpec extends AnyFunSuite {
     CdcCatalog.unregister("cat_rf")
   }
 
+  test("composite-key runtime filtering: a join pinning ALL keys prunes buckets via the " +
+      "per-key panels' cross-product; a join on ONE key still row-group-filters, no bucket prune") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cat_rf2").toString
+    val seed = (1L to 40L).map(k => (k, (k % 4).toString, s"v$k")).toDF("k1", "k2", "v")
+    Cdc.processPartitionedBatch(
+      Seq((1L, "1", "upd", 9L, "U")).toDF("k1", "k2", "v", "seq", "op"),
+      seed, Seq("k1", "k2"), Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    CdcCatalog.register("cat_rf2", store, Seq("k1", "k2"), nBuckets)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_cat_rf2_dim").toString
+    Seq((5L, "1", "x"), (9L, "1", "x"), (11L, "3", "y")).toDF("k1", "k2", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val conf = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    spark.conf.set(conf, "false")
+    try {
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[CdcScan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan).collect { case s: CdcScan => s }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      def bucketOf(k1: Long, k2: String): Int =
+        Seq((k1, k2)).toDF("k1", "k2")
+          .select(Cdc.bucketExpr(Seq("k1", "k2"), nBuckets)).as[Int].head()
+      // BOTH keys joined → cross-product panel {5,9}×{1} prunes buckets
+      val both = spark.table("graft.cat_rf2")
+        .join(dim.filter(col("tag") === "x"), Seq("k1", "k2"))
+        .select(col("k1"), col("k2"), col("v"))
+      val rows = both.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows === Set((5L, "1", "v5"), (9L, "1", "v9")))
+      val scans = scansIn(both.queryExecution.executedPlan)
+      assert(scans.nonEmpty, both.queryExecution.executedPlan.toString.take(1500))
+      assert(scans.head.runtimePrunedBuckets ===
+        Some(Set(bucketOf(5L, "1"), bucketOf(9L, "1"))),
+        s"composite runtime panel did not prune: ${scans.head.runtimePrunedBuckets}")
+      // only ONE of two keys joined → the composite hash is undetermined:
+      // no bucket pruning, rows still exact
+      val half = spark.table("graft.cat_rf2")
+        .join(dim.filter(col("tag") === "y").select("k1"), Seq("k1"))
+        .select(col("k1"), col("v"))
+      val halfRows = half.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(halfRows === Set((11L, "v11")))
+      val halfScans = scansIn(half.queryExecution.executedPlan)
+      assert(halfScans.headOption.forall(_.runtimePrunedBuckets.isEmpty),
+        s"a single key must not determine a composite bucket: ${halfScans.head.runtimePrunedBuckets}")
+    } finally {
+      spark.conf.unset(conf)
+      CdcCatalog.unregister("cat_rf2")
+    }
+  }
+
   test("writeTo append is keyed UPSERT: one new version through the MERGE path; " +
       "INSERT INTO works; OVERWRITE and version-pinned writes refuse") {
     val store = buildStore("wr", seed40("w"))
@@ -328,6 +378,61 @@ class CdcCatalogSpec extends AnyFunSuite {
       assert(Cdc.manifestVersions(spark, store).max === vNow + 1, "a refused delete committed")
       assert(collectRows(spark.table("graft.cat_del")) === after3)
     } finally { CdcCatalog.unregister("cat_del"); CdcCatalog.unregister("cat_del_v0") }
+  }
+
+  test("manifest row counts reach the planner: numRows + key NDV on the scan, " +
+      "pruned scans report the pruned sum, and CBO reorders a worst-order 3-table join") {
+    // three stores with very different cardinalities: fact (2000 keys),
+    // mid (400), tiny dim (12)
+    def mk(tag: String, ks: Long): String = {
+      val store = java.nio.file.Files.createTempDirectory(s"graft_cbo_$tag").toString
+      val seed = (1L to ks).map(k => (k, s"$tag$k", k * 1.0)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        log((1L, s"$tag upd", 1.0, 9L, "U")), seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, 0L)
+      store
+    }
+    val fact = mk("fact", 2000L); val mid = mk("mid", 400L); val dim = mk("dim", 12L)
+    CdcCatalog.register("cbo_fact", fact, keys, nBuckets)
+    CdcCatalog.register("cbo_mid", mid, keys, nBuckets)
+    CdcCatalog.register("cbo_dim", dim, keys, nBuckets)
+    try {
+      // numRows is the real count; a key-pruned scan reports the pruned sum
+      def scanStats(df: DataFrame) = df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case s: CdcScan => s.estimateStatistics() }.get
+      val full = scanStats(spark.table("graft.cbo_fact"))
+      assert(full.numRows().getAsLong === 2000L, s"numRows ${full.numRows()}")
+      assert(full.columnStats().size() === 1, "single-key store must report key NDV")
+      assert(full.columnStats().values().iterator().next().distinctCount().getAsLong === 2000L)
+      val pruned = scanStats(spark.table("graft.cbo_fact").filter(col("k") === 7L))
+      assert(pruned.numRows().isPresent && pruned.numRows().getAsLong < 2000L,
+        s"pruned scan must report the pruned row sum, got ${pruned.numRows()}")
+      // CBO join reorder, catalog edition (the c37 pattern): worst
+      // written order — fact ⋈ mid first, the tiny dim last
+      def joinTree(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+        try spark.table("graft.cbo_fact").as("f")
+          .join(spark.table("graft.cbo_mid").as("m"), col("f.k") === col("m.k"))
+          .join(spark.table("graft.cbo_dim").as("d"), col("f.k") === col("d.k"))
+          .select(col("f.name"), col("m.bal"), col("d.bal"))
+          .queryExecution.optimizedPlan.toString
+        finally {
+          spark.conf.unset("spark.sql.cbo.enabled")
+          spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        }
+      }
+      val before = joinTree(cbo = false)
+      val after = joinTree(cbo = true)
+      assert(before != after,
+        s"CostBasedJoinReorder left the worst-order store join untouched:\n${after.take(2500)}")
+      // rows stay exact under reorder
+      assert(spark.table("graft.cbo_fact").as("f")
+        .join(spark.table("graft.cbo_mid").as("m"), col("f.k") === col("m.k"))
+        .join(spark.table("graft.cbo_dim").as("d"), col("f.k") === col("d.k"))
+        .count() === 12L)
+    } finally Seq("cbo_fact", "cbo_mid", "cbo_dim").foreach(CdcCatalog.unregister)
   }
 
   test("unknown table and non-additive surface fail loudly") {

@@ -223,6 +223,51 @@ class CdcFeedTableSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("feed_sv")
   }
 
+  test("startingTimestamp pins the tail's first version by commit time; " +
+      "out-of-window timestamps are loud both ways") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_st", store, feed)
+    // pin the feed commit clocks deterministically (the _SUCCESS mtime IS
+    // the commit timestamp): v1 at 1970-01-02T00:00Z, v2 a day later
+    val day = 86400000L
+    assert(new java.io.File(s"$feed/v=1/_SUCCESS").setLastModified(day))
+    assert(new java.io.File(s"$feed/v=2/_SUCCESS").setLastModified(2 * day))
+    def runWith(opts: Map[String, String]): Set[CdfRow] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_stout").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_stckpt").toString
+      val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+      val q = reader.table("graft.feed_st")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      cdfSet(spark.read.parquet(out))
+    }
+    try {
+      // between the two commits → starts at v2 (first commit AT or AFTER)
+      assert(runWith(Map("startingTimestamp" -> (day + 1).toString)) === feedOf(feed, 2L))
+      // exactly the first retained commit → starts at v1 (the full tail)
+      assert(runWith(Map("startingTimestamp" -> day.toString)) ===
+        feedOf(feed, 1L) ++ feedOf(feed, 2L))
+      // SQL timestamp string form resolves too
+      assert(runWith(Map("startingTimestamp" -> "1970-01-03 00:00:00")) === feedOf(feed, 2L))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      // behind the oldest retained commit: loud (vacuumed deltas would be skipped)
+      val e1 = intercept[Exception](runWith(Map("startingTimestamp" -> (day - 1).toString)))
+      assert(messages(e1).exists(_.contains("predates the oldest retained single feed commit")),
+        messages(e1).mkString(" | "))
+      // after the newest commit: loud (never an implicit start-at-latest)
+      val e2 = intercept[Exception](runWith(Map("startingTimestamp" -> (3 * day).toString)))
+      assert(messages(e2).exists(_.contains("after the newest feed commit")),
+        messages(e2).mkString(" | "))
+      // mutually exclusive with startingVersion
+      val e3 = intercept[Exception](runWith(Map(
+        "startingTimestamp" -> day.toString, "startingVersion" -> "2")))
+      assert(messages(e3).exists(_.contains("mutually exclusive")), messages(e3).mkString(" | "))
+    } finally CdcCatalog.unregister("feed_st")
+  }
+
   test("batch DML on a feed-registered store materializes feed entries: the version " +
       "line stays contiguous and a tailing consumer sees every DML's changes") {
     val (store, feed) = buildFed()

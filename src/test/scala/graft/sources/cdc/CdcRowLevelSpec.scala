@@ -129,6 +129,62 @@ class CdcRowLevelSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("rlo_merge")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE: the sync-to-source shape lands as one version, " +
+      "result ≡ source snapshot, and the by-source rewrite is NOT runtime-pruned") {
+    val store = freshStore("sync")
+    CdcCatalog.register("rlo_sync", store, keys, n)
+    // by-source clauses rewrite as LeftOuter/FullOuter joins, which
+    // DeltaDmlRuntimeFiltering must SKIP: pruning target buckets by the
+    // source's keys would hide exactly the rows NOT MATCHED BY SOURCE
+    // exists to see. Capture the target scans to prove no panel landed.
+    @volatile var captured = List.empty[CdcScan]
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[CdcScan] = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan).collect { case s: CdcScan => s }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+    }.flatten
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured = scansIn(qe.executedPlan).toList ++ captured
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // source: updates 1-2, keeps 3-5 verbatim, adds 50; everything else
+      // in the 40-row target is absent from the source
+      val src = Seq((1L, "s1", 101.0), (2L, "s2", 102.0), (50L, "s50", 500.0)) ++
+        (3L to 5L).map(k => (k, s"orig$k", k * 1.0))
+      src.toDF("k", "name", "bal").createOrReplaceTempView("rlo_sync_src")
+      spark.sql("""
+        MERGE INTO graft.rlo_sync t USING rlo_sync_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L),
+        "sync-merge must commit exactly one version")
+      assert(rows(spark.table("graft.rlo_sync")) === src.toSet,
+        "sync-merge result must equal the source snapshot")
+      // the target scans of the by-source rewrite carried NO runtime panel
+      var waited = 0
+      while (captured.isEmpty && waited < 30000) { Thread.sleep(200); waited += 200 }
+      assert(captured.nonEmpty, "no target scan captured")
+      assert(captured.forall(_.runtimePrunedBuckets.isEmpty),
+        s"a by-source MERGE was runtime-pruned: ${captured.map(_.runtimePrunedBuckets)}")
+      // conditional by-source UPDATE too (the other by-source verb)
+      spark.sql("""
+        MERGE INTO graft.rlo_sync t USING (SELECT 1L AS k) s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE AND t.bal > 400 THEN UPDATE SET t.name = 'flagged'""")
+      val got = rows(spark.table("graft.rlo_sync"))
+      assert(got.contains((50L, "flagged", 500.0)), s"conditional by-source UPDATE missed: $got")
+      assert(got.contains((1L, "s1", 101.0)), "the matched row must stay untouched")
+    } finally {
+      CdcCatalog.unregister("rlo_sync")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("a MERGE that matches nothing is a no-op: no version minted") {
     val store = freshStore("noop")
     CdcCatalog.register("rlo_noop", store, keys, n)
