@@ -86,6 +86,29 @@ object Bench {
     graft.queries.CoreQueries.prebuildArtifacts(spark, sfDir)
     val artifactSec = math.rint((System.nanoTime() - tArt0) / 1e9 * 100) / 100
 
+    // HOST CALIBRATION (VERDICT r14 next-6): the load gate only catches
+    // CONTENDED starts; r14's phantom "regression" was a quiet host that
+    // was simply ~1.5-2x slower that day. This probe is fixed work —
+    // a deterministic CPU-bound aggregate plus one small parquet
+    // scan-and-materialize — so its median-of-3 seconds is a pure
+    // host-speed constant. Round-over-round, read per-query ratios
+    // AGAINST the calib ratio: total_r15/total_r14 ≈ calib_r15/calib_r14
+    // means host-day drift, not a code regression (BASELINE.md §calib).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) AS h", "count(1) AS c")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = {
+      val runs = Seq(calibOnce(), calibOnce(), calibOnce()).sorted
+      math.rint(runs(1) * 10000) / 10000
+    }
+    System.err.println(f"[bench] calibration probe: $calibSec%.3f s (median of 3)")
+
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq.sortBy(_._1)
@@ -135,7 +158,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"artifact_build_sec":$artifactSec,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     Console.out.flush()
@@ -145,6 +168,6 @@ object Bench {
     // per-query line in rounds 4–7 ("parsed": null), so the parse target
     // must fit entirely inside any reasonable tail window. Per-query data
     // stays in the full line above and, authoritatively, in the outFile.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"artifact_build_sec":$artifactSec,"queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"queries":{},"sf":"$sfDir"}""")
   }
 }
