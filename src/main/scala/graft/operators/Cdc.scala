@@ -280,7 +280,9 @@ object Cdc {
       vacuumEvery: Int = 0,
       keepVersions: Int = 2,
       feedPath: Option[String] = None,
-      payloadCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      payloadCols: Seq[String] = Nil,
+      compactFeedEvery: Int = 0,
+      feedSegmentSize: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -293,6 +295,15 @@ object Cdc {
             .write.mode("overwrite").parquet(s"$fp/v=$id")
         if (vacuumEvery > 0 && id % vacuumEvery == 0)
           vacuum(spark, storePath, keepVersions, feedPath)
+        // feed COMPACTION cadence (the vacuumEvery of file counts): every
+        // N-th batch, fold aged-out single versions into segments so a
+        // long-running fine-grained stream leaves a bounded file count
+        // behind it, not one directory per epoch. Runs AFTER vacuum so
+        // only retained versions compact; replay-safe because compaction
+        // is itself crash-convergent and never touches the newest
+        // feedSegmentSize singles (the live consumers' window).
+        if (compactFeedEvery > 0 && id % compactFeedEvery == 0)
+          for (fp <- feedPath) compactFeed(spark, fp, feedSegmentSize)
       }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for

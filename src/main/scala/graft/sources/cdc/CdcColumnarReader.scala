@@ -47,7 +47,8 @@ class CdcColumnarReader(
     files: Array[String],
     requiredSchema: StructType,
     keyFilters: Array[(String, Array[Any])] = Array.empty,
-    constants: Map[String, Any] = Map.empty)
+    constants: Map[String, Any] = Map.empty,
+    sourceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   // requiredSchema splits into file-decoded data columns and per-partition
@@ -110,6 +111,28 @@ class CdcColumnarReader(
     c
   }
 
+  /** The PUSHED SOURCE FILTERS as a per-file parquet predicate, through
+    * Spark's own [[org.apache.spark.sql.execution.datasources.parquet.ParquetFilters]]
+    * translator against the FILE's schema (columns a file predates simply
+    * don't convert) — row-group and column-index (page) pruning on ANY
+    * column, exactly what Spark's built-in parquet source pushes. Purely
+    * IO advice here: the columnar path assembles no records, and Spark
+    * re-evaluates every filter as a residual. ANDed with the key panels
+    * (which also cover the runtime DPP values no v1 Filter carries). */
+  private def sourceFilterFor(fileSchema: org.apache.parquet.schema.MessageType)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    if (sourceFilters.isEmpty) return None
+    val pf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFilters(
+      fileSchema,
+      /* pushDownDate = */ true, /* pushDownTimestamp = */ true,
+      /* pushDownDecimal = */ true, /* pushDownStringPredicate = */ true,
+      /* pushDownInFilterThreshold = */ 10, /* caseSensitive = */ false,
+      org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+        org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED, None))
+    sourceFilters.toSeq.flatMap(f => pf.createFilter(f))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and(_, _))
+  }
+
   private var fileIdx = -1
   private var reader: VectorizedParquetRecordReader = _
   private var batch: ColumnarBatch = _ // the reader's reused batch, remapped
@@ -121,6 +144,19 @@ class CdcColumnarReader(
     if (fileIdx >= files.length) return false
     val path = new Path(files(fileIdx))
     val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    if (sourceFilters.nonEmpty) {
+      // per-file: the translator needs the file's schema (one footer
+      // metadata read; the panel part of the filter stays partition-
+      // constant inside `conf` from filterPredicate above)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
+      (sourceFilterFor(fileSchema).toSeq ++ filterPredicate.toSeq)
+        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and(_, _)) match {
+        case Some(p) => ParquetInputFormat.setFilterPredicate(conf, p)
+        case None    => conf.unset(ParquetInputFormat.FILTER_PREDICATE)
+      }
+    }
     // every store/feed file is Spark-4-written (maintenance writes +
     // staging merges): modern calendar, no rebase — CORRECTED on both
     val r = new VectorizedParquetRecordReader(

@@ -54,11 +54,20 @@ import org.apache.spark.unsafe.types.UTF8String
 class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
+  private var pushedCountStar = false
+  // every predicate Spark hands us, kept verbatim for the reader: the
+  // parquet-convertible subset (Spark's own ParquetFilters decides, per
+  // file) prunes row groups/pages on ANY column — the same stats
+  // pushdown Spark's built-in parquet source does. Purely IO advice in
+  // the columnar path (no record assembly); Spark re-evaluates every
+  // one of these as residuals.
+  private var dataFilters: Array[Filter] = Array.empty
   // per-key literal panels, kept even when they don't pin every key: a
   // single key's panel can't prune BUCKETS on a composite store, but it
   // still skips ROW GROUPS inside every bucket (sorted files carry tight
@@ -85,6 +94,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
         vs.length <= MaxInPanel && !vs.contains(null)             => a -> vs.toSeq
     }.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).minBy(_.length) }
     keyPanels = panels
+    dataFilters = filters
     if (d.keys.forall(panels.contains)) {
       // cross product of per-key panels (bounded: singletons except IN)
       val combos = d.keys.foldLeft(Seq(Seq.empty[Any])) { (acc, k) =>
@@ -105,7 +115,48 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** METADATA-ONLY COUNT(*): the manifest already records every bucket's
+    * row count ([[graft.operators.Cdc.processPartitionedBatch]]), so an
+    * unfiltered `SELECT count(*) FROM graft.x` needs no file IO at all —
+    * the scan answers from nBuckets-bounded driver metadata. Guarded
+    * hard: no grouping, COUNT(*) (or COUNT(merge key) — keys are
+    * non-null by the store's contract) only, no pushed/residual filters
+    * (Spark only attempts aggregate pushdown when no filter survives
+    * between the aggregate and the scan, and we additionally require no
+    * panels), and EVERY manifest bucket must carry a recorded count
+    * (pre-migration manifests fall back to the ordinary scan). PARTIAL
+    * pushdown (`supportCompletePushDown = false`): the scan emits one
+    * partial-count row and Spark's final aggregate sums it — the
+    * standard V2 contract, AQE-safe. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isNonNullKeyCount(e: Any): Boolean = e match {
+      case c: Count if !c.isDistinct => c.column() match {
+        case r: NamedReference => d.keys.contains(r.fieldNames.mkString("."))
+        case _ => false
+      }
+      case _ => false
+    }
+    val countable = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      (aggregation.aggregateExpressions().head.isInstanceOf[CountStar] ||
+        isNonNullKeyCount(aggregation.aggregateExpressions().head)) &&
+      pushed.isEmpty && keyPanels.isEmpty && prunedBuckets.isEmpty &&
+      table.bucketDirs.keySet.forall(table.bucketRows.contains)
+    if (countable) pushedCountStar = true
+    countable
+  }
+
   override def build(): Scan = {
+    if (pushedCountStar)
+      return new CdcCountScan(table.name(),
+        table.bucketDirs.keySet.iterator.map(table.bucketRows).sum)
     // resolve each surviving bucket's file list now, on the driver
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files: Map[Int, Array[(String, Long)]] = table.bucketDirs
@@ -123,9 +174,33 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
-      table.bucketRows)
+      table.bucketRows, dataFilters)
   }
 }
+
+/** The pushed-COUNT(*) scan: one partition, one row carrying the
+  * manifest's total — ZERO file IO. Spark's final aggregate sums the
+  * partials (here: the one row), so the plan stays an ordinary
+  * aggregate whose input just happens to be metadata. */
+class CdcCountScan(tableName: String, totalRows: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"$tableName metadata count=$totalRows (no file IO)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CdcCountPartition(totalRows))
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean = if (served) false else { served = true; true }
+        override def get(): InternalRow = InternalRow(p.asInstanceOf[CdcCountPartition].rows)
+        override def close(): Unit = ()
+      }
+  }
+}
+
+case class CdcCountPartition(rows: Long) extends InputPartition
 
 object CdcScan {
   /** Bounded IN panels only: a million-value IN is a join in disguise —
@@ -208,7 +283,8 @@ class CdcScan(
     buckets: Seq[Int],
     filesByBucket: Map[Int, Array[(String, Long)]],
     staticPanels: Map[String, Seq[Any]] = Map.empty,
-    rowsByBucket: Map[Int, Long] = Map.empty)
+    rowsByBucket: Map[Int, Long] = Map.empty,
+    dataFilters: Array[Filter] = Array.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -314,7 +390,8 @@ class CdcScan(
     buckets
       .filter(b => runtimeBuckets.forall(_.contains(b)))
       .map { b =>
-        CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels)
+        CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels,
+          dataFilters)
       }.toArray[InputPartition]
   }
 
@@ -364,7 +441,8 @@ class CdcScan(
 case class CdcBucketPartition(
     bucket: Int,
     files: Array[String],
-    keyFilters: Array[(String, Array[Any])] = Array.empty)
+    keyFilters: Array[(String, Array[Any])] = Array.empty,
+    sourceFilters: Array[Filter] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -404,7 +482,8 @@ class CdcReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
-      case b: CdcBucketPartition => new CdcColumnarReader(b.files, requiredSchema, b.keyFilters)
+      case b: CdcBucketPartition => new CdcColumnarReader(b.files, requiredSchema,
+        b.keyFilters, sourceFilters = b.sourceFilters)
       case f: CdcFeedPartition   => new CdcColumnarReader(f.files, requiredSchema,
         constants = feedConstants(f))
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")

@@ -435,6 +435,48 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally Seq("cbo_fact", "cbo_mid", "cbo_dim").foreach(CdcCatalog.unregister)
   }
 
+  test("COUNT(*) is metadata-only: answered from manifest row counts with zero file IO; " +
+      "filtered / nullable-column counts keep the real scan") {
+    val store = buildStore("cnt", seed40("n"))
+    CdcCatalog.register("cat_cnt", store, keys, nBuckets)
+    CdcCatalog.register("cat_cnt_v0", store, keys, nBuckets, version = Some(0L))
+    try {
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      def scanOf(df: DataFrame) = scansIn(df.queryExecution.executedPlan).head
+      val expected = Cdc.readPartitionedSnapshot(spark, store).count()
+      val cnt = spark.table("graft.cat_cnt").groupBy().count()
+      assert(cnt.as[Long].head() === expected)
+      val scan = scanOf(cnt)
+      assert(scan.isInstanceOf[CdcCountScan],
+        s"COUNT(*) did not take the metadata path: ${scan.description()}")
+      assert(scan.description().contains("no file IO"))
+      // COUNT(merge key) — non-null by contract — also metadata
+      val ck = spark.table("graft.cat_cnt").agg(count(col("k")))
+      assert(ck.as[Long].head() === expected)
+      assert(scanOf(ck).isInstanceOf[CdcCountScan])
+      // a version pin counts ITS version, not the latest
+      val v0 = spark.table("graft.cat_cnt_v0").groupBy().count()
+      assert(v0.as[Long].head() ===
+        Cdc.readPartitionedSnapshot(spark, store, Some(0L)).count())
+      assert(scanOf(v0).isInstanceOf[CdcCountScan])
+      // a filter forces the real scan (residual predicates need rows)
+      val filtered = spark.table("graft.cat_cnt").filter(col("bal") > 10.0).groupBy().count()
+      assert(scanOf(filtered).isInstanceOf[CdcScan], scanOf(filtered).description())
+      assert(filtered.as[Long].head() ===
+        Cdc.readPartitionedSnapshot(spark, store).filter(col("bal") > 10.0).count())
+      // a NULLABLE column's count needs the data (NULLs don't count)
+      val cname = spark.table("graft.cat_cnt").agg(count(col("name")))
+      assert(scanOf(cname).isInstanceOf[CdcScan], scanOf(cname).description())
+      assert(cname.as[Long].head() === expected) // fixture has no null names
+    } finally { CdcCatalog.unregister("cat_cnt"); CdcCatalog.unregister("cat_cnt_v0") }
+  }
+
   test("unknown table and non-additive surface fail loudly") {
     intercept[Exception] { spark.table("graft.no_such_store").collect() }
     val store = buildStore("guard", seed40("g"))

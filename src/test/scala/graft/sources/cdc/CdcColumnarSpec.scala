@@ -138,6 +138,64 @@ class CdcColumnarSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("col_feed")
   }
 
+  test("pushed source filters stay exact through the columnar path (every v1 shape)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_colfilt").toString
+    val rows = spark.sql(
+      """SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS bal,
+        |  CASE WHEN id % 5 = 0 THEN NULL ELSE concat('n', id) END AS name,
+        |  date_add(DATE'2024-01-01', CAST(id % 100 AS INT)) AS dt
+        |FROM range(0, 500)""".stripMargin)
+    Cdc.processPartitionedBatch(
+      rows.withColumn("seq", lit(1L)).withColumn("op", lit("U")),
+      rows.limit(0), Seq("k"), Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    CdcCatalog.register("col_filt", store, Seq("k"), nBuckets)
+    try {
+      val t = spark.table("graft.col_filt")
+      val ref = rows.collect().map(_.toSeq).toSet
+      def check(p: org.apache.spark.sql.Column, refP: org.apache.spark.sql.Row => Boolean): Unit = {
+        val got = t.filter(p).select("k", "bal", "name", "dt").collect().map(_.toSeq).toSet
+        val want = rows.filter(p).collect().map(_.toSeq).toSet
+        assert(got === want, s"filter $p diverged")
+      }
+      check(col("bal") > 600.0, _ => true)
+      check(col("bal") >= 600.0 && col("bal") < 630.0, _ => true)
+      check(col("name").isNull, _ => true)
+      check(col("name").isNotNull && col("name").startsWith("n1"), _ => true)
+      check(col("dt") === java.sql.Date.valueOf("2024-01-11"), _ => true)
+      check(col("name").isin("n7", "n13", "nope"), _ => true)
+      check(!(col("bal") > 30.0) || col("k") % 7 === 0, _ => true)
+      assert(t.collect().map(_.toSeq.take(4)).toSet === ref)
+    } finally CdcCatalog.unregister("col_filt")
+  }
+
+  test("source filters prune ROW GROUPS: a selective range over a sorted column decodes " +
+      "a fraction of the file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_colrg").toString + "/data"
+    // one file, many small row groups, sorted by v → tight stats
+    spark.range(0, 400000).selectExpr("id AS v", "concat('x', id) AS s")
+      .coalesce(1).sortWithinPartitions("v")
+      .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v LONG, s STRING")
+    def rowsReturned(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val r = new CdcColumnarReader(Array(file), schema, sourceFilters = filters)
+      var total = 0L
+      while (r.next()) total += r.get().numRows()
+      r.close(); total
+    }
+    val full = rowsReturned(Array.empty)
+    assert(full === 400000L)
+    val pruned = rowsReturned(Array(
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("v", 200000L),
+        org.apache.spark.sql.sources.LessThan("v", 201000L))))
+    // supersets are allowed (row-group granularity), but a sorted column
+    // with tight stats must skip the overwhelming majority
+    assert(pruned >= 1000L && pruned < full / 2,
+      s"row-group pruning ineffective: $pruned of $full rows decoded")
+  }
+
   test("count(*) over the store plans an empty projection and still counts exactly") {
     val store = java.nio.file.Files.createTempDirectory("graft_colcnt").toString
     val seed = (1L to 123L).map(k => (k, s"n$k")).toDF("k", "name")

@@ -136,6 +136,37 @@ class CdcFeedCompactionSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("cmp_at")
   }
 
+  test("compactFeedEvery wires compaction into streaming maintenance: segments appear " +
+      "behind the live window and the feed table keeps serving everything") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("graft_cmp_mstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmp_mckpt").toString
+    val feed = java.nio.file.Files.createTempDirectory("graft_cmp_mfeed").toString
+    val seed = (1L to 10L).map(k => (k, s"orig$k")).toDF("k", "name")
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val q = Cdc.maintainPartitionedSnapshot(
+      mem.toDF().toDF("k", "name", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, ckpt, n,
+      feedPath = Some(feed), compactFeedEvery = 8, feedSegmentSize = 3).start()
+    try {
+      (0 to 12).foreach { i =>
+        mem.addData(((i % 10) + 1L, s"m$i", i.toLong, "U"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch 8 fired compaction: singles 1..8 at that point, keep 3 → 1..5
+    // candidates → one full run of 3
+    assert(Cdc.feedSegments(spark, feed) === Seq((1L, 3L)),
+      s"got ${Cdc.feedSegments(spark, feed)}")
+    assert(Cdc.feedRetainedVersions(spark, feed) === (1L to 12L))
+    CdcCatalog.registerFeed("cmp_stream", store, feed)
+    try {
+      assert(tableRows("cmp_stream").map(_._4) === (1L to 12L).toSet)
+      assert(tailRows("cmp_stream") === tableRows("cmp_stream"))
+    } finally CdcCatalog.unregister("cmp_stream")
+  }
+
   test("readFeedSince stays exact across segment boundaries; vacuum prunes whole " +
       "segments; a crashed compaction converges on re-run") {
     val (store, feed) = build(20)
