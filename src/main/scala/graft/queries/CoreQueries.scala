@@ -2061,6 +2061,44 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // C38 (footer-statistics aggregate serving): unfiltered MIN/MAX/COUNT
+    // over the catalog store push into the scan and fold parquet FOOTER
+    // statistics — per-bucket partitions read row-group min/max/null
+    // counts, zero page decode (sources/cdc/CdcStatsScan.scala; the
+    // counts-only shape answers from manifest metadata with zero file
+    // IO). The oracle recomputes the same aggregates over the merged
+    // snapshot, so the pushed answers must equal the scan's.
+    "c38_cdc_stats_agg" -> ((s, sf) => {
+      val (stateTbl, _) = spjTablesFor(s, sf)
+      s.table(stateTbl).agg(
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_name")).as("max_name"),
+        count(col("c_mktsegment")).as("cnt_seg"),
+        count(lit(1)).as("cnt_all"))
+    }),
+
+    // C39 (SQL function catalog): the engine's scalar functions served as
+    // V2 CATALOG FUNCTIONS (functions/SqlFunctions.scala via the graft
+    // FunctionCatalog) — pure-SQL users call graft.cosine / graft.l2dist /
+    // graft.morton3 with no per-session UDF registration; the magic
+    // `invoke` plans as a codegen-inlined Invoke, and argument casts
+    // (array<float> → array<double>) are the analyzer's. The oracle
+    // recomputes all three in portable SQL (list_dot_product / explicit
+    // bit interleave), so the catalog path must be value-identical to
+    // first-principles arithmetic.
+    "c39_fn_catalog" -> ((s, sf) =>
+      s.sql(s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(graft.cosine(a.embedding, b.embedding), 9) AS cos,
+               round(graft.l2dist(a.embedding, b.embedding), 9) AS l2,
+               graft.morton3(a.vec_id % 1024, b.vec_id % 1024,
+                             (a.vec_id + b.vec_id) % 1024) AS zkey
+        FROM parquet.`$sf/embeddings.parquet` a
+        JOIN parquet.`$sf/embeddings.parquet` b ON b.vec_id = a.vec_id + 1
+        ORDER BY id_a""")),
+
     "c36_recursive_cte" -> ((s, sf) =>
       s.sql(s"""
         WITH RECURSIVE bounds AS (
@@ -3317,6 +3355,56 @@ object CoreQueries {
          SELECT m.c_custkey, m.c_name, m.c_acctbal, m.c_mktsegment
          FROM merged m JOIN dim d ON m.c_custkey = d.o_custkey
          ORDER BY m.c_custkey""",
+    // footer-statistics aggregates ≡ the same aggregates recomputed over
+    // the merged snapshot (the pushdown must never change an answer)
+    "c38_cdc_stats_agg" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'
+         )
+         SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                min(c_name) AS min_name, max(c_name) AS max_name,
+                count(c_mktsegment) AS cnt_seg, count(*) AS cnt_all
+         FROM merged""",
+    // catalog functions ≡ first-principles arithmetic: cosine/l2 via
+    // sequential dot products (same accumulation order as the engine's
+    // loops), morton3 via the expression's own emitted bit interleave
+    "c39_fn_catalog" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+                  list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS dv
+           FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         )
+         SELECT id_a, id_b,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 9) AS cos,
+           round(sqrt(list_dot_product(dv, dv)), 9) AS l2,
+           ${graft.catalyst.Morton3Expression.oracleSql(
+             "(id_a % 1024)", "(id_b % 1024)", "((id_a + id_b) % 1024)")} AS zkey
+         FROM p
+         ORDER BY id_a""",
     "c36_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,

@@ -203,14 +203,22 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename by re-registering under the new name")
 
-  // FunctionCatalog: the bucket transform's function, so Catalyst can
-  // convert the reported `bucket(n, keys)` transform into a
-  // TransformExpression and prove two scans co-partitioned.
+  // FunctionCatalog, two tiers:
+  //  - `bucket`: the layout transform's function, so Catalyst can convert
+  //    the reported `bucket(n, keys)` transform into a TransformExpression
+  //    and prove two scans co-partitioned;
+  //  - the engine's SCALAR functions (graft.functions.SqlFunctions):
+  //    `SELECT graft.cosine(...)` etc. — the SQL-facing twin of the
+  //    Catalyst expressions, planned as codegen-inlined Invoke calls.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty[String], "bucket"))
+    ("bucket" +: graft.functions.SqlFunctions.all.keys.toSeq.sorted)
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") CdcBucketFunction
-    else throw new NoSuchFunctionException(ident)
+    else graft.functions.SqlFunctions.all.getOrElse(ident.name,
+      throw new NoSuchFunctionException(ident))
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "bucket" || graft.functions.SqlFunctions.all.contains(ident.name)
 }
 
 /** The store's bucket function as a V2 catalog function:

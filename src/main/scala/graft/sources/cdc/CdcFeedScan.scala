@@ -74,10 +74,12 @@ class CdcFeedScanBuilder(
     table: CdcFeedTable, d: CdcCatalog.FeedDef, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedAggs: Option[Seq[CdcStatsScan.FooterAgg]] = None
   // inclusive version bounds accumulated from _commit_version conjuncts
   private var loV: Option[Long] = None
   private var hiV: Option[Long] = None
@@ -125,7 +127,70 @@ class CdcFeedScanBuilder(
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  /** Footer-statistics aggregates for feed MONITORING queries —
+    * unfiltered `COUNT(*)` (row counts from block metadata, no column
+    * stats needed) and MIN/MAX/COUNT over PAYLOAD columns fold from
+    * footers, zero page decode ([[CdcStatsScan]], one partition per feed
+    * unit). CDF metadata columns refuse: `_change_type` is data the
+    * files carry (fine), but `_commit_version`/`_commit_timestamp` are
+    * per-unit CONSTANTS in fine-grained versions — absent from those
+    * footers, so folding them from statistics would silently misread a
+    * constant as all-NULL. Partial pushdown; any version-range or other
+    * filter keeps the real scan (all filters are residual, so Spark
+    * never offers aggregates when one is present — the loV/hiV guard is
+    * belt and braces). */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import CdcStatsScan._
+    if (!CdcStatsScan.enabled) return false
+    if (aggregation.groupByExpressions().nonEmpty || pushed.nonEmpty ||
+        loV.isDefined || hiV.isDefined) return false
+    val constantCols = Set("_commit_version", "_commit_timestamp")
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          table.schema().fieldNames.contains(r.fieldNames.head) &&
+          !constantCols.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+        case _ => None
+      }
+    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType)] =
+      fieldOf(e).map(c => c -> table.schema()(c).dataType)
+        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
+    val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(FCountStar)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(FCount(_, nonNull = false))
+      case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
+      case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
+      case _ => None
+    }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
+    pushedAggs = Some(parsed.map(_.get))
+    true
+  }
+
   override def build(): Scan = {
+    pushedAggs match {
+      case Some(aggs) =>
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val filesByUnit: Map[Int, Array[(String, Long)]] =
+          CdcFeedScan.retainedUnits(d.feedPath).zipWithIndex.map { case (u, i) =>
+            val dir = new Path(CdcFeedScan.unitDir(d.feedPath, u))
+            val fs = dir.getFileSystem(conf)
+            i -> fs.listStatus(dir)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .map(st => st.getPath.toString -> st.getLen)
+              .sortBy(_._1)
+          }.toMap
+        return new CdcStatsScan(table.name(), aggs, filesByUnit)
+      case None => ()
+    }
     val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
       val n = s.toInt
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
@@ -141,8 +206,25 @@ class CdcFeedScanBuilder(
     }
     require(startingVersion.isEmpty || startingTimestamp.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
+    // Bootstrap mode (Delta's "snapshot + CDF" consumer shape): the first
+    // micro-batch serves the store's CURRENT snapshot as `insert` rows,
+    // then the tail continues with the CDF deltas after it — how a NEW
+    // consumer materializes downstream state without a separate batch
+    // backfill job racing the stream.
+    val initialSnapshot = Option(options.get("initialSnapshot")).exists(_.toBoolean)
+    require(!initialSnapshot || (startingVersion.isEmpty && startingTimestamp.isEmpty),
+      "initialSnapshot already pins the start (the snapshot's own version) — " +
+        "it is mutually exclusive with startingVersion/startingTimestamp")
+    // bootstrap admission: at most n snapshot BUCKETS per micro-batch, so
+    // a store-sized batch 0 replays as bounded chunks instead of one
+    // giant batch sized by the whole snapshot
+    val maxBuckets = Option(options.get("maxBucketsPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxBucketsPerTrigger must be positive, got $n")
+      n
+    }
     new CdcFeedScan(table.name(), required, d, maxVersions, loV, hiV,
-      startingVersion, startingTimestamp)
+      startingVersion, startingTimestamp, initialSnapshot, maxBuckets)
   }
 }
 
@@ -154,7 +236,9 @@ class CdcFeedScan(
     loVersion: Option[Long] = None,
     hiVersion: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    startingTimestampMillis: Option[Long] = None)
+    startingTimestampMillis: Option[Long] = None,
+    initialSnapshot: Boolean = false,
+    maxBucketsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Units OVERLAPPING the pushed version range: a compacted segment is
@@ -205,7 +289,7 @@ class CdcFeedScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger,
-      startingVersion, startingTimestampMillis)
+      startingVersion, startingTimestampMillis, initialSnapshot, maxBucketsPerTrigger)
 }
 
 object CdcFeedScan {
@@ -277,6 +361,15 @@ case class CdcFeedPartition(
     tsInData: Boolean = false)
     extends InputPartition
 
+/** One bootstrap-snapshot slice: store files at `commitVersion`, served
+  * as CDF `insert` rows via per-partition constants (`_change_type`,
+  * `_commit_version`, `_commit_timestamp` exist in no store file). */
+case class CdcSnapshotPartition(
+    files: Array[String],
+    commitVersion: Long,
+    commitTsMicros: Long)
+    extends InputPartition
+
 /** Version-offset micro-batch tail of the feed. `CdcFeedOffset(v)` means
   * "every committed feed version ≤ v has been served". The maintainer's
   * version ids are Spark streaming batch ids, hence CONSECUTIVE — which
@@ -293,7 +386,9 @@ class CdcFeedStream(
     d: CdcCatalog.FeedDef,
     maxVersionsPerTrigger: Option[Int] = None,
     startingVersion: Option[Long] = None,
-    startingTimestampMillis: Option[Long] = None)
+    startingTimestampMillis: Option[Long] = None,
+    initialSnapshot: Boolean = false,
+    maxBucketsPerTrigger: Option[Int] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -311,6 +406,17 @@ class CdcFeedStream(
   }
 
   override def initialOffset(): Offset = {
+    if (initialSnapshot) {
+      // bootstrap: batch 0 is the store's newest committed snapshot as
+      // `insert` CDF rows; the tail then continues from the NEXT version.
+      // Needs a committed STORE version, not a feed one — a brand-new
+      // consumer may start before the feed has accumulated anything.
+      val vs = graft.operators.Cdc.manifestVersions(SparkSession.active, d.storePath)
+      if (vs.isEmpty) throw new IllegalStateException(
+        s"no committed store version under ${d.storePath} — initialSnapshot has " +
+          "nothing to bootstrap from")
+      return CdcFeedOffset(vs.max, snapshotPending = true)
+    }
     val units = CdcFeedScan.retainedUnits(d.feedPath)
     if (units.isEmpty) throw new IllegalStateException(
       s"no committed feed versions under ${d.feedPath} — start the stream after " +
@@ -370,10 +476,32 @@ class CdcFeedStream(
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (admission control)")
 
+  /** The bootstrap snapshot's bucket directories at version `v`, in
+    * sorted-bucket-id order — the deterministic enumeration offsets index
+    * into. The manifest at a committed version is immutable, so the
+    * enumeration is identical on every trigger and replay; vacuum
+    * dropping `v` mid-bootstrap fails LOUDLY here (a consumer must not
+    * silently continue from a snapshot that no longer exists). */
+  private def snapshotDirs(v: Long): Seq[String] = {
+    val (_, _, dirs) = graft.operators.Cdc.servingLayout(
+      SparkSession.active, d.storePath, Some(v))
+    dirs.toSeq.sortBy(_._1).map(_._2)
+  }
+
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val from = start.asInstanceOf[CdcFeedOffset].v
+    val so = start.asInstanceOf[CdcFeedOffset]
+    // pending bootstrap: advance the bucket watermark by the admission
+    // cap (default: the whole snapshot in one batch); versions-based
+    // admission (maxVersionsPerTrigger) doesn't apply inside a snapshot
+    if (so.snapshotPending) {
+      val total = snapshotDirs(so.v).length
+      val nextK = math.min(total, so.snapshotBucket + maxBucketsPerTrigger.getOrElse(total))
+      return if (nextK >= total) CdcFeedOffset(so.v)
+      else CdcFeedOffset(so.v, snapshotPending = true, snapshotBucket = nextK)
+    }
+    val from = so.v
     // offsets only ever land on UNIT boundaries: a compacted segment is
     // atomic (its rows can't be split across micro-batches), so admission
     // control counts versions but always takes whole units — a segment
@@ -407,7 +535,27 @@ class CdcFeedStream(
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[CdcFeedOffset].v
+    val so = start.asInstanceOf[CdcFeedOffset]
+    if (so.snapshotPending) {
+      // a bootstrap batch: the slice of snapshot buckets between the two
+      // offsets' watermarks, served straight from the store's bucket
+      // directories — every row an `insert` at `_commit_version = so.v`
+      // (per-partition constants, nothing materialized). Columns
+      // evolution added AFTER so.v decode as typed NULLs, same as every
+      // carried-bucket read.
+      val spark = SparkSession.active
+      val dirs = snapshotDirs(so.v)
+      val eo = end.asInstanceOf[CdcFeedOffset]
+      val toK = if (eo.snapshotPending) eo.snapshotBucket else dirs.length
+      val tsMicros = graft.operators.Cdc.versionCommitTimes(spark, d.storePath)
+        .collectFirst { case (v, ms) if v == so.v => ms * 1000L }
+        .getOrElse(0L)
+      return dirs.slice(so.snapshotBucket, toK).flatMap { dir =>
+        CdcFeedScan.dirFiles(dir).map(f =>
+          CdcSnapshotPartition(Array(f), so.v, tsMicros): InputPartition)
+      }.toArray
+    }
+    val from = so.v
     val to = end.asInstanceOf[CdcFeedOffset].v
     if (to <= from) return Array.empty
     val wanted = CdcFeedScan.retainedUnits(d.feedPath)
@@ -430,11 +578,37 @@ class CdcFeedStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(requiredSchema)
 
-  override def deserializeOffset(json: String): Offset = CdcFeedOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = CdcFeedOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class CdcFeedOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** `snapshotPending = true` means "the bootstrap snapshot at store
+  * version `v` is NOT fully served yet": `snapshotBucket` counts how
+  * many of the snapshot's bucket directories (in sorted-bucket-id
+  * order — a deterministic, replay-stable enumeration) have shipped.
+  * Micro-batches advance the bucket watermark (admission-controlled by
+  * `maxBucketsPerTrigger`) until every bucket is out, then the flag
+  * clears and the tail continues from `v + 1`. Plain-long json stays
+  * the wire format for ordinary offsets, so pre-bootstrap checkpoints
+  * keep resuming. */
+case class CdcFeedOffset(
+    v: Long,
+    snapshotPending: Boolean = false,
+    snapshotBucket: Int = 0) extends Offset {
+  override def json(): String =
+    if (snapshotPending)
+      s"""{"v":$v,"snapshotPending":true,"snapshotBucket":$snapshotBucket}"""
+    else v.toString
+}
+
+object CdcFeedOffset {
+  private val SnapJson =
+    """\{"v":(-?\d+),"snapshotPending":true(?:,"snapshotBucket":(\d+))?\}""".r
+  def fromJson(json: String): CdcFeedOffset = json.trim match {
+    case SnapJson(v, k) =>
+      CdcFeedOffset(v.toLong, snapshotPending = true,
+        snapshotBucket = Option(k).map(_.toInt).getOrElse(0))
+    case plain => CdcFeedOffset(plain.toLong)
+  }
 }

@@ -55,12 +55,14 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
-  private var pushedCountStar = false
+  private var pushedLimit: Option[Int] = None
+  private var pushedAggs: Option[Seq[CdcStatsScan.FooterAgg]] = None
   // every predicate Spark hands us, kept verbatim for the reader: the
   // parquet-convertible subset (Spark's own ParquetFilters decides, per
   // file) prunes row groups/pages on ANY column — the same stats
@@ -115,52 +117,123 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** METADATA-ONLY COUNT(*): the manifest already records every bucket's
-    * row count ([[graft.operators.Cdc.processPartitionedBatch]]), so an
-    * unfiltered `SELECT count(*) FROM graft.x` needs no file IO at all —
-    * the scan answers from nBuckets-bounded driver metadata. Guarded
-    * hard: no grouping, COUNT(*) (or COUNT(merge key) — keys are
-    * non-null by the store's contract) only, no pushed/residual filters
-    * (Spark only attempts aggregate pushdown when no filter survives
-    * between the aggregate and the scan, and we additionally require no
-    * panels), and EVERY manifest bucket must carry a recorded count
-    * (pre-migration manifests fall back to the ordinary scan). PARTIAL
-    * pushdown (`supportCompletePushDown = false`): the scan emits one
-    * partial-count row and Spark's final aggregate sums it — the
-    * standard V2 contract, AQE-safe. */
+  /** LIMIT pushdown as PARTITION-COUNT pruning: an unfiltered
+    * `LIMIT n` needs any n rows, and the manifest already knows each
+    * bucket's row count — so the scan plans only enough buckets to cover
+    * n instead of one task per bucket (a `LIMIT 10` over a 1024-bucket
+    * store schedules 1 partition, not 1024). PARTIAL pushdown
+    * (`isPartiallyPushed = true`): Spark keeps its own LocalLimit /
+    * GlobalLimit, so the scan only ever has to over-deliver, never
+    * under-deliver — which is why any data filter disqualifies (a
+    * residual filter could thin a planned bucket below n; bucket-pruning
+    * key panels are fine: Spark re-checks them but they hold by
+    * construction, so planned buckets contain exactly the matching
+    * keys' rows... conservatively we still require NO filters at all —
+    * pruning decisions must never depend on a panel being exact). */
+  override def pushLimit(limit: Int): Boolean = {
+    val clean = limit > 0 && dataFilters.isEmpty && keyPanels.isEmpty &&
+      prunedBuckets.isEmpty &&
+      table.bucketDirs.keySet.forall(table.bucketRows.contains)
+    if (clean) pushedLimit = Some(limit)
+    clean
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** METADATA-ONLY aggregates, two tiers (PARTIAL pushdown both —
+    * `supportCompletePushDown = false` — so the scan emits partial rows
+    * and Spark's final aggregate merges them; the standard V2 contract,
+    * AQE-safe):
+    *
+    *  - COUNT(*) / COUNT(merge key): the manifest already records every
+    *    bucket's row count ([[graft.operators.Cdc
+    *    .processPartitionedBatch]]), so these answer from
+    *    nBuckets-bounded driver metadata with ZERO file IO
+    *    ([[CdcCountScan]]) when every bucket carries a recorded count.
+    *  - MIN / MAX / COUNT(nullable col): answered from parquet FOOTER
+    *    statistics ([[CdcStatsScan]]) — per-bucket partitions fold
+    *    row-group min/max/null-counts executor-side, no page decode.
+    *
+    * Guarded hard: no grouping, every aggregate expression must be a
+    * supported shape (any mix of COUNT(*) / COUNT(col) / MIN / MAX over
+    * supported-type top-level columns — DISTINCT and SUM refuse: footers
+    * carry neither), and no pushed/residual filters (Spark only attempts
+    * aggregate pushdown when no filter survives between the aggregate
+    * and the scan; we additionally require no panels). */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     false
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    def isNonNullKeyCount(e: Any): Boolean = e match {
-      case c: Count if !c.isDistinct => c.column() match {
-        case r: NamedReference => d.keys.contains(r.fieldNames.mkString("."))
-        case _ => false
+    import CdcStatsScan._
+    if (!CdcStatsScan.enabled) return false
+    if (aggregation.groupByExpressions().nonEmpty ||
+        pushed.nonEmpty || keyPanels.nonEmpty || prunedBuckets.nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          table.schema().fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+        case _ => None
       }
-      case _ => false
+    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType)] =
+      fieldOf(e).map(c => c -> table.schema()(c).dataType)
+        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
+    val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(FCountStar)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(col => FCount(col, nonNull = d.keys.contains(col)))
+      case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
+      case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
+      case _ => None
     }
-    val countable = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      (aggregation.aggregateExpressions().head.isInstanceOf[CountStar] ||
-        isNonNullKeyCount(aggregation.aggregateExpressions().head)) &&
-      pushed.isEmpty && keyPanels.isEmpty && prunedBuckets.isEmpty &&
-      table.bucketDirs.keySet.forall(table.bucketRows.contains)
-    if (countable) pushedCountStar = true
-    countable
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
+    pushedAggs = Some(parsed.map(_.get))
+    true
   }
 
   override def build(): Scan = {
-    if (pushedCountStar)
-      return new CdcCountScan(table.name(),
-        table.bucketDirs.keySet.iterator.map(table.bucketRows).sum)
+    pushedAggs match {
+      case Some(aggs) =>
+        // counts-only over complete manifest counts: zero file IO
+        val metadataOnly = aggs.forall {
+          case CdcStatsScan.FCountStar => true
+          case CdcStatsScan.FCount(_, nonNull) => nonNull
+          case _ => false
+        } && table.bucketDirs.keySet.forall(table.bucketRows.contains)
+        if (metadataOnly)
+          return new CdcCountScan(table.name(),
+            table.bucketDirs.keySet.iterator.map(table.bucketRows).sum, aggs.length)
+        // otherwise: fold footer statistics, one partition per bucket
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val statFiles: Map[Int, Array[(String, Long)]] = table.bucketDirs.map { case (b, dir) =>
+          val p = new Path(dir)
+          val fs = p.getFileSystem(conf)
+          b -> fs.listStatus(p)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => s.getPath.toString -> s.getLen)
+            .sortBy(_._1)
+        }
+        return new CdcStatsScan(table.name(), aggs, statFiles)
+      case None => ()
+    }
+    // a pushed LIMIT plans only enough non-empty buckets to cover n rows
+    // (pushLimit requires complete manifest counts and no filters/panels)
+    val limitBuckets: Option[Set[Int]] = pushedLimit.map { n =>
+      var acc = 0L
+      (0 until d.nBuckets).iterator
+        .filter(b => table.bucketRows.getOrElse(b, 0L) > 0)
+        .takeWhile { b => val need = acc < n; acc += table.bucketRows(b); need }
+        .toSet
+    }
     // resolve each surviving bucket's file list now, on the driver
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files: Map[Int, Array[(String, Long)]] = table.bucketDirs
-      .filter { case (b, _) => prunedBuckets.forall(_.contains(b)) }
+      .filter { case (b, _) =>
+        prunedBuckets.forall(_.contains(b)) && limitBuckets.forall(_.contains(b)) }
       .map { case (b, dir) =>
         val p = new Path(dir)
         val fs = p.getFileSystem(conf)
@@ -169,8 +242,8 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
           .map(s => s.getPath.toString -> s.getLen)
           .sortBy(_._1)
       }
-    val buckets = prunedBuckets
-      .map(_.toSeq.sorted)
+    val buckets = limitBuckets.map(_.toSeq.sorted)
+      .orElse(prunedBuckets.map(_.toSeq.sorted))
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
@@ -178,29 +251,32 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
   }
 }
 
-/** The pushed-COUNT(*) scan: one partition, one row carrying the
-  * manifest's total — ZERO file IO. Spark's final aggregate sums the
-  * partials (here: the one row), so the plan stays an ordinary
-  * aggregate whose input just happens to be metadata. */
-class CdcCountScan(tableName: String, totalRows: Long) extends Scan with Batch {
+/** The pushed-COUNT scan: one partition, one row carrying the
+  * manifest's total (once per pushed count expression — COUNT(*) and
+  * COUNT(merge key) both count every row) — ZERO file IO. Spark's
+  * final aggregate sums the partials (here: the one row), so the plan
+  * stays an ordinary aggregate whose input just happens to be
+  * metadata. */
+class CdcCountScan(tableName: String, totalRows: Long, nExprs: Int = 1) extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    StructType(Seq.fill(nExprs)(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String = s"$tableName metadata count=$totalRows (no file IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CdcCountPartition(totalRows))
+    Array(CdcCountPartition(totalRows, nExprs))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
+        private val cp = p.asInstanceOf[CdcCountPartition]
         private var served = false
         override def next(): Boolean = if (served) false else { served = true; true }
-        override def get(): InternalRow = InternalRow(p.asInstanceOf[CdcCountPartition].rows)
+        override def get(): InternalRow = InternalRow.fromSeq(Seq.fill(cp.n)(cp.rows))
         override def close(): Unit = ()
       }
   }
 }
 
-case class CdcCountPartition(rows: Long) extends InputPartition
+case class CdcCountPartition(rows: Long, n: Int = 1) extends InputPartition
 
 object CdcScan {
   /** Bounded IN panels only: a million-value IN is a join in disguise —
@@ -466,11 +542,20 @@ class CdcReaderFactory(
   private def feedConstants(f: CdcFeedPartition): Map[String, Any] =
     if (f.tsInData) Map.empty else Map("_commit_timestamp" -> f.commitTsMicros)
 
+  // a bootstrap-snapshot slice is ordinary store files plus the full CDF
+  // column set as constants: every row an `insert` at the snapshot version
+  private def snapshotConstants(s: CdcSnapshotPartition): Map[String, Any] = Map(
+    "_change_type" -> UTF8String.fromString("insert"),
+    "_commit_version" -> s.commitVersion,
+    "_commit_timestamp" -> s.commitTsMicros)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters)
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
         constants = feedConstants(f))
+      case s: CdcSnapshotPartition => new CdcPartitionReader(s.files, requiredSchema,
+        constants = snapshotConstants(s))
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
     }
 
@@ -486,6 +571,8 @@ class CdcReaderFactory(
         b.keyFilters, sourceFilters = b.sourceFilters)
       case f: CdcFeedPartition   => new CdcColumnarReader(f.files, requiredSchema,
         constants = feedConstants(f))
+      case s: CdcSnapshotPartition => new CdcColumnarReader(s.files, requiredSchema,
+        constants = snapshotConstants(s))
       case p => throw new IllegalArgumentException(s"not a CDC partition: $p")
     }
 }

@@ -1,0 +1,211 @@
+package graft.sources.cdc
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pushed MIN / MAX / COUNT answered from parquet FOOTER STATISTICS —
+  * no page decode, no record assembly: each partition opens only its
+  * bucket's file footers (a few KB each) and folds the row-group
+  * statistics into one partial row; Spark's final aggregate merges the
+  * partials (min of mins, sum of counts — the standard V2 partial
+  * pushdown contract, AQE-safe).
+  *
+  * At 100 TB this turns `SELECT min(ts), max(ts), count(*) FROM store`
+  * from a full-table decode into footer metadata IO proportional to the
+  * FILE COUNT, distributed across executors (never a driver loop) — the
+  * same trick Spark's built-in parquet source plays under
+  * `spark.sql.parquet.aggregatePushdown`, speaking the store's own
+  * layout.
+  *
+  * Correct-or-loud: a column chunk with missing/dropped statistics
+  * (e.g. binary min/max over the writer's 4 KB stats cap) THROWS rather
+  * than under-reporting — the caller can always fall back by disabling
+  * the pushdown ([[CdcStatsScan.Enabled]]). All-NULL chunks are fine
+  * (min/max skip them; null counts are exact). Store files carry only
+  * LIVE rows (merge rewrites buckets, `op=D` rows never land), so
+  * footer statistics ARE snapshot statistics. */
+object CdcStatsScan {
+  /** Session toggle (driver-side, default on) — the escape hatch for
+    * exotic writers whose footers lack statistics. */
+  private[cdc] def enabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("graft.cdc.statsPushdown")).toOption.forall(_.toBoolean)
+
+  /** One pushed aggregate, in output order. */
+  private[cdc] sealed trait FooterAgg
+  private[cdc] case class FMin(col: String, dt: DataType) extends FooterAgg
+  private[cdc] case class FMax(col: String, dt: DataType) extends FooterAgg
+  /** `nonNull` = merge-key column (non-null by the store's contract):
+    * counts rows directly, no null statistics needed. */
+  private[cdc] case class FCount(col: String, nonNull: Boolean) extends FooterAgg
+  private[cdc] case object FCountStar extends FooterAgg
+
+  /** Types whose parquet row-group statistics order matches Spark's:
+    * integral/floating natural order, DATE = INT32 days, BOOLEAN
+    * false<true, STRING = parquet UTF8 unsigned-byte comparator ≡
+    * UTF8String's byte-wise compare. (Timestamps are not in the store's
+    * supported payload set.) */
+  private[cdc] val MinMaxTypes: Set[DataType] =
+    Set(LongType, IntegerType, DoubleType, FloatType, DateType, BooleanType, StringType)
+
+  private[cdc] def schemaFor(aggs: Seq[FooterAgg]): StructType =
+    StructType(aggs.map {
+      case FMin(c, dt)    => StructField(s"min($c)", dt, nullable = true)
+      case FMax(c, dt)    => StructField(s"max($c)", dt, nullable = true)
+      case FCount(c, _)   => StructField(s"count($c)", LongType, nullable = false)
+      case FCountStar     => StructField("count(*)", LongType, nullable = false)
+    })
+}
+
+class CdcStatsScan(
+    tableName: String,
+    aggs: Seq[CdcStatsScan.FooterAgg],
+    filesByBucket: Map[Int, Array[(String, Long)]])
+    extends Scan with Batch {
+  import CdcStatsScan._
+
+  override def readSchema(): StructType = schemaFor(aggs)
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val names = readSchema().fieldNames.mkString(",")
+    s"$tableName footer-stats aggs=$names buckets=${filesByBucket.count(_._2.nonEmpty)} (no row decode)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    filesByBucket.toSeq.sortBy(_._1)
+      .collect { case (_, files) if files.nonEmpty =>
+        CdcStatsPartition(files.map(_._1)): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcStatsReaderFactory(aggs)
+}
+
+case class CdcStatsPartition(files: Array[String]) extends InputPartition
+
+class CdcStatsReaderFactory(aggs: Seq[CdcStatsScan.FooterAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new CdcStatsReader(p.asInstanceOf[CdcStatsPartition].files, aggs)
+}
+
+/** Folds one bucket's file footers into a single partial-aggregate row. */
+class CdcStatsReader(files: Array[String], aggs: Seq[CdcStatsScan.FooterAgg])
+    extends PartitionReader[InternalRow] {
+  import CdcStatsScan._
+
+  private var served = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (served) return false
+    served = true
+    row = fold()
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+
+  private def fold(): InternalRow = {
+    val conf = new Configuration()
+    // running partials, positionally aligned with `aggs`
+    val mins = new Array[Any](aggs.length)
+    val maxs = new Array[Any](aggs.length)
+    val counts = new Array[Long](aggs.length)
+    for (f <- files) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          val rows = block.getRowCount
+          def chunk(col: String) = block.getColumns.asScala
+            .find(_.getPath.toDotString == col)
+            .getOrElse(throw new IllegalStateException(
+              // a pre-evolution file lacking the column serves NULL for
+              // every row: contributes nothing to min/max/count(col)
+              s"column $col absent from $f"))
+          def stats(col: String) = {
+            val st = chunk(col).getStatistics
+            if (st == null || st.isEmpty) throw new IllegalStateException(
+              s"no parquet statistics for $col in $f — footer-stats aggregate " +
+                "pushdown needs them; set graft.cdc.statsPushdown=false to fall " +
+                "back to the row scan")
+            st
+          }
+          def hasColumn(col: String) =
+            block.getColumns.asScala.exists(_.getPath.toDotString == col)
+          aggs.zipWithIndex.foreach {
+            case (FCountStar, i) => counts(i) += rows
+            case (FCount(c, nonNull), i) =>
+              if (nonNull) counts(i) += rows
+              else if (hasColumn(c)) {
+                val st = stats(c)
+                if (!st.isNumNullsSet) throw new IllegalStateException(
+                  s"null count not recorded for $c in $f — footer-stats aggregate " +
+                    "pushdown needs it; set graft.cdc.statsPushdown=false")
+                counts(i) += rows - st.getNumNulls
+              } // absent column (pre-evolution file): all NULL, adds 0
+            case (FMin(c, dt), i) if hasColumn(c) =>
+              val st = stats(c)
+              if (st.hasNonNullValue) {
+                val v = internal(st.genericGetMin(), dt)
+                if (mins(i) == null || lt(v, mins(i), dt)) mins(i) = v
+              } else requireAllNull(st, rows, c, f)
+            case (FMax(c, dt), i) if hasColumn(c) =>
+              val st = stats(c)
+              if (st.hasNonNullValue) {
+                val v = internal(st.genericGetMax(), dt)
+                if (maxs(i) == null || lt(maxs(i), v, dt)) maxs(i) = v
+              } else requireAllNull(st, rows, c, f)
+            case _ => () // min/max over a column this file predates: all NULL
+          }
+        }
+      } finally reader.close()
+    }
+    InternalRow.fromSeq(aggs.zipWithIndex.map {
+      case (FMin(_, _), i)   => mins(i)
+      case (FMax(_, _), i)   => maxs(i)
+      case (FCount(_, _), i) => counts(i)
+      case (FCountStar, i)   => counts(i)
+    })
+  }
+
+  /** min/max unset is only sound when the chunk is provably all-NULL;
+    * anything else means the writer dropped the statistics. */
+  private def requireAllNull(
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      rows: Long, col: String, file: String): Unit =
+    if (!(st.isNumNullsSet && st.getNumNulls == rows))
+      throw new IllegalStateException(
+        s"min/max statistics missing for $col in $file (not an all-NULL chunk) — " +
+          "set graft.cdc.statsPushdown=false to fall back to the row scan")
+
+  /** Parquet statistics value → Catalyst internal value. */
+  private def internal(v: Any, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromBytes(
+      v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+    case _ => v // Long/Int/Double/Float/Boolean box straight through; DATE = Int days
+  }
+
+  /** Spark ordering over internal values for the supported types.
+    * UTF8String.compareTo is unsigned byte-wise — exactly parquet's UTF8
+    * comparator, so footer min/max fold consistently with Spark's. */
+  private def lt(a: Any, b: Any, dt: DataType): Boolean = dt match {
+    case LongType    => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    // Double.compare, not `<`: NaN orders LARGEST — the same total order
+    // parquet-mr's statistics comparator folds with and Spark compares
+    // with, so a NaN-carrying store still answers min/max like the scan
+    case DoubleType  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
+    case FloatType   => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
+    case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case StringType  => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) < 0
+    case t => throw new IllegalStateException(s"unsupported min/max type $t")
+  }
+}

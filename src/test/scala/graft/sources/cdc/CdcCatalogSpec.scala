@@ -470,11 +470,112 @@ class CdcCatalogSpec extends AnyFunSuite {
       assert(scanOf(filtered).isInstanceOf[CdcScan], scanOf(filtered).description())
       assert(filtered.as[Long].head() ===
         Cdc.readPartitionedSnapshot(spark, store).filter(col("bal") > 10.0).count())
-      // a NULLABLE column's count needs the data (NULLs don't count)
+      // a NULLABLE column's count can't come from the manifest — it takes
+      // the footer-statistics path (null counts per row group, no decode)
       val cname = spark.table("graft.cat_cnt").agg(count(col("name")))
-      assert(scanOf(cname).isInstanceOf[CdcScan], scanOf(cname).description())
+      assert(scanOf(cname).isInstanceOf[CdcStatsScan], scanOf(cname).description())
       assert(cname.as[Long].head() === expected) // fixture has no null names
     } finally { CdcCatalog.unregister("cat_cnt"); CdcCatalog.unregister("cat_cnt_v0") }
+  }
+
+  test("MIN/MAX/COUNT(col) push to footer statistics: exact across numeric, string, " +
+      "NULLs, version pins, and additive evolution — with zero page decode") {
+    val store = buildStore("stats", seed40("t"))
+    // plant NULL names so count(name) genuinely differs from count(*)
+    Cdc.processPartitionedBatch(
+      Seq((5L, Option.empty[String], 5.5, 300L, "U"), (6L, Option.empty[String], -6.0, 301L, "U"))
+        .toDF("k", "name", "bal", "seq", "op"),
+      seed40("t").toDF("k", "name", "bal"), keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 2L)
+    CdcCatalog.register("cat_stats", store, keys, nBuckets)
+    CdcCatalog.register("cat_stats_v0", store, keys, nBuckets, version = Some(0L))
+    try {
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      def scanOf(df: DataFrame) = scansIn(df.queryExecution.executedPlan).head
+      val aggCols = Seq(min(col("bal")), max(col("bal")), min(col("name")),
+        max(col("name")), count(col("name")), count(col("k")), count(lit(1)))
+      val pushedDf = spark.table("graft.cat_stats").agg(aggCols.head, aggCols.tail: _*)
+      val statScan = scanOf(pushedDf)
+      assert(statScan.isInstanceOf[CdcStatsScan],
+        s"min/max did not take the footer-stats path: ${statScan.description()}")
+      assert(statScan.description().contains("no row decode"))
+      val oracle = Cdc.readPartitionedSnapshot(spark, store).agg(aggCols.head, aggCols.tail: _*)
+      assert(pushedDf.collect().toSeq === oracle.collect().toSeq)
+      // NULL names really were excluded from count(name)
+      val Row6 = oracle.collect().head
+      assert(Row6.getLong(4) < Row6.getLong(6), "planted NULLs must lower count(name)")
+      // version pin answers from ITS files
+      val v0 = spark.table("graft.cat_stats_v0").agg(max(col("bal")), min(col("name")))
+      assert(scanOf(v0).isInstanceOf[CdcStatsScan])
+      assert(v0.collect().toSeq ===
+        Cdc.readPartitionedSnapshot(spark, store, Some(0L))
+          .agg(max(col("bal")), min(col("name"))).collect().toSeq)
+      // a filter keeps the real scan (footers can't apply residuals)
+      val filtered = spark.table("graft.cat_stats").filter(col("bal") > 10.0).agg(min(col("bal")))
+      assert(scanOf(filtered).isInstanceOf[CdcScan], scanOf(filtered).description())
+      // grouping keeps the real scan
+      val grouped = spark.table("graft.cat_stats").groupBy(col("name")).agg(min(col("bal")))
+      assert(scansIn(grouped.queryExecution.executedPlan).head.isInstanceOf[CdcScan])
+      // additive evolution: carried buckets' files predate `tier`; their
+      // chunks contribute nothing (all-NULL by construction) and the
+      // pushed min/max/count still answer exactly
+      Cdc.processPartitionedBatch(
+        Seq((7L, "evo7", 7.7, 9.0, 400L, "U"), (41L, "evo41", 41.0, 1.5, 401L, "U"))
+          .toDF("k", "name", "bal", "tier", "seq", "op"),
+        seed40("t").toDF("k", "name", "bal"), keys, Seq(col("seq")), col("op"),
+        store, nBuckets, 3L, payloadCols = Seq("k", "name", "bal", "tier"))
+      val evoAggs = Seq(min(col("tier")), max(col("tier")), count(col("tier")), count(lit(1)))
+      val evoDf = spark.table("graft.cat_stats").agg(evoAggs.head, evoAggs.tail: _*)
+      assert(scanOf(evoDf).isInstanceOf[CdcStatsScan], scanOf(evoDf).description())
+      assert(evoDf.collect().toSeq ===
+        Cdc.readPartitionedSnapshot(spark, store).agg(evoAggs.head, evoAggs.tail: _*)
+          .collect().toSeq)
+      // the escape hatch falls back to the ordinary scan
+      spark.conf.set("graft.cdc.statsPushdown", "false")
+      try {
+        val off = spark.table("graft.cat_stats").agg(min(col("bal")))
+        assert(scanOf(off).isInstanceOf[CdcScan], scanOf(off).description())
+      } finally spark.conf.unset("graft.cdc.statsPushdown")
+    } finally { CdcCatalog.unregister("cat_stats"); CdcCatalog.unregister("cat_stats_v0") }
+  }
+
+  test("LIMIT pushdown plans only enough buckets to cover n rows; filters disqualify it") {
+    val store = buildStore("lim", seed40("l"))
+    CdcCatalog.register("cat_lim", store, keys, nBuckets)
+    try {
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      def plannedBuckets(df: DataFrame): Int =
+        scansIn(df.queryExecution.executedPlan).head match {
+          case s: CdcScan => s.planInputPartitions().length
+          case s => fail(s"unexpected scan ${s.description()}")
+        }
+      val total = Cdc.readPartitionedSnapshot(spark, store).count()
+      // a small LIMIT schedules a strict subset of the 8 buckets
+      val lim = spark.table("graft.cat_lim").limit(3)
+      assert(lim.collect().length === 3)
+      assert(plannedBuckets(lim) < nBuckets,
+        s"LIMIT 3 planned all $nBuckets buckets")
+      // a LIMIT past the row count keeps every bucket and every row
+      val big = spark.table("graft.cat_lim").limit(10000)
+      assert(big.count() === total)
+      // a filter disqualifies the prune (residuals could thin buckets):
+      // full bucket set planned, rows exact
+      val filtered = spark.table("graft.cat_lim").filter(col("bal") > 5.0).limit(3)
+      assert(filtered.collect().length === 3)
+      assert(plannedBuckets(filtered) === nBuckets)
+    } finally CdcCatalog.unregister("cat_lim")
   }
 
   test("unknown table and non-additive surface fail loudly") {

@@ -131,6 +131,64 @@ class CdcFeedTableSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("feed_tail")
   }
 
+  test("initialSnapshot bootstraps a new consumer: batch 0 is the snapshot as inserts, " +
+      "the tail serves only the deltas after it, and the materialized view equals the store") {
+    val (store, feed) = buildFed() // store versions 0,1,2; feed v=1,2
+    CdcCatalog.registerFeed("feed_boot", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_boot_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_boot_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.option("initialSnapshot", "true").table("graft.feed_boot")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def snapAsInserts(v: Long): Set[CdfRow] =
+      Cdc.readPartitionedSnapshot(spark, store, Some(v))
+        .select("k", "name", "bal").as[(Long, String, Double)].collect()
+        .map { case (k, nm, b) => (k, nm, b, "insert", v) }.toSet
+    try {
+      runOnce()
+      // batch 0 = snapshot@2 as inserts; the feed's RETAINED v=1,2 are
+      // NOT replayed (the snapshot already contains their effects)
+      assert(cdfSet(spark.read.parquet(out)) === snapAsInserts(2L))
+      // the bootstrap's _commit_timestamp is the STORE commit's wall clock
+      val ts = spark.read.parquet(out).select("_commit_timestamp").distinct()
+        .as[java.sql.Timestamp].collect().toSeq
+      val expectMs = Cdc.versionCommitTimes(spark, store).find(_._1 == 2L).get._2
+      assert(ts.map(_.getTime) === Seq(expectMs))
+      // a delta lands; the resumed consumer gets ONLY the delta
+      landVersion(store, feed, 3L, Seq((2L, "boot3", 9.9, 6L, "U"), (30L, "x", 0.0, 7L, "D")))
+      runOnce()
+      val all = cdfSet(spark.read.parquet(out))
+      assert(all === snapAsInserts(2L) ++ feedOf(feed, 3L), "resume must serve only v=3")
+      // downstream materialization off the stream alone ≡ the store:
+      // latest non-preimage change per key, deletes drop the key
+      val view = spark.read.parquet(out)
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy(col("_commit_version").desc)))
+        .filter(col("rn") === 1 && col("_change_type") =!= "delete")
+        .select("k", "name", "bal").as[(Long, String, Double)].collect().toSet
+      val storeNow = Cdc.readPartitionedSnapshot(spark, store)
+        .select("k", "name", "bal").as[(Long, String, Double)].collect().toSet
+      assert(view === storeNow, "materialized view diverged from the store")
+      // initialSnapshot pins its own start: combining with startingVersion refuses
+      val e = intercept[Exception] {
+        spark.readStream.option("initialSnapshot", "true").option("startingVersion", "1")
+          .table("graft.feed_boot")
+          .writeStream.format("noop").option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_boot_x").toString)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("mutually exclusive")), msgs(e).mkString(" | "))
+    } finally CdcCatalog.unregister("feed_boot")
+  }
+
   test("_commit_version range pushdown prunes version directories; rows stay exact") {
     val (store, feed) = buildFed()
     CdcCatalog.registerFeed("feed_rng", store, feed)
@@ -301,6 +359,72 @@ class CdcFeedTableSpec extends AnyFunSuite {
       assert(cdfSet(spark.read.parquet(out)) ===
         (1L to 5L).map(feedOf(feed, _)).reduce(_ ++ _))
     } finally { CdcCatalog.unregister("feed_dml"); CdcCatalog.unregister("feed_dml_store") }
+  }
+
+  test("bootstrap admission: maxBucketsPerTrigger chunks the snapshot across " +
+      "micro-batches — exactly-once union, no giant batch 0") {
+    val (store, feed) = buildFed() // 8 buckets, all non-empty (40 keys)
+    CdcCatalog.registerFeed("feed_bootchunk", store, feed)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bootchunk_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Seq[CdfRow])]()
+    try {
+      val q = spark.readStream
+        .option("initialSnapshot", "true").option("maxBucketsPerTrigger", "3")
+        .table("graft.feed_bootchunk")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.select("k", "name", "bal", "_change_type", "_commit_version")
+            .as[CdfRow].collect().toSeq
+          batches.synchronized { batches += ((id, rows)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val nonEmpty = batches.filter(_._2.nonEmpty)
+      val dirCount = Cdc.servingLayout(spark, store)._3.size
+      val expectedChunks = (dirCount + 2) / 3
+      assert(nonEmpty.length === expectedChunks,
+        s"snapshot should span ceil($dirCount/3)=$expectedChunks batches, " +
+          s"got ${nonEmpty.map(_._2.size)}")
+      // exactly-once union: every snapshot row once, as inserts at v2
+      val all = nonEmpty.flatMap(_._2)
+      val snap = Cdc.readPartitionedSnapshot(spark, store)
+        .select("k", "name", "bal").as[(Long, String, Double)].collect()
+        .map { case (k, nm, b) => (k, nm, b, "insert", 2L) }.toSet
+      assert(all.toSet === snap)
+      assert(all.size === snap.size, "a bucket chunk was double-served")
+    } finally CdcCatalog.unregister("feed_bootchunk")
+  }
+
+  test("feed aggregates fold from footer statistics: COUNT(*)/payload MIN/MAX with " +
+      "zero page decode; CDF constant columns and filters keep the real scan") {
+    val (store, feed) = buildFed()
+    CdcCatalog.registerFeed("feed_stats", store, feed)
+    try {
+      def scanOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.connector.read.Scan =
+        df.queryExecution.executedPlan.collect {
+          case b: BatchScanExec => Seq(b.scan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collect { case b: BatchScanExec => b.scan }
+        }.flatten.head
+      val raw = spark.read.parquet(s"$feed/v=1", s"$feed/v=2")
+      val aggCols = Seq(count(lit(1)).as("n"), min(col("bal")).as("lo"),
+        max(col("bal")).as("hi"), count(col("name")).as("names"))
+      val pushedDf = spark.table("graft.feed_stats").agg(aggCols.head, aggCols.tail: _*)
+      assert(scanOf(pushedDf).isInstanceOf[CdcStatsScan], scanOf(pushedDf).description())
+      assert(pushedDf.collect().toSeq ===
+        raw.agg(aggCols.head, aggCols.tail: _*).collect().toSeq)
+      // _commit_version is a per-unit CONSTANT (absent from fine-grained
+      // footers) — folding it from stats would misread; real scan instead
+      val cv = spark.table("graft.feed_stats").agg(max(col("_commit_version")))
+      assert(scanOf(cv).isInstanceOf[CdcFeedScan], scanOf(cv).description())
+      assert(cv.as[Long].head() === 2L)
+      // a version-range filter keeps the real scan (residuals need rows)
+      val filtered = spark.table("graft.feed_stats")
+        .filter(col("_commit_version") === 2L).agg(count(lit(1)))
+      assert(scanOf(filtered).isInstanceOf[CdcFeedScan], scanOf(filtered).description())
+    } finally CdcCatalog.unregister("feed_stats")
   }
 
   test("retention is loud: a lagging resume throws; a fresh stream starts at the oldest retained") {
