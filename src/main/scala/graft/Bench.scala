@@ -96,8 +96,12 @@ object Bench {
     // means host-day drift, not a code regression (BASELINE.md §calib).
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode throws on long overflow, and summing
+      // 20M full-range xxhash64 values overflows immediately; xor is the
+      // same per-row hash work with an overflow-free, order-independent
+      // fold
       spark.range(0, 20000000L, 1, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) AS h", "count(1) AS c")
+        .selectExpr("bit_xor(xxhash64(id)) AS h", "count(1) AS c")
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.format("noop").mode("overwrite").save()

@@ -40,6 +40,59 @@ object SimilarityJoin {
       .limit(k)
   }
 
+  /** D4 (parallel-pair mining): margin-scored mutual-kNN pairs between a
+    * source and a target embedding set — the Artetxe & Schwenk
+    * margin criterion used to mine bitext / aligned training pairs:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖ cos(x, kNN_tgt(x)) +
+    *                                avgₖ cos(y, kNN_src(y))) / 2)
+    *
+    * A pair is emitted when y is in x's forward top-k AND x is in y's
+    * backward top-k (mutual kNN) and its ratio margin clears `tau` —
+    * the margin normalizes away "hub" vectors that are close to
+    * everything, which plain cosine thresholds cannot.
+    *
+    * DETERMINISM: cosines quantize to integer NANO units (HALF_UP — one
+    * deterministic per-value rounding), so the k-neighbor sums are exact
+    * long arithmetic on any partitioning and the margin is a single
+    * double division of two longs. Ranks tie-break by id.
+    *
+    * Scale shape: here exact — |src| × |tgt| scores, horizontally
+    * partitioned, ranks via per-partition WindowGroupLimit. At corpus
+    * scale the cross product is replaced by the IVF probes ([[ivfTopK]])
+    * generating the forward/backward candidate lists; the margin math on
+    * top is unchanged (sums are per-id, candidates-bounded). */
+  def marginMining(
+      src: DataFrame, // (sid, svec array<double>)
+      tgt: DataFrame, // (tid, tvec array<double>)
+      k: Int,
+      tau: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = src.sparkSession
+    val scored = tgt
+      .crossJoin(broadcast(src))
+      .withColumn("cmicro",
+        round(VectorOps.cosineNative(spark, col("svec"), col("tvec")) * 1e9, 0).cast("long"))
+      .select(col("sid"), col("tid"), col("cmicro"))
+    val fw = Window.partitionBy("sid").orderBy(col("cmicro").desc, col("tid"))
+    val bw = Window.partitionBy("tid").orderBy(col("cmicro").desc, col("sid"))
+    val ranked = scored
+      .withColumn("rf", row_number().over(fw))
+      .withColumn("rb", row_number().over(bw))
+    val fwdSum = ranked.filter(col("rf") <= k).groupBy("sid").agg(sum("cmicro").as("fsum"))
+    val bwdSum = ranked.filter(col("rb") <= k).groupBy("tid").agg(sum("cmicro").as("bsum"))
+    ranked
+      .filter(col("rf") <= k && col("rb") <= k)
+      .join(fwdSum, "sid")
+      .join(bwdSum, "tid")
+      .withColumn("margin",
+        round(col("cmicro") * lit(2L * k) / (col("fsum") + col("bsum")), 9))
+      .filter(col("margin") > tau)
+      .select(col("sid"), col("tid"),
+        (col("cmicro") / lit(1e9)).as("cos"), col("margin"))
+  }
+
   /** D4, batched: top-k per query for a SET of query vectors — the shape a
     * serving/eval pipeline actually runs. The query set broadcasts; ranks
     * compute per query id via a window (plans WindowGroupLimit: per-

@@ -892,6 +892,22 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // D4 (parallel-pair mining): margin-scored mutual-kNN pairs between
+    // two label populations — the bitext-mining criterion (ratio margin
+    // over forward/backward k-neighbor averages) that normalizes away hub
+    // vectors a plain cosine threshold would over-select. Exact here
+    // (label slices are bounded); at corpus scale the candidate lists
+    // come from the IVF probes, margin math unchanged.
+    "d4_margin_mining" -> ((s, sf) => {
+      val e = Tables.embeddings(s, sf)
+      val src = e.filter(col("label") === 0)
+        .select(col("vec_id").as("sid"), VectorOps.asDouble(col("embedding")).as("svec"))
+      val tgt = e.filter(col("label") === 1)
+        .select(col("vec_id").as("tid"), VectorOps.asDouble(col("embedding")).as("tvec"))
+      SimilarityJoin.marginMining(src, tgt, k = 4, tau = 1.0)
+        .orderBy("sid", "tid")
+    }),
+
     "d4_topk_ivf" -> ((s, sf) => {
       // Serving shape: the index (Lloyd-refined centroids + full-corpus
       // assignment) is built ONCE per session per dataset and materialized
@@ -3582,6 +3598,36 @@ object LlmQueries {
                  / (sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(b.vq, b.vq))), 9) AS cos_q
          FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
          ORDER BY id_a""",
+    // margin mining ≡ first-principles recompute: nano-quantized cosines
+    // (exact long sums on any partitioning), mutual top-4, ratio margin
+    "d4_margin_mining" ->
+      """WITH s AS (
+           SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label = 0),
+         t AS (
+           SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label = 1),
+         sc AS (
+           SELECT sid, tid,
+             CAST(round(list_dot_product(s.v, t.v)
+                   / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v)))
+                   * 1e9, 0) AS BIGINT) AS cmicro
+           FROM s CROSS JOIN t),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY sid ORDER BY cmicro DESC, tid) AS rf,
+             row_number() OVER (PARTITION BY tid ORDER BY cmicro DESC, sid) AS rb
+           FROM sc),
+         fa AS (SELECT sid, sum(cmicro) AS fsum FROM r WHERE rf <= 4 GROUP BY sid),
+         ba AS (SELECT tid, sum(cmicro) AS bsum FROM r WHERE rb <= 4 GROUP BY tid),
+         m AS (
+           SELECT r.sid, r.tid, r.cmicro / 1e9 AS cos,
+                  round(8 * r.cmicro / (fa.fsum + ba.bsum), 9) AS margin
+           FROM r JOIN fa USING (sid) JOIN ba USING (tid)
+           WHERE r.rf <= 4 AND r.rb <= 4)
+         SELECT sid, tid, cos, margin FROM m
+         WHERE margin > 1.0
+         ORDER BY sid, tid""",
     "d4_topk_batch" ->
       """WITH q AS (
            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

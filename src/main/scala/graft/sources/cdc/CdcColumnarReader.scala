@@ -134,8 +134,12 @@ class CdcColumnarReader(
   }
 
   private var fileIdx = -1
+  private var opened = 0
   private var reader: VectorizedParquetRecordReader = _
   private var batch: ColumnarBatch = _ // the reader's reused batch, remapped
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcMetrics.Value("filesOpened", opened.toLong))
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -168,6 +172,7 @@ class CdcColumnarReader(
     r.initBatch(constSchema, constRow)
     r.enableReturningBatches()
     reader = r
+    opened += 1
     true
   }
 

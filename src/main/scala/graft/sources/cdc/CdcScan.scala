@@ -471,6 +471,23 @@ class CdcScan(
       }.toArray[InputPartition]
   }
 
+  // Pruning observability (Spark UI / SQLAppStatusStore): how many
+  // buckets each pruning tier dropped, and how many files survive —
+  // read off the executed plan, not inferred from task counts.
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] = CdcMetrics.scanMetrics
+
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val planned = buckets.filter(b => runtimeBuckets.forall(_.contains(b)))
+    Array(
+      CdcMetrics.Value("plannedBuckets", planned.length.toLong),
+      CdcMetrics.Value("staticPrunedBuckets", (nBuckets - buckets.length).toLong),
+      CdcMetrics.Value("runtimePrunedBuckets", (buckets.length - planned.length).toLong),
+      CdcMetrics.Value("plannedFiles",
+        planned.iterator.map(b => filesByBucket.getOrElse(b, Array.empty).length.toLong).sum))
+  }
+
   /** Real sizes for the planner: the PRUNED byte count, so a
     * dimension-sized (or heavily pruned) store side can broadcast while
     * store-scale sides keep the exchange-free SPJ shape. Row counts come
@@ -633,6 +650,10 @@ class CdcPartitionReader(
   // Configuration resolves the right FileSystem for both
   private val conf = new Configuration()
 
+  private var opened = 0
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcMetrics.Value("filesOpened", opened.toLong))
+
   private var fileIdx = -1
   private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
   // for the current file: required-field index → (group field position | -1 for absent)
@@ -643,6 +664,7 @@ class CdcPartitionReader(
     if (reader != null) { reader.close(); reader = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
+    opened += 1
     val path = new Path(files(fileIdx))
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()

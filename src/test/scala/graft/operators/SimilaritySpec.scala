@@ -35,6 +35,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("marginMining: planted aligned pair wins with a high margin; a hub vector " +
+      "close to everything is normalized away; mutual-kNN and threshold laws hold") {
+    // 6 source + 6 target vectors in 4-D. s0/t0 are a planted aligned
+    // pair (near-identical direction). t5 is a HUB: moderately close to
+    // EVERY source (the centroid direction), so its raw cosines are high
+    // but its margin ≈ 1 — the ratio criterion's whole point.
+    def v(xs: Double*): Array[Double] = xs.toArray
+    val src = Seq(
+      (0L, v(10, 0, 0, 1)), (1L, v(0, 10, 0, 1)), (2L, v(0, 0, 10, 1)),
+      (3L, v(7, 7, 0, 1)), (4L, v(0, 7, 7, 1)), (5L, v(7, 0, 7, 1))
+    ).toDF("sid", "svec")
+    val tgt = Seq(
+      (100L, v(9.9, 0.1, 0, 1)),            // ≈ s0: the planted pair
+      (101L, v(0.2, 9.8, 0.3, 1)),          // ≈ s1
+      (102L, v(0.1, 0.2, 9.9, 1)),          // ≈ s2
+      (103L, v(5, -5, 3, 1)), (104L, v(-5, 3, 5, 1)),
+      (105L, v(4, 4, 4, 1))                  // the hub: close to everyone
+    ).toDF("tid", "tvec")
+    val mined = SimilarityJoin.marginMining(src, tgt, k = 3, tau = 1.05)
+      .orderBy("sid", "tid")
+      .select("sid", "tid", "cos", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+    val pairs = mined.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 100L)), s"planted pair missing: ${mined.mkString(", ")}")
+    assert(pairs.contains((1L, 101L)) && pairs.contains((2L, 102L)))
+    // the hub never clears the margin bar despite high raw cosines
+    assert(!pairs.exists(_._2 == 105L),
+      s"hub vector survived the margin filter: ${mined.mkString(", ")}")
+    // every emitted margin clears tau; planted pairs carry the largest
+    assert(mined.forall(_._4 > 1.05))
+    val planted = mined.filter(r => Set((0L,100L),(1L,101L),(2L,102L)).contains((r._1,r._2)))
+    assert(planted.map(_._4).min > mined.filterNot(r =>
+      Set((0L,100L),(1L,101L),(2L,102L)).contains((r._1,r._2)))
+      .map(_._4).maxOption.getOrElse(0.0))
+    // mutual-kNN: an emitted pair is in BOTH top-k lists by construction —
+    // re-derive the forward list for s0 and check 100 is in it
+    val s0 = src.filter(col("sid") === 0L)
+    val fwd = SimilarityJoin.topKBatch(
+      tgt.select(col("tid").as("vec_id"), col("tvec").as("embedding")),
+      col("vec_id"), col("embedding"),
+      s0.select(col("sid").as("qid"), col("svec").as("qvec")), k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fwd.contains(100L))
+  }
+
   test("IVF topK achieves recall vs brute force; full probe = exact") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q   = emb.filter(col("vec_id") === 0).select(VectorOps.asDouble(col("embedding")).as("qvec"))

@@ -578,6 +578,36 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("cat_lim")
   }
 
+  test("pruning is observable: scan custom metrics report planned/pruned buckets " +
+      "and files opened, straight off the executed plan") {
+    val store = buildStore("met", seed40("m"))
+    CdcCatalog.register("cat_met", store, keys, nBuckets)
+    try {
+      def scanMetrics(df: DataFrame): Map[String, Long] = {
+        df.collect()
+        def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+          p.collect {
+            case b: BatchScanExec => Seq(b)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              find(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+          }.flatten
+        find(df.queryExecution.executedPlan).head.metrics
+          .map { case (k, v) => k -> v.value }
+      }
+      val full = scanMetrics(spark.table("graft.cat_met"))
+      assert(full("plannedBuckets") === nBuckets)
+      assert(full("staticPrunedBuckets") === 0L)
+      assert(full("runtimePrunedBuckets") === 0L)
+      assert(full("filesOpened") >= 1L)
+      assert(full("filesOpened") === full("plannedFiles"),
+        s"unfiltered scan must open exactly the planned files: $full")
+      val point = scanMetrics(spark.table("graft.cat_met").filter(col("k") === 2L))
+      assert(point("plannedBuckets") === 1L, s"point lookup metrics: $point")
+      assert(point("staticPrunedBuckets") === (nBuckets - 1).toLong)
+    } finally CdcCatalog.unregister("cat_met")
+  }
+
   test("unknown table and non-additive surface fail loudly") {
     intercept[Exception] { spark.table("graft.no_such_store").collect() }
     val store = buildStore("guard", seed40("g"))
