@@ -1942,6 +1942,25 @@ object CoreQueries {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // C38f-stats (feed monitoring aggregates): UNFILTERED count/min/max
+    // over the catalog feed table push into the footer-statistics scan
+    // (CdcFeedScanBuilder.pushAggregation → CdcStatsScan) — the "how big
+    // is my change feed, what range did it touch" monitoring query costs
+    // footer IO, zero page decode. `_change_type` is data the files
+    // carry, so its min/max folds too; the version/timestamp CONSTANT
+    // columns refuse (absent from footers). Oracle recomputes the same
+    // aggregates over the first-principles CDF derivation.
+    "c38_cdc_feed_stats" -> ((s, sf) => {
+      val tbl = feedTableFor(s, sf)
+      s.table(tbl).agg(
+        count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(col("c_name")).as("n_name"),
+        min(col("_change_type")).as("min_ct"),
+        max(col("_change_type")).as("max_ct"))
+    }),
+
     // C38f2 (compacted feed): the SAME catalog feed-table serve path, but
     // the two retained versions live in ONE compacted segment
     // (Cdc.compactFeed — Kafka-style coalescing of fine-grained epochs).
@@ -3076,6 +3095,74 @@ object CoreQueries {
                 CAST(1 AS BIGINT) AS commit_version
          FROM diff WHERE k0 IS NOT NULL
          ORDER BY c_custkey, change_type""",
+    // feed monitoring aggregates ≡ the same aggregates over the CDF rows
+    "c38_cdc_feed_stats" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         l0 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1995-06-01')
+           WHERE rn = 1
+         ),
+         s0 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l0 WHERE op <> 'D'
+         ),
+         l1 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         s1 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l1 WHERE op <> 'D'
+         ),
+         diff AS (
+           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
+                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
+                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
+           FROM s0 b FULL JOIN s1 a ON a.c_custkey = b.c_custkey
+           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+              OR b.c_name IS DISTINCT FROM a.c_name
+              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ),
+         cdf AS (
+         SELECT k1 AS c_custkey, an AS c_name, ank AS c_nationkey,
+                ab AS c_acctbal, am AS c_mktsegment,
+                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff WHERE k1 IS NOT NULL
+         UNION ALL
+           SELECT k0, bn, bnk, bb, bm,
+                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff WHERE k0 IS NOT NULL
+         )
+         SELECT count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                count(c_name) AS n_name, min(change_type) AS min_ct, max(change_type) AS max_ct
+         FROM cdf""",
     "c38_cdc_feed_compact" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

@@ -276,8 +276,23 @@ class CdcBucketBound(keyTypes: Array[DataType]) extends ScalarFunction[Integer] 
   * is `vacuum`'s job. */
 class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability._
+
+  /** `_bucket` as a METADATA column (the Iceberg `_file`/Delta
+    * `_metadata` pattern): `SELECT k, _bucket FROM graft.x` exposes the
+    * layout hash each row serves from — the debugging/audit handle for
+    * reshard verification and skew inspection. Served as a per-partition
+    * CONSTANT (a scan partition IS one bucket), so it costs nothing;
+    * hidden from `SELECT *` like every metadata column. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_bucket"
+      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        s"layout bucket id = pmod(xxhash64(${d.keys.mkString(", ")}), ${d.nBuckets})"
+    })
 
   private[cdc] val (servedVersion, payloadSchema, bucketDirs) = {
     val (v, raw, dirs) = Cdc.servingLayout(SparkSession.active, d.storePath, d.version)

@@ -78,8 +78,13 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve payload field order; an empty projection (count(*)) keeps
-    // zero fields and the reader just counts rows
-    required = StructType(table.schema().fields.filter(f =>
+    // zero fields and the reader just counts rows. The `_bucket`
+    // METADATA column (SupportsMetadataColumns) appends last when the
+    // query names it — served as a per-partition constant, never read
+    // from files.
+    required = StructType((table.schema().fields ++
+      table.metadataColumns().map(m => StructField(
+        m.name, m.dataType, m.isNullable))).filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -566,9 +571,15 @@ class CdcReaderFactory(
     "_commit_version" -> s.commitVersion,
     "_commit_timestamp" -> s.commitTsMicros)
 
+  // the `_bucket` metadata column is the partition's own bucket id
+  private def bucketConstants(b: CdcBucketPartition): Map[String, Any] =
+    if (requiredSchema.fieldNames.contains("_bucket")) Map("_bucket" -> b.bucket)
+    else Map.empty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters)
+      case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters,
+        constants = bucketConstants(b))
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
         constants = feedConstants(f))
       case s: CdcSnapshotPartition => new CdcPartitionReader(s.files, requiredSchema,
@@ -585,7 +596,7 @@ class CdcReaderFactory(
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case b: CdcBucketPartition => new CdcColumnarReader(b.files, requiredSchema,
-        b.keyFilters, sourceFilters = b.sourceFilters)
+        b.keyFilters, constants = bucketConstants(b), sourceFilters = b.sourceFilters)
       case f: CdcFeedPartition   => new CdcColumnarReader(f.files, requiredSchema,
         constants = feedConstants(f))
       case s: CdcSnapshotPartition => new CdcColumnarReader(s.files, requiredSchema,

@@ -578,6 +578,31 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("cat_lim")
   }
 
+  test("_bucket metadata column: every row reports the layout bucket it serves from; " +
+      "hidden from SELECT *; free (per-partition constant, no file read)") {
+    val store = buildStore("metacol", seed40("mc"))
+    CdcCatalog.register("cat_metacol", store, keys, nBuckets)
+    try {
+      // hidden from star expansion, selectable by name
+      assert(spark.table("graft.cat_metacol").columns.toSeq ===
+        Seq("k", "name", "bal"))
+      val rows = spark.sql("SELECT k, _bucket FROM graft.cat_metacol")
+        .as[(Long, Int)].collect()
+      assert(rows.nonEmpty)
+      // the metadata value IS the store's layout hash, row by row
+      val expect = spark.table("graft.cat_metacol")
+        .select(col("k"), Cdc.bucketExpr(keys, nBuckets).as("b"))
+        .as[(Long, Int)].collect().toMap
+      rows.foreach { case (k, b) =>
+        assert(b === expect(k), s"k=$k served from bucket $b, layout says ${expect(k)}")
+      }
+      // composes with pruning: a key-pinned read still serves the column
+      val pt = spark.sql("SELECT k, _bucket FROM graft.cat_metacol WHERE k = 2")
+        .as[(Long, Int)].collect()
+      assert(pt.toSeq === Seq((2L, expect(2L))))
+    } finally CdcCatalog.unregister("cat_metacol")
+  }
+
   test("pruning is observable: scan custom metrics report planned/pruned buckets " +
       "and files opened, straight off the executed plan") {
     val store = buildStore("met", seed40("m"))
