@@ -55,7 +55,9 @@ object SimilarityJoin {
     * DETERMINISM: cosines quantize to integer NANO units (HALF_UP — one
     * deterministic per-value rounding), so the k-neighbor sums are exact
     * long arithmetic on any partitioning and the margin is a single
-    * double division of two longs. Ranks tie-break by id.
+    * double division of two longs. Ranks tie-break by id. The neighbor
+    * averages divide by the neighbors that EXIST (min(k, |side|)), so a
+    * side smaller than k does not inflate margins.
     *
     * Scale shape: here exact — |src| × |tgt| scores, horizontally
     * partitioned, ranks via per-partition WindowGroupLimit. At corpus
@@ -75,19 +77,31 @@ object SimilarityJoin {
       .withColumn("cmicro",
         round(VectorOps.cosineNative(spark, col("svec"), col("tvec")) * 1e9, 0).cast("long"))
       .select(col("sid"), col("tid"), col("cmicro"))
+    // ONE linear DAG: rank + top-k sum + top-k COUNT per side as window
+    // functions over the rank window's own partitioning, so each side
+    // costs a single exchange and the |src|×|tgt| scoring runs ONCE (a
+    // groupBy+join-back here would fork the plan and re-execute the
+    // cross product per consumer). The explicit neighbor COUNTS make the
+    // denominator an average over the neighbors that EXIST — a side
+    // smaller than k must not inflate margins (avg over min(k, n), the
+    // paper's criterion), and the arithmetic stays exact longs:
+    //   margin = 2·c·fcnt·bcnt / (fsum·bcnt + bsum·fcnt)
+    // (≤ ~2^35 — one double division at the end).
     val fw = Window.partitionBy("sid").orderBy(col("cmicro").desc, col("tid"))
     val bw = Window.partitionBy("tid").orderBy(col("cmicro").desc, col("sid"))
-    val ranked = scored
+    val fAgg = Window.partitionBy("sid")
+    val bAgg = Window.partitionBy("tid")
+    scored
       .withColumn("rf", row_number().over(fw))
+      .withColumn("fsum", sum(when(col("rf") <= k, col("cmicro"))).over(fAgg))
+      .withColumn("fcnt", sum(when(col("rf") <= k, lit(1L))).over(fAgg))
       .withColumn("rb", row_number().over(bw))
-    val fwdSum = ranked.filter(col("rf") <= k).groupBy("sid").agg(sum("cmicro").as("fsum"))
-    val bwdSum = ranked.filter(col("rb") <= k).groupBy("tid").agg(sum("cmicro").as("bsum"))
-    ranked
+      .withColumn("bsum", sum(when(col("rb") <= k, col("cmicro"))).over(bAgg))
+      .withColumn("bcnt", sum(when(col("rb") <= k, lit(1L))).over(bAgg))
       .filter(col("rf") <= k && col("rb") <= k)
-      .join(fwdSum, "sid")
-      .join(bwdSum, "tid")
       .withColumn("margin",
-        round(col("cmicro") * lit(2L * k) / (col("fsum") + col("bsum")), 9))
+        round(col("cmicro") * lit(2L) * col("fcnt") * col("bcnt") /
+          (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")), 9))
       .filter(col("margin") > tau)
       .select(col("sid"), col("tid"),
         (col("cmicro") / lit(1e9)).as("cos"), col("margin"))

@@ -3618,11 +3618,14 @@ object LlmQueries {
              row_number() OVER (PARTITION BY sid ORDER BY cmicro DESC, tid) AS rf,
              row_number() OVER (PARTITION BY tid ORDER BY cmicro DESC, sid) AS rb
            FROM sc),
-         fa AS (SELECT sid, sum(cmicro) AS fsum FROM r WHERE rf <= 4 GROUP BY sid),
-         ba AS (SELECT tid, sum(cmicro) AS bsum FROM r WHERE rb <= 4 GROUP BY tid),
+         fa AS (SELECT sid, sum(cmicro) AS fsum, count(*) AS fcnt
+                FROM r WHERE rf <= 4 GROUP BY sid),
+         ba AS (SELECT tid, sum(cmicro) AS bsum, count(*) AS bcnt
+                FROM r WHERE rb <= 4 GROUP BY tid),
          m AS (
            SELECT r.sid, r.tid, r.cmicro / 1e9 AS cos,
-                  round(8 * r.cmicro / (fa.fsum + ba.bsum), 9) AS margin
+                  round(2 * r.cmicro * fa.fcnt * ba.bcnt
+                        / (fa.fsum * ba.bcnt + ba.bsum * fa.fcnt), 9) AS margin
            FROM r JOIN fa USING (sid) JOIN ba USING (tid)
            WHERE r.rf <= 4 AND r.rb <= 4)
          SELECT sid, tid, cos, margin FROM m

@@ -145,48 +145,25 @@ class CdcFeedScanBuilder(
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import CdcStatsScan._
     if (!CdcStatsScan.enabled) return false
-    if (aggregation.groupByExpressions().nonEmpty || pushed.nonEmpty ||
-        loV.isDefined || hiV.isDefined) return false
-    val constantCols = Set("_commit_version", "_commit_timestamp")
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case r: NamedReference if r.fieldNames.length == 1 &&
-          table.schema().fieldNames.contains(r.fieldNames.head) &&
-          !constantCols.contains(r.fieldNames.head) => Some(r.fieldNames.head)
-        case _ => None
-      }
-    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[(String, org.apache.spark.sql.types.DataType)] =
-      fieldOf(e).map(c => c -> table.schema()(c).dataType)
-        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
-    val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
-      case _: CountStar => Some(FCountStar)
-      case c: Count if !c.isDistinct => fieldOf(c.column).map(FCount(_, nonNull = false))
-      case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
-      case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
-      case _ => None
-    }
-    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
-    pushedAggs = Some(parsed.map(_.get))
-    true
+    if (pushed.nonEmpty || loV.isDefined || hiV.isDefined) return false
+    // `_change_type` is data the files carry; the version/timestamp
+    // CONSTANT columns are excluded (absent from fine-grained footers —
+    // folding a constant from statistics would misread it as all-NULL).
+    // No non-null contract on any feed column.
+    pushedAggs = CdcStatsScan.parseAggregation(
+      aggregation, table.schema(),
+      excluded = Set("_commit_version", "_commit_timestamp"),
+      nonNullCols = Set.empty)
+    pushedAggs.isDefined
   }
 
   override def build(): Scan = {
     pushedAggs match {
       case Some(aggs) =>
-        val conf = SparkSession.active.sparkContext.hadoopConfiguration
-        val filesByUnit: Map[Int, Array[(String, Long)]] =
+        val filesByUnit: Map[Int, Array[String]] =
           CdcFeedScan.retainedUnits(d.feedPath).zipWithIndex.map { case (u, i) =>
-            val dir = new Path(CdcFeedScan.unitDir(d.feedPath, u))
-            val fs = dir.getFileSystem(conf)
-            i -> fs.listStatus(dir)
-              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-              .map(st => st.getPath.toString -> st.getLen)
-              .sortBy(_._1)
+            i -> CdcFeedScan.dirFiles(CdcFeedScan.unitDir(d.feedPath, u)).toArray
           }.toMap
         return new CdcStatsScan(table.name(), aggs, filesByUnit)
       case None => ()
@@ -549,7 +526,11 @@ class CdcFeedStream(
       val toK = if (eo.snapshotPending) eo.snapshotBucket else dirs.length
       val tsMicros = graft.operators.Cdc.versionCommitTimes(spark, d.storePath)
         .collectFirst { case (v, ms) if v == so.v => ms * 1000L }
-        .getOrElse(0L)
+        .getOrElse(throw new IllegalStateException(
+          s"store version ${so.v} has no commit marker under ${d.storePath} — " +
+            "vacuum removed the bootstrap snapshot mid-stream; restart the " +
+            "bootstrap (silently stamping epoch-0 commit timestamps would " +
+            "mis-order the snapshot against later deltas)"))
       return dirs.slice(so.snapshotBucket, toK).flatMap { dir =>
         CdcFeedScan.dirFiles(dir).map(f =>
           CdcSnapshotPartition(Array(f), so.v, tsMicros): InputPartition)

@@ -171,33 +171,13 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import CdcStatsScan._
     if (!CdcStatsScan.enabled) return false
-    if (aggregation.groupByExpressions().nonEmpty ||
-        pushed.nonEmpty || keyPanels.nonEmpty || prunedBuckets.nonEmpty) return false
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case r: NamedReference if r.fieldNames.length == 1 &&
-          table.schema().fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
-        case _ => None
-      }
-    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[(String, org.apache.spark.sql.types.DataType)] =
-      fieldOf(e).map(c => c -> table.schema()(c).dataType)
-        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
-    val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
-      case _: CountStar => Some(FCountStar)
-      case c: Count if !c.isDistinct =>
-        fieldOf(c.column).map(col => FCount(col, nonNull = d.keys.contains(col)))
-      case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
-      case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
-      case _ => None
-    }
-    if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
-    pushedAggs = Some(parsed.map(_.get))
-    true
+    if (pushed.nonEmpty || keyPanels.nonEmpty || prunedBuckets.nonEmpty) return false
+    // merge keys are non-null by the store's contract: COUNT(key) needs
+    // no null statistics, only row counts
+    pushedAggs = CdcStatsScan.parseAggregation(
+      aggregation, table.schema(), excluded = Set.empty, nonNullCols = d.keys.toSet)
+    pushedAggs.isDefined
   }
 
   override def build(): Scan = {
@@ -213,14 +193,8 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
           return new CdcCountScan(table.name(),
             table.bucketDirs.keySet.iterator.map(table.bucketRows).sum, aggs.length)
         // otherwise: fold footer statistics, one partition per bucket
-        val conf = SparkSession.active.sparkContext.hadoopConfiguration
-        val statFiles: Map[Int, Array[(String, Long)]] = table.bucketDirs.map { case (b, dir) =>
-          val p = new Path(dir)
-          val fs = p.getFileSystem(conf)
-          b -> fs.listStatus(p)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(s => s.getPath.toString -> s.getLen)
-            .sortBy(_._1)
+        val statFiles: Map[Int, Array[String]] = table.bucketDirs.map { case (b, dir) =>
+          b -> CdcFeedScan.dirFiles(dir).toArray
         }
         return new CdcStatsScan(table.name(), aggs, statFiles)
       case None => ()

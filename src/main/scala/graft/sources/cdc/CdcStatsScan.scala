@@ -61,12 +61,49 @@ object CdcStatsScan {
       case FCount(c, _)   => StructField(s"count($c)", LongType, nullable = false)
       case FCountStar     => StructField("count(*)", LongType, nullable = false)
     })
+
+  /** Shared aggregation parser for the store and feed scan builders: each
+    * expression must be COUNT(*) / non-distinct COUNT(col) / MIN / MAX
+    * over a supported-type top-level column of `schema` not in
+    * `excluded`; columns in `nonNullCols` count by row count alone (no
+    * null statistics needed). `None` on any unsupported shape — the
+    * caller refuses the whole aggregation (partial acceptance would
+    * change the plan's meaning). */
+  private[cdc] def parseAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      schema: StructType,
+      excluded: Set[String],
+      nonNullCols: Set[String]): Option[Seq[FooterAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          schema.fieldNames.contains(r.fieldNames.head) &&
+          !excluded.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+        case _ => None
+      }
+    def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType)] =
+      fieldOf(e).map(c => c -> schema(c).dataType)
+        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
+    val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(FCountStar)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(col => FCount(col, nonNull = nonNullCols.contains(col)))
+      case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
+      case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
+      case _ => None
+    }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) None else Some(parsed.map(_.get))
+  }
 }
 
 class CdcStatsScan(
     tableName: String,
     aggs: Seq[CdcStatsScan.FooterAgg],
-    filesByBucket: Map[Int, Array[(String, Long)]])
+    filesByBucket: Map[Int, Array[String]])
     extends Scan with Batch {
   import CdcStatsScan._
 
@@ -77,11 +114,17 @@ class CdcStatsScan(
     s"$tableName footer-stats aggs=$names buckets=${filesByBucket.count(_._2.nonEmpty)} (no row decode)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    filesByBucket.toSeq.sortBy(_._1)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = filesByBucket.toSeq.sortBy(_._1)
       .collect { case (_, files) if files.nonEmpty =>
-        CdcStatsPartition(files.map(_._1)): InputPartition }
+        CdcStatsPartition(files): InputPartition }
       .toArray
+    // an EMPTY source must still emit one (zero-count) partial row:
+    // Spark's partial-pushdown rewrite turns the final COUNT into a SUM
+    // of the partials, and SUM over zero rows is NULL — the un-pushed
+    // plan would have returned 0
+    if (parts.isEmpty) Array(CdcStatsPartition(Array.empty)) else parts
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcStatsReaderFactory(aggs)

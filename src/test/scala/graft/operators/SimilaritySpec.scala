@@ -78,6 +78,17 @@ class SimilaritySpec extends AnyFunSuite {
       s0.select(col("sid").as("qid"), col("svec").as("qvec")), k = 3)
       .select("vec_id").as[Long].collect().toSet
     assert(fwd.contains(100L))
+    // a side SMALLER than k must not inflate margins: with 1 source and
+    // 1 target the neighbor average IS the pair's own cosine on both
+    // sides, so the margin is exactly 1 — never above any tau ≥ 1
+    // (the fixed-2k denominator bug would have scored it k)
+    val tiny = SimilarityJoin.marginMining(
+      src.filter(col("sid") === 0L), tgt.filter(col("tid") === 100L), k = 4, tau = 1.0)
+    assert(tiny.count() === 0L, "margin over a single pair must be exactly 1, not > 1")
+    val tinyAll = SimilarityJoin.marginMining(
+      src.filter(col("sid") === 0L), tgt.filter(col("tid") === 100L), k = 4, tau = 0.5)
+      .select("margin").as[Double].collect()
+    assert(tinyAll.toSeq === Seq(1.0))
   }
 
   test("IVF topK achieves recall vs brute force; full probe = exact") {

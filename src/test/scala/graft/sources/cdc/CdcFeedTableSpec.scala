@@ -424,6 +424,20 @@ class CdcFeedTableSpec extends AnyFunSuite {
       val filtered = spark.table("graft.feed_stats")
         .filter(col("_commit_version") === 2L).agg(count(lit(1)))
       assert(scanOf(filtered).isInstanceOf[CdcFeedScan], scanOf(filtered).description())
+      // an EMPTY feed (maintainer hasn't committed a version yet) counts
+      // 0, not NULL: the stats scan must emit one zero-count partial row
+      // because Spark's partial-pushdown rewrite SUMs the partials
+      CdcCatalog.registerFeed("feed_stats_empty", store,
+        java.nio.file.Files.createTempDirectory("graft_feed_empty").toString)
+      try {
+        val empty = spark.table("graft.feed_stats_empty")
+          .agg(count(lit(1)).as("n"), min(col("bal")).as("lo"))
+        assert(scanOf(empty).isInstanceOf[CdcStatsScan], scanOf(empty).description())
+        val row = empty.collect().head
+        assert(!row.isNullAt(0) && row.getLong(0) === 0L,
+          s"count over an empty feed must be 0, got $row")
+        assert(row.isNullAt(1), "min over an empty feed is NULL")
+      } finally CdcCatalog.unregister("feed_stats_empty")
     } finally CdcCatalog.unregister("feed_stats")
   }
 
