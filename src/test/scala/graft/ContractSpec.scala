@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the DRIVER CONTRACT itself (SparkEntry): the correctness gate
+  * compares `queries` against `oracleSql` BY KEY, so two silent failure
+  * modes exist that no query-level test can catch:
+  *
+  *  - an oracle whose key matches no query never runs — dead weight that
+  *    reads as coverage;
+  *  - a query whose oracle key is TYPO'D silently degrades from
+  *    hash-compared to rows-only, weakening the gate without any red.
+  *
+  * The rows-only set is therefore PINNED: every entry is a deliberate
+  * design decision (engine-RNG sampling, hash-family-dependent sketches,
+  * iterative fixpoints, JVM codec float paths — each carries a law spec
+  * instead). Growing it requires editing this list, i.e. making the
+  * decision visibly. */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries DELIBERATELY without a DuckDB twin, each law-tested. */
+  private val rowsOnlyByDesign: Set[String] = Set(
+    "a4_gunzip_roundtrip",
+    "c10_percentile_approx",
+    "c12_approx_distinct",
+    "c12_hll_shard_merge",
+    "c31_sample",
+    "d0_corpus_prep",
+    "d0_corpus_prep_full",
+    "d0_corpus_prep_incr",
+    "d1_bloom_audit",
+    "d2_fuzzy_decontam",
+    "d2_neardup_minhash",
+    "d2_neardup_oph",
+    "d2_simhash",
+    "d2_source_overlap",
+    "d3_pca_whiten",
+    "d3_procrustes_align",
+    "d4_ivf_drift",
+    "d4_recall_report",
+    "d4_topk_ivf",
+    "d4_topk_ivf_filtered",
+    "d4_topk_ivf_q",
+    "d4_topk_ivfpq",
+    "d4_topk_lsh",
+    "d4_topk_opq",
+    "d4_topk_pq",
+    "d5_bpe_bytes",
+    "d5_bpe_encode",
+    "d5_bpe_train",
+    "d5_heavy_hitters",
+    "d6_mmr",
+    "d7_bpe_budget",
+    "d7_ffd_packing",
+    "d8_image_phash",
+    "d8_image_resize",
+    "d9_kcore",
+    "d9_label_prop",
+    "d9_pagerank",
+    "d9_semantic_clusters_kmeans",
+    "d9_semantic_clusters_lsh")
+
+  test("every oracle key names a registered query (an orphan oracle never runs)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the rows-only set is exactly the pinned by-design list — a typo'd oracle " +
+      "key must fail here, not silently weaken the gate") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unexpected = rowsOnly -- rowsOnlyByDesign
+    val missing = rowsOnlyByDesign -- rowsOnly
+    assert(unexpected.isEmpty,
+      "queries lost their oracle (typo'd key, or add them to the pinned list " +
+        s"WITH a law spec): ${unexpected.toSeq.sorted.mkString(", ")}")
+    assert(missing.isEmpty,
+      s"pinned rows-only queries now have oracles (or were removed) — update the list: " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
+  test("query names follow the §2 row-id convention the judge lines up against") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("^[a-e]\\d+[a-z0-9_]*$"))
+    assert(bad.isEmpty, s"off-convention query names: ${bad.toSeq.sorted.mkString(", ")}")
+  }
+}
