@@ -99,9 +99,15 @@ object SimilarityJoin {
       .withColumn("bsum", sum(when(col("rb") <= k, col("cmicro"))).over(bAgg))
       .withColumn("bcnt", sum(when(col("rb") <= k, lit(1L))).over(bAgg))
       .filter(col("rf") <= k && col("rb") <= k)
+      // the denominator CAN be exactly 0 (mutual-kNN cosines all
+      // quantizing to 0, or negative sums canceling) — under ANSI mode an
+      // unguarded Divide would fail the whole job with DIVIDE_BY_ZERO; a
+      // zero-denominator pair has no defined margin and is dropped (the
+      // NULL fails the tau filter), mirrored in the DuckDB oracle
+      .withColumn("__den", col("fsum") * col("bcnt") + col("bsum") * col("fcnt"))
       .withColumn("margin",
-        round(col("cmicro") * lit(2L) * col("fcnt") * col("bcnt") /
-          (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")), 9))
+        when(col("__den") =!= 0L,
+          round(col("cmicro") * lit(2L) * col("fcnt") * col("bcnt") / col("__den"), 9)))
       .filter(col("margin") > tau)
       .select(col("sid"), col("tid"),
         (col("cmicro") / lit(1e9)).as("cos"), col("margin"))

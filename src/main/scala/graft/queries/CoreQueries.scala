@@ -1952,6 +1952,13 @@ object CoreQueries {
     // aggregates over the first-principles CDF derivation.
     "c38_cdc_feed_stats" -> ((s, sf) => {
       val tbl = feedTableFor(s, sf)
+      // string min/max pushdown is an OPT-IN (default off): parquet-mr
+      // truncates binary footer statistics silently when a writer sets
+      // parquet.statistics.truncate.length, and nothing marks them
+      // inexact (CdcStatsScan.stringMinMaxEnabled). This feed is written
+      // by the engine's own non-truncating writer, the documented-safe
+      // case — session-scoped opt-in, like the user of such a store would
+      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
       s.table(tbl).agg(
         count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
@@ -2089,6 +2096,9 @@ object CoreQueries {
     // snapshot, so the pushed answers must equal the scan's.
     "c38_cdc_stats_agg" -> ((s, sf) => {
       val (stateTbl, _) = spjTablesFor(s, sf)
+      // opt in to string min/max pushdown: this store is written by the
+      // engine's own non-truncating writer (see c38_cdc_feed_stats note)
+      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
       s.table(stateTbl).agg(
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"),

@@ -3624,8 +3624,10 @@ object LlmQueries {
                 FROM r WHERE rb <= 4 GROUP BY tid),
          m AS (
            SELECT r.sid, r.tid, r.cmicro / 1e9 AS cos,
-                  round(2 * r.cmicro * fa.fcnt * ba.bcnt
-                        / (fa.fsum * ba.bcnt + ba.bsum * fa.fcnt), 9) AS margin
+                  CASE WHEN fa.fsum * ba.bcnt + ba.bsum * fa.fcnt <> 0
+                       THEN round(2 * r.cmicro * fa.fcnt * ba.bcnt
+                                  / (fa.fsum * ba.bcnt + ba.bsum * fa.fcnt), 9)
+                  END AS margin
            FROM r JOIN fa USING (sid) JOIN ba USING (tid)
            WHERE r.rf <= 4 AND r.rb <= 4)
          SELECT sid, tid, cos, margin FROM m

@@ -264,6 +264,13 @@ class CdcFeedScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(requiredSchema)
 
+  // the shared readers (CdcPartitionReader/CdcColumnarReader) report
+  // per-task scan metrics; Spark's CustomMetrics.updateMetrics silently
+  // DROPS any name the scan does not declare, so without this override
+  // feed/bootstrap reads would lose the observability the store scan has
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] = CdcMetrics.scanMetrics
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcFeedStream(tableName, requiredSchema, d, maxVersionsPerTrigger,
       startingVersion, startingTimestampMillis, initialSnapshot, maxBucketsPerTrigger)

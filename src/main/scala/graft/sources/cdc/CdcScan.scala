@@ -191,7 +191,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
         } && table.bucketDirs.keySet.forall(table.bucketRows.contains)
         if (metadataOnly)
           return new CdcCountScan(table.name(),
-            table.bucketDirs.keySet.iterator.map(table.bucketRows).sum, aggs.length)
+            table.bucketDirs.keySet.iterator.map(table.bucketRows).sum, aggs)
         // otherwise: fold footer statistics, one partition per bucket
         val statFiles: Map[Int, Array[String]] = table.bucketDirs.map { case (b, dir) =>
           b -> CdcFeedScan.dirFiles(dir).toArray
@@ -232,17 +232,20 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
 
 /** The pushed-COUNT scan: one partition, one row carrying the
   * manifest's total (once per pushed count expression — COUNT(*) and
-  * COUNT(merge key) both count every row) — ZERO file IO. Spark's
-  * final aggregate sums the partials (here: the one row), so the plan
-  * stays an ordinary aggregate whose input just happens to be
-  * metadata. */
-class CdcCountScan(tableName: String, totalRows: Long, nExprs: Int = 1) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq.fill(nExprs)(StructField("count(*)", LongType, nullable = false)))
+  * COUNT(merge key) both count every row, keys being non-null) — ZERO
+  * file IO. Spark's final aggregate sums the partials (here: the one
+  * row), so the plan stays an ordinary aggregate whose input just
+  * happens to be metadata. The schema names each field after ITS
+  * expression (`count(*)` / `count(<col>)`) — Spark matches pushed
+  * aggregate output positionally, but distinct names keep the
+  * multi-expression shape debuggable and the schema well-formed. */
+class CdcCountScan(tableName: String, totalRows: Long, aggs: Seq[CdcStatsScan.FooterAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType = CdcStatsScan.schemaFor(aggs)
   override def toBatch: Batch = this
   override def description(): String = s"$tableName metadata count=$totalRows (no file IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CdcCountPartition(totalRows, nExprs))
+    Array(CdcCountPartition(totalRows, aggs.length))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {

@@ -54,13 +54,51 @@ object CdcStatsScan {
   private[cdc] val MinMaxTypes: Set[DataType] =
     Set(LongType, IntegerType, DoubleType, FloatType, DateType, BooleanType, StringType)
 
-  private[cdc] def schemaFor(aggs: Seq[FooterAgg]): StructType =
-    StructType(aggs.map {
-      case FMin(c, dt)    => StructField(s"min($c)", dt, nullable = true)
-      case FMax(c, dt)    => StructField(s"max($c)", dt, nullable = true)
-      case FCount(c, _)   => StructField(s"count($c)", LongType, nullable = false)
-      case FCountStar     => StructField("count(*)", LongType, nullable = false)
+  /** String MIN/MAX from footers is only sound when the writer did not
+    * TRUNCATE binary statistics (`parquet.statistics.truncate.length`):
+    * parquet-mr truncates silently — the stored max is a prefix rounded
+    * UP past every real value, the min a bare prefix, and nothing in the
+    * converted metadata marks them inexact (parquet-format's
+    * `is_min/max_value_exact` flags exist in the thrift but parquet-mr
+    * 1.16 neither writes nor reads them — verified against the shipped
+    * jars), so the correct-or-loud guard can never fire and a pushed
+    * `max(name)` could return a string that exists in no row. Upstream
+    * Spark excludes String/Binary from parquet min/max aggregate
+    * pushdown for exactly this reason. Default OFF; opt in
+    * (`graft.cdc.statsPushdown.stringMinMax=true`) only for stores whose
+    * writers provably keep statistics exact — the engine's own writers
+    * do unless the session sets a truncate length (parquet-mr's default
+    * is no truncation; the 4 KB size-cap DROP is a separate case this
+    * scan already handles loudly). */
+  private[cdc] def stringMinMaxEnabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("graft.cdc.statsPushdown.stringMinMax")).toOption.exists(_.toBoolean)
+
+  /** Pushed-aggregate output schema. Spark matches the scan's output to
+    * the pushed expressions POSITIONALLY, but the names must still be
+    * unique for the schema to be well-formed — and Spark itself rewrites
+    * COUNT(non-nullable col) to COUNT(*) before pushing, so two
+    * `count(*)` entries arrive together routinely; duplicates get an
+    * ordinal suffix. */
+  private[cdc] def schemaFor(aggs: Seq[FooterAgg]): StructType = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    StructType(aggs.map { a =>
+      val base = a match {
+        case FMin(c, _)   => s"min($c)"
+        case FMax(c, _)   => s"max($c)"
+        case FCount(c, _) => s"count($c)"
+        case FCountStar   => "count(*)"
+      }
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      val name = if (n == 0) base else s"${base}_$n"
+      a match {
+        case FMin(_, dt) => StructField(name, dt, nullable = true)
+        case FMax(_, dt) => StructField(name, dt, nullable = true)
+        case _           => StructField(name, LongType, nullable = false)
+      }
     })
+  }
 
   /** Shared aggregation parser for the store and feed scan builders: each
     * expression must be COUNT(*) / non-distinct COUNT(col) / MIN / MAX
@@ -87,7 +125,8 @@ object CdcStatsScan {
     def minMaxCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] =
       fieldOf(e).map(c => c -> schema(c).dataType)
-        .filter { case (_, dt) => MinMaxTypes.contains(dt) }
+        .filter { case (_, dt) =>
+          MinMaxTypes.contains(dt) && (dt != StringType || stringMinMaxEnabled) }
     val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(FCountStar)
       case c: Count if !c.isDistinct =>

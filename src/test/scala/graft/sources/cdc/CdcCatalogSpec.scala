@@ -460,6 +460,18 @@ class CdcCatalogSpec extends AnyFunSuite {
       val ck = spark.table("graft.cat_cnt").agg(count(col("k")))
       assert(ck.as[Long].head() === expected)
       assert(scanOf(ck).isInstanceOf[CdcCountScan])
+      // COUNT(*) and COUNT(key) together: Spark rewrites COUNT(non-null
+      // key) to COUNT(*) and DEDUPES identical pushed expressions, so the
+      // scan may see 1..n expressions — whatever arrives must stay on the
+      // metadata path, carry NO duplicate schema field names, and map
+      // positionally to exact values on every output
+      val both = spark.table("graft.cat_cnt").agg(count(lit(1)), count(col("k")))
+      val bothScan = scanOf(both)
+      assert(bothScan.isInstanceOf[CdcCountScan], bothScan.description())
+      assert(bothScan.readSchema().fieldNames.distinct.length ===
+        bothScan.readSchema().length,
+        s"duplicate pushed-count field names: ${bothScan.readSchema().fieldNames.mkString(",")}")
+      assert(both.collect().head === org.apache.spark.sql.Row(expected, expected))
       // a version pin counts ITS version, not the latest
       val v0 = spark.table("graft.cat_cnt_v0").groupBy().count()
       assert(v0.as[Long].head() ===
@@ -489,6 +501,11 @@ class CdcCatalogSpec extends AnyFunSuite {
       store, nBuckets, 2L)
     CdcCatalog.register("cat_stats", store, keys, nBuckets)
     CdcCatalog.register("cat_stats_v0", store, keys, nBuckets, version = Some(0L))
+    // string min/max pushdown is OPT-IN (parquet-mr silently truncates
+    // binary footer statistics under parquet.statistics.truncate.length
+    // and marks nothing); this store is written by the engine's own
+    // non-truncating writer — the documented-safe case
+    spark.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
     try {
       def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
@@ -542,7 +559,74 @@ class CdcCatalogSpec extends AnyFunSuite {
         val off = spark.table("graft.cat_stats").agg(min(col("bal")))
         assert(scanOf(off).isInstanceOf[CdcScan], scanOf(off).description())
       } finally spark.conf.unset("graft.cdc.statsPushdown")
-    } finally { CdcCatalog.unregister("cat_stats"); CdcCatalog.unregister("cat_stats_v0") }
+      // by DEFAULT a string min/max refuses the footer path (parquet-mr
+      // truncation is silent — see the truncating-writer law below) and
+      // the whole aggregation takes the real scan, still exact
+      spark.conf.unset("graft.cdc.statsPushdown.stringMinMax")
+      val strOff = spark.table("graft.cat_stats").agg(min(col("name")), max(col("bal")))
+      assert(scanOf(strOff).isInstanceOf[CdcScan], scanOf(strOff).description())
+      assert(strOff.collect().toSeq ===
+        Cdc.readPartitionedSnapshot(spark, store)
+          .agg(min(col("name")), max(col("bal"))).collect().toSeq)
+      // ...while a string-free aggregate still pushes
+      val numOnly = spark.table("graft.cat_stats").agg(min(col("bal")), max(col("bal")))
+      assert(scanOf(numOnly).isInstanceOf[CdcStatsScan], scanOf(numOnly).description())
+      spark.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+    } finally {
+      CdcCatalog.unregister("cat_stats"); CdcCatalog.unregister("cat_stats_v0")
+      spark.conf.unset("graft.cdc.statsPushdown.stringMinMax")
+    }
+  }
+
+  test("truncating writer: footer string max names a value in NO row — the default-off " +
+      "string gate is what keeps pushed answers honest") {
+    // parquet.statistics.truncate.length makes parquet-mr store a PREFIX
+    // rounded up as the max ("nzz…" → "o") with no inexactness mark in
+    // the converted metadata; a footer-folded max would return a string
+    // that exists in no row. Build a store under a truncating writer and
+    // show (a) the default path answers exactly via the row scan, (b) the
+    // raw footer statistic really is a phantom value — the hazard is
+    // real, not hypothetical.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.statistics.truncate.length", 2)
+    val store = java.nio.file.Files.createTempDirectory("graft_cat_trunc").toString
+    try {
+      // every name is 8+ chars so ANY footer min/max in ANY file is
+      // provably a truncated phantom, never a real value
+      val seed = (1L to 40L).map(k => (k, f"customer_$k%04d", k * 1.0)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        log((1L, "customer_x1", 10.0, 100L, "U")),
+        seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    } finally hc.unset("parquet.statistics.truncate.length")
+    CdcCatalog.register("cat_trunc", store, keys, nBuckets)
+    try {
+      val realMax = Cdc.readPartitionedSnapshot(spark, store)
+        .agg(max(col("name"))).head().getString(0)
+      // (b) the truncated footer statistic is NOT a real value
+      val aFile = {
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def firstParquet(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+          val sts = fs.listStatus(p).sortBy(_.getPath.getName)
+          sts.collectFirst { case st if st.isFile && st.getPath.getName.endsWith(".parquet") => st.getPath }
+            .orElse(sts.filter(_.isDirectory).flatMap(d => firstParquet(d.getPath)).headOption)
+        }
+        firstParquet(new org.apache.hadoop.fs.Path(s"$store/parts")).get
+      }
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(aFile, hc))
+      val footerMax = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+          .find(_.getPath.toDotString == "name").get
+          .getStatistics.genericGetMax()
+          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+      } finally reader.close()
+      assert(footerMax.length <= 2, s"expected a truncated statistic, got '$footerMax'")
+      // (a) default-off: exact answer through the row scan
+      val df = spark.table("graft.cat_trunc").agg(max(col("name")).as("mx"))
+      assert(df.head().getString(0) === realMax)
+    } finally CdcCatalog.unregister("cat_trunc")
   }
 
   test("LIMIT pushdown plans only enough buckets to cover n rows; filters disqualify it") {
