@@ -190,9 +190,25 @@ object Cdc {
       v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val dir = new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) None
-    else Some(org.apache.spark.sql.types.StructType.fromDDL(
-      spark.read.text(dir.toString).head().getString(0)))
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        spark.read.text(dir.toString).head().getString(0)))
+    else {
+      // CAS commits ([[commitCas]]) embed the schema INSIDE the committed
+      // manifest dir (`_schema.ddl` — underscore-invisible to the parquet
+      // read) so ONE rename commits both; the sidecar dir is only a
+      // best-effort compatibility copy there
+      val embedded = new org.apache.hadoop.fs.Path(
+        s"${manifestPath(storePath)}/v=$v/_schema.ddl")
+      if (!fs.exists(embedded)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(embedded).getLen.toInt)
+        val in = fs.open(embedded)
+        try in.readFully(0, buf) finally in.close()
+        Some(org.apache.spark.sql.types.StructType.fromDDL(
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }
   }
 
   /** The payload schema extended with the layout's two partition columns,
@@ -331,10 +347,26 @@ object Cdc {
       storePath: String,
       nBuckets: Int,
       id: Long,
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil,
+      casCommit: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = batch.sparkSession
     import spark.implicits._
+    // OPTIMISTIC CONCURRENCY (`casCommit`, the batch-DML commit mode):
+    // the streaming path replays a checkpoint-owned id and NEEDS
+    // overwrite-on-same-id idempotence, but batch DML mints `id = latest
+    // + 1` with no lock — two concurrent writers minting the same id
+    // would interleave parts (same `_writer=id` dirs) and silently merge
+    // manifests. Under CAS each ATTEMPT writes parts under a unique
+    // writer TOKEN (so racing attempts can never clobber each other's
+    // files) and commits by ATOMIC RENAME of a token-named staging
+    // manifest dir onto `v=<id>` — first rename wins, the loser detects
+    // the occupied version, deletes its own parts and staging dirs, and
+    // throws [[ConcurrentCdcWriteException]] (retryable: re-read latest,
+    // re-mint, re-apply). The store is readable at every instant: until
+    // the rename the new version simply does not exist; after it the
+    // manifest is complete (the schema DDL rides INSIDE the renamed dir).
+    val writerId: Long = if (casCommit) mintCasToken() else id
     val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
     val priorSchema = parent.flatMap(v => storedSchema(spark, storePath, v))
       .getOrElse(seed.schema)
@@ -387,7 +419,7 @@ object Cdc {
     // (and permanently, under a crash mid-rewrite). A committed id's
     // replay rewrites identical content via dynamic overwrite anyway, so
     // the purge is only for genuinely uncommitted stale attempts.
-    if (!manifestVersions(spark, storePath).contains(id))
+    if (!casCommit && !manifestVersions(spark, storePath).contains(id))
       purgeWriterDirs(spark, storePath, id)
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
@@ -401,7 +433,7 @@ object Cdc {
     // sources/cdc/CdcScan and Spark's own parquet IN pushdown).
     upsert(prior, batch, keys, orderCols, opCol)
       .withColumn("_bucket", bucketExpr(keys, nBuckets))
-      .withColumn("_writer", lit(id))
+      .withColumn("_writer", lit(writerId))
       .sortWithinPartitions(("_bucket" +: "_writer" +: keys).map(col): _*)
       .write
       .partitionBy("_bucket", "_writer")
@@ -411,7 +443,7 @@ object Cdc {
     // which touched buckets ended NON-empty: filesystem metadata (dynamic
     // overwrite only creates dirs for non-empty combos) — no second data
     // pass, no cache. A bucket the batch fully emptied simply drops out.
-    val written = listWrittenBuckets(spark, storePath, id)
+    val written = listWrittenBuckets(spark, storePath, writerId)
     // per-bucket ROW COUNTS ride the manifest (driver-side footer reads,
     // nBuckets-bounded): touched buckets count their fresh files; carried
     // buckets keep the parent's recorded count (pre-migration manifests
@@ -420,22 +452,95 @@ object Cdc {
     // being unique, key NDV — so store-table joins cost like ANALYZEd
     // warehouse tables.
     val writtenRows: Map[Int, Long] = written.iterator.map { p =>
-      p -> dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$id")
+      p -> dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$writerId")
     }.toMap
     val carriedRows: Map[Int, (Long, Long)] = carried.map { case (p, (w, r)) =>
       p -> (w, r.getOrElse(
         dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$w")))
     }
-    val entries = (carriedRows ++ writtenRows.map { case (p, r) => p -> (id, r) })
+    val entries = (carriedRows ++ writtenRows.map { case (p, r) => p -> (writerId, r) })
       .toSeq.map { case (p, (w, r)) => (p, w, r) }.sortBy(_._1)
-    // schema sidecar FIRST, manifest commit second: a committed version
-    // always carries its schema; a crash between the two leaves an
-    // uncommitted version whose replay overwrites both
+    if (casCommit) {
+      commitCas(spark, storePath, id, writerId, entries, target)
+    } else {
+      // schema sidecar FIRST, manifest commit second: a committed version
+      // always carries its schema; a crash between the two leaves an
+      // uncommitted version whose replay overwrites both
+      Seq(target.toDDL).toDF("ddl").coalesce(1)
+        .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
+      // manifest commit point: tiny single-file write, _SUCCESS-guarded
+      entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
+        .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
+    }
+  }
+
+  /** CAS writer tokens live above 2^62 so they can never collide with a
+    * version id (versions are batch/epoch counters) — vacuum's
+    * "committed writer" test and the replay purge both key off that
+    * distinction. Random 62 low bits make concurrent attempts unique
+    * without any coordination. */
+  private def mintCasToken(): Long =
+    (1L << 62) | (java.util.UUID.randomUUID().getLeastSignificantBits & ((1L << 62) - 1))
+
+  /** Compare-and-swap manifest commit: stage the manifest parquet under a
+    * token-unique `_attempt_w=<token>` dir (underscore-prefixed —
+    * invisible to every manifest reader), embed the version's schema DDL
+    * inside it as `_schema.ddl` (so ONE atomic rename commits manifest
+    * and schema together; [[storedSchema]] reads it from the committed
+    * dir), then rename onto `v=<id>`.
+    *
+    * Rename-as-CAS needs one extra verification on local filesystems:
+    * HDFS `rename` atomically fails when the destination exists, but
+    * `RawLocalFileSystem.rename` falls back to FileUtil.copy INTO an
+    * existing destination directory (POSIX `mv` semantics — verified
+    * against the shipped Hadoop 3.4.2 bytecode), returning true while
+    * nesting the staging dir inside the winner's commit. So after the
+    * rename we verify the commit landed AS the manifest — `_SUCCESS` at
+    * the top level and no nested staging dir. On any conflict the loser
+    * deletes its nested/staging dirs and its parts, and throws
+    * [[ConcurrentCdcWriteException]]; the winner's commit is never
+    * touched (the nested dir is underscore-invisible even in the window
+    * before the loser's cleanup). */
+  private def commitCas(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      id: Long,
+      writerId: Long,
+      entries: Seq[(Int, Long, Long)],
+      target: org.apache.spark.sql.types.StructType): Unit = {
+    import spark.implicits._
+    val stagingName = s"_attempt_w=$writerId"
+    val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
+    val dst = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$id")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val ddl = new org.apache.hadoop.fs.Path(staging, "_schema.ddl")
+    val out = fs.create(ddl, true)
+    try out.write(target.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val renamed =
+      try !fs.exists(dst) && fs.rename(staging, dst)
+      catch { case _: java.io.IOException => false }
+    val landed = renamed &&
+      fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dst, stagingName))
+    if (!landed) {
+      // lost the race (or a copy-fallback nested us inside the winner):
+      // remove everything this attempt created, never the winner's files
+      val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      purgeWriterDirs(spark, storePath, writerId)
+      throw new ConcurrentCdcWriteException(
+        s"concurrent write to $storePath: version v=$id was committed by another " +
+          "writer while this batch was staging — re-read the latest version and retry")
+    }
+    // compatibility sidecar for external tooling that lists schema/ dirs;
+    // the committed manifest's _schema.ddl is authoritative (storedSchema
+    // falls back to it), so a crash here loses nothing
     Seq(target.toDDL).toDF("ddl").coalesce(1)
       .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
-    // manifest commit point: tiny single-file write, _SUCCESS-guarded
-    entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
-      .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
   }
 
   /** The partition-scoped snapshot as of `version` (default: newest
@@ -732,6 +837,15 @@ object Cdc {
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     val referenced: Set[(Int, Long)] =
       keep.flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
+    // CAS batch commits write parts under TOKEN writer ids (≥ 2^62, never
+    // a version number), so "its version committed" can't vouch for them;
+    // instead a token dir is reapable exactly when the manifests that
+    // referenced it are the ones aging out right now. (A crashed CAS
+    // loser's dirs are referenced by NO manifest and stay — same
+    // in-flight protection as uncommitted version writers.)
+    val droppedRefs: Set[(Int, Long)] =
+      vs.filterNot(keep).toSet[Long]
+        .flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
     vs.filterNot(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v"), true)
@@ -745,9 +859,12 @@ object Cdc {
       writerDir <- fs.listStatus(bucketDir.getPath) if writerDir.isDirectory &&
         writerDir.getPath.getName.startsWith("_writer=")
       w = writerDir.getPath.getName.stripPrefix("_writer=").toLong
-      // only reap data whose version COMMITTED and is now unreferenced;
-      // uncommitted writers are in-flight and owned by their replay
-      if committed.contains(w) && !referenced.contains((p, w))
+      // only reap data whose commit is PROVEN finished and now
+      // unreferenced: version writers via their committed manifest,
+      // token writers via the dropped manifests that referenced them;
+      // anything else is in-flight and owned by its replay/retry
+      if (committed.contains(w) || droppedRefs.contains((p, w))) &&
+        !referenced.contains((p, w))
     } fs.delete(writerDir.getPath, true)
   }
 
@@ -1018,3 +1135,10 @@ object Cdc {
     snapshot.select(keys.map(col): _*).join(latestD, keys, "left_semi")
   }
 }
+
+/** A CAS batch commit ([[Cdc.processPartitionedBatch]] with
+  * `casCommit = true`) lost the race for its version id: another writer
+  * committed `v=<id>` first. RETRYABLE — the loser's staging and parts
+  * dirs are already cleaned up; re-read the latest committed version,
+  * mint the next id, and re-apply the batch. */
+class ConcurrentCdcWriteException(msg: String) extends RuntimeException(msg)

@@ -376,7 +376,8 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
       .withColumn("_seq", lit(next)).withColumn("_op", lit("D"))
     Cdc.processPartitionedBatch(changelog,
       Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
-      d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+      d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next,
+      casCommit = true) // racing batch writers: one wins, loser throws retryable
     CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
   }
 
@@ -438,15 +439,17 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
                 val spark = data.sparkSession
                 val next = Cdc.manifestVersions(spark, d.storePath).max + 1
                 // keyed UPSERT: full-payload U records at recency = the
-                // new version; a failed attempt's orphan dirs are purged
-                // and overwritten by the retry (same id), the manifest
-                // commit stays the atomic point
+                // new version; parts land under a unique CAS writer
+                // token and the manifest rename is the atomic commit
+                // point, so neither a crashed attempt nor a concurrent
+                // writer can interleave into this version's files
                 import org.apache.spark.sql.functions.{col, lit}
                 Cdc.processPartitionedBatch(
                   data.withColumn("_seq", lit(next)).withColumn("_op", lit("U")),
                   Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
                   d.keys, Seq(col("_seq")), col("_op"),
-                  d.storePath, d.nBuckets, next)
+                  d.storePath, d.nBuckets, next,
+                  casCommit = true) // racing INSERTs: one wins, loser throws retryable
                 CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
               }
             }

@@ -84,11 +84,15 @@ class CdcDeltaWrite(table: CdcStoreTable, d: CdcCatalog.StoreDef, info: LogicalW
       if (files.isEmpty) return // nothing matched: no-op, no version minted
       import org.apache.spark.sql.functions.{col, lit}
       val next = Cdc.manifestVersions(spark, d.storePath).max + 1
+      // casCommit: batch DML mints `next` optimistically — a concurrent
+      // writer racing this statement makes exactly one winner; the loser
+      // throws graft.operators.ConcurrentCdcWriteException (retryable)
       Cdc.processPartitionedBatch(
         spark.read.schema(stagingSchema).parquet(files.toIndexedSeq: _*)
           .withColumn("_seq", lit(next)),
         Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
-        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next)
+        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next,
+        casCommit = true)
       CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
     } finally dropStaging(spark)
   }

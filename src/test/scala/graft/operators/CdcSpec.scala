@@ -625,4 +625,106 @@ class CdcSpec extends AnyFunSuite {
     assert(st._2 === recompute._2, "IVM count diverged from recompute")
     assert(st._3.compareTo(recompute._1) === 0, "IVM sum diverged from recompute")
   }
+
+  private def casBatch(store: String, seed: DataFrame, id: Long,
+      rows: (Long, String, Double, Long, String)*): Unit =
+    Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+      Seq(col("seq")), col("op"), store, nBuckets, id, casCommit = true)
+
+  test("CAS batch commits: two writers minting the same version — exactly one wins, " +
+      "the loser throws retryable, the store serves the winner and stays clean") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_cas").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L) // v0 = seed materialization (streaming path)
+    val base = readPart(store)
+
+    // INTERLEAVED: writer A resolves next=1 and commits; writer B also
+    // resolved next=1 (before A landed) and now tries to commit the same
+    // version — B must LOSE LOUDLY, never merge into A's commit
+    casBatch(store, seed, 1L, (5L, "A5", 55.0, 100L, "U"))
+    val afterA = readPart(store)
+    assert(afterA === base + (5L -> ("A5", 55.0)))
+    val thrown = intercept[ConcurrentCdcWriteException] {
+      casBatch(store, seed, 1L, (5L, "B5", 99.0, 101L, "U"), (7L, "B7", 77.0, 102L, "U"))
+    }
+    assert(thrown.getMessage.contains("v=1"))
+    // the loser changed NOTHING: same versions, same snapshot
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    assert(readPart(store) === afterA)
+    // ...and cleaned up after itself: no staging dir, no orphan parts
+    // beyond the committed writers'
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/manifest"))
+      .exists(_.getPath.getName.startsWith("_attempt")), "loser staging dir leaked")
+    val committedWriters = (0L to 1L).flatMap(v =>
+      Cdc.readManifestFull(spark, store, v).values.map(_._1)).toSet
+    val orphanWriters = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/parts"))
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .flatMap(b => fs.listStatus(b.getPath))
+      .map(_.getPath.getName.stripPrefix("_writer=").toLong)
+      .toSet -- committedWriters
+    assert(orphanWriters.isEmpty, s"loser parts dirs leaked: $orphanWriters")
+    // the RETRY (re-read latest, mint next) lands on top of the winner
+    casBatch(store, seed, Cdc.manifestVersions(spark, store).max + 1,
+      (5L, "B5", 99.0, 101L, "U"), (7L, "B7", 77.0, 102L, "U"))
+    assert(readPart(store) === afterA + (5L -> ("B5", 99.0)) + (7L -> ("B7", 77.0)))
+  }
+
+  test("CAS batch commits: a true concurrent race (two threads, same version) yields " +
+      "exactly one winner; the snapshot equals seed + the winner's batch") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_race").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    val base = readPart(store)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    def writer(tag: String, row: (Long, String, Double, Long, String)): Thread = {
+      val t = new Thread(() => {
+        gate.await()
+        outcomes.put(tag,
+          try { casBatch(store, seed, 1L, row); None }
+          catch { case e: Throwable => Some(e) })
+      })
+      t.start(); t
+    }
+    val a = writer("a", (3L, "racerA", 30.0, 100L, "U"))
+    val b = writer("b", (3L, "racerB", 31.0, 100L, "U"))
+    a.join(300000); b.join(300000)
+    val errs = Seq("a", "b").map(outcomes.get)
+    assert(errs.count(_.isEmpty) === 1,
+      s"expected exactly one winner, got: $errs")
+    assert(errs.flatten.forall(_.isInstanceOf[ConcurrentCdcWriteException]),
+      s"loser must throw the retryable conflict, got: ${errs.flatten}")
+    val winner = if (outcomes.get("a").isEmpty) "racerA" -> 30.0 else "racerB" -> 31.0
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    assert(readPart(store) === base + (3L -> winner))
+  }
+
+  test("CAS commits survive vacuum (token dirs reaped with their manifests) and serve " +
+      "their schema from the committed manifest when the sidecar is lost") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_cas_vac").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    casBatch(store, seed, 1L, (5L, "v1", 51.0, 100L, "U"))
+    casBatch(store, seed, 2L, (5L, "v2", 52.0, 200L, "U"))
+    casBatch(store, seed, 3L, (6L, "v3", 63.0, 300L, "U"))
+    val v1Writer = Cdc.readManifestFull(spark, store, 1L)(bucketOf(5L))._1
+    assert(v1Writer >= (1L << 62), "CAS writers must use token ids")
+    // schema resilience: drop v3's sidecar — the committed manifest's
+    // embedded _schema.ddl must keep the snapshot serving
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/schema/v=3"), true)
+    assert(readPart(store)(6L) === ("v3", 63.0))
+    // vacuum keep=2: v0/v1 manifests age out; v1's token dir for the hot
+    // bucket (superseded by v2's rewrite) must be REAPED, not leak forever
+    Cdc.vacuum(spark, store, keepVersions = 2)
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(2L, 3L))
+    val hotDir = new org.apache.hadoop.fs.Path(
+      s"$store/parts/_bucket=${bucketOf(5L)}/_writer=$v1Writer")
+    assert(!fs.exists(hotDir), "superseded CAS token dir leaked past vacuum")
+    assert(readPart(store)(5L) === ("v2", 52.0))
+    assert(readPart(store)(6L) === ("v3", 63.0))
+  }
 }
