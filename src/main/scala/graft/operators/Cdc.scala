@@ -392,7 +392,7 @@ object Cdc {
     val (prior, carried) = parent match {
       case None =>
         // first batch: materialize the full seed — every bucket is "touched"
-        (conformTo(seed, target), Map.empty[Int, (Long, Option[Long])])
+        (conformTo(seed, target), Map.empty[Int, (Long, Option[Long], Map[String, ColStatRec])])
       case Some(v) =>
         val manifest = readManifestFull(spark, storePath, v)
         // the delta's bucket set — bounded by nBuckets (config, not data)
@@ -400,7 +400,7 @@ object Cdc {
           .select(bucketExpr(keys, nBuckets).as("_bucket")).distinct()
           .as[Int].collect().toSet
         val parentDirs = touched.toSeq.sorted.flatMap(p =>
-          manifest.get(p).map { case (w, _) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" })
+          manifest.get(p).map { case (w, _, _) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" })
         val touchedSnap =
           if (parentDirs.isEmpty) conformTo(seed.limit(0), target)
           else conformTo(readBucketDirs(spark, storePath, parentDirs, v), target)
@@ -451,15 +451,43 @@ object Cdc {
     // estimateStatistics serves these to the CBO — numRows and, keys
     // being unique, key NDV — so store-table joins cost like ANALYZEd
     // warehouse tables.
-    val writtenRows: Map[Int, Long] = written.iterator.map { p =>
-      p -> dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$writerId")
-    }.toMap
-    val carriedRows: Map[Int, (Long, Long)] = carried.map { case (p, (w, r)) =>
-      p -> (w, r.getOrElse(
-        dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$w")))
+    // per-bucket ROW COUNTS and per-column STATISTICS ride the manifest:
+    // ANALYZE-on-write over exactly the buckets this commit wrote (plus a
+    // one-time backfill of carried buckets whose manifests predate stat
+    // recording), so the scan's estimateStatistics serves the CBO
+    // numRows, key NDV, and column min/max/nullCount/NDV — store-table
+    // joins and filters cost like ANALYZEd warehouse tables
+    val anyTracked = target.fields.exists(f =>
+      CboMinMaxTypes.contains(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+    val statsOn = collectStatsEnabled && anyTracked
+    def dirOf(p: Int, w: Long) = s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    val backfill: Map[Int, Long] = carried.collect {
+      case (p, (w, r, cs)) if r.isEmpty || (statsOn && cs.isEmpty) => p -> w
     }
-    val entries = (carriedRows ++ writtenRows.map { case (p, r) => p -> (writerId, r) })
-      .toSeq.map { case (p, (w, r)) => (p, w, r) }.sortBy(_._1)
+    val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
+      if (statsOn)
+        bucketStatsScan(spark, storePath,
+          (written.toSeq.sorted.map(p => dirOf(p, writerId)) ++
+            backfill.toSeq.sortBy(_._1).map { case (p, w) => dirOf(p, w) }),
+          target)
+      else
+        (written.toSeq.map(p => p -> dirOf(p, writerId)) ++ backfill.toSeq.map {
+          case (p, w) => p -> dirOf(p, w)
+        }).map { case (p, dir) =>
+          p -> (dirRowCount(spark, dir), Map.empty[String, ColStatRec])
+        }.toMap
+    val carriedStats: Map[Int, (Long, Long, Map[String, ColStatRec])] =
+      carried.map { case (p, (w, r, cs)) =>
+        val (rows, stats) = scanned.get(p) match {
+          case Some((sr, ss)) => (sr, ss)
+          case None           => (r.get, cs)
+        }
+        p -> (w, rows, stats)
+      }
+    val entries =
+      (carriedStats ++ written.map(p => p -> (writerId, scanned(p)._1, scanned(p)._2)))
+        .toSeq.map { case (p, (w, r, cs)) => (p, w, r, cs) }.sortBy(_._1)
     if (casCommit) {
       commitCas(spark, storePath, id, writerId, entries, target)
     } else {
@@ -469,7 +497,7 @@ object Cdc {
       Seq(target.toDDL).toDF("ddl").coalesce(1)
         .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
       // manifest commit point: tiny single-file write, _SUCCESS-guarded
-      entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
+      entries.toDF("_bucket", "_writer", "_rows", "_colstats").coalesce(1)
         .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
     }
   }
@@ -506,14 +534,14 @@ object Cdc {
       storePath: String,
       id: Long,
       writerId: Long,
-      entries: Seq[(Int, Long, Long)],
+      entries: Seq[(Int, Long, Long, Map[String, ColStatRec])],
       target: org.apache.spark.sql.types.StructType): Unit = {
     import spark.implicits._
     val stagingName = s"_attempt_w=$writerId"
     val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
     val dst = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$id")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    entries.toDF("_bucket", "_writer", "_rows").coalesce(1)
+    entries.toDF("_bucket", "_writer", "_rows", "_colstats").coalesce(1)
       .write.mode("overwrite").parquet(staging.toString)
     val ddl = new org.apache.hadoop.fs.Path(staging, "_schema.ddl")
     val out = fs.create(ddl, true)
@@ -1032,21 +1060,26 @@ object Cdc {
       .as[(Int, Long)].collect().toMap // nBuckets-bounded: config, not data
   }
 
-  /** Manifest with the recorded per-bucket ROW COUNT — `None` for
-    * manifests written before counts rode along (the next commit records
-    * them forward; readers treat absence as unknown, never as zero). */
+  /** Manifest with the recorded per-bucket ROW COUNT and per-column
+    * footer statistics — `None`/empty for manifests written before they
+    * rode along (the next commit records them forward; readers treat
+    * absence as unknown, never as zero). */
   private[graft] def readManifestFull(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      v: Long): Map[Int, (Long, Option[Long])] = {
+      v: Long): Map[Int, (Long, Option[Long], Map[String, ColStatRec])] = {
     import spark.implicits._
     val df = spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
-    if (df.columns.contains("_rows"))
-      df.select(col("_bucket").cast("int"), col("_writer").cast("long"),
-          col("_rows").cast("long"))
-        .as[(Int, Long, Option[Long])].collect()
-        .map { case (p, w, r) => p -> (w, r) }.toMap
-    else readManifest(spark, storePath, v).view.mapValues((_, Option.empty[Long])).toMap
+    if (df.columns.contains("_rows")) {
+      val withCs =
+        if (df.columns.contains("_colstats")) df
+        else df.withColumn("_colstats", typedLit(Map.empty[String, ColStatRec]))
+      withCs.select(col("_bucket").cast("int"), col("_writer").cast("long"),
+          col("_rows").cast("long"), col("_colstats"))
+        .as[(Int, Long, Option[Long], Option[Map[String, ColStatRec]])].collect()
+        .map { case (p, w, r, cs) => p -> (w, r, cs.getOrElse(Map.empty)) }.toMap
+    } else readManifest(spark, storePath, v).view
+      .mapValues((_, Option.empty[Long], Map.empty[String, ColStatRec])).toMap
   }
 
   /** Recorded row counts per bucket of `version` (default newest) — only
@@ -1063,7 +1096,24 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    readManifestFull(spark, storePath, v).collect { case (p, (_, Some(r))) => p -> r }
+    readManifestFull(spark, storePath, v).collect { case (p, (_, Some(r), _)) => p -> r }
+  }
+
+  /** Recorded per-column footer statistics per bucket of `version`
+    * (default newest) — empty maps for buckets whose manifests predate
+    * stat recording. The DSv2 scan folds these into V2 column statistics
+    * (min/max/nullCount) for the CBO's filter-selectivity estimates. */
+  def servingColumnStats(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): Map[Int, Map[String, ColStatRec]] = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    readManifestFull(spark, storePath, v).map { case (p, (_, _, cs)) => p -> cs }
   }
 
   /** Row count of one bucket directory from its parquet FOOTERS — driver
@@ -1082,6 +1132,90 @@ object Cdc {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
         try r.getRecordCount finally r.close()
       }.sum
+  }
+
+  /** One column's per-bucket statistics as recorded in the manifest
+    * (`_colstats` map column): exact null count, approximate distinct
+    * count (HLL), and min/max as STRINGIFIED internal values (absent
+    * when the bucket is all-NULL for the column, or the type records no
+    * range — strings). Estimates for the CBO, never served as answers. */
+  case class ColStatRec(
+      nulls: Long, ndv: Option[Long], min: Option[String], max: Option[String])
+
+  /** Types whose min/max feed the CBO (internal value stringifies and
+    * parses back trivially; ranges are what filter estimation uses).
+    * Strings record null/distinct counts only — catalyst range
+    * estimation skips them anyway. */
+  private val CboMinMaxTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, DoubleType, FloatType, DateType, BooleanType)
+  }
+
+  /** Session toggle (default on) for ANALYZE-on-write: per-bucket column
+    * statistics cost ONE aggregate read-back over the buckets just
+    * written — IO of the same order as the write itself, distributed,
+    * touched-buckets-bounded. Turn off for latency-critical fine-grained
+    * streaming epochs; the CBO then falls back to row counts alone. */
+  private def collectStatsEnabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("graft.cdc.collectStats")).toOption.forall(_.toBoolean)
+
+  /** ANALYZE-on-write: one distributed aggregate over the named bucket
+    * directories (freshly written or being backfilled), grouped by the
+    * layout's `_bucket` partition column — exact rows/nulls/min/max plus
+    * HLL distinct counts per tracked column, the stats Spark's
+    * FilterEstimation needs (it refuses to estimate a range predicate
+    * without BOTH min/max and a distinct count — verified against the
+    * shipped catalyst bytecode). Returns per-bucket row counts and
+    * column records ready for the manifest. */
+  private def bucketStatsScan(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[Int, (Long, Map[String, ColStatRec])] = {
+    import org.apache.spark.sql.types._
+    if (dirs.isEmpty) return Map.empty
+    val tracked = schema.fields.filter(f =>
+      CboMinMaxTypes.contains(f.dataType) || f.dataType == StringType)
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: tracked.toSeq.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(count(c).as(s"__nn:${f.name}"),
+        approx_count_distinct(c).as(s"__ndv:${f.name}")) ++
+        (if (CboMinMaxTypes.contains(f.dataType))
+           Seq(min(c).as(s"__min:${f.name}"), max(c).as(s"__max:${f.name}"))
+         else Nil)
+    }
+    // external (Row-level) value → stringified INTERNAL value, matching
+    // the scan-side parse (DATE = epoch days)
+    def internalString(v: Any): String = v match {
+      case d: java.sql.Date       => d.toLocalDate.toEpochDay.toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
+      case other                  => other.toString
+    }
+    spark.read.option("basePath", partsPath(storePath))
+      .schema(withPartCols(schema))
+      .parquet(dirs: _*)
+      .groupBy(col("_bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // nBuckets-bounded: one row per bucket
+      .map { r =>
+        val rows = r.getLong(r.fieldIndex("__rows"))
+        val stats = tracked.iterator.map { f =>
+          val nn = r.getLong(r.fieldIndex(s"__nn:${f.name}"))
+          val ndv = r.getLong(r.fieldIndex(s"__ndv:${f.name}"))
+          val (mn, mx) =
+            if (!CboMinMaxTypes.contains(f.dataType)) (None, None)
+            else {
+              val mi = r.fieldIndex(s"__min:${f.name}")
+              val ma = r.fieldIndex(s"__max:${f.name}")
+              (if (r.isNullAt(mi)) None else Some(internalString(r.get(mi))),
+               if (r.isNullAt(ma)) None else Some(internalString(r.get(ma))))
+            }
+          f.name -> ColStatRec(rows - nn, Some(ndv), mn, mx)
+        }.toMap
+        r.getInt(r.fieldIndex("_bucket")) -> (rows, stats)
+      }.toMap
   }
 
   /** Delete every `_bucket=*` / `_writer=<id>` directory under the store —

@@ -309,6 +309,12 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   private[cdc] val bucketRows: Map[Int, Long] =
     Cdc.servingRowCounts(SparkSession.active, d.storePath, Some(servedVersion))
 
+  /** Manifest-recorded per-column footer statistics per bucket — the
+    * scan folds these into V2 column statistics (min/max/nullCount) so
+    * the CBO can estimate filter selectivity on store columns. */
+  private[cdc] val bucketColStats: Map[Int, Map[String, Cdc.ColStatRec]] =
+    Cdc.servingColumnStats(SparkSession.active, d.storePath, Some(servedVersion))
+
   {
     val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
     require(bad.isEmpty,

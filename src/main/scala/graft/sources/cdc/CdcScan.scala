@@ -226,7 +226,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
-      table.bucketRows, dataFilters)
+      table.bucketRows, dataFilters, table.bucketColStats)
   }
 }
 
@@ -342,7 +342,8 @@ class CdcScan(
     filesByBucket: Map[Int, Array[(String, Long)]],
     staticPanels: Map[String, Seq[Any]] = Map.empty,
     rowsByBucket: Map[Int, Long] = Map.empty,
-    dataFilters: Array[Filter] = Array.empty)
+    dataFilters: Array[Filter] = Array.empty,
+    colStatsByBucket: Map[Int, Map[String, graft.operators.Cdc.ColStatRec]] = Map.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -478,15 +479,43 @@ class CdcScan(
     * bucket has one (a partial sum would misstate the table). Keys are
     * unique per row, so a single-key store also reports key NDV =
     * numRows (composite stores skip per-column NDV: a component column's
-    * own NDV is ≤ numRows and unknown). This is what lets the CBO cost
-    * and reorder joins over store tables like ANALYZEd warehouse tables. */
+    * own NDV is ≤ numRows and unknown).
+    *
+    * Per-column MIN/MAX/NULLCOUNT fold from the manifest-recorded footer
+    * statistics over the same planned-bucket set (min of mins, max of
+    * maxes, sum of nulls — reported only when every planned non-empty
+    * bucket carries the column, else the estimate would silently
+    * misstate the pruned table). This is what lets the CBO estimate
+    * FILTER SELECTIVITY on store columns — a selective range predicate
+    * shrinks the estimated rows enough to flip a join's build side,
+    * exactly like ANALYZE's column stats on warehouse tables. */
   override def estimateStatistics(): Statistics = {
     val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum
-    val known = buckets.forall(b =>
-      rowsByBucket.contains(b) || filesByBucket.getOrElse(b, Array.empty).isEmpty)
+    val nonEmpty = buckets.filter(b => filesByBucket.getOrElse(b, Array.empty).nonEmpty)
+    val known = nonEmpty.forall(rowsByBucket.contains)
     val rows =
       if (known) OptionalLong.of(buckets.iterator.map(rowsByBucket.getOrElse(_, 0L)).sum)
       else OptionalLong.empty()
+    // internal-value parse of the manifest's stringified footer min/max
+    def parse(s: String, dt: DataType): Object = dt match {
+      case LongType               => java.lang.Long.valueOf(s)
+      case IntegerType | DateType => java.lang.Integer.valueOf(s)
+      case DoubleType             => java.lang.Double.valueOf(s)
+      case FloatType              => java.lang.Float.valueOf(s)
+      case BooleanType            => java.lang.Boolean.valueOf(s)
+      case t => throw new IllegalStateException(s"unexpected CBO min/max type $t")
+    }
+    def ordered(dt: DataType): Ordering[Object] = {
+      val o: Ordering[_] = dt match {
+        case LongType               => Ordering.Long
+        case IntegerType | DateType => Ordering.Int
+        case DoubleType             => Ordering.Double.TotalOrdering
+        case FloatType              => Ordering.Float.TotalOrdering
+        case BooleanType            => Ordering.Boolean
+        case t => throw new IllegalStateException(s"unexpected CBO min/max type $t")
+      }
+      o.asInstanceOf[Ordering[Object]]
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = rows
@@ -496,13 +525,50 @@ class CdcScan(
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        if (rows.isPresent && keys.length == 1 &&
-            requiredSchema.fieldNames.contains(keys.head)) {
-          m.put(Expressions.column(keys.head),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def distinctCount(): OptionalLong = rows
-              override def nullCount(): OptionalLong = OptionalLong.of(0L)
-            })
+        val keyNdv = rows.isPresent && keys.length == 1
+        for (f <- requiredSchema.fields) {
+          val perBucket = nonEmpty.map(b =>
+            colStatsByBucket.getOrElse(b, Map.empty).get(f.name))
+          val complete = perBucket.nonEmpty && perBucket.forall(_.isDefined)
+          val recs = perBucket.flatten
+          val nulls: OptionalLong =
+            if (complete) OptionalLong.of(recs.iterator.map(_.nulls).sum)
+            else if (keyNdv && f.name == keys.head) OptionalLong.of(0L)
+            else OptionalLong.empty()
+          // min/max only when every bucket carries a range OR is all-NULL
+          // for the column (nulls == that bucket's rows would need rows
+          // per bucket; absence of min with nulls recorded means all-NULL)
+          val ranged = complete && recs.exists(_.min.isDefined) &&
+            recs.forall(r => r.min.isDefined == r.max.isDefined)
+          val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
+            if (!ranged) (java.util.Optional.empty(), java.util.Optional.empty())
+            else {
+              implicit val o: Ordering[Object] = ordered(f.dataType)
+              val mins = recs.flatMap(_.min).map(parse(_, f.dataType))
+              val maxs = recs.flatMap(_.max).map(parse(_, f.dataType))
+              (java.util.Optional.of(mins.min), java.util.Optional.of(maxs.max))
+            }
+          // key NDV = numRows (unique by contract, exact); other columns
+          // sum the per-bucket HLL estimates — an upper bound (values
+          // repeat across buckets), clamped by non-null rows when known
+          val ndv: OptionalLong =
+            if (keyNdv && f.name == keys.head) rows
+            else if (complete && recs.forall(_.ndv.isDefined)) {
+              val sum = recs.iterator.map(_.ndv.get).sum
+              val clamped =
+                if (rows.isPresent && nulls.isPresent)
+                  math.min(sum, math.max(1L, rows.getAsLong - nulls.getAsLong))
+                else sum
+              OptionalLong.of(math.max(1L, clamped))
+            } else OptionalLong.empty()
+          if (nulls.isPresent || mn.isPresent || ndv.isPresent)
+            m.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong = ndv
+                override def nullCount(): OptionalLong = nulls
+                override def min(): java.util.Optional[Object] = mn
+                override def max(): java.util.Optional[Object] = mx
+              })
         }
         m
       }

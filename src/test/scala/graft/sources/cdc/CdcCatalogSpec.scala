@@ -403,8 +403,13 @@ class CdcCatalogSpec extends AnyFunSuite {
         .collectFirst { case s: CdcScan => s.estimateStatistics() }.get
       val full = scanStats(spark.table("graft.cbo_fact"))
       assert(full.numRows().getAsLong === 2000L, s"numRows ${full.numRows()}")
-      assert(full.columnStats().size() === 1, "single-key store must report key NDV")
-      assert(full.columnStats().values().iterator().next().distinctCount().getAsLong === 2000L)
+      val kStat = {
+        import scala.jdk.CollectionConverters._
+        full.columnStats().asScala
+          .collectFirst { case (r, cs) if r.fieldNames().mkString(".") == "k" => cs }
+          .getOrElse(fail("single-key store must report key NDV"))
+      }
+      assert(kStat.distinctCount().getAsLong === 2000L)
       val pruned = scanStats(spark.table("graft.cbo_fact").filter(col("k") === 7L))
       assert(pruned.numRows().isPresent && pruned.numRows().getAsLong < 2000L,
         s"pruned scan must report the pruned row sum, got ${pruned.numRows()}")
@@ -433,6 +438,71 @@ class CdcCatalogSpec extends AnyFunSuite {
         .join(spark.table("graft.cbo_dim").as("d"), col("f.k") === col("d.k"))
         .count() === 12L)
     } finally Seq("cbo_fact", "cbo_mid", "cbo_dim").foreach(CdcCatalog.unregister)
+  }
+
+  test("per-column footer statistics reach the CBO: min/max/nullCount on the scan, and " +
+      "a selective range filter shrinks the estimate enough to flip the join build side") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def mk(tag: String, ks: Long): String = {
+      val store = java.nio.file.Files.createTempDirectory(s"graft_cs_$tag").toString
+      val seed = (1L to ks).map(k => (k, s"$tag$k", k * 1.0)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        log((1L, s"$tag upd", 1.0, 9L, "U")), seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, 0L)
+      store
+    }
+    val big = mk("big", 5000L); val med = mk("med", 800L)
+    CdcCatalog.register("cs_big", big, keys, nBuckets)
+    CdcCatalog.register("cs_med", med, keys, nBuckets)
+    try {
+      // the scan itself reports folded column statistics
+      val st = spark.table("graft.cs_big").queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case s: CdcScan => s.estimateStatistics() }.get
+      import scala.jdk.CollectionConverters._
+      val byName = st.columnStats().asScala.map { case (r, cs) =>
+        r.fieldNames().mkString(".") -> cs }.toMap
+      val bal = byName("bal")
+      assert(bal.nullCount().getAsLong === 0L)
+      assert(bal.min().get() === java.lang.Double.valueOf(1.0), s"min ${bal.min()}")
+      assert(bal.max().get() === java.lang.Double.valueOf(5000.0), s"max ${bal.max()}")
+      assert(byName("name").nullCount().getAsLong === 0L)
+      assert(byName("k").distinctCount().getAsLong === 5000L)
+      // CBO: the same stats drive filter-selectivity estimation — an
+      // unselective filter keeps the 800-row store as the broadcast
+      // side; a tight range on bal (≈10 of 5000 rows) makes the filtered
+      // big side the cheaper build, flipping it (exactly what ANALYZEd
+      // column stats buy warehouse tables)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        def buildsOn(pred: org.apache.spark.sql.Column): String = {
+          val j = spark.table("graft.cs_big").filter(pred).as("b")
+            .join(spark.table("graft.cs_med").as("m"), col("b.k") === col("m.k"))
+            .select(col("b.bal"), col("m.bal"))
+          val bhj = j.queryExecution.sparkPlan
+            .collectFirst { case b: BroadcastHashJoinExec => b }
+            .getOrElse(fail(s"expected a broadcast join:\n${j.queryExecution.sparkPlan}"))
+          val build = bhj.buildSide match {
+            case BuildLeft => bhj.left
+            case BuildRight => bhj.right
+          }
+          // judge by the build side's own SCAN node — the plain subtree
+          // STRING would also match the other table via the runtime-DPP
+          // subquery text riding the probe side's RuntimeFilters
+          val desc = build
+            .collectFirst { case b: BatchScanExec => b.scan.description() }
+            .getOrElse(fail(s"no scan under the build side:\n$build"))
+          if (desc.contains("cs_big")) "big"
+          else if (desc.contains("cs_med")) "med"
+          else fail(s"unrecognized build side scan: $desc")
+        }
+        assert(buildsOn(col("bal") > 0.0) === "med",
+          "unselective filter must keep the smaller store as the build side")
+        assert(buildsOn(col("bal") > 4990.0) === "big",
+          "selective filter estimate did not flip the build side")
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    } finally { CdcCatalog.unregister("cs_big"); CdcCatalog.unregister("cs_med") }
   }
 
   test("COUNT(*) is metadata-only: answered from manifest row counts with zero file IO; " +
