@@ -34,10 +34,15 @@ object CdcMetrics {
     override def name(): String = "filesOpened"
     override def description(): String = "store files actually opened by readers"
   }
+  class StatsFallbackFiles extends CustomSumMetric {
+    override def name(): String = "statsFallbackFiles"
+    override def description(): String =
+      "files whose footer lacked statistics and were row-decoded instead"
+  }
 
   def scanMetrics: Array[CustomMetric] = Array(
     new PlannedBuckets, new StaticPrunedBuckets, new RuntimePrunedBuckets,
-    new PlannedFiles, new FilesOpened)
+    new PlannedFiles, new FilesOpened, new StatsFallbackFiles)
 
   case class Value(metricName: String, value: Long) extends CustomTaskMetric {
     override def name(): String = metricName

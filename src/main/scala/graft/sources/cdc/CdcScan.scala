@@ -186,7 +186,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
         // counts-only over complete manifest counts: zero file IO
         val metadataOnly = aggs.forall {
           case CdcStatsScan.FCountStar => true
-          case CdcStatsScan.FCount(_, nonNull) => nonNull
+          case CdcStatsScan.FCount(_, nonNull, _) => nonNull
           case _ => false
         } && table.bucketDirs.keySet.forall(table.bucketRows.contains)
         if (metadataOnly)

@@ -23,13 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.parquet.aggregatePushdown`, speaking the store's own
   * layout.
   *
-  * Correct-or-loud: a column chunk with missing/dropped statistics
-  * (e.g. binary min/max over the writer's 4 KB stats cap) THROWS rather
-  * than under-reporting — the caller can always fall back by disabling
-  * the pushdown ([[CdcStatsScan.Enabled]]). All-NULL chunks are fine
-  * (min/max skip them; null counts are exact). Store files carry only
-  * LIVE rows (merge rewrites buckets, `op=D` rows never land), so
-  * footer statistics ARE snapshot statistics. */
+  * Correct-or-decode: a FILE whose footer can't vouch for an aggregate
+  * (writer disabled column statistics, binary min/max over the 4 KB
+  * size cap, unset null counts) is answered by row-decoding THAT ONE
+  * FILE's needed columns ([[CdcStatsReader.decodeFile]]) — exact
+  * answers either way, footer-only cost everywhere the footers
+  * cooperate, and no 3-hour job dying at hour two over one exotic file
+  * (the `statsFallbackFiles` task metric counts the degradations).
+  * All-NULL chunks are fine (min/max skip them; null counts are exact).
+  * Store files carry only LIVE rows (merge rewrites buckets, `op=D`
+  * rows never land), so footer statistics ARE snapshot statistics. */
 object CdcStatsScan {
   /** Session toggle (driver-side, default on) — the escape hatch for
     * exotic writers whose footers lack statistics. */
@@ -42,8 +45,9 @@ object CdcStatsScan {
   private[cdc] case class FMin(col: String, dt: DataType) extends FooterAgg
   private[cdc] case class FMax(col: String, dt: DataType) extends FooterAgg
   /** `nonNull` = merge-key column (non-null by the store's contract):
-    * counts rows directly, no null statistics needed. */
-  private[cdc] case class FCount(col: String, nonNull: Boolean) extends FooterAgg
+    * counts rows directly, no null statistics needed. `dt` is the
+    * column's type — only the per-file row-decode FALLBACK needs it. */
+  private[cdc] case class FCount(col: String, nonNull: Boolean, dt: DataType) extends FooterAgg
   private[cdc] case object FCountStar extends FooterAgg
 
   /** Types whose parquet row-group statistics order matches Spark's:
@@ -86,7 +90,7 @@ object CdcStatsScan {
       val base = a match {
         case FMin(c, _)   => s"min($c)"
         case FMax(c, _)   => s"max($c)"
-        case FCount(c, _) => s"count($c)"
+        case FCount(c, _, _) => s"count($c)"
         case FCountStar   => "count(*)"
       }
       val n = seen.getOrElse(base, 0)
@@ -130,7 +134,8 @@ object CdcStatsScan {
     val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(FCountStar)
       case c: Count if !c.isDistinct =>
-        fieldOf(c.column).map(col => FCount(col, nonNull = nonNullCols.contains(col)))
+        fieldOf(c.column).map(col =>
+          FCount(col, nonNull = nonNullCols.contains(col), schema(col).dataType))
       case m: Min => minMaxCol(m.column).map { case (c, dt) => FMin(c, dt) }
       case m: Max => minMaxCol(m.column).map { case (c, dt) => FMax(c, dt) }
       case _ => None
@@ -165,6 +170,11 @@ class CdcStatsScan(
     if (parts.isEmpty) Array(CdcStatsPartition(Array.empty)) else parts
   }
 
+  // declare the readers' metrics (Spark silently drops undeclared names)
+  // so footer-vs-fallback behavior is observable in the UI
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] = CdcMetrics.scanMetrics
+
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcStatsReaderFactory(aggs)
 }
@@ -177,13 +187,24 @@ class CdcStatsReaderFactory(aggs: Seq[CdcStatsScan.FooterAgg])
     new CdcStatsReader(p.asInstanceOf[CdcStatsPartition].files, aggs)
 }
 
-/** Folds one bucket's file footers into a single partial-aggregate row. */
+/** Folds one bucket's file footers into a single partial-aggregate row.
+  *
+  * GRACEFUL DEGRADATION: a file whose footer cannot vouch for an
+  * aggregate (writer disabled column statistics, binary min/max over
+  * the 4 KB size cap, null counts unset) is answered by DECODING THAT
+  * ONE FILE's needed columns through the vectorized reader instead of
+  * failing the job — the other 99.9% of a large store keeps the
+  * footer-only cost, and a 3-hour job never dies at hour two over one
+  * exotic file. Exactness is preserved: the fallback reads rows, it
+  * never guesses. (The `graft.cdc.statsPushdown=false` session toggle
+  * remains the plan-level escape hatch.) */
 class CdcStatsReader(files: Array[String], aggs: Seq[CdcStatsScan.FooterAgg])
     extends PartitionReader[InternalRow] {
   import CdcStatsScan._
 
   private var served = false
   private var row: InternalRow = _
+  private var decodedFiles = 0L
 
   override def next(): Boolean = {
     if (served) return false
@@ -194,6 +215,14 @@ class CdcStatsReader(files: Array[String], aggs: Seq[CdcStatsScan.FooterAgg])
   override def get(): InternalRow = row
   override def close(): Unit = ()
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcMetrics.Value("filesOpened", files.length.toLong),
+      CdcMetrics.Value("statsFallbackFiles", decodedFiles))
+
+  /** Signals "this FILE's footer can't answer" — caught per file to
+    * trigger the row-decode fallback, never escaping the reader. */
+  private class MissingStatsException(msg: String) extends RuntimeException(msg)
+
   private def fold(): InternalRow = {
     val conf = new Configuration()
     // running partials, positionally aligned with `aggs`
@@ -201,72 +230,165 @@ class CdcStatsReader(files: Array[String], aggs: Seq[CdcStatsScan.FooterAgg])
     val maxs = new Array[Any](aggs.length)
     val counts = new Array[Long](aggs.length)
     for (f <- files) {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-      try {
-        import scala.jdk.CollectionConverters._
-        for (block <- reader.getFooter.getBlocks.asScala) {
-          val rows = block.getRowCount
-          def chunk(col: String) = block.getColumns.asScala
-            .find(_.getPath.toDotString == col)
-            .getOrElse(throw new IllegalStateException(
-              // a pre-evolution file lacking the column serves NULL for
-              // every row: contributes nothing to min/max/count(col)
-              s"column $col absent from $f"))
-          def stats(col: String) = {
-            val st = chunk(col).getStatistics
-            if (st == null || st.isEmpty) throw new IllegalStateException(
-              s"no parquet statistics for $col in $f — footer-stats aggregate " +
-                "pushdown needs them; set graft.cdc.statsPushdown=false to fall " +
-                "back to the row scan")
-            st
-          }
-          def hasColumn(col: String) =
-            block.getColumns.asScala.exists(_.getPath.toDotString == col)
-          aggs.zipWithIndex.foreach {
-            case (FCountStar, i) => counts(i) += rows
-            case (FCount(c, nonNull), i) =>
-              if (nonNull) counts(i) += rows
-              else if (hasColumn(c)) {
-                val st = stats(c)
-                if (!st.isNumNullsSet) throw new IllegalStateException(
-                  s"null count not recorded for $c in $f — footer-stats aggregate " +
-                    "pushdown needs it; set graft.cdc.statsPushdown=false")
-                counts(i) += rows - st.getNumNulls
-              } // absent column (pre-evolution file): all NULL, adds 0
-            case (FMin(c, dt), i) if hasColumn(c) =>
-              val st = stats(c)
-              if (st.hasNonNullValue) {
-                val v = internal(st.genericGetMin(), dt)
-                if (mins(i) == null || lt(v, mins(i), dt)) mins(i) = v
-              } else requireAllNull(st, rows, c, f)
-            case (FMax(c, dt), i) if hasColumn(c) =>
-              val st = stats(c)
-              if (st.hasNonNullValue) {
-                val v = internal(st.genericGetMax(), dt)
-                if (maxs(i) == null || lt(maxs(i), v, dt)) maxs(i) = v
-              } else requireAllNull(st, rows, c, f)
-            case _ => () // min/max over a column this file predates: all NULL
-          }
+      // per-FILE partials: a fallback discards the file's partial footer
+      // fold cleanly and recomputes the whole file from rows
+      val fm = new Array[Any](aggs.length)
+      val fx = new Array[Any](aggs.length)
+      val fc = new Array[Long](aggs.length)
+      try foldFooter(f, conf, fm, fx, fc)
+      catch {
+        case _: MissingStatsException =>
+          java.util.Arrays.fill(fm.asInstanceOf[Array[Object]], null)
+          java.util.Arrays.fill(fx.asInstanceOf[Array[Object]], null)
+          java.util.Arrays.fill(fc, 0L)
+          decodeFile(f, conf, fm, fx, fc)
+          decodedFiles += 1
+      }
+      aggs.zipWithIndex.foreach { case (a, i) =>
+        a match {
+          case FMin(_, dt) if fm(i) != null =>
+            if (mins(i) == null || lt(fm(i), mins(i), dt)) mins(i) = fm(i)
+          case FMax(_, dt) if fx(i) != null =>
+            if (maxs(i) == null || lt(maxs(i), fx(i), dt)) maxs(i) = fx(i)
+          case _ => ()
         }
-      } finally reader.close()
+        counts(i) += fc(i)
+      }
     }
     InternalRow.fromSeq(aggs.zipWithIndex.map {
       case (FMin(_, _), i)   => mins(i)
       case (FMax(_, _), i)   => maxs(i)
-      case (FCount(_, _), i) => counts(i)
+      case (FCount(_, _, _), i) => counts(i)
       case (FCountStar, i)   => counts(i)
     })
   }
 
+  /** Footer-statistics fold of ONE file into the per-file partials;
+    * throws [[MissingStatsException]] the moment any needed statistic is
+    * absent (the caller falls back to decoding the file). */
+  private def foldFooter(
+      f: String, conf: Configuration,
+      mins: Array[Any], maxs: Array[Any], counts: Array[Long]): Unit = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      for (block <- reader.getFooter.getBlocks.asScala) {
+        val rows = block.getRowCount
+        def chunk(col: String) = block.getColumns.asScala
+          .find(_.getPath.toDotString == col)
+          .getOrElse(throw new MissingStatsException(s"column $col absent from $f"))
+        def stats(col: String) = {
+          val st = chunk(col).getStatistics
+          if (st == null || st.isEmpty)
+            throw new MissingStatsException(s"no parquet statistics for $col in $f")
+          st
+        }
+        def hasColumn(col: String) =
+          block.getColumns.asScala.exists(_.getPath.toDotString == col)
+        aggs.zipWithIndex.foreach {
+          case (FCountStar, i) => counts(i) += rows
+          case (FCount(c, nonNull, _), i) =>
+            if (nonNull) counts(i) += rows
+            else if (hasColumn(c)) {
+              val st = stats(c)
+              if (!st.isNumNullsSet)
+                throw new MissingStatsException(s"null count not recorded for $c in $f")
+              counts(i) += rows - st.getNumNulls
+            } // absent column (pre-evolution file): all NULL, adds 0
+          case (FMin(c, dt), i) if hasColumn(c) =>
+            val st = stats(c)
+            if (st.hasNonNullValue) {
+              val v = internal(st.genericGetMin(), dt)
+              if (mins(i) == null || lt(v, mins(i), dt)) mins(i) = v
+            } else requireAllNull(st, rows, c, f)
+          case (FMax(c, dt), i) if hasColumn(c) =>
+            val st = stats(c)
+            if (st.hasNonNullValue) {
+              val v = internal(st.genericGetMax(), dt)
+              if (maxs(i) == null || lt(maxs(i), v, dt)) maxs(i) = v
+            } else requireAllNull(st, rows, c, f)
+          case _ => () // min/max over a column this file predates: all NULL
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Row-decode fallback for ONE file: vectorized decode of exactly the
+    * columns the aggregates need, folding min/max/non-null counts from
+    * values — same exact answers, file-local cost. */
+  private def decodeFile(
+      f: String, conf: Configuration,
+      mins: Array[Any], maxs: Array[Any], counts: Array[Long]): Unit = {
+    // COUNT(*) / COUNT(non-null key) come from the footer's row count —
+    // that metadata exists in every parquet file regardless of statistics
+    val fileRows = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try r.getRecordCount finally r.close()
+    }
+    val needed: Seq[(String, DataType)] = aggs.collect {
+      case FCount(c, false, dt) => c -> dt
+      case FMin(c, dt)          => c -> dt
+      case FMax(c, dt)          => c -> dt
+    }.distinct
+    val schema = StructType(needed.map { case (c, dt) => StructField(c, dt, nullable = true) })
+    val idx: Map[String, Int] = needed.map(_._1).zipWithIndex.toMap
+    if (needed.nonEmpty) {
+      val rdr = new CdcColumnarReader(Array(f), schema)
+      try {
+        while (rdr.next()) {
+          val batch = rdr.get()
+          var r = 0
+          while (r < batch.numRows()) {
+            aggs.zipWithIndex.foreach {
+              case (FCount(c, false, _), i) =>
+                if (!batch.column(idx(c)).isNullAt(r)) counts(i) += 1
+              case (FMin(c, dt), i) =>
+                val col = batch.column(idx(c))
+                if (!col.isNullAt(r)) {
+                  val v = vectorValue(col, r, dt)
+                  if (mins(i) == null || lt(v, mins(i), dt)) mins(i) = v
+                }
+              case (FMax(c, dt), i) =>
+                val col = batch.column(idx(c))
+                if (!col.isNullAt(r)) {
+                  val v = vectorValue(col, r, dt)
+                  if (maxs(i) == null || lt(maxs(i), v, dt)) maxs(i) = v
+                }
+              case _ => ()
+            }
+            r += 1
+          }
+        }
+      } finally rdr.close()
+    }
+    aggs.zipWithIndex.foreach {
+      case (FCountStar, i)           => counts(i) += fileRows
+      case (FCount(_, true, _), i)   => counts(i) += fileRows
+      case _                         => ()
+    }
+  }
+
+  private def vectorValue(
+      col: org.apache.spark.sql.vectorized.ColumnVector, r: Int, dt: DataType): Any =
+    dt match {
+      case LongType               => col.getLong(r)
+      case IntegerType | DateType => col.getInt(r)
+      case DoubleType             => col.getDouble(r)
+      case FloatType              => col.getFloat(r)
+      case BooleanType            => col.getBoolean(r)
+      case StringType             => col.getUTF8String(r).copy()
+      case t => throw new IllegalStateException(s"unsupported fallback type $t")
+    }
+
   /** min/max unset is only sound when the chunk is provably all-NULL;
-    * anything else means the writer dropped the statistics. */
+    * anything else means the writer dropped the statistics — decode the
+    * file instead. */
   private def requireAllNull(
       st: org.apache.parquet.column.statistics.Statistics[_],
       rows: Long, col: String, file: String): Unit =
     if (!(st.isNumNullsSet && st.getNumNulls == rows))
-      throw new IllegalStateException(
-        s"min/max statistics missing for $col in $file (not an all-NULL chunk) — " +
-          "set graft.cdc.statsPushdown=false to fall back to the row scan")
+      throw new MissingStatsException(
+        s"min/max statistics missing for $col in $file (not an all-NULL chunk)")
 
   /** Parquet statistics value → Catalyst internal value. */
   private def internal(v: Any, dt: DataType): Any = dt match {

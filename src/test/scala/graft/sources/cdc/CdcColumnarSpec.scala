@@ -206,4 +206,58 @@ class CdcColumnarSpec extends AnyFunSuite {
     try assert(spark.table("graft.col_cnt").count() === 123L)
     finally CdcCatalog.unregister("col_cnt")
   }
+
+  test("stats-stripped files degrade gracefully: pushed aggregates stay on the footer-stats " +
+      "plan and answer exactly by row-decoding only the uncooperative files — no toggle") {
+    // a store whose writer DISABLED column statistics entirely: every
+    // footer has row counts but no per-chunk min/max/null counts — the
+    // shape the old correct-or-loud guard turned into an execute-time
+    // failure; now each such file row-decodes exactly once
+    val hc = spark.sparkContext.hadoopConfiguration
+    val store = java.nio.file.Files.createTempDirectory("graft_nostats").toString
+    hc.setBoolean("parquet.column.statistics.enabled", false)
+    // the ANALYZE-on-write read-back doesn't depend on footer stats, but
+    // keep this commit minimal-shaped anyway
+    try {
+      val seed = (1L to 60L).map(k =>
+        (k, if (k % 7 == 0) null else s"name$k", k * 1.5)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        Seq((1L, "upd1", 11.0, 100L, "U")).toDF("k", "name", "bal", "seq", "op"),
+        seed, Seq("k"), Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    } finally hc.unset("parquet.column.statistics.enabled")
+    // prove the fixture: a data column chunk really carries no statistics
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstParquet(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+      val sts = fs.listStatus(p).sortBy(_.getPath.getName)
+      sts.collectFirst { case st if st.isFile && st.getPath.getName.endsWith(".parquet") => st.getPath }
+        .getOrElse(firstParquet(sts.filter(_.isDirectory).head.getPath))
+    }
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        firstParquet(new org.apache.hadoop.fs.Path(s"$store/parts")), hc))
+    val stripped = try {
+      import scala.jdk.CollectionConverters._
+      val st = rdr.getFooter.getBlocks.asScala.head.getColumns.asScala
+        .find(_.getPath.toDotString == "bal").get.getStatistics
+      st == null || st.isEmpty
+    } finally rdr.close()
+    assert(stripped, "fixture must produce statistics-free chunks")
+    CdcCatalog.register("col_nostats", store, Seq("k"), nBuckets)
+    try {
+      def scanOf(df: DataFrame) = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case b: BatchScanExec => b.scan }
+      }.flatten.head
+      val aggCols = Seq(min(col("bal")).as("lo"), max(col("bal")).as("hi"),
+        count(col("name")).as("names"), count(lit(1)).as("n"))
+      val pushed = spark.table("graft.col_nostats").agg(aggCols.head, aggCols.tail: _*)
+      assert(scanOf(pushed).isInstanceOf[CdcStatsScan], scanOf(pushed).description())
+      val expected = Cdc.readPartitionedSnapshot(spark, store)
+        .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
+      assert(pushed.collect().toSeq === expected,
+        "row-decode fallback must answer exactly what the row scan would")
+    } finally CdcCatalog.unregister("col_nostats")
+  }
 }
