@@ -113,9 +113,54 @@ object Bench {
     }
     System.err.println(f"[bench] calibration probe: $calibSec%.3f s (median of 3)")
 
+    // `--prev <file>` (or SPARK_GRAFT_BENCH_PREV, or the existing
+    // outFile from the last run — the repo-committed bench_out.json is
+    // last round's snapshot, so driver runs self-prime): the outlier
+    // re-timing baseline. Remaining args select queries as before.
+    val prevIdx = args.indexOf("--prev")
+    val prevPath: Option[String] =
+      (if (prevIdx >= 0 && prevIdx + 1 < args.length) Some(args(prevIdx + 1))
+       else sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(Some(outFile)))
+        .filter(p => Files.exists(Paths.get(p)))
+    val qArgs = args.zipWithIndex
+      .filterNot { case (_, i) => i == prevIdx || i == prevIdx + 1 }
+      .map(_._1)
+    val (prevQueries, prevCalib): (Map[String, Double], Option[Double]) =
+      prevPath.map { p =>
+        try {
+          import org.json4s._
+          val j = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(p)).linesIterator.next())
+          val qs = j \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (n, JDouble(d)) => n -> d
+              case (n, JInt(i))    => n -> i.toDouble
+              case (n, JDecimal(d)) => n -> d.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          val c = j \ "calib_sec" match {
+            case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble); case _ => None
+          }
+          // a snapshot from a DIFFERENT scale factor is not a baseline:
+          // 4x of an sf0.01 time would retime every sf0.1 query
+          val sameSf = j \ "sf" match {
+            case JString(s) => s == sfDir
+            case _          => false
+          }
+          if (sameSf) (qs, c) else {
+            System.err.println(s"[bench] prev snapshot $p is a different sf — ignoring")
+            (Map.empty[String, Double], None)
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ignoring unparsable prev snapshot $p: $e")
+          (Map.empty[String, Double], None)
+        }
+      }.getOrElse((Map.empty[String, Double], None))
+
     val selected =
-      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }.toSeq.sortBy(_._1)
+      if (qArgs.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter { case (n, _) => qArgs.contains(n) }.toSeq.sortBy(_._1)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
@@ -159,10 +204,39 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // OUTLIER RE-TIMING (VERDICT r15 next-4): r15's driver run carried a
+    // 12x phantom on one query (transient host spike inside a load_warn
+    // run) that cost a manual same-host A/B to adjudicate. Any query
+    // whose time exceeds ~4x its previous-snapshot value — host-speed
+    // normalized through the calib ratio — re-runs ONCE after the full
+    // pass (when the spike's contention has usually passed) and reports
+    // the MIN: a true regression reproduces, a spike evaporates. The
+    // first/second pair is published under "retimed" so the adjudication
+    // is in the file, not in forensics.
+    val calibScale = prevCalib.filter(_ > 0).map(pc =>
+      math.max(0.5, math.min(3.0, calibSec / pc))).getOrElse(1.0)
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val finalResults = results.map { case (name, sec) =>
+      val prevSec = prevQueries.getOrElse(name, -1.0)
+      if (sec >= 0.5 && prevSec > 0 && sec > 4.0 * prevSec * calibScale) {
+        val fn = SparkEntry.queries(name)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        val second = runOnce(name, fn)
+        val best = if (second >= 0) math.min(sec, second) else sec
+        retimed(name) = (sec, second)
+        System.err.println(
+          f"[bench] RETIMED $name%-24s $sec%8.2f s -> $second%8.2f s " +
+            f"(prev ${prevSec}%.2f, calib-scale $calibScale%.2f)")
+        name -> best
+      } else name -> sec
+    }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"queries":$qs,"sf":"$sfDir"}"""
+    val retimedJson = retimed.map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
+      .mkString("{", ",", "}")
+    val total = math.rint(finalResults.map(_._2).filter(_ >= 0).sum * 10000) / 10000
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     Console.out.flush()
