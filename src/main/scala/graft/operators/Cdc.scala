@@ -1099,6 +1099,36 @@ object Cdc {
     readManifestFull(spark, storePath, v).collect { case (p, (_, Some(r), _)) => p -> r }
   }
 
+  /** `DESCRIBE HISTORY`-shape audit surface over the store's own
+    * metadata (the Delta/Iceberg history table every lake exposes): one
+    * row per committed version with its commit wall-clock (the manifest
+    * `_SUCCESS` marker's mtime — the atomic commit point itself), bucket
+    * census, how many buckets the version actually REWROTE (vs carried
+    * by reference from its parent — the per-commit write amplification,
+    * read straight off the manifest diff), and the recorded row count.
+    * Pure driver-side metadata: nVersions × nBuckets manifest rows, no
+    * data file is opened. `rows` is null for versions whose manifests
+    * predate count recording. */
+  def describeHistory(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    import spark.implicits._
+    val vs = manifestVersions(spark, storePath).sorted
+    val times = versionCommitTimes(spark, storePath).toMap
+    val manifests = vs.map(v => v -> readManifestFull(spark, storePath, v)).toMap
+    vs.zipWithIndex.map { case (v, i) =>
+      val m = manifests(v)
+      val parent: Map[Int, (Long, Option[Long], Map[String, ColStatRec])] =
+        if (i == 0) Map.empty else manifests(vs(i - 1))
+      val touched = m.count { case (p, (w, _, _)) =>
+        !parent.get(p).exists(_._1 == w) }
+      val rows: Option[Long] =
+        if (m.nonEmpty && m.values.forall(_._2.isDefined)) Some(m.valuesIterator.map(_._2.get).sum)
+        else if (m.isEmpty) Some(0L)
+        else None
+      (v, times(v), m.size, touched, rows)
+    }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
+  }
+
   /** Recorded per-column footer statistics per bucket of `version`
     * (default newest) — empty maps for buckets whose manifests predate
     * stat recording. The DSv2 scan folds these into V2 column statistics

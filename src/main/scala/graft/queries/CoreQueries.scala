@@ -2108,6 +2108,28 @@ object CoreQueries {
         count(lit(1)).as("cnt_all"))
     }),
 
+    // C38h (DESCRIBE HISTORY): the store's version audit line — the
+    // operational surface every lake exposes (Delta DESCRIBE HISTORY /
+    // Iceberg snapshots table) — served from PURE MANIFEST METADATA
+    // (operators/Cdc.describeHistory): no data file is opened. The
+    // oracle replays each version's MERGE semantics over the base
+    // tables, so the manifest-recorded row counts must equal the true
+    // per-version cardinality — the metadata line is AUDITED, not
+    // trusted. Commit wall-clock and bucket census are real but host-
+    // dependent (mtime) / hash-layout-dependent (xxhash64 buckets, not
+    // expressible in portable SQL), so the registered projection keeps
+    // the deterministic columns; the full shape is law-tested in CdcSpec.
+    "c38_cdc_history" -> ((s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val store = cdcStoreFor(s, sf)
+      Cdc.describeHistory(s, store)
+        .withColumn("n_rows", col("rows"))
+        .withColumn("rows_delta",
+          col("n_rows") - lag(col("n_rows"), 1).over(Window.orderBy("version")))
+        .select(col("version"), col("n_rows"), col("rows_delta"))
+        .orderBy("version")
+    }),
+
     // C39 (SQL function catalog): the engine's scalar functions served as
     // V2 CATALOG FUNCTIONS (functions/SqlFunctions.scala via the graft
     // FunctionCatalog) — pure-SQL users call graft.cosine / graft.l2dist /
@@ -3484,6 +3506,37 @@ object CoreQueries {
                 min(c_name) AS min_name, max(c_name) AS max_name,
                 count(c_mktsegment) AS cnt_seg, count(*) AS cnt_all
          FROM merged""",
+    // history metadata ≡ replayed MERGE cardinality: the manifest's
+    // recorded per-version row counts must equal the true surviving-key
+    // counts of each version's last-writer-wins apply
+    "c38_cdc_history" ->
+      """WITH chg AS (
+           SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders),
+         l0 AS (SELECT k, op FROM (
+             SELECT k, op, row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+             FROM chg WHERE ts < DATE '1995-06-01') WHERE rn = 1),
+         l1 AS (SELECT k, op FROM (
+             SELECT k, op, row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+             FROM chg WHERE ts >= DATE '1995-06-01') WHERE rn = 1),
+         s0 AS (SELECT c.c_custkey AS k,
+                       CASE WHEN l0.op IS NULL OR l0.op = 'U' THEN 1 ELSE 0 END AS present
+                FROM customer c LEFT JOIN l0 ON l0.k = c.c_custkey),
+         s1 AS (SELECT s0.k,
+                       CASE WHEN l1.op IS NOT NULL
+                            THEN CASE WHEN l1.op = 'U' THEN 1 ELSE 0 END
+                            ELSE s0.present END AS present
+                FROM s0 LEFT JOIN l1 ON l1.k = s0.k),
+         hist AS (
+           SELECT CAST(0 AS BIGINT) AS version,
+                  (SELECT CAST(sum(present) AS BIGINT) FROM s0) AS n_rows
+           UNION ALL
+           SELECT CAST(1 AS BIGINT),
+                  (SELECT CAST(sum(present) AS BIGINT) FROM s1))
+         SELECT version, n_rows,
+                n_rows - lag(n_rows) OVER (ORDER BY version) AS rows_delta
+         FROM hist ORDER BY version""",
     // catalog functions ≡ first-principles arithmetic: cosine/l2 via
     // sequential dot products (same accumulation order as the engine's
     // loops), morton3 via the expression's own emitted bit interleave

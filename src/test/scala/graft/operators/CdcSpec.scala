@@ -701,6 +701,31 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === base + (3L -> winner))
   }
 
+  test("describeHistory: one audit row per committed version — rows equal the served " +
+      "snapshot, touched buckets equal the manifest diff, commit times are monotonic") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_hist").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)                                   // v0: full seed
+    runBatch(store, seed, 1L, (5L, "one", 55.0, 100L, "U"))     // v1: ONE key
+    runBatch(store, seed, 2L,                                    // v2: delete two
+      (7L, "", 0.0, 200L, "D"), (9L, "", 0.0, 201L, "D"))
+    val h = Cdc.describeHistory(spark, store)
+      .as[(Long, Long, Int, Int, Option[Long])].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    // rows audit: the metadata line equals the truly served cardinality
+    h.foreach { case (v, _, _, _, rows) =>
+      assert(rows.contains(
+        Cdc.readPartitionedSnapshot(spark, store, Some(v)).count()), s"rows of v=$v")
+    }
+    // write amplification: v0 touched everything it wrote; v1 exactly the
+    // one bucket its single key hashes to; v2 the delete keys' buckets
+    assert(h(0)._4 === h(0)._3, "v0 must touch every non-empty bucket")
+    assert(h(1)._4 === 1, s"v1 touched ${h(1)._4} buckets, expected 1")
+    assert(h(2)._4 === Set(bucketOf(7L), bucketOf(9L)).size)
+    // commit wall-clock: the marker mtimes are non-decreasing in version
+    assert(h.map(_._2).toSeq === h.map(_._2).toSeq.sorted, "commit times not monotonic")
+  }
+
   test("CAS commits survive vacuum (token dirs reaped with their manifests) and serve " +
       "their schema from the committed manifest when the sidecar is lost") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_cas_vac").toString
