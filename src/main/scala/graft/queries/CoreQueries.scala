@@ -1985,6 +1985,26 @@ object CoreQueries {
         .orderBy("c_custkey", "commit_version", "change_type")
     }),
 
+    // C38f3 (compacted-feed monitoring aggregates): the SAME footer-
+    // statistics pushdown as c38_cdc_feed_stats, but the feed's retained
+    // history lives in ONE compacted segment — the stats scan's units
+    // model must fold the segment's footers exactly as it folds
+    // fine-grained v= dirs (compaction stays invisible to the monitoring
+    // query, which still costs zero page decode).
+    "c38_cdc_feed_stats_compact" -> ((s, sf) => {
+      val tbl = compactFeedTableFor(s, sf)
+      // engine-written, non-truncating writer: safe string min/max opt-in
+      // (see c38_cdc_feed_stats note)
+      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+      s.table(tbl).agg(
+        count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(col("c_name")).as("n_name"),
+        min(col("_change_type")).as("min_ct"),
+        max(col("_change_type")).as("max_ct"))
+    }),
+
     // C38g: the whole MERGE expressed as SQL `MERGE INTO` through the
     // catalog's row-level operation path (sources/cdc/CdcRowLevel.scala —
     // the delta-based SupportsDelta contract): seed the store from
@@ -2176,6 +2196,114 @@ object CoreQueries {
         ORDER BY months.m
       """))
   )
+
+
+  /** Shared oracle derivation for the COMPACTED-feed fixture: the
+    * 3-version store's full CDF rows (versions 1 and 2) recomputed
+    * from first principles, ending in a `cdf` CTE — reused by the
+    * row-level (c38_cdc_feed_compact) and aggregate
+    * (c38_cdc_feed_stats_compact) oracles so the two can never
+    * drift. */
+  private val compactCdfOracleCte: String =
+    """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         l0 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1994-06-01')
+           WHERE rn = 1
+         ),
+         s0 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l0 WHERE op <> 'D'
+         ),
+         l1 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1996-06-01')
+           WHERE rn = 1
+         ),
+         s1 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l1 WHERE op <> 'D'
+         ),
+         l2 AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log)
+           WHERE rn = 1
+         ),
+         s2 AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.c_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM l2 WHERE op <> 'D'
+         ),
+         diff01 AS (
+           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
+                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
+                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
+           FROM s0 b FULL JOIN s1 a ON a.c_custkey = b.c_custkey
+           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+              OR b.c_name IS DISTINCT FROM a.c_name
+              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ),
+         diff12 AS (
+           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
+                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
+                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
+           FROM s1 b FULL JOIN s2 a ON a.c_custkey = b.c_custkey
+           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+              OR b.c_name IS DISTINCT FROM a.c_name
+              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
+              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+         ),
+         cdf AS (
+         SELECT k1 AS c_custkey, an AS c_name, ank AS c_nationkey,
+                ab AS c_acctbal, am AS c_mktsegment,
+                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff01 WHERE k1 IS NOT NULL
+         UNION ALL
+         SELECT k0, bn, bnk, bb, bm,
+                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM diff01 WHERE k0 IS NOT NULL
+         UNION ALL
+         SELECT k1, an, ank, ab, am,
+                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM diff12 WHERE k1 IS NOT NULL
+         UNION ALL
+         SELECT k0, bn, bnk, bb, bm,
+                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
+                CAST(2 AS BIGINT) AS commit_version
+         FROM diff12 WHERE k0 IS NOT NULL
+         )"""
 
   val sql: Map[String, String] = Map(
     "c01_filter_predicates" ->
@@ -3196,104 +3324,17 @@ object CoreQueries {
                 count(c_name) AS n_name, min(change_type) AS min_ct, max(change_type) AS max_ct
          FROM cdf""",
     "c38_cdc_feed_compact" ->
-      """WITH log AS (
-           SELECT o_custkey AS c_custkey,
-                  'upd#' || o_orderkey AS c_name,
-                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
-                  o_totalprice AS c_acctbal,
-                  o_orderpriority AS c_mktsegment,
-                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
-                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
-           FROM orders
-         ),
-         l0 AS (
-           SELECT * FROM (
-             SELECT *, row_number()
-               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
-             FROM log WHERE chg_ts < DATE '1994-06-01')
-           WHERE rn = 1
-         ),
-         s0 AS (
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM customer c
-           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.c_custkey = c.c_custkey)
-           UNION ALL
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM l0 WHERE op <> 'D'
-         ),
-         l1 AS (
-           SELECT * FROM (
-             SELECT *, row_number()
-               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
-             FROM log WHERE chg_ts < DATE '1996-06-01')
-           WHERE rn = 1
-         ),
-         s1 AS (
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM customer c
-           WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
-           UNION ALL
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM l1 WHERE op <> 'D'
-         ),
-         l2 AS (
-           SELECT * FROM (
-             SELECT *, row_number()
-               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
-             FROM log)
-           WHERE rn = 1
-         ),
-         s2 AS (
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM customer c
-           WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.c_custkey = c.c_custkey)
-           UNION ALL
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM l2 WHERE op <> 'D'
-         ),
-         diff01 AS (
-           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
-                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
-                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
-           FROM s0 b FULL JOIN s1 a ON a.c_custkey = b.c_custkey
-           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
-              OR b.c_name IS DISTINCT FROM a.c_name
-              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
-              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
-              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
-         ),
-         diff12 AS (
-           SELECT b.c_custkey AS k0, a.c_custkey AS k1,
-                  b.c_name AS bn, b.c_nationkey AS bnk, b.c_acctbal AS bb, b.c_mktsegment AS bm,
-                  a.c_name AS an, a.c_nationkey AS ank, a.c_acctbal AS ab, a.c_mktsegment AS am
-           FROM s1 b FULL JOIN s2 a ON a.c_custkey = b.c_custkey
-           WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
-              OR b.c_name IS DISTINCT FROM a.c_name
-              OR b.c_nationkey IS DISTINCT FROM a.c_nationkey
-              OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
-              OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
-         )
-         SELECT k1 AS c_custkey, an AS c_name, ank AS c_nationkey,
-                ab AS c_acctbal, am AS c_mktsegment,
-                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
-                CAST(1 AS BIGINT) AS commit_version
-         FROM diff01 WHERE k1 IS NOT NULL
-         UNION ALL
-         SELECT k0, bn, bnk, bb, bm,
-                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
-                CAST(1 AS BIGINT) AS commit_version
-         FROM diff01 WHERE k0 IS NOT NULL
-         UNION ALL
-         SELECT k1, an, ank, ab, am,
-                CASE WHEN k0 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change_type,
-                CAST(2 AS BIGINT) AS commit_version
-         FROM diff12 WHERE k1 IS NOT NULL
-         UNION ALL
-         SELECT k0, bn, bnk, bb, bm,
-                CASE WHEN k1 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change_type,
-                CAST(2 AS BIGINT) AS commit_version
-         FROM diff12 WHERE k0 IS NOT NULL
-         ORDER BY c_custkey, commit_version, change_type""",
+      s"""$compactCdfOracleCte
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                change_type, commit_version
+         FROM cdf ORDER BY c_custkey, commit_version, change_type""",
+    // compact-feed monitoring aggregates ≡ the same aggregates over
+    // the recomputed two-version CDF
+    "c38_cdc_feed_stats_compact" ->
+      s"""$compactCdfOracleCte
+         SELECT count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                count(c_name) AS n_name, min(change_type) AS min_ct, max(change_type) AS max_ct
+         FROM cdf""",
     "c38_cdc_lookup" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

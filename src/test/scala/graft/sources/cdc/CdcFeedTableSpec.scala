@@ -438,6 +438,19 @@ class CdcFeedTableSpec extends AnyFunSuite {
           s"count over an empty feed must be 0, got $row")
         assert(row.isNullAt(1), "min over an empty feed is NULL")
       } finally CdcCatalog.unregister("feed_stats_empty")
+      // COMPACTED feed: folding a segment's footers must equal folding
+      // the fine-grained dirs it replaced — compaction stays invisible
+      // to the monitoring aggregates, still zero page decode. (The
+      // segment materializes _commit_timestamp/_commit_version as DATA,
+      // but those stay excluded from pushdown either way.)
+      val expectedAgg = spark.table("graft.feed_stats")
+        .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
+      Cdc.compactFeed(spark, feed, segmentSize = 2, keepRecentSingles = 0)
+      assert(Cdc.feedSegments(spark, feed).nonEmpty, "fixture failed to compact")
+      val compactDf = spark.table("graft.feed_stats").agg(aggCols.head, aggCols.tail: _*)
+      assert(scanOf(compactDf).isInstanceOf[CdcStatsScan], scanOf(compactDf).description())
+      assert(compactDf.collect().toSeq === expectedAgg,
+        "segment footer fold diverged from the fine-grained fold")
     } finally CdcCatalog.unregister("feed_stats")
   }
 
