@@ -187,12 +187,78 @@ object Cdc {
   private[operators] def storedSchema(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    storedMeta(spark, storePath, v).map(_.schema)
+
+  /** A version's full schema metadata: the LOGICAL payload schema the
+    * version serves, the COLUMN MAPPING from logical names to the
+    * physical names stored in parquet files (entries only for columns
+    * whose names diverged — renames; lookups go through
+    * [[StoreMeta.phys]]), and the RETIRED physical names of dropped
+    * columns (a re-added logical column of the same name must mint a
+    * FRESH physical name, or dropped data would resurrect out of carried
+    * files). Physical names are immutable for a column's whole life —
+    * that is what makes RENAME and DROP metadata-only commits: no data
+    * file is rewritten, ever. */
+  private[graft] case class StoreMeta(
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
+    def phys(logical: String): String = mapping.getOrElse(logical, logical)
+    /** The schema as the parquet files spell it (same positions/types). */
+    def physicalSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(name = phys(f.name))))
+    def isIdentity: Boolean = mapping.isEmpty && retired.isEmpty
+    /** Every physical name ever used — the pool fresh names must avoid. */
+    def usedPhysical: Set[String] =
+      schema.fieldNames.map(phys).toSet ++ retired
+  }
+
+  /** Sidecar line format: plain DDL for identity-mapped stores (the
+    * common case and the pre-mapping on-disk format, unchanged), or a
+    * JSON object `{"ddl": ..., "mapping": {...}, "retired": [...]}` once
+    * a rename/drop exists. */
+  private[operators] def metaLine(m: StoreMeta): String =
+    if (m.isIdentity) m.schema.toDDL
+    else {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(
+        ("ddl" -> m.schema.toDDL) ~
+          ("mapping" -> m.mapping) ~
+          ("retired" -> m.retired)))
+    }
+
+  private[operators] def parseMetaLine(line: String): StoreMeta =
+    if (!line.trim.startsWith("{"))
+      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(line))
+    else {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(line)
+      val ddl = (j \ "ddl") match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(s"bad schema sidecar: $other")
+      }
+      val mapping = (j \ "mapping") match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      val retired = (j \ "retired") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired)
+    }
+
+  private[graft] def storedMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      v: Long): Option[StoreMeta] = {
     val dir = new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-      Some(org.apache.spark.sql.types.StructType.fromDDL(
-        spark.read.text(dir.toString).head().getString(0)))
+      Some(parseMetaLine(spark.read.text(dir.toString).head().getString(0)))
     else {
       // CAS commits ([[commitCas]]) embed the schema INSIDE the committed
       // manifest dir (`_schema.ddl` — underscore-invisible to the parquet
@@ -205,8 +271,7 @@ object Cdc {
         val buf = new Array[Byte](fs.getFileStatus(embedded).getLen.toInt)
         val in = fs.open(embedded)
         try in.readFully(0, buf) finally in.close()
-        Some(org.apache.spark.sql.types.StructType.fromDDL(
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
+        Some(parseMetaLine(new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
       }
     }
   }
@@ -223,18 +288,24 @@ object Cdc {
 
   /** Read bucket directories of version `v` under that version's recorded
     * schema when one exists (nulls for columns predating the files), or
-    * file-derived schema for pre-evolution stores. Returns payload columns
-    * only (`_bucket`/`_writer` dropped). */
+    * file-derived schema for pre-evolution stores. Files are read under
+    * their PHYSICAL column names and served under the version's LOGICAL
+    * names (column mapping — renames never rewrote them). Returns payload
+    * columns only (`_bucket`/`_writer` dropped). */
   private def readBucketDirs(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       dirs: Seq[String],
       v: Long): DataFrame = {
     val base = spark.read.option("basePath", partsPath(storePath))
-    storedSchema(spark, storePath, v)
-      .fold(base)(st => base.schema(withPartCols(st)))
-      .parquet(dirs: _*)
-      .drop("_bucket", "_writer")
+    storedMeta(spark, storePath, v) match {
+      case None =>
+        base.parquet(dirs: _*).drop("_bucket", "_writer")
+      case Some(m) =>
+        base.schema(withPartCols(m.physicalSchema))
+          .parquet(dirs: _*)
+          .select(m.schema.fields.map(f => col(m.phys(f.name)).as(f.name)).toIndexedSeq: _*)
+    }
   }
 
   /** Widen `df` to `target`: existing columns pass through, columns the
@@ -368,8 +439,8 @@ object Cdc {
     // manifest is complete (the schema DDL rides INSIDE the renamed dir).
     val writerId: Long = if (casCommit) mintCasToken() else id
     val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
-    val priorSchema = parent.flatMap(v => storedSchema(spark, storePath, v))
-      .getOrElse(seed.schema)
+    val parentMeta: Option[StoreMeta] = parent.flatMap(v => storedMeta(spark, storePath, v))
+    val priorSchema = parentMeta.map(_.schema).getOrElse(seed.schema)
     val target: org.apache.spark.sql.types.StructType =
       if (payloadCols.isEmpty) priorSchema
       else {
@@ -378,7 +449,8 @@ object Cdc {
           s"payloadCols must contain every merge key (${keys.mkString(",")})")
         val dropped = priorSchema.fieldNames.filterNot(payloadCols.contains)
         require(dropped.isEmpty,
-          s"schema evolution is additive-only: payloadCols drops stored columns ${dropped.mkString(",")}")
+          s"schema evolution is additive-only: payloadCols drops stored columns ${dropped.mkString(",")}" +
+            " (use dropColumn/renameColumn for metadata-only schema changes)")
         val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
         val absent = payloadCols.filterNot(batchTypes.contains)
         require(absent.isEmpty, s"payload columns absent from batch: ${absent.mkString(",")}")
@@ -389,6 +461,26 @@ object Cdc {
           .filterNot(priorSchema.fieldNames.contains)
           .map(c => StructField(c, batchTypes(c), nullable = true)))
       }
+    // COLUMN MAPPING: columns added this batch mint their physical name —
+    // the logical name itself unless that physical name was EVER used
+    // before (a dropped column's retired physical, or a renamed column's
+    // original): then a suffixed fresh name, so carried files' old data
+    // can never resurrect under a re-added logical name
+    val targetMeta: StoreMeta = {
+      val base = parentMeta.getOrElse(StoreMeta(priorSchema))
+      var used = base.usedPhysical
+      val newMap = target.fieldNames.filterNot(priorSchema.fieldNames.contains)
+        .flatMap { c =>
+          if (!used.contains(c)) { used += c; None }
+          else {
+            var i = 1
+            while (used.contains(s"${c}_$i")) i += 1
+            used += s"${c}_$i"
+            Some(c -> s"${c}_$i")
+          }
+        }.toMap
+      StoreMeta(target, base.mapping ++ newMap, base.retired)
+    }
     val (prior, carried) = parent match {
       case None =>
         // first batch: materialize the full seed — every bucket is "touched"
@@ -431,10 +523,19 @@ object Cdc {
     // is what lets point reads skip row groups inside a bucket — the
     // sub-bucket half of the lookup story (parquet stats pushdown in
     // sources/cdc/CdcScan and Spark's own parquet IN pushdown).
-    upsert(prior, batch, keys, orderCols, opCol)
+    val merged = upsert(prior, batch, keys, orderCols, opCol)
       .withColumn("_bucket", bucketExpr(keys, nBuckets))
       .withColumn("_writer", lit(writerId))
       .sortWithinPartitions(("_bucket" +: "_writer" +: keys).map(col): _*)
+    // files spell PHYSICAL names (≠ logical only after a rename); the
+    // projection keeps _bucket/_writer untouched, so the writer's
+    // required ordering — and the per-file key sort — survive it
+    val toWrite =
+      if (target.fieldNames.forall(n => targetMeta.phys(n) == n)) merged
+      else merged.select((target.fields.map(f =>
+        col(f.name).as(targetMeta.phys(f.name))) :+ col("_bucket") :+ col("_writer"))
+        .toIndexedSeq: _*)
+    toWrite
       .write
       .partitionBy("_bucket", "_writer")
       .option("partitionOverwriteMode", "dynamic")
@@ -467,10 +568,12 @@ object Cdc {
     }
     val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
       if (statsOn)
+        // stats are recorded under PHYSICAL names: stable across renames,
+        // so carried colstats stay valid forever; the scan translates
         bucketStatsScan(spark, storePath,
           (written.toSeq.sorted.map(p => dirOf(p, writerId)) ++
             backfill.toSeq.sortBy(_._1).map { case (p, w) => dirOf(p, w) }),
-          target)
+          targetMeta.physicalSchema)
       else
         (written.toSeq.map(p => p -> dirOf(p, writerId)) ++ backfill.toSeq.map {
           case (p, w) => p -> dirOf(p, w)
@@ -489,17 +592,104 @@ object Cdc {
       (carriedStats ++ written.map(p => p -> (writerId, scanned(p)._1, scanned(p)._2)))
         .toSeq.map { case (p, (w, r, cs)) => (p, w, r, cs) }.sortBy(_._1)
     if (casCommit) {
-      commitCas(spark, storePath, id, writerId, entries, target)
+      commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta))
     } else {
       // schema sidecar FIRST, manifest commit second: a committed version
       // always carries its schema; a crash between the two leaves an
       // uncommitted version whose replay overwrites both
-      Seq(target.toDDL).toDF("ddl").coalesce(1)
+      Seq(metaLine(targetMeta)).toDF("ddl").coalesce(1)
         .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
       // manifest commit point: tiny single-file write, _SUCCESS-guarded
       entries.toDF("_bucket", "_writer", "_rows", "_colstats").coalesce(1)
         .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
     }
+  }
+
+  /** METADATA-ONLY schema commits (the column-mapping half of Delta
+    * parity): RENAME and DROP mint a new store version whose manifest
+    * carries every bucket BY REFERENCE from the parent — no data file is
+    * opened, read, or rewritten; the only change is the version's schema
+    * metadata. Both commit through the same CAS rename as batch DML, so
+    * they are safe against concurrent writers (loser throws retryable).
+    *
+    *  - RENAME keeps the column's PHYSICAL name (what the files spell)
+    *    and changes only the logical name every reader serves — old
+    *    files decode under the new name with zero rewrite.
+    *  - DROP removes the logical column and RETIRES its physical name;
+    *    re-adding the same logical name later mints a fresh physical, so
+    *    the dropped data never resurrects out of carried files.
+    *
+    * CDF caveat (same restriction Delta imposes): feed versions
+    * materialized BEFORE a mapping change carry the old column names —
+    * change feeds do not span rename/drop boundaries; bootstrap new
+    * consumers from the snapshot instead. Merge keys may be renamed, but
+    * every maintenance caller and catalog registration must switch to
+    * the new name with the commit (the layout hash is over VALUES, so
+    * bucketing is unaffected). */
+  def renameColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      from: String,
+      to: String): Long = {
+    val (parentV, meta) = latestMeta(spark, storePath)
+    require(meta.schema.fieldNames.contains(from), s"no column $from in ${meta.schema.toDDL}")
+    require(!meta.schema.fieldNames.contains(to),
+      s"column $to already exists — renames cannot merge columns")
+    val renamed = org.apache.spark.sql.types.StructType(
+      meta.schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val phys = meta.phys(from)
+    commitMetadataOnly(spark, storePath, parentV,
+      StoreMeta(renamed, meta.mapping - from ++ (if (phys == to) Nil else Seq(to -> phys)),
+        meta.retired))
+  }
+
+  /** See [[renameColumn]]. Refuses to drop a column the caller declares
+    * as a merge key — identity is the one thing a keyed store cannot
+    * lose. */
+  def dropColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      name: String,
+      keys: Seq[String] = Nil): Long = {
+    require(!keys.contains(name), s"cannot drop merge key $name")
+    val (parentV, meta) = latestMeta(spark, storePath)
+    require(meta.schema.fieldNames.contains(name), s"no column $name in ${meta.schema.toDDL}")
+    require(meta.schema.length > 1, "cannot drop the last column")
+    commitMetadataOnly(spark, storePath, parentV,
+      StoreMeta(
+        org.apache.spark.sql.types.StructType(meta.schema.fields.filterNot(_.name == name)),
+        meta.mapping - name,
+        meta.retired :+ meta.phys(name)))
+  }
+
+  private def latestMeta(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): (Long, StoreMeta) = {
+    val vs = manifestVersions(spark, storePath)
+    require(vs.nonEmpty, s"no committed snapshot under $storePath")
+    val v = vs.max
+    val meta = storedMeta(spark, storePath, v).getOrElse(
+      StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema))
+    (v, meta)
+  }
+
+  /** Commit a new version identical to `parentV` except for its schema
+    * metadata: parent manifest entries carried verbatim (rows and
+    * colstats included — colstats are keyed by PHYSICAL name, which
+    * renames never change), CAS rename as the atomic point. */
+  private def commitMetadataOnly(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      parentV: Long,
+      newMeta: StoreMeta): Long = {
+    val id = parentV + 1
+    val entries = readManifestFull(spark, storePath, parentV).toSeq
+      .map { case (p, (w, r, cs)) =>
+        (p, w,
+          r.getOrElse(dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$w")),
+          cs)
+      }.sortBy(_._1)
+    commitCas(spark, storePath, id, mintCasToken(), entries, metaLine(newMeta))
+    id
   }
 
   /** CAS writer tokens live above 2^62 so they can never collide with a
@@ -535,7 +725,7 @@ object Cdc {
       id: Long,
       writerId: Long,
       entries: Seq[(Int, Long, Long, Map[String, ColStatRec])],
-      target: org.apache.spark.sql.types.StructType): Unit = {
+      metaLn: String): Unit = {
     import spark.implicits._
     val stagingName = s"_attempt_w=$writerId"
     val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
@@ -545,7 +735,7 @@ object Cdc {
       .write.mode("overwrite").parquet(staging.toString)
     val ddl = new org.apache.hadoop.fs.Path(staging, "_schema.ddl")
     val out = fs.create(ddl, true)
-    try out.write(target.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(metaLn.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val renamed =
       try !fs.exists(dst) && fs.rename(staging, dst)
@@ -567,7 +757,7 @@ object Cdc {
     // compatibility sidecar for external tooling that lists schema/ dirs;
     // the committed manifest's _schema.ddl is authoritative (storedSchema
     // falls back to it), so a crash here loses nothing
-    Seq(target.toDDL).toDF("ddl").coalesce(1)
+    Seq(metaLn).toDF("ddl").coalesce(1)
       .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
   }
 
@@ -1127,6 +1317,24 @@ object Cdc {
         else None
       (v, times(v), m.size, touched, rows)
     }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
+  }
+
+  /** The serving version's column-mapping metadata for external readers
+    * (the DSv2 scan): logical schema plus the logical→physical name map
+    * files are spelled in. Identity for stores that never renamed or
+    * dropped. */
+  def servingMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): StoreMeta = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    storedMeta(spark, storePath, v).getOrElse(
+      StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema))
   }
 
   /** Recorded per-column footer statistics per bucket of `version`

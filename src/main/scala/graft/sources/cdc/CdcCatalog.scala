@@ -315,6 +315,13 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   private[cdc] val bucketColStats: Map[Int, Map[String, Cdc.ColStatRec]] =
     Cdc.servingColumnStats(SparkSession.active, d.storePath, Some(servedVersion))
 
+  /** Logical→physical column names (diverging entries only): what the
+    * parquet files spell after renames. The scan translates its file
+    * reads, key-panel filters, pushed aggregates, and colstat lookups
+    * through this; everything Catalyst sees stays logical. */
+  private[cdc] val physMap: Map[String, String] =
+    Cdc.servingMeta(SparkSession.active, d.storePath, Some(servedVersion)).mapping
+
   {
     val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
     require(bad.isEmpty,

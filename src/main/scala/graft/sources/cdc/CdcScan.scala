@@ -192,11 +192,20 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
         if (metadataOnly)
           return new CdcCountScan(table.name(),
             table.bucketDirs.keySet.iterator.map(table.bucketRows).sum, aggs)
-        // otherwise: fold footer statistics, one partition per bucket
+        // otherwise: fold footer statistics, one partition per bucket —
+        // against the files' PHYSICAL column names (schemaFor's output
+        // names are cosmetic; Spark matches pushed aggregates by position)
+        val phys = (c: String) => table.physMap.getOrElse(c, c)
+        val physAggs = aggs.map {
+          case CdcStatsScan.FMin(c, dt)       => CdcStatsScan.FMin(phys(c), dt)
+          case CdcStatsScan.FMax(c, dt)       => CdcStatsScan.FMax(phys(c), dt)
+          case CdcStatsScan.FCount(c, nn, dt) => CdcStatsScan.FCount(phys(c), nn, dt)
+          case CdcStatsScan.FCountStar        => CdcStatsScan.FCountStar
+        }
         val statFiles: Map[Int, Array[String]] = table.bucketDirs.map { case (b, dir) =>
           b -> CdcFeedScan.dirFiles(dir).toArray
         }
-        return new CdcStatsScan(table.name(), aggs, statFiles)
+        return new CdcStatsScan(table.name(), physAggs, statFiles)
       case None => ()
     }
     // a pushed LIMIT plans only enough non-empty buckets to cover n rows
@@ -226,7 +235,7 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
-      table.bucketRows, dataFilters, table.bucketColStats)
+      table.bucketRows, dataFilters, table.bucketColStats, table.physMap)
   }
 }
 
@@ -343,7 +352,8 @@ class CdcScan(
     staticPanels: Map[String, Seq[Any]] = Map.empty,
     rowsByBucket: Map[Int, Long] = Map.empty,
     dataFilters: Array[Filter] = Array.empty,
-    colStatsByBucket: Map[Int, Map[String, graft.operators.Cdc.ColStatRec]] = Map.empty)
+    colStatsByBucket: Map[Int, Map[String, graft.operators.Cdc.ColStatRec]] = Map.empty,
+    physMap: Map[String, String] = Map.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -445,7 +455,9 @@ class CdcScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val panels = readerPanels
+    // readers touch FILES: key-panel filters are spelled in the files'
+    // PHYSICAL names (renames never rewrote them)
+    val panels = readerPanels.map { case (k, vs) => physMap.getOrElse(k, k) -> vs }
     buckets
       .filter(b => runtimeBuckets.forall(_.contains(b)))
       .map { b =>
@@ -527,8 +539,10 @@ class CdcScan(
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         val keyNdv = rows.isPresent && keys.length == 1
         for (f <- requiredSchema.fields) {
+          // manifest colstats are keyed by PHYSICAL name (stable across
+          // renames, so carried stats survive them)
           val perBucket = nonEmpty.map(b =>
-            colStatsByBucket.getOrElse(b, Map.empty).get(f.name))
+            colStatsByBucket.getOrElse(b, Map.empty).get(physMap.getOrElse(f.name, f.name)))
           val complete = perBucket.nonEmpty && perBucket.forall(_.isDefined)
           val recs = perBucket.flatten
           val nulls: OptionalLong =
@@ -575,8 +589,15 @@ class CdcScan(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(requiredSchema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the reader decodes files by NAME: hand it the physical spelling of
+    // every payload column, SAME positions — Spark consumes the batch
+    // positionally against readSchema(), so the logical names stay the
+    // plan's and the physical names stay the files'
+    val fileSchema = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    new CdcReaderFactory(fileSchema)
+  }
 }
 
 case class CdcBucketPartition(

@@ -701,6 +701,83 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === base + (3L -> winner))
   }
 
+  test("column mapping RENAME: metadata-only commit — zero files rewritten, old files " +
+      "decode under the new name, time travel serves each version's own names, and " +
+      "maintenance continues through the rename") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_ren").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    runBatch(store, seed, 1L, (5L, "v1", 55.0, 100L, "U"))
+    val before = fileState(s"$store/parts")
+    val preSnap = readPart(store)
+
+    val v2 = Cdc.renameColumn(spark, store, "name", "full_name")
+    assert(v2 === 2L)
+    // METADATA-ONLY: not one parts file changed
+    assert(fileState(s"$store/parts") === before, "rename rewrote data files")
+    // the snapshot serves the SAME values under the NEW name
+    val post = Cdc.readPartitionedSnapshot(spark, store)
+    assert(post.columns.toSeq === Seq("k", "full_name", "bal"))
+    assert(post.as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap === preSnap)
+    // time travel: v1 still serves its own (old) column names
+    assert(Cdc.readPartitionedSnapshot(spark, store, Some(1L)).columns.toSeq ===
+      Seq("k", "name", "bal"))
+    // maintenance continues under the new logical name: carried buckets
+    // (old physical spelling) and the new batch merge correctly
+    Cdc.processPartitionedBatch(
+      Seq((7L, "renamed7", 77.0, 300L, "U")).toDF("k", "full_name", "bal", "seq", "op"),
+      seed.toDF("k", "full_name", "bal"), keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 3L)
+    val after = Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after === preSnap + (7L -> ("renamed7", 77.0)))
+    // change feed across the versions AFTER the rename speaks the new name
+    val chg = Cdc.changesBetween(spark, store, 2L, 3L, keys)
+    assert(chg.columns.contains("full_name"))
+    assert(chg.count() === 1L)
+    // point lookup through the mapping
+    val hit = Cdc.lookupKeys(spark, store, keys, Seq(Tuple1(7L)).toDF("k"), nBuckets)
+    assert(hit.select("full_name").as[String].collect().toSeq === Seq("renamed7"))
+  }
+
+  test("column mapping DROP: the column disappears without a rewrite, and a re-added " +
+      "column of the same name NEVER resurrects the dropped data") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_drop").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    val before = fileState(s"$store/parts")
+    val v1 = Cdc.dropColumn(spark, store, "bal", keys)
+    assert(v1 === 1L)
+    assert(fileState(s"$store/parts") === before, "drop rewrote data files")
+    val dropped = Cdc.readPartitionedSnapshot(spark, store)
+    assert(dropped.columns.toSeq === Seq("k", "name"), "dropped column still visible")
+    // re-add `bal` (same logical name) via additive evolution, touching
+    // ONE bucket — the fresh physical name means carried buckets serve
+    // NULL, never the old values
+    Cdc.processPartitionedBatch(
+      Seq((5L, "withbal", 999.0, 100L, "U")).toDF("k", "name", "bal", "seq", "op"),
+      seed.select("k", "name").withColumn("bal", lit(null).cast("double")),
+      keys, Seq(col("seq")), col("op"), store, nBuckets, 2L,
+      payloadCols = Seq("k", "name", "bal"))
+    val re = Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, String, Option[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(re(5L) === ("withbal", Some(999.0)))
+    val resurrected = re.filter { case (k, (_, b)) => k != 5L && b.isDefined }
+    assert(resurrected.isEmpty, s"dropped data resurrected: $resurrected")
+    // ...even for rows in the bucket the re-add batch rewrote
+    (1L to 40L).filter(k => k != 5L && bucketOf(k) == bucketOf(5L)).foreach { k =>
+      assert(re(k)._2.isEmpty, s"key $k in the rewritten bucket resurrected bal")
+    }
+    // the old physical data is still IN the old files (no rewrite), just
+    // unreachable: the fresh physical name proves the isolation
+    val meta = Cdc.storedMeta(spark, store, 2L).get
+    assert(meta.phys("bal") !== "bal", "re-added column must mint a fresh physical name")
+    assert(meta.retired.contains("bal"))
+    // refusals: merge keys and the last column stay
+    intercept[IllegalArgumentException](Cdc.dropColumn(spark, store, "k", keys))
+  }
+
   test("describeHistory: one audit row per committed version — rows equal the served " +
       "snapshot, touched buckets equal the manifest diff, commit times are monotonic") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_hist").toString

@@ -648,6 +648,57 @@ class CdcCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("column mapping through the catalog: a renamed store serves logical names over " +
+      "unrewritten physical files — scan, key-panel pruning, pushed aggregates, and " +
+      "CBO colstats all translate") {
+    val store = buildStore("map", seed40("m"))
+    // rename BOTH a payload column and the merge key — files keep the
+    // old physical spelling, every catalog surface speaks the new names
+    Cdc.renameColumn(spark, store, "name", "title")
+    Cdc.renameColumn(spark, store, "k", "id")
+    CdcCatalog.register("cat_map", store, Seq("id"), nBuckets)
+    spark.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+    try {
+      def scanOf(df: DataFrame) = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case b: BatchScanExec => b.scan }
+      }.flatten.head
+      val served = spark.table("graft.cat_map")
+      assert(served.columns.toSeq === Seq("id", "title", "bal"))
+      assert(served.select("id", "title", "bal").as[(Long, String, Double)].collect().toSet ===
+        Cdc.readPartitionedSnapshot(spark, store)
+          .as[(Long, String, Double)].collect().toSet)
+      // point read through the RENAMED key: panel still prunes buckets
+      // and the reader's parquet filter speaks the physical name
+      val point = spark.table("graft.cat_map").filter(col("id") === 5L)
+      val pointScan = scanOf(point).asInstanceOf[CdcScan]
+      assert(pointScan.description().contains("buckets=1/"), pointScan.description())
+      assert(point.select("title").as[String].collect().nonEmpty)
+      // pushed footer aggregates fold under the physical spelling
+      val agg = spark.table("graft.cat_map")
+        .agg(min(col("bal")).as("lo"), max(col("title")).as("hi"), count(col("title")).as("n"))
+      assert(scanOf(agg).isInstanceOf[CdcStatsScan], scanOf(agg).description())
+      assert(agg.collect().toSeq ===
+        Cdc.readPartitionedSnapshot(spark, store)
+          .agg(min(col("bal")), max(col("title")), count(col("title")))
+          .collect().toSeq)
+      // CBO colstats survive the rename (recorded under physical names)
+      val st = scanOf(spark.table("graft.cat_map")) match {
+        case s: CdcScan => s.estimateStatistics()
+      }
+      import scala.jdk.CollectionConverters._
+      val byName = st.columnStats().asScala.map { case (r, cs) =>
+        r.fieldNames().mkString(".") -> cs }.toMap
+      assert(byName.contains("bal") && byName("bal").min().isPresent,
+        s"colstats lost through rename: ${byName.keySet}")
+      assert(byName("id").distinctCount().isPresent, "key NDV lost through rename")
+    } finally {
+      CdcCatalog.unregister("cat_map")
+      spark.conf.unset("graft.cdc.statsPushdown.stringMinMax")
+    }
+  }
+
   test("truncating writer: footer string max names a value in NO row — the default-off " +
       "string gate is what keeps pushed answers honest") {
     // parquet.statistics.truncate.length makes parquet-mr store a PREFIX
