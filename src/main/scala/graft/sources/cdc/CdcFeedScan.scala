@@ -45,6 +45,18 @@ class CdcFeedTable(tableName: String, d: CdcCatalog.FeedDef) extends Table with 
     // additive evolution means the STORE's newest recorded schema is the
     // superset every feed version's files clip into
     val (_, payload, _) = Cdc.servingLayout(SparkSession.active, d.storePath)
+    // COLUMN MAPPING boundary (the Delta CDF restriction, enforced
+    // loudly): feed versions materialized before a rename/drop carry the
+    // OLD column names — clipping them into the post-mapping schema
+    // would silently serve NULL for every renamed column. Refuse instead;
+    // bootstrap new consumers from the snapshot (initialSnapshot) and
+    // re-materialize the feed from the mapping change onward.
+    val meta = Cdc.servingMeta(SparkSession.active, d.storePath)
+    require(meta.isIdentity,
+      s"$tableName: the store at ${d.storePath} has column-mapping changes " +
+        s"(renamed: ${meta.mapping.keys.mkString(", ")}; retired: ${meta.retired.mkString(", ")}) — " +
+        "change feeds do not span rename/drop boundaries; bootstrap from the " +
+        "snapshot and re-materialize the feed forward")
     val bad = payload.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
     require(bad.isEmpty,
       s"unsupported payload types in $tableName: " +

@@ -693,6 +693,16 @@ class CdcCatalogSpec extends AnyFunSuite {
       assert(byName.contains("bal") && byName("bal").min().isPresent,
         s"colstats lost through rename: ${byName.keySet}")
       assert(byName("id").distinctCount().isPresent, "key NDV lost through rename")
+      // the CDF boundary is LOUD: a feed table over a mapped store refuses
+      // (pre-rename feed versions carry old names — clipping them into the
+      // new schema would silently serve NULLs)
+      CdcCatalog.registerFeed("cat_map_feed", store,
+        java.nio.file.Files.createTempDirectory("graft_map_feed").toString)
+      try {
+        val e = intercept[Exception](spark.table("graft.cat_map_feed").collect())
+        assert(e.getMessage.contains("column-mapping"),
+          s"expected the mapping-boundary refusal, got: ${e.getMessage.take(200)}")
+      } finally CdcCatalog.unregister("cat_map_feed")
     } finally {
       CdcCatalog.unregister("cat_map")
       spark.conf.unset("graft.cdc.statsPushdown.stringMinMax")
