@@ -122,9 +122,11 @@ object Bench {
       (if (prevIdx >= 0 && prevIdx + 1 < args.length) Some(args(prevIdx + 1))
        else sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(Some(outFile)))
         .filter(p => Files.exists(Paths.get(p)))
-    val qArgs = args.zipWithIndex
-      .filterNot { case (_, i) => i == prevIdx || i == prevIdx + 1 }
-      .map(_._1)
+    val qArgs =
+      if (prevIdx < 0) args // no --prev: every arg is a query name
+      else args.zipWithIndex
+        .filterNot { case (_, i) => i == prevIdx || i == prevIdx + 1 }
+        .map(_._1)
     val (prevQueries, prevCalib): (Map[String, Double], Option[Double]) =
       prevPath.map { p =>
         try {

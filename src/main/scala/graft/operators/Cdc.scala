@@ -203,7 +203,11 @@ object Cdc {
   private[graft] case class StoreMeta(
       schema: org.apache.spark.sql.types.StructType,
       mapping: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil) {
+      retired: Seq[String] = Nil,
+      /** The newest version id that changed the mapping (rename/drop) —
+        * the CDF boundary: feed versions at or before it carry pre-change
+        * column names. None for never-mapped stores. */
+      mapChangeV: Option[Long] = None) {
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** The schema as the parquet files spell it (same positions/types). */
     def physicalSchema: org.apache.spark.sql.types.StructType =
@@ -220,14 +224,15 @@ object Cdc {
     * JSON object `{"ddl": ..., "mapping": {...}, "retired": [...]}` once
     * a rename/drop exists. */
   private[operators] def metaLine(m: StoreMeta): String =
-    if (m.isIdentity) m.schema.toDDL
+    if (m.isIdentity && m.mapChangeV.isEmpty) m.schema.toDDL
     else {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       JsonMethods.compact(JsonMethods.render(
         ("ddl" -> m.schema.toDDL) ~
           ("mapping" -> m.mapping) ~
-          ("retired" -> m.retired)))
+          ("retired" -> m.retired) ~
+          ("mapChangeV" -> m.mapChangeV)))
     }
 
   private[operators] def parseMetaLine(line: String): StoreMeta =
@@ -248,7 +253,12 @@ object Cdc {
         case JArray(vs) => vs.collect { case JString(s) => s }
         case _ => Nil
       }
-      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired)
+      val mapChangeV = (j \ "mapChangeV") match {
+        case JInt(v)    => Some(v.toLong)
+        case JLong(v)   => Some(v)
+        case _          => None
+      }
+      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired, mapChangeV)
     }
 
   private[graft] def storedMeta(
@@ -257,23 +267,22 @@ object Cdc {
       v: Long): Option[StoreMeta] = {
     val dir = new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+    // the schema EMBEDDED in the committed manifest dir is AUTHORITATIVE
+    // when present: CAS commits ([[commitCas]]) rename it atomically with
+    // the manifest, while the sidecar dir can be a stale leftover of a
+    // crashed earlier (non-CAS) attempt at the same id — preferring the
+    // sidecar would serve the crashed attempt's schema for a committed
+    // version in the window before the winner's sidecar overwrite
+    val embedded = new org.apache.hadoop.fs.Path(
+      s"${manifestPath(storePath)}/v=$v/_schema.ddl")
+    if (fs.exists(embedded)) {
+      val buf = new Array[Byte](fs.getFileStatus(embedded).getLen.toInt)
+      val in = fs.open(embedded)
+      try in.readFully(0, buf) finally in.close()
+      Some(parseMetaLine(new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
       Some(parseMetaLine(spark.read.text(dir.toString).head().getString(0)))
-    else {
-      // CAS commits ([[commitCas]]) embed the schema INSIDE the committed
-      // manifest dir (`_schema.ddl` — underscore-invisible to the parquet
-      // read) so ONE rename commits both; the sidecar dir is only a
-      // best-effort compatibility copy there
-      val embedded = new org.apache.hadoop.fs.Path(
-        s"${manifestPath(storePath)}/v=$v/_schema.ddl")
-      if (!fs.exists(embedded)) None
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(embedded).getLen.toInt)
-        val in = fs.open(embedded)
-        try in.readFully(0, buf) finally in.close()
-        Some(parseMetaLine(new String(buf, java.nio.charset.StandardCharsets.UTF_8)))
-      }
-    }
+    else None
   }
 
   /** The payload schema extended with the layout's two partition columns,
@@ -479,7 +488,7 @@ object Cdc {
             Some(c -> s"${c}_$i")
           }
         }.toMap
-      StoreMeta(target, base.mapping ++ newMap, base.retired)
+      StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV)
     }
     val (prior, carried) = parent match {
       case None =>
@@ -640,7 +649,7 @@ object Cdc {
     val phys = meta.phys(from)
     commitMetadataOnly(spark, storePath, parentV,
       StoreMeta(renamed, meta.mapping - from ++ (if (phys == to) Nil else Seq(to -> phys)),
-        meta.retired))
+        meta.retired, mapChangeV = Some(parentV + 1)))
   }
 
   /** See [[renameColumn]]. Refuses to drop a column the caller declares
@@ -659,7 +668,8 @@ object Cdc {
       StoreMeta(
         org.apache.spark.sql.types.StructType(meta.schema.fields.filterNot(_.name == name)),
         meta.mapping - name,
-        meta.retired :+ meta.phys(name)))
+        meta.retired :+ meta.phys(name),
+        mapChangeV = Some(parentV + 1)))
   }
 
   private def latestMeta(
@@ -1064,26 +1074,32 @@ object Cdc {
     val droppedRefs: Set[(Int, Long)] =
       vs.filterNot(keep).toSet[Long]
         .flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
+    // reap PARTS first, manifests second: droppedRefs is the only proof a
+    // token-writer dir is reapable, and it comes from the very manifests
+    // this vacuum is about to delete — a crash between the phases must
+    // leave the manifests (so the next vacuum re-derives the proof), not
+    // orphan the unprovable part dirs forever
+    val partsRoot = new org.apache.hadoop.fs.Path(partsPath(storePath))
+    if (fs.exists(partsRoot)) {
+      for {
+        bucketDir <- fs.listStatus(partsRoot) if bucketDir.isDirectory &&
+          bucketDir.getPath.getName.startsWith("_bucket=")
+        p = bucketDir.getPath.getName.stripPrefix("_bucket=").toInt
+        writerDir <- fs.listStatus(bucketDir.getPath) if writerDir.isDirectory &&
+          writerDir.getPath.getName.startsWith("_writer=")
+        w = writerDir.getPath.getName.stripPrefix("_writer=").toLong
+        // only reap data whose commit is PROVEN finished and now
+        // unreferenced: version writers via their committed manifest,
+        // token writers via the dropped manifests that referenced them;
+        // anything else is in-flight and owned by its replay/retry
+        if (committed.contains(w) || droppedRefs.contains((p, w))) &&
+          !referenced.contains((p, w))
+      } fs.delete(writerDir.getPath, true)
+    }
     vs.filterNot(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v"), true)
     }
-    val partsRoot = new org.apache.hadoop.fs.Path(partsPath(storePath))
-    if (!fs.exists(partsRoot)) return
-    for {
-      bucketDir <- fs.listStatus(partsRoot) if bucketDir.isDirectory &&
-        bucketDir.getPath.getName.startsWith("_bucket=")
-      p = bucketDir.getPath.getName.stripPrefix("_bucket=").toInt
-      writerDir <- fs.listStatus(bucketDir.getPath) if writerDir.isDirectory &&
-        writerDir.getPath.getName.startsWith("_writer=")
-      w = writerDir.getPath.getName.stripPrefix("_writer=").toLong
-      // only reap data whose commit is PROVEN finished and now
-      // unreferenced: version writers via their committed manifest,
-      // token writers via the dropped manifests that referenced them;
-      // anything else is in-flight and owned by its replay/retry
-      if (committed.contains(w) || droppedRefs.contains((p, w))) &&
-        !referenced.contains((p, w))
-    } fs.delete(writerDir.getPath, true)
   }
 
   /** Committed SINGLE-version directories (`v=<id>`) present in a
@@ -1335,6 +1351,35 @@ object Cdc {
     require(vs.contains(v), s"version $v is not committed under $storePath")
     storedMeta(spark, storePath, v).getOrElse(
       StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema))
+  }
+
+  /** Everything the DSv2 store table needs to serve `version`, resolved
+    * from ONE manifest read plus one schema-metadata read: the catalog
+    * constructs a table object per resolution, so separate
+    * rows/colstats/meta accessors would each re-run the manifest parquet
+    * job on the query hot path. Returns (version, schema metadata, full
+    * manifest (writer, rows, colstats per bucket), bucket → parts dir). */
+  def servingState(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None)
+      : (Long, StoreMeta, Map[Int, (Long, Option[Long], Map[String, ColStatRec])], Map[Int, String]) = {
+    val vs = manifestVersions(spark, storePath)
+    val v = version.getOrElse {
+      if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
+      vs.max
+    }
+    require(vs.contains(v), s"version $v is not committed under $storePath")
+    val manifest = readManifestFull(spark, storePath, v)
+    val meta = storedMeta(spark, storePath, v).getOrElse {
+      if (manifest.isEmpty)
+        throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
+      StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema)
+    }
+    val dirs = manifest.map { case (p, (w, _, _)) =>
+      p -> s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    }
+    (v, meta, manifest, dirs)
   }
 
   /** Recorded per-column footer statistics per bucket of `version`

@@ -126,8 +126,14 @@ object CoreQueries {
     val t = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val a = s"cdc_state_$t"
     val b = s"cdc_activity_$t"
-    graft.sources.cdc.CdcCatalog.register(a, cdcStoreFor(s, sf), Seq("c_custkey"), 16)
-    graft.sources.cdc.CdcCatalog.register(b, cdcActivityStoreFor(s, sf), Seq("o_custkey"), 16)
+    // trustStringStats: these stores are written solely by the engine's
+    // own non-truncating writers, the documented-safe case for string
+    // min/max footer pushdown — a PER-STORE decision, not a session-wide
+    // toggle that would leak onto stores with unknown writers
+    graft.sources.cdc.CdcCatalog.register(a, cdcStoreFor(s, sf), Seq("c_custkey"), 16,
+      trustStringStats = true)
+    graft.sources.cdc.CdcCatalog.register(b, cdcActivityStoreFor(s, sf), Seq("o_custkey"), 16,
+      trustStringStats = true)
     (s"graft.$a", s"graft.$b")
   }
 
@@ -143,7 +149,7 @@ object CoreQueries {
       Cdc.changesBetweenCdf(s, store, 0L, 1L, Seq("c_custkey"))
         .write.mode("overwrite").parquet(s"$feed/v=1")
       val t = "cdc_feed_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed)
+      graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed, trustStringStats = true)
       s"graft.$t"
     })
 
@@ -178,7 +184,7 @@ object CoreQueries {
       require(Cdc.feedSegments(s, feed) == Seq((1L, 2L)),
         s"compaction fixture did not compact: ${Cdc.feedSegments(s, feed)}")
       val t = "cdc_feedcmp_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed)
+      graft.sources.cdc.CdcCatalog.registerFeed(t, store, feed, trustStringStats = true)
       s"graft.$t"
     })
 
@@ -1952,13 +1958,9 @@ object CoreQueries {
     // aggregates over the first-principles CDF derivation.
     "c38_cdc_feed_stats" -> ((s, sf) => {
       val tbl = feedTableFor(s, sf)
-      // string min/max pushdown is an OPT-IN (default off): parquet-mr
-      // truncates binary footer statistics silently when a writer sets
-      // parquet.statistics.truncate.length, and nothing marks them
-      // inexact (CdcStatsScan.stringMinMaxEnabled). This feed is written
-      // by the engine's own non-truncating writer, the documented-safe
-      // case — session-scoped opt-in, like the user of such a store would
-      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+      // string min/max pushdown rides the feed's registration-time
+      // trustStringStats flag (engine-written, non-truncating writer) —
+      // a per-store opt-in, nothing session-global leaks onto other reads
       s.table(tbl).agg(
         count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
@@ -1993,9 +1995,8 @@ object CoreQueries {
     // query, which still costs zero page decode).
     "c38_cdc_feed_stats_compact" -> ((s, sf) => {
       val tbl = compactFeedTableFor(s, sf)
-      // engine-written, non-truncating writer: safe string min/max opt-in
-      // (see c38_cdc_feed_stats note)
-      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+      // string min/max via the feed's trustStringStats registration (see
+      // c38_cdc_feed_stats note)
       s.table(tbl).agg(
         count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
@@ -2116,9 +2117,8 @@ object CoreQueries {
     // snapshot, so the pushed answers must equal the scan's.
     "c38_cdc_stats_agg" -> ((s, sf) => {
       val (stateTbl, _) = spjTablesFor(s, sf)
-      // opt in to string min/max pushdown: this store is written by the
-      // engine's own non-truncating writer (see c38_cdc_feed_stats note)
-      s.conf.set("graft.cdc.statsPushdown.stringMinMax", "true")
+      // string min/max via the store's trustStringStats registration (see
+      // spjTablesFor note)
       s.table(stateTbl).agg(
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"),

@@ -58,14 +58,21 @@ object CdcCatalog {
       storePath: String,
       keys: Seq[String],
       nBuckets: Int,
-      version: Option[Long] = None)
+      version: Option[Long] = None,
+      /** Per-store opt-in for STRING min/max footer-statistics pushdown:
+        * set true only when every writer of this store provably keeps
+        * binary statistics exact (no parquet.statistics.truncate.length)
+        * — the per-store decision the session-global toggle can't make. */
+      trustStringStats: Boolean = false)
 
   /** One registered feed table: the store's materialized CDF directory
     * ([[graft.operators.Cdc.maintainPartitionedSnapshot]]'s `feedPath`)
     * plus the store it feeds from (schema authority — additive evolution
     * makes the store's newest recorded schema the union every feed
     * version clips into). */
-  case class FeedDef(feedPath: String, storePath: String)
+  case class FeedDef(feedPath: String, storePath: String,
+      /** See [[StoreDef.trustStringStats]]. */
+      trustStringStats: Boolean = false)
 
   // JVM-wide registry (the catalog instance is constructed reflectively
   // by Spark per session; definitions are process state like the
@@ -78,22 +85,24 @@ object CdcCatalog {
       storePath: String,
       keys: Seq[String],
       nBuckets: Int,
-      version: Option[Long] = None): Unit = {
+      version: Option[Long] = None,
+      trustStringStats: Boolean = false): Unit = {
     require(keys.nonEmpty, "a CDC store table needs at least one merge key")
     require(nBuckets > 0, "nBuckets must be positive")
     // symmetric to registerFeed's guard: loadTable resolves stores FIRST,
     // so a store registered under a feed table's name would silently
     // shadow the feed for every reader
     require(!feedRegistry.contains(name), s"$name is already a feed table")
-    registry.put(name, StoreDef(storePath, keys, nBuckets, version))
+    registry.put(name, StoreDef(storePath, keys, nBuckets, version, trustStringStats))
   }
 
   /** Expose a store's materialized change feed as `<catalog>.<name>` —
     * batch-readable CDF history plus `readStream.table` tailing
     * ([[CdcFeedTable]]). */
-  def registerFeed(name: String, storePath: String, feedPath: String): Unit = {
+  def registerFeed(name: String, storePath: String, feedPath: String,
+      trustStringStats: Boolean = false): Unit = {
     require(!registry.contains(name), s"$name is already a store table")
-    feedRegistry.put(name, FeedDef(feedPath, storePath))
+    feedRegistry.put(name, FeedDef(feedPath, storePath, trustStringStats))
   }
 
   def unregister(name: String): Unit = { registry.remove(name); feedRegistry.remove(name) }
@@ -294,33 +303,37 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
         s"layout bucket id = pmod(xxhash64(${d.keys.mkString(", ")}), ${d.nBuckets})"
     })
 
-  private[cdc] val (servedVersion, payloadSchema, bucketDirs) = {
-    val (v, raw, dirs) = Cdc.servingLayout(SparkSession.active, d.storePath, d.version)
-    // merge keys are NON-NULL by the store's contract (the layout hash
-    // is defined on them); declaring it lets Spark accept them as row-id
-    // attributes for the delta-based DML path (NULLABLE_ROW_ID refusal)
-    (v, StructType(raw.fields.map(f =>
-      if (d.keys.contains(f.name)) f.copy(nullable = false) else f)), dirs)
-  }
+  // ONE manifest read + one schema-metadata read resolves everything the
+  // table serves (the catalog constructs a table per resolution — this is
+  // the query hot path, separate accessors would re-run the manifest job
+  // three times per table load)
+  private[cdc] val (servedVersion, storeMeta, manifestFull, bucketDirs) =
+    Cdc.servingState(SparkSession.active, d.storePath, d.version)
+
+  // merge keys are NON-NULL by the store's contract (the layout hash
+  // is defined on them); declaring it lets Spark accept them as row-id
+  // attributes for the delta-based DML path (NULLABLE_ROW_ID refusal)
+  private[cdc] val payloadSchema: StructType =
+    StructType(storeMeta.schema.fields.map(f =>
+      if (d.keys.contains(f.name)) f.copy(nullable = false) else f))
 
   /** Manifest-recorded row counts per bucket (absent for buckets whose
     * manifests predate count recording) — the scan sums these into
     * `estimateStatistics.numRows` so the CBO costs store joins. */
   private[cdc] val bucketRows: Map[Int, Long] =
-    Cdc.servingRowCounts(SparkSession.active, d.storePath, Some(servedVersion))
+    manifestFull.collect { case (p, (_, Some(r), _)) => p -> r }
 
   /** Manifest-recorded per-column footer statistics per bucket — the
     * scan folds these into V2 column statistics (min/max/nullCount) so
     * the CBO can estimate filter selectivity on store columns. */
   private[cdc] val bucketColStats: Map[Int, Map[String, Cdc.ColStatRec]] =
-    Cdc.servingColumnStats(SparkSession.active, d.storePath, Some(servedVersion))
+    manifestFull.map { case (p, (_, _, cs)) => p -> cs }
 
   /** Logical→physical column names (diverging entries only): what the
     * parquet files spell after renames. The scan translates its file
     * reads, key-panel filters, pushed aggregates, and colstat lookups
     * through this; everything Catalyst sees stays logical. */
-  private[cdc] val physMap: Map[String, String] =
-    Cdc.servingMeta(SparkSession.active, d.storePath, Some(servedVersion)).mapping
+  private[cdc] val physMap: Map[String, String] = storeMeta.mapping
 
   {
     val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))

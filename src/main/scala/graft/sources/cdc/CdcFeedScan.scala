@@ -46,17 +46,22 @@ class CdcFeedTable(tableName: String, d: CdcCatalog.FeedDef) extends Table with 
     // superset every feed version's files clip into
     val (_, payload, _) = Cdc.servingLayout(SparkSession.active, d.storePath)
     // COLUMN MAPPING boundary (the Delta CDF restriction, enforced
-    // loudly): feed versions materialized before a rename/drop carry the
-    // OLD column names — clipping them into the post-mapping schema
-    // would silently serve NULL for every renamed column. Refuse instead;
-    // bootstrap new consumers from the snapshot (initialSnapshot) and
-    // re-materialize the feed from the mapping change onward.
+    // loudly): feed versions materialized at or before a rename/drop
+    // carry the OLD column names — clipping them into the post-mapping
+    // schema would silently serve NULL for every renamed column. Refuse
+    // exactly when the RETAINED feed history straddles the boundary;
+    // once old versions are vacuumed/re-materialized past the change the
+    // feed serves again (bootstrap new consumers from the snapshot).
     val meta = Cdc.servingMeta(SparkSession.active, d.storePath)
-    require(meta.isIdentity,
-      s"$tableName: the store at ${d.storePath} has column-mapping changes " +
-        s"(renamed: ${meta.mapping.keys.mkString(", ")}; retired: ${meta.retired.mkString(", ")}) — " +
-        "change feeds do not span rename/drop boundaries; bootstrap from the " +
-        "snapshot and re-materialize the feed forward")
+    for (chg <- meta.mapChangeV) {
+      val oldestRetained = CdcFeedScan.retainedUnits(d.feedPath).headOption.map(_.lo)
+      require(oldestRetained.forall(_ > chg),
+        s"$tableName: the store at ${d.storePath} changed its column mapping at " +
+          s"v=$chg and the feed still retains versions from " +
+          s"v=${oldestRetained.get} — change feeds do not span rename/drop " +
+          "boundaries; vacuum/re-materialize the feed past the change and " +
+          "bootstrap consumers from the snapshot")
+    }
     val bad = payload.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
     require(bad.isEmpty,
       s"unsupported payload types in $tableName: " +
@@ -166,7 +171,8 @@ class CdcFeedScanBuilder(
     pushedAggs = CdcStatsScan.parseAggregation(
       aggregation, table.schema(),
       excluded = Set("_commit_version", "_commit_timestamp"),
-      nonNullCols = Set.empty)
+      nonNullCols = Set.empty,
+      trustStringStats = d.trustStringStats)
     pushedAggs.isDefined
   }
 

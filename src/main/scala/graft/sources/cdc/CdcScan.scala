@@ -176,7 +176,8 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     // merge keys are non-null by the store's contract: COUNT(key) needs
     // no null statistics, only row counts
     pushedAggs = CdcStatsScan.parseAggregation(
-      aggregation, table.schema(), excluded = Set.empty, nonNullCols = d.keys.toSet)
+      aggregation, table.schema(), excluded = Set.empty, nonNullCols = d.keys.toSet,
+      trustStringStats = d.trustStringStats)
     pushedAggs.isDefined
   }
 
@@ -270,6 +271,47 @@ class CdcCountScan(tableName: String, totalRows: Long, aggs: Seq[CdcStatsScan.Fo
 case class CdcCountPartition(rows: Long, n: Int = 1) extends InputPartition
 
 object CdcScan {
+  /** Rewrite a v1 source Filter's attribute references from LOGICAL to
+    * PHYSICAL names for the file-side readers. Only called when a column
+    * mapping exists; shapes we can't rebuild are DROPPED — these filters
+    * are row-group IO advice (Spark re-evaluates every residual), and an
+    * untranslated logical name can ALIAS another column's physical
+    * spelling after a rename + re-add, which would prune row groups
+    * against the wrong column's statistics and silently lose rows. */
+  private[cdc] def translateFilter(
+      f: org.apache.spark.sql.sources.Filter,
+      phys: Map[String, String]): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def p(a: String): String = phys.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v)            => Some(EqualTo(p(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(p(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(p(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(p(a), v))
+      case LessThan(a, v)           => Some(LessThan(p(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(p(a), v))
+      case In(a, vs)                => Some(In(p(a), vs))
+      case IsNull(a)                => Some(IsNull(p(a)))
+      case IsNotNull(a)             => Some(IsNotNull(p(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(p(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(p(a), v))
+      case StringContains(a, v)     => Some(StringContains(p(a), v))
+      // composites translate EXACTLY or drop WHOLE: weakening an AND to
+      // one side would be safe alone, but the same weakened child under a
+      // NOT (or an OR) narrows the predicate — unsafe for pruning. A
+      // dropped top-level conjunct only costs row-group advice.
+      case And(l, r) =>
+        for (a <- translateFilter(l, phys); b <- translateFilter(r, phys)) yield And(a, b)
+      case Or(l, r) =>
+        for (a <- translateFilter(l, phys); b <- translateFilter(r, phys)) yield Or(a, b)
+      case Not(c) =>
+        translateFilter(c, phys).map(Not)
+      case AlwaysTrue()  => Some(AlwaysTrue())
+      case AlwaysFalse() => Some(AlwaysFalse())
+      case _ => None
+    }
+  }
+
   /** Bounded IN panels only: a million-value IN is a join in disguise —
     * the driver must not hash data-sized literal lists. */
   private[cdc] val MaxInPanel = 1024
@@ -455,14 +497,19 @@ class CdcScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // readers touch FILES: key-panel filters are spelled in the files'
-    // PHYSICAL names (renames never rewrote them)
+    // readers touch FILES: key-panel filters AND pushed source filters
+    // are spelled in the files' PHYSICAL names (renames never rewrote
+    // them) — an untranslated logical name could alias another column's
+    // physical spelling and prune against the wrong statistics
     val panels = readerPanels.map { case (k, vs) => physMap.getOrElse(k, k) -> vs }
+    val physFilters =
+      if (physMap.isEmpty) dataFilters
+      else dataFilters.flatMap(CdcScan.translateFilter(_, physMap))
     buckets
       .filter(b => runtimeBuckets.forall(_.contains(b)))
       .map { b =>
         CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels,
-          dataFilters)
+          physFilters)
       }.toArray[InputPartition]
   }
 
@@ -569,11 +616,13 @@ class CdcScan(
             if (keyNdv && f.name == keys.head) rows
             else if (complete && recs.forall(_.ndv.isDefined)) {
               val sum = recs.iterator.map(_.ndv.get).sum
+              // clamp by non-null rows when known; an all-NULL column
+              // honestly reports NDV 0, never a phantom 1
               val clamped =
                 if (rows.isPresent && nulls.isPresent)
-                  math.min(sum, math.max(1L, rows.getAsLong - nulls.getAsLong))
+                  math.min(sum, math.max(0L, rows.getAsLong - nulls.getAsLong))
                 else sum
-              OptionalLong.of(math.max(1L, clamped))
+              OptionalLong.of(clamped)
             } else OptionalLong.empty()
           if (nulls.isPresent || mn.isPresent || ndv.isPresent)
             m.put(Expressions.column(f.name),

@@ -115,7 +115,8 @@ object CdcStatsScan {
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       schema: StructType,
       excluded: Set[String],
-      nonNullCols: Set[String]): Option[Seq[FooterAgg]] = {
+      nonNullCols: Set[String],
+      trustStringStats: Boolean = false): Option[Seq[FooterAgg]] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (aggregation.groupByExpressions().nonEmpty) return None
@@ -130,7 +131,8 @@ object CdcStatsScan {
         : Option[(String, DataType)] =
       fieldOf(e).map(c => c -> schema(c).dataType)
         .filter { case (_, dt) =>
-          MinMaxTypes.contains(dt) && (dt != StringType || stringMinMaxEnabled) }
+          MinMaxTypes.contains(dt) &&
+            (dt != StringType || trustStringStats || stringMinMaxEnabled) }
     val parsed: Seq[Option[FooterAgg]] = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(FCountStar)
       case c: Count if !c.isDistinct =>

@@ -693,15 +693,27 @@ class CdcCatalogSpec extends AnyFunSuite {
       assert(byName.contains("bal") && byName("bal").min().isPresent,
         s"colstats lost through rename: ${byName.keySet}")
       assert(byName("id").distinctCount().isPresent, "key NDV lost through rename")
-      // the CDF boundary is LOUD: a feed table over a mapped store refuses
-      // (pre-rename feed versions carry old names — clipping them into the
-      // new schema would silently serve NULLs)
-      CdcCatalog.registerFeed("cat_map_feed", store,
-        java.nio.file.Files.createTempDirectory("graft_map_feed").toString)
+      // the CDF boundary is LOUD: a feed retaining versions from at-or-
+      // before the mapping change refuses (those versions' files carry
+      // old names — clipping them into the new schema would silently
+      // serve NULLs); a feed with nothing retained from before the
+      // change serves normally
+      val feedDir = java.nio.file.Files.createTempDirectory("graft_map_feed").toString
+      // the v0->v1 CDF PREDATES the renames: each version serves its own
+      // names, so this feed version is spelled in the old schema — which
+      // is exactly why the guard must refuse it
+      Cdc.changesBetweenCdf(spark, store, 0L, 1L, Seq("k"))
+        .write.mode("overwrite").parquet(s"$feedDir/v=1")
+      CdcCatalog.registerFeed("cat_map_feed", store, feedDir)
       try {
         val e = intercept[Exception](spark.table("graft.cat_map_feed").collect())
-        assert(e.getMessage.contains("column-mapping"),
+        assert(e.getMessage.contains("column mapping"),
           s"expected the mapping-boundary refusal, got: ${e.getMessage.take(200)}")
+        // vacuuming the straddling history clears the refusal
+        val fs = new org.apache.hadoop.fs.Path(feedDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$feedDir/v=1"), true)
+        assert(spark.table("graft.cat_map_feed").count() === 0L)
       } finally CdcCatalog.unregister("cat_map_feed")
     } finally {
       CdcCatalog.unregister("cat_map")
