@@ -721,6 +721,44 @@ class CdcCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("column mapping name collision: after rename + re-add, a pushed filter on the " +
+      "re-added column must not prune against the old column's statistics") {
+    // rename(name->full_name) frees the physical name "name"; re-adding
+    // logical "name" mints physical "name_1". A filter on logical "name"
+    // handed to the reader UNTRANSLATED would convert against the files'
+    // physical "name" column — full_name's data — and row-group pruning
+    // would silently drop matching rows. The law drives the full catalog
+    // read (columnar reader, parquet FilterPredicate active) and checks
+    // exact rows.
+    val store = java.nio.file.Files.createTempDirectory("graft_cat_collide").toString
+    val seed = (1L to 40L).map(k => (k, s"alpha$k", k * 1.0)).toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      log((1L, "alpha1b", 10.0, 100L, "U")),
+      seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    Cdc.renameColumn(spark, store, "name", "full_name")
+    // re-add logical "name" with values DISJOINT from full_name's range
+    // ("zz..." sorts far above "alpha...") so wrong-column row-group
+    // pruning would provably drop every match
+    Cdc.processPartitionedBatch(
+      (1L to 40L).map(k => (k, s"alpha$k", k * 1.0, s"zz$k", 200L + k, "U"))
+        .toDF("k", "full_name", "bal", "name", "seq", "op"),
+      seed.toDF("k", "full_name", "bal").withColumn("name", lit(null).cast("string")),
+      keys, Seq(col("seq")), col("op"), store, nBuckets, 2L,
+      payloadCols = Seq("k", "full_name", "bal", "name"))
+    val meta = Cdc.storedMeta(spark, store, 2L).get
+    assert(meta.phys("name") === "name_1" && meta.phys("full_name") === "name",
+      s"fixture must produce the collision mapping, got ${meta.mapping}")
+    CdcCatalog.register("cat_collide", store, keys, nBuckets)
+    try {
+      val hit = spark.table("graft.cat_collide").filter(col("name") === "zz7")
+      assert(hit.select("k").as[Long].collect().toSeq === Seq(7L),
+        "pushed filter on the re-added column lost rows (wrong-column pruning)")
+      // and the renamed column still filters correctly too
+      val hit2 = spark.table("graft.cat_collide").filter(col("full_name") === "alpha9")
+      assert(hit2.select("k").as[Long].collect().toSeq === Seq(9L))
+    } finally CdcCatalog.unregister("cat_collide")
+  }
+
   test("truncating writer: footer string max names a value in NO row — the default-off " +
       "string gate is what keeps pushed answers honest") {
     // parquet.statistics.truncate.length makes parquet-mr store a PREFIX
