@@ -1335,6 +1335,30 @@ object Cdc {
     }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
   }
 
+  /** `$files`-shape metadata: the serving layout's LIVE data files — one
+    * row per parquet file the manifest references (bucket, writer id,
+    * path, bytes) plus the bucket's manifest-recorded row count. Pure
+    * driver metadata (one LIST per non-empty bucket; no footer or page
+    * is read) — the audit surface for file-size distribution, small-file
+    * pressure, and reshard planning. */
+  def describeFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (_, _, manifest, dirs) = servingState(spark, storePath, version)
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.toSeq.sortBy(_._1).flatMap { case (p, dir) =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(conf)
+      val (w, rows, _) = manifest(p)
+      fs.listStatus(path).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(st => (p, w, st.getPath.toString, st.getLen, rows))
+    }.toDF("_bucket", "_writer", "path", "bytes", "bucket_rows")
+  }
+
   /** The serving version's column-mapping metadata for external readers
     * (the DSv2 scan): logical schema plus the logical→physical name map
     * files are spelled in. Identity for stores that never renamed or

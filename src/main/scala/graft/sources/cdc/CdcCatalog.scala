@@ -138,6 +138,48 @@ object CdcCatalog {
     LongType, IntegerType, DoubleType, FloatType, StringType, BooleanType, DateType)
 }
 
+/** A tiny read-only table serving DRIVER-COMPUTED metadata rows (the
+  * `$history` / `$files` surfaces): the frame is collected once at load
+  * time — bounded by versions/files, never by data — and shipped to one
+  * input partition as Catalyst internal rows. */
+class CdcLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability._
+  import org.apache.spark.sql.connector.read._
+
+  private val tblSchema: StructType = df.schema
+  // executeCollect returns safely-copied InternalRows (bounded metadata)
+  private val rows: Array[InternalRow] =
+    df.queryExecution.executedPlan.executeCollect()
+
+  override def name(): String = tableName
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] = Set(BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = tblSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"$tableName metadata rows=${rows.length}"
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(CdcLocalPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it = p.asInstanceOf[CdcLocalPartition].rows.iterator
+              private var cur: InternalRow = _
+              override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+case class CdcLocalPartition(rows: Array[InternalRow])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
 class CdcCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graft"
 
@@ -153,7 +195,35 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
       .map[Table](d => new CdcStoreTable(s"$catalogName.${ident.name}", d))
       .orElse(CdcCatalog.lookupFeed(ident.name)
         .map(d => new CdcFeedTable(s"$catalogName.${ident.name}", d)))
+      .orElse(metadataTable(ident.name))
       .getOrElse(throw new NoSuchTableException(ident))
+
+  /** Iceberg-style METADATA TABLES on store tables, addressed with a `$`
+    * suffix (`` SELECT * FROM graft.`x$history` ``): the ops surfaces
+    * every lake exposes, served from pure driver-side metadata —
+    *  - `x$history`  — one row per committed version
+    *    ([[graft.operators.Cdc.describeHistory]]: commit time, bucket
+    *    census, touched buckets, recorded rows); no data file opened.
+    *  - `x$files`    — the current serving layout: one row per live data
+    *    file (bucket, writer, path, bytes) plus the bucket's manifest
+    *    row count; LIST-per-bucket metadata, no footer or page read.
+    * Unknown suffixes fail loudly with the supported list. */
+  private def metadataTable(name: String): Option[Table] = {
+    val cut = name.lastIndexOf('$')
+    if (cut <= 0) return None
+    val (base, suffix) = (name.substring(0, cut), name.substring(cut + 1))
+    CdcCatalog.lookup(base).map { d =>
+      val spark = SparkSession.active
+      val df = suffix match {
+        case "history" => Cdc.describeHistory(spark, d.storePath)
+        case "files"   => Cdc.describeFiles(spark, d.storePath, d.version)
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName.$name: unknown metadata table '$$$other' " +
+            "(supported: $history, $files)")
+      }
+      new CdcLocalTable(s"$catalogName.$name", df)
+    }
+  }
 
   /** SQL time travel — `VERSION AS OF <v>` pins a committed store
     * version (the registered pin, if any, is overridden by the query's

@@ -721,6 +721,39 @@ class CdcCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables: x$history and x$files serve the audit surfaces from pure " +
+      "driver metadata through plain SQL; unknown suffixes fail with the supported list") {
+    val store = buildStore("meta", seed40("q"))
+    CdcCatalog.register("cat_meta", store, keys, nBuckets)
+    try {
+      // $history ≡ describeHistory, row for row, through the SQL surface
+      val hist = spark.sql("SELECT * FROM graft.`cat_meta$history` ORDER BY version")
+      assert(hist.columns.toSeq ===
+        Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows"))
+      assert(hist.collect().toSeq ===
+        Cdc.describeHistory(spark, store).orderBy("version").collect().toSeq)
+      assert(hist.count() === 2L)
+      // $files: every live file of the serving layout, bytes that exist
+      val files = spark.table("graft.`cat_meta$files`")
+      val listed = files.select("path").as[String].collect()
+      assert(listed.nonEmpty && listed.forall(p =>
+        new java.io.File(new java.net.URI(p).getPath).exists() ||
+          new java.io.File(p.stripPrefix("file:")).exists()))
+      // files roll up to the manifest's serving state: every (bucket,
+      // writer) pair in $files is a manifest entry, and per-bucket
+      // bucket_rows matches the recorded counts
+      val manifest = Cdc.readManifestFull(spark, store, 1L)
+      files.select("_bucket", "_writer", "bucket_rows")
+        .as[(Int, Long, Option[Long])].collect().foreach { case (p, w, r) =>
+          assert(manifest(p)._1 === w, s"bucket $p writer mismatch")
+          assert(manifest(p)._2 === r, s"bucket $p rows mismatch")
+        }
+      // unknown suffix: loud, with the supported list
+      val e = intercept[Exception](spark.table("graft.`cat_meta$bogus`").collect())
+      assert(e.getMessage.contains("$history"), e.getMessage.take(200))
+    } finally CdcCatalog.unregister("cat_meta")
+  }
+
   test("column mapping name collision: after rename + re-add, a pushed filter on the " +
       "re-added column must not prune against the old column's statistics") {
     // rename(name->full_name) frees the physical name "name"; re-adding
