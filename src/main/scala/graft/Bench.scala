@@ -111,7 +111,26 @@ object Bench {
       val runs = Seq(calibOnce(), calibOnce(), calibOnce()).sorted
       math.rint(runs(1) * 10000) / 10000
     }
-    System.err.println(f"[bench] calibration probe: $calibSec%.3f s (median of 3)")
+    // IO-DRIFT PROBE (VERDICT r16 next-6): calib_sec is CPU-dominated, so
+    // page-cache state (cold FS cache after a reboot vs warm after a
+    // prior run) is a measured blind spot — BASELINE.md records a 235 vs
+    // 309 s spread the CPU probe couldn't explain. This probe is fixed
+    // IO: scan-and-materialize the largest fixture table (every column,
+    // no projection pruning), median of 3 — the first run pays any cold
+    // cache, the median reads the steady state, and the FIRST-vs-median
+    // gap is itself the cold-cache signal in a single file.
+    def calibIoOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibIoSec = {
+      val runs = Seq(calibIoOnce(), calibIoOnce(), calibIoOnce()).sorted
+      math.rint(runs(1) * 10000) / 10000
+    }
+    System.err.println(
+      f"[bench] calibration probes: cpu $calibSec%.3f s, io $calibIoSec%.3f s (medians of 3)")
 
     // `--prev <file>` (or SPARK_GRAFT_BENCH_PREV, or the existing
     // outFile from the last run — the repo-committed bench_out.json is
@@ -238,8 +257,21 @@ object Bench {
     val retimedJson = retimed.map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
       .mkString("{", ",", "}")
     val total = math.rint(finalResults.map(_._2).filter(_ >= 0).sum * 10000) / 10000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), line + "\n")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"calib_io_sec":$calibIoSec,"artifact_build_sec":$artifactSec,"retimed":$retimedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // A TARGETED run (query-name args) must not clobber the full-run
+    // snapshot: the next full run self-primes its outlier re-timing
+    // against outFile, and a 2-query file would strip the baseline for
+    // every other query (VERDICT r16 next-5). Partial results land in a
+    // sibling _partial file instead.
+    val writeTarget =
+      if (qArgs.isEmpty) outFile
+      else {
+        val p = outFile.stripSuffix(".json") + "_partial.json"
+        System.err.println(
+          s"[bench] targeted run: writing $p (full snapshot $outFile left intact)")
+        p
+      }
+    Files.writeString(Paths.get(writeTarget), line + "\n")
     println(line)
     Console.out.flush()
     spark.stop()
@@ -248,6 +280,6 @@ object Bench {
     // per-query line in rounds 4–7 ("parsed": null), so the parse target
     // must fit entirely inside any reasonable tail window. Per-query data
     // stays in the full line above and, authoritatively, in the outFile.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"artifact_build_sec":$artifactSec,"queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_warn":$loadWarn,"calib_sec":$calibSec,"calib_io_sec":$calibIoSec,"artifact_build_sec":$artifactSec,"queries":{},"sf":"$sfDir"}""")
   }
 }

@@ -173,6 +173,30 @@ object Cdc {
   private def partsPath(storePath: String)    = s"$storePath/parts"
   private def manifestPath(storePath: String) = s"$storePath/manifest"
   private def schemaPath(storePath: String)   = s"$storePath/schema"
+  private def bucketDir(storePath: String, p: Int, w: Long): String =
+    s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+
+  /** One bucket's manifest entry. `base` names the writer whose files
+    * hold the bucket's last full rewrite (None for a bucket born from
+    * delta commits alone — possible when a merge-on-read DML touches a
+    * bucket no prior version ever wrote); `deltas` are the MERGE-ON-READ
+    * delta writers in COMMIT ORDER (oldest first) — each delta dir holds
+    * per-key changelog survivors (`_cdc_op` ∈ {U, D}) that the read path
+    * folds over the base last-writer-wins. `rows`/`stats` are recorded
+    * only while the bucket is delta-free: a delta'd bucket's resolved
+    * row count is unknowable without the fold, and recording the stale
+    * base numbers would misstate the table to the CBO and to count
+    * pushdown (both already treat absence as unknown, never as zero).
+    * On disk: `_writer` = base (−1 encodes None — old readers never see
+    * it because old stores never carry deltas), `_deltas` array<long>. */
+  private[graft] case class BucketEntry(
+      base: Option[Long],
+      rows: Option[Long],
+      stats: Map[String, ColStatRec],
+      deltas: Seq[Long] = Nil) {
+    /** Every writer id whose part dir this entry keeps live. */
+    def writers: Seq[Long] = base.toSeq ++ deltas
+  }
 
   /** Per-version payload schema (DDL text under `schema/v=<id>`), written
     * just before the manifest commit so every COMMITTED version carries
@@ -207,7 +231,14 @@ object Cdc {
       /** The newest version id that changed the mapping (rename/drop) —
         * the CDF boundary: feed versions at or before it carry pre-change
         * column names. None for never-mapped stores. */
-      mapChangeV: Option[Long] = None) {
+      mapChangeV: Option[Long] = None,
+      /** The store's MERGE KEYS as recorded at commit time — what makes a
+        * store self-describing enough for READ-TIME work that needs row
+        * identity (the merge-on-read fold): a reader of a store with
+        * pending delta files must not have to guess the key columns.
+        * Empty for stores last written before keys were recorded (those
+        * cannot carry deltas — delta commits always record keys). */
+      keys: Seq[String] = Nil) {
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** The schema as the parquet files spell it (same positions/types). */
     def physicalSchema: org.apache.spark.sql.types.StructType =
@@ -224,7 +255,7 @@ object Cdc {
     * JSON object `{"ddl": ..., "mapping": {...}, "retired": [...]}` once
     * a rename/drop exists. */
   private[operators] def metaLine(m: StoreMeta): String =
-    if (m.isIdentity && m.mapChangeV.isEmpty) m.schema.toDDL
+    if (m.isIdentity && m.mapChangeV.isEmpty && m.keys.isEmpty) m.schema.toDDL
     else {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
@@ -232,7 +263,8 @@ object Cdc {
         ("ddl" -> m.schema.toDDL) ~
           ("mapping" -> m.mapping) ~
           ("retired" -> m.retired) ~
-          ("mapChangeV" -> m.mapChangeV)))
+          ("mapChangeV" -> m.mapChangeV) ~
+          ("keys" -> m.keys)))
     }
 
   private[operators] def parseMetaLine(line: String): StoreMeta =
@@ -258,7 +290,12 @@ object Cdc {
         case JLong(v)   => Some(v)
         case _          => None
       }
-      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired, mapChangeV)
+      val mkeys = (j \ "keys") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired, mapChangeV,
+        mkeys)
     }
 
   private[graft] def storedMeta(
@@ -317,8 +354,94 @@ object Cdc {
     }
   }
 
-  /** Widen `df` to `target`: existing columns pass through, columns the
-    * frame predates become typed NULLs, order = target order. */
+  /** Read merge-on-read DELTA directories of version `v`: like
+    * [[readBucketDirs]] (physical→logical names, recorded-schema NULL
+    * fill) plus the delta files' `_cdc_op` tombstone column, served as
+    * `__mor_op`. */
+  private def readDeltaDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      dirs: Seq[String],
+      v: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val base = spark.read.option("basePath", partsPath(storePath))
+    storedMeta(spark, storePath, v) match {
+      case None =>
+        base.parquet(dirs: _*).drop("_bucket", "_writer")
+          .withColumnRenamed(DeltaOpCol, "__mor_op")
+      case Some(m) =>
+        val fileSchema = StructType(
+          m.physicalSchema.fields :+ StructField(DeltaOpCol, StringType, nullable = true))
+        base.schema(withPartCols(fileSchema))
+          .parquet(dirs: _*)
+          .select((m.schema.fields.map(f => col(m.phys(f.name)).as(f.name)) :+
+            col(DeltaOpCol).as("__mor_op")).toIndexedSeq: _*)
+    }
+  }
+
+  /** The RESOLVED content of the given buckets at version `v`: buckets
+    * without pending deltas stream straight off their base files (the
+    * copy-on-write fast path — columnar, pushdown-friendly); buckets
+    * WITH deltas fold base + ordered delta levels last-writer-wins per
+    * merge key with `D` tombstones dropped — the merge-on-read read
+    * path. The fold's window shuffles ONLY the delta'd buckets' rows
+    * (clean buckets bypass it entirely), and compaction cadence
+    * ([[compactStore]]) bounds how many delta levels ever stack, so at
+    * 100 TB the fold is a bounded keyed shuffle over the DML-touched
+    * slice of the store, never the snapshot. */
+  private def readResolvedBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      v: Long,
+      entries: Seq[(Int, BucketEntry)],
+      keys: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, "readResolvedBuckets needs at least one bucket entry")
+    val (dirty, clean) = entries.partition(_._2.deltas.nonEmpty)
+    val cleanDf: Option[DataFrame] = {
+      val dirs = clean.sortBy(_._1)
+        .flatMap { case (p, e) => e.base.map(bucketDir(storePath, p, _)) }
+      if (dirs.isEmpty) None
+      else Some(readBucketDirs(spark, storePath, dirs, v))
+    }
+    val dirtyDf: Option[DataFrame] =
+      if (dirty.isEmpty) None
+      else {
+        require(keys.nonEmpty,
+          s"merge-on-read fold needs the store's merge keys ($storePath v=$v has pending deltas)")
+        val byP = dirty.sortBy(_._1)
+        val baseDirs = byP.flatMap { case (p, e) => e.base.map(bucketDir(storePath, p, _)) }
+        val baseDf =
+          if (baseDirs.isEmpty) None
+          else Some(readBucketDirs(spark, storePath, baseDirs, v)
+            .withColumn("__mor_op", lit("U")).withColumn("__mor_seq", lit(0)))
+        // one read per DELTA LEVEL (per-bucket manifest order — a key
+        // lives in exactly one bucket, so per-bucket level index is a
+        // valid global recency for that key's window)
+        val maxDepth = byP.iterator.map(_._2.deltas.length).max
+        val levels = (0 until maxDepth).flatMap { i =>
+          val dirs = byP.collect {
+            case (p, e) if e.deltas.length > i => bucketDir(storePath, p, e.deltas(i))
+          }
+          if (dirs.isEmpty) None
+          else Some(readDeltaDirs(spark, storePath, dirs, v)
+            .withColumn("__mor_seq", lit(i + 1)))
+        }
+        val all = (baseDf.toSeq ++ levels).reduce(_.unionByName(_))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__mor_seq").desc)
+        Some(all.withColumn("__mor_rn", row_number().over(w))
+          .filter(col("__mor_rn") === 1 && col("__mor_op") =!= "D")
+          .drop("__mor_op", "__mor_seq", "__mor_rn"))
+      }
+    (cleanDf, dirtyDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(throw new IllegalStateException(
+        s"no readable bucket content for $storePath v=$v (entries reference no directories)"))
+    }
+  }
+
+  /** Reserved physical column name of the merge-on-read tombstone marker
+    * in delta files. Payload schemas may not use it. */
+  private[graft] val DeltaOpCol = "_cdc_op"
   private def conformTo(
       df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame =
     df.select(target.fields.map(f =>
@@ -428,8 +551,24 @@ object Cdc {
       nBuckets: Int,
       id: Long,
       payloadCols: Seq[String] = Nil,
-      casCommit: Boolean = false): Unit = {
+      casCommit: Boolean = false,
+      morCommit: Boolean = false): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // MERGE-ON-READ (`morCommit`, the point-DML write-amplification fix):
+    // a copy-on-write commit rewrites every touched bucket IN FULL — at
+    // 100 TB / 4096 buckets a 1-row MERGE rewrites ~25 GB. A delta commit
+    // instead lands ONLY the batch's per-key survivors as per-bucket
+    // DELTA files (payload + `_cdc_op` tombstone marker) and appends its
+    // writer to each touched bucket's manifest delta list: write IO is
+    // O(|delta|), the parent's data files are never opened. The read path
+    // folds base + ordered deltas last-writer-wins ([[readResolvedBuckets]]);
+    // [[compactStore]] folds deltas back into the base on a cadence.
+    // Restricted to CAS batch DML: streaming maintenance keeps
+    // copy-on-write so checkpoint replay and compaction can never race
+    // over the same version line (stream versions ARE batch ids).
+    require(!morCommit || casCommit,
+      "merge-on-read commits are batch-DML commits (casCommit=true); streaming " +
+        "maintenance keeps copy-on-write")
     val spark = batch.sparkSession
     import spark.implicits._
     // OPTIMISTIC CONCURRENCY (`casCommit`, the batch-DML commit mode):
@@ -448,8 +587,12 @@ object Cdc {
     // manifest is complete (the schema DDL rides INSIDE the renamed dir).
     val writerId: Long = if (casCommit) mintCasToken() else id
     val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
+    val parentEntries: Map[Int, BucketEntry] =
+      parent.map(v => readManifestFull(spark, storePath, v)).getOrElse(Map.empty)
     val parentMeta: Option[StoreMeta] = parent.flatMap(v => storedMeta(spark, storePath, v))
     val priorSchema = parentMeta.map(_.schema).getOrElse(seed.schema)
+    require(!priorSchema.fieldNames.contains(DeltaOpCol) && !batch.columns.contains(DeltaOpCol),
+      s"$DeltaOpCol is a reserved layout column name (merge-on-read tombstone marker)")
     val target: org.apache.spark.sql.types.StructType =
       if (payloadCols.isEmpty) priorSchema
       else {
@@ -488,24 +631,35 @@ object Cdc {
             Some(c -> s"${c}_$i")
           }
         }.toMap
-      StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV)
+      StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV, keys)
+    }
+    if (morCommit && parent.isDefined)
+      return morDeltaCommit(batch, keys, orderCols, opCol, storePath, nBuckets, id,
+        writerId, target, targetMeta, parentEntries, parentMeta)
+    // the delta's bucket set — bounded by nBuckets (config, not data).
+    // Also the CAS conflict-detection unit: a racing writer whose own
+    // touched set is disjoint from this one can rebase past us.
+    val touchedBuckets: Set[Int] = parent match {
+      case None => (0 until nBuckets).toSet // first batch materializes everything
+      case Some(_) => batch
+        .select(bucketExpr(keys, nBuckets).as("_bucket")).distinct()
+        .as[Int].collect().toSet
     }
     val (prior, carried) = parent match {
       case None =>
         // first batch: materialize the full seed — every bucket is "touched"
-        (conformTo(seed, target), Map.empty[Int, (Long, Option[Long], Map[String, ColStatRec])])
+        (conformTo(seed, target), Map.empty[Int, BucketEntry])
       case Some(v) =>
-        val manifest = readManifestFull(spark, storePath, v)
-        // the delta's bucket set — bounded by nBuckets (config, not data)
-        val touched = batch
-          .select(bucketExpr(keys, nBuckets).as("_bucket")).distinct()
-          .as[Int].collect().toSet
-        val parentDirs = touched.toSeq.sorted.flatMap(p =>
-          manifest.get(p).map { case (w, _, _) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" })
+        val touchedEntries = touchedBuckets.toSeq.sorted
+          .flatMap(p => parentEntries.get(p).map(p -> _))
+        // RESOLVED read: a parent bucket with pending merge-on-read
+        // deltas folds before this batch merges into it, so a
+        // copy-on-write batch (or compaction) over a delta'd parent is
+        // byte-equivalent to the all-CoW history
         val touchedSnap =
-          if (parentDirs.isEmpty) conformTo(seed.limit(0), target)
-          else conformTo(readBucketDirs(spark, storePath, parentDirs, v), target)
-        (touchedSnap, manifest.view.filterKeys(p => !touched.contains(p)).toMap)
+          if (touchedEntries.isEmpty) conformTo(seed.limit(0), target)
+          else conformTo(readResolvedBuckets(spark, storePath, v, touchedEntries, keys), target)
+        (touchedSnap, parentEntries.view.filterKeys(p => !touchedBuckets.contains(p)).toMap)
     }
     // Stale-attempt hygiene: an EARLIER run of this same id (fresh
     // checkpoint over a reused store path, or regenerated source data)
@@ -520,8 +674,27 @@ object Cdc {
     // (and permanently, under a crash mid-rewrite). A committed id's
     // replay rewrites identical content via dynamic overwrite anyway, so
     // the purge is only for genuinely uncommitted stale attempts.
-    if (!casCommit && !manifestVersions(spark, storePath).contains(id))
-      purgeWriterDirs(spark, storePath, id)
+    if (!casCommit) {
+      if (manifestVersions(spark, storePath).contains(id)) {
+        // MIXED-MODE GUARD: the streaming path may only overwrite v=id as
+        // a REPLAY of its own earlier commit. A CAS (batch-DML) commit is
+        // provable on disk — only commitCas lands `_schema.ddl` inside the
+        // manifest dir — and overwriting one would DESTROY a version the
+        // checkpoint never owned: the version line moved under the stream.
+        // Detect loudly instead of corrupting; the operator restarts the
+        // stream from a fresh checkpoint (ids re-sync past the DML
+        // versions) or routes DML through the stream.
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(
+            s"${manifestPath(storePath)}/v=$id/_schema.ddl")))
+          throw new IllegalStateException(
+            s"streaming replay of v=$id would overwrite a BATCH-DML (CAS) commit: the " +
+              s"store's version line at $storePath moved while the stream was down — " +
+              "restart the stream from a fresh checkpoint (its next batch id must " +
+              "exceed the newest committed version), or stop issuing concurrent DML")
+      } else purgeWriterDirs(spark, storePath, id)
+    }
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
     // idempotent under replay, invisible to every other bucket.
@@ -571,9 +744,13 @@ object Cdc {
       CboMinMaxTypes.contains(f.dataType) ||
         f.dataType == org.apache.spark.sql.types.StringType)
     val statsOn = collectStatsEnabled && anyTracked
-    def dirOf(p: Int, w: Long) = s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    def dirOf(p: Int, w: Long) = bucketDir(storePath, p, w)
+    // backfill only CLEAN carried buckets: a delta'd bucket's resolved
+    // rows/stats are unknowable without the fold, and recording the
+    // stale base numbers would misstate the table
     val backfill: Map[Int, Long] = carried.collect {
-      case (p, (w, r, cs)) if r.isEmpty || (statsOn && cs.isEmpty) => p -> w
+      case (p, e) if e.deltas.isEmpty && e.base.isDefined &&
+        (e.rows.isEmpty || (statsOn && e.stats.isEmpty)) => p -> e.base.get
     }
     val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
       if (statsOn)
@@ -589,19 +766,20 @@ object Cdc {
         }).map { case (p, dir) =>
           p -> (dirRowCount(spark, dir), Map.empty[String, ColStatRec])
         }.toMap
-    val carriedStats: Map[Int, (Long, Long, Map[String, ColStatRec])] =
-      carried.map { case (p, (w, r, cs)) =>
-        val (rows, stats) = scanned.get(p) match {
-          case Some((sr, ss)) => (sr, ss)
-          case None           => (r.get, cs)
-        }
-        p -> (w, rows, stats)
+    val carriedStats: Map[Int, BucketEntry] =
+      carried.map { case (p, e) =>
+        p -> (scanned.get(p) match {
+          case Some((sr, ss)) => e.copy(rows = Some(sr), stats = ss)
+          case None           => e
+        })
       }
-    val entries =
-      (carriedStats ++ written.map(p => p -> (writerId, scanned(p)._1, scanned(p)._2)))
-        .toSeq.map { case (p, (w, r, cs)) => (p, w, r, cs) }.sortBy(_._1)
+    val entries: Seq[(Int, BucketEntry)] =
+      (carriedStats ++ written.map(p =>
+        p -> BucketEntry(Some(writerId), Some(scanned(p)._1), scanned(p)._2)))
+        .toSeq.sortBy(_._1)
     if (casCommit) {
-      commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta))
+      commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
+        touchedBuckets, parentEntries, parentMeta)
     } else {
       // schema sidecar FIRST, manifest commit second: a committed version
       // always carries its schema; a crash between the two leaves an
@@ -609,9 +787,64 @@ object Cdc {
       Seq(metaLine(targetMeta)).toDF("ddl").coalesce(1)
         .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
       // manifest commit point: tiny single-file write, _SUCCESS-guarded
-      entries.toDF("_bucket", "_writer", "_rows", "_colstats").coalesce(1)
+      manifestRows(spark, entries).coalesce(1)
         .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
+      id
     }
+  }
+
+  /** The merge-on-read DELTA COMMIT body of [[processPartitionedBatch]]:
+    * fold the batch to its per-key survivors (same window/rank as
+    * [[upsert]] — the delta is compacted at write, one row per key),
+    * write them as per-bucket delta files under a unique writer token,
+    * and commit a manifest whose touched entries APPEND that writer to
+    * the bucket's delta list — the parent's data files are never opened.
+    * A delete of an absent key stays a no-op by construction: its `D`
+    * survivor tombstones nothing at fold time and is dropped. */
+  private def morDeltaCommit(
+      batch: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[Column],
+      opCol: Column,
+      storePath: String,
+      nBuckets: Int,
+      id: Long,
+      writerId: Long,
+      target: org.apache.spark.sql.types.StructType,
+      targetMeta: StoreMeta,
+      parentEntries: Map[Int, BucketEntry],
+      parentMeta: Option[StoreMeta]): Long = {
+    val spark = batch.sparkSession
+    val missing = target.fieldNames.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"changelog lacks payload columns: ${missing.mkString(",")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    val physKeys = keys.map(targetMeta.phys)
+    val survivors = batch
+      .withColumn("__op", upper(opCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      // files spell PHYSICAL names, same as every base file
+      .select(target.fields.map(f => col(f.name).as(targetMeta.phys(f.name))).toIndexedSeq
+        :+ when(col("__op") === "D", lit("D")).otherwise(lit("U")).as(DeltaOpCol): _*)
+      .withColumn("_bucket", bucketExpr(physKeys, nBuckets))
+      .withColumn("_writer", lit(writerId))
+      // KEY-SORTED like base files: delta point reads skip row groups too
+      .sortWithinPartitions(("_bucket" +: "_writer" +: physKeys).map(col): _*)
+    survivors.write
+      .partitionBy("_bucket", "_writer")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(partsPath(storePath))
+    val written = listWrittenBuckets(spark, storePath, writerId)
+    val entries: Seq[(Int, BucketEntry)] =
+      (parentEntries.view.filterKeys(p => !written.contains(p)).toMap ++
+        written.iterator.map { p =>
+          val pe = parentEntries.get(p)
+          p -> BucketEntry(pe.flatMap(_.base), rows = None, stats = Map.empty,
+            deltas = pe.map(_.deltas).getOrElse(Nil) :+ writerId)
+        }).toSeq.sortBy(_._1)
+    commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
+      touched = written, parentEntries = parentEntries, parentMeta = parentMeta)
   }
 
   /** METADATA-ONLY schema commits (the column-mapping half of Delta
@@ -647,14 +880,21 @@ object Cdc {
     val renamed = org.apache.spark.sql.types.StructType(
       meta.schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     val phys = meta.phys(from)
-    commitMetadataOnly(spark, storePath, parentV,
+    // a renamed merge key stays the key under its new logical name (the
+    // layout hash is over VALUES); the recorded keys follow the rename
+    val newKeys = meta.keys.map(k => if (k == from) to else k)
+    commitMetadataOnly(spark, storePath, parentV, meta,
       StoreMeta(renamed, meta.mapping - from ++ (if (phys == to) Nil else Seq(to -> phys)),
-        meta.retired, mapChangeV = Some(parentV + 1)))
+        meta.retired, mapChangeV = Some(parentV + 1), keys = newKeys))
   }
 
-  /** See [[renameColumn]]. Refuses to drop a column the caller declares
-    * as a merge key — identity is the one thing a keyed store cannot
-    * lose. */
+  /** See [[renameColumn]]. Refuses to drop a merge key — identity is the
+    * one thing a keyed store cannot lose: the check covers the caller's
+    * declared `keys`, the keys the store itself recorded at its last
+    * commit, AND any live catalog registration for this path
+    * ([[registerMergeKeys]]) — without the last one, dropping a
+    * registered store's key would brick every subsequent catalog scan
+    * with an unrelated schema error far from the cause. */
   def dropColumn(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
@@ -662,15 +902,31 @@ object Cdc {
       keys: Seq[String] = Nil): Long = {
     require(!keys.contains(name), s"cannot drop merge key $name")
     val (parentV, meta) = latestMeta(spark, storePath)
+    require(!meta.keys.contains(name),
+      s"cannot drop $name: the store records it as a merge key")
+    for (regKeys <- mergeKeyRegistry.get(storePath))
+      require(!regKeys.contains(name),
+        s"cannot drop $name: a catalog registration for $storePath names it as a merge key")
     require(meta.schema.fieldNames.contains(name), s"no column $name in ${meta.schema.toDDL}")
     require(meta.schema.length > 1, "cannot drop the last column")
-    commitMetadataOnly(spark, storePath, parentV,
+    commitMetadataOnly(spark, storePath, parentV, meta,
       StoreMeta(
         org.apache.spark.sql.types.StructType(meta.schema.fields.filterNot(_.name == name)),
         meta.mapping - name,
         meta.retired :+ meta.phys(name),
-        mapChangeV = Some(parentV + 1)))
+        mapChangeV = Some(parentV + 1),
+        keys = meta.keys))
   }
+
+  // live catalog registrations' merge keys per store path — the guard
+  // [[dropColumn]] consults so a bare maintenance-API call cannot brick a
+  // registered catalog table. Populated by CdcCatalog.register/unregister.
+  private val mergeKeyRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  private[graft] def registerMergeKeys(storePath: String, keys: Seq[String]): Unit =
+    mergeKeyRegistry.put(storePath, keys)
+  private[graft] def unregisterMergeKeys(storePath: String): Unit =
+    mergeKeyRegistry.remove(storePath)
 
   private def latestMeta(
       spark: org.apache.spark.sql.SparkSession, storePath: String): (Long, StoreMeta) = {
@@ -683,23 +939,28 @@ object Cdc {
   }
 
   /** Commit a new version identical to `parentV` except for its schema
-    * metadata: parent manifest entries carried verbatim (rows and
-    * colstats included — colstats are keyed by PHYSICAL name, which
-    * renames never change), CAS rename as the atomic point. */
+    * metadata: parent manifest entries carried verbatim (rows, colstats
+    * and delta lists included — colstats are keyed by PHYSICAL name,
+    * which renames never change, and the fold's tombstone semantics are
+    * name-free), CAS rename as the atomic point. Touched-bucket set is
+    * EMPTY, so a racing disjoint DML writer rebases past this commit
+    * (and vice versa) without conflict. */
   private def commitMetadataOnly(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       parentV: Long,
+      parentMeta: StoreMeta,
       newMeta: StoreMeta): Long = {
-    val id = parentV + 1
-    val entries = readManifestFull(spark, storePath, parentV).toSeq
-      .map { case (p, (w, r, cs)) =>
-        (p, w,
-          r.getOrElse(dirRowCount(spark, s"${partsPath(storePath)}/_bucket=$p/_writer=$w")),
-          cs)
+    val parentEntries = readManifestFull(spark, storePath, parentV)
+    val entries = parentEntries.toSeq
+      .map { case (p, e) =>
+        val rows =
+          if (e.rows.isDefined || e.deltas.nonEmpty || e.base.isEmpty) e.rows
+          else Some(dirRowCount(spark, bucketDir(storePath, p, e.base.get)))
+        p -> e.copy(rows = rows)
       }.sortBy(_._1)
-    commitCas(spark, storePath, id, mintCasToken(), entries, metaLine(newMeta))
-    id
+    commitCas(spark, storePath, parentV + 1, mintCasToken(), entries, metaLine(newMeta),
+      touched = Set.empty, parentEntries = parentEntries, parentMeta = Some(parentMeta))
   }
 
   /** CAS writer tokens live above 2^62 so they can never collide with a
@@ -729,52 +990,137 @@ object Cdc {
     * [[ConcurrentCdcWriteException]]; the winner's commit is never
     * touched (the nested dir is underscore-invisible even in the window
     * before the loser's cleanup). */
+  /** How many times a CAS loser may REBASE onto a disjoint winner before
+    * giving up and throwing the retryable conflict. Bounds livelock under
+    * pathological contention; each rebase is metadata-only (no data
+    * rewrite), so the cap is generous. */
+  private val MaxCasRebases = 5
+
+  /** LOGICAL CONFLICT DETECTION (the Delta-style rebase): when the rename
+    * loses, read the winner's committed manifest and metadata; if the
+    * winner touched NO bucket this commit touched and changed NO schema
+    * metadata (schema/mapping/retired all equal the parent's), this
+    * commit's already-written part files are still exactly valid — re-aim
+    * it at the next version id with entries = winner's manifest overlaid
+    * with ours, and try the rename again. No data is rewritten; the loser
+    * pays one manifest read per rebase. Overlapping buckets, schema
+    * drift, or an unreadable winner fall through to the retryable throw
+    * (the caller must re-apply against the new snapshot — write skew is
+    * only safe to auto-resolve when the write sets are disjoint). */
   private def commitCas(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       id: Long,
       writerId: Long,
-      entries: Seq[(Int, Long, Long, Map[String, ColStatRec])],
-      metaLn: String): Unit = {
+      entries: Seq[(Int, BucketEntry)],
+      metaLn: String,
+      touched: Set[Int],
+      parentEntries: Map[Int, BucketEntry],
+      parentMeta: Option[StoreMeta]): Long = {
     import spark.implicits._
     val stagingName = s"_attempt_w=$writerId"
     val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
-    val dst = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$id")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    entries.toDF("_bucket", "_writer", "_rows", "_colstats").coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
-    val ddl = new org.apache.hadoop.fs.Path(staging, "_schema.ddl")
-    val out = fs.create(ddl, true)
-    try out.write(metaLn.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val renamed =
-      try !fs.exists(dst) && fs.rename(staging, dst)
-      catch { case _: java.io.IOException => false }
-    val landed = renamed &&
-      fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dst, stagingName))
-    if (!landed) {
-      // lost the race (or a copy-fallback nested us inside the winner):
-      // remove everything this attempt created, never the winner's files
-      val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // this commit's OWN entries at its touched buckets — stable across
+    // rebases (the part files are already on disk and stay valid as long
+    // as every winner we rebase past left those buckets alone)
+    val ours: Map[Int, BucketEntry] = entries.toMap.view.filterKeys(touched.contains).toMap
+    var curId = id
+    var curEntries: Seq[(Int, BucketEntry)] = entries
+    var curParent: Map[Int, BucketEntry] = parentEntries
+    var curParentMeta: Option[StoreMeta] = parentMeta
+    var rebases = 0
+    def conflict(detail: String): Nothing = {
       if (fs.exists(staging)) fs.delete(staging, true)
       purgeWriterDirs(spark, storePath, writerId)
       throw new ConcurrentCdcWriteException(
-        s"concurrent write to $storePath: version v=$id was committed by another " +
-          "writer while this batch was staging — re-read the latest version and retry")
+        s"concurrent write to $storePath: $detail — re-read the latest version and retry")
     }
-    // compatibility sidecar for external tooling that lists schema/ dirs;
-    // the committed manifest's _schema.ddl is authoritative (storedSchema
-    // falls back to it), so a crash here loses nothing
-    Seq(metaLn).toDF("ddl").coalesce(1)
-      .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
+    while (true) {
+      val dst = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$curId")
+      manifestRows(spark, curEntries).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      // the commit protocol keys "committed" off the _SUCCESS marker the
+      // rename carries along; a cluster conf that disables the marker
+      // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) would
+      // make every CAS commit invisible — and worse, make a WINNING
+      // rename look lost (self-destruct). Refuse up front, loudly.
+      require(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")),
+        "CAS commit requires the _SUCCESS job marker " +
+          "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay enabled): " +
+          s"staged manifest $staging has none")
+      val ddl = new org.apache.hadoop.fs.Path(staging, "_schema.ddl")
+      val out = fs.create(ddl, true)
+      try out.write(metaLn.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // TORN-DIRECTORY HEAL: a v=<id> dir WITHOUT _SUCCESS is a crashed
+      // non-CAS (streaming) attempt — invisible to committedVersions, so
+      // without this purge every CAS retry would re-mint the same id,
+      // find the dir occupied, and throw forever (permanent DML livelock
+      // on one abandoned dir). Deleting it is exactly what the torn
+      // attempt's own replay would do. Residual TOCTOU window (another
+      // writer committing this id between the marker check and the
+      // delete) is the same one every rename-based committer carries on
+      // stores without atomic CAS primitives; the rename below still
+      // decides a single winner.
+      val dstSuccess = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")
+      if (fs.exists(dst) && !fs.exists(dstSuccess)) fs.delete(dst, true)
+      val renamed =
+        try !fs.exists(dst) && fs.rename(staging, dst)
+        catch { case _: java.io.IOException => false }
+      val landed = renamed && fs.exists(dstSuccess) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(dst, stagingName))
+      if (landed) {
+        // compatibility sidecar for external tooling that lists schema/
+        // dirs; the committed manifest's _schema.ddl is authoritative
+        // (storedSchema reads it first), so a crash here loses nothing
+        Seq(metaLn).toDF("ddl").coalesce(1)
+          .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$curId")
+        return curId
+      }
+      // lost the race (or a copy-fallback nested us inside the winner):
+      // remove the nested copy, never the winner's files
+      val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      rebases += 1
+      if (rebases > MaxCasRebases)
+        conflict(s"v=$curId was committed by another writer and $MaxCasRebases rebases " +
+          "were exhausted")
+      // rebase candidate: the winner now committed at curId
+      val winner =
+        try readManifestFull(spark, storePath, curId)
+        catch { case scala.util.control.NonFatal(_) =>
+          conflict(s"v=$curId was committed by another writer while this batch was " +
+            "staging, and its manifest is not yet readable") }
+      val winnerMeta = storedMeta(spark, storePath, curId)
+      val metaUnchanged = (curParentMeta, winnerMeta) match {
+        case (Some(a), Some(b)) =>
+          a.schema == b.schema && a.mapping == b.mapping && a.retired == b.retired
+        case _ => false // fresh store or unreadable metadata: no basis to rebase on
+      }
+      if (!metaUnchanged)
+        conflict(s"v=$curId was committed by another writer that changed schema metadata")
+      val overlap = touched.filter(p => winner.get(p) != curParent.get(p))
+      if (overlap.nonEmpty)
+        conflict(s"v=$curId was committed by another writer that touched overlapping " +
+          s"buckets ${overlap.toSeq.sorted.take(8).mkString(",")}")
+      // disjoint: our part files are untouched truth — overlay and retry.
+      // Buckets we touched but emptied must stay ABSENT (removedAll), or
+      // the winner's carried entry would resurrect them.
+      curEntries = ((winner -- touched) ++ ours).toSeq.sortBy(_._1)
+      curParent = winner
+      curId += 1
+    }
+    -1L // unreachable
   }
 
   /** The partition-scoped snapshot as of `version` (default: newest
-    * committed). Reads only the bucket directories the manifest names.
-    * Throws if nothing is committed, or if every bucket has been deleted
-    * (an empty store carries no schema to serve). */
+    * committed). Reads only the bucket directories the manifest names;
+    * buckets with pending merge-on-read deltas fold transparently
+    * ([[readResolvedBuckets]] — the merge keys come from the version's
+    * own recorded metadata, so the read needs no caller hints). Throws
+    * if nothing is committed, or if every bucket has been deleted (an
+    * empty store carries no schema to serve). */
   def readPartitionedSnapshot(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
@@ -785,12 +1131,11 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    val manifest = readManifest(spark, storePath, v)
+    val manifest = readManifestFull(spark, storePath, v)
     if (manifest.isEmpty)
       throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
-    val dirs = manifest.toSeq.sortBy(_._1)
-      .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
-    readBucketDirs(spark, storePath, dirs, v)
+    val keys = storedMeta(spark, storePath, v).map(_.keys).getOrElse(Nil)
+    readResolvedBuckets(spark, storePath, v, manifest.toSeq.sortBy(_._1), keys)
   }
 
   /** Committed manifest versions (the store's serving history). */
@@ -827,14 +1172,14 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    val manifest = readManifest(spark, storePath, v)
+    val manifest = readManifestFull(spark, storePath, v)
     val schema = storedSchema(spark, storePath, v).getOrElse {
       if (manifest.isEmpty)
         throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
       readPartitionedSnapshot(spark, storePath, Some(v)).schema
     }
-    val dirs = manifest.map { case (p, w) =>
-      p -> s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    val dirs = manifest.collect { case (p, e) if e.base.isDefined =>
+      p -> bucketDir(storePath, p, e.base.get)
     }
     (v, schema, dirs)
   }
@@ -861,16 +1206,14 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    val manifest = readManifest(spark, storePath, v)
+    val manifest = readManifestFull(spark, storePath, v)
     val wanted = lookup
       .select(bucketExpr(keys, nBuckets).as("_b")).distinct()
       .as[Int].collect().toSet
-    val dirs = manifest.toSeq.filter { case (p, _) => wanted.contains(p) }
-      .sortBy(_._1)
-      .map { case (p, w) => s"${partsPath(storePath)}/_bucket=$p/_writer=$w" }
-    if (dirs.isEmpty)
+    val entries = manifest.toSeq.filter { case (p, _) => wanted.contains(p) }.sortBy(_._1)
+    if (entries.isEmpty)
       return readPartitionedSnapshot(spark, storePath, Some(v)).limit(0).filter(lit(false))
-    readBucketDirs(spark, storePath, dirs, v)
+    readResolvedBuckets(spark, storePath, v, entries, keys)
       .join(broadcast(lookup.select(keys.map(col): _*).distinct()), keys, "left_semi")
   }
 
@@ -973,20 +1316,25 @@ object Cdc {
     val vs = manifestVersions(spark, storePath).toSet
     require(vs.contains(fromV) && vs.contains(toV),
       s"both versions must be committed under $storePath (have ${vs.toSeq.sorted.mkString(",")})")
-    val m1 = readManifest(spark, storePath, fromV)
-    val m2 = readManifest(spark, storePath, toV)
-    // identical (bucket → writer) entry ⇒ identical FILES (carried by
-    // reference) ⇒ zero diff, zero IO
-    val changed = (m1.keySet ++ m2.keySet).filter(p => m1.get(p) != m2.get(p)).toSeq.sorted
+    val m1 = readManifestFull(spark, storePath, fromV)
+    val m2 = readManifestFull(spark, storePath, toV)
+    // identical (base, deltas) entry ⇒ identical FILES (carried by
+    // reference) ⇒ zero diff, zero IO. rows/stats are recording detail,
+    // not content identity — compare the file references only, or a
+    // stats backfill would make every bucket look "changed".
+    def sig(e: BucketEntry): (Option[Long], Seq[Long]) = (e.base, e.deltas)
+    val changed = (m1.keySet ++ m2.keySet)
+      .filter(p => m1.get(p).map(sig) != m2.get(p).map(sig)).toSeq.sorted
     // BOTH sides read under toV's recorded schema: evolution is additive,
     // so toV's schema is a superset of fromV's and the fromV files fill
     // the later columns with NULL — pre-images of rows that predate an
     // added column report it as absent, which is exactly what they were.
-    def slice(manifest: Map[Int, Long]): Option[DataFrame] = {
-      val dirs = changed.flatMap(p => manifest.get(p).map(w =>
-        s"${partsPath(storePath)}/_bucket=$p/_writer=$w"))
-      if (dirs.isEmpty) None
-      else Some(readBucketDirs(spark, storePath, dirs, toV))
+    // Merge-on-read buckets RESOLVE (fold) per side, so the diff compares
+    // logical content, never raw delta files.
+    def slice(manifest: Map[Int, BucketEntry]): Option[DataFrame] = {
+      val entries = changed.flatMap(p => manifest.get(p).map(p -> _))
+      if (entries.isEmpty) None
+      else Some(readResolvedBuckets(spark, storePath, toV, entries, keys))
     }
     // schema source for empty sides: whichever side has data; if NEITHER
     // version stores any row in a changed bucket the feed is empty — but
@@ -1063,17 +1411,34 @@ object Cdc {
       }
     }
     val committed = vs.toSet // snapshot BEFORE deleting manifests
-    val referenced: Set[(Int, Long)] =
-      keep.flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
+    def refsOf(v: Long): Seq[(Int, Long)] =
+      readManifestFull(spark, storePath, v).toSeq.flatMap { case (p, e) =>
+        // base AND merge-on-read delta writers are all live references
+        e.writers.map(p -> _)
+      }
+    val referenced: Set[(Int, Long)] = keep.flatMap(refsOf)
     // CAS batch commits write parts under TOKEN writer ids (≥ 2^62, never
     // a version number), so "its version committed" can't vouch for them;
     // instead a token dir is reapable exactly when the manifests that
     // referenced it are the ones aging out right now. (A crashed CAS
-    // loser's dirs are referenced by NO manifest and stay — same
-    // in-flight protection as uncommitted version writers.)
+    // loser's dirs are referenced by NO manifest and normally stay — the
+    // in-flight protection — EXCEPT when they predate the whole retained
+    // history: see retentionFloorMs below.)
     val droppedRefs: Set[(Int, Long)] =
-      vs.filterNot(keep).toSet[Long]
-        .flatMap(v => readManifest(spark, storePath, v).toSeq.map { case (p, w) => (p, w) })
+      vs.filterNot(keep).toSet[Long].flatMap(refsOf)
+    // ABANDONED-ATTEMPT REAPING: a CAS loser that crashed between its
+    // parts write and its cleanup leaves token part dirs and an
+    // _attempt_w= staging dir referenced by NO manifest — with no reaping
+    // path they accumulate forever. "Abandoned" is provable by AGE: any
+    // attempt older than the OLDEST RETAINED COMMIT has been dead for the
+    // store's whole retained history (a live attempt commits within one
+    // statement), so its dirs are garbage, never in-flight state.
+    val retentionFloorMs: Long = {
+      val marker = new org.apache.hadoop.fs.Path(
+        s"${manifestPath(storePath)}/v=${keep.min}/_SUCCESS")
+      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime else Long.MinValue
+    }
+    val allRefs = referenced ++ droppedRefs
     // reap PARTS first, manifests second: droppedRefs is the only proof a
     // token-writer dir is reapable, and it comes from the very manifests
     // this vacuum is about to delete — a crash between the phases must
@@ -1082,24 +1447,100 @@ object Cdc {
     val partsRoot = new org.apache.hadoop.fs.Path(partsPath(storePath))
     if (fs.exists(partsRoot)) {
       for {
-        bucketDir <- fs.listStatus(partsRoot) if bucketDir.isDirectory &&
-          bucketDir.getPath.getName.startsWith("_bucket=")
-        p = bucketDir.getPath.getName.stripPrefix("_bucket=").toInt
-        writerDir <- fs.listStatus(bucketDir.getPath) if writerDir.isDirectory &&
+        bDir <- fs.listStatus(partsRoot) if bDir.isDirectory &&
+          bDir.getPath.getName.startsWith("_bucket=")
+        p = bDir.getPath.getName.stripPrefix("_bucket=").toInt
+        writerDir <- fs.listStatus(bDir.getPath) if writerDir.isDirectory &&
           writerDir.getPath.getName.startsWith("_writer=")
         w = writerDir.getPath.getName.stripPrefix("_writer=").toLong
         // only reap data whose commit is PROVEN finished and now
         // unreferenced: version writers via their committed manifest,
-        // token writers via the dropped manifests that referenced them;
-        // anything else is in-flight and owned by its replay/retry
-        if (committed.contains(w) || droppedRefs.contains((p, w))) &&
-          !referenced.contains((p, w))
+        // token writers via the dropped manifests that referenced them or
+        // by abandonment age; anything else is in-flight and owned by its
+        // replay/retry
+        if !referenced.contains((p, w)) &&
+          (committed.contains(w) || droppedRefs.contains((p, w)) ||
+            (w >= (1L << 62) && !allRefs.contains((p, w)) &&
+              writerDir.getModificationTime < retentionFloorMs))
       } fs.delete(writerDir.getPath, true)
+    }
+    // abandoned CAS staging manifests age out on the same floor
+    val manifestRoot = new org.apache.hadoop.fs.Path(manifestPath(storePath))
+    if (fs.exists(manifestRoot)) {
+      fs.listStatus(manifestRoot).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_attempt_w=") &&
+          st.getModificationTime < retentionFloorMs)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     vs.filterNot(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v"), true)
     }
+  }
+
+  /** MERGE-ON-READ COMPACTION (the cadence that bounds read-side fold
+    * depth): fold base + deltas of every bucket carrying at least
+    * `minDeltas` pending delta levels back into a fresh BASE rewrite,
+    * and commit the result as a new version whose compacted entries have
+    * empty delta lists — logically a no-op (the resolved snapshot is
+    * IDENTICAL before and after; the change feed across the boundary is
+    * empty), physically the moment the store pays the bucket rewrite a
+    * CoW commit would have paid per DML. Work is proportional to the
+    * DIRTY buckets only; clean buckets carry by reference. Commits via
+    * CAS with touched = the dirty buckets, so compaction rebases past
+    * concurrent disjoint DML (and vice versa) without conflict. Returns
+    * the new version, or None when nothing needed compacting. Row counts
+    * and column statistics are re-recorded for the rewritten buckets
+    * (they were honestly absent while deltas were pending), so count
+    * pushdown and CBO stats come back after compaction. */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      minDeltas: Int = 1): Option[Long] = {
+    require(minDeltas >= 1, "minDeltas >= 1")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val vs = manifestVersions(spark, storePath)
+    require(vs.nonEmpty, s"no committed snapshot under $storePath")
+    val v = vs.max
+    val entries = readManifestFull(spark, storePath, v)
+    val meta = storedMeta(spark, storePath, v).getOrElse(
+      StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema))
+    val dirty = entries.filter(_._2.deltas.length >= minDeltas)
+    if (dirty.isEmpty) return None
+    val token = mintCasToken()
+    val resolved = readResolvedBuckets(spark, storePath, v, dirty.toSeq.sortBy(_._1), keys)
+    val physKeys = keys.map(meta.phys)
+    resolved
+      .select(meta.schema.fields.map(f => col(f.name).as(meta.phys(f.name))).toIndexedSeq: _*)
+      .withColumn("_bucket", bucketExpr(physKeys, nBuckets))
+      .withColumn("_writer", lit(token))
+      .sortWithinPartitions(("_bucket" +: "_writer" +: physKeys).map(col): _*)
+      .write.partitionBy("_bucket", "_writer")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(partsPath(storePath))
+    val written = listWrittenBuckets(spark, storePath, token)
+    val statsOn = collectStatsEnabled && meta.schema.fields.exists(f =>
+      CboMinMaxTypes.contains(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+    val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
+      if (written.isEmpty) Map.empty
+      else if (statsOn)
+        bucketStatsScan(spark, storePath,
+          written.toSeq.sorted.map(p => bucketDir(storePath, p, token)), meta.physicalSchema)
+      else written.toSeq.map(p =>
+        p -> (dirRowCount(spark, bucketDir(storePath, p, token)),
+          Map.empty[String, ColStatRec])).toMap
+    // a dirty bucket whose resolved content is EMPTY (every key deleted)
+    // writes no dir and DROPS from the manifest — same contract as a CoW
+    // batch that empties a bucket
+    val newEntries = ((entries -- dirty.keySet) ++ written.map(p =>
+      p -> BucketEntry(Some(token), Some(scanned(p)._1), scanned(p)._2)))
+      .toSeq.sortBy(_._1)
+    Some(commitCas(spark, storePath, v + 1, token, newEntries, metaLine(meta),
+      touched = dirty.keySet, parentEntries = entries, parentMeta = Some(meta)))
   }
 
   /** Committed SINGLE-version directories (`v=<id>`) present in a
@@ -1256,36 +1697,44 @@ object Cdc {
       .filter(col("_commit_version") > sinceV)
   }
 
-  private def readManifest(
-      spark: org.apache.spark.sql.SparkSession,
-      storePath: String,
-      v: Long): Map[Int, Long] = {
-    import spark.implicits._
-    spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
-      .select(col("_bucket").cast("int"), col("_writer").cast("long"))
-      .as[(Int, Long)].collect().toMap // nBuckets-bounded: config, not data
-  }
-
-  /** Manifest with the recorded per-bucket ROW COUNT and per-column
-    * footer statistics — `None`/empty for manifests written before they
-    * rode along (the next commit records them forward; readers treat
-    * absence as unknown, never as zero). */
+  /** Manifest entries of version `v` — per bucket: base writer, recorded
+    * row count / column statistics (None/empty for manifests written
+    * before they rode along, or for buckets with pending deltas — the
+    * next full rewrite records them forward; readers treat absence as
+    * unknown, never as zero), and the ordered merge-on-read delta
+    * writers. nBuckets-bounded: config, not data. */
   private[graft] def readManifestFull(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      v: Long): Map[Int, (Long, Option[Long], Map[String, ColStatRec])] = {
+      v: Long): Map[Int, BucketEntry] = {
     import spark.implicits._
     val df = spark.read.parquet(s"${manifestPath(storePath)}/v=$v")
-    if (df.columns.contains("_rows")) {
-      val withCs =
-        if (df.columns.contains("_colstats")) df
-        else df.withColumn("_colstats", typedLit(Map.empty[String, ColStatRec]))
-      withCs.select(col("_bucket").cast("int"), col("_writer").cast("long"),
-          col("_rows").cast("long"), col("_colstats"))
-        .as[(Int, Long, Option[Long], Option[Map[String, ColStatRec]])].collect()
-        .map { case (p, w, r, cs) => p -> (w, r, cs.getOrElse(Map.empty)) }.toMap
-    } else readManifest(spark, storePath, v).view
-      .mapValues((_, Option.empty[Long], Map.empty[String, ColStatRec])).toMap
+    val cols = df.columns.toSet
+    val rowsCol =
+      if (cols("_rows")) col("_rows").cast("long") else lit(null).cast("long")
+    val csCol =
+      if (cols("_colstats")) col("_colstats")
+      else typedLit(Map.empty[String, ColStatRec])
+    val dCol =
+      if (cols("_deltas")) col("_deltas") else typedLit(Seq.empty[Long])
+    df.select(col("_bucket").cast("int"), col("_writer").cast("long"),
+        rowsCol.as("_rows"), csCol.as("_colstats"), dCol.as("_deltas"))
+      .as[(Int, Long, Option[Long], Option[Map[String, ColStatRec]], Option[Seq[Long]])]
+      .collect()
+      .map { case (p, w, r, cs, ds) =>
+        p -> BucketEntry(if (w < 0) None else Some(w), r, cs.getOrElse(Map.empty),
+          ds.getOrElse(Nil))
+      }.toMap
+  }
+
+  /** The manifest parquet rows for `entries` (commit-side twin of
+    * [[readManifestFull]]): `_writer` spells an absent base as −1. */
+  private def manifestRows(
+      spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[(Int, BucketEntry)]): DataFrame = {
+    import spark.implicits._
+    entries.map { case (p, e) => (p, e.base.getOrElse(-1L), e.rows, e.stats, e.deltas) }
+      .toDF("_bucket", "_writer", "_rows", "_colstats", "_deltas")
   }
 
   /** Recorded row counts per bucket of `version` (default newest) — only
@@ -1302,7 +1751,9 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    readManifestFull(spark, storePath, v).collect { case (p, (_, Some(r), _)) => p -> r }
+    readManifestFull(spark, storePath, v).collect { case (p, e) if e.rows.isDefined =>
+      p -> e.rows.get
+    }
   }
 
   /** `DESCRIBE HISTORY`-shape audit surface over the store's own
@@ -1320,43 +1771,95 @@ object Cdc {
     import spark.implicits._
     val vs = manifestVersions(spark, storePath).sorted
     val times = versionCommitTimes(spark, storePath).toMap
-    val manifests = vs.map(v => v -> readManifestFull(spark, storePath, v)).toMap
+    if (vs.isEmpty)
+      return Seq.empty[(Long, Long, Int, Int, Option[Long])]
+        .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
+    // ONE partitioned read over every committed manifest (`v=` is the
+    // partition column), collected ONCE — nVersions × nBuckets metadata
+    // rows, bounded by config × history, never by data — then folded
+    // driver-side. A thousand-epoch store costs one Spark scan, not one
+    // job per version; commit times stay driver-side FS metadata.
+    val mp = manifestPath(storePath)
+    val raw0 = spark.read.option("basePath", mp).option("mergeSchema", "true")
+      .parquet(vs.map(v => s"$mp/v=$v"): _*)
+    val cols = raw0.columns.toSet
+    val raw = {
+      val r1 = if (cols("_rows")) raw0 else raw0.withColumn("_rows", lit(null).cast("long"))
+      if (cols("_deltas")) r1
+      else r1.withColumn("_deltas", typedLit(Seq.empty[Long]))
+    }
+    // rows: (version, bucket, signature = base writer + delta list, rows)
+    val entries: Array[(Long, Int, (Long, Seq[Long]), Option[Long])] = raw
+      .select(col("v").cast("long"), col("_bucket").cast("int"),
+        col("_writer").cast("long"),
+        coalesce(col("_deltas"), typedLit(Seq.empty[Long])).as("_deltas"),
+        col("_rows").cast("long"))
+      .as[(Long, Int, Long, Seq[Long], Option[Long])]
+      .collect()
+      .map { case (v, p, w, ds, r) => (v, p, (w, ds), r) }
+    val byV: Map[Long, Array[(Int, (Long, Seq[Long]), Option[Long])]] =
+      entries.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3, e._4))).toMap
     vs.zipWithIndex.map { case (v, i) =>
-      val m = manifests(v)
-      val parent: Map[Int, (Long, Option[Long], Map[String, ColStatRec])] =
-        if (i == 0) Map.empty else manifests(vs(i - 1))
-      val touched = m.count { case (p, (w, _, _)) =>
-        !parent.get(p).exists(_._1 == w) }
+      val m = byV.getOrElse(v, Array.empty)
+      val parent: Map[Int, (Long, Seq[Long])] =
+        if (i == 0) Map.empty
+        else byV.getOrElse(vs(i - 1), Array.empty).map(e => e._1 -> e._2).toMap
+      val touched = m.count { case (p, sig, _) => !parent.get(p).contains(sig) }
       val rows: Option[Long] =
-        if (m.nonEmpty && m.values.forall(_._2.isDefined)) Some(m.valuesIterator.map(_._2.get).sum)
-        else if (m.isEmpty) Some(0L)
-        else None
-      (v, times(v), m.size, touched, rows)
+        if (m.isEmpty) Some(0L) // a committed-but-empty version serves 0 rows
+        else if (m.forall(_._3.isDefined)) Some(m.iterator.map(_._3.get).sum)
+        else None // a bucket with pending deltas honestly has no count
+      (v, times(v), m.length, touched, rows)
     }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
   }
 
   /** `$files`-shape metadata: the serving layout's LIVE data files — one
-    * row per parquet file the manifest references (bucket, writer id,
-    * path, bytes) plus the bucket's manifest-recorded row count. Pure
-    * driver metadata (one LIST per non-empty bucket; no footer or page
-    * is read) — the audit surface for file-size distribution, small-file
-    * pressure, and reshard planning. */
+    * row per parquet file the manifest references (base AND merge-on-read
+    * delta files; `is_delta` distinguishes them) with path, bytes, the
+    * bucket's manifest-recorded row count, and the file's own EXACT row
+    * count (`file_rows`, from its footer) — what makes small-file
+    * pressure and compaction planning real instead of inferred. Listing
+    * is driver-side (one LIST per live writer dir, nBuckets-bounded);
+    * the footer reads are DISTRIBUTED — one Spark stage over the file
+    * list, so a store with many files costs executor metadata IO, not a
+    * sequential driver loop. */
   def describeFiles(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       version: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val (_, _, manifest, dirs) = servingState(spark, storePath, version)
+    val (_, _, manifest, _) = servingState(spark, storePath, version)
     val conf = spark.sparkContext.hadoopConfiguration
-    dirs.toSeq.sortBy(_._1).flatMap { case (p, dir) =>
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(conf)
-      val (w, rows, _) = manifest(p)
-      fs.listStatus(path).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-        .map(st => (p, w, st.getPath.toString, st.getLen, rows))
-    }.toDF("_bucket", "_writer", "path", "bytes", "bucket_rows")
+    val listed: Seq[(Int, Long, String, Long, Option[Long], Boolean)] =
+      manifest.toSeq.sortBy(_._1).flatMap { case (p, e) =>
+        (e.base.map(_ -> false).toSeq ++ e.deltas.map(_ -> true)).flatMap { case (w, isDelta) =>
+          val path = new org.apache.hadoop.fs.Path(bucketDir(storePath, p, w))
+          val fs = path.getFileSystem(conf)
+          if (!fs.exists(path)) Nil
+          else fs.listStatus(path).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .map(st => (p, w, st.getPath.toString, st.getLen, e.rows, isDelta))
+        }
+      }
+    listed.toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "is_delta")
+      .repartition(math.max(1, math.min(listed.size, 32)))
+      .mapPartitions { it =>
+        // executor-side footer reads: files carry their scheme, a default
+        // Configuration resolves the right FileSystem (same pattern as
+        // the scan readers)
+        val c = new org.apache.hadoop.conf.Configuration()
+        it.map { r =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(r.getString(2)), c))
+          val n = try reader.getRecordCount finally reader.close()
+          (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)), n, r.getBoolean(5))
+        }
+      }
+      .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta")
+      .orderBy("_bucket", "_writer", "path")
   }
 
   /** The serving version's column-mapping metadata for external readers
@@ -1387,7 +1890,7 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       version: Option[Long] = None)
-      : (Long, StoreMeta, Map[Int, (Long, Option[Long], Map[String, ColStatRec])], Map[Int, String]) = {
+      : (Long, StoreMeta, Map[Int, BucketEntry], Map[Int, String]) = {
     val vs = manifestVersions(spark, storePath)
     val v = version.getOrElse {
       if (vs.isEmpty) throw new IllegalStateException(s"no committed snapshot under $storePath")
@@ -1400,8 +1903,8 @@ object Cdc {
         throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
       StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema)
     }
-    val dirs = manifest.map { case (p, (w, _, _)) =>
-      p -> s"${partsPath(storePath)}/_bucket=$p/_writer=$w"
+    val dirs = manifest.collect { case (p, e) if e.base.isDefined =>
+      p -> bucketDir(storePath, p, e.base.get)
     }
     (v, meta, manifest, dirs)
   }
@@ -1420,7 +1923,7 @@ object Cdc {
       vs.max
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
-    readManifestFull(spark, storePath, v).map { case (p, (_, _, cs)) => p -> cs }
+    readManifestFull(spark, storePath, v).map { case (p, e) => p -> e.stats }
   }
 
   /** Row count of one bucket directory from its parquet FOOTERS — driver

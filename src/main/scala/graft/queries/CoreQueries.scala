@@ -75,6 +75,9 @@ object CoreQueries {
     // Compacted-feed fixture (maintainer + compaction run once;
     // c38_cdc_feed_compact serves through the segment).
     compactFeedTableFor(s, sf)
+    // Merge-on-read store (delta commit written once; c38_cdc_mor
+    // measures the catalog scan's read-time fold).
+    morTableFor(s, sf)
     ()
   }
 
@@ -90,6 +93,37 @@ object CoreQueries {
       Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, nBuckets = 16, id = 1L)
     store
   }
+
+  /** The MERGE-ON-READ twin of [[buildCdcStore]] at `store`: same batch
+    * split, but batch 1 is a DELTA COMMIT — per-bucket changelog
+    * survivors, zero base rewrites (operators/Cdc.scala morCommit). */
+  private def buildMorStore(s: SparkSession, sf: String, store: String): String = {
+    val changelog = cdcChangelog(s, sf)
+    val cut = to_date(lit("1995-06-01"))
+    val ord = Seq(col("chg_ts"), col("chg_seq"))
+    Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
+      Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, nBuckets = 16, id = 0L)
+    Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
+      Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, nBuckets = 16, id = 1L,
+      casCommit = true, morCommit = true)
+    store
+  }
+
+  /** Session-artifact MoR store served through the catalog (the DSv2
+    * fold path) — built once per sf, registered with `morDml = true`. */
+  private val morTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def morTableFor(s: SparkSession, sf: String): String =
+    morTables.getOrElseUpdate(sf, {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      buildMorStore(s, sf, store)
+      val t = "cdc_mor_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      graft.sources.cdc.CdcCatalog.register(t, store, Seq("c_custkey"), 16,
+        trustStringStats = true, morDml = true)
+      s"graft.$t"
+    })
 
   // A SECOND partitioned store, bucket-aligned with the first (same key
   // domain, same nBuckets): a per-customer order-activity rollup whose
@@ -1879,6 +1913,34 @@ object CoreQueries {
       Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
     }),
 
+    // C38b-mor: the SAME MERGE, second half committed MERGE-ON-READ
+    // (Cdc.processPartitionedBatch morCommit): the post-cut changelog
+    // lands as per-bucket DELTA files — O(delta) write IO, not one
+    // rewritten bucket — and the DSv2 catalog scan FOLDS base + deltas
+    // last-writer-wins at read time (sources/cdc/CdcScan
+    // CdcMorPartitionReader). Must hash-match the exact same oracle as
+    // the copy-on-write twin: one MERGE semantics, two write-amplification
+    // strategies. Serving query — the store is a session artifact; the
+    // fold itself is what's measured.
+    "c38_cdc_mor" -> ((s, sf) =>
+      s.table(morTableFor(s, sf)).orderBy("c_custkey")),
+
+    // C38b-mor2: the WRITE side of the merge-on-read story, benched
+    // round-over-round: build the base, land the post-cut changelog as a
+    // delta commit, then COMPACT (Cdc.compactStore) — the cadence that
+    // folds deltas back into the base and restores count/stats pushdown.
+    // Rebuilds unconditionally (measures delta write + compaction);
+    // result identical to both twins' oracle.
+    "c38_cdc_mor_compact" -> ((s, sf) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmorc_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      buildMorStore(s, sf, store)
+      Cdc.compactStore(s, store, Seq("c_custkey"), 16)
+      Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
+    }),
+
     // C38c: the CHANGE FEED between two versions of the partitioned store
     // (Delta CDF shape) — every key whose row differs between v0 and v1,
     // classified I/U/D, emitted as-at v1 (I/U) or as-at v0 (D). The scan
@@ -2304,6 +2366,36 @@ object CoreQueries {
                 CAST(2 AS BIGINT) AS commit_version
          FROM diff12 WHERE k0 IS NOT NULL
          )"""
+
+  /** The MERGE recompute all three partitioned-store twins share
+    * (copy-on-write, merge-on-read fold, merge-on-read + compaction):
+    * one semantics, three write-amplification strategies — every one
+    * must hash-match this identical replay. */
+  private val CdcMergeOracle: String =
+    """WITH log AS (
+         SELECT o_custkey AS c_custkey,
+                'upd#' || o_orderkey AS c_name,
+                CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                o_totalprice AS c_acctbal,
+                o_orderpriority AS c_mktsegment,
+                o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+         FROM orders
+       ),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number()
+             OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+           FROM log)
+         WHERE rn = 1
+       )
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM latest WHERE op <> 'D'
+       ORDER BY c_custkey"""
 
   val sql: Map[String, String] = Map(
     "c01_filter_predicates" ->
@@ -3080,31 +3172,12 @@ object CoreQueries {
          ORDER BY c_custkey""",
     // identical MERGE semantics — the partitioned store must serve exactly
     // the one-shot result, so the oracle is the same rank/anti/union replay
-    "c38_cdc_partitioned" ->
-      """WITH log AS (
-           SELECT o_custkey AS c_custkey,
-                  'upd#' || o_orderkey AS c_name,
-                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
-                  o_totalprice AS c_acctbal,
-                  o_orderpriority AS c_mktsegment,
-                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
-                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
-           FROM orders
-         ),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number()
-               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
-             FROM log)
-           WHERE rn = 1
-         )
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
-         UNION ALL
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM latest WHERE op <> 'D'
-         ORDER BY c_custkey""",
+    "c38_cdc_partitioned" -> CdcMergeOracle,
+    // merge-on-read twins: the write-amplification strategy (delta files
+    // + read fold / + compaction) must be INVISIBLE to every reader, so
+    // both share the copy-on-write twin's oracle verbatim
+    "c38_cdc_mor" -> CdcMergeOracle,
+    "c38_cdc_mor_compact" -> CdcMergeOracle,
     "c38_cdc_changes" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

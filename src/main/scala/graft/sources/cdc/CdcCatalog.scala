@@ -63,7 +63,15 @@ object CdcCatalog {
         * set true only when every writer of this store provably keeps
         * binary statistics exact (no parquet.statistics.truncate.length)
         * — the per-store decision the session-global toggle can't make. */
-      trustStringStats: Boolean = false)
+      trustStringStats: Boolean = false,
+      /** Per-store opt-in for MERGE-ON-READ point DML: SQL
+        * MERGE/UPDATE/DELETE/INSERT commit per-bucket DELTA files
+        * (O(delta) write IO) instead of rewriting touched buckets in
+        * full; the scan folds base + deltas at read time and
+        * [[graft.operators.Cdc.compactStore]] folds them back on a
+        * cadence. Leave false for read-latency-critical stores that
+        * prefer paying the rewrite at write time. */
+      morDml: Boolean = false)
 
   /** One registered feed table: the store's materialized CDF directory
     * ([[graft.operators.Cdc.maintainPartitionedSnapshot]]'s `feedPath`)
@@ -86,14 +94,18 @@ object CdcCatalog {
       keys: Seq[String],
       nBuckets: Int,
       version: Option[Long] = None,
-      trustStringStats: Boolean = false): Unit = {
+      trustStringStats: Boolean = false,
+      morDml: Boolean = false): Unit = {
     require(keys.nonEmpty, "a CDC store table needs at least one merge key")
     require(nBuckets > 0, "nBuckets must be positive")
     // symmetric to registerFeed's guard: loadTable resolves stores FIRST,
     // so a store registered under a feed table's name would silently
     // shadow the feed for every reader
     require(!feedRegistry.contains(name), s"$name is already a feed table")
-    registry.put(name, StoreDef(storePath, keys, nBuckets, version, trustStringStats))
+    registry.put(name, StoreDef(storePath, keys, nBuckets, version, trustStringStats, morDml))
+    // the maintenance API's dropColumn guard: a bare Cdc.dropColumn call
+    // must refuse to drop a column a live registration names as a key
+    Cdc.registerMergeKeys(storePath, keys)
   }
 
   /** Expose a store's materialized change feed as `<catalog>.<name>` —
@@ -105,7 +117,15 @@ object CdcCatalog {
     feedRegistry.put(name, FeedDef(feedPath, storePath, trustStringStats))
   }
 
-  def unregister(name: String): Unit = { registry.remove(name); feedRegistry.remove(name) }
+  def unregister(name: String): Unit = {
+    registry.remove(name).foreach { d =>
+      // the key guard lives per PATH: drop it only when no other
+      // registration still serves the same store
+      if (!registry.values.exists(_.storePath == d.storePath))
+        Cdc.unregisterMergeKeys(d.storePath)
+    }
+    feedRegistry.remove(name)
+  }
 
   private[cdc] def lookup(name: String): Option[StoreDef] = registry.get(name)
   private[cdc] def lookupFeed(name: String): Option[FeedDef] = feedRegistry.get(name)
@@ -134,23 +154,68 @@ object CdcCatalog {
   private[cdc] def names: Seq[String] =
     (registry.keys ++ feedRegistry.keys).toSeq.sorted
 
+  /** Bounded retry for catalog DML whose statements are SNAPSHOT-
+    * INDEPENDENT (key-tuple deletes, full-row upsert inserts): an
+    * OVERLAPPING-bucket CAS loser re-resolves `next` and re-applies the
+    * same statement — safe because its meaning doesn't depend on the
+    * rows it raced (staged row-level verdicts are NOT retried here; they
+    * must re-scan). Disjoint losers never reach this: commitCas rebases
+    * them internally. */
+  private[cdc] def retryConflicts[T](what: String, attempts: Int = 3)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      left -= 1
+      try return body
+      catch {
+        case e: graft.operators.ConcurrentCdcWriteException if left > 0 =>
+          // loser cleanup already ran inside commitCas; just re-apply
+          java.util.logging.Logger.getLogger(getClass.getName)
+            .info(s"$what lost a commit race (${e.getMessage.take(120)}); retrying " +
+              s"($left attempts left)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[cdc] val SupportedTypes: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, StringType, BooleanType, DateType)
+
+  /** Static schemas of the `$history`/`$files` metadata tables — pinned
+    * here so loading them never executes the metadata computation. Must
+    * match [[graft.operators.Cdc.describeHistory]]/`describeFiles`
+    * exactly (CdcCatalogSpec asserts the equality). */
+  private[cdc] val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_ts_millis", LongType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false),
+    StructField("touched_buckets", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true)))
+  private[cdc] val FilesSchema: StructType = StructType(Seq(
+    StructField("_bucket", IntegerType, nullable = false),
+    StructField("_writer", LongType, nullable = false),
+    StructField("path", StringType, nullable = true),
+    StructField("bytes", LongType, nullable = false),
+    StructField("bucket_rows", LongType, nullable = true),
+    StructField("file_rows", LongType, nullable = false),
+    StructField("is_delta", BooleanType, nullable = false)))
 }
 
 /** A tiny read-only table serving DRIVER-COMPUTED metadata rows (the
-  * `$history` / `$files` surfaces): the frame is collected once at load
-  * time — bounded by versions/files, never by data — and shipped to one
-  * input partition as Catalyst internal rows. */
-class CdcLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
+  * `$history` / `$files` surfaces). The frame is LAZY: resolving the
+  * table (EXPLAIN, schema checks, repeated loadTable on the query path)
+  * costs zero Spark jobs — the metadata computation runs only when the
+  * scan actually plans its partitions, once per query execution. Bounded
+  * by versions/files, never by data. */
+class CdcLocalTable(tableName: String, tblSchema: StructType,
+    df: () => org.apache.spark.sql.DataFrame)
     extends Table with SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability._
   import org.apache.spark.sql.connector.read._
 
-  private val tblSchema: StructType = df.schema
-  // executeCollect returns safely-copied InternalRows (bounded metadata)
-  private val rows: Array[InternalRow] =
-    df.queryExecution.executedPlan.executeCollect()
+  // executeCollect returns safely-copied InternalRows (bounded metadata);
+  // lazy so EXPLAIN / resolution never pays the manifest jobs
+  private lazy val rows: Array[InternalRow] =
+    df().queryExecution.executedPlan.executeCollect()
 
   override def name(): String = tableName
   override def schema(): StructType = tblSchema
@@ -160,7 +225,7 @@ class CdcLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
     () => new Scan with Batch {
       override def readSchema(): StructType = tblSchema
       override def toBatch: Batch = this
-      override def description(): String = s"$tableName metadata rows=${rows.length}"
+      override def description(): String = s"$tableName metadata"
       override def planInputPartitions(): Array[InputPartition] =
         Array(CdcLocalPartition(rows))
       override def createReaderFactory(): PartitionReaderFactory =
@@ -213,15 +278,19 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
     if (cut <= 0) return None
     val (base, suffix) = (name.substring(0, cut), name.substring(cut + 1))
     CdcCatalog.lookup(base).map { d =>
-      val spark = SparkSession.active
-      val df = suffix match {
-        case "history" => Cdc.describeHistory(spark, d.storePath)
-        case "files"   => Cdc.describeFiles(spark, d.storePath, d.version)
+      // schemas are STATIC and the frame thunk is lazy: loading (or
+      // EXPLAINing) a metadata table runs zero Spark jobs; describeHistory
+      // itself reads every version manifest in ONE partitioned job
+      val (schema, thunk): (StructType, () => org.apache.spark.sql.DataFrame) = suffix match {
+        case "history" => (CdcCatalog.HistorySchema,
+          () => Cdc.describeHistory(SparkSession.active, d.storePath))
+        case "files" => (CdcCatalog.FilesSchema,
+          () => Cdc.describeFiles(SparkSession.active, d.storePath, d.version))
         case other => throw new UnsupportedOperationException(
           s"$catalogName.$name: unknown metadata table '$$$other' " +
             "(supported: $history, $files)")
       }
-      new CdcLocalTable(s"$catalogName.$name", df)
+      new CdcLocalTable(s"$catalogName.$name", schema, thunk)
     }
   }
 
@@ -272,8 +341,53 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
       properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "CDC store tables are registered via CdcCatalog.register, written via Cdc.processPartitionedBatch")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER is the maintenance side's job (payloadCols evolution)")
+  /** SQL DDL for the store's METADATA-ONLY schema evolution:
+    * `ALTER TABLE graft.x RENAME COLUMN a TO b` and
+    * `ALTER TABLE graft.x DROP COLUMN c` route to
+    * [[graft.operators.Cdc.renameColumn]]/[[graft.operators.Cdc.dropColumn]]
+    * — one CAS metadata commit, zero data files rewritten, the same
+    * collision-safe column mapping the Scala API speaks. Renaming a
+    * MERGE KEY also renames it in the live registration (the layout hash
+    * is over values, so bucketing is untouched); dropping one refuses
+    * loudly. ADD COLUMN stays on the maintenance API (`payloadCols`
+    * additive evolution) because a column needs a TYPE SOURCE batch. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = CdcCatalog.lookup(ident.name).getOrElse {
+      if (CdcCatalog.lookupFeed(ident.name).isDefined)
+        throw new UnsupportedOperationException(
+          s"${ident.name} is a change-feed table — ALTER applies to the store table")
+      throw new NoSuchTableException(ident)
+    }
+    require(d.version.isEmpty,
+      s"${ident.name} is version-pinned (time travel) — ALTER goes to the live table")
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested column rename is not supported: ${r.fieldNames.mkString(".")}")
+        val from = r.fieldNames.head
+        Cdc.renameColumn(spark, d.storePath, from, r.newName)
+        if (d.keys.contains(from)) {
+          val newKeys = d.keys.map(k => if (k == from) r.newName else k)
+          CdcCatalog.register(ident.name, d.storePath, newKeys, d.nBuckets, d.version,
+            d.trustStringStats, d.morDml)
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested column drop is not supported: ${del.fieldNames.mkString(".")}")
+        // Cdc.dropColumn re-checks via the registry; this is the earlier,
+        // clearer refusal naming the table
+        require(!d.keys.contains(del.fieldNames.head),
+          s"cannot drop ${del.fieldNames.head}: it is a merge key of ${ident.name}")
+        Cdc.dropColumn(spark, d.storePath, del.fieldNames.head, keys = d.keys)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${ident.name}: only RENAME COLUMN and DROP COLUMN are " +
+            s"metadata-only on a CDC store (got ${other.getClass.getSimpleName}); " +
+            "ADD COLUMN is the maintenance API's payloadCols evolution")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val known = tableExists(ident)
     CdcCatalog.unregister(ident.name) // deregisters only; files stay (vacuum owns deletion)
@@ -388,16 +502,26 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
       if (d.keys.contains(f.name)) f.copy(nullable = false) else f))
 
   /** Manifest-recorded row counts per bucket (absent for buckets whose
-    * manifests predate count recording) — the scan sums these into
-    * `estimateStatistics.numRows` so the CBO costs store joins. */
+    * manifests predate count recording, and for buckets with pending
+    * merge-on-read deltas — their resolved count is unknown until
+    * compaction) — the scan sums these into `estimateStatistics.numRows`
+    * so the CBO costs store joins. */
   private[cdc] val bucketRows: Map[Int, Long] =
-    manifestFull.collect { case (p, (_, Some(r), _)) => p -> r }
+    manifestFull.collect { case (p, e) if e.rows.isDefined => p -> e.rows.get }
 
   /** Manifest-recorded per-column footer statistics per bucket — the
     * scan folds these into V2 column statistics (min/max/nullCount) so
     * the CBO can estimate filter selectivity on store columns. */
   private[cdc] val bucketColStats: Map[Int, Map[String, Cdc.ColStatRec]] =
-    manifestFull.map { case (p, (_, _, cs)) => p -> cs }
+    manifestFull.map { case (p, e) => p -> e.stats }
+
+  /** Ordered merge-on-read delta directories per bucket (empty for clean
+    * buckets) — the scan plans these into each bucket's partition so the
+    * reader can fold base + deltas last-writer-wins. */
+  private[cdc] val bucketDeltaDirs: Map[Int, Seq[String]] =
+    manifestFull.collect { case (p, e) if e.deltas.nonEmpty =>
+      p -> e.deltas.map(w => s"${d.storePath}/parts/_bucket=$p/_writer=$w")
+    }
 
   /** Logical→physical column names (diverging entries only): what the
     * parquet files spell after renames. The scan translates its file
@@ -463,18 +587,27 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, lit}
     import scala.jdk.CollectionConverters._
-    val next = Cdc.manifestVersions(spark, d.storePath).max + 1
     val keySchema = StructType(d.keys.map(k => payloadSchema(k)).toArray)
     val keyDf = spark.createDataFrame(
       tuples.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava, keySchema)
-    val changelog = payloadSchema.fields.filterNot(f => d.keys.contains(f.name))
-      .foldLeft(keyDf)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-      .withColumn("_seq", lit(next)).withColumn("_op", lit("D"))
-    Cdc.processPartitionedBatch(changelog,
-      Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
-      d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next,
-      casCommit = true) // racing batch writers: one wins, loser throws retryable
-    CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
+    // racing batch writers: disjoint-bucket losers REBASE (commitCas) and
+    // land on a later version; overlapping losers throw retryable — and
+    // because a key-tuple DELETE's meaning is independent of the snapshot
+    // it raced ("these keys are gone"), the whole statement safely
+    // re-applies here under a bounded retry (unlike staged row-level
+    // verdicts, which must re-scan). Feed the RETURNED committed version
+    // forward, never the minted one.
+    val committed = CdcCatalog.retryConflicts(s"DELETE FROM $tableName") {
+      val next = Cdc.manifestVersions(spark, d.storePath).max + 1
+      val changelog = payloadSchema.fields.filterNot(f => d.keys.contains(f.name))
+        .foldLeft(keyDf)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .withColumn("_seq", lit(next)).withColumn("_op", lit("D"))
+      Cdc.processPartitionedBatch(changelog,
+        Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
+        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next,
+        casCommit = true, morCommit = d.morDml)
+    }
+    CdcCatalog.materializeFeed(spark, d.storePath, d.keys, committed)
   }
 
   /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE`, the
@@ -533,20 +666,28 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
                 require(d.version.isEmpty,
                   s"$tableName is version-pinned (time travel) — writes go to the live table")
                 val spark = data.sparkSession
-                val next = Cdc.manifestVersions(spark, d.storePath).max + 1
                 // keyed UPSERT: full-payload U records at recency = the
                 // new version; parts land under a unique CAS writer
                 // token and the manifest rename is the atomic commit
                 // point, so neither a crashed attempt nor a concurrent
                 // writer can interleave into this version's files
                 import org.apache.spark.sql.functions.{col, lit}
-                Cdc.processPartitionedBatch(
-                  data.withColumn("_seq", lit(next)).withColumn("_op", lit("U")),
-                  Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
-                  d.keys, Seq(col("_seq")), col("_op"),
-                  d.storePath, d.nBuckets, next,
-                  casCommit = true) // racing INSERTs: one wins, loser throws retryable
-                CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
+                // racing INSERTs: disjoint-bucket losers rebase to a later
+                // version inside commitCas; overlapping losers throw
+                // retryable — and an upsert's meaning ("these full rows
+                // win") is snapshot-independent, so the statement safely
+                // re-applies under a bounded retry. Feed the RETURNED
+                // committed version forward.
+                val committed = CdcCatalog.retryConflicts(s"INSERT INTO $tableName") {
+                  val next2 = Cdc.manifestVersions(spark, d.storePath).max + 1
+                  Cdc.processPartitionedBatch(
+                    data.withColumn("_seq", lit(next2)).withColumn("_op", lit("U")),
+                    Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
+                    d.keys, Seq(col("_seq")), col("_op"),
+                    d.storePath, d.nBuckets, next2,
+                    casCommit = true, morCommit = d.morDml)
+                }
+                CdcCatalog.materializeFeed(spark, d.storePath, d.keys, committed)
               }
             }
         }

@@ -85,15 +85,23 @@ class CdcDeltaWrite(table: CdcStoreTable, d: CdcCatalog.StoreDef, info: LogicalW
       import org.apache.spark.sql.functions.{col, lit}
       val next = Cdc.manifestVersions(spark, d.storePath).max + 1
       // casCommit: batch DML mints `next` optimistically — a concurrent
-      // writer racing this statement makes exactly one winner; the loser
-      // throws graft.operators.ConcurrentCdcWriteException (retryable)
-      Cdc.processPartitionedBatch(
+      // writer whose touched buckets are DISJOINT rebases inside
+      // commitCas (both statements land, consecutive versions); an
+      // OVERLAPPING writer makes exactly one winner and the loser throws
+      // graft.operators.ConcurrentCdcWriteException. The loser's staged
+      // verdicts were computed against the pre-race snapshot, so
+      // re-applying them blindly would be write skew — the retry is the
+      // STATEMENT's (re-scan, re-stage, re-commit), never the commit's.
+      // morCommit (per-store registration): the verdicts land as
+      // per-bucket delta files — O(delta) write IO — instead of
+      // rewriting every touched bucket.
+      val committed = Cdc.processPartitionedBatch(
         spark.read.schema(stagingSchema).parquet(files.toIndexedSeq: _*)
           .withColumn("_seq", lit(next)),
         Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
         d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, next,
-        casCommit = true)
-      CdcCatalog.materializeFeed(spark, d.storePath, d.keys, next)
+        casCommit = true, morCommit = d.morDml)
+      CdcCatalog.materializeFeed(spark, d.storePath, d.keys, committed)
     } finally dropStaging(spark)
   }
 

@@ -138,6 +138,10 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
   override def pushLimit(limit: Int): Boolean = {
     val clean = limit > 0 && dataFilters.isEmpty && keyPanels.isEmpty &&
       prunedBuckets.isEmpty &&
+      // pending merge-on-read deltas: resolved bucket counts are unknown
+      // (and a delta-only bucket isn't even in bucketDirs), so the
+      // count-covering prefix can't be proven — plan every bucket
+      table.bucketDeltaDirs.isEmpty &&
       table.bucketDirs.keySet.forall(table.bucketRows.contains)
     if (clean) pushedLimit = Some(limit)
     clean
@@ -173,6 +177,11 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (!CdcStatsScan.enabled) return false
     if (pushed.nonEmpty || keyPanels.nonEmpty || prunedBuckets.nonEmpty) return false
+    // pending merge-on-read deltas: footer statistics and manifest counts
+    // describe PRE-FOLD rows (tombstones included) — folding aggregates
+    // from metadata would double-count updated keys and count deletes.
+    // Refuse; compaction restores pushdown.
+    if (table.bucketDeltaDirs.nonEmpty) return false
     // merge keys are non-null by the store's contract: COUNT(key) needs
     // no null statistics, only row counts
     pushedAggs = CdcStatsScan.parseAggregation(
@@ -220,23 +229,30 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     }
     // resolve each surviving bucket's file list now, on the driver
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    def listDir(dir: String): Array[(String, Long)] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString -> s.getLen)
+        .sortBy(_._1)
+    }
+    def planned(b: Int): Boolean =
+      prunedBuckets.forall(_.contains(b)) && limitBuckets.forall(_.contains(b))
     val files: Map[Int, Array[(String, Long)]] = table.bucketDirs
-      .filter { case (b, _) =>
-        prunedBuckets.forall(_.contains(b)) && limitBuckets.forall(_.contains(b)) }
-      .map { case (b, dir) =>
-        val p = new Path(dir)
-        val fs = p.getFileSystem(conf)
-        b -> fs.listStatus(p)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => s.getPath.toString -> s.getLen)
-          .sortBy(_._1)
-      }
+      .filter { case (b, _) => planned(b) }
+      .map { case (b, dir) => b -> listDir(dir) }
+    // merge-on-read delta levels, per planned bucket, manifest order
+    val deltaFiles: Map[Int, Array[Array[(String, Long)]]] = table.bucketDeltaDirs
+      .filter { case (b, _) => planned(b) }
+      .map { case (b, dirs) => b -> dirs.map(listDir).toArray }
     val buckets = limitBuckets.map(_.toSeq.sorted)
       .orElse(prunedBuckets.map(_.toSeq.sorted))
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
-      table.bucketRows, dataFilters, table.bucketColStats, table.physMap)
+      table.bucketRows, dataFilters, table.bucketColStats, table.physMap, deltaFiles)
   }
 }
 
@@ -395,7 +411,8 @@ class CdcScan(
     rowsByBucket: Map[Int, Long] = Map.empty,
     dataFilters: Array[Filter] = Array.empty,
     colStatsByBucket: Map[Int, Map[String, graft.operators.Cdc.ColStatRec]] = Map.empty,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    deltaFilesByBucket: Map[Int, Array[Array[(String, Long)]]] = Map.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -505,11 +522,23 @@ class CdcScan(
     val physFilters =
       if (physMap.isEmpty) dataFilters
       else dataFilters.flatMap(CdcScan.translateFilter(_, physMap))
+    val physKeys = keys.map(k => physMap.getOrElse(k, k)).toArray
     buckets
       .filter(b => runtimeBuckets.forall(_.contains(b)))
       .map { b =>
+        val deltas = deltaFilesByBucket.getOrElse(b, Array.empty)
+          .map(_.map(_._1))
         CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels,
-          physFilters)
+          // a delta'd partition FOLDS: row-group/record pruning by
+          // arbitrary payload predicates could drop a key's newest delta
+          // row while keeping its base row — resurrecting the stale
+          // version — so pushed data filters stay OFF the fold path
+          // (key-equality panels remain safe: they drop a key's rows on
+          // every level together). Spark re-evaluates all residuals.
+          if (deltas.nonEmpty) Array.empty[Filter] else physFilters,
+          deltaLevels = deltas,
+          morKeys = if (deltas.nonEmpty) physKeys else Array.empty,
+          morKeyTypes = if (deltas.nonEmpty) keyTypes.toArray else Array.empty)
       }.toArray[InputPartition]
   }
 
@@ -549,8 +578,13 @@ class CdcScan(
     * shrinks the estimated rows enough to flip a join's build side,
     * exactly like ANALYZE's column stats on warehouse tables. */
   override def estimateStatistics(): Statistics = {
-    val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum
-    val nonEmpty = buckets.filter(b => filesByBucket.getOrElse(b, Array.empty).nonEmpty)
+    val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum +
+      deltaFilesByBucket.valuesIterator.flatten.flatten.map(_._2).sum
+    // a bucket counts as non-empty when it has base files OR pending
+    // deltas (a delta'd bucket's resolved count is unknown — its absence
+    // from rowsByBucket must make numRows honest, never a phantom 0)
+    val nonEmpty = buckets.filter(b => filesByBucket.getOrElse(b, Array.empty).nonEmpty ||
+      deltaFilesByBucket.getOrElse(b, Array.empty).exists(_.nonEmpty))
     val known = nonEmpty.forall(rowsByBucket.contains)
     val rows =
       if (known) OptionalLong.of(buckets.iterator.map(rowsByBucket.getOrElse(_, 0L)).sum)
@@ -645,7 +679,12 @@ class CdcScan(
     // plan's and the physical names stay the files'
     val fileSchema = StructType(requiredSchema.fields.map(f =>
       f.copy(name = physMap.getOrElse(f.name, f.name))))
-    new CdcReaderFactory(fileSchema)
+    // Spark refuses MIXED row/columnar partitions in one scan, so any
+    // pending delta level anywhere drops the WHOLE scan to the row path
+    // (the fold has no columnar record assembly); compaction restores
+    // the vectorized serve shape
+    new CdcReaderFactory(fileSchema,
+      columnar = CdcReaderFactory.columnarEnabled && deltaFilesByBucket.isEmpty)
   }
 }
 
@@ -653,7 +692,15 @@ case class CdcBucketPartition(
     bucket: Int,
     files: Array[String],
     keyFilters: Array[(String, Array[Any])] = Array.empty,
-    sourceFilters: Array[Filter] = Array.empty)
+    sourceFilters: Array[Filter] = Array.empty,
+    /** Merge-on-read delta FILE LISTS in manifest (commit) order — when
+      * non-empty the reader folds base + deltas last-writer-wins. */
+    deltaLevels: Array[Array[String]] = Array.empty,
+    /** The merge keys' PHYSICAL column names + types (set only when
+      * deltaLevels is non-empty): the fold's row identity, read from the
+      * files even when the query projected the keys out. */
+    morKeys: Array[String] = Array.empty,
+    morKeyTypes: Array[DataType] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -691,6 +738,9 @@ class CdcReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case b: CdcBucketPartition if b.deltaLevels.nonEmpty =>
+        new CdcMorPartitionReader(b.files, b.deltaLevels, requiredSchema,
+          b.morKeys, b.morKeyTypes, b.keyFilters, bucketConstants(b))
       case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters,
         constants = bucketConstants(b))
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
@@ -851,4 +901,100 @@ class CdcPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+/** MERGE-ON-READ fold of ONE bucket: apply the bucket's ordered delta
+  * files (per-key changelog survivors with a `_cdc_op` tombstone marker,
+  * written by [[graft.operators.Cdc]] delta commits) over its base files,
+  * last-writer-wins per merge key, streaming.
+  *
+  * Shape: (1) drain the delta levels OLDEST → NEWEST into a key-indexed
+  * verdict map — later puts overwrite earlier ones, so the map ends at
+  * each key's final verdict; (2) stream the base files, emitting every
+  * row whose key has no verdict (verdict'd keys are superseded — updated
+  * or deleted); (3) emit the non-tombstone verdicts. Memory is
+  * O(delta rows in this bucket) — exactly the merge-on-read premise
+  * (deltas are DML-sized, the base is bucket-sized and streams through).
+  * Compaction ([[graft.operators.Cdc.compactStore]]) bounds delta depth.
+  *
+  * The keys are read from the files even when the query projected them
+  * out (`innerSchema` appends them); emitted rows are trimmed back to
+  * the scan's declared schema. Key panels apply inside both sub-readers
+  * — key-equality pruning drops a key's rows on every level together, so
+  * the fold stays consistent; arbitrary payload filters are excluded by
+  * the planner for exactly the opposite reason. */
+class CdcMorPartitionReader(
+    baseFiles: Array[String],
+    deltaLevels: Array[Array[String]],
+    requiredSchema: StructType,
+    keyNames: Array[String],
+    keyTypes: Array[DataType],
+    keyFilters: Array[(String, Array[Any])] = Array.empty,
+    constants: Map[String, Any] = Map.empty)
+    extends PartitionReader[InternalRow] {
+
+  private val extraKeys: Array[StructField] =
+    keyNames.zip(keyTypes).collect {
+      case (n, t) if !requiredSchema.fieldNames.contains(n) => StructField(n, t, nullable = true)
+    }
+  private val innerSchema = StructType(requiredSchema.fields ++ extraKeys)
+  private val deltaSchema = StructType(
+    innerSchema.fields :+ StructField(graft.operators.Cdc.DeltaOpCol, StringType, nullable = true))
+  private val keyIdx: Array[Int] = keyNames.map(innerSchema.fieldIndex)
+  private val keyDts: Array[DataType] = keyIdx.map(innerSchema.fields(_).dataType)
+  private val opIdx = deltaSchema.length - 1
+
+  private def keyOf(row: InternalRow): List[Any] =
+    keyIdx.indices.map(i =>
+      if (row.isNullAt(keyIdx(i))) null else row.get(keyIdx(i), keyDts(i))).toList
+
+  // final verdict per delta'd key: true = tombstoned, false = row below wins
+  private val verdicts = new java.util.LinkedHashMap[List[Any], (Boolean, InternalRow)]()
+  locally {
+    deltaLevels.foreach { files =>
+      // constants (e.g. the `_bucket` metadata column) fill absent fields
+      // inside the sub-reader, same as for base files
+      val r = new CdcPartitionReader(files, deltaSchema, keyFilters, constants)
+      try while (r.next()) {
+        val row = r.get() // fresh GenericInternalRow per next(): safe to retain
+        val del = !row.isNullAt(opIdx) && row.getUTF8String(opIdx).toString == "D"
+        verdicts.put(keyOf(row), (del, row))
+      } finally r.close()
+    }
+  }
+
+  private val base = new CdcPartitionReader(baseFiles, innerSchema, keyFilters, constants)
+  private var baseDone = false
+  private var verdictIt: java.util.Iterator[(Boolean, InternalRow)] = _
+  private var current: InternalRow = _
+
+  private def trim(row: InternalRow): InternalRow =
+    if (extraKeys.isEmpty && (row.numFields == requiredSchema.length)) row
+    else {
+      val out = new Array[Any](requiredSchema.length)
+      var i = 0
+      while (i < out.length) { out(i) = row.get(i, requiredSchema.fields(i).dataType); i += 1 }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+
+  override def next(): Boolean = {
+    while (!baseDone) {
+      if (base.next()) {
+        val row = base.get()
+        if (!verdicts.containsKey(keyOf(row))) { current = trim(row); return true }
+      } else {
+        baseDone = true
+        base.close()
+        verdictIt = verdicts.values().iterator()
+      }
+    }
+    while (verdictIt.hasNext) {
+      val (del, row) = verdictIt.next()
+      if (!del) { current = trim(row); return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (!baseDone) base.close()
 }

@@ -658,7 +658,7 @@ class CdcSpec extends AnyFunSuite {
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/manifest"))
       .exists(_.getPath.getName.startsWith("_attempt")), "loser staging dir leaked")
     val committedWriters = (0L to 1L).flatMap(v =>
-      Cdc.readManifestFull(spark, store, v).values.map(_._1)).toSet
+      Cdc.readManifestFull(spark, store, v).values.flatMap(_.writers)).toSet
     val orphanWriters = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/parts"))
       .filter(_.getPath.getName.startsWith("_bucket="))
       .flatMap(b => fs.listStatus(b.getPath))
@@ -811,7 +811,7 @@ class CdcSpec extends AnyFunSuite {
     casBatch(store, seed, 1L, (5L, "v1", 51.0, 100L, "U"))
     casBatch(store, seed, 2L, (5L, "v2", 52.0, 200L, "U"))
     casBatch(store, seed, 3L, (6L, "v3", 63.0, 300L, "U"))
-    val v1Writer = Cdc.readManifestFull(spark, store, 1L)(bucketOf(5L))._1
+    val v1Writer = Cdc.readManifestFull(spark, store, 1L)(bucketOf(5L)).base.get
     assert(v1Writer >= (1L << 62), "CAS writers must use token ids")
     // schema resilience: drop v3's sidecar — the committed manifest's
     // embedded _schema.ddl must keep the snapshot serving
@@ -828,5 +828,240 @@ class CdcSpec extends AnyFunSuite {
     assert(!fs.exists(hotDir), "superseded CAS token dir leaked past vacuum")
     assert(readPart(store)(5L) === ("v2", 52.0))
     assert(readPart(store)(6L) === ("v3", 63.0))
+  }
+
+  // ---- merge-on-read (delta commits) -----------------------------------
+
+  private def morBatch(store: String, seed: DataFrame, id: Long,
+      rows: (Long, String, Double, Long, String)*): Long =
+    Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+      Seq(col("seq")), col("op"), store, nBuckets, id,
+      casCommit = true, morCommit = true)
+
+  test("merge-on-read ≡ copy-on-write at EVERY version; a delta commit writes only " +
+      "delta files (base files byte-identical, O(delta) write IO) and the feed matches") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val b1 = Seq((5L, "u5", 55.0, 100L, "U"), (10L, "d10", 0.0, 101L, "D"),
+      (77L, "i77", 7.7, 102L, "U")) // update, delete, insert-new-key
+    val b2 = Seq((5L, "u5b", 56.0, 200L, "U"), (77L, "d77", 0.0, 201L, "D"),
+      (99L, "d99", 0.0, 202L, "D")) // re-update, delete-the-insert, delete-absent (no-op)
+    val cow = java.nio.file.Files.createTempDirectory("graft_mor_cow").toString
+    runBatch(cow, seed, 0L)
+    casBatch(cow, seed, 1L, b1: _*)
+    casBatch(cow, seed, 2L, b2: _*)
+    val mor = java.nio.file.Files.createTempDirectory("graft_mor_mor").toString
+    runBatch(mor, seed, 0L)
+    val baseState = fileState(s"$mor/parts")
+    assert(morBatch(mor, seed, 1L, b1: _*) === 1L)
+    // O(delta) WRITE: not one base file changed; every new file lives in
+    // a token _writer dir of a touched bucket
+    val afterDelta = fileState(s"$mor/parts")
+    assert(baseState.subsetOf(afterDelta), "a delta commit rewrote base files")
+    val newFiles = afterDelta -- baseState
+    assert(newFiles.nonEmpty)
+    val touched = b1.map(r => bucketOf(r._1)).toSet
+    assert(newFiles.forall(f => touched.exists(p => f._1.startsWith(s"_bucket=$p/"))),
+      s"delta files landed outside the touched buckets: ${newFiles.map(_._1)}")
+    assert(morBatch(mor, seed, 2L, b2: _*) === 2L)
+    // manifest shape: touched buckets carry the parent base + delta list
+    val m1 = Cdc.readManifestFull(spark, mor, 1L)
+    val m0 = Cdc.readManifestFull(spark, mor, 0L)
+    touched.foreach { p =>
+      assert(m1(p).base === m0.get(p).flatMap(_.base), s"bucket $p base changed")
+      assert(m1(p).deltas.length === 1, s"bucket $p delta list wrong")
+      assert(m1(p).rows.isEmpty, s"bucket $p must not claim a resolved row count")
+    }
+    // MoR ≡ CoW at every version (snapshot AND change feed)
+    for (v <- 0L to 2L) {
+      val a = Cdc.readPartitionedSnapshot(spark, cow, Some(v))
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      val b = Cdc.readPartitionedSnapshot(spark, mor, Some(v))
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(a === b, s"MoR snapshot diverged from CoW at v=$v")
+    }
+    for ((f, t) <- Seq((0L, 1L), (1L, 2L), (0L, 2L))) {
+      val a = Cdc.changesBetween(spark, cow, f, t, keys)
+        .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val b = Cdc.changesBetween(spark, mor, f, t, keys)
+        .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+      assert(a === b, s"MoR change feed diverged from CoW for $f->$t")
+    }
+    // the reference fold agrees end-to-end
+    assert(readPart(mor) === reference(s, b1 ++ b2))
+    // a later CoW batch over the delta'd parent folds it first
+    casBatch(mor, seed, 3L, (5L, "cow5", 57.0, 300L, "U"))
+    assert(readPart(mor) === reference(s, b1 ++ b2 ++ Seq((5L, "cow5", 57.0, 300L, "U"))))
+    assert(Cdc.readManifestFull(spark, mor, 3L)(bucketOf(5L)).deltas.isEmpty,
+      "the CoW rewrite must clear the bucket's delta list")
+  }
+
+  test("compactStore folds deltas into a fresh base: snapshot identical, feed across " +
+      "the boundary empty, row counts return, vacuum reaps superseded delta dirs, " +
+      "and a clean store compacts to None") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val store = java.nio.file.Files.createTempDirectory("graft_mor_compact").toString
+    runBatch(store, seed, 0L)
+    morBatch(store, seed, 1L, (5L, "u5", 55.0, 100L, "U"), (10L, "d10", 0.0, 101L, "D"))
+    morBatch(store, seed, 2L, (5L, "u5b", 56.0, 200L, "U"), (77L, "i77", 7.7, 201L, "U"))
+    val before = readPart(store)
+    val deltaDirs = Cdc.readManifestFull(spark, store, 2L).toSeq
+      .flatMap { case (p, e) => e.deltas.map(w => s"$store/parts/_bucket=$p/_writer=$w") }
+    assert(deltaDirs.nonEmpty)
+    val v3 = Cdc.compactStore(spark, store, keys, nBuckets)
+    assert(v3 === Some(3L))
+    assert(readPart(store) === before, "compaction changed the resolved snapshot")
+    val m3 = Cdc.readManifestFull(spark, store, 3L)
+    assert(m3.values.forall(_.deltas.isEmpty), "compaction left pending deltas")
+    assert(m3.values.forall(e => e.rows.isDefined),
+      "compaction must restore recorded row counts")
+    assert(Cdc.changesBetween(spark, store, 2L, 3L, keys).count() === 0L,
+      "compaction is logically a no-op — the feed across it must be empty")
+    // time travel still folds the pre-compaction versions
+    assert(Cdc.readPartitionedSnapshot(spark, store, Some(2L))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap === before)
+    // nothing left to compact
+    assert(Cdc.compactStore(spark, store, keys, nBuckets) === None)
+    // a retained delta'd version (v2) keeps its delta dirs — time travel
+    // to it still folds; only once v2 AGES OUT may the dirs reap
+    Cdc.vacuum(spark, store, keepVersions = 2) // keeps {2,3}: dirs must stay
+    val fsPre = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltaDirs.foreach(d => assert(fsPre.exists(new org.apache.hadoop.fs.Path(d)),
+      s"vacuum reaped a delta dir a retained version still references: $d"))
+    casBatch(store, seed, 4L, (6L, "v4", 64.0, 400L, "U"))
+    Cdc.vacuum(spark, store, keepVersions = 2) // keeps {3,4}: v2 ages out
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltaDirs.foreach(d => assert(!fs.exists(new org.apache.hadoop.fs.Path(d)),
+      s"superseded delta dir leaked past vacuum: $d"))
+    assert(readPart(store) === before + (6L -> ("v4", 64.0)))
+  }
+
+  // ---- CAS logical conflict detection (rebase) -------------------------
+
+  test("CAS rebase: two writers racing the same version with DISJOINT buckets BOTH " +
+      "commit (the loser rebases to the next version); both effects serve") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cas_rebase").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    // two keys provably in different buckets
+    val kA = 5L
+    val kB = (6L to 40L).find(k => bucketOf(k) != bucketOf(kA)).get
+    // writer A resolves next=1 and lands; writer B also resolved next=1
+    // BEFORE A landed (same id), touches a disjoint bucket → must rebase
+    // to v2 instead of throwing
+    casBatch(store, seed, 1L, (kA, "A", 11.0, 100L, "U"))
+    val committedB = Cdc.processPartitionedBatch(
+      log((kB, "B", 22.0, 101L, "U")), seed, keys,
+      Seq(col("seq")), col("op"), store, nBuckets, 1L, casCommit = true)
+    assert(committedB === 2L, "disjoint loser must rebase onto the winner")
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L))
+    val served = readPart(store)
+    assert(served(kA) === ("A", 11.0) && served(kB) === ("B", 22.0),
+      "both disjoint writers' effects must serve")
+    // v1 serves A's effect only (B landed at v2)
+    val atV1 = Cdc.readPartitionedSnapshot(spark, store, Some(1L))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(atV1(kA) === ("A", 11.0) && atV1(kB) === (s"orig$kB", kB * 1.0))
+    // feed integrity: each version's diff carries exactly its writer's key
+    assert(Cdc.changesBetween(spark, store, 1L, 2L, keys)
+      .as[(Long, String, Double, String)].collect().map(_._1).toSeq === Seq(kB))
+  }
+
+  test("CAS rebase applies to merge-on-read delta commits too, and stops at schema " +
+      "changes (a winner that evolved the schema forces the retryable throw)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cas_rebase_mor").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    val kA = 5L
+    val kB = (6L to 40L).find(k => bucketOf(k) != bucketOf(kA)).get
+    casBatch(store, seed, 1L, (kA, "A", 11.0, 100L, "U"))
+    assert(morBatch(store, seed, 1L, (kB, "B", 22.0, 101L, "U")) === 2L)
+    val served = readPart(store)
+    assert(served(kA) === ("A", 11.0) && served(kB) === ("B", 22.0))
+    // schema-changing winner: rename lands at v3; a loser staged against
+    // v2's schema must NOT rebase past it
+    Cdc.renameColumn(spark, store, "name", "full_name")
+    val e = intercept[ConcurrentCdcWriteException] {
+      Cdc.processPartitionedBatch(
+        log((kA, "stale", 1.0, 300L, "U")), seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, 3L, casCommit = true)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
+  // ---- commit-protocol hardening ----------------------------------------
+
+  test("a torn (crashed, marker-less) v= dir cannot livelock CAS commits: the next " +
+      "CAS attempt heals it and commits") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cas_torn").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    // simulate a torn non-CAS attempt: v=1 exists with data but NO _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$store/manifest/v=1")
+    fs.mkdirs(torn)
+    val out = fs.create(new org.apache.hadoop.fs.Path(torn, "part-garbage.parquet"), true)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    // before the heal, v=1 is invisible (uncommitted) — a CAS commit at
+    // id 1 must purge the torn dir and land, not throw forever
+    casBatch(store, seed, 1L, (5L, "healed", 55.0, 100L, "U"))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L))
+    assert(readPart(store)(5L) === ("healed", 55.0))
+  }
+
+  test("mixed mode: a streaming (non-CAS) replay that would overwrite a BATCH-DML " +
+      "(CAS) commit at the same version detects the moved version line loudly") {
+    val store = java.nio.file.Files.createTempDirectory("graft_mixed_mode").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    casBatch(store, seed, 1L, (5L, "dml", 55.0, 100L, "U")) // DML takes v1
+    val before = readPart(store)
+    val e = intercept[IllegalStateException] {
+      runBatch(store, seed, 1L, (7L, "stream", 77.0, 101L, "U")) // stream replays "its" v1
+    }
+    assert(e.getMessage.contains("CAS") && e.getMessage.contains("checkpoint"),
+      e.getMessage)
+    // the DML commit is intact — detection, not destruction
+    assert(readPart(store) === before)
+    assert(Cdc.storedMeta(spark, store, 1L).isDefined)
+  }
+
+  test("vacuum reaps ABANDONED attempt debris (staging manifests and unreferenced " +
+      "token part dirs older than the retained history) but never recent in-flight ones") {
+    val store = java.nio.file.Files.createTempDirectory("graft_vac_abandon").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seed, 0L)
+    casBatch(store, seed, 1L, (5L, "v1", 51.0, 100L, "U"))
+    casBatch(store, seed, 2L, (5L, "v2", 52.0, 200L, "U"))
+    casBatch(store, seed, 3L, (6L, "v3", 63.0, 300L, "U"))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkOld(path: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      fs.mkdirs(p)
+      val f = fs.create(new org.apache.hadoop.fs.Path(p, "part-x.parquet"), true)
+      try f.write(Array[Byte](1)) finally f.close()
+      fs.setTimes(p, 1000L, -1) // ancient: predates every retained commit
+      p
+    }
+    val oldToken = (1L << 62) | 12345L
+    val oldStaging = mkOld(s"$store/manifest/_attempt_w=$oldToken")
+    val oldParts = mkOld(s"$store/parts/_bucket=0/_writer=$oldToken")
+    // a RECENT (in-flight-looking) attempt must survive
+    val freshToken = (1L << 62) | 54321L
+    val freshStaging = new org.apache.hadoop.fs.Path(s"$store/manifest/_attempt_w=$freshToken")
+    fs.mkdirs(freshStaging)
+    val freshParts = new org.apache.hadoop.fs.Path(s"$store/parts/_bucket=1/_writer=$freshToken")
+    fs.mkdirs(freshParts)
+    Cdc.vacuum(spark, store, keepVersions = 2)
+    assert(!fs.exists(oldStaging), "abandoned staging dir leaked past vacuum")
+    assert(!fs.exists(oldParts), "abandoned token part dir leaked past vacuum")
+    assert(fs.exists(freshStaging), "vacuum reaped a recent (in-flight) staging dir")
+    assert(fs.exists(freshParts), "vacuum reaped a recent (in-flight) token part dir")
+    assert(readPart(store)(5L) === ("v2", 52.0))
   }
 }

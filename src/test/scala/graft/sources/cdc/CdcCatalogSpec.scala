@@ -745,8 +745,15 @@ class CdcCatalogSpec extends AnyFunSuite {
       val manifest = Cdc.readManifestFull(spark, store, 1L)
       files.select("_bucket", "_writer", "bucket_rows")
         .as[(Int, Long, Option[Long])].collect().foreach { case (p, w, r) =>
-          assert(manifest(p)._1 === w, s"bucket $p writer mismatch")
-          assert(manifest(p)._2 === r, s"bucket $p rows mismatch")
+          assert(manifest(p).writers.contains(w), s"bucket $p writer mismatch")
+          assert(manifest(p).rows === r, s"bucket $p rows mismatch")
+        }
+      // per-file EXACT rows (footer-read, distributed) sum to the bucket's
+      // manifest-recorded count — the small-file-pressure readout is real
+      files.groupBy("_bucket").agg(sum("file_rows").as("s"))
+        .collect().foreach { row =>
+          assert(Some(row.getLong(1)) === manifest(row.getInt(0)).rows,
+            s"bucket ${row.getInt(0)}: per-file rows don't sum to the manifest count")
         }
       // unknown suffix: loud, with the supported list
       val e = intercept[Exception](spark.table("graft.`cat_meta$bogus`").collect())
@@ -951,5 +958,102 @@ class CdcCatalogSpec extends AnyFunSuite {
       CdcCatalog.registerFeed("cat_guard_store", store, s"$store/feed")
     }
     CdcCatalog.unregister("cat_guard_store")
+  }
+
+  test("SQL DDL: ALTER TABLE RENAME/DROP COLUMN are metadata-only commits through the " +
+      "catalog; merge-key drops refuse; a merge-key rename follows into the " +
+      "registration so scans and DML keep working") {
+    val store = buildStore("ddl", seed40("d"))
+    CdcCatalog.register("cat_ddl", store, keys, nBuckets)
+    def fileState(dir: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toSet
+      finally st.close()
+    }
+    try {
+      val before = fileState(s"$store/parts")
+      val pre = collectRows(spark.table("graft.cat_ddl"))
+      spark.sql("ALTER TABLE graft.cat_ddl RENAME COLUMN name TO full_name")
+      assert(fileState(s"$store/parts") === before, "SQL rename rewrote data files")
+      val served = spark.table("graft.cat_ddl")
+      assert(served.columns.toSeq === Seq("k", "full_name", "bal"))
+      assert(served.select("k", "full_name", "bal").as[(Long, String, Double)]
+        .collect().toSet === pre)
+      // dropping a merge key refuses LOUDLY, before any commit
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val e = intercept[Exception](spark.sql("ALTER TABLE graft.cat_ddl DROP COLUMN k"))
+      assert(messages(e).exists(_.contains("merge key")), messages(e).mkString(" | "))
+      // ...and so does the bare maintenance API while the table is registered
+      val e2 = intercept[Exception](Cdc.dropColumn(spark, store, "k"))
+      assert(messages(e2).exists(_.contains("merge key")), messages(e2).mkString(" | "))
+      // dropping a payload column works and serves the narrowed schema
+      spark.sql("ALTER TABLE graft.cat_ddl DROP COLUMN bal")
+      assert(spark.table("graft.cat_ddl").columns.toSeq === Seq("k", "full_name"))
+      // renaming the MERGE KEY follows into the registration: the scan
+      // (bucket pruning on the new name) and DML keep working
+      spark.sql("ALTER TABLE graft.cat_ddl RENAME COLUMN k TO id")
+      assert(spark.table("graft.cat_ddl").columns.toSeq === Seq("id", "full_name"))
+      val hit = spark.table("graft.cat_ddl").filter(col("id") === 2L)
+      assert(hit.select("full_name").as[String].collect().toSeq === Seq("b1"))
+      spark.sql("UPDATE graft.cat_ddl SET full_name = 'renamedkey' WHERE id = 2")
+      assert(spark.table("graft.cat_ddl").filter(col("id") === 2L)
+        .select("full_name").as[String].head() === "renamedkey")
+      // unsupported changes refuse with the pointer to the right API
+      val e3 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN extra STRING"))
+      assert(messages(e3).exists(_.contains("payloadCols")), messages(e3).mkString(" | "))
+    } finally CdcCatalog.unregister("cat_ddl")
+  }
+
+  test("x$history scales: resolving/EXPLAINing the metadata table runs ZERO Spark jobs, " +
+      "and collecting an N-version history costs O(1) jobs (one partitioned manifest " +
+      "read), not one job per version") {
+    val store = buildStore("histscale", seed40("h"))
+    val seed = seed40("h").toDF("k", "name", "bal")
+    // grow the history to 6 committed versions
+    (2L to 5L).foreach { v =>
+      Cdc.processPartitionedBatch(
+        log((v, s"v$v", v * 1.0, 100L * v, "U")),
+        seed, keys, Seq(col("seq")), col("op"), store, nBuckets, v)
+    }
+    CdcCatalog.register("cat_histscale", store, keys, nBuckets)
+    try {
+      val sc = spark.sparkContext
+      def jobsIn(group: String)(body: => Unit): Int = {
+        sc.setJobGroup(group, group, interruptOnCancel = false)
+        try body finally sc.clearJobGroup()
+        // the status tracker is listener-fed (async): poll until stable
+        var last = -1; var cur = sc.statusTracker.getJobIdsForGroup(group).length
+        while (cur != last) { last = cur; Thread.sleep(300)
+          cur = sc.statusTracker.getJobIdsForGroup(group).length }
+        cur
+      }
+      // RESOLUTION (loadTable + schema + analysis) is job-free: the
+      // metadata computation is deferred past the logical plan. (Physical
+      // planning legitimately materializes it — BatchScanExec asks the
+      // factory about every partition — so the explain boundary is the
+      // analyzed plan, not the executed one.)
+      val resolveJobs = jobsIn("hist_resolve") {
+        val t = spark.table("graft.`cat_histscale$history`")
+        assert(t.schema.fieldNames.toSeq ===
+          Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows"))
+        t.queryExecution.analyzed // force analysis, not execution
+        ()
+      }
+      assert(resolveJobs === 0,
+        s"resolving x\\$$history ran $resolveJobs Spark jobs — resolution must be lazy")
+      var collected: Array[org.apache.spark.sql.Row] = Array.empty
+      val collectJobs = jobsIn("hist_collect") {
+        collected = spark.table("graft.`cat_histscale$history`").orderBy("version").collect()
+      }
+      assert(collected.map(_.getLong(0)).toSeq === (0L to 5L),
+        "history must cover every committed version")
+      assert(collectJobs > 0 && collectJobs < 6,
+        s"x\\$$history over 6 versions cost $collectJobs jobs — the read must not be " +
+          "one job per version")
+    } finally CdcCatalog.unregister("cat_histscale")
   }
 }

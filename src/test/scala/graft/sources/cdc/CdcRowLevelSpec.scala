@@ -264,4 +264,63 @@ class CdcRowLevelSpec extends AnyFunSuite {
       assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L))
     } finally CdcCatalog.unregister("rlo_pin")
   }
+
+  test("merge-on-read DML (morDml registration): UPDATE/DELETE/MERGE write per-bucket " +
+      "DELTA files — zero base files rewritten — the catalog scan folds them, the " +
+      "feed stays CDF-exact, and compaction restores the clean-serve shape") {
+    val store = freshStore("mor")
+    CdcCatalog.register("rlo_mor", store, keys, n, morDml = true)
+    def fileState(dir: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p))).toSet
+      finally st.close()
+    }
+    try {
+      val base = fileState(s"$store/parts")
+      // point UPDATE: O(delta) — base files byte-identical, one delta dir
+      spark.sql("UPDATE graft.rlo_mor SET bal = 500.0, name = 'mor5' WHERE k = 5")
+      val after1 = fileState(s"$store/parts")
+      assert(base.subsetOf(after1), "merge-on-read UPDATE rewrote base files")
+      val m1 = Cdc.readManifestFull(spark, store, 1L)
+      assert(m1.values.count(_.deltas.nonEmpty) === 1, "exactly one bucket gains a delta")
+      // the catalog scan FOLDS: updated row serves, everything else intact
+      assert(rows(spark.table("graft.rlo_mor")) ===
+        (1L to 40L).map(k => if (k == 5) (5L, "mor5", 500.0) else (k, s"orig$k", k * 1.0)).toSet)
+      // key-pinned DELETE (metadata path) also lands as a delta
+      spark.sql("DELETE FROM graft.rlo_mor WHERE k = 7")
+      assert(fileState(s"$store/parts").intersect(base) === base,
+        "merge-on-read DELETE rewrote base files")
+      assert(!rows(spark.table("graft.rlo_mor")).exists(_._1 == 7L))
+      // MERGE: update + insert verdicts as one delta version
+      Seq((5L, "merged5", 5000.0), (99L, "new99", 99.0)).toDF("k", "name", "bal")
+        .createOrReplaceTempView("rlo_mor_src")
+      spark.sql("""
+        MERGE INTO graft.rlo_mor t USING rlo_mor_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)""")
+      val expect = (1L to 40L).collect {
+        case 5L => (5L, "merged5", 5000.0)
+        case k if k != 7L => (k, s"orig$k", k * 1.0)
+      }.toSet + ((99L, "new99", 99.0))
+      assert(rows(spark.table("graft.rlo_mor")) === expect)
+      // aggregates stay CORRECT while deltas pend (pushdown refuses, the
+      // fold answers) — count sees the delete and the insert
+      assert(spark.table("graft.rlo_mor").count() === 40L)
+      // the feed is CDF-exact across the MoR commits (manifest-diff +
+      // fold, no raw delta rows leak)
+      val feed = Cdc.changesBetweenCdf(spark, store, 0L, 3L, keys)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(feed === Set((5L, "update_preimage"), (5L, "update_postimage"),
+        (7L, "delete"), (99L, "insert")))
+      // compaction folds back to a clean base; the served table is unchanged
+      val served = rows(spark.table("graft.rlo_mor"))
+      assert(Cdc.compactStore(spark, store, keys, n).isDefined)
+      assert(Cdc.readManifestFull(spark, store,
+        Cdc.manifestVersions(spark, store).max).values.forall(_.deltas.isEmpty))
+      assert(rows(spark.table("graft.rlo_mor")) === served)
+    } finally CdcCatalog.unregister("rlo_mor")
+  }
 }
