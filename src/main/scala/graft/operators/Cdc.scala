@@ -552,7 +552,8 @@ object Cdc {
       id: Long,
       payloadCols: Seq[String] = Nil,
       casCommit: Boolean = false,
-      morCommit: Boolean = false): Long = {
+      morCommit: Boolean = false,
+      morMaxDepth: Int = 8): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
     // MERGE-ON-READ (`morCommit`, the point-DML write-amplification fix):
     // a copy-on-write commit rewrites every touched bucket IN FULL — at
@@ -635,7 +636,7 @@ object Cdc {
     }
     if (morCommit && parent.isDefined)
       return morDeltaCommit(batch, keys, orderCols, opCol, storePath, nBuckets, id,
-        writerId, target, targetMeta, parentEntries, parentMeta)
+        writerId, target, targetMeta, parent.get, parentEntries, parentMeta, morMaxDepth)
     // the delta's bucket set — bounded by nBuckets (config, not data).
     // Also the CAS conflict-detection unit: a racing writer whose own
     // touched set is disjoint from this one can rebase past us.
@@ -800,7 +801,17 @@ object Cdc {
     * and commit a manifest whose touched entries APPEND that writer to
     * the bucket's delta list — the parent's data files are never opened.
     * A delete of an absent key stays a no-op by construction: its `D`
-    * survivor tombstones nothing at fold time and is dropped. */
+    * survivor tombstones nothing at fold time and is dropped.
+    *
+    * DEPTH-BOUNDED AUTO-COMPACTION (`morMaxDepth`): a touched bucket
+    * already carrying `morMaxDepth` pending delta levels is folded and
+    * REWRITTEN inline (base + deltas + this batch, one fresh base,
+    * empty delta list) instead of appending — so read-side fold depth
+    * is bounded BY CONSTRUCTION even when no one ever runs
+    * [[compactStore]]: every morMaxDepth-th DML on a hot bucket pays
+    * that one bucket's rewrite, amortizing compaction into the write
+    * stream. Cold buckets touched by the same statement still take the
+    * O(delta) delta path. */
   private def morDeltaCommit(
       batch: DataFrame,
       keys: Seq[String],
@@ -812,39 +823,80 @@ object Cdc {
       writerId: Long,
       target: org.apache.spark.sql.types.StructType,
       targetMeta: StoreMeta,
+      parentV: Long,
       parentEntries: Map[Int, BucketEntry],
-      parentMeta: Option[StoreMeta]): Long = {
+      parentMeta: Option[StoreMeta],
+      morMaxDepth: Int): Long = {
+    require(morMaxDepth >= 1, "morMaxDepth >= 1")
     val spark = batch.sparkSession
+    import spark.implicits._
     val missing = target.fieldNames.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"changelog lacks payload columns: ${missing.mkString(",")}")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
     val physKeys = keys.map(targetMeta.phys)
-    val survivors = batch
-      .withColumn("__op", upper(opCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      // files spell PHYSICAL names, same as every base file
-      .select(target.fields.map(f => col(f.name).as(targetMeta.phys(f.name))).toIndexedSeq
-        :+ when(col("__op") === "D", lit("D")).otherwise(lit("U")).as(DeltaOpCol): _*)
+    val touched: Set[Int] = batch
+      .select(bucketExpr(keys, nBuckets).as("_b")).distinct().as[Int].collect().toSet
+    val deep: Set[Int] = touched.filter(p =>
+      parentEntries.get(p).exists(_.deltas.length >= morMaxDepth))
+    def layout(df: DataFrame): DataFrame = df
       .withColumn("_bucket", bucketExpr(physKeys, nBuckets))
       .withColumn("_writer", lit(writerId))
       // KEY-SORTED like base files: delta point reads skip row groups too
       .sortWithinPartitions(("_bucket" +: "_writer" +: physKeys).map(col): _*)
-    survivors.write
+    def writeParts(df: DataFrame): Unit = df.write
       .partitionBy("_bucket", "_writer")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(partsPath(storePath))
+    // DELTA path: shallow buckets' per-key survivors + tombstone marker,
+    // spelled in PHYSICAL names like every base file
+    val shallowBatch =
+      if (deep.isEmpty) batch
+      else batch.filter(!bucketExpr(keys, nBuckets).isin(deep.toSeq: _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    writeParts(layout(shallowBatch
+      .withColumn("__op", upper(opCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(target.fields.map(f => col(f.name).as(targetMeta.phys(f.name))).toIndexedSeq
+        :+ when(col("__op") === "D", lit("D")).otherwise(lit("U")).as(DeltaOpCol): _*)))
+    // AUTO-COMPACT path: depth-capped buckets fold (parent base+deltas)
+    // and MERGE this batch's slice — one fresh base per deep bucket
+    if (deep.nonEmpty) {
+      val deepEntries = deep.toSeq.sorted.flatMap(p => parentEntries.get(p).map(p -> _))
+      val prior = conformTo(
+        readResolvedBuckets(spark, storePath, parentV, deepEntries, keys), target)
+      val deepBatch = batch.filter(bucketExpr(keys, nBuckets).isin(deep.toSeq: _*))
+      val merged = upsert(prior, deepBatch, keys, orderCols, opCol)
+      writeParts(layout(
+        merged.select(target.fields.map(f =>
+          col(f.name).as(targetMeta.phys(f.name))).toIndexedSeq: _*)))
+    }
     val written = listWrittenBuckets(spark, storePath, writerId)
+    // fresh bases record rows (+ stats when enabled), same as CoW commits
+    val statsOn = collectStatsEnabled && target.fields.exists(f =>
+      CboMinMaxTypes.contains(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+    val writtenDeep = (written intersect deep).toSeq.sorted
+    val deepScanned: Map[Int, (Long, Map[String, ColStatRec])] =
+      if (writtenDeep.isEmpty) Map.empty
+      else if (statsOn)
+        bucketStatsScan(spark, storePath,
+          writtenDeep.map(p => bucketDir(storePath, p, writerId)), targetMeta.physicalSchema)
+      else writtenDeep.map(p =>
+        p -> (dirRowCount(spark, bucketDir(storePath, p, writerId)),
+          Map.empty[String, ColStatRec])).toMap
     val entries: Seq[(Int, BucketEntry)] =
-      (parentEntries.view.filterKeys(p => !written.contains(p)).toMap ++
-        written.iterator.map { p =>
+      (parentEntries.view.filterKeys(p => !written.contains(p) && !deep.contains(p)).toMap ++
+        (written -- deep).iterator.map { p =>
           val pe = parentEntries.get(p)
           p -> BucketEntry(pe.flatMap(_.base), rows = None, stats = Map.empty,
             deltas = pe.map(_.deltas).getOrElse(Nil) :+ writerId)
-        }).toSeq.sortBy(_._1)
+        } ++
+        writtenDeep.iterator.map(p =>
+          p -> BucketEntry(Some(writerId), Some(deepScanned(p)._1), deepScanned(p)._2)))
+        .toSeq.sortBy(_._1)
     commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
-      touched = written, parentEntries = parentEntries, parentMeta = parentMeta)
+      touched = touched, parentEntries = parentEntries, parentMeta = parentMeta)
   }
 
   /** METADATA-ONLY schema commits (the column-mapping half of Delta
@@ -1772,8 +1824,9 @@ object Cdc {
     val vs = manifestVersions(spark, storePath).sorted
     val times = versionCommitTimes(spark, storePath).toMap
     if (vs.isEmpty)
-      return Seq.empty[(Long, Long, Int, Int, Option[Long])]
-        .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
+      return Seq.empty[(Long, Long, Int, Int, Option[Long], Int)]
+        .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
+          "delta_buckets")
     // ONE partitioned read over every committed manifest (`v=` is the
     // partition column), collected ONCE — nVersions × nBuckets metadata
     // rows, bounded by config × history, never by data — then folded
@@ -1809,8 +1862,12 @@ object Cdc {
         if (m.isEmpty) Some(0L) // a committed-but-empty version serves 0 rows
         else if (m.forall(_._3.isDefined)) Some(m.iterator.map(_._3.get).sum)
         else None // a bucket with pending deltas honestly has no count
-      (v, times(v), m.length, touched, rows)
-    }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows")
+      // merge-on-read health readout: buckets serving through a fold at
+      // this version (0 for pure copy-on-write history)
+      val deltaBuckets = m.count(_._2._2.nonEmpty)
+      (v, times(v), m.length, touched, rows, deltaBuckets)
+    }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
+      "delta_buckets")
   }
 
   /** `$files`-shape metadata: the serving layout's LIVE data files — one

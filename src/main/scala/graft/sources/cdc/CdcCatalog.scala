@@ -189,7 +189,8 @@ object CdcCatalog {
     StructField("commit_ts_millis", LongType, nullable = false),
     StructField("buckets", IntegerType, nullable = false),
     StructField("touched_buckets", IntegerType, nullable = false),
-    StructField("rows", LongType, nullable = true)))
+    StructField("rows", LongType, nullable = true),
+    StructField("delta_buckets", IntegerType, nullable = false)))
   private[cdc] val FilesSchema: StructType = StructType(Seq(
     StructField("_bucket", IntegerType, nullable = false),
     StructField("_writer", LongType, nullable = false),

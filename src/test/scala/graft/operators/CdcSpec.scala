@@ -560,6 +560,44 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === oneShot)
   }
 
+  test("mixed-strategy randomized differential: random CoW / merge-on-read commits " +
+      "interleaved with compaction and vacuum ≡ the in-memory fold at every step") {
+    val rnd = new scala.util.Random(1717)
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_rand_mor").toString
+    val s = (1L to 30L).map(k => (k, s"base$k", k * 2.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L) // v0: materialize the seed
+    var seq = 0L
+    var applied = Seq.empty[(Long, String, Double, Long, String)]
+    (1 to 8).foreach { step =>
+      val batch = (1 to 1 + rnd.nextInt(10)).map { _ =>
+        seq += 1
+        val k  = rnd.nextInt(45).toLong + 1
+        val op = rnd.nextInt(4) match { case 0 => "D"; case 1 => "I"; case _ => "U" }
+        (k, s"m$seq", rnd.nextInt(1000) / 10.0, seq, op)
+      }
+      applied ++= batch
+      val id = Cdc.manifestVersions(spark, store).max + 1
+      val mor = rnd.nextBoolean()
+      Cdc.processPartitionedBatch(log(batch: _*), seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, id,
+        casCommit = true, morCommit = mor, morMaxDepth = 2)
+      assert(readPart(store) === reference(s, applied),
+        s"step $step (mor=$mor) diverged from the fold reference")
+      // occasionally compact and vacuum mid-history; neither may change
+      // the resolved snapshot
+      if (step % 3 == 0) {
+        Cdc.compactStore(spark, store, keys, nBuckets)
+        assert(readPart(store) === reference(s, applied), s"compaction at step $step")
+      }
+      if (step % 4 == 0) {
+        Cdc.vacuum(spark, store, keepVersions = 2)
+        assert(readPart(store) === reference(s, applied), s"vacuum at step $step")
+      }
+    }
+    assert(readPart(store) === apply0(seed, log(applied: _*)))
+  }
+
   test("point lookup serves exactly the requested keys reading only their buckets") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_lookup").toString
     val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.5))
@@ -787,10 +825,11 @@ class CdcSpec extends AnyFunSuite {
     runBatch(store, seed, 2L,                                    // v2: delete two
       (7L, "", 0.0, 200L, "D"), (9L, "", 0.0, 201L, "D"))
     val h = Cdc.describeHistory(spark, store)
-      .as[(Long, Long, Int, Int, Option[Long])].collect().sortBy(_._1)
+      .as[(Long, Long, Int, Int, Option[Long], Int)].collect().sortBy(_._1)
     assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(h.forall(_._6 === 0), "a pure copy-on-write history reports 0 delta buckets")
     // rows audit: the metadata line equals the truly served cardinality
-    h.foreach { case (v, _, _, _, rows) =>
+    h.foreach { case (v, _, _, _, rows, _) =>
       assert(rows.contains(
         Cdc.readPartitionedSnapshot(spark, store, Some(v)).count()), s"rows of v=$v")
     }
@@ -937,6 +976,44 @@ class CdcSpec extends AnyFunSuite {
     deltaDirs.foreach(d => assert(!fs.exists(new org.apache.hadoop.fs.Path(d)),
       s"superseded delta dir leaked past vacuum: $d"))
     assert(readPart(store) === before + (6L -> ("v4", 64.0)))
+  }
+
+  test("merge-on-read fold depth is bounded BY CONSTRUCTION: a touched bucket at " +
+      "morMaxDepth pending deltas auto-compacts inline (fresh base, rows recorded), " +
+      "cold buckets in the same statement keep the O(delta) path") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val store = java.nio.file.Files.createTempDirectory("graft_mor_depth").toString
+    runBatch(store, seed, 0L)
+    val hot = 5L
+    val cold = (6L to 40L).find(k => bucketOf(k) != bucketOf(hot)).get
+    val maxDepth = 3
+    // 10 successive point merges on the SAME key; every one also touches
+    // a cold key once (v6) to prove the split
+    var applied = Vector.empty[(Long, String, Double, Long, String)]
+    (1 to 10).foreach { i =>
+      val rows = Seq((hot, s"hot$i", i * 1.0, 100L + i, "U")) ++
+        (if (i == 6) Seq((cold, "cold6", 6.6, 106L, "U")) else Nil)
+      applied ++= rows
+      Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+        Seq(col("seq")), col("op"), store, nBuckets, i.toLong,
+        casCommit = true, morCommit = true, morMaxDepth = maxDepth)
+      val m = Cdc.readManifestFull(spark, store, i.toLong)
+      assert(m.values.forall(_.deltas.length <= maxDepth),
+        s"v=$i exceeded the fold-depth cap: ${m.values.map(_.deltas.length).max}")
+      // content is exact at every version
+      assert(readPart(store) === reference(s, applied),
+        s"v=$i diverged from the fold reference")
+    }
+    // the hot bucket was auto-compacted at least once: some version's
+    // entry carries a FRESH base (token writer) with recorded rows
+    val hotB = bucketOf(hot)
+    val v0Base = Cdc.readManifestFull(spark, store, 0L)(hotB).base
+    val compacted = (1 to 10).map(i => Cdc.readManifestFull(spark, store, i.toLong)(hotB))
+      .filter(e => e.base != v0Base && e.deltas.isEmpty)
+    assert(compacted.nonEmpty, "the depth cap never triggered an inline rewrite")
+    assert(compacted.forall(_.rows.isDefined),
+      "an auto-compacted bucket must record its row count")
   }
 
   // ---- CAS logical conflict detection (rebase) -------------------------

@@ -729,7 +729,8 @@ class CdcCatalogSpec extends AnyFunSuite {
       // $history ≡ describeHistory, row for row, through the SQL surface
       val hist = spark.sql("SELECT * FROM graft.`cat_meta$history` ORDER BY version")
       assert(hist.columns.toSeq ===
-        Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows"))
+        Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
+          "delta_buckets"))
       assert(hist.collect().toSeq ===
         Cdc.describeHistory(spark, store).orderBy("version").collect().toSeq)
       assert(hist.count() === 2L)
@@ -1039,7 +1040,8 @@ class CdcCatalogSpec extends AnyFunSuite {
       val resolveJobs = jobsIn("hist_resolve") {
         val t = spark.table("graft.`cat_histscale$history`")
         assert(t.schema.fieldNames.toSeq ===
-          Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows"))
+          Seq("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
+          "delta_buckets"))
         t.queryExecution.analyzed // force analysis, not execution
         ()
       }

@@ -309,6 +309,13 @@ class CdcRowLevelSpec extends AnyFunSuite {
       // aggregates stay CORRECT while deltas pend (pushdown refuses, the
       // fold answers) — count sees the delete and the insert
       assert(spark.table("graft.rlo_mor").count() === 40L)
+      // SQL time travel folds HISTORICALLY: v0 pre-DML (no fold), v1
+      // exactly one delta level applied
+      assert(rows(spark.sql("SELECT * FROM graft.rlo_mor VERSION AS OF 0")) ===
+        (1L to 40L).map(k => (k, s"orig$k", k * 1.0)).toSet)
+      assert(rows(spark.sql("SELECT * FROM graft.rlo_mor VERSION AS OF 1")) ===
+        (1L to 40L).map(k =>
+          if (k == 5) (5L, "mor5", 500.0) else (k, s"orig$k", k * 1.0)).toSet)
       // the feed is CDF-exact across the MoR commits (manifest-diff +
       // fold, no raw delta rows leak)
       val feed = Cdc.changesBetweenCdf(spark, store, 0L, 3L, keys)
