@@ -63,21 +63,38 @@ class CdcStreamingWrite(
     require(committed.nonEmpty,
       s"$tableName has no committed version — streaming writes maintain an EXISTING " +
         "store (seed it with processPartitionedBatch or buildCdcStore first)")
-    val version = baseFor(spark, d.storePath, queryId, epochId, committed.max) + epochId
+    var version = baseFor(spark, d.storePath, queryId, epochId, committed.max) + epochId
     // The intent marker separates REPLAY from INTRUSION when the version
     // is already committed: a replayed epoch wrote its intent before the
     // first attempt's merge; an interleaved writer that landed on exactly
     // this slot did not — that must fail LOUDLY, never skip as a replay.
     val replayed = hasIntent(spark, d.storePath, queryId, epochId)
-    if (!committed.contains(version) || !replayed) {
-      require(!committed.contains(version),
-        s"$tableName version line moved: this stream's epoch $epochId maps to " +
-          s"version $version, which another writer already committed (no intent " +
-          "marker from this stream) — a store has ONE maintainer at a time")
-      require(version == committed.max + 1,
-        s"$tableName version line moved: this stream's epoch $epochId maps to " +
-          s"version $version but the newest committed version is ${committed.max} — " +
-          "another writer ran concurrently (a store has ONE maintainer at a time)")
+    // OWN commit = non-CAS at our slot: batch DML (CAS) commits are
+    // provable on disk — only commitCas lands `_schema.ddl` inside the
+    // manifest dir — so a slot occupied by DML can never masquerade as
+    // this stream's replay (without this check, a crash between intent
+    // and commit followed by a DML taking the slot would SKIP the epoch
+    // on replay and silently drop its data).
+    val ownAtSlot = committed.contains(version) && !isDmlCommit(spark, d.storePath, version)
+    if (!ownAtSlot || !replayed) {
+      if (committed.max >= version) {
+        // the version line moved under the stream. DML COEXISTENCE: when
+        // EVERY foreign commit at/past our slot is a batch-DML (CAS)
+        // commit, the store is still singly-maintained — catalog DML ran
+        // between epochs (or stole a crashed epoch's slot) — so RE-PIN
+        // the query's base past them and keep going. Any non-CAS foreign
+        // commit is another maintainer (a second stream / bare
+        // maintenance calls): that stays the loud single-maintainer
+        // error, exactly as before.
+        val foreign = committed.filter(_ >= version)
+        require(foreign.forall(v => isDmlCommit(spark, d.storePath, v)),
+          s"$tableName version line moved: this stream's epoch $epochId maps to " +
+            s"version $version but versions ${foreign.sorted.mkString(",")} were " +
+            "committed by another MAINTAINER (non-DML commits without this stream's " +
+            "intent) — a store has ONE maintainer at a time")
+        repinBase(spark, d.storePath, queryId)
+        version = baseFor(spark, d.storePath, queryId, epochId, committed.max) + epochId
+      }
       recordIntent(spark, d.storePath, queryId, epochId)
       val files = messages.collect { case StagedEpochFile(path, rows) if rows > 0 => path }
       import org.apache.spark.sql.functions.{col, lit}
@@ -141,6 +158,28 @@ object CdcStreamingWrite {
       }
       base
     }
+  }
+
+  /** Batch-DML (CAS) commit provenance: only
+    * [[graft.operators.Cdc]]'s `commitCas` lands `_schema.ddl` INSIDE
+    * the manifest dir (the streaming/non-CAS path writes the schema
+    * sidecar elsewhere) — the on-disk signal that separates "catalog DML
+    * moved the version line" (re-pin and continue) from "another
+    * maintainer is writing" (loud). */
+  private def isDmlCommit(spark: SparkSession, storePath: String, v: Long): Boolean = {
+    val marker = new Path(s"$storePath/manifest/v=$v/_schema.ddl")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
+  /** Drop the query's pinned base so the next [[baseFor]] re-derives it
+    * from the CURRENT newest committed version — shifting every future
+    * epoch's slot past foreign DML commits. Crash-safe: a crash after
+    * the delete re-derives the identical base on replay (same
+    * `maxCommitted`, same epochId), and only the NEWEST epoch ever
+    * replays, so the shifted mapping can't reinterpret history. */
+  private def repinBase(spark: SparkSession, storePath: String, queryId: String): Unit = {
+    val file = new Path(s"$storePath/_streams/q=$queryId")
+    file.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(file, false)
   }
 
   /** Per-epoch intent marker, created BEFORE the epoch's merge: its

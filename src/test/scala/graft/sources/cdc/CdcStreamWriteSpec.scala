@@ -287,6 +287,61 @@ class CdcStreamWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("DML coexistence: catalog batch DML between stream epochs re-pins the stream's " +
+      "version line (both keep landing); a crashed epoch whose slot was taken by DML " +
+      "re-commits instead of silently skipping; non-DML intruders stay loud") {
+    val store = seedStore()
+    val d = CdcCatalog.StoreDef(store, keys, n)
+    val sw = new CdcStreamingWrite("graft.sw_coexist", d, payload, "qcoexist")
+    def staged(epoch: Long, k: Long, name: String) = {
+      val w = new CdcStagingWriterFactory(store, "qcoexist", payload)
+        .createWriter(0, epoch * 10, epoch)
+      w.write(InternalRow(k, UTF8String.fromString(name), 1.0))
+      w.commit()
+    }
+    sw.commit(0L, Array(staged(0L, 1L, "e0"))) // stream owns v=1
+    // batch DML (CAS) lands v=2 while the stream is idle — the supported
+    // between-epochs coexistence case
+    def dml(id: Long, k: Long, name: String): Unit = {
+      val df = Seq((k, name, 9.9)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        df.withColumn("_seq", lit(id)).withColumn("_op", lit("U")),
+        df.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, id, casCommit = true)
+    }
+    dml(2L, 2L, "dml2")
+    // the next stream epoch RE-PINS past the DML commit and lands at v=3
+    sw.commit(1L, Array(staged(1L, 3L, "e1")))
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L, 3L))
+    val snap1 = snapshot(store)
+    assert(snap1.contains((1L, "e0", 1.0)) && snap1.contains((2L, "dml2", 9.9)) &&
+      snap1.contains((3L, "e1", 1.0)), s"missing effects in $snap1")
+    // CRASHED-EPOCH slot theft: epoch 2 records intent (maps to v=4),
+    // crashes before its commit; DML then takes v=4. The replay must
+    // RE-COMMIT the epoch (at v=5), never skip it as its own.
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_streams/intents_q=qcoexist/e=2"), true).close()
+    dml(4L, 4L, "dml4")
+    sw.commit(2L, Array(staged(2L, 5L, "e2")))
+    assert(Cdc.manifestVersions(spark, store).max === 5L)
+    val snap2 = snapshot(store)
+    assert(snap2.contains((5L, "e2", 1.0)),
+      "a crashed epoch whose slot DML stole must re-land, not silently skip")
+    assert(snap2.contains((4L, "dml4", 9.9)))
+    // a NON-DML intruder (second maintainer) still fences loudly
+    val intruder = Seq((6L, "other", 1.0)).toDF("k", "name", "bal")
+    Cdc.processPartitionedBatch(
+      intruder.withColumn("_seq", lit(6L)).withColumn("_op", lit("U")),
+      intruder.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 6L)
+    val e = intercept[IllegalArgumentException] {
+      sw.commit(3L, Array(staged(3L, 7L, "e3")))
+    }
+    assert(e.getMessage.contains("version line moved") &&
+      e.getMessage.contains("MAINTAINER"), e.getMessage)
+    assert(!snapshot(store).contains((7L, "e3", 1.0)))
+  }
+
   test("version-pinned tables refuse streaming writes") {
     implicit val sqlCtx = spark.sqlContext
     val store = seedStore()
