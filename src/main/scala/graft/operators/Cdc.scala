@@ -238,7 +238,12 @@ object Cdc {
         * pending delta files must not have to guess the key columns.
         * Empty for stores last written before keys were recorded (those
         * cannot carry deltas — delta commits always record keys). */
-      keys: Seq[String] = Nil) {
+      keys: Seq[String] = Nil,
+      /** The layout's bucket count, recorded at commit time — what lets
+        * maintenance entry points ([[compactStore]]) validate a caller's
+        * layout arguments instead of silently re-bucketing the store
+        * wrong. None for stores last written before it was recorded. */
+      nBuckets: Option[Int] = None) {
     def phys(logical: String): String = mapping.getOrElse(logical, logical)
     /** The schema as the parquet files spell it (same positions/types). */
     def physicalSchema: org.apache.spark.sql.types.StructType =
@@ -264,7 +269,8 @@ object Cdc {
           ("mapping" -> m.mapping) ~
           ("retired" -> m.retired) ~
           ("mapChangeV" -> m.mapChangeV) ~
-          ("keys" -> m.keys)))
+          ("keys" -> m.keys) ~
+          ("nBuckets" -> m.nBuckets)))
     }
 
   private[operators] def parseMetaLine(line: String): StoreMeta =
@@ -294,8 +300,13 @@ object Cdc {
         case JArray(vs) => vs.collect { case JString(s) => s }
         case _ => Nil
       }
+      val mBuckets = (j \ "nBuckets") match {
+        case JInt(v)  => Some(v.toInt)
+        case JLong(v) => Some(v.toInt)
+        case _        => None
+      }
       StoreMeta(org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping, retired, mapChangeV,
-        mkeys)
+        mkeys, mBuckets)
     }
 
   private[graft] def storedMeta(
@@ -591,6 +602,16 @@ object Cdc {
     val parentEntries: Map[Int, BucketEntry] =
       parent.map(v => readManifestFull(spark, storePath, v)).getOrElse(Map.empty)
     val parentMeta: Option[StoreMeta] = parent.flatMap(v => storedMeta(spark, storePath, v))
+    // layout arguments are validated against what the store RECORDED: a
+    // wrong nBuckets silently writes rows into buckets no reader's hash
+    // would ever look in; wrong keys silently merge distinct identities
+    for (m <- parentMeta) {
+      m.nBuckets.foreach(n => require(n == nBuckets,
+        s"nBuckets mismatch for $storePath: store is bucketed mod $n, caller passed $nBuckets"))
+      if (m.keys.nonEmpty) require(m.keys == keys,
+        s"merge-key mismatch for $storePath: store records (${m.keys.mkString(",")}), " +
+          s"caller passed (${keys.mkString(",")})")
+    }
     val priorSchema = parentMeta.map(_.schema).getOrElse(seed.schema)
     require(!priorSchema.fieldNames.contains(DeltaOpCol) && !batch.columns.contains(DeltaOpCol),
       s"$DeltaOpCol is a reserved layout column name (merge-on-read tombstone marker)")
@@ -632,7 +653,8 @@ object Cdc {
             Some(c -> s"${c}_$i")
           }
         }.toMap
-      StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV, keys)
+      StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV, keys,
+        Some(nBuckets))
     }
     if (morCommit && parent.isDefined)
       return morDeltaCommit(batch, keys, orderCols, opCol, storePath, nBuckets, id,
@@ -741,10 +763,7 @@ object Cdc {
     // recording), so the scan's estimateStatistics serves the CBO
     // numRows, key NDV, and column min/max/nullCount/NDV — store-table
     // joins and filters cost like ANALYZEd warehouse tables
-    val anyTracked = target.fields.exists(f =>
-      CboMinMaxTypes.contains(f.dataType) ||
-        f.dataType == org.apache.spark.sql.types.StringType)
-    val statsOn = collectStatsEnabled && anyTracked
+    val statsOn = statsCollectionOn(target)
     def dirOf(p: Int, w: Long) = bucketDir(storePath, p, w)
     // backfill only CLEAN carried buckets: a delta'd bucket's resolved
     // rows/stats are unknowable without the fold, and recording the
@@ -782,15 +801,75 @@ object Cdc {
       commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
         touchedBuckets, parentEntries, parentMeta)
     } else {
-      // schema sidecar FIRST, manifest commit second: a committed version
-      // always carries its schema; a crash between the two leaves an
-      // uncommitted version whose replay overwrites both
-      Seq(metaLine(targetMeta)).toDF("ddl").coalesce(1)
-        .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
-      // manifest commit point: tiny single-file write, _SUCCESS-guarded
-      manifestRows(spark, entries).coalesce(1)
-        .write.mode("overwrite").parquet(s"${manifestPath(storePath)}/v=$id")
+      commitNonCas(spark, storePath, id, entries, metaLine(targetMeta))
       id
+    }
+  }
+
+  /** The streaming/replay manifest commit: stage-then-RENAME, like the
+    * CAS path, never a long-lived in-place overwrite. Why it matters: an
+    * in-place `mode("overwrite")` write would (a) expose a marker-less
+    * in-progress `v=<id>` dir for the whole job — indistinguishable from
+    * a torn attempt, so a concurrent CAS writer's torn-dir heal could
+    * delete it mid-job and interleave — and (b) DELETE a version a
+    * concurrent batch-DML statement committed at the same id between the
+    * epoch-start guard and this write, silently destroying an
+    * acknowledged commit. Staging + rename shrinks the exposure to the
+    * atomic point: the commit-time re-check refuses a CAS-committed
+    * occupant loudly, a replay deletes only its OWN previous commit, and
+    * a rename that did not land AS the manifest (a racer recreated the
+    * dir) throws — Spark fails the epoch and the replay re-resolves. */
+  private def commitNonCas(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      id: Long,
+      entries: Seq[(Int, BucketEntry)],
+      metaLn: String): Unit = {
+    import spark.implicits._
+    // schema sidecar FIRST, manifest commit second: a committed version
+    // always carries its schema; a crash between the two leaves an
+    // uncommitted version whose replay overwrites both
+    Seq(metaLn).toDF("ddl").coalesce(1)
+      .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$id")
+    val stagingName = s"_attempt_v=$id"
+    val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
+    val dst = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$id")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestRows(spark, entries).coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")),
+      "manifest commit requires the _SUCCESS job marker " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay enabled): " +
+        s"staged manifest $staging has none")
+    val dstSuccess = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")
+    if (fs.exists(dst)) {
+      // commit-point re-check of the mixed-mode guard: the epoch-start
+      // check ran before the (possibly long) merge job; a batch-DML
+      // statement may have committed this id since. Its _schema.ddl is
+      // the provenance — never delete it.
+      if (fs.exists(new org.apache.hadoop.fs.Path(dst, "_schema.ddl"))) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"streaming commit of v=$id would overwrite a BATCH-DML (CAS) commit that " +
+            s"landed mid-epoch at $storePath — the epoch will replay and re-resolve " +
+            "past the moved version line")
+      }
+      // our own replay's previous commit (or a torn attempt): replace it
+      fs.delete(dst, true)
+    }
+    val renamed =
+      try !fs.exists(dst) && fs.rename(staging, dst)
+      catch { case _: java.io.IOException => false }
+    val landed = renamed && fs.exists(dstSuccess) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dst, stagingName))
+    if (!landed) {
+      val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"streaming commit of v=$id lost a race at $storePath (another writer " +
+          "recreated the version dir between the replace and the rename) — the epoch " +
+          "will replay and re-resolve")
     }
   }
 
@@ -873,9 +952,7 @@ object Cdc {
     }
     val written = listWrittenBuckets(spark, storePath, writerId)
     // fresh bases record rows (+ stats when enabled), same as CoW commits
-    val statsOn = collectStatsEnabled && target.fields.exists(f =>
-      CboMinMaxTypes.contains(f.dataType) ||
-        f.dataType == org.apache.spark.sql.types.StringType)
+    val statsOn = statsCollectionOn(target)
     val writtenDeep = (written intersect deep).toSeq.sorted
     val deepScanned: Map[Int, (Long, Map[String, ColStatRec])] =
       if (writtenDeep.isEmpty) Map.empty
@@ -924,7 +1001,7 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       from: String,
-      to: String): Long = {
+      to: String): Long = retryMetadataConflicts {
     val (parentV, meta) = latestMeta(spark, storePath)
     require(meta.schema.fieldNames.contains(from), s"no column $from in ${meta.schema.toDDL}")
     require(!meta.schema.fieldNames.contains(to),
@@ -937,7 +1014,8 @@ object Cdc {
     val newKeys = meta.keys.map(k => if (k == from) to else k)
     commitMetadataOnly(spark, storePath, parentV, meta,
       StoreMeta(renamed, meta.mapping - from ++ (if (phys == to) Nil else Seq(to -> phys)),
-        meta.retired, mapChangeV = Some(parentV + 1), keys = newKeys))
+        meta.retired, mapChangeV = Some(parentV + 1), keys = newKeys,
+        nBuckets = meta.nBuckets))
   }
 
   /** See [[renameColumn]]. Refuses to drop a merge key — identity is the
@@ -951,7 +1029,7 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       name: String,
-      keys: Seq[String] = Nil): Long = {
+      keys: Seq[String] = Nil): Long = retryMetadataConflicts {
     require(!keys.contains(name), s"cannot drop merge key $name")
     val (parentV, meta) = latestMeta(spark, storePath)
     require(!meta.keys.contains(name),
@@ -967,7 +1045,26 @@ object Cdc {
         meta.mapping - name,
         meta.retired :+ meta.phys(name),
         mapChangeV = Some(parentV + 1),
-        keys = meta.keys))
+        keys = meta.keys,
+        nBuckets = meta.nBuckets))
+  }
+
+  /** Rename/drop must NOT rebase inside commitCas: their metadata embeds
+    * `mapChangeV` = the version the commit is MEANT to land at, and a
+    * rebase past disjoint DML would stamp the change boundary at the
+    * wrong version — feed versions materialized by the intervening DML
+    * (pre-change column names) would read as post-change, exactly the
+    * mis-clip the CDF boundary guard exists to refuse. Instead the whole
+    * statement RE-DERIVES from the new latest version and retries,
+    * bounded — equivalent cost (metadata-only), correct boundary. */
+  private def retryMetadataConflicts[T](body: => T): T = {
+    var left = MaxCasRebases
+    while (true) {
+      left -= 1
+      try return body
+      catch { case _: ConcurrentCdcWriteException if left > 0 => () }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // live catalog registrations' merge keys per store path — the guard
@@ -1012,7 +1109,8 @@ object Cdc {
         p -> e.copy(rows = rows)
       }.sortBy(_._1)
     commitCas(spark, storePath, parentV + 1, mintCasToken(), entries, metaLine(newMeta),
-      touched = Set.empty, parentEntries = parentEntries, parentMeta = Some(parentMeta))
+      touched = Set.empty, parentEntries = parentEntries, parentMeta = Some(parentMeta),
+      maxRebases = 0) // the caller re-derives on conflict (mapChangeV must match the id)
   }
 
   /** CAS writer tokens live above 2^62 so they can never collide with a
@@ -1068,7 +1166,8 @@ object Cdc {
       metaLn: String,
       touched: Set[Int],
       parentEntries: Map[Int, BucketEntry],
-      parentMeta: Option[StoreMeta]): Long = {
+      parentMeta: Option[StoreMeta],
+      maxRebases: Int = MaxCasRebases): Long = {
     import spark.implicits._
     val stagingName = s"_attempt_w=$writerId"
     val staging = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/$stagingName")
@@ -1135,8 +1234,8 @@ object Cdc {
       val nested = new org.apache.hadoop.fs.Path(dst, stagingName)
       if (fs.exists(nested)) fs.delete(nested, true)
       rebases += 1
-      if (rebases > MaxCasRebases)
-        conflict(s"v=$curId was committed by another writer and $MaxCasRebases rebases " +
+      if (rebases > maxRebases)
+        conflict(s"v=$curId was committed by another writer and $maxRebases rebases " +
           "were exhausted")
       // rebase candidate: the winner now committed at curId
       val winner =
@@ -1152,7 +1251,13 @@ object Cdc {
       }
       if (!metaUnchanged)
         conflict(s"v=$curId was committed by another writer that changed schema metadata")
-      val overlap = touched.filter(p => winner.get(p) != curParent.get(p))
+      // overlap compares CONTENT identity (base + delta list), never the
+      // recording detail: a winner that merely BACKFILLED rows/colstats
+      // on a bucket it carried by reference left its files untouched —
+      // same signature rule as changesBetween's pruning
+      def sig(e: Option[BucketEntry]): Option[(Option[Long], Seq[Long])] =
+        e.map(x => (x.base, x.deltas))
+      val overlap = touched.filter(p => sig(winner.get(p)) != sig(curParent.get(p)))
       if (overlap.nonEmpty)
         conflict(s"v=$curId was committed by another writer that touched overlapping " +
           s"buckets ${overlap.toSeq.sorted.take(8).mkString(",")}")
@@ -1439,7 +1544,15 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       keepVersions: Int,
-      feedPath: Option[String] = None): Unit = {
+      feedPath: Option[String] = None,
+      /** Minimum AGE before attempt debris (unreferenced token part dirs,
+        * `_attempt_*` staging dirs) counts as abandoned. The retention
+        * floor alone is not enough on a fast-committing store: a
+        * streaming maintainer at seconds-per-epoch can age `keepVersions`
+        * commits past a LIVE long-running DML statement's part dirs —
+        * this wall-clock floor protects any statement younger than it.
+        * Default 6 h ≫ any sane statement runtime. */
+      attemptRetentionMs: Long = 6L * 3600 * 1000): Unit = {
     require(keepVersions >= 2, "keepVersions >= 2 (the newest batch's parent must stay replayable)")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1488,7 +1601,13 @@ object Cdc {
     val retentionFloorMs: Long = {
       val marker = new org.apache.hadoop.fs.Path(
         s"${manifestPath(storePath)}/v=${keep.min}/_SUCCESS")
-      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime else Long.MinValue
+      val commitFloor =
+        if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime else Long.MinValue
+      // BOTH floors must have passed: older than every retained commit
+      // AND older than the wall-clock grace window — a busy store can
+      // age keepVersions commits in seconds, which must never convict a
+      // live statement's in-flight dirs
+      math.min(commitFloor, System.currentTimeMillis() - attemptRetentionMs)
     }
     val allRefs = referenced ++ droppedRefs
     // reap PARTS first, manifests second: droppedRefs is the only proof a
@@ -1516,11 +1635,12 @@ object Cdc {
               writerDir.getModificationTime < retentionFloorMs))
       } fs.delete(writerDir.getPath, true)
     }
-    // abandoned CAS staging manifests age out on the same floor
+    // abandoned staging manifests (CAS `_attempt_w=` and streaming
+    // `_attempt_v=`) age out on the same floor
     val manifestRoot = new org.apache.hadoop.fs.Path(manifestPath(storePath))
     if (fs.exists(manifestRoot)) {
       fs.listStatus(manifestRoot).iterator
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_attempt_w=") &&
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_attempt_") &&
           st.getModificationTime < retentionFloorMs)
         .foreach(st => fs.delete(st.getPath, true))
     }
@@ -1559,11 +1679,20 @@ object Cdc {
     val entries = readManifestFull(spark, storePath, v)
     val meta = storedMeta(spark, storePath, v).getOrElse(
       StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema))
+    // compaction REWRITES buckets: wrong layout arguments would silently
+    // collapse distinct keys (fold on the wrong identity) or scatter rows
+    // into buckets no reader looks in — validate against the recorded meta
+    meta.nBuckets.foreach(n => require(n == nBuckets,
+      s"nBuckets mismatch for $storePath: store is bucketed mod $n, caller passed $nBuckets"))
+    if (meta.keys.nonEmpty) require(meta.keys == keys,
+      s"merge-key mismatch for $storePath: store records (${meta.keys.mkString(",")}), " +
+        s"caller passed (${keys.mkString(",")})")
     val dirty = entries.filter(_._2.deltas.length >= minDeltas)
     if (dirty.isEmpty) return None
     val token = mintCasToken()
     val resolved = readResolvedBuckets(spark, storePath, v, dirty.toSeq.sortBy(_._1), keys)
     val physKeys = keys.map(meta.phys)
+    val statsOn = statsCollectionOn(meta.schema)
     resolved
       .select(meta.schema.fields.map(f => col(f.name).as(meta.phys(f.name))).toIndexedSeq: _*)
       .withColumn("_bucket", bucketExpr(physKeys, nBuckets))
@@ -1574,9 +1703,6 @@ object Cdc {
       .mode("overwrite")
       .parquet(partsPath(storePath))
     val written = listWrittenBuckets(spark, storePath, token)
-    val statsOn = collectStatsEnabled && meta.schema.fields.exists(f =>
-      CboMinMaxTypes.contains(f.dataType) ||
-        f.dataType == org.apache.spark.sql.types.StringType)
     val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
       if (written.isEmpty) Map.empty
       else if (statsOn)
@@ -2026,6 +2152,16 @@ object Cdc {
   private def collectStatsEnabled: Boolean =
     scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
       .get("graft.cdc.collectStats")).toOption.forall(_.toBoolean)
+
+  /** Whether this commit should ANALYZE-on-write: the session toggle AND
+    * at least one column of a tracked type (the ONE definition every
+    * commit path shares — CoW, merge-on-read auto-compaction, and
+    * compactStore must record stats under identical rules or CBO
+    * estimates become path-dependent). */
+  private def statsCollectionOn(schema: org.apache.spark.sql.types.StructType): Boolean =
+    collectStatsEnabled && schema.fields.exists(f =>
+      CboMinMaxTypes.contains(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.StringType)
 
   /** ANALYZE-on-write: one distributed aggregate over the named bucket
     * directories (freshly written or being backfilled), grouped by the
