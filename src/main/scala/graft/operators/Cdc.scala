@@ -1364,6 +1364,16 @@ object Cdc {
     }
     require(vs.contains(v), s"version $v is not committed under $storePath")
     val manifest = readManifestFull(spark, storePath, v)
+    // a wrong layout hash wouldn't fail — it would silently MISS rows
+    // (the keys' true buckets are never read): validate against the
+    // layout the store records
+    for (m <- storedMeta(spark, storePath, v)) {
+      m.nBuckets.foreach(n => require(n == nBuckets,
+        s"nBuckets mismatch for $storePath: store is bucketed mod $n, caller passed $nBuckets"))
+      if (m.keys.nonEmpty) require(m.keys == keys,
+        s"merge-key mismatch for $storePath: store records (${m.keys.mkString(",")}), " +
+          s"caller passed (${keys.mkString(",")})")
+    }
     val wanted = lookup
       .select(bucketExpr(keys, nBuckets).as("_b")).distinct()
       .as[Int].collect().toSet

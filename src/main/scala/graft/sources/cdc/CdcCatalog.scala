@@ -539,6 +539,16 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
     val missing = d.keys.filterNot(payloadSchema.fieldNames.contains)
     require(missing.isEmpty,
       s"merge keys absent from $tableName payload schema: ${missing.mkString(", ")}")
+    // the registration's layout must match what the store RECORDS: a
+    // wrong nBuckets/key set wouldn't fail — key-panel and runtime bucket
+    // pruning would hash into buckets the rows don't live in and serve
+    // silently WRONG (missing) results
+    storeMeta.nBuckets.foreach(n => require(n == d.nBuckets,
+      s"$tableName registration bucket count ${d.nBuckets} does not match the store's " +
+        s"recorded layout (mod $n)"))
+    if (storeMeta.keys.nonEmpty) require(storeMeta.keys == d.keys,
+      s"$tableName registration keys (${d.keys.mkString(",")}) do not match the store's " +
+        s"recorded merge keys (${storeMeta.keys.mkString(",")})")
   }
 
   override def name(): String = tableName

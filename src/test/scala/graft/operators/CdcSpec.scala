@@ -978,6 +978,53 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === before + (6L -> ("v4", 64.0)))
   }
 
+  test("merge-on-read composes with additive schema evolution: a delta commit may " +
+      "widen the schema; the fold serves NULL for rows predating the column") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val store = java.nio.file.Files.createTempDirectory("graft_mor_evo").toString
+    runBatch(store, seed, 0L)
+    // MoR delta commit that ADDS `tier`: only the delta files carry it
+    val evo = Seq((5L, "u5", 55.0, "gold", 100L, "U"), (77L, "i77", 7.7, "new", 101L, "U"))
+      .toDF("k", "name", "bal", "tier", "seq", "op")
+    Cdc.processPartitionedBatch(evo, seed, keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 1L, payloadCols = Seq("k", "name", "bal", "tier"),
+      casCommit = true, morCommit = true)
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+    assert(served.columns.toSeq === Seq("k", "name", "bal", "tier"))
+    val tiers = served.select("k", "tier").as[(Long, Option[String])].collect().toMap
+    assert(tiers(5L) === Some("gold") && tiers(77L) === Some("new"))
+    assert(tiers(12L) === None, "pre-evolution rows must fold to NULL for the new column")
+    // compaction rewrites the widened schema; served rows unchanged
+    val before = served.select("k", "name", "bal", "tier")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    Cdc.compactStore(spark, store, keys, nBuckets)
+    assert(Cdc.readPartitionedSnapshot(spark, store)
+      .select("k", "name", "bal", "tier")
+      .as[(Long, String, Double, Option[String])].collect().toSet === before)
+  }
+
+  test("layout arguments are validated against the store's recorded metadata: wrong " +
+      "nBuckets or keys refuse loudly instead of silently corrupting or missing rows") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val store = java.nio.file.Files.createTempDirectory("graft_layout_guard").toString
+    runBatch(store, snap(s: _*), 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      runBatch(store, snap(s: _*), 1L) // helper uses nBuckets
+      Cdc.processPartitionedBatch(log((5L, "x", 1.0, 100L, "U")), snap(s: _*), keys,
+        Seq(col("seq")), col("op"), store, nBuckets * 2, 2L)
+    }
+    assert(e1.getMessage.contains("nBuckets mismatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.lookupKeys(spark, store, Seq("name"), Seq(Tuple1("orig5")).toDF("name"), nBuckets)
+    }
+    assert(e2.getMessage.contains("merge-key mismatch"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Cdc.compactStore(spark, store, keys, nBuckets * 2)
+    }
+    assert(e3.getMessage.contains("nBuckets mismatch"), e3.getMessage)
+  }
+
   test("merge-on-read fold depth is bounded BY CONSTRUCTION: a touched bucket at " +
       "morMaxDepth pending deltas auto-compacts inline (fresh base, rows recorded), " +
       "cold buckets in the same statement keep the O(delta) path") {
