@@ -154,6 +154,25 @@ object CdcCatalog {
   private[cdc] def names: Seq[String] =
     (registry.keys ++ feedRegistry.keys).toSeq.sorted
 
+  /** Merge-on-read COMPACTION for a registered table — the catalog-aware
+    * front door to [[graft.operators.Cdc.compactStore]]: layout
+    * arguments come from the registration (no caller-supplied keys to
+    * get wrong), and when the store feeds a registered CHANGE FEED the
+    * compaction version is materialized there too (an EMPTY CDF —
+    * compaction changes no logical row — but the feed's version line
+    * must stay contiguous or the streaming tail's gap detection throws a
+    * misleading retention error at consumers). Returns the committed
+    * version, or None when nothing needed compacting. */
+  def compact(name: String, minDeltas: Int = 1): Option[Long] = {
+    val d = registry.getOrElse(name,
+      throw new NoSuchTableException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, name)))
+    val spark = SparkSession.active
+    val committed = Cdc.compactStore(spark, d.storePath, d.keys, d.nBuckets, minDeltas)
+    committed.foreach(v => materializeFeed(spark, d.storePath, d.keys, v))
+    committed
+  }
+
   /** Bounded retry for catalog DML whose statements are SNAPSHOT-
     * INDEPENDENT (key-tuple deletes, full-row upsert inserts): an
     * OVERLAPPING-bucket CAS loser re-resolves `next` and re-applies the

@@ -324,10 +324,35 @@ class CdcRowLevelSpec extends AnyFunSuite {
         (7L, "delete"), (99L, "insert")))
       // compaction folds back to a clean base; the served table is unchanged
       val served = rows(spark.table("graft.rlo_mor"))
-      assert(Cdc.compactStore(spark, store, keys, n).isDefined)
+      assert(CdcCatalog.compact("rlo_mor").isDefined)
       assert(Cdc.readManifestFull(spark, store,
         Cdc.manifestVersions(spark, store).max).values.forall(_.deltas.isEmpty))
       assert(rows(spark.table("graft.rlo_mor")) === served)
     } finally CdcCatalog.unregister("rlo_mor")
+  }
+
+  test("catalog compaction keeps a registered change feed's version line contiguous: " +
+      "the compaction version materializes as an (empty) CDF entry, so lagging " +
+      "consumers resume across it instead of hitting a phantom retention gap") {
+    val store = freshStore("morfeed")
+    val feed = java.nio.file.Files.createTempDirectory("graft_rlo_morfeed").toString
+    CdcCatalog.register("rlo_morfeed", store, keys, n, morDml = true)
+    CdcCatalog.registerFeed("rlo_morfeed_cdf", store, feed)
+    try {
+      spark.sql("UPDATE graft.rlo_morfeed SET bal = 100.0 WHERE k = 5") // v1 + feed v1
+      spark.sql("DELETE FROM graft.rlo_morfeed WHERE k = 7")            // v2 + feed v2
+      assert(CdcCatalog.compact("rlo_morfeed") === Some(3L))
+      // feed v3 exists and is EMPTY (compaction is logically a no-op)
+      assert(Cdc.feedVersions(spark, feed).sorted === Seq(1L, 2L, 3L))
+      assert(spark.read.parquet(s"$feed/v=3").count() === 0L)
+      // a consumer resuming from v2 crosses the boundary cleanly
+      assert(Cdc.readFeedSince(spark, feed, 2L).count() === 0L)
+      // ...and one from v1 still sees exactly v2's delete
+      val since1 = Cdc.readFeedSince(spark, feed, 1L)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(since1 === Set((7L, "delete")))
+    } finally {
+      CdcCatalog.unregister("rlo_morfeed"); CdcCatalog.unregister("rlo_morfeed_cdf")
+    }
   }
 }
