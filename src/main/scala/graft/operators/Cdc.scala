@@ -512,14 +512,28 @@ object Cdc {
       feedPath: Option[String] = None,
       payloadCols: Seq[String] = Nil,
       compactFeedEvery: Int = 0,
-      feedSegmentSize: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      feedSegmentSize: Int = 16,
+      /** MERGE-ON-READ epochs: commit each micro-batch as per-bucket DELTA
+        * files (write IO O(|epoch delta|)) instead of rewriting every
+        * touched bucket in full — the write-amplification fix for
+        * high-frequency streams over large stores, where a small epoch
+        * against a TB store otherwise rewrites whole buckets each tick.
+        * Read-side fold depth stays bounded by `morMaxDepth`'s inline
+        * auto-compaction (every morMaxDepth-th epoch touching a hot
+        * bucket pays that bucket's rewrite — compaction amortized into
+        * the stream). Replay stays exactly-once: the delta writer id IS
+        * the epoch's version id, so a replayed epoch rewrites the same
+        * delta dirs and manifest. The first epoch (seed materialization)
+        * is always copy-on-write. */
+      morCommit: Boolean = false,
+      morMaxDepth: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
         processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id,
-          payloadCols)
+          payloadCols, morCommit = morCommit, morMaxDepth = morMaxDepth)
         for (fp <- feedPath; pv <- parent)
           changesBetweenCdf(spark, storePath, pv, id, keys)
             .write.mode("overwrite").parquet(s"$fp/v=$id")
@@ -575,12 +589,15 @@ object Cdc {
     // O(|delta|), the parent's data files are never opened. The read path
     // folds base + ordered deltas last-writer-wins ([[readResolvedBuckets]]);
     // [[compactStore]] folds deltas back into the base on a cadence.
-    // Restricted to CAS batch DML: streaming maintenance keeps
-    // copy-on-write so checkpoint replay and compaction can never race
-    // over the same version line (stream versions ARE batch ids).
-    require(!morCommit || casCommit,
-      "merge-on-read commits are batch-DML commits (casCommit=true); streaming " +
-        "maintenance keeps copy-on-write")
+    // STREAMING MoR (morCommit without casCommit) reuses the stream's own
+    // replay idempotence: the delta writer id IS the version id
+    // (deterministic), so a replayed epoch purges its stale `_writer=id`
+    // dirs, recomputes the identical per-key survivors from the identical
+    // parent manifest, and re-commits the identical manifest through the
+    // same stage-and-rename as every streaming epoch — exactly-once, no
+    // CAS token needed. Compaction can never race the stream's version
+    // line: compactStore commits via CAS, and the stream's epoch guard
+    // detects a foreign CAS commit at its slot loudly / re-pins past it.
     val spark = batch.sparkSession
     import spark.implicits._
     // OPTIMISTIC CONCURRENCY (`casCommit`, the batch-DML commit mode):
@@ -656,9 +673,30 @@ object Cdc {
       StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV, keys,
         Some(nBuckets))
     }
+    // Stale-attempt hygiene + mixed-mode guard for EVERY non-CAS commit
+    // (copy-on-write and merge-on-read alike): an earlier uncommitted run
+    // of this id may have left `_writer=<id>` dirs that dynamic overwrite
+    // would never clear, and a committed id bearing a CAS provenance
+    // marker means batch DML took this slot — replaying over it would
+    // destroy an acknowledged commit. (Detailed rationale on the purge
+    // below, at its original copy-on-write call site.)
+    if (!casCommit) {
+      if (manifestVersions(spark, storePath).contains(id)) {
+        val fsg = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fsg.exists(new org.apache.hadoop.fs.Path(
+            s"${manifestPath(storePath)}/v=$id/_schema.ddl")))
+          throw new IllegalStateException(
+            s"streaming replay of v=$id would overwrite a BATCH-DML (CAS) commit: the " +
+              s"store's version line at $storePath moved while the stream was down — " +
+              "restart the stream from a fresh checkpoint (its next batch id must " +
+              "exceed the newest committed version), or stop issuing concurrent DML")
+      } else purgeWriterDirs(spark, storePath, id)
+    }
     if (morCommit && parent.isDefined)
       return morDeltaCommit(batch, keys, orderCols, opCol, storePath, nBuckets, id,
-        writerId, target, targetMeta, parent.get, parentEntries, parentMeta, morMaxDepth)
+        writerId, target, targetMeta, parent.get, parentEntries, parentMeta, morMaxDepth,
+        casCommit)
     // the delta's bucket set — bounded by nBuckets (config, not data).
     // Also the CAS conflict-detection unit: a racing writer whose own
     // touched set is disjoint from this one can rebase past us.
@@ -697,27 +735,12 @@ object Cdc {
     // (and permanently, under a crash mid-rewrite). A committed id's
     // replay rewrites identical content via dynamic overwrite anyway, so
     // the purge is only for genuinely uncommitted stale attempts.
-    if (!casCommit) {
-      if (manifestVersions(spark, storePath).contains(id)) {
-        // MIXED-MODE GUARD: the streaming path may only overwrite v=id as
-        // a REPLAY of its own earlier commit. A CAS (batch-DML) commit is
-        // provable on disk — only commitCas lands `_schema.ddl` inside the
-        // manifest dir — and overwriting one would DESTROY a version the
-        // checkpoint never owned: the version line moved under the stream.
-        // Detect loudly instead of corrupting; the operator restarts the
-        // stream from a fresh checkpoint (ids re-sync past the DML
-        // versions) or routes DML through the stream.
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(new org.apache.hadoop.fs.Path(
-            s"${manifestPath(storePath)}/v=$id/_schema.ddl")))
-          throw new IllegalStateException(
-            s"streaming replay of v=$id would overwrite a BATCH-DML (CAS) commit: the " +
-              s"store's version line at $storePath moved while the stream was down — " +
-              "restart the stream from a fresh checkpoint (its next batch id must " +
-              "exceed the newest committed version), or stop issuing concurrent DML")
-      } else purgeWriterDirs(spark, storePath, id)
-    }
+    // (MIXED-MODE GUARD + purge ran above, before the mor dispatch: the
+    // streaming path may only overwrite v=id as a REPLAY of its own
+    // earlier commit — a CAS commit at this slot is provable on disk via
+    // `_schema.ddl` inside the manifest dir and refuses loudly; a
+    // never-committed id's stale `_writer=<id>` dirs are purged so
+    // listWrittenBuckets reflects exactly this attempt.)
     // ONE pass over delta + touched buckets; dynamic partition overwrite
     // clears exactly the (bucket, writer=id) combos this frame contains —
     // idempotent under replay, invisible to every other bucket.
@@ -905,7 +928,8 @@ object Cdc {
       parentV: Long,
       parentEntries: Map[Int, BucketEntry],
       parentMeta: Option[StoreMeta],
-      morMaxDepth: Int): Long = {
+      morMaxDepth: Int,
+      casCommit: Boolean): Long = {
     require(morMaxDepth >= 1, "morMaxDepth >= 1")
     val spark = batch.sparkSession
     import spark.implicits._
@@ -972,8 +996,16 @@ object Cdc {
         writtenDeep.iterator.map(p =>
           p -> BucketEntry(Some(writerId), Some(deepScanned(p)._1), deepScanned(p)._2)))
         .toSeq.sortBy(_._1)
-    commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
-      touched = touched, parentEntries = parentEntries, parentMeta = parentMeta)
+    if (casCommit)
+      commitCas(spark, storePath, id, writerId, entries, metaLine(targetMeta),
+        touched = touched, parentEntries = parentEntries, parentMeta = parentMeta)
+    else {
+      // streaming epoch: writerId == id (deterministic), commit via the
+      // same stage-and-rename every streaming epoch uses — a replay
+      // recomputes the identical delta files and manifest
+      commitNonCas(spark, storePath, id, entries, metaLine(targetMeta))
+      id
+    }
   }
 
   /** METADATA-ONLY schema commits (the column-mapping half of Delta
@@ -1016,6 +1048,43 @@ object Cdc {
       StoreMeta(renamed, meta.mapping - from ++ (if (phys == to) Nil else Seq(to -> phys)),
         meta.retired, mapChangeV = Some(parentV + 1), keys = newKeys,
         nBuckets = meta.nBuckets))
+  }
+
+  /** See [[renameColumn]] — ADD COLUMN as a METADATA-ONLY commit: the
+    * schema widens by one NULLABLE column, every bucket is carried by
+    * reference, and carried files serve NULL for the new column (the
+    * recorded-schema read's additive contract, same as the maintenance
+    * API's `payloadCols` evolution — this is the type-source-free
+    * spelling: the DDL carries the type, so no batch is needed). A
+    * re-added logical name whose physical spelling was EVER used (a
+    * dropped column's retired physical, a rename's original) mints a
+    * fresh suffixed physical name, so dropped data never resurrects out
+    * of carried files. No CDF boundary: old feed versions simply lack
+    * the column and merge as NULL. */
+  def addColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = retryMetadataConflicts {
+    val (parentV, meta) = latestMeta(spark, storePath)
+    require(!meta.schema.fieldNames.contains(name),
+      s"column $name already exists in ${meta.schema.toDDL}")
+    require(name != DeltaOpCol && name != "_bucket" && name != "_writer",
+      s"$name is a reserved layout column name")
+    val phys = {
+      var used = meta.usedPhysical
+      if (!used.contains(name)) name
+      else {
+        var i = 1
+        while (used.contains(s"${name}_$i")) i += 1
+        s"${name}_$i"
+      }
+    }
+    commitMetadataOnly(spark, storePath, parentV, meta,
+      meta.copy(
+        schema = org.apache.spark.sql.types.StructType(meta.schema.fields :+
+          org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
+        mapping = meta.mapping ++ (if (phys == name) Nil else Seq(name -> phys))))
   }
 
   /** See [[renameColumn]]. Refuses to drop a merge key — identity is the
@@ -1642,7 +1711,7 @@ object Cdc {
         if !referenced.contains((p, w)) &&
           (committed.contains(w) || droppedRefs.contains((p, w)) ||
             (w >= (1L << 62) && !allRefs.contains((p, w)) &&
-              writerDir.getModificationTime < retentionFloorMs))
+              provenOlderThan(fs, writerDir, retentionFloorMs)))
       } fs.delete(writerDir.getPath, true)
     }
     // abandoned staging manifests (CAS `_attempt_w=` and streaming
@@ -1651,13 +1720,36 @@ object Cdc {
     if (fs.exists(manifestRoot)) {
       fs.listStatus(manifestRoot).iterator
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("_attempt_") &&
-          st.getModificationTime < retentionFloorMs)
+          provenOlderThan(fs, st, retentionFloorMs))
         .foreach(st => fs.delete(st.getPath, true))
     }
     vs.filterNot(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${schemaPath(storePath)}/v=$v"), true)
     }
+  }
+
+  /** AGE PROOF for attempt debris: a directory's own modification time is
+    * unreliable on object-store FileSystems (S3A reports 0 or the marker
+    * creation time for directory "markers"), which would make a LIVE CAS
+    * statement's in-flight dirs look ancient and delete them mid-
+    * statement. Derive the age from the NEWEST FILE anywhere inside the
+    * dir instead (a writing statement keeps producing fresh files); an
+    * empty dir falls back to its own status mtime. Unknown/zero mtimes
+    * make the dir UNREAPABLE — skipping a conviction only defers cleanup
+    * to the next vacuum, deleting live state corrupts a commit. */
+  private def provenOlderThan(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.FileStatus,
+      floorMs: Long): Boolean = {
+    val newest =
+      try {
+        var m = 0L
+        val it = fs.listFiles(dir.getPath, true)
+        while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+        if (m == 0L) dir.getModificationTime else m
+      } catch { case _: java.io.IOException => return false } // racing delete/in-flight: skip
+    newest > 0L && newest < floorMs
   }
 
   /** MERGE-ON-READ COMPACTION (the cadence that bounds read-side fold

@@ -64,11 +64,13 @@ object CdcCatalog {
         * binary statistics exact (no parquet.statistics.truncate.length)
         * — the per-store decision the session-global toggle can't make. */
       trustStringStats: Boolean = false,
-      /** Per-store opt-in for MERGE-ON-READ point DML: SQL
-        * MERGE/UPDATE/DELETE/INSERT commit per-bucket DELTA files
-        * (O(delta) write IO) instead of rewriting touched buckets in
-        * full; the scan folds base + deltas at read time and
-        * [[graft.operators.Cdc.compactStore]] folds them back on a
+      /** Per-store opt-in for MERGE-ON-READ writes: SQL
+        * MERGE/UPDATE/DELETE/INSERT — and streaming `writeStream.toTable`
+        * epochs — commit per-bucket DELTA files (O(delta) write IO)
+        * instead of rewriting touched buckets in full; the scan folds
+        * base + deltas at read time, depth-bounded inline auto-compaction
+        * amortizes rewrites into the write stream, and
+        * [[graft.operators.Cdc.compactStore]] folds the rest back on a
         * cadence. Leave false for read-latency-critical stores that
         * prefer paying the rewrite at write time. */
       morDml: Boolean = false)
@@ -153,6 +155,20 @@ object CdcCatalog {
     }
   private[cdc] def names: Seq[String] =
     (registry.keys ++ feedRegistry.keys).toSeq.sorted
+
+  /** A merge-key rename committed on `storePath` propagates to EVERY
+    * live (unpinned) registration serving that path — the registry is
+    * keyed by table name but key validity is per (path, served
+    * version), and a sibling registration left on the old name would
+    * fail its next loadTable's keys-vs-recorded-meta check with an
+    * error far from the ALTER that caused it. Version-pinned
+    * registrations keep their keys: they validate against their pinned
+    * era's recorded metadata, which the rename never rewrites. */
+  private[cdc] def renameKeyForPath(storePath: String, from: String, to: String): Unit =
+    registry.foreach { case (n, def_) =>
+      if (def_.storePath == storePath && def_.version.isEmpty && def_.keys.contains(from))
+        registry.put(n, def_.copy(keys = def_.keys.map(k => if (k == from) to else k)))
+    }
 
   /** Merge-on-read COMPACTION for a registered table — the catalog-aware
     * front door to [[graft.operators.Cdc.compactStore]]: layout
@@ -330,8 +346,17 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
         catch { case _: NumberFormatException =>
           throw new IllegalArgumentException(
             s"VERSION AS OF wants a numeric committed store version, got '$version'") }
-      new CdcStoreTable(s"$catalogName.${ident.name}", d.copy(version = Some(v)))
+      new CdcStoreTable(s"$catalogName.${ident.name}", pinnedAt(d, v))
     }
+
+  /** A time-travel pin serves the pinned version under that version's OWN
+    * recorded merge keys — key metadata is versioned like the schema, so a
+    * query pinned BEFORE a merge-key rename must validate (and prune)
+    * against the old name, not the live registration's renamed one. */
+  private def pinnedAt(d: CdcCatalog.StoreDef, v: Long): CdcCatalog.StoreDef = {
+    val recorded = Cdc.servingMeta(SparkSession.active, d.storePath, Some(v)).keys
+    d.copy(version = Some(v), keys = if (recorded.nonEmpty) recorded else d.keys)
+  }
 
   /** SQL time travel — `TIMESTAMP AS OF <t>` serves the newest version
     * whose COMMIT time (the manifest `_SUCCESS` marker's mtime — the
@@ -348,7 +373,7 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
             s"${ident.name} (${commits.headOption.fold("<empty store>")(c =>
               s"v=${c._1} @ ${c._2} ms")}); older history was vacuumed")
       }
-      new CdcStoreTable(s"$catalogName.${ident.name}", d.copy(version = Some(at)))
+      new CdcStoreTable(s"$catalogName.${ident.name}", pinnedAt(d, at))
     }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -386,12 +411,21 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
         require(r.fieldNames.length == 1,
           s"nested column rename is not supported: ${r.fieldNames.mkString(".")}")
         val from = r.fieldNames.head
-        Cdc.renameColumn(spark, d.storePath, from, r.newName)
+        val v = Cdc.renameColumn(spark, d.storePath, from, r.newName)
+        val newKeys = d.keys.map(k => if (k == from) r.newName else k)
         if (d.keys.contains(from)) {
-          val newKeys = d.keys.map(k => if (k == from) r.newName else k)
-          CdcCatalog.register(ident.name, d.storePath, newKeys, d.nBuckets, d.version,
-            d.trustStringStats, d.morDml)
+          // EVERY live (unpinned) registration sharing this store path
+          // serves the post-rename metadata and must follow the rename —
+          // updating only ident.name would leave a sibling registration
+          // whose next loadTable fails the keys-vs-recorded-meta check
+          // far from this ALTER. Version-PINNED registrations stay: they
+          // serve their pinned era's recorded keys, which the rename
+          // (metadata of LATER versions) never touches.
+          CdcCatalog.renameKeyForPath(d.storePath, from, r.newName)
+          // the per-path dropColumn guard must speak the new names
+          Cdc.registerMergeKeys(d.storePath, newKeys)
         }
+        CdcCatalog.materializeFeed(spark, d.storePath, newKeys, v)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"nested column drop is not supported: ${del.fieldNames.mkString(".")}")
@@ -399,14 +433,48 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
         // clearer refusal naming the table
         require(!d.keys.contains(del.fieldNames.head),
           s"cannot drop ${del.fieldNames.head}: it is a merge key of ${ident.name}")
-        Cdc.dropColumn(spark, d.storePath, del.fieldNames.head, keys = d.keys)
+        val v = Cdc.dropColumn(spark, d.storePath, del.fieldNames.head, keys = d.keys)
+        CdcCatalog.materializeFeed(spark, d.storePath, d.keys, v)
+      case add: TableChange.AddColumn =>
+        val v = addColumnChange(ident.name, d, add)
+        CdcCatalog.materializeFeed(spark, d.storePath, d.keys, v)
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE ${ident.name}: only RENAME COLUMN and DROP COLUMN are " +
-            s"metadata-only on a CDC store (got ${other.getClass.getSimpleName}); " +
-            "ADD COLUMN is the maintenance API's payloadCols evolution")
+          s"ALTER TABLE ${ident.name}: only ADD/RENAME/DROP COLUMN are " +
+            s"metadata-only on a CDC store (got ${other.getClass.getSimpleName})")
     }
     loadTable(ident)
+  }
+
+  /** SQL `ADD COLUMN` — the most common evolution of all, routed to the
+    * same ADDITIVE contract the maintenance API's `payloadCols` proves:
+    * the commit is metadata-only (schema widened by one nullable column;
+    * every bucket carried by reference), carried files serve NULL for
+    * the new column (recorded-schema read), and a re-added name whose
+    * physical spelling was ever used before mints a fresh physical name
+    * so dropped data never resurrects. Non-additive spellings refuse
+    * loudly: NOT NULL (carried rows would all violate it), DEFAULT
+    * (carried files can't serve it), nested fields, positions, and
+    * types the catalog can't serve. */
+  private def addColumnChange(
+      name: String, d: CdcCatalog.StoreDef, add: TableChange.AddColumn): Long = {
+    require(add.fieldNames.length == 1,
+      s"nested column add is not supported: ${add.fieldNames.mkString(".")}")
+    val col = add.fieldNames.head
+    require(add.isNullable,
+      s"ALTER TABLE $name ADD COLUMN $col: only NULLABLE columns are additive — " +
+        "every carried row serves NULL for the new column")
+    require(add.defaultValue == null,
+      s"ALTER TABLE $name ADD COLUMN $col: DEFAULT is not supported — carried " +
+        "files cannot serve a default (new rows supply values via the write path)")
+    require(add.position == null,
+      s"ALTER TABLE $name ADD COLUMN $col: positions are not supported — " +
+        "columns append (physical layouts of carried files never change)")
+    require(CdcCatalog.SupportedTypes.contains(add.dataType),
+      s"ALTER TABLE $name ADD COLUMN $col: unsupported type " +
+        s"${add.dataType.simpleString} (supported: long/int/double/float/string/" +
+        "boolean/date)")
+    Cdc.addColumn(SparkSession.active, d.storePath, col, add.dataType)
   }
   override def dropTable(ident: Identifier): Boolean = {
     val known = tableExists(ident)

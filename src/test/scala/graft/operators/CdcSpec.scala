@@ -935,6 +935,82 @@ class CdcSpec extends AnyFunSuite {
       "the CoW rewrite must clear the bucket's delta list")
   }
 
+  private def morStreamBatch(store: String, seed: DataFrame, id: Long,
+      rows: (Long, String, Double, Long, String)*): Long =
+    Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+      Seq(col("seq")), col("op"), store, nBuckets, id,
+      morCommit = true, morMaxDepth = 2)
+
+  test("STREAMING merge-on-read: non-CAS delta epochs ≡ CoW streaming at every version " +
+      "and ≡ batch MoR end-state; a replayed epoch is idempotent (delta list not " +
+      "doubled); write IO is O(epoch delta); fold depth auto-bounded by morMaxDepth") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val e1 = Seq((5L, "u5", 55.0, 100L, "U"), (10L, "d10", 0.0, 101L, "D"),
+      (77L, "i77", 7.7, 102L, "U"))
+    val e2 = Seq((5L, "u5b", 56.0, 200L, "U"), (77L, "d77", 0.0, 201L, "D"))
+    // three twins fed the same changes: CoW stream, MoR stream, batch MoR
+    val cow = java.nio.file.Files.createTempDirectory("graft_smor_cow").toString
+    runBatch(cow, seed, 0L); runBatch(cow, seed, 1L, e1: _*); runBatch(cow, seed, 2L, e2: _*)
+    val bat = java.nio.file.Files.createTempDirectory("graft_smor_bat").toString
+    runBatch(bat, seed, 0L); morBatch(bat, seed, 1L, e1: _*); morBatch(bat, seed, 2L, e2: _*)
+    val mor = java.nio.file.Files.createTempDirectory("graft_smor_mor").toString
+    runBatch(mor, seed, 0L) // first epoch materializes the seed (CoW)
+    val baseState = fileState(s"$mor/parts")
+    assert(morStreamBatch(mor, seed, 1L, e1: _*) === 1L)
+    // O(epoch delta) write: not one base file touched; the delta writer id
+    // IS the version id (the stream's deterministic replay identity)
+    assert(baseState.subsetOf(fileState(s"$mor/parts")),
+      "a streaming delta epoch rewrote base files")
+    val m1 = Cdc.readManifestFull(spark, mor, 1L)
+    e1.map(r => bucketOf(r._1)).toSet.foreach { p: Int =>
+      assert(m1(p).deltas === Seq(1L), s"bucket $p should carry delta writer 1")
+    }
+    assert(morStreamBatch(mor, seed, 2L, e2: _*) === 2L)
+    // ≡ CoW at every version (snapshot and feed), ≡ batch MoR end-state
+    for (v <- 0L to 2L)
+      assert(Cdc.readPartitionedSnapshot(spark, mor, Some(v))
+          .as[(Long, String, Double)].collect().sortBy(_._1).toSeq ===
+        Cdc.readPartitionedSnapshot(spark, cow, Some(v))
+          .as[(Long, String, Double)].collect().sortBy(_._1).toSeq,
+        s"MoR stream diverged from CoW stream at v=$v")
+    for ((f, t) <- Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+      assert(Cdc.changesBetween(spark, mor, f, t, keys)
+          .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq ===
+        Cdc.changesBetween(spark, cow, f, t, keys)
+          .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq,
+        s"MoR stream feed diverged from CoW for $f->$t")
+    assert(readPart(mor) === readPart(bat), "MoR stream end-state diverged from batch MoR")
+    // REPLAY of the newest epoch: same version line, same content, and the
+    // touched buckets' delta lists are NOT doubled (the manifest rebuilds
+    // from the parent, never appends to its own previous commit)
+    val before = readPart(mor)
+    assert(morStreamBatch(mor, seed, 2L, e2: _*) === 2L)
+    assert(Cdc.manifestVersions(spark, mor).sorted === Seq(0L, 1L, 2L))
+    assert(readPart(mor) === before)
+    val m2 = Cdc.readManifestFull(spark, mor, 2L)
+    assert(m2(bucketOf(5L)).deltas === Seq(1L, 2L),
+      s"replay doubled the delta list: ${m2(bucketOf(5L)).deltas}")
+    // DEPTH BOUND: epochs 3..6 hammer key 5; morMaxDepth=2 forces the hot
+    // bucket to fold inline, so no manifest ever records depth > 2
+    (3L to 6L).foreach(v => morStreamBatch(mor, seed, v, (5L, s"v$v", v * 1.0, v * 100, "U")))
+    (3L to 6L).foreach { v =>
+      val depth = Cdc.readManifestFull(spark, mor, v)(bucketOf(5L)).deltas.length
+      assert(depth <= 2, s"v=$v fold depth $depth exceeds morMaxDepth")
+    }
+    assert(readPart(mor)(5L) === ("v6", 6.0))
+    // an empty epoch still mints its version (carry-everything manifest)
+    assert(morStreamBatch(mor, seed, 7L) === 7L)
+    assert(readPart(mor)(5L) === ("v6", 6.0))
+    // mixed-mode guard holds for MoR epochs too: a CAS (batch-DML) commit
+    // occupying the replayed slot refuses loudly, never overwrites
+    casBatch(mor, seed, 8L, (6L, "dml", 66.0, 800L, "U"))
+    val e = intercept[IllegalStateException] {
+      morStreamBatch(mor, seed, 8L, (7L, "late", 77.0, 801L, "U"))
+    }
+    assert(e.getMessage.contains("CAS"), e.getMessage)
+  }
+
   test("compactStore folds deltas into a fresh base: snapshot identical, feed across " +
       "the boundary empty, row counts return, vacuum reaps superseded delta dirs, " +
       "and a clean store compacts to None") {
@@ -1164,28 +1240,41 @@ class CdcSpec extends AnyFunSuite {
     casBatch(store, seed, 3L, (6L, "v3", 63.0, 300L, "U"))
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mkOld(path: String): org.apache.hadoop.fs.Path = {
+    def mk(path: String, fileMtime: Long, dirMtime: Long): org.apache.hadoop.fs.Path = {
       val p = new org.apache.hadoop.fs.Path(path)
       fs.mkdirs(p)
-      val f = fs.create(new org.apache.hadoop.fs.Path(p, "part-x.parquet"), true)
+      val file = new org.apache.hadoop.fs.Path(p, "part-x.parquet")
+      val f = fs.create(file, true)
       try f.write(Array[Byte](1)) finally f.close()
-      fs.setTimes(p, 1000L, -1) // ancient: predates every retained commit
+      if (fileMtime >= 0) fs.setTimes(file, fileMtime, -1)
+      if (dirMtime >= 0) fs.setTimes(p, dirMtime, -1)
       p
     }
+    // genuinely abandoned: every FILE inside predates the retained history
     val oldToken = (1L << 62) | 12345L
-    val oldStaging = mkOld(s"$store/manifest/_attempt_w=$oldToken")
-    val oldParts = mkOld(s"$store/parts/_bucket=0/_writer=$oldToken")
+    val oldStaging = mk(s"$store/manifest/_attempt_w=$oldToken", 1000L, 1000L)
+    val oldParts = mk(s"$store/parts/_bucket=0/_writer=$oldToken", 1000L, 1000L)
     // a RECENT (in-flight-looking) attempt must survive
     val freshToken = (1L << 62) | 54321L
     val freshStaging = new org.apache.hadoop.fs.Path(s"$store/manifest/_attempt_w=$freshToken")
     fs.mkdirs(freshStaging)
     val freshParts = new org.apache.hadoop.fs.Path(s"$store/parts/_bucket=1/_writer=$freshToken")
     fs.mkdirs(freshParts)
+    // the object-store trap: a LIVE statement's dir whose DIRECTORY mtime
+    // is stale/meaningless (S3A marker semantics) but whose files are
+    // fresh — age must derive from the files, so this survives
+    val liveToken = (1L << 62) | 99999L
+    val liveStaging = mk(s"$store/manifest/_attempt_w=$liveToken", -1, 1000L)
+    val liveParts = mk(s"$store/parts/_bucket=2/_writer=$liveToken", -1, 1000L)
     Cdc.vacuum(spark, store, keepVersions = 2)
     assert(!fs.exists(oldStaging), "abandoned staging dir leaked past vacuum")
     assert(!fs.exists(oldParts), "abandoned token part dir leaked past vacuum")
     assert(fs.exists(freshStaging), "vacuum reaped a recent (in-flight) staging dir")
     assert(fs.exists(freshParts), "vacuum reaped a recent (in-flight) token part dir")
+    assert(fs.exists(liveStaging),
+      "vacuum convicted a live staging dir on its stale DIRECTORY mtime")
+    assert(fs.exists(liveParts),
+      "vacuum convicted a live statement's part dir on its stale DIRECTORY mtime")
     assert(readPart(store)(5L) === ("v2", 52.0))
   }
 }

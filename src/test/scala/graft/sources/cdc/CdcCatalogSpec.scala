@@ -1002,11 +1002,86 @@ class CdcCatalogSpec extends AnyFunSuite {
       spark.sql("UPDATE graft.cat_ddl SET full_name = 'renamedkey' WHERE id = 2")
       assert(spark.table("graft.cat_ddl").filter(col("id") === 2L)
         .select("full_name").as[String].head() === "renamedkey")
-      // unsupported changes refuse with the pointer to the right API
+      // ADD COLUMN: metadata-only additive evolution — zero data files
+      // rewritten, every existing row serves NULL, and new writes carry it
+      val preAdd = fileState(s"$store/parts")
+      spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN note STRING")
+      assert(fileState(s"$store/parts") === preAdd, "SQL ADD COLUMN rewrote data files")
+      assert(spark.table("graft.cat_ddl").columns.toSeq === Seq("id", "full_name", "note"))
+      assert(spark.table("graft.cat_ddl").filter(col("note").isNotNull).count() === 0L,
+        "carried rows must serve NULL for the added column")
+      spark.sql("UPDATE graft.cat_ddl SET note = 'annotated' WHERE id = 2")
+      assert(spark.table("graft.cat_ddl").filter(col("id") === 2L)
+        .select("note").as[String].head() === "annotated")
+      // old versions keep serving their own era's schema (time travel)
+      assert(!spark.sql("SELECT * FROM graft.cat_ddl VERSION AS OF 1")
+        .columns.contains("note"))
+      // a RE-ADDED dropped name mints a fresh physical name: the dropped
+      // column's data must never resurrect out of carried files
+      spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN bal DOUBLE")
+      assert(spark.table("graft.cat_ddl").filter(col("bal").isNotNull).count() === 0L,
+        "dropped column data resurrected through a re-added name")
+      // non-additive spellings refuse loudly
       val e3 = intercept[Exception](
-        spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN extra STRING"))
-      assert(messages(e3).exists(_.contains("payloadCols")), messages(e3).mkString(" | "))
+        spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN req STRING NOT NULL"))
+      assert(messages(e3).exists(_.toLowerCase.contains("nullable")),
+        messages(e3).mkString(" | "))
+      val e4 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.cat_ddl ADD COLUMN d STRING DEFAULT 'x'"))
+      assert(messages(e4).exists(m => m.contains("DEFAULT") || m.contains("default")),
+        messages(e4).mkString(" | "))
     } finally CdcCatalog.unregister("cat_ddl")
+  }
+
+  test("ALTER keeps a registered change feed CONTIGUOUS: rename/drop/add materialize " +
+      "an (empty) feed version, so a tail consumer inside the window never hits a " +
+      "hole misreported as retention") {
+    val store = buildStore("ddlfeed", seed40("f"))
+    val feed = s"$store/feed"
+    // materialize the existing history's feed entries (v0 has no parent)
+    Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+      .write.mode("overwrite").parquet(s"$feed/v=1")
+    CdcCatalog.register("cat_ddlfeed", store, keys, nBuckets)
+    CdcCatalog.registerFeed("cat_ddlfeed_cdf", store, feed)
+    try {
+      spark.sql("ALTER TABLE graft.cat_ddlfeed ADD COLUMN note STRING") // v=2
+      assert(Cdc.feedVersions(spark, feed).contains(2L),
+        "ADD COLUMN left a hole in the feed's version line")
+      assert(spark.read.parquet(s"$feed/v=2").count() === 0L,
+        "a metadata-only commit's CDF entry must be empty")
+      // the line stays consecutive through a following DML commit, so a
+      // batch consumer at v=1 reads v=2 (empty) + v=3 without a gap error
+      spark.sql("INSERT INTO graft.cat_ddlfeed VALUES (77, 'new', 7.0, 'n')") // v=3
+      val resumed = Cdc.readFeedSince(spark, feed, 1L)
+      assert(resumed.filter(col("_commit_version") === 3L).count() > 0)
+      // rename/drop also materialize their versions (the boundary guard
+      // then governs whether the feed TABLE serves across them)
+      spark.sql("ALTER TABLE graft.cat_ddlfeed RENAME COLUMN note TO memo") // v=4
+      spark.sql("ALTER TABLE graft.cat_ddlfeed DROP COLUMN memo")           // v=5
+      assert(Seq(4L, 5L).forall(Cdc.feedVersions(spark, feed).contains),
+        "rename/drop left holes in the feed's version line")
+    } finally { CdcCatalog.unregister("cat_ddlfeed"); CdcCatalog.unregister("cat_ddlfeed_cdf") }
+  }
+
+  test("a merge-key rename follows into EVERY live registration sharing the store " +
+      "path; version-pinned twins keep their era's keys and stay serveable") {
+    val store = buildStore("ddlsib", seed40("t"))
+    CdcCatalog.register("cat_sib_a", store, keys, nBuckets)
+    CdcCatalog.register("cat_sib_b", store, keys, nBuckets)
+    CdcCatalog.register("cat_sib_pin", store, keys, nBuckets, version = Some(1L))
+    try {
+      spark.sql("ALTER TABLE graft.cat_sib_a RENAME COLUMN k TO id")
+      // the sibling live registration serves under the new key name (its
+      // old registration would fail the keys-vs-recorded-meta validation)
+      assert(spark.table("graft.cat_sib_b").columns.head === "id")
+      assert(spark.table("graft.cat_sib_b").filter(col("id") === 2L).count() === 1L)
+      // the pinned twin serves its own era: old name, old rows
+      assert(spark.table("graft.cat_sib_pin").columns.head === "k")
+      assert(spark.table("graft.cat_sib_pin").filter(col("k") === 2L).count() === 1L)
+      // the per-path drop guard speaks the NEW name
+      val e = intercept[Exception](Cdc.dropColumn(spark, store, "id"))
+      assert(e.getMessage.contains("merge key"), e.getMessage)
+    } finally Seq("cat_sib_a", "cat_sib_b", "cat_sib_pin").foreach(CdcCatalog.unregister)
   }
 
   test("x$history scales: resolving/EXPLAINing the metadata table runs ZERO Spark jobs, " +
