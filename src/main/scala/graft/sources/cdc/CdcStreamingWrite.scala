@@ -104,10 +104,15 @@ class CdcStreamingWrite(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
         else spark.read.schema(writeSchema).parquet(files.toIndexedSeq: _*)
+      // a morDml-registered store commits streaming epochs as per-bucket
+      // DELTA files too (write IO O(epoch delta), depth-bounded inline
+      // auto-compaction) — the same registration flag that makes its
+      // batch DML merge-on-read governs its streaming maintenance
       Cdc.processPartitionedBatch(
         batch.withColumn("_seq", lit(version)).withColumn("_op", lit("U")),
         Cdc.readPartitionedSnapshot(spark, d.storePath).limit(0),
-        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, version)
+        d.keys, Seq(col("_seq")), col("_op"), d.storePath, d.nBuckets, version,
+        morCommit = d.morDml)
     }
     // MULTI-HOP (medallion) contract: if this store has a registered feed
     // table, materialize THIS version's CDF there — manifest-diff pruned,

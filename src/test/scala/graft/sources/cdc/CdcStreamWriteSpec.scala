@@ -342,6 +342,96 @@ class CdcStreamWriteSpec extends AnyFunSuite {
     assert(!snapshot(store).contains((7L, "e3", 1.0)))
   }
 
+  test("merge-on-read streaming maintenance: a morDml store's epochs commit per-bucket " +
+      "DELTAS (O(epoch delta) rows written, not O(bucket)), serve identically to a " +
+      "copy-on-write twin, replay exactly-once, and keep a registered CDF contiguous") {
+    // a store big enough that a full-bucket rewrite is visibly larger
+    // than a 2-row epoch delta (400 keys / 8 buckets ≈ 50 rows per bucket)
+    def bigStore(tag: String): String = {
+      val store = java.nio.file.Files.createTempDirectory(s"graft_swmor_$tag").toString
+      val seed = (1L to 400L).map(k => (k, s"orig$k", k * 1.5)).toDF("k", "name", "bal")
+      Cdc.processPartitionedBatch(
+        seed.withColumn("_seq", lit(0L)).withColumn("_op", lit("U")),
+        seed.limit(0), keys, Seq(col("_seq")), col("_op"), store, n, 0L)
+      store
+    }
+    val mor = bigStore("mor")
+    val cow = bigStore("cow")
+    val feed = s"$mor/feed"
+    val cowFeed = s"$cow/feed"
+    CdcCatalog.register("sw_mor", mor, keys, n, morDml = true)
+    CdcCatalog.registerFeed("sw_mor_cdf", mor, feed)
+    CdcCatalog.register("sw_mor_cow", cow, keys, n) // copy-on-write twin
+    CdcCatalog.registerFeed("sw_mor_cow_cdf", cow, cowFeed)
+    try {
+      def sw(name: String, d: CdcCatalog.StoreDef, q: String) =
+        new CdcStreamingWrite(name, d, payload, q)
+      val swMor = sw("graft.sw_mor", CdcCatalog.StoreDef(mor, keys, n, morDml = true), "qm")
+      val swCow = sw("graft.sw_mor_cow", CdcCatalog.StoreDef(cow, keys, n), "qc")
+      def staged(store: String, q: String, epoch: Long, task: Long,
+          rows: Seq[(Long, String, Double)]) = {
+        val w = new CdcStagingWriterFactory(store, q, payload).createWriter(0, task, epoch)
+        rows.foreach { case (k, nm, b) =>
+          w.write(InternalRow(k, UTF8String.fromString(nm), b)) }
+        w.commit()
+      }
+      val e0 = Seq((5L, "up5", 50.0), (450L, "new450", 45.0))
+      val e1 = Seq((5L, "up5b", 51.0), (7L, "gone7", -1.0))
+      swMor.commit(0L, Array(staged(mor, "qm", 0L, 1L, e0)))
+      swCow.commit(0L, Array(staged(cow, "qc", 0L, 1L, e0)))
+      // WRITE AMPLIFICATION, measured off $files metadata: the MoR epoch's
+      // writer-1 files are deltas holding exactly the 2 epoch rows; the
+      // CoW twin's writer-1 files are full bucket rewrites (≈50 rows each)
+      val morV1 = Cdc.describeFiles(spark, mor)
+        .filter(col("_writer") === 1L)
+        .select("is_delta", "file_rows").as[(Boolean, Long)].collect()
+      assert(morV1.nonEmpty && morV1.forall(_._1), "MoR epoch wrote non-delta files")
+      assert(morV1.map(_._2).sum === e0.length.toLong,
+        s"MoR epoch wrote ${morV1.map(_._2).sum} rows, expected O(epoch delta) = ${e0.length}")
+      val cowV1 = Cdc.describeFiles(spark, cow)
+        .filter(col("_writer") === 1L)
+        .select("file_rows").as[Long].collect().sum
+      assert(cowV1 >= 40L,
+        s"expected the CoW twin to rewrite whole buckets (got $cowV1 rows)")
+      swMor.commit(1L, Array(staged(mor, "qm", 1L, 2L, e1)))
+      swCow.commit(1L, Array(staged(cow, "qc", 1L, 2L, e1)))
+      // served content identical at every version, through the catalog too
+      for (v <- 0L to 2L)
+        assert(Cdc.readPartitionedSnapshot(spark, mor, Some(v))
+            .as[(Long, String, Double)].collect().sortBy(_._1).toSeq ===
+          Cdc.readPartitionedSnapshot(spark, cow, Some(v))
+            .as[(Long, String, Double)].collect().sortBy(_._1).toSeq,
+          s"MoR stream diverged from CoW at v=$v")
+      assert(spark.table("graft.sw_mor").as[(Long, String, Double)].collect().toSet ===
+        snapshot(mor))
+      // the CDF stayed contiguous and identical to the CoW twin's
+      assert(Cdc.feedVersions(spark, feed).sorted === Seq(1L, 2L))
+      for (v <- 1L to 2L)
+        assert(spark.read.parquet(s"$feed/v=$v")
+            .as[(Long, String, Double, String, Long)].collect().sortBy(r => (r._1, r._4)).toSeq ===
+          spark.read.parquet(s"$cowFeed/v=$v")
+            .as[(Long, String, Double, String, Long)].collect().sortBy(r => (r._1, r._4)).toSeq,
+          s"MoR feed diverged at v=$v")
+      // replay of the newest epoch: skipped as its own commit — version
+      // line, snapshot, and the touched bucket's delta depth all unchanged
+      val before = snapshot(mor)
+      val depthBefore = Cdc.readManifestFull(spark, mor, 2L).values.map(_.deltas.length).max
+      swMor.commit(1L, Array(staged(mor, "qm", 1L, 3L, e1)))
+      assert(Cdc.manifestVersions(spark, mor).sorted === Seq(0L, 1L, 2L))
+      assert(snapshot(mor) === before)
+      assert(Cdc.readManifestFull(spark, mor, 2L).values.map(_.deltas.length).max ===
+        depthBefore, "a replayed MoR epoch must not deepen the delta stack")
+      // compaction between epochs (catalog front door): snapshot identical,
+      // the stream re-pins past the CAS commit and keeps going
+      val compacted = CdcCatalog.compact("sw_mor")
+      assert(compacted.isDefined)
+      assert(snapshot(mor) === before, "compaction changed served content")
+      swMor.commit(2L, Array(staged(mor, "qm", 2L, 4L, Seq((5L, "up5c", 52.0)))))
+      assert(snapshot(mor).contains((5L, "up5c", 52.0)))
+    } finally Seq("sw_mor", "sw_mor_cdf", "sw_mor_cow", "sw_mor_cow_cdf")
+      .foreach(CdcCatalog.unregister)
+  }
+
   test("version-pinned tables refuse streaming writes") {
     implicit val sqlCtx = spark.sqlContext
     val store = seedStore()
