@@ -188,14 +188,29 @@ object Cdc {
     * base numbers would misstate the table to the CBO and to count
     * pushdown (both already treat absence as unknown, never as zero).
     * On disk: `_writer` = base (−1 encodes None — old readers never see
-    * it because old stores never carry deltas), `_deltas` array<long>. */
+    * it because old stores never carry deltas), `_deltas` array<long>,
+    * `_basemod` int (null = native).
+    *
+    * `baseMod` is the LAZY BUCKET-SPLIT marker ([[splitBuckets]]): when
+    * set, this child entry's BASE files were written under the recorded
+    * (smaller) modulus and physically live at the PARENT bucket
+    * coordinate (`bucket mod baseMod`) — the reader slices the parent's
+    * rows to this child with the layout hash. Delta writers are ALWAYS
+    * at the child coordinate (splits refuse stores with pending deltas,
+    * so no delta can predate the split). `rows`/`stats` are absent while
+    * baseMod is set (a child's slice is unknowable without reading);
+    * the child's next rewrite (CoW touch, deep-delta fold, compaction)
+    * clears the marker. */
   private[graft] case class BucketEntry(
       base: Option[Long],
       rows: Option[Long],
       stats: Map[String, ColStatRec],
-      deltas: Seq[Long] = Nil) {
+      deltas: Seq[Long] = Nil,
+      baseMod: Option[Int] = None) {
     /** Every writer id whose part dir this entry keeps live. */
     def writers: Seq[Long] = base.toSeq ++ deltas
+    /** The physical bucket coordinate this entry's BASE files live at. */
+    def physBucket(bucket: Int): Int = baseMod.fold(bucket)(m => bucket % m)
   }
 
   /** Per-version payload schema (DDL text under `schema/v=<id>`), written
@@ -405,26 +420,66 @@ object Cdc {
       storePath: String,
       v: Long,
       entries: Seq[(Int, BucketEntry)],
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      /** Optional predicate over the MERGE KEY columns only (a bounded
+        * point-lookup panel). Key predicates COMMUTE with the per-key
+        * last-writer-wins fold — every level of a key's history passes or
+        * drops together — so it is applied BELOW the window, to the base
+        * and every delta level of dirty buckets (and to clean reads),
+        * where parquet row-group stats over the key-sorted files can
+        * skip IO. Arbitrary payload predicates must NOT be passed here:
+        * filtering a key's newest delta row while keeping its base row
+        * would resurrect the stale version. */
+      keyFilter: Option[Column] = None,
+      /** The store's CURRENT bucket count — required only when `entries`
+        * contain lazily-split children (`baseMod` set): their parent-file
+        * rows slice to each child by `hash mod nBuckets`. */
+      nBuckets: Int = 0): DataFrame = {
     require(entries.nonEmpty, "readResolvedBuckets needs at least one bucket entry")
-    val (dirty, clean) = entries.partition(_._2.deltas.nonEmpty)
-    val cleanDf: Option[DataFrame] = {
-      val dirs = clean.sortBy(_._1)
-        .flatMap { case (p, e) => e.base.map(bucketDir(storePath, p, _)) }
-      if (dirs.isEmpty) None
-      else Some(readBucketDirs(spark, storePath, dirs, v))
+    def sliced(df: DataFrame): DataFrame = keyFilter.fold(df)(df.filter)
+    if (entries.exists(_._2.baseMod.isDefined)) {
+      require(keys.nonEmpty,
+        s"reading a lazily-split store needs its merge keys ($storePath v=$v)")
+      require(nBuckets > 0,
+        s"reading a lazily-split store needs the current bucket count ($storePath v=$v)")
     }
+    // Base files of a group of entries: native entries stream their own
+    // dirs; lazily-split children read their PARENT dirs — DEDUPED, since
+    // sibling children share one — and slice rows to exactly the wanted
+    // child ids with the layout hash (a row's child id is generation-
+    // independent, so one read serves any mix of split generations, and
+    // a sibling's read can never leak rows belonging to a child that was
+    // already rewritten natively — that child id is not in the filter).
+    def baseOf(group: Seq[(Int, BucketEntry)]): Option[DataFrame] = {
+      val (legacy, native) = group.partition(_._2.baseMod.isDefined)
+      val nativeDf = {
+        val dirs = native.sortBy(_._1)
+          .flatMap { case (p, e) => e.base.map(bucketDir(storePath, p, _)) }
+        if (dirs.isEmpty) None else Some(readBucketDirs(spark, storePath, dirs, v))
+      }
+      val legacyDf = {
+        val dirs = legacy.sortBy(_._1)
+          .flatMap { case (p, e) => e.base.map(w => bucketDir(storePath, e.physBucket(p), w)) }
+          .distinct
+        if (dirs.isEmpty) None
+        else Some(readBucketDirs(spark, storePath, dirs, v)
+          .filter(bucketExpr(keys, nBuckets).isin(legacy.map(_._1): _*)))
+      }
+      (nativeDf, legacyDf) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b)             => a.orElse(b)
+      }
+    }
+    val (dirty, clean) = entries.partition(_._2.deltas.nonEmpty)
+    val cleanDf: Option[DataFrame] = baseOf(clean).map(sliced)
     val dirtyDf: Option[DataFrame] =
       if (dirty.isEmpty) None
       else {
         require(keys.nonEmpty,
           s"merge-on-read fold needs the store's merge keys ($storePath v=$v has pending deltas)")
         val byP = dirty.sortBy(_._1)
-        val baseDirs = byP.flatMap { case (p, e) => e.base.map(bucketDir(storePath, p, _)) }
-        val baseDf =
-          if (baseDirs.isEmpty) None
-          else Some(readBucketDirs(spark, storePath, baseDirs, v)
-            .withColumn("__mor_op", lit("U")).withColumn("__mor_seq", lit(0)))
+        val baseDf = baseOf(byP).map(df =>
+          sliced(df).withColumn("__mor_op", lit("U")).withColumn("__mor_seq", lit(0)))
         // one read per DELTA LEVEL (per-bucket manifest order — a key
         // lives in exactly one bucket, so per-bucket level index is a
         // valid global recency for that key's window)
@@ -434,7 +489,7 @@ object Cdc {
             case (p, e) if e.deltas.length > i => bucketDir(storePath, p, e.deltas(i))
           }
           if (dirs.isEmpty) None
-          else Some(readDeltaDirs(spark, storePath, dirs, v)
+          else Some(sliced(readDeltaDirs(spark, storePath, dirs, v))
             .withColumn("__mor_seq", lit(i + 1)))
         }
         val all = (baseDf.toSeq ++ levels).reduce(_.unionByName(_))
@@ -719,7 +774,8 @@ object Cdc {
         // byte-equivalent to the all-CoW history
         val touchedSnap =
           if (touchedEntries.isEmpty) conformTo(seed.limit(0), target)
-          else conformTo(readResolvedBuckets(spark, storePath, v, touchedEntries, keys), target)
+          else conformTo(readResolvedBuckets(spark, storePath, v, touchedEntries, keys,
+            nBuckets = nBuckets), target)
         (touchedSnap, parentEntries.view.filterKeys(p => !touchedBuckets.contains(p)).toMap)
     }
     // Stale-attempt hygiene: an EARLIER run of this same id (fresh
@@ -788,11 +844,12 @@ object Cdc {
     // joins and filters cost like ANALYZEd warehouse tables
     val statsOn = statsCollectionOn(target)
     def dirOf(p: Int, w: Long) = bucketDir(storePath, p, w)
-    // backfill only CLEAN carried buckets: a delta'd bucket's resolved
-    // rows/stats are unknowable without the fold, and recording the
-    // stale base numbers would misstate the table
+    // backfill only CLEAN NATIVE carried buckets: a delta'd bucket's
+    // resolved rows/stats are unknowable without the fold, and a lazily-
+    // split child's without the slice — recording the stale/parent
+    // numbers would misstate the table
     val backfill: Map[Int, Long] = carried.collect {
-      case (p, e) if e.deltas.isEmpty && e.base.isDefined &&
+      case (p, e) if e.deltas.isEmpty && e.baseMod.isEmpty && e.base.isDefined &&
         (e.rows.isEmpty || (statsOn && e.stats.isEmpty)) => p -> e.base.get
     }
     val scanned: Map[Int, (Long, Map[String, ColStatRec])] =
@@ -967,7 +1024,8 @@ object Cdc {
     if (deep.nonEmpty) {
       val deepEntries = deep.toSeq.sorted.flatMap(p => parentEntries.get(p).map(p -> _))
       val prior = conformTo(
-        readResolvedBuckets(spark, storePath, parentV, deepEntries, keys), target)
+        readResolvedBuckets(spark, storePath, parentV, deepEntries, keys,
+          nBuckets = nBuckets), target)
       val deepBatch = batch.filter(bucketExpr(keys, nBuckets).isin(deep.toSeq: _*))
       val merged = upsert(prior, deepBatch, keys, orderCols, opCol)
       writeParts(layout(
@@ -990,8 +1048,11 @@ object Cdc {
       (parentEntries.view.filterKeys(p => !written.contains(p) && !deep.contains(p)).toMap ++
         (written -- deep).iterator.map { p =>
           val pe = parentEntries.get(p)
+          // a lazily-split child keeps its parent-file reference (baseMod)
+          // while delta writers stack at ITS coordinate
           p -> BucketEntry(pe.flatMap(_.base), rows = None, stats = Map.empty,
-            deltas = pe.map(_.deltas).getOrElse(Nil) :+ writerId)
+            deltas = pe.map(_.deltas).getOrElse(Nil) :+ writerId,
+            baseMod = pe.flatMap(_.baseMod))
         } ++
         writtenDeep.iterator.map(p =>
           p -> BucketEntry(Some(writerId), Some(deepScanned(p)._1), deepScanned(p)._2)))
@@ -1085,6 +1146,74 @@ object Cdc {
         schema = org.apache.spark.sql.types.StructType(meta.schema.fields :+
           org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
         mapping = meta.mapping ++ (if (phys == name) Nil else Seq(name -> phys))))
+  }
+
+  /** Expand a modulus-`fromMod` manifest to modulus `toMod` (a multiple):
+    * parent bucket p's children are `{p + i·fromMod | i < toMod/fromMod}`
+    * (rows never cross parent boundaries under `hash mod n`), each
+    * carrying the parent's file references with `baseMod` marking the
+    * files' true modulus, and rows/stats honestly cleared (a child's
+    * slice is unknowable without reading). Used by [[splitBuckets]] to
+    * mint the split commit and by the change-feed diff to normalize the
+    * from-side across a split boundary — the SAME expansion, so a pure
+    * split diffs as all-carried. Composes across repeated splits. */
+  private def expandEntries(
+      m: Map[Int, BucketEntry], fromMod: Int, toMod: Int): Map[Int, BucketEntry] =
+    m.flatMap { case (p, e) =>
+      (0 until toMod / fromMod).map { i =>
+        (p + i * fromMod) -> e.copy(rows = None, stats = Map.empty,
+          baseMod = Some(e.baseMod.getOrElse(fromMod)))
+      }
+    }
+
+  /** BUCKET-COUNT EVOLUTION — the layout's last fixed scale ceiling: a
+    * store created at n buckets grows to `n × factor` in ONE metadata-only
+    * CAS commit, no data file opened. Under `hash mod n` layouts the
+    * children of parent bucket p are exactly `{p, p+n, …, p+(factor−1)n}`
+    * (rows never cross parent boundaries), so the split expands each
+    * manifest entry into `factor` child entries that keep REFERENCING the
+    * parent's files (`baseMod` = the files' modulus); readers slice a
+    * parent's rows to each child with the layout hash, and every child is
+    * rewritten NATIVELY on its next touch — a CoW batch, a deep-delta
+    * fold, or [[compactStore]] (which treats lazily-split children as
+    * dirty). Write amplification of the split itself: zero. Read
+    * amplification until rewrite: a shared parent dir is read once per
+    * serving sibling — bounded by `factor`, gone after compaction.
+    *
+    * Refuses stores with PENDING DELTAS (compact first): delta files
+    * committed before a split would live at parent coordinates, and the
+    * one-modulus-per-entry bookkeeping keeps delta dirs always at child
+    * coordinates — an invariant worth a loud refusal, not extra state.
+    * Row counts and column stats are honestly absent for split children
+    * (count/stats pushdown pause, exactly like pending-delta buckets)
+    * and return as children rewrite.
+    *
+    * Every maintenance caller and catalog registration must switch to the
+    * new bucket count with the commit — the layout guards enforce it
+    * (`CdcCatalog.split` updates live registrations in lockstep). Splits
+    * compose: a twice-split store's children may reference grandparent
+    * files; the slice filter is generation-independent. */
+  def splitBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      factor: Int = 2): Long = retryMetadataConflicts {
+    require(factor >= 2, "splitBuckets needs factor >= 2")
+    val (parentV, meta) = latestMeta(spark, storePath)
+    val oldN = meta.nBuckets.getOrElse(throw new IllegalStateException(
+      s"$storePath records no bucket count (written before layout recording) — " +
+        "commit one batch with the current maintenance API first"))
+    require(meta.keys.nonEmpty,
+      s"$storePath records no merge keys — the split's read-time slice needs them")
+    val parentEntries = readManifestFull(spark, storePath, parentV)
+    val pendingDeltas = parentEntries.filter(_._2.deltas.nonEmpty).keys.toSeq.sorted
+    require(pendingDeltas.isEmpty,
+      s"splitBuckets refuses stores with pending merge-on-read deltas (buckets " +
+        s"${pendingDeltas.take(8).mkString(",")}) — run compactStore first")
+    val entries = expandEntries(parentEntries, oldN, oldN * factor).toSeq.sortBy(_._1)
+    commitCas(spark, storePath, parentV + 1, mintCasToken(), entries,
+      metaLine(meta.copy(nBuckets = Some(oldN * factor))),
+      touched = Set.empty, parentEntries = parentEntries, parentMeta = Some(meta),
+      maxRebases = 0) // re-derive on conflict: the expansion is parent-shaped
   }
 
   /** See [[renameColumn]]. Refuses to drop a merge key — identity is the
@@ -1315,17 +1444,23 @@ object Cdc {
       val winnerMeta = storedMeta(spark, storePath, curId)
       val metaUnchanged = (curParentMeta, winnerMeta) match {
         case (Some(a), Some(b)) =>
-          a.schema == b.schema && a.mapping == b.mapping && a.retired == b.retired
+          a.schema == b.schema && a.mapping == b.mapping && a.retired == b.retired &&
+            // a LAYOUT change (splitBuckets, key re-record) re-addresses
+            // every bucket: entries staged under the old modulus must
+            // never overlay a new-modulus manifest
+            a.nBuckets == b.nBuckets && a.keys == b.keys
         case _ => false // fresh store or unreadable metadata: no basis to rebase on
       }
       if (!metaUnchanged)
-        conflict(s"v=$curId was committed by another writer that changed schema metadata")
-      // overlap compares CONTENT identity (base + delta list), never the
-      // recording detail: a winner that merely BACKFILLED rows/colstats
-      // on a bucket it carried by reference left its files untouched —
-      // same signature rule as changesBetween's pruning
-      def sig(e: Option[BucketEntry]): Option[(Option[Long], Seq[Long])] =
-        e.map(x => (x.base, x.deltas))
+        conflict(s"v=$curId was committed by another writer that changed schema or " +
+          "layout metadata")
+      // overlap compares CONTENT identity (base + delta list + split
+      // marker), never the recording detail: a winner that merely
+      // BACKFILLED rows/colstats on a bucket it carried by reference left
+      // its files untouched — same signature rule as changesBetween's
+      // pruning
+      def sig(e: Option[BucketEntry]): Option[(Option[Long], Seq[Long], Option[Int])] =
+        e.map(x => (x.base, x.deltas, x.baseMod))
       val overlap = touched.filter(p => sig(winner.get(p)) != sig(curParent.get(p)))
       if (overlap.nonEmpty)
         conflict(s"v=$curId was committed by another writer that touched overlapping " +
@@ -1360,8 +1495,10 @@ object Cdc {
     val manifest = readManifestFull(spark, storePath, v)
     if (manifest.isEmpty)
       throw new IllegalStateException(s"snapshot v=$v is empty (all buckets deleted)")
-    val keys = storedMeta(spark, storePath, v).map(_.keys).getOrElse(Nil)
-    readResolvedBuckets(spark, storePath, v, manifest.toSeq.sortBy(_._1), keys)
+    val meta = storedMeta(spark, storePath, v)
+    readResolvedBuckets(spark, storePath, v, manifest.toSeq.sortBy(_._1),
+      meta.map(_.keys).getOrElse(Nil),
+      nBuckets = meta.flatMap(_.nBuckets).getOrElse(0))
   }
 
   /** Committed manifest versions (the store's serving history). */
@@ -1405,7 +1542,8 @@ object Cdc {
       readPartitionedSnapshot(spark, storePath, Some(v)).schema
     }
     val dirs = manifest.collect { case (p, e) if e.base.isDefined =>
-      p -> bucketDir(storePath, p, e.base.get)
+      // a lazily-split child's base files live at its PARENT coordinate
+      p -> bucketDir(storePath, e.physBucket(p), e.base.get)
     }
     (v, schema, dirs)
   }
@@ -1443,13 +1581,28 @@ object Cdc {
         s"merge-key mismatch for $storePath: store records (${m.keys.mkString(",")}), " +
           s"caller passed (${keys.mkString(",")})")
     }
-    val wanted = lookup
-      .select(bucketExpr(keys, nBuckets).as("_b")).distinct()
-      .as[Int].collect().toSet
-    val entries = manifest.toSeq.filter { case (p, _) => wanted.contains(p) }.sortBy(_._1)
+    // ONE driver pass over the (bounded, by point-lookup contract) key
+    // panel: buckets prune the scan to the keys' buckets, and the per-key
+    // value panels push BELOW the merge-on-read fold — base and delta
+    // reads of dirty buckets filter on the keys BEFORE the window, so a
+    // point read over a delta'd store costs the key slice of its bucket
+    // (row-group stats over key-sorted files), never the whole dirty set.
+    // The per-key conjunction is a SUPERSET of the wanted tuples (safe
+    // under the fold: key predicates drop every level of a key together);
+    // the broadcast semi-join below restores tuple exactness.
+    val panelRows = lookup.select(keys.map(col): _*).distinct().collect()
+    val wantedBuckets: Set[Int] =
+      lookup.select(bucketExpr(keys, nBuckets).as("_b")).distinct().as[Int].collect().toSet
+    val entries = manifest.toSeq.filter { case (p, _) => wantedBuckets.contains(p) }.sortBy(_._1)
     if (entries.isEmpty)
       return readPartitionedSnapshot(spark, storePath, Some(v)).limit(0).filter(lit(false))
-    readResolvedBuckets(spark, storePath, v, entries, keys)
+    val keyPanel: Option[Column] =
+      if (panelRows.length > 1024) None // a huge panel is a join, not a point lookup
+      else Some(keys.zipWithIndex.map { case (k, i) =>
+        val vs = panelRows.iterator.map(_.get(i)).filter(_ != null).toArray[Any].distinct
+        if (vs.isEmpty) lit(false) else col(k).isin(vs.toIndexedSeq: _*)
+      }.reduce(_ && _))
+    readResolvedBuckets(spark, storePath, v, entries, keys, keyPanel, nBuckets = nBuckets)
       .join(broadcast(lookup.select(keys.map(col): _*).distinct()), keys, "left_semi")
   }
 
@@ -1552,13 +1705,36 @@ object Cdc {
     val vs = manifestVersions(spark, storePath).toSet
     require(vs.contains(fromV) && vs.contains(toV),
       s"both versions must be committed under $storePath (have ${vs.toSeq.sorted.mkString(",")})")
-    val m1 = readManifestFull(spark, storePath, fromV)
+    val m1raw = readManifestFull(spark, storePath, fromV)
     val m2 = readManifestFull(spark, storePath, toV)
-    // identical (base, deltas) entry ⇒ identical FILES (carried by
-    // reference) ⇒ zero diff, zero IO. rows/stats are recording detail,
-    // not content identity — compare the file references only, or a
-    // stats backfill would make every bucket look "changed".
-    def sig(e: BucketEntry): (Option[Long], Seq[Long]) = (e.base, e.deltas)
+    // BUCKET-SPLIT normalization: when the interval crosses a split, the
+    // from-side manifest is expanded to the to-side's modulus — the exact
+    // expansion the split commit itself performs, so a pure split diffs
+    // as all-carried (empty feed) and only genuinely rewritten children
+    // read. From-versions with pending deltas refuse (their delta dirs
+    // live at pre-split coordinates the child-entry bookkeeping cannot
+    // address): compact, or bootstrap from snapshots.
+    val mod1 = storedMeta(spark, storePath, fromV).flatMap(_.nBuckets)
+    val mod2 = storedMeta(spark, storePath, toV).flatMap(_.nBuckets)
+    val curMod = mod2.getOrElse(0)
+    val m1 = (mod1, mod2) match {
+      case (Some(a), Some(b)) if a != b =>
+        require(b > a && b % a == 0,
+          s"cannot diff across incompatible layouts of $storePath (mod $a -> mod $b)")
+        require(m1raw.values.forall(_.deltas.isEmpty),
+          s"change feeds across a bucket split need a delta-free from-version " +
+            s"(v=$fromV has pending merge-on-read deltas) — compact first, or " +
+            "bootstrap from snapshots")
+        expandEntries(m1raw, a, b)
+      case _ => m1raw
+    }
+    // identical (base, deltas, split marker) entry ⇒ identical FILES
+    // (carried by reference) ⇒ zero diff, zero IO. rows/stats are
+    // recording detail, not content identity — compare the file
+    // references only, or a stats backfill would make every bucket look
+    // "changed".
+    def sig(e: BucketEntry): (Option[Long], Seq[Long], Option[Int]) =
+      (e.base, e.deltas, e.baseMod)
     val changed = (m1.keySet ++ m2.keySet)
       .filter(p => m1.get(p).map(sig) != m2.get(p).map(sig)).toSeq.sorted
     // BOTH sides read under toV's recorded schema: evolution is additive,
@@ -1570,7 +1746,7 @@ object Cdc {
     def slice(manifest: Map[Int, BucketEntry]): Option[DataFrame] = {
       val entries = changed.flatMap(p => manifest.get(p).map(p -> _))
       if (entries.isEmpty) None
-      else Some(readResolvedBuckets(spark, storePath, toV, entries, keys))
+      else Some(readResolvedBuckets(spark, storePath, toV, entries, keys, nBuckets = curMod))
     }
     // schema source for empty sides: whichever side has data; if NEITHER
     // version stores any row in a changed bucket the feed is empty — but
@@ -1657,8 +1833,12 @@ object Cdc {
     val committed = vs.toSet // snapshot BEFORE deleting manifests
     def refsOf(v: Long): Seq[(Int, Long)] =
       readManifestFull(spark, storePath, v).toSeq.flatMap { case (p, e) =>
-        // base AND merge-on-read delta writers are all live references
-        e.writers.map(p -> _)
+        // base AND merge-on-read delta writers are all live references.
+        // Lazily-split children reference dirs at BOTH coordinates
+        // conservatively (base lives at the parent coordinate, deltas at
+        // the child's): over-protection only defers reaping, while a
+        // missed reference would delete files a sibling still serves.
+        e.writers.flatMap(w => Set(p -> w, e.physBucket(p) -> w))
       }
     val referenced: Set[(Int, Long)] = keep.flatMap(refsOf)
     // CAS batch commits write parts under TOKEN writer ids (≥ 2^62, never
@@ -1789,10 +1969,19 @@ object Cdc {
     if (meta.keys.nonEmpty) require(meta.keys == keys,
       s"merge-key mismatch for $storePath: store records (${meta.keys.mkString(",")}), " +
         s"caller passed (${keys.mkString(",")})")
-    val dirty = entries.filter(_._2.deltas.length >= minDeltas)
+    // dirty = pending deltas to fold, OR a lazily-split child still
+    // serving a slice of its parent's files ([[splitBuckets]]) — the
+    // "rewritten natively on next compaction touch" half of the split
+    // contract: the rewrite materializes the child's own files, restores
+    // its rows/stats, and drops the shared parent dir once no sibling
+    // references it (vacuum)
+    val dirty = entries.filter { case (_, e) =>
+      e.deltas.length >= minDeltas || e.baseMod.isDefined
+    }
     if (dirty.isEmpty) return None
     val token = mintCasToken()
-    val resolved = readResolvedBuckets(spark, storePath, v, dirty.toSeq.sortBy(_._1), keys)
+    val resolved = readResolvedBuckets(spark, storePath, v, dirty.toSeq.sortBy(_._1), keys,
+      nBuckets = nBuckets)
     val physKeys = keys.map(meta.phys)
     val statsOn = statsCollectionOn(meta.schema)
     resolved
@@ -1997,13 +2186,17 @@ object Cdc {
       else typedLit(Map.empty[String, ColStatRec])
     val dCol =
       if (cols("_deltas")) col("_deltas") else typedLit(Seq.empty[Long])
+    val bmCol =
+      if (cols("_basemod")) col("_basemod").cast("int") else lit(null).cast("int")
     df.select(col("_bucket").cast("int"), col("_writer").cast("long"),
-        rowsCol.as("_rows"), csCol.as("_colstats"), dCol.as("_deltas"))
-      .as[(Int, Long, Option[Long], Option[Map[String, ColStatRec]], Option[Seq[Long]])]
+        rowsCol.as("_rows"), csCol.as("_colstats"), dCol.as("_deltas"),
+        bmCol.as("_basemod"))
+      .as[(Int, Long, Option[Long], Option[Map[String, ColStatRec]], Option[Seq[Long]],
+        Option[Int])]
       .collect()
-      .map { case (p, w, r, cs, ds) =>
+      .map { case (p, w, r, cs, ds, bm) =>
         p -> BucketEntry(if (w < 0) None else Some(w), r, cs.getOrElse(Map.empty),
-          ds.getOrElse(Nil))
+          ds.getOrElse(Nil), bm)
       }.toMap
   }
 
@@ -2013,8 +2206,9 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession,
       entries: Seq[(Int, BucketEntry)]): DataFrame = {
     import spark.implicits._
-    entries.map { case (p, e) => (p, e.base.getOrElse(-1L), e.rows, e.stats, e.deltas) }
-      .toDF("_bucket", "_writer", "_rows", "_colstats", "_deltas")
+    entries.map { case (p, e) =>
+      (p, e.base.getOrElse(-1L), e.rows, e.stats, e.deltas, e.baseMod)
+    }.toDF("_bucket", "_writer", "_rows", "_colstats", "_deltas", "_basemod")
   }
 
   /** Recorded row counts per bucket of `version` (default newest) — only
@@ -2104,43 +2298,51 @@ object Cdc {
     * bucket's manifest-recorded row count, and the file's own EXACT row
     * count (`file_rows`, from its footer) — what makes small-file
     * pressure and compaction planning real instead of inferred. Listing
-    * is driver-side (one LIST per live writer dir, nBuckets-bounded);
-    * the footer reads are DISTRIBUTED — one Spark stage over the file
-    * list, so a store with many files costs executor metadata IO, not a
-    * sequential driver loop. */
+    * AND the footer reads are both DISTRIBUTED: the manifest already
+    * names every live (bucket, writer) directory, so ONE Spark stage
+    * over those dirs lists and footer-reads them executor-side — at
+    * 4096 buckets × several writers the driver issues zero per-dir
+    * LIST RPCs (they were the remaining sequential-driver cost). */
   def describeFiles(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       version: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val (_, _, manifest, _) = servingState(spark, storePath, version)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val listed: Seq[(Int, Long, String, Long, Option[Long], Boolean)] =
+    // (bucket, writer, dir, manifest rows, is_delta) — straight off the
+    // manifest, no filesystem call on the driver
+    val dirRows: Seq[(Int, Long, String, Option[Long], Boolean)] =
       manifest.toSeq.sortBy(_._1).flatMap { case (p, e) =>
-        (e.base.map(_ -> false).toSeq ++ e.deltas.map(_ -> true)).flatMap { case (w, isDelta) =>
-          val path = new org.apache.hadoop.fs.Path(bucketDir(storePath, p, w))
-          val fs = path.getFileSystem(conf)
-          if (!fs.exists(path)) Nil
-          else fs.listStatus(path).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName)
-            .map(st => (p, w, st.getPath.toString, st.getLen, e.rows, isDelta))
+        (e.base.map(_ -> false).toSeq ++ e.deltas.map(_ -> true)).map { case (w, isDelta) =>
+          // base dirs of lazily-split children live at the parent
+          // coordinate (a shared parent file lists once per serving
+          // child — each row is a live REFERENCE); deltas are native
+          (p, w, bucketDir(storePath, if (isDelta) p else e.physBucket(p), w), e.rows, isDelta)
         }
       }
-    listed.toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "is_delta")
-      .repartition(math.max(1, math.min(listed.size, 32)))
+    if (dirRows.isEmpty)
+      return Seq.empty[(Int, Long, String, Long, Option[Long], Long, Boolean)]
+        .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta")
+    dirRows.toDF("_bucket", "_writer", "dir", "bucket_rows", "is_delta")
+      .repartition(math.max(1, math.min(dirRows.size, 32)))
       .mapPartitions { it =>
-        // executor-side footer reads: files carry their scheme, a default
-        // Configuration resolves the right FileSystem (same pattern as
-        // the scan readers)
+        // executor-side LIST + footer reads: dirs carry their scheme, a
+        // default Configuration resolves the right FileSystem (same
+        // pattern as the scan readers)
         val c = new org.apache.hadoop.conf.Configuration()
-        it.map { r =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(r.getString(2)), c))
-          val n = try reader.getRecordCount finally reader.close()
-          (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
-            if (r.isNullAt(4)) None else Some(r.getLong(4)), n, r.getBoolean(5))
+        it.flatMap { r =>
+          val dir = new org.apache.hadoop.fs.Path(r.getString(2))
+          val fs = dir.getFileSystem(c)
+          if (!fs.exists(dir)) Iterator.empty
+          else fs.listStatus(dir).iterator
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, c))
+              val n = try reader.getRecordCount finally reader.close()
+              (r.getInt(0), r.getLong(1), st.getPath.toString, st.getLen,
+                if (r.isNullAt(3)) None else Some(r.getLong(3)), n, r.getBoolean(4))
+            }
         }
       }
       .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta")
@@ -2189,7 +2391,8 @@ object Cdc {
       StoreMeta(readPartitionedSnapshot(spark, storePath, Some(v)).schema)
     }
     val dirs = manifest.collect { case (p, e) if e.base.isDefined =>
-      p -> bucketDir(storePath, p, e.base.get)
+      // a lazily-split child's base files live at its PARENT coordinate
+      p -> bucketDir(storePath, e.physBucket(p), e.base.get)
     }
     (v, meta, manifest, dirs)
   }

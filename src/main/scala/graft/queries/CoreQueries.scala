@@ -78,6 +78,9 @@ object CoreQueries {
     // Merge-on-read store (delta commit written once; c38_cdc_mor
     // measures the catalog scan's read-time fold).
     morTableFor(s, sf)
+    // Split store (split + native touch written once; c38_cdc_split
+    // measures serving through the mixed legacy/native layout).
+    splitTableFor(s, sf)
     ()
   }
 
@@ -122,6 +125,46 @@ object CoreQueries {
       val t = "cdc_mor_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       graft.sources.cdc.CdcCatalog.register(t, store, Seq("c_custkey"), 16,
         trustStringStats = true, morDml = true)
+      s"graft.$t"
+    })
+
+  /** Session-artifact SPLIT store: the copy-on-write merge history built
+    * at 16 buckets, then [[graft.operators.Cdc.splitBuckets]] to 32 (one
+    * metadata-only commit — children serve slices of their parents'
+    * files), then a no-op-content CoW touch that rewrites a few children
+    * NATIVELY so the serving scan exercises the mixed legacy/native
+    * layout a real store lives in between a split and its compaction.
+    * Registered as a catalog table; content identical to the unchanged
+    * CdcMergeOracle by construction. */
+  private val splitTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def splitTableFor(s: SparkSession, sf: String): String =
+    splitTables.getOrElseUpdate(sf, {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcsplit_" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val changelog = cdcChangelog(s, sf)
+      val cut = to_date(lit("1995-06-01"))
+      val ord = Seq(col("chg_ts"), col("chg_seq"))
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") < cut),
+        Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, 16, 0L)
+      Cdc.processPartitionedBatch(changelog.filter(col("chg_ts") >= cut),
+        Tables.customer(s, sf), Seq("c_custkey"), ord, col("op"), store, 16, 1L)
+      Cdc.splitBuckets(s, store) // 16 -> 32, zero data files touched
+      import s.implicits._
+      // rewrite the children keys 1..50 hash to, with their CURRENT rows
+      // (content no-op, layout touch) at a recency above the whole log
+      val touch = Cdc.lookupKeys(s, store, Seq("c_custkey"),
+          (1L to 50L).toDF("c_custkey"), 32)
+        .withColumn("chg_ts", to_date(lit("2999-01-01")))
+        .withColumn("chg_seq", lit(Long.MaxValue))
+        .withColumn("op", lit("U"))
+      Cdc.processPartitionedBatch(touch,
+        Cdc.readPartitionedSnapshot(s, store).limit(0),
+        Seq("c_custkey"), ord, col("op"), store, 32, 3L)
+      val t = "cdc_split_" + sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      graft.sources.cdc.CdcCatalog.register(t, store, Seq("c_custkey"), 32,
+        trustStringStats = true)
       s"graft.$t"
     })
 
@@ -1925,6 +1968,16 @@ object CoreQueries {
     "c38_cdc_mor" -> ((s, sf) =>
       s.table(morTableFor(s, sf)).orderBy("c_custkey")),
 
+    // C38b-split: BUCKET-COUNT EVOLUTION serving — the same MERGE history
+    // split 16 → 32 in one metadata-only commit (Cdc.splitBuckets), a few
+    // children rewritten natively, the rest still serving hash-slices of
+    // their parents' files through the catalog scan's row-path slicing
+    // reader. Must hash-match the SAME oracle as every other c38 twin:
+    // layout evolution is invisible to content. Serving query over a
+    // session artifact.
+    "c38_cdc_split" -> ((s, sf) =>
+      s.table(splitTableFor(s, sf)).orderBy("c_custkey")),
+
     // C38b-mor2: the WRITE side of the merge-on-read story, benched
     // round-over-round: build the base, land the post-cut changelog as a
     // delta commit, then COMPACT (Cdc.compactStore) — the cadence that
@@ -3177,6 +3230,7 @@ object CoreQueries {
     // + read fold / + compaction) must be INVISIBLE to every reader, so
     // both share the copy-on-write twin's oracle verbatim
     "c38_cdc_mor" -> CdcMergeOracle,
+    "c38_cdc_split" -> CdcMergeOracle,
     "c38_cdc_mor_compact" -> CdcMergeOracle,
     "c38_cdc_changes" ->
       """WITH log AS (

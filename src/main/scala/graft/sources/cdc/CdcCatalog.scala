@@ -189,6 +189,32 @@ object CdcCatalog {
     committed
   }
 
+  /** BUCKET-COUNT EVOLUTION for a registered table — the catalog-aware
+    * front door to [[graft.operators.Cdc.splitBuckets]]: one metadata-only
+    * commit grows the layout `nBuckets → nBuckets × factor` (children
+    * serve their parent's files through a read-time slice until their
+    * next rewrite), every LIVE registration sharing the store path
+    * switches to the new bucket count in lockstep (a stale registration
+    * would refuse at its next load — the layout guard), and a registered
+    * change feed gets the split version materialized (empty — a split
+    * changes no logical row) so its version line stays contiguous.
+    * Version-pinned registrations keep their era's layout, exactly like
+    * key renames. Returns the committed version. */
+  def split(name: String, factor: Int = 2): Long = {
+    val d = registry.getOrElse(name,
+      throw new NoSuchTableException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, name)))
+    require(d.version.isEmpty, s"$name is version-pinned (time travel) — split the live table")
+    val spark = SparkSession.active
+    val v = Cdc.splitBuckets(spark, d.storePath, factor)
+    registry.foreach { case (n, def_) =>
+      if (def_.storePath == d.storePath && def_.version.isEmpty)
+        registry.put(n, def_.copy(nBuckets = def_.nBuckets * factor))
+    }
+    materializeFeed(spark, d.storePath, d.keys, v)
+    v
+  }
+
   /** Bounded retry for catalog DML whose statements are SNAPSHOT-
     * INDEPENDENT (key-tuple deletes, full-row upsert inserts): an
     * OVERLAPPING-bucket CAS loser re-resolves `next` and re-applies the
@@ -350,12 +376,15 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
     }
 
   /** A time-travel pin serves the pinned version under that version's OWN
-    * recorded merge keys — key metadata is versioned like the schema, so a
-    * query pinned BEFORE a merge-key rename must validate (and prune)
-    * against the old name, not the live registration's renamed one. */
+    * recorded merge keys AND bucket count — layout metadata is versioned
+    * like the schema, so a query pinned BEFORE a merge-key rename or a
+    * bucket split must validate (and prune) against the old layout, not
+    * the live registration's evolved one. */
   private def pinnedAt(d: CdcCatalog.StoreDef, v: Long): CdcCatalog.StoreDef = {
-    val recorded = Cdc.servingMeta(SparkSession.active, d.storePath, Some(v)).keys
-    d.copy(version = Some(v), keys = if (recorded.nonEmpty) recorded else d.keys)
+    val recorded = Cdc.servingMeta(SparkSession.active, d.storePath, Some(v))
+    d.copy(version = Some(v),
+      keys = if (recorded.keys.nonEmpty) recorded.keys else d.keys,
+      nBuckets = recorded.nBuckets.getOrElse(d.nBuckets))
   }
 
   /** SQL time travel — `TIMESTAMP AS OF <t>` serves the newest version
@@ -605,11 +634,19 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
 
   /** Ordered merge-on-read delta directories per bucket (empty for clean
     * buckets) — the scan plans these into each bucket's partition so the
-    * reader can fold base + deltas last-writer-wins. */
+    * reader can fold base + deltas last-writer-wins. (Delta dirs are
+    * always at the CHILD coordinate, even for lazily-split children.) */
   private[cdc] val bucketDeltaDirs: Map[Int, Seq[String]] =
     manifestFull.collect { case (p, e) if e.deltas.nonEmpty =>
       p -> e.deltas.map(w => s"${d.storePath}/parts/_bucket=$p/_writer=$w")
     }
+
+  /** Lazily-split children ([[graft.operators.Cdc.splitBuckets]]) still
+    * serving a hash-slice of their parent's files — their partitions take
+    * the row-path slicing reader, and stats/count/limit pushdown pause
+    * until each child's first native rewrite. */
+  private[cdc] val slicedBuckets: Set[Int] =
+    manifestFull.collect { case (p, e) if e.baseMod.isDefined => p }.toSet
 
   /** Logical→physical column names (diverging entries only): what the
     * parquet files spell after renames. The scan translates its file

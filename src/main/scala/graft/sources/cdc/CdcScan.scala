@@ -180,8 +180,10 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
     // pending merge-on-read deltas: footer statistics and manifest counts
     // describe PRE-FOLD rows (tombstones included) — folding aggregates
     // from metadata would double-count updated keys and count deletes.
-    // Refuse; compaction restores pushdown.
-    if (table.bucketDeltaDirs.nonEmpty) return false
+    // Lazily-split children: footer stats describe the PARENT's files
+    // (shared by siblings — double-counted, unsliced). Refuse both;
+    // compaction restores pushdown.
+    if (table.bucketDeltaDirs.nonEmpty || table.slicedBuckets.nonEmpty) return false
     // merge keys are non-null by the store's contract: COUNT(key) needs
     // no null statistics, only row counts
     pushedAggs = CdcStatsScan.parseAggregation(
@@ -252,7 +254,8 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       .getOrElse(0 until d.nBuckets)
     new CdcScan(table.name(), required, d.keys,
       d.keys.map(k => table.schema()(k).dataType), d.nBuckets, buckets, files, keyPanels,
-      table.bucketRows, dataFilters, table.bucketColStats, table.physMap, deltaFiles)
+      table.bucketRows, dataFilters, table.bucketColStats, table.physMap, deltaFiles,
+      table.slicedBuckets)
   }
 }
 
@@ -412,7 +415,13 @@ class CdcScan(
     dataFilters: Array[Filter] = Array.empty,
     colStatsByBucket: Map[Int, Map[String, graft.operators.Cdc.ColStatRec]] = Map.empty,
     physMap: Map[String, String] = Map.empty,
-    deltaFilesByBucket: Map[Int, Array[Array[(String, Long)]]] = Map.empty)
+    deltaFilesByBucket: Map[Int, Array[Array[(String, Long)]]] = Map.empty,
+    /** Lazily-split children ([[graft.operators.Cdc.splitBuckets]]):
+      * their file lists are the PARENT's files, and the reader must
+      * slice rows to the partition's own bucket id with the layout
+      * hash — one more reason (besides deltas) a partition takes the
+      * row-path reader. */
+    slicedBuckets: Set[Int] = Set.empty)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -528,17 +537,21 @@ class CdcScan(
       .map { b =>
         val deltas = deltaFilesByBucket.getOrElse(b, Array.empty)
           .map(_.map(_._1))
+        val sliced = slicedBuckets.contains(b)
+        val rowPath = deltas.nonEmpty || sliced
         CdcBucketPartition(b, filesByBucket.getOrElse(b, Array.empty).map(_._1), panels,
           // a delta'd partition FOLDS: row-group/record pruning by
           // arbitrary payload predicates could drop a key's newest delta
           // row while keeping its base row — resurrecting the stale
           // version — so pushed data filters stay OFF the fold path
           // (key-equality panels remain safe: they drop a key's rows on
-          // every level together). Spark re-evaluates all residuals.
-          if (deltas.nonEmpty) Array.empty[Filter] else physFilters,
+          // every level together). Sliced partitions drop them too (the
+          // row-path reader record-filters; residuals re-check above).
+          if (rowPath) Array.empty[Filter] else physFilters,
           deltaLevels = deltas,
-          morKeys = if (deltas.nonEmpty) physKeys else Array.empty,
-          morKeyTypes = if (deltas.nonEmpty) keyTypes.toArray else Array.empty)
+          morKeys = if (rowPath) physKeys else Array.empty,
+          morKeyTypes = if (rowPath) keyTypes.toArray else Array.empty,
+          sliceN = if (sliced) nBuckets else 0)
       }.toArray[InputPartition]
   }
 
@@ -680,11 +693,12 @@ class CdcScan(
     val fileSchema = StructType(requiredSchema.fields.map(f =>
       f.copy(name = physMap.getOrElse(f.name, f.name))))
     // Spark refuses MIXED row/columnar partitions in one scan, so any
-    // pending delta level anywhere drops the WHOLE scan to the row path
-    // (the fold has no columnar record assembly); compaction restores
-    // the vectorized serve shape
+    // pending delta level (fold) or lazily-split child (slice) anywhere
+    // drops the WHOLE scan to the row path; compaction restores the
+    // vectorized serve shape
     new CdcReaderFactory(fileSchema,
-      columnar = CdcReaderFactory.columnarEnabled && deltaFilesByBucket.isEmpty)
+      columnar = CdcReaderFactory.columnarEnabled && deltaFilesByBucket.isEmpty &&
+        slicedBuckets.isEmpty)
   }
 }
 
@@ -696,11 +710,16 @@ case class CdcBucketPartition(
     /** Merge-on-read delta FILE LISTS in manifest (commit) order — when
       * non-empty the reader folds base + deltas last-writer-wins. */
     deltaLevels: Array[Array[String]] = Array.empty,
-    /** The merge keys' PHYSICAL column names + types (set only when
-      * deltaLevels is non-empty): the fold's row identity, read from the
-      * files even when the query projected the keys out. */
+    /** The merge keys' PHYSICAL column names + types (set when
+      * deltaLevels is non-empty or sliceN > 0): the fold's row identity
+      * and the slice's hash input, read from the files even when the
+      * query projected the keys out. */
     morKeys: Array[String] = Array.empty,
-    morKeyTypes: Array[DataType] = Array.empty)
+    morKeyTypes: Array[DataType] = Array.empty,
+    /** Lazy bucket-split slice: when > 0, `files` are the PARENT's files
+      * and only rows with `pmod(xxhash64(keys), sliceN) == bucket`
+      * belong to this partition. */
+    sliceN: Int = 0)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -738,9 +757,10 @@ class CdcReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case b: CdcBucketPartition if b.deltaLevels.nonEmpty =>
+      case b: CdcBucketPartition if b.deltaLevels.nonEmpty || b.sliceN > 0 =>
         new CdcMorPartitionReader(b.files, b.deltaLevels, requiredSchema,
-          b.morKeys, b.morKeyTypes, b.keyFilters, bucketConstants(b))
+          b.morKeys, b.morKeyTypes, b.keyFilters, bucketConstants(b),
+          slice = if (b.sliceN > 0) Some((b.sliceN, b.bucket)) else None)
       case b: CdcBucketPartition => new CdcPartitionReader(b.files, requiredSchema, b.keyFilters,
         constants = bucketConstants(b))
       case f: CdcFeedPartition   => new CdcPartitionReader(f.files, requiredSchema,
@@ -930,7 +950,14 @@ class CdcMorPartitionReader(
     keyNames: Array[String],
     keyTypes: Array[DataType],
     keyFilters: Array[(String, Array[Any])] = Array.empty,
-    constants: Map[String, Any] = Map.empty)
+    constants: Map[String, Any] = Map.empty,
+    /** Lazy bucket-split slice `(nBuckets, bucket)`: base files are the
+      * PARENT's (shared with sibling children) — emit only rows whose
+      * layout hash lands in `bucket`. Delta rows are native to the child
+      * (written post-split at its coordinate) and need no slicing. With
+      * empty `deltaLevels` this degenerates to a sliced base stream —
+      * the lazily-split clean-bucket reader. */
+    slice: Option[(Int, Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private val extraKeys: Array[StructField] =
@@ -947,6 +974,19 @@ class CdcMorPartitionReader(
   private def keyOf(row: InternalRow): List[Any] =
     keyIdx.indices.map(i =>
       if (row.isNullAt(keyIdx(i))) null else row.get(keyIdx(i), keyDts(i))).toList
+
+  // the store's layout hash over THIS row's keys — the same Catalyst
+  // XxHash64 bucketExpr compiles to, evaluated interpreted per row
+  @transient private lazy val sliceHash: XxHash64 = XxHash64(
+    keyIdx.zip(keyDts).map { case (i, t) =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    }.toIndexedSeq, 42L)
+
+  private def inSlice(row: InternalRow): Boolean = slice.forall { case (n, b) =>
+    val m = sliceHash.eval(row).asInstanceOf[Long] % n
+    (if (m < 0) m + n else m).toInt == b
+  }
 
   // final verdict per delta'd key: true = tombstoned, false = row below wins
   private val verdicts = new java.util.LinkedHashMap[List[Any], (Boolean, InternalRow)]()
@@ -981,7 +1021,9 @@ class CdcMorPartitionReader(
     while (!baseDone) {
       if (base.next()) {
         val row = base.get()
-        if (!verdicts.containsKey(keyOf(row))) { current = trim(row); return true }
+        if (inSlice(row) && !verdicts.containsKey(keyOf(row))) {
+          current = trim(row); return true
+        }
       } else {
         baseDone = true
         base.close()

@@ -630,6 +630,88 @@ class CdcSpec extends AnyFunSuite {
     assert(got === full)
   }
 
+  /** Total input records read by the jobs `action` runs (listener-fed,
+    * so poll until the task stream quiets before reading). */
+  private def recordsReadDuring(action: => Unit): Long = {
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) reads.add(m.inputMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100)
+        waited += 1
+        if (reads.size == last) stable += 1 else { stable = 0; last = reads.size }
+      }
+      reads.toArray(Array.empty[java.lang.Long]).map(_.longValue).sum
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("point lookup over a store WITH pending deltas: the key panel pushes BELOW the " +
+      "merge-on-read fold (base and delta scans all carry it) and the read costs the " +
+      "key slice of the bucket, not the whole dirty bucket") {
+    // ONE bucket isolates the sub-bucket claim: bucket pruning can save
+    // nothing here, so every byte saved is the new below-the-fold panel
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_morlookup").toString
+    val one = 1
+    val s = (1L to 2000L).map(k => (k, s"orig$k", k * 1.0))
+    Cdc.processPartitionedBatch(log(), snap(s: _*), keys,
+      Seq(col("seq")), col("op"), store, one, 0L)
+    Cdc.processPartitionedBatch(
+      log((5L, "u5", 55.0, 100L, "U"), (30L, "d30", 0.0, 101L, "D"),
+        (3000L, "i3000", 3.0, 102L, "U")),
+      snap(s: _*), keys, Seq(col("seq")), col("op"), store, one, 1L,
+      casCommit = true, morCommit = true)
+    assert(Cdc.readManifestFull(spark, store, 1L)(0).deltas.nonEmpty, "fixture not dirty")
+    // wanted keys cluster in ONE base file's key range (files are
+    // contiguous-range key-sorted), so the pushed panel should prune the
+    // other base files entirely
+    val want = Seq(5L, 30L, 200L, 3000L, 9999L).toDF("k")
+    def lookup() = Cdc.lookupKeys(spark, store, keys, want, one, None)
+    // equivalence over the dirty store (updated / deleted / untouched /
+    // delta-inserted / absent keys)
+    val got = lookup().as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(5L -> ("u5", 55.0), 200L -> ("orig200", 200.0),
+      3000L -> ("i3000", 3.0)), s"dirty-store lookup diverged: $got")
+    // plan law: EVERY parquet scan below the fold window (base AND delta
+    // levels) carries the pushed key panel (descend through AQE stages)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val planDf = lookup()
+    planDf.collect()
+    val scans = allScans(planDf.queryExecution.executedPlan)
+    assert(scans.size >= 2, s"expected base + delta scans, got ${scans.size}")
+    scans.foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(k") || pushed.contains("EqualTo(k"),
+        s"key panel not pushed below the fold: $pushed")
+    }
+    // rows-read law: the panel prunes files/row-groups of the key-sorted
+    // base, so the point read costs a fraction of folding the whole
+    // dirty bucket (which is what a panel-free read must do)
+    val withPanel = recordsReadDuring { lookup().collect() }
+    val noPanel = recordsReadDuring {
+      Cdc.readPartitionedSnapshot(spark, store).collect()
+    }
+    assert(withPanel * 2 < noPanel,
+      s"point lookup read $withPanel records vs $noPanel for the full dirty fold — " +
+        "the key panel is not reaching the scans")
+  }
+
   test("IVM consistency: delta-maintained sum equals recompute over the upserted snapshot") {
     val s = snap((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     val c = log(
@@ -1140,6 +1222,139 @@ class CdcSpec extends AnyFunSuite {
   }
 
   // ---- CAS logical conflict detection (rebase) -------------------------
+
+  test("splitBuckets: metadata-only layout growth — snapshots, feeds and lookups " +
+      "identical across the split at every version; children rewrite natively on " +
+      "touch; compaction materializes the rest and restores counts; layout guards " +
+      "speak the new count; splits compose") {
+    val store = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val s = (1L to 200L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    def batchAt(n: Int, id: Long, rows: (Long, String, Double, Long, String)*): Long =
+      Cdc.processPartitionedBatch(log(rows: _*), seed, keys,
+        Seq(col("seq")), col("op"), store, n, id)
+    batchAt(nBuckets, 0L)
+    batchAt(nBuckets, 1L, (5L, "u5", 55.0, 100L, "U"), (9L, "d9", 0.0, 101L, "D"))
+    val snapAt = (0L to 1L).map(v => v ->
+      Cdc.readPartitionedSnapshot(spark, store, Some(v))
+        .as[(Long, String, Double)].collect().toSet).toMap
+    val feed01 = Cdc.changesBetween(spark, store, 0L, 1L, keys)
+      .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val partsBefore = fileState(s"$store/parts")
+    // THE SPLIT: 8 → 16, one metadata commit, zero data files touched
+    assert(Cdc.splitBuckets(spark, store) === 2L)
+    assert(fileState(s"$store/parts") === partsBefore, "split rewrote data files")
+    assert(Cdc.readPartitionedSnapshot(spark, store, Some(2L))
+      .as[(Long, String, Double)].collect().toSet === snapAt(1L),
+      "split changed served content")
+    (0L to 1L).foreach(v => assert(Cdc.readPartitionedSnapshot(spark, store, Some(v))
+      .as[(Long, String, Double)].collect().toSet === snapAt(v),
+      s"split changed time travel at v=$v"))
+    // the feed across the split is EMPTY; an interval SPANNING it equals
+    // the pre-split interval (expansion-normalized manifest diff)
+    assert(Cdc.changesBetween(spark, store, 1L, 2L, keys).isEmpty,
+      "a split must be an empty change feed")
+    assert(Cdc.changesBetween(spark, store, 0L, 2L, keys)
+      .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq === feed01)
+    // lookups speak the NEW count and prune to child buckets; the old
+    // count refuses loudly (layout guard, recorded generation history)
+    val want = Seq(5L, 9L, 12L).toDF("k")
+    assert(Cdc.lookupKeys(spark, store, keys, want, 16, None)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap ===
+      Map(5L -> "u5", 12L -> "orig12"))
+    val eLk = intercept[IllegalArgumentException] {
+      Cdc.lookupKeys(spark, store, keys, want, nBuckets, None).collect()
+    }
+    assert(eLk.getMessage.contains("nBuckets mismatch"), eLk.getMessage)
+    val eB = intercept[IllegalArgumentException] { batchAt(nBuckets, 3L, (7L, "x", 1.0, 300L, "U")) }
+    assert(eB.getMessage.contains("nBuckets mismatch"), eB.getMessage)
+    // a CoW touch rewrites EXACTLY its children natively; untouched
+    // children keep serving the parent slice
+    batchAt(16, 3L, (7L, "u7", 77.0, 300L, "U"))
+    val m3 = Cdc.readManifestFull(spark, store, 3L)
+    val child7 = Seq(7L).toDF("k").select(Cdc.bucketExpr(keys, 16)).as[Int].head()
+    assert(m3(child7).baseMod.isEmpty && m3(child7).rows.isDefined,
+      "touched child not rewritten natively")
+    assert(m3.exists(_._2.baseMod.contains(nBuckets)), "every child rewritten by one touch?")
+    assert(readPart(store)(7L) === ("u7", 77.0) && readPart(store)(5L) === ("u5", 55.0))
+    // merge-on-read DML on a lazily-split child folds through the slice
+    Cdc.processPartitionedBatch(log((12L, "mor12", 12.5, 400L, "U")), seed, keys,
+      Seq(col("seq")), col("op"), store, 16, 4L, casCommit = true, morCommit = true)
+    assert(readPart(store)(12L) === ("mor12", 12.5))
+    // compaction materializes every remaining legacy child (split children
+    // count as dirty), serves identically, restores counts everywhere
+    val before = readPart(store)
+    assert(Cdc.compactStore(spark, store, keys, 16).contains(5L))
+    assert(readPart(store) === before, "compaction changed served content")
+    val m5 = Cdc.readManifestFull(spark, store, 5L)
+    assert(m5.values.forall(e => e.baseMod.isEmpty && e.deltas.isEmpty && e.rows.isDefined),
+      "compaction left legacy children or missing counts")
+    assert(Cdc.changesBetween(spark, store, 4L, 5L, keys).isEmpty)
+    // splits COMPOSE: a second split (16 → 32) over the now-native store
+    assert(Cdc.splitBuckets(spark, store) === 6L)
+    assert(readPart(store) === before)
+    assert(Cdc.lookupKeys(spark, store, keys, Seq(12L).toDF("k"), 32, None)
+      .as[(Long, String, Double)].head()._2 === "mor12")
+    // vacuum after the children materialized: the superseded parent dirs
+    // (v0/v1 writers) reap once no retained manifest references them
+    Cdc.vacuum(spark, store, keepVersions = 2)
+    val left = fileState(s"$store/parts").map(_._1)
+    assert(!left.exists(_.contains("_writer=0/")) && !left.exists(_.contains("_writer=1/")),
+      s"superseded pre-split writer dirs leaked: ${left.filter(f => f.contains("_writer=0/") || f.contains("_writer=1/"))}")
+    assert(readPart(store) === before)
+  }
+
+  test("splitBuckets refuses stores with pending deltas, missing layout metadata is " +
+      "loud, and a racing writer never rebases past a split") {
+    val store = java.nio.file.Files.createTempDirectory("graft_split_guard").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    runBatch(store, snap(s: _*), 0L)
+    morBatch(store, snap(s: _*), 1L, (5L, "u5", 55.0, 100L, "U"))
+    val e = intercept[IllegalArgumentException] { Cdc.splitBuckets(spark, store) }
+    assert(e.getMessage.contains("compactStore"), e.getMessage)
+    // feeds across a split refuse a delta'd from-version loudly
+    Cdc.compactStore(spark, store, keys, nBuckets)            // v2
+    Cdc.splitBuckets(spark, store)                            // v3 (8 -> 16)
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.changesBetween(spark, store, 1L, 3L, keys).collect()
+    }
+    assert(e2.getMessage.contains("delta-free"), e2.getMessage)
+    // and a delta-free pre-split from-version diffs exactly
+    assert(Cdc.changesBetween(spark, store, 2L, 3L, keys).isEmpty)
+  }
+
+  test("MoR + retention interplay: a change feed across a vacuumed boundary refuses " +
+      "loudly (never silently skips folded deltas); inside the retained window it " +
+      "serves exactly even when the from-side still folds pending deltas") {
+    val store = java.nio.file.Files.createTempDirectory("graft_mor_retention").toString
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    runBatch(store, seed, 0L)
+    morBatch(store, seed, 1L, (5L, "u5", 55.0, 100L, "U"))
+    morBatch(store, seed, 2L, (5L, "u5b", 56.0, 200L, "U"), (9L, "d9", 0.0, 201L, "D"))
+    def feed(f: Long, t: Long): Seq[(Long, String, Double, String)] =
+      Cdc.changesBetween(spark, store, f, t, keys)
+        .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val f12 = feed(1L, 2L)
+    val snapAt2 = readPart(store)
+    // compaction mints v3 (logical no-op) and vacuum trims to {1,2,3}
+    assert(Cdc.compactStore(spark, store, keys, nBuckets).contains(3L))
+    Cdc.vacuum(spark, store, keepVersions = 3)
+    assert(Cdc.manifestVersions(spark, store).sorted === Seq(1L, 2L, 3L))
+    // within the window: the from-side (v1) STILL folds its pending delta
+    // (vacuum kept every referenced delta dir) and the diff stays exact
+    assert(feed(1L, 2L) === f12, "retained MoR diff changed after vacuum+compaction")
+    assert(feed(2L, 3L).isEmpty, "compaction must be an empty change feed")
+    assert(Cdc.readPartitionedSnapshot(spark, store, Some(2L))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap === snapAt2)
+    // across the vacuumed boundary: LOUD refusal, never a silent skip of
+    // the deltas that were folded away
+    val e = intercept[IllegalArgumentException] { feed(0L, 3L) }
+    assert(e.getMessage.contains("committed"), e.getMessage)
+    Cdc.vacuum(spark, store, keepVersions = 2)
+    val e2 = intercept[IllegalArgumentException] { feed(1L, 3L) }
+    assert(e2.getMessage.contains("committed"), e2.getMessage)
+  }
 
   test("CAS rebase: two writers racing the same version with DISJOINT buckets BOTH " +
       "commit (the loser rebases to the next version); both effects serve") {

@@ -1063,6 +1063,59 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally { CdcCatalog.unregister("cat_ddlfeed"); CdcCatalog.unregister("cat_ddlfeed_cdf") }
   }
 
+  test("catalog bucket split: registered tables serve identically across the split " +
+      "(scans slice lazily, DML keeps working, pushdown pauses honestly and returns " +
+      "after compaction); time travel keeps the old layout; the feed stays contiguous") {
+    val store = buildStore("split", seed40("z"))
+    val feed = s"$store/feed"
+    Cdc.changesBetweenCdf(spark, store, 0L, 1L, keys)
+      .write.mode("overwrite").parquet(s"$feed/v=1")
+    CdcCatalog.register("cat_split", store, keys, nBuckets)
+    CdcCatalog.register("cat_split_twin", store, keys, nBuckets)
+    CdcCatalog.registerFeed("cat_split_cdf", store, feed)
+    try {
+      val pre = collectRows(spark.table("graft.cat_split"))
+      val vSplit = CdcCatalog.split("cat_split")                       // 8 -> 16
+      // both live registrations follow the layout; served rows unchanged
+      assert(collectRows(spark.table("graft.cat_split")) === pre)
+      assert(collectRows(spark.table("graft.cat_split_twin")) === pre)
+      // point filter through the sliced scan stays exact
+      assert(spark.table("graft.cat_split").filter(col("k") === 2L)
+        .select("name").as[String].head() === "b1")
+      // aggregates stay CORRECT while pushdown pauses (plain scan path)
+      assert(spark.table("graft.cat_split").count() === pre.size.toLong)
+      // DML over the split store writes native children
+      spark.sql("UPDATE graft.cat_split SET name = 'postsplit' WHERE k = 2")
+      assert(spark.table("graft.cat_split").filter(col("k") === 2L)
+        .select("name").as[String].head() === "postsplit")
+      // time travel BEFORE the split serves with the old layout
+      assert(spark.sql(s"SELECT * FROM graft.cat_split VERSION AS OF 1")
+        .count() === pre.size.toLong)
+      // the registered feed stayed contiguous through split + DML
+      val fv = Cdc.feedVersions(spark, feed).sorted
+      assert(fv === (1L to fv.max).toSeq, s"feed has holes: $fv")
+      assert(spark.read.parquet(s"$feed/v=$vSplit").count() === 0L,
+        "a split's CDF entry must be empty")
+      // compaction materializes the children; count pushdown returns
+      // (zero-file-IO CdcCountScan shape)
+      assert(CdcCatalog.compact("cat_split").isDefined)
+      assert(collectRows(spark.table("graft.cat_split")).map(_._1) === pre.map(_._1))
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: BatchScanExec => Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+      val cnt = spark.table("graft.cat_split").groupBy().count()
+      cnt.collect()
+      val scans = scansIn(cnt.queryExecution.executedPlan).map(_.description())
+      assert(scans.exists(_.contains("no file IO")),
+        s"count pushdown did not return after compaction: $scans")
+    } finally Seq("cat_split", "cat_split_twin", "cat_split_cdf")
+      .foreach(CdcCatalog.unregister)
+  }
+
   test("a merge-key rename follows into EVERY live registration sharing the store " +
       "path; version-pinned twins keep their era's keys and stay serveable") {
     val store = buildStore("ddlsib", seed40("t"))
