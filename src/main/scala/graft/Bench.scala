@@ -216,9 +216,17 @@ object Bench {
       // moves the round-over-round comparison more than every small row
       // combined — ~40 s of reruns buys a stable headline. The middle
       // band stays single-run (signal dwarfs jitter, doubling it would
-      // double the bench).
+      // double the bench). HYSTERESIS (r18): a query HOVERING at the
+      // 0.5 s threshold flaps between regimes round-over-round — a slow
+      // first run flips it from median-of-3 (robust, ~its true floor)
+      // to single-run (whatever the spike was), manufacturing phantom
+      // 1.5-1.8x "regressions" (d7_token_budget oscillated 0.35/0.54/
+      // 0.53/0.35/0.62 across r13-r17 with untouched code). If the PREV
+      // snapshot measured it under the threshold, keep the median-of-3
+      // regime regardless of this round's first run.
       val sec =
-        if (first >= 0 && (first < 0.5 || first >= 5.0)) {
+        if (first >= 0 && (first < 0.5 || first >= 5.0 ||
+            prevQueries.get(name).exists(t => t >= 0 && t < 0.5))) {
           val runs = Seq(first, runOnce(name, fn), runOnce(name, fn)).filter(_ >= 0)
           if (runs.isEmpty) -1.0 else runs.sorted.apply(runs.length / 2)
         } else first
