@@ -47,7 +47,7 @@ import graft.operators.Cdc
   * so streaming aggregations maintain per-key results in the store. */
 class CdcStreamingWrite(
     tableName: String,
-    d: CdcCatalog.StoreDef,
+    d0: CdcCatalog.StoreDef,
     writeSchema: StructType,
     queryId: String)
     extends StreamingWrite {
@@ -55,10 +55,21 @@ class CdcStreamingWrite(
   import CdcStreamingWrite._
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new CdcStagingWriterFactory(d.storePath, queryId, writeSchema)
+    new CdcStagingWriterFactory(d0.storePath, queryId, writeSchema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // Re-resolve the LIVE registration each epoch: the layout may have
+    // evolved while the stream runs (CdcCatalog.split updates live
+    // registrations in lockstep) — committing with the StoreDef captured
+    // at query start would trip the nBuckets layout guard on every epoch
+    // after a split until a manual restart. A registration that vanished
+    // (unregister mid-stream) keeps the captured def: the store path is
+    // the real identity. Key RENAMES still need a restart — the stream's
+    // incoming schema is fixed at query start and the widened/renamed
+    // payload check refuses loudly.
+    val d = CdcCatalog.lookup(tableName.substring(tableName.lastIndexOf('.') + 1))
+      .map(r => if (r.storePath == d0.storePath) r else d0).getOrElse(d0)
     val committed = Cdc.manifestVersions(spark, d.storePath)
     require(committed.nonEmpty,
       s"$tableName has no committed version — streaming writes maintain an EXISTING " +
@@ -127,7 +138,7 @@ class CdcStreamingWrite(
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    dropStaging(SparkSession.active, d.storePath, queryId, epochId)
+    dropStaging(SparkSession.active, d0.storePath, queryId, epochId)
 }
 
 object CdcStreamingWrite {

@@ -432,6 +432,33 @@ class CdcStreamWriteSpec extends AnyFunSuite {
       .foreach(CdcCatalog.unregister)
   }
 
+  test("a bucket split between epochs does not kill a running stream: the sink " +
+      "re-resolves the live registration and the next epoch commits under the new layout") {
+    val store = seedStore() // n=8
+    CdcCatalog.register("sw_split", store, keys, n)
+    try {
+      val sw = new CdcStreamingWrite("graft.sw_split",
+        CdcCatalog.StoreDef(store, keys, n), payload, "qsplit") // captured PRE-split
+      def staged(epoch: Long, k: Long, name: String) = {
+        val w = new CdcStagingWriterFactory(store, "qsplit", payload)
+          .createWriter(0, epoch * 10 + 1, epoch)
+        w.write(InternalRow(k, UTF8String.fromString(name), 1.0))
+        w.commit()
+      }
+      sw.commit(0L, Array(staged(0L, 1L, "e0"))) // v=1 under n=8
+      val vSplit = CdcCatalog.split("sw_split")  // v=2, 8 -> 16 (CAS commit)
+      // the next epoch re-pins past the split's CAS commit AND commits
+      // under the evolved layout — no nBuckets-mismatch, no restart
+      sw.commit(1L, Array(staged(1L, 30L, "e1")))
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, vSplit, vSplit + 1))
+      val snap = snapshot(store)
+      assert(snap.contains((1L, "e0", 1.0)) && snap.contains((30L, "e1", 1.0)),
+        s"epochs across the split must both serve: $snap")
+      // the post-split epoch's commit recorded the NEW layout
+      assert(Cdc.servingMeta(spark, store).nBuckets.contains(n * 2))
+    } finally CdcCatalog.unregister("sw_split")
+  }
+
   test("version-pinned tables refuse streaming writes") {
     implicit val sqlCtx = spark.sqlContext
     val store = seedStore()
