@@ -717,13 +717,9 @@ object Cdc {
       var used = base.usedPhysical
       val newMap = target.fieldNames.filterNot(priorSchema.fieldNames.contains)
         .flatMap { c =>
-          if (!used.contains(c)) { used += c; None }
-          else {
-            var i = 1
-            while (used.contains(s"${c}_$i")) i += 1
-            used += s"${c}_$i"
-            Some(c -> s"${c}_$i")
-          }
+          val p = mintPhysical(used, c)
+          used += p
+          if (p == c) None else Some(c -> p)
         }.toMap
       StoreMeta(target, base.mapping ++ newMap, base.retired, base.mapChangeV, keys,
         Some(nBuckets))
@@ -1132,15 +1128,7 @@ object Cdc {
       s"column $name already exists in ${meta.schema.toDDL}")
     require(name != DeltaOpCol && name != "_bucket" && name != "_writer",
       s"$name is a reserved layout column name")
-    val phys = {
-      var used = meta.usedPhysical
-      if (!used.contains(name)) name
-      else {
-        var i = 1
-        while (used.contains(s"${name}_$i")) i += 1
-        s"${name}_$i"
-      }
-    }
+    val phys = mintPhysical(meta.usedPhysical, name)
     commitMetadataOnly(spark, storePath, parentV, meta,
       meta.copy(
         schema = org.apache.spark.sql.types.StructType(meta.schema.fields :+
@@ -1247,6 +1235,20 @@ object Cdc {
         nBuckets = meta.nBuckets))
   }
 
+  /** Mint a fresh PHYSICAL column name for logical name `name`: the name
+    * itself unless any physical spelling in `used` already claimed it (a
+    * dropped column's retired physical, a rename's original) — then the
+    * first free `name_<i>` suffix. ONE definition shared by the write
+    * path's additive evolution and [[addColumn]], so the collision scheme
+    * can never drift between them. */
+  private def mintPhysical(used: Set[String], name: String): String =
+    if (!used.contains(name)) name
+    else {
+      var i = 1
+      while (used.contains(s"${name}_$i")) i += 1
+      s"${name}_$i"
+    }
+
   /** Rename/drop must NOT rebase inside commitCas: their metadata embeds
     * `mapChangeV` = the version the commit is MEANT to land at, and a
     * rebase past disjoint DML would stamp the change boundary at the
@@ -1272,6 +1274,8 @@ object Cdc {
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private[graft] def registerMergeKeys(storePath: String, keys: Seq[String]): Unit =
     mergeKeyRegistry.put(storePath, keys)
+  private[graft] def mergeKeysFor(storePath: String): Option[Seq[String]] =
+    mergeKeyRegistry.get(storePath)
   private[graft] def unregisterMergeKeys(storePath: String): Unit =
     mergeKeyRegistry.remove(storePath)
 
@@ -1301,8 +1305,14 @@ object Cdc {
     val parentEntries = readManifestFull(spark, storePath, parentV)
     val entries = parentEntries.toSeq
       .map { case (p, e) =>
+        // backfill only CLEAN NATIVE entries (same rule as the CoW
+        // commit's backfill): a lazily-split child's files live at the
+        // PARENT coordinate and its slice has no standalone count —
+        // dirRowCount at the child coordinate would record a false 0
+        // that count/LIMIT pushdown would then trust
         val rows =
-          if (e.rows.isDefined || e.deltas.nonEmpty || e.base.isEmpty) e.rows
+          if (e.rows.isDefined || e.deltas.nonEmpty || e.base.isEmpty ||
+            e.baseMod.isDefined) e.rows
           else Some(dirRowCount(spark, bucketDir(storePath, p, e.base.get)))
         p -> e.copy(rows = rows)
       }.sortBy(_._1)
@@ -1581,23 +1591,40 @@ object Cdc {
         s"merge-key mismatch for $storePath: store records (${m.keys.mkString(",")}), " +
           s"caller passed (${keys.mkString(",")})")
     }
-    // ONE driver pass over the (bounded, by point-lookup contract) key
-    // panel: buckets prune the scan to the keys' buckets, and the per-key
-    // value panels push BELOW the merge-on-read fold — base and delta
-    // reads of dirty buckets filter on the keys BEFORE the window, so a
-    // point read over a delta'd store costs the key slice of its bucket
-    // (row-group stats over key-sorted files), never the whole dirty set.
-    // The per-key conjunction is a SUPERSET of the wanted tuples (safe
-    // under the fold: key predicates drop every level of a key together);
-    // the broadcast semi-join below restores tuple exactness.
-    val panelRows = lookup.select(keys.map(col): _*).distinct().collect()
+    // ONE driver job over the (bounded, by point-lookup contract) key
+    // panel: the distinct key tuples collect once (limit-capped so a
+    // join-in-disguise lookup can't flood the driver); their buckets
+    // derive DRIVER-SIDE through the same Catalyst XxHash64 the layout
+    // hash compiles to, and the per-key value panels push BELOW the
+    // merge-on-read fold — base and delta reads of dirty buckets filter
+    // on the keys BEFORE the window, so a point read over a delta'd
+    // store costs the key slice of its bucket (row-group stats over
+    // key-sorted files), never the whole dirty set. The per-key
+    // conjunction is a SUPERSET of the wanted tuples (safe under the
+    // fold: key predicates drop every level of a key together); the
+    // broadcast semi-join below restores tuple exactness.
+    val MaxPanel = 1024
+    val keyed = lookup.select(keys.map(col): _*)
+    val panelRows = keyed.distinct().limit(MaxPanel + 1).collect()
+    val bounded = panelRows.length <= MaxPanel
+    val keyTypes = keyed.schema.fields.map(_.dataType)
     val wantedBuckets: Set[Int] =
-      lookup.select(bucketExpr(keys, nBuckets).as("_b")).distinct().as[Int].collect().toSet
+      if (bounded)
+        panelRows.iterator.map { r =>
+          val lits = keyTypes.indices.map(i =>
+            org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(i), keyTypes(i)))
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
+            .eval(null).asInstanceOf[Long]
+          val m = h % nBuckets
+          (if (m < 0) m + nBuckets else m).toInt
+        }.toSet
+      else // over the cap: bounded distributed bucket collect, no panel
+        lookup.select(bucketExpr(keys, nBuckets).as("_b")).distinct().as[Int].collect().toSet
     val entries = manifest.toSeq.filter { case (p, _) => wantedBuckets.contains(p) }.sortBy(_._1)
     if (entries.isEmpty)
       return readPartitionedSnapshot(spark, storePath, Some(v)).limit(0).filter(lit(false))
     val keyPanel: Option[Column] =
-      if (panelRows.length > 1024) None // a huge panel is a join, not a point lookup
+      if (!bounded) None // a huge panel is a join, not a point lookup
       else Some(keys.zipWithIndex.map { case (k, i) =>
         val vs = panelRows.iterator.map(_.get(i)).filter(_ != null).toArray[Any].distinct
         if (vs.isEmpty) lit(false) else col(k).isin(vs.toIndexedSeq: _*)
@@ -2260,26 +2287,41 @@ object Cdc {
     val cols = raw0.columns.toSet
     val raw = {
       val r1 = if (cols("_rows")) raw0 else raw0.withColumn("_rows", lit(null).cast("long"))
-      if (cols("_deltas")) r1
-      else r1.withColumn("_deltas", typedLit(Seq.empty[Long]))
+      val r2 =
+        if (cols("_deltas")) r1 else r1.withColumn("_deltas", typedLit(Seq.empty[Long]))
+      if (cols("_basemod")) r2 else r2.withColumn("_basemod", lit(null).cast("int"))
     }
-    // rows: (version, bucket, signature = base writer + delta list, rows)
-    val entries: Array[(Long, Int, (Long, Seq[Long]), Option[Long])] = raw
+    // rows: (version, bucket, signature = base writer + delta list +
+    // split marker — same content identity as commitCas/changesBetween,
+    // so a metadata-only split reports touched=0 like the no-op it is,
+    // and a child's later NATIVE rewrite that keeps the writer id still
+    // counts as touched)
+    val entries: Array[(Long, Int, (Long, Seq[Long], Option[Int]), Option[Long])] = raw
       .select(col("v").cast("long"), col("_bucket").cast("int"),
         col("_writer").cast("long"),
         coalesce(col("_deltas"), typedLit(Seq.empty[Long])).as("_deltas"),
+        col("_basemod").cast("int"),
         col("_rows").cast("long"))
-      .as[(Long, Int, Long, Seq[Long], Option[Long])]
+      .as[(Long, Int, Long, Seq[Long], Option[Int], Option[Long])]
       .collect()
-      .map { case (v, p, w, ds, r) => (v, p, (w, ds), r) }
-    val byV: Map[Long, Array[(Int, (Long, Seq[Long]), Option[Long])]] =
+      .map { case (v, p, w, ds, bm, r) => (v, p, (w, ds, bm), r) }
+    val byV: Map[Long, Array[(Int, (Long, Seq[Long], Option[Int]), Option[Long])]] =
       entries.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3, e._4))).toMap
     vs.zipWithIndex.map { case (v, i) =>
       val m = byV.getOrElse(v, Array.empty)
-      val parent: Map[Int, (Long, Seq[Long])] =
+      val parent: Map[Int, (Long, Seq[Long], Option[Int])] =
         if (i == 0) Map.empty
         else byV.getOrElse(vs(i - 1), Array.empty).map(e => e._1 -> e._2).toMap
-      val touched = m.count { case (p, sig, _) => !parent.get(p).contains(sig) }
+      // "touched" = the entry's FILES changed vs the parent version. A
+      // lazily-split child compares against the parent-version entry at
+      // its PHYSICAL coordinate (p mod baseMod) when its own id is new —
+      // so a metadata-only split reports touched=0 (nothing rewrote),
+      // while any real rewrite (fresh writer id) or delta append counts.
+      val touched = m.count { case (p, (w, ds, bm), _) =>
+        val parentSig = parent.get(p).map(e => (e._1, e._2))
+          .orElse(bm.flatMap(b => parent.get(p % b).map(e => (e._1, e._2))))
+        !parentSig.contains((w, ds))
+      }
       val rows: Option[Long] =
         if (m.isEmpty) Some(0L) // a committed-but-empty version serves 0 rows
         else if (m.forall(_._3.isDefined)) Some(m.iterator.map(_._3.get).sum)

@@ -132,6 +132,17 @@ object CdcCatalog {
   private[cdc] def lookup(name: String): Option[StoreDef] = registry.get(name)
   private[cdc] def lookupFeed(name: String): Option[FeedDef] = feedRegistry.get(name)
 
+  /** The current LIVE (unpinned) registration serving `storePath`, if
+    * any — the streaming sink re-resolves through this each epoch so a
+    * mid-stream layout evolution (split) reaches running queries.
+    * Prefers a registration whose keys match the store's per-path key
+    * registry (a sibling with stale keys must not win). */
+  private[cdc] def liveDefForPath(storePath: String): Option[StoreDef] = {
+    val live = registry.values.filter(r => r.storePath == storePath && r.version.isEmpty)
+    val recorded = Cdc.mergeKeysFor(storePath)
+    live.find(r => recorded.forall(_ == r.keys)).orElse(live.headOption)
+  }
+
   /** The feed a store FEEDS, if one is registered: writers that commit
     * new store versions (the streaming toTable sink) materialize each
     * version's CDF there, so downstream `readStream.table` consumers keep

@@ -140,8 +140,12 @@ class CdcScanBuilder(table: CdcStoreTable, d: CdcCatalog.StoreDef)
       prunedBuckets.isEmpty &&
       // pending merge-on-read deltas: resolved bucket counts are unknown
       // (and a delta-only bucket isn't even in bucketDirs), so the
-      // count-covering prefix can't be proven — plan every bucket
-      table.bucketDeltaDirs.isEmpty &&
+      // count-covering prefix can't be proven — plan every bucket.
+      // Lazily-split children likewise: a child's slice has no count of
+      // its own, so an explicit guard (belt to the row-count braces —
+      // any recorded count for a sliced child would be wrong, not just
+      // absent) keeps LIMIT planning off split stores until rewrite.
+      table.bucketDeltaDirs.isEmpty && table.slicedBuckets.isEmpty &&
       table.bucketDirs.keySet.forall(table.bucketRows.contains)
     if (clean) pushedLimit = Some(limit)
     clean
@@ -591,7 +595,11 @@ class CdcScan(
     * shrinks the estimated rows enough to flip a join's build side,
     * exactly like ANALYZE's column stats on warehouse tables. */
   override def estimateStatistics(): Statistics = {
-    val bytes = filesByBucket.valuesIterator.flatten.map(_._2).sum +
+    // distinct by PATH: lazily-split sibling children share their parent's
+    // files — counting a shared file once per serving child would
+    // overstate sizeInBytes by up to the split factor and flip broadcast
+    // decisions until the children rewrite
+    val bytes = filesByBucket.valuesIterator.flatten.toSeq.distinctBy(_._1).map(_._2).sum +
       deltaFilesByBucket.valuesIterator.flatten.flatten.map(_._2).sum
     // a bucket counts as non-empty when it has base files OR pending
     // deltas (a delta'd bucket's resolved count is unknown — its absence

@@ -59,17 +59,17 @@ class CdcStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    // Re-resolve the LIVE registration each epoch: the layout may have
-    // evolved while the stream runs (CdcCatalog.split updates live
-    // registrations in lockstep) — committing with the StoreDef captured
-    // at query start would trip the nBuckets layout guard on every epoch
-    // after a split until a manual restart. A registration that vanished
-    // (unregister mid-stream) keeps the captured def: the store path is
-    // the real identity. Key RENAMES still need a restart — the stream's
-    // incoming schema is fixed at query start and the widened/renamed
-    // payload check refuses loudly.
-    val d = CdcCatalog.lookup(tableName.substring(tableName.lastIndexOf('.') + 1))
-      .map(r => if (r.storePath == d0.storePath) r else d0).getOrElse(d0)
+    // Re-resolve the LIVE registration each epoch BY STORE PATH (the
+    // store's real identity — a display-name parse would break on table
+    // names containing dots): the layout may have evolved while the
+    // stream runs (CdcCatalog.split updates live registrations in
+    // lockstep) — committing with the StoreDef captured at query start
+    // would trip the nBuckets layout guard on every epoch after a split
+    // until a manual restart. A vanished registration keeps the captured
+    // def. Key RENAMES still need a restart — the stream's incoming
+    // schema is fixed at query start and the payload check refuses
+    // loudly.
+    val d = CdcCatalog.liveDefForPath(d0.storePath).getOrElse(d0)
     val committed = Cdc.manifestVersions(spark, d.storePath)
     require(committed.nonEmpty,
       s"$tableName has no committed version — streaming writes maintain an EXISTING " +

@@ -1084,6 +1084,16 @@ class CdcCatalogSpec extends AnyFunSuite {
         .select("name").as[String].head() === "b1")
       // aggregates stay CORRECT while pushdown pauses (plain scan path)
       assert(spark.table("graft.cat_split").count() === pre.size.toLong)
+      // a METADATA commit on the split store (ADD COLUMN) must not mint
+      // phantom per-child row counts (a sliced child has no standalone
+      // count) — and LIMIT over the sliced store must still return rows
+      // (regression: a false rows=0 would make LIMIT plan zero buckets)
+      spark.sql("ALTER TABLE graft.cat_split ADD COLUMN note STRING")
+      assert(Cdc.servingRowCounts(spark, store).isEmpty ||
+        Cdc.servingRowCounts(spark, store).values.forall(_ > 0L),
+        "metadata commit recorded phantom counts for sliced children")
+      assert(spark.table("graft.cat_split").limit(10).count() === 10L,
+        "LIMIT over a lazily-split store dropped rows")
       // DML over the split store writes native children
       spark.sql("UPDATE graft.cat_split SET name = 'postsplit' WHERE k = 2")
       assert(spark.table("graft.cat_split").filter(col("k") === 2L)
