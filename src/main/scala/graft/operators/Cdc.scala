@@ -2391,6 +2391,26 @@ object Cdc {
       .orderBy("_bucket", "_writer", "path")
   }
 
+  /** `$partitions`-shape metadata: ONE row per manifest bucket entry of
+    * the serving version — recorded rows (null while deltas pend or the
+    * child is lazily split), the base writer, the pending DELTA DEPTH
+    * (the read-side fold cost), and the lazy-split marker (`base_mod`,
+    * null for native entries) — the per-bucket health readout compaction
+    * planning runs on: `WHERE delta_depth > 0 OR base_mod IS NOT NULL`
+    * is exactly compactStore's dirty set. Pure driver-side manifest
+    * metadata: nBuckets-bounded, zero file IO (join `$files` for
+    * bytes). */
+  def describePartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (_, _, manifest, _) = servingState(spark, storePath, version)
+    manifest.toSeq.sortBy(_._1).map { case (p, e) =>
+      (p, e.rows, e.base, e.deltas.length, e.baseMod)
+    }.toDF("_bucket", "rows", "base_writer", "delta_depth", "base_mod")
+  }
+
   /** The serving version's column-mapping metadata for external readers
     * (the DSv2 scan): logical schema plus the logical→physical name map
     * files are spelled in. Identity for stores that never renamed or

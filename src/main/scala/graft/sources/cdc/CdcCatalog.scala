@@ -271,6 +271,12 @@ object CdcCatalog {
     StructField("bucket_rows", LongType, nullable = true),
     StructField("file_rows", LongType, nullable = false),
     StructField("is_delta", BooleanType, nullable = false)))
+  private[cdc] val PartitionsSchema: StructType = StructType(Seq(
+    StructField("_bucket", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("base_writer", LongType, nullable = true),
+    StructField("delta_depth", IntegerType, nullable = false),
+    StructField("base_mod", IntegerType, nullable = true)))
 }
 
 /** A tiny read-only table serving DRIVER-COMPUTED metadata rows (the
@@ -345,6 +351,9 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
     *  - `x$files`    — the current serving layout: one row per live data
     *    file (bucket, writer, path, bytes) plus the bucket's manifest
     *    row count; LIST-per-bucket metadata, no footer or page read.
+    *  - `x$partitions` — per-bucket health (rows, base writer, pending
+    *    delta depth, lazy-split marker): `WHERE delta_depth > 0 OR
+    *    base_mod IS NOT NULL` is exactly the compaction-dirty set.
     * Unknown suffixes fail loudly with the supported list. */
   private def metadataTable(name: String): Option[Table] = {
     val cut = name.lastIndexOf('$')
@@ -359,9 +368,11 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
           () => Cdc.describeHistory(SparkSession.active, d.storePath))
         case "files" => (CdcCatalog.FilesSchema,
           () => Cdc.describeFiles(SparkSession.active, d.storePath, d.version))
+        case "partitions" => (CdcCatalog.PartitionsSchema,
+          () => Cdc.describePartitions(SparkSession.active, d.storePath, d.version))
         case other => throw new UnsupportedOperationException(
           s"$catalogName.$name: unknown metadata table '$$$other' " +
-            "(supported: $history, $files)")
+            "(supported: $history, $files, $partitions)")
       }
       new CdcLocalTable(s"$catalogName.$name", schema, thunk)
     }

@@ -1063,6 +1063,39 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally { CdcCatalog.unregister("cat_ddlfeed"); CdcCatalog.unregister("cat_ddlfeed_cdf") }
   }
 
+  test("x$partitions: per-bucket health readout — rows, pending delta depth and lazy-" +
+      "split markers match the manifest; the dirty predicate IS compactStore's set") {
+    val store = buildStore("parts", seed40("w"))
+    CdcCatalog.register("cat_parts", store, keys, nBuckets)
+    try {
+      Cdc.splitBuckets(spark, store) // 8 -> 16, every child lazily split
+      // one merge-on-read delta on key 2's child
+      val delta = Seq((2L, "mor2", 2.5, 900L, "U")).toDF("k", "name", "bal", "seq", "op")
+      Cdc.processPartitionedBatch(delta, seed40("w").toDF("k", "name", "bal"), keys,
+        Seq(col("seq")), col("op"), store, 16, 3L, casCommit = true, morCommit = true)
+      CdcCatalog.unregister("cat_parts")
+      CdcCatalog.register("cat_parts", store, keys, 16)
+      val parts = spark.sql("SELECT * FROM graft.`cat_parts$partitions`")
+      assert(parts.schema === CdcCatalog.PartitionsSchema)
+      val rows = parts.as[(Int, Option[Long], Option[Long], Int, Option[Int])].collect()
+        .map(r => r._1 -> r).toMap
+      val child2 = Seq(2L).toDF("k").select(Cdc.bucketExpr(keys, 16)).as[Int].head()
+      assert(rows(child2)._4 === 1, "delta depth wrong for the delta'd child")
+      assert(rows(child2)._2.isEmpty, "a delta'd bucket must not claim a row count")
+      assert(rows.values.forall(r => r._1 == child2 || r._5.contains(nBuckets)),
+        "untouched children must carry the lazy-split marker")
+      // the SQL dirty predicate equals compactStore's dirty set
+      val dirty = parts.filter(col("delta_depth") > 0 || col("base_mod").isNotNull)
+        .select("_bucket").as[Int].collect().toSet
+      assert(dirty === rows.keySet, "every bucket here is split or delta'd")
+      assert(CdcCatalog.compact("cat_parts").isDefined)
+      val after = spark.sql("SELECT * FROM graft.`cat_parts$partitions`")
+        .as[(Int, Option[Long], Option[Long], Int, Option[Int])].collect()
+      assert(after.forall(r => r._4 === 0 && r._5.isEmpty && r._2.isDefined),
+        "compaction must clear depth/split markers and restore counts")
+    } finally CdcCatalog.unregister("cat_parts")
+  }
+
   test("catalog bucket split: registered tables serve identically across the split " +
       "(scans slice lazily, DML keeps working, pushdown pauses honestly and returns " +
       "after compaction); time travel keeps the old layout; the feed stays contiguous") {
