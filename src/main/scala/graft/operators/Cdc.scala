@@ -2351,21 +2351,25 @@ object Cdc {
       version: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val (_, _, manifest, _) = servingState(spark, storePath, version)
-    // (bucket, writer, dir, manifest rows, is_delta) — straight off the
-    // manifest, no filesystem call on the driver
-    val dirRows: Seq[(Int, Long, String, Option[Long], Boolean)] =
+    // (bucket, writer, dir, manifest rows, is_delta, base_mod) — straight
+    // off the manifest, no filesystem call on the driver
+    val dirRows: Seq[(Int, Long, String, Option[Long], Boolean, Option[Int])] =
       manifest.toSeq.sortBy(_._1).flatMap { case (p, e) =>
         (e.base.map(_ -> false).toSeq ++ e.deltas.map(_ -> true)).map { case (w, isDelta) =>
           // base dirs of lazily-split children live at the parent
-          // coordinate (a shared parent file lists once per serving
-          // child — each row is a live REFERENCE); deltas are native
-          (p, w, bucketDir(storePath, if (isDelta) p else e.physBucket(p), w), e.rows, isDelta)
+          // coordinate, so a shared parent file lists once per serving
+          // child — each row is a live REFERENCE, flagged by `base_mod`
+          // (the slice modulus, null for native rows) so footprint sums
+          // know to DISTINCT the path; deltas are always native
+          (p, w, bucketDir(storePath, if (isDelta) p else e.physBucket(p), w), e.rows,
+            isDelta, if (isDelta) None else e.baseMod)
         }
       }
     if (dirRows.isEmpty)
-      return Seq.empty[(Int, Long, String, Long, Option[Long], Long, Boolean)]
-        .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta")
-    dirRows.toDF("_bucket", "_writer", "dir", "bucket_rows", "is_delta")
+      return Seq.empty[(Int, Long, String, Long, Option[Long], Long, Boolean, Option[Int])]
+        .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta",
+          "base_mod")
+    dirRows.toDF("_bucket", "_writer", "dir", "bucket_rows", "is_delta", "base_mod")
       .repartition(math.max(1, math.min(dirRows.size, 32)))
       .mapPartitions { it =>
         // executor-side LIST + footer reads: dirs carry their scheme, a
@@ -2383,11 +2387,13 @@ object Cdc {
                 org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, c))
               val n = try reader.getRecordCount finally reader.close()
               (r.getInt(0), r.getLong(1), st.getPath.toString, st.getLen,
-                if (r.isNullAt(3)) None else Some(r.getLong(3)), n, r.getBoolean(4))
+                if (r.isNullAt(3)) None else Some(r.getLong(3)), n, r.getBoolean(4),
+                if (r.isNullAt(5)) None else Some(r.getInt(5)))
             }
         }
       }
-      .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta")
+      .toDF("_bucket", "_writer", "path", "bytes", "bucket_rows", "file_rows", "is_delta",
+        "base_mod")
       .orderBy("_bucket", "_writer", "path")
   }
 

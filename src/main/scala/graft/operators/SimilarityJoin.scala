@@ -655,6 +655,84 @@ object SimilarityJoin {
       .limit(k)
   }
 
+  /** Offline half of the LSH serving pair ([[lshTopK]] is the index-free
+    * one-shot): materialize the corpus's multi-table bucket assignment as
+    * (id, t, key) rows — the hash tables a production LSH deployment
+    * stores. The rows carry NO vectors (the index is id-sized, not
+    * corpus-sized); [[lshProbe]] fetches only the colliding candidates'
+    * vectors for the exact rerank. Deterministic (xxhash-seeded
+    * hyperplanes, no RNG), so the index doubles as an ORACLE artifact:
+    * an external engine reading these rows reproduces the candidate set
+    * exactly — including the query's own keys when the query vector is a
+    * corpus member (its (t, key) rows ARE the probe). */
+  def buildLshIndex(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      path: String,
+      tables: Int = 8,
+      bitsPerTable: Int = 8
+  ): Unit = {
+    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
+    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
+    val mask = (1L << bitsPerTable) - 1
+    def slices(wide: Column): Column =
+      array((0 until tables).map(t =>
+        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+    emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .select(col("id"),
+        posexplode(slices(cosineLshBucket(col("v"), dim, tables * bitsPerTable)))
+          .as(Seq("t", "key")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Online half: top-k against a [[buildLshIndex]] directory. The query
+    * hashes against the same seeded hyperplanes (one expression eval);
+    * candidates are the index rows sharing any (table, key) slice with
+    * it — an equi-join against id-sized hash tables, never a corpus
+    * scan — then the candidates' vectors are fetched from `emb` by id
+    * (broadcast semi-join, candidate-sized) and exact cosine reranks.
+    * Row-identical to [[lshTopK]] on the same (tables, bitsPerTable)
+    * parameters (law in SimilaritySpec): materializing the tables moves
+    * WHERE the bucket eval happens, never what it returns. */
+  def lshProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      query: DataFrame, // single row: (qvec array<double>)
+      k: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 8
+  ): DataFrame = {
+    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
+    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
+    val mask = (1L << bitsPerTable) - 1
+    def slices(wide: Column): Column =
+      array((0 until tables).map(t =>
+        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+    val qKeyed = query
+      .select(col("qvec"),
+        posexplode(slices(cosineLshBucket(col("qvec"), dim, tables * bitsPerTable)))
+          .as(Seq("qt", "qkey")))
+    val cand = spark.read.parquet(indexPath)
+      .join(broadcast(qKeyed), col("t") === col("qt") && col("key") === col("qkey"))
+      .select(col("id"))
+      .dropDuplicates("id") // a row can collide in several tables
+    emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .join(broadcast(cand), "id")
+      .crossJoin(broadcast(query))
+      .withColumn("cos", VectorOps.cosineNative(spark, col("v"), col("qvec")))
+      .select(col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** D9 composed: SemDeDup-style embedding-space deduplication — the
     * standard semantic dedup pass a pretraining pipeline runs AFTER text
     * dedup (near-identical meaning, different surface forms): cosine-near

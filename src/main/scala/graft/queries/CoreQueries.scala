@@ -2020,6 +2020,20 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // C38d2: SQL TIME TRAVEL — `VERSION AS OF 0` through the DSv2 catalog
+    // (CdcCatalog.loadTable(ident, version)) serves the store's FIRST
+    // committed snapshot: the v1 merge that later rewrote half the
+    // buckets must be invisible. Pinned reads resolve the pinned era's
+    // own recorded layout/keys, prune by that manifest, and never see
+    // newer files — the Delta/Iceberg `VERSION AS OF` contract on the
+    // engine's own store. Oracle = the MERGE replay restricted to the
+    // pre-cut half of the changelog (exactly what v0 committed);
+    // vacuumed/uncommitted versions refuse loudly (CdcCatalogSpec).
+    "c38_cdc_timetravel" -> ((s, sf) => {
+      val (stateTbl, _) = spjTablesFor(s, sf)
+      s.sql(s"SELECT * FROM $stateTbl VERSION AS OF 0").orderBy("c_custkey")
+    }),
+
     // C38e: the CDF feed COMPOSED with IVM — the consumer contract the
     // change feed exists for. The per-nation (count, exact-sum, mean)
     // view initial-loads once from snapshot v0, then absorbs the v0→v1
@@ -3232,6 +3246,33 @@ object CoreQueries {
     "c38_cdc_mor" -> CdcMergeOracle,
     "c38_cdc_split" -> CdcMergeOracle,
     "c38_cdc_mor_compact" -> CdcMergeOracle,
+    // time travel to v0 = the merge replay over ONLY the pre-cut half of
+    // the changelog (what batch 0 committed; batch 1 must be invisible)
+    "c38_cdc_timetravel" ->
+      """WITH log AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd#' || o_orderkey AS c_name,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  o_orderpriority AS c_mktsegment,
+                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders
+         ),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number()
+               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+             FROM log WHERE chg_ts < DATE '1995-06-01')
+           WHERE rn = 1
+         )
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
     "c38_cdc_changes" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

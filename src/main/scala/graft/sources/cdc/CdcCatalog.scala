@@ -136,11 +136,20 @@ object CdcCatalog {
     * any — the streaming sink re-resolves through this each epoch so a
     * mid-stream layout evolution (split) reaches running queries.
     * Prefers a registration whose keys match the store's per-path key
-    * registry (a sibling with stale keys must not win). */
-  private[cdc] def liveDefForPath(storePath: String): Option[StoreDef] = {
-    val live = registry.values.filter(r => r.storePath == storePath && r.version.isEmpty)
+    * registry (a sibling with stale keys must not win), then — among
+    * those — one consistent with the caller's ORIGINAL def: with several
+    * live registrations on one path, an arbitrary sibling could flip the
+    * stream's morDml flag mid-run, silently switching an epoch between
+    * CoW and MoR commit modes. Final fallback is name-ordered, so the
+    * choice is at least deterministic, never TrieMap iteration order. */
+  private[cdc] def liveDefForPath(
+      storePath: String, original: Option[StoreDef] = None): Option[StoreDef] = {
+    val live = registry.toSeq.sortBy(_._1).map(_._2)
+      .filter(r => r.storePath == storePath && r.version.isEmpty)
     val recorded = Cdc.mergeKeysFor(storePath)
-    live.find(r => recorded.forall(_ == r.keys)).orElse(live.headOption)
+    val keyOk = live.filter(r => recorded.forall(_ == r.keys))
+    val pool = if (keyOk.nonEmpty) keyOk else live
+    original.flatMap(o => pool.find(_.morDml == o.morDml)).orElse(pool.headOption)
   }
 
   /** The feed a store FEEDS, if one is registered: writers that commit
@@ -218,9 +227,14 @@ object CdcCatalog {
     require(d.version.isEmpty, s"$name is version-pinned (time travel) — split the live table")
     val spark = SparkSession.active
     val v = Cdc.splitBuckets(spark, d.storePath, factor)
+    // the committed layout is the authority: assign the store's RECORDED
+    // post-split count rather than multiplying each sibling's own
+    // (possibly already-stale) nBuckets — the update heals a drifted
+    // registration instead of compounding its error
+    val newN = Cdc.servingMeta(spark, d.storePath).nBuckets.getOrElse(d.nBuckets * factor)
     registry.foreach { case (n, def_) =>
       if (def_.storePath == d.storePath && def_.version.isEmpty)
-        registry.put(n, def_.copy(nBuckets = def_.nBuckets * factor))
+        registry.put(n, def_.copy(nBuckets = newN))
     }
     materializeFeed(spark, d.storePath, d.keys, v)
     v
@@ -270,7 +284,8 @@ object CdcCatalog {
     StructField("bytes", LongType, nullable = false),
     StructField("bucket_rows", LongType, nullable = true),
     StructField("file_rows", LongType, nullable = false),
-    StructField("is_delta", BooleanType, nullable = false)))
+    StructField("is_delta", BooleanType, nullable = false),
+    StructField("base_mod", IntegerType, nullable = true)))
   private[cdc] val PartitionsSchema: StructType = StructType(Seq(
     StructField("_bucket", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = true),

@@ -69,7 +69,7 @@ class CdcStreamingWrite(
     // def. Key RENAMES still need a restart — the stream's incoming
     // schema is fixed at query start and the payload check refuses
     // loudly.
-    val d = CdcCatalog.liveDefForPath(d0.storePath).getOrElse(d0)
+    val d = CdcCatalog.liveDefForPath(d0.storePath, Some(d0)).getOrElse(d0)
     val committed = Cdc.manifestVersions(spark, d.storePath)
     require(committed.nonEmpty,
       s"$tableName has no committed version — streaming writes maintain an EXISTING " +

@@ -679,6 +679,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.toSeq === lsh.toSeq)
   }
 
+  test("lshProbe over a materialized index ≡ index-free lshTopK, row for row") {
+    // The serving pair's equivalence law: buildLshIndex materializes the
+    // SAME (id, t, key) assignment lshTopK computes inline (xxhash-seeded
+    // hyperplanes, no RNG), so probing the stored tables returns the
+    // identical top-k — materialization moves WHERE the bucket eval
+    // happens, never what it returns. This is also what entitles the
+    // d4_topk_lsh DuckDB oracle: an external reader of the index rows
+    // reproduces the candidate set exactly.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    SimilarityJoin.buildLshIndex(emb, col("vec_id"), col("embedding"), dim = 64,
+      path = dir, tables = 16, bitsPerTable = 4)
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+      val inline = SimilarityJoin
+        .lshTopK(emb, col("vec_id"), col("embedding"), 64, q, 10, tables = 16, bitsPerTable = 4)
+        .as[(Long, Double)].collect().toSeq
+      val probed = SimilarityJoin
+        .lshProbe(spark, dir, emb, col("vec_id"), col("embedding"), 64, q, 10,
+          tables = 16, bitsPerTable = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert(probed === inline, s"probe drifted from inline for query $qid")
+    }
+    // the stored tables carry ids only — the index is id-sized, and a
+    // probe's corpus access is the candidate-sized vector fetch
+    val idxCols = spark.read.parquet(dir).columns.toSet
+    assert(idxCols === Set("id", "t", "key"))
+  }
+
   test("lshTopK: more tables never lose candidates (recall monotone in L)") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q   = emb.filter(col("vec_id") === 42).select(VectorOps.asDouble(col("embedding")).as("qvec"))
