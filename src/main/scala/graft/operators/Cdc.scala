@@ -947,6 +947,7 @@ object Cdc {
           "recreated the version dir between the replace and the rename) — the epoch " +
           "will replay and re-resolve")
     }
+    maybeCheckpointHistory(spark, storePath, id)
   }
 
   /** The merge-on-read DELTA COMMIT body of [[processPartitionedBatch]]:
@@ -1435,6 +1436,7 @@ object Cdc {
         // (storedSchema reads it first), so a crash here loses nothing
         Seq(metaLn).toDF("ddl").coalesce(1)
           .write.mode("overwrite").text(s"${schemaPath(storePath)}/v=$curId")
+        maybeCheckpointHistory(spark, storePath, curId)
         return curId
       }
       // lost the race (or a copy-fallback nested us inside the winner):
@@ -1527,6 +1529,199 @@ object Cdc {
     manifestVersions(spark, storePath).sorted.map { v =>
       val marker = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v/_SUCCESS")
       v -> fs.getFileStatus(marker).getModificationTime
+    }
+  }
+
+  // --- history checkpointing ------------------------------------------
+  //
+  // The $history table folds every committed version's manifest
+  // (nBuckets × nVersions driver rows) — fine for hundreds of versions,
+  // a real driver cost at a 100k-epoch streaming store. The Delta-style
+  // fix: every K commits, roll the ALREADY-COMPUTED history rows up into
+  // a checkpoint (manifest/_ckpt/v=<upTo>) together with the boundary
+  // version's per-bucket content signature, so describeHistory reads ONE
+  // checkpoint parquet plus the ≤K-version tail of fine-grained
+  // manifests — O(1) manifest dirs per K commits instead of O(versions).
+  // The boundary signature is what lets the first tail version compute
+  // its touched-bucket diff without re-opening the checkpointed manifest.
+  // Vacuumed versions are filtered out of the served rows (the history
+  // table reports RETAINED history, same as before); checkpoint rows
+  // keep the fidelity they were computed with — a post-vacuum recompute
+  // would have to diff against the nearest retained parent instead of
+  // the true one.
+
+  /** One version's history row: (version, commit ts millis, bucket
+    * census, touched buckets, recorded rows, delta'd buckets). */
+  private case class HistRow(
+      v: Long, ts: Long, buckets: Int, touched: Int, rows: Option[Long], deltaBuckets: Int)
+
+  /** Per-bucket content signature (base writer, delta list, split
+    * marker) — the identity `touched` diffs on (commitCas's sig rule). */
+  private type BucketSig = (Long, Seq[Long], Option[Int])
+
+  private def ckptRoot(storePath: String) = s"${manifestPath(storePath)}/_ckpt"
+
+  /** Commit cadence for automatic history checkpoints (0 disables).
+    * Session-settable: `spark.conf.set("graft.cdc.historyCheckpointInterval", n)`. */
+  private def historyCkptEvery(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.cdc.historyCheckpointInterval").map(_.toInt).getOrElse(64)
+
+  /** Write (or refresh) the history checkpoint at the newest committed
+    * version: prior checkpoint rows + the tail's fold, plus the boundary
+    * signature. Incremental — reads only the manifests SINCE the prior
+    * checkpoint. Idempotent and loser-safe (temp dirs + a marker-file
+    * commit point; racing writers produce identical content for the same
+    * upTo). Old checkpoints are pruned after the new one lands. Returns
+    * the checkpointed version, None on an empty store. */
+  def checkpointHistory(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Option[Long] = {
+    import spark.implicits._
+    val vs = manifestVersions(spark, storePath).sorted
+    if (vs.isEmpty) return None
+    val upTo = vs.max
+    val prior = latestHistoryCkpt(spark, storePath)
+    if (prior.exists(_._1 >= upTo)) return Some(upTo) // already current
+    val priorUp = prior.map(_._1).getOrElse(Long.MinValue)
+    val tail = vs.filter(_ > priorUp)
+    val times = commitTimesFor(spark, storePath, tail).toMap
+    val tailRows = historyRowsFor(spark, storePath, tail,
+      prior.map(_._3).getOrElse(Map.empty), times)
+    val allRows = prior.map(_._2).getOrElse(Seq.empty).filter(_.v <= upTo) ++ tailRows
+    val boundary: Map[Int, BucketSig] = readManifestFull(spark, storePath, upTo)
+      .map { case (p, e) => p -> ((e.base.getOrElse(-1L), e.deltas, e.baseMod)) }
+    val dir = new org.apache.hadoop.fs.Path(s"${ckptRoot(storePath)}/v=$upTo")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    allRows.map(r => (r.v, r.ts, r.buckets, r.touched, r.rows, r.deltaBuckets))
+      .toDF("v", "ts", "buckets", "touched", "rows", "delta_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/history")
+    boundary.toSeq.map { case (p, (w, ds, bm)) => (p, w, ds, bm) }
+      .toDF("_bucket", "_writer", "_deltas", "_basemod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/boundary")
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMITTED"), true).close()
+    // prune superseded checkpoints — ONE live checkpoint bounds metadata
+    if (fs.exists(new org.apache.hadoop.fs.Path(ckptRoot(storePath))))
+      fs.listStatus(new org.apache.hadoop.fs.Path(ckptRoot(storePath))).foreach { st =>
+        val n = st.getPath.getName.stripPrefix("v=")
+        if (st.getPath.getName.startsWith("v=") && n.forall(_.isDigit) && n.toLong < upTo)
+          fs.delete(st.getPath, true)
+      }
+    Some(upTo)
+  }
+
+  /** Auto-checkpoint hook, called from every manifest commit point: rolls
+    * the history up when the minted version crosses the cadence. Failures
+    * never fail the commit — a checkpoint is an accelerator, the
+    * fine-grained manifests stay authoritative. */
+  private def maybeCheckpointHistory(
+      spark: org.apache.spark.sql.SparkSession, storePath: String, v: Long): Unit = {
+    val every = historyCkptEvery(spark)
+    if (every > 0 && v > 0 && v % every == 0)
+      try { checkpointHistory(spark, storePath); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        java.util.logging.Logger.getLogger(getClass.getName)
+          .warning(s"history checkpoint at v=$v failed (serving unaffected): $e")
+      }
+  }
+
+  /** The newest committed checkpoint: (upTo, history rows, boundary
+    * signature of upTo). None when no checkpoint has been written. */
+  private def latestHistoryCkpt(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[(Long, Seq[HistRow], Map[Int, BucketSig])] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(ckptRoot(storePath))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    if (vs.isEmpty) return None
+    val upTo = vs.max
+    val dir = s"${ckptRoot(storePath)}/v=$upTo"
+    val rows = spark.read.parquet(s"$dir/history")
+      .select(col("v").cast("long"), col("ts").cast("long"), col("buckets").cast("int"),
+        col("touched").cast("int"), col("rows").cast("long"),
+        col("delta_buckets").cast("int"))
+      .as[(Long, Long, Int, Int, Option[Long], Int)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (v, ts, b, t, r, d) => HistRow(v, ts, b, t, r, d) }
+    val boundary = spark.read.parquet(s"$dir/boundary")
+      .select(col("_bucket").cast("int"), col("_writer").cast("long"), col("_deltas"),
+        col("_basemod").cast("int"))
+      .as[(Int, Long, Seq[Long], Option[Int])]
+      .collect()
+      .map { case (p, w, ds, bm) => p -> ((w, ds, bm)) }.toMap
+    Some((upTo, rows, boundary))
+  }
+
+  /** Commit wall-clock for a SPECIFIC version list — the tail-bounded
+    * twin of [[versionCommitTimes]] (which stats every retained marker). */
+  private def commitTimesFor(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String, vs: Seq[Long]): Seq[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(manifestPath(storePath))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.sorted.map { v =>
+      val marker = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v/_SUCCESS")
+      v -> fs.getFileStatus(marker).getModificationTime
+    }
+  }
+
+  /** History rows for `vs` (sorted), diffing the FIRST version against
+    * `boundarySig` (the checkpoint boundary, empty when none — the
+    * oldest version then reports every bucket touched, the pre-ckpt
+    * behavior). One partitioned manifest read over exactly `vs`. */
+  private def historyRowsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      vs: Seq[Long],
+      boundarySig: Map[Int, BucketSig],
+      times: Map[Long, Long]): Seq[HistRow] = {
+    import spark.implicits._
+    if (vs.isEmpty) return Seq.empty
+    val mp = manifestPath(storePath)
+    val raw0 = spark.read.option("basePath", mp).option("mergeSchema", "true")
+      .parquet(vs.map(v => s"$mp/v=$v"): _*)
+    val cols = raw0.columns.toSet
+    val raw = {
+      val r1 = if (cols("_rows")) raw0 else raw0.withColumn("_rows", lit(null).cast("long"))
+      val r2 =
+        if (cols("_deltas")) r1 else r1.withColumn("_deltas", typedLit(Seq.empty[Long]))
+      if (cols("_basemod")) r2 else r2.withColumn("_basemod", lit(null).cast("int"))
+    }
+    val entries: Array[(Long, Int, BucketSig, Option[Long])] = raw
+      .select(col("v").cast("long"), col("_bucket").cast("int"),
+        col("_writer").cast("long"),
+        coalesce(col("_deltas"), typedLit(Seq.empty[Long])).as("_deltas"),
+        col("_basemod").cast("int"),
+        col("_rows").cast("long"))
+      .as[(Long, Int, Long, Seq[Long], Option[Int], Option[Long])]
+      .collect()
+      .map { case (v, p, w, ds, bm, r) => (v, p, (w, ds, bm), r) }
+    val byV: Map[Long, Array[(Int, BucketSig, Option[Long])]] =
+      entries.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3, e._4))).toMap
+    val sorted = vs.sorted
+    sorted.zipWithIndex.map { case (v, i) =>
+      val m = byV.getOrElse(v, Array.empty)
+      val parent: Map[Int, BucketSig] =
+        if (i == 0) boundarySig
+        else byV.getOrElse(sorted(i - 1), Array.empty).map(e => e._1 -> e._2).toMap
+      // "touched" = the entry's FILES changed vs the parent version. A
+      // lazily-split child compares against the parent-version entry at
+      // its PHYSICAL coordinate (p mod baseMod) when its own id is new —
+      // so a metadata-only split reports touched=0 (nothing rewrote),
+      // while any real rewrite (fresh writer id) or delta append counts.
+      val touched = m.count { case (p, (w, ds, bm), _) =>
+        val parentSig = parent.get(p).map(e => (e._1, e._2))
+          .orElse(bm.flatMap(b => parent.get(p % b).map(e => (e._1, e._2))))
+        !parentSig.contains((w, ds))
+      }
+      val rows: Option[Long] =
+        if (m.isEmpty) Some(0L) // a committed-but-empty version serves 0 rows
+        else if (m.forall(_._3.isDefined)) Some(m.iterator.map(_._3.get).sum)
+        else None // a bucket with pending deltas honestly has no count
+      HistRow(v, times(v), m.length, touched, rows, m.count(_._2._2.nonEmpty))
     }
   }
 
@@ -2271,67 +2466,29 @@ object Cdc {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     import spark.implicits._
     val vs = manifestVersions(spark, storePath).sorted
-    val times = versionCommitTimes(spark, storePath).toMap
     if (vs.isEmpty)
       return Seq.empty[(Long, Long, Int, Int, Option[Long], Int)]
         .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
           "delta_buckets")
-    // ONE partitioned read over every committed manifest (`v=` is the
-    // partition column), collected ONCE — nVersions × nBuckets metadata
-    // rows, bounded by config × history, never by data — then folded
-    // driver-side. A thousand-epoch store costs one Spark scan, not one
-    // job per version; commit times stay driver-side FS metadata.
-    val mp = manifestPath(storePath)
-    val raw0 = spark.read.option("basePath", mp).option("mergeSchema", "true")
-      .parquet(vs.map(v => s"$mp/v=$v"): _*)
-    val cols = raw0.columns.toSet
-    val raw = {
-      val r1 = if (cols("_rows")) raw0 else raw0.withColumn("_rows", lit(null).cast("long"))
-      val r2 =
-        if (cols("_deltas")) r1 else r1.withColumn("_deltas", typedLit(Seq.empty[Long]))
-      if (cols("_basemod")) r2 else r2.withColumn("_basemod", lit(null).cast("int"))
-    }
-    // rows: (version, bucket, signature = base writer + delta list +
-    // split marker — same content identity as commitCas/changesBetween,
-    // so a metadata-only split reports touched=0 like the no-op it is,
-    // and a child's later NATIVE rewrite that keeps the writer id still
-    // counts as touched)
-    val entries: Array[(Long, Int, (Long, Seq[Long], Option[Int]), Option[Long])] = raw
-      .select(col("v").cast("long"), col("_bucket").cast("int"),
-        col("_writer").cast("long"),
-        coalesce(col("_deltas"), typedLit(Seq.empty[Long])).as("_deltas"),
-        col("_basemod").cast("int"),
-        col("_rows").cast("long"))
-      .as[(Long, Int, Long, Seq[Long], Option[Int], Option[Long])]
-      .collect()
-      .map { case (v, p, w, ds, bm, r) => (v, p, (w, ds, bm), r) }
-    val byV: Map[Long, Array[(Int, (Long, Seq[Long], Option[Int]), Option[Long])]] =
-      entries.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3, e._4))).toMap
-    vs.zipWithIndex.map { case (v, i) =>
-      val m = byV.getOrElse(v, Array.empty)
-      val parent: Map[Int, (Long, Seq[Long], Option[Int])] =
-        if (i == 0) Map.empty
-        else byV.getOrElse(vs(i - 1), Array.empty).map(e => e._1 -> e._2).toMap
-      // "touched" = the entry's FILES changed vs the parent version. A
-      // lazily-split child compares against the parent-version entry at
-      // its PHYSICAL coordinate (p mod baseMod) when its own id is new —
-      // so a metadata-only split reports touched=0 (nothing rewrote),
-      // while any real rewrite (fresh writer id) or delta append counts.
-      val touched = m.count { case (p, (w, ds, bm), _) =>
-        val parentSig = parent.get(p).map(e => (e._1, e._2))
-          .orElse(bm.flatMap(b => parent.get(p % b).map(e => (e._1, e._2))))
-        !parentSig.contains((w, ds))
-      }
-      val rows: Option[Long] =
-        if (m.isEmpty) Some(0L) // a committed-but-empty version serves 0 rows
-        else if (m.forall(_._3.isDefined)) Some(m.iterator.map(_._3.get).sum)
-        else None // a bucket with pending deltas honestly has no count
-      // merge-on-read health readout: buckets serving through a fold at
-      // this version (0 for pure copy-on-write history)
-      val deltaBuckets = m.count(_._2._2.nonEmpty)
-      (v, times(v), m.length, touched, rows, deltaBuckets)
-    }.toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
-      "delta_buckets")
+    // CHECKPOINT + TAIL ([[checkpointHistory]]): rows at or before the
+    // newest checkpoint come from ONE rolled-up parquet; only the tail's
+    // fine-grained manifests are folded (one partitioned read over ≤K
+    // version dirs, collected once — per-bucket signature diffs against
+    // the checkpoint's boundary). Checkpoint rows are filtered to the
+    // RETAINED version set, so vacuum semantics are unchanged; a store
+    // with no checkpoint folds everything, the pre-ckpt behavior.
+    val vsSet = vs.toSet
+    val ck = latestHistoryCkpt(spark, storePath)
+    val ckUp = ck.map(_._1).getOrElse(Long.MinValue)
+    val headRows = ck.map(_._2).getOrElse(Seq.empty).filter(r => vsSet.contains(r.v))
+    val tail = vs.filter(_ > ckUp)
+    val times = commitTimesFor(spark, storePath, tail).toMap
+    val tailRows = historyRowsFor(spark, storePath, tail,
+      ck.map(_._3).getOrElse(Map.empty), times)
+    (headRows ++ tailRows)
+      .map(r => (r.v, r.ts, r.buckets, r.touched, r.rows, r.deltaBuckets))
+      .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",
+        "delta_buckets")
   }
 
   /** `$files`-shape metadata: the serving layout's LIVE data files — one

@@ -924,6 +924,71 @@ class CdcSpec extends AnyFunSuite {
     assert(h.map(_._2).toSeq === h.map(_._2).toSeq.sorted, "commit times not monotonic")
   }
 
+  test("history checkpoint: ckpt + tail serves $history byte-identical to the full " +
+      "fold at every version; vacuum filtering and auto-cadence unchanged") {
+    def hist(store: String): Seq[(Long, Int, Int, Option[Long], Int)] =
+      Cdc.describeHistory(spark, store)
+        .as[(Long, Long, Int, Int, Option[Long], Int)].collect().sortBy(_._1).toSeq
+        // drop commit wall-clock (column 2): the twin store below commits
+        // at different times by construction
+        .map(r => (r._1, r._3, r._4, r._5, r._6))
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val twin  = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_twin").toString
+    val seed = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    def build(st: String): Unit = {
+      runBatch(st, seed, 0L)
+      runBatch(st, seed, 1L, (5L, "one", 55.0, 100L, "U"))
+      morBatch(st, seed, 2L, (6L, "mor", 66.0, 200L, "U")) // a delta'd version
+      runBatch(st, seed, 3L, (7L, "", 0.0, 300L, "D"))
+    }
+    build(store); build(twin)
+    val full = hist(store)
+    assert(full === hist(twin), "twin stores must report identical history")
+    // checkpoint at v3: rows must not move by a bit (the twin never
+    // checkpoints — it is the full-fold ground truth from here on)
+    assert(Cdc.checkpointHistory(spark, store) === Some(3L))
+    assert(hist(store) === full, "checkpointed history drifted from the fold")
+    // grow a tail past the checkpoint: head rows come from the ckpt, the
+    // tail folds fine-grained manifests diffed against the ckpt BOUNDARY
+    def grow(st: String): Unit = {
+      runBatch(st, seed, 4L, (8L, "four", 88.0, 400L, "U"))
+      morBatch(st, seed, 5L, (9L, "five", 99.0, 500L, "U"))
+    }
+    grow(store); grow(twin)
+    assert(hist(store) === hist(twin), "ckpt+tail drifted from the full fold")
+    // re-checkpoint: the superseded ckpt is pruned (one live checkpoint)
+    assert(Cdc.checkpointHistory(spark, store) === Some(5L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/manifest/_ckpt"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).toSeq
+    assert(ckpts === Seq("v=5"), s"superseded checkpoints leaked: $ckpts")
+    assert(hist(store) === hist(twin))
+    // vacuum: history reports RETAINED versions only — ckpt rows for the
+    // vacuumed prefix are filtered out, exactly the pre-ckpt semantics
+    Cdc.vacuum(spark, store, keepVersions = 2)
+    assert(hist(store) === hist(twin).filter(r => r._1 >= 4L))
+    // auto-cadence: with the interval conf set, the commit path itself
+    // rolls the checkpoint when the minted version crosses the cadence
+    val auto = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_auto").toString
+    spark.conf.set("graft.cdc.historyCheckpointInterval", "2")
+    try {
+      runBatch(auto, seed, 0L)
+      runBatch(auto, seed, 1L, (5L, "a", 1.0, 100L, "U"))
+      runBatch(auto, seed, 2L, (6L, "b", 2.0, 200L, "U"))
+    } finally spark.conf.unset("graft.cdc.historyCheckpointInterval")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$auto/manifest/_ckpt/v=2/_COMMITTED")),
+      "commit at the cadence boundary did not auto-checkpoint")
+    // post-auto-ckpt the history still audits true: every row's recorded
+    // count equals the truly served cardinality at that version
+    val autoRows = hist(auto)
+    assert(autoRows.map(_._1) === Seq(0L, 1L, 2L))
+    autoRows.foreach { case (v, _, _, rows, _) =>
+      assert(rows.contains(
+        Cdc.readPartitionedSnapshot(spark, auto, Some(v)).count()), s"rows of v=$v")
+    }
+  }
+
   test("CAS commits survive vacuum (token dirs reaped with their manifests) and serve " +
       "their schema from the committed manifest when the sidecar is lost") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_cas_vac").toString
