@@ -1137,6 +1137,54 @@ object Cdc {
         mapping = meta.mapping ++ (if (phys == name) Nil else Seq(name -> phys))))
   }
 
+  /** TYPE-WIDENING evolution — INT→BIGINT / FLOAT→DOUBLE as a
+    * METADATA-ONLY commit (the Iceberg/Delta type-promotion contract):
+    * the recorded schema re-types the column, every bucket is carried by
+    * reference, and carried files keep their NARROW physical type —
+    * every read path requests the recorded (widened) schema and Spark's
+    * parquet readers up-cast INT32→LONG / FLOAT→DOUBLE natively (both
+    * the vectorized and row-converter paths; the engine's own Group
+    * reader and footer-stats fold up-cast explicitly), so both eras
+    * serve through one widened schema with zero rewrite. Exact: both
+    * promotions are value-preserving embeddings.
+    *
+    * Refusals, all loud: non-widening changes (narrowing, string↔number,
+    * anything else) are NOT metadata-expressible — carried files cannot
+    * re-type; and MERGE KEYS never widen — the layout hash is TYPED
+    * (xxhash64 hashes an int's 4 bytes, a long's 8), so widening a key
+    * would silently re-home every row out of the buckets readers probe.
+    * No CDF boundary: old feed versions' files up-cast on read exactly
+    * like store files (array/struct type coercion widens the diff's two
+    * sides to the common type). */
+  def widenColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Long = retryMetadataConflicts {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val (parentV, meta) = latestMeta(spark, storePath)
+    val f = meta.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name in ${meta.schema.toDDL}"))
+    val widening = (f.dataType, to) match {
+      case (IntegerType, LongType)  => true
+      case (FloatType, DoubleType)  => true
+      case _                        => false
+    }
+    require(widening,
+      s"only INT->BIGINT and FLOAT->DOUBLE are metadata-only widenings: " +
+        s"$name is ${f.dataType.simpleString} -> ${to.simpleString} " +
+        "(other changes need a rewriting migration)")
+    require(!meta.keys.contains(name),
+      s"cannot widen merge key $name: the layout hash is typed — widening a key " +
+        "would re-home every row")
+    for (regKeys <- mergeKeyRegistry.get(storePath))
+      require(!regKeys.contains(name),
+        s"cannot widen $name: a catalog registration for $storePath names it as a merge key")
+    commitMetadataOnly(spark, storePath, parentV, meta,
+      meta.copy(schema = org.apache.spark.sql.types.StructType(
+        meta.schema.fields.map(x => if (x.name == name) x.copy(dataType = to) else x))))
+  }
+
   /** Expand a modulus-`fromMod` manifest to modulus `toMod` (a multiple):
     * parent bucket p's children are `{p + i·fromMod | i < toMod/fromMod}`
     * (rows never cross parent boundaries under `hash mod n`), each

@@ -504,10 +504,21 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
       case add: TableChange.AddColumn =>
         val v = addColumnChange(ident.name, d, add)
         CdcCatalog.materializeFeed(spark, d.storePath, d.keys, v)
+      case up: TableChange.UpdateColumnType =>
+        // `ALTER TABLE graft.x ALTER COLUMN c TYPE BIGINT` — metadata-only
+        // TYPE WIDENING (INT->BIGINT / FLOAT->DOUBLE): carried files keep
+        // their narrow physical type and every reader up-casts
+        // ([[graft.operators.Cdc.widenColumn]]); anything non-widening —
+        // and any merge key — refuses loudly inside the operator.
+        require(up.fieldNames.length == 1,
+          s"nested column type change is not supported: ${up.fieldNames.mkString(".")}")
+        val v = Cdc.widenColumn(spark, d.storePath, up.fieldNames.head, up.newDataType)
+        CdcCatalog.materializeFeed(spark, d.storePath, d.keys, v)
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE ${ident.name}: only ADD/RENAME/DROP COLUMN are " +
-            s"metadata-only on a CDC store (got ${other.getClass.getSimpleName})")
+          s"ALTER TABLE ${ident.name}: only ADD/RENAME/DROP COLUMN and widening " +
+            s"ALTER COLUMN TYPE are metadata-only on a CDC store " +
+            s"(got ${other.getClass.getSimpleName})")
     }
     loadTable(ident)
   }

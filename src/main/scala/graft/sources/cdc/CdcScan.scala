@@ -860,6 +860,10 @@ class CdcPartitionReader(
   private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
   // for the current file: required-field index → (group field position | -1 for absent)
   private var fieldPos: Array[Int] = _
+  // the FILE's primitive per required field (null when absent): what lets
+  // decode up-cast a pre-widening file's INT32/FLOAT into the recorded
+  // LONG/DOUBLE (metadata-only type widening — Cdc.widenColumn)
+  private var filePrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
   private var current: InternalRow = _
 
   private def openNext(): Boolean = {
@@ -878,6 +882,10 @@ class CdcPartitionReader(
       requiredSchema.fields.map { f =>
         if (fileSchema.containsField(f.name)) { pos += 1; pos } else -1
       }
+    }
+    filePrim = requiredSchema.fields.map { f =>
+      if (!fileSchema.containsField(f.name)) null
+      else fileSchema.getType(Seq(f.name): _*).asPrimitiveType().getPrimitiveTypeName
     }
     val fileConf = new Configuration(conf)
     fileConf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
@@ -911,6 +919,14 @@ class CdcPartitionReader(
         if (pos < 0 || g.getFieldRepetitionCount(pos) == 0)
           constants.getOrElse(requiredSchema.fields(i).name, null)
         else requiredSchema.fields(i).dataType match {
+          // widened columns (Cdc.widenColumn): a pre-widening file's
+          // narrow primitive up-casts — exact embeddings both
+          case LongType
+            if filePrim(i) == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+            g.getInteger(pos, 0).toLong
+          case DoubleType
+            if filePrim(i) == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+            g.getFloat(pos, 0).toDouble
           case LongType    => g.getLong(pos, 0)
           case IntegerType => g.getInteger(pos, 0)
           case DoubleType  => g.getDouble(pos, 0)

@@ -392,10 +392,15 @@ class CdcStatsReader(files: Array[String], aggs: Seq[CdcStatsScan.FooterAgg])
       throw new MissingStatsException(
         s"min/max statistics missing for $col in $file (not an all-NULL chunk)")
 
-  /** Parquet statistics value → Catalyst internal value. */
-  private def internal(v: Any, dt: DataType): Any = dt match {
-    case StringType => UTF8String.fromBytes(
+  /** Parquet statistics value → Catalyst internal value. Widened columns
+    * ([[graft.operators.Cdc.widenColumn]]): a pre-widening file's footer
+    * carries the NARROW boxed type — up-cast so the fold compares one
+    * type (exact embeddings both). */
+  private def internal(v: Any, dt: DataType): Any = (dt, v) match {
+    case (StringType, _) => UTF8String.fromBytes(
       v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+    case (LongType, i: java.lang.Integer)  => i.longValue()
+    case (DoubleType, f: java.lang.Float)  => f.doubleValue()
     case _ => v // Long/Int/Double/Float/Boolean box straight through; DATE = Int days
   }
 

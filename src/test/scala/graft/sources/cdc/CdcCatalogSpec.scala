@@ -1033,6 +1033,79 @@ class CdcCatalogSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("cat_ddl")
   }
 
+  test("SQL DDL: ALTER COLUMN TYPE widens INT->BIGINT / FLOAT->DOUBLE metadata-only — " +
+      "mixed-era files serve and aggregate through the widened schema; non-widening " +
+      "and merge-key changes refuse") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val store = java.nio.file.Files.createTempDirectory("graft_cat_widen").toString
+    val seed = (1 to 40).map(k => (k.toLong, k * 10, k / 10.0f)).toDF("k", "cnt", "ratio")
+    Cdc.processPartitionedBatch(
+      Seq.empty[(Long, Int, Float, Long, String)].toDF("k", "cnt", "ratio", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 0L)
+    CdcCatalog.register("cat_widen", store, keys, nBuckets)
+    def fileState(dir: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toSet
+      finally st.close()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    try {
+      val before = fileState(s"$store/parts")
+      spark.sql("ALTER TABLE graft.cat_widen ALTER COLUMN cnt TYPE BIGINT")
+      spark.sql("ALTER TABLE graft.cat_widen ALTER COLUMN ratio TYPE DOUBLE")
+      assert(fileState(s"$store/parts") === before, "SQL widening rewrote data files")
+      val served = spark.table("graft.cat_widen")
+      assert(served.schema("cnt").dataType === LongType)
+      assert(served.schema("ratio").dataType === DoubleType)
+      // a value only the WIDE type can carry, through SQL INSERT (keyed
+      // upsert) — the store now holds narrow- and wide-era files side by
+      // side, and one scan serves both
+      spark.sql("INSERT INTO graft.cat_widen VALUES (41, 5000000000, 4.25)")
+      val rows = spark.table("graft.cat_widen")
+        .select("k", "cnt", "ratio").as[(Long, Long, Double)].collect()
+        .map { case (k, c, r) => (k, (c, r)) }.toMap
+      assert(rows(41L) === ((5000000000L, 4.25d)))
+      assert(rows(7L) === ((70L, (7 / 10.0f).toDouble)),
+        "narrow-era file did not up-cast through the widened schema")
+      // footer-statistics aggregates fold across BOTH eras (int footers
+      // up-cast into the long fold; float footers into the double fold)
+      val agg = spark.table("graft.cat_widen")
+        .agg(min(col("cnt")).as("lo"), max(col("cnt")).as("hi"),
+          max(col("ratio")).as("rhi"))
+        .as[(Long, Long, Double)].head()
+      assert(agg === ((10L, 5000000000L, 4.25d)), s"mixed-era aggregate wrong: $agg")
+      // refusals: narrowing and re-typing die in Spark's own analyzer
+      // (NOT_SUPPORTED_CHANGE_COLUMN — only upcasts reach the catalog);
+      // the catalog's own "widening" refusal guards the direct API path
+      // (CdcSpec) and any analyzer-permitted non-widening change
+      def refuses(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(messages(e).exists(m =>
+          m.contains("widening") || m.contains("NOT_SUPPORTED_CHANGE_COLUMN")),
+          messages(e).mkString(" | "))
+      }
+      refuses("ALTER TABLE graft.cat_widen ALTER COLUMN cnt TYPE INT")
+      refuses("ALTER TABLE graft.cat_widen ALTER COLUMN ratio TYPE STRING")
+      // k is LONG already — but a widening-shaped change on a key must
+      // still refuse on key identity, so build the shape with an int key
+      val store2 = java.nio.file.Files.createTempDirectory("graft_cat_widen_k").toString
+      Cdc.processPartitionedBatch(
+        Seq.empty[(Int, Long, Long, String)].toDF("k", "v", "seq", "op"),
+        Seq((1, 1L)).toDF("k", "v"),
+        keys, Seq(col("seq")), col("op"), store2, nBuckets, 0L)
+      CdcCatalog.register("cat_widen_k", store2, keys, nBuckets)
+      val e3 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.cat_widen_k ALTER COLUMN k TYPE BIGINT"))
+      assert(messages(e3).exists(_.contains("merge key")), messages(e3).mkString(" | "))
+    } finally {
+      CdcCatalog.unregister("cat_widen")
+      CdcCatalog.unregister("cat_widen_k")
+    }
+  }
+
   test("ALTER keeps a registered change feed CONTIGUOUS: rename/drop/add materialize " +
       "an (empty) feed version, so a tail consumer inside the window never hits a " +
       "hole misreported as retention") {
