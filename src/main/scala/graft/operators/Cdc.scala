@@ -2222,9 +2222,30 @@ object Cdc {
       storePath: String,
       keys: Seq[String],
       nBuckets: Int,
-      minDeltas: Int = 1): Option[Long] = {
+      minDeltas: Int = 1,
+      /** Z-ORDER the rewrite: when 2 or 3 numeric/date columns are named,
+        * each rewritten bucket's rows are clustered by their Morton key
+        * (2-D interleave / 3-D morton3 — the same machinery as
+        * [[graft.sources.Sinks.writeClustered]]) and split into
+        * `zorderFilesPerBucket` range-partitioned files, so every file
+        * covers a small BOX of the named columns' space and the store
+        * scan's pushed filters skip whole row groups on ANY of them
+        * (footer min/max stay tight per file). Compaction is the natural
+        * place to pay the clustering sort: the bucket is being rewritten
+        * anyway. Bounds come from one stats pass over the resolved dirty
+        * rows; NULLs sort first within their bucket. Content is
+        * byte-identical to an unclustered compaction (law in CdcSpec) —
+        * clustering is layout, never semantics. Tradeoff: the default
+        * (unclustered) rewrite key-sorts each bucket, which keeps KEY
+        * statistics tight for key-panel row-group pruning — include the
+        * merge key among the z-dims when point lookups matter. */
+      zorderCols: Seq[String] = Nil,
+      zorderFilesPerBucket: Int = 4): Option[Long] = {
     require(minDeltas >= 1, "minDeltas >= 1")
     require(nBuckets > 0, "nBuckets must be positive")
+    require(zorderCols.isEmpty || zorderCols.size == 2 || zorderCols.size == 3,
+      s"zorderCols clusters 2 or 3 columns, got ${zorderCols.size}")
+    require(zorderFilesPerBucket >= 1, "zorderFilesPerBucket >= 1")
     val vs = manifestVersions(spark, storePath)
     require(vs.nonEmpty, s"no committed snapshot under $storePath")
     val v = vs.max
@@ -2254,11 +2275,45 @@ object Cdc {
       nBuckets = nBuckets)
     val physKeys = keys.map(meta.phys)
     val statsOn = statsCollectionOn(meta.schema)
-    resolved
+    val renamed = resolved
       .select(meta.schema.fields.map(f => col(f.name).as(meta.phys(f.name))).toIndexedSeq: _*)
       .withColumn("_bucket", bucketExpr(physKeys, nBuckets))
       .withColumn("_writer", lit(token))
-      .sortWithinPartitions(("_bucket" +: "_writer" +: physKeys).map(col): _*)
+    val clustered =
+      if (zorderCols.isEmpty)
+        renamed.sortWithinPartitions(("_bucket" +: "_writer" +: physKeys).map(col): _*)
+      else {
+        val missing = zorderCols.filterNot(meta.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"zorderCols not in $storePath schema: ${missing.mkString(", ")}")
+        // one tiny stats pass (2·k scalars) for the min-max normalization;
+        // computed over the LOGICAL frame, applied to the physical names
+        val bAggs = zorderCols.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        val bRow = resolved.agg(bAggs.head, bAggs.tail: _*).collect().head
+        val bits =
+          if (zorderCols.size == 3) graft.catalyst.Morton3Expression.BitsPerDim else 20
+        val scaled = zorderCols.zipWithIndex.map { case (c, i) =>
+          // clamp into [0, 2^bits): long-floored bounds can leave a
+          // fractional max a hair above `hi`, and an over-range input
+          // would bleed into a sibling dimension's interleaved bits
+          greatest(lit(0L), least(lit((1L << bits) - 1),
+            graft.functions.ZOrder.scaleToBits(
+              col(meta.phys(c)), lit(bRow.getLong(2 * i)), lit(bRow.getLong(2 * i + 1)),
+              bits)))
+        }
+        val zKey =
+          if (zorderCols.size == 2)
+            graft.functions.ZOrder.interleaveBits(spark, scaled(0), scaled(1))
+          else graft.functions.ZOrder.morton3(spark, scaled(0), scaled(1), scaled(2))
+        renamed
+          .withColumn("__z", zKey)
+          .repartitionByRange(
+            math.max(1, dirty.size * zorderFilesPerBucket), col("_bucket"), col("__z"))
+          .sortWithinPartitions(col("_bucket"), col("__z"))
+          .drop("__z")
+      }
+    clustered
       .write.partitionBy("_bucket", "_writer")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")

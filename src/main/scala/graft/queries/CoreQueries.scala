@@ -1994,6 +1994,30 @@ object CoreQueries {
       Cdc.readPartitionedSnapshot(s, store).orderBy("c_custkey")
     }),
 
+    // C38b-health: the COMPACTION-PRESSURE readout over the merge-on-read
+    // store — x$partitions ($partitions metadata table, pure driver-side
+    // manifest rows, zero data IO) aggregated into the dashboard numbers
+    // an operator pages on: buckets serving through a fold (delta_depth >
+    // 0), max/total pending depth, lazily-split slices, and how many
+    // buckets still have recorded counts. `WHERE delta_depth > 0 OR
+    // base_mod IS NOT NULL` is exactly compactStore's dirty set, so this
+    // row IS the "should I compact" signal, benched round over round.
+    // Rows-only: the dirty BUCKET IDS hash from merge keys (xxhash
+    // layout), which DuckDB cannot recompute; the per-bucket fidelity
+    // laws live in CdcCatalogSpec ($partitions vs manifest).
+    "c38_cdc_partitions" -> ((s, sf) => {
+      val base = morTableFor(s, sf).stripPrefix("graft.")
+      s.table(s"graft.`$base$$partitions`")
+        .agg(
+          count(lit(1)).as("buckets"),
+          sum((col("delta_depth") > 0).cast("long")).as("delta_buckets"),
+          max(col("delta_depth")).as("max_depth"),
+          sum(col("delta_depth").cast("long")).as("pending_deltas"),
+          sum(col("base_mod").isNotNull.cast("long")).as("sliced_buckets"),
+          sum(col("rows").isNotNull.cast("long")).as("counted_buckets"),
+          sum(col("rows")).as("counted_rows"))
+    }),
+
     // C38c: the CHANGE FEED between two versions of the partitioned store
     // (Delta CDF shape) — every key whose row differs between v0 and v1,
     // classified I/U/D, emitted as-at v1 (I/U) or as-at v0 (D). The scan

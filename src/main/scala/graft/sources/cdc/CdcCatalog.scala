@@ -199,12 +199,16 @@ object CdcCatalog {
     * must stay contiguous or the streaming tail's gap detection throws a
     * misleading retention error at consumers). Returns the committed
     * version, or None when nothing needed compacting. */
-  def compact(name: String, minDeltas: Int = 1): Option[Long] = {
+  def compact(name: String, minDeltas: Int = 1,
+      /** See [[graft.operators.Cdc.compactStore]]: Z-order the rewritten
+        * buckets' files by these 2-3 columns for stats-pushdown locality. */
+      zorderCols: Seq[String] = Nil): Option[Long] = {
     val d = registry.getOrElse(name,
       throw new NoSuchTableException(
         org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, name)))
     val spark = SparkSession.active
-    val committed = Cdc.compactStore(spark, d.storePath, d.keys, d.nBuckets, minDeltas)
+    val committed =
+      Cdc.compactStore(spark, d.storePath, d.keys, d.nBuckets, minDeltas, zorderCols)
     committed.foreach(v => materializeFeed(spark, d.storePath, d.keys, v))
     committed
   }

@@ -1557,4 +1557,195 @@ class CdcSpec extends AnyFunSuite {
       "vacuum convicted a live statement's part dir on its stale DIRECTORY mtime")
     assert(readPart(store)(5L) === ("v2", 52.0))
   }
+
+  test("type widening: INT->BIGINT / FLOAT->DOUBLE are metadata-only — both file " +
+      "eras serve through the widened schema, the MoR fold crosses the boundary, " +
+      "time travel serves each era's own types, and non-widening changes refuse") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StringType}
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_widen").toString
+    // the KEY is an int on purpose: widening it must refuse (typed hash)
+    val seed = Seq((1, 10, 0.1f), (2, 20, 0.2f), (3, 30, 0.3f))
+      .toDF("k", "cnt", "ratio")
+    def chg(rows: (Int, Int, Float, Long, String)*): DataFrame =
+      rows.toDF("k", "cnt", "ratio", "seq", "op")
+    Cdc.processPartitionedBatch(chg(), seed, keys, Seq(col("seq")), col("op"),
+      store, nBuckets, 0L) // v0: narrow era files
+    // metadata-only widenings: v1, v2 — zero data files rewritten
+    val before = fileState(s"$store/parts")
+    assert(Cdc.widenColumn(spark, store, "cnt", LongType) === 1L)
+    assert(Cdc.widenColumn(spark, store, "ratio", DoubleType) === 2L)
+    assert(fileState(s"$store/parts") === before, "widening rewrote data files")
+    // old files up-cast on read: ints embed exactly; floats via
+    // Float.toDouble (0.1f -> 0.10000000149...), never the decimal repr
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+    assert(served.schema("cnt").dataType === LongType)
+    assert(served.schema("ratio").dataType === DoubleType)
+    val rows2 = served.as[(Long, Long, Double)].collect()
+      .map { case (k, c, r) => k -> ((c, r)) }.toMap
+    assert(rows2 === Map(
+      1L -> ((10L, 0.1f.toDouble)), 2L -> ((20L, 0.2f.toDouble)), 3L -> ((30L, 0.3f.toDouble))))
+    // the new era writes WIDE values old types couldn't carry; the MoR
+    // delta fold crosses the widening boundary (wide delta over narrow base)
+    val wide = Seq((2, 5_000_000_000L, 2.5d, 100L, "U"), (4, 40L, 0.4d, 101L, "U"))
+      .toDF("k", "cnt", "ratio", "seq", "op")
+    Cdc.processPartitionedBatch(wide,
+      Cdc.readPartitionedSnapshot(spark, store).limit(0), keys,
+      Seq(col("seq")), col("op"), store, nBuckets, 3L, casCommit = true, morCommit = true)
+    val folded = Cdc.readPartitionedSnapshot(spark, store)
+      .as[(Long, Long, Double)].collect().map { case (k, c, r) => k -> ((c, r)) }.toMap
+    assert(folded === Map(
+      1L -> ((10L, 0.1f.toDouble)), 2L -> ((5_000_000_000L, 2.5d)),
+      3L -> ((30L, 0.3f.toDouble)), 4L -> ((40L, 0.4d))))
+    // time travel: the narrow era serves its OWN recorded types
+    val v0 = Cdc.readPartitionedSnapshot(spark, store, Some(0L))
+    assert(v0.schema("cnt").dataType === IntegerType)
+    assert(v0.schema("ratio").dataType === FloatType)
+    // refusals: merge keys never widen (typed layout hash); non-widening
+    // changes are not metadata-expressible
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "k", LongType)
+    }.getMessage.contains("merge key"))
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "cnt", IntegerType)
+    }.getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "ratio", StringType)
+    }.getMessage.contains("widening"))
+  }
+
+  test("Z-order compaction: clustered rewrite serves byte-identical content; a " +
+      "selective 2-D predicate decodes a fraction of what the unclustered layout reads") {
+    // Twin stores with the SAME merge history (a base plus one MoR delta
+    // touching every bucket, so compaction rewrites the whole layout):
+    // A compacts plain (key-sorted buckets, one file each), B compacts
+    // Z-ORDERED on (k, bal) split into 4 range files per bucket — every
+    // B file covers a small (k, bal) box, so the scan's pushed filters
+    // skip whole row groups on either column.
+    val seedRows = (1L to 2000L).map(k => (k, s"n$k", (k * 37 % 1000).toDouble))
+    def build(st: String): Unit = {
+      val seed = snap(seedRows: _*)
+      runBatch(st, seed, 0L)
+      morBatch(st, seed, 1L, (1L to 40L).map(k =>
+        (k, s"touch$k", (k * 37 % 1000).toDouble, 100L + k, "U")): _*)
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft_cdc_zo_plain").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_cdc_zo_z").toString
+    build(a); build(b)
+    assert(Cdc.compactStore(spark, a, keys, nBuckets).contains(2L))
+    assert(Cdc.compactStore(spark, b, keys, nBuckets,
+      zorderCols = Seq("k", "bal"), zorderFilesPerBucket = 4).contains(2L))
+    // clustering is layout, never semantics
+    assert(readPart(a) === readPart(b), "z-ordered compaction changed content")
+    // the clustered store really split each bucket into range files
+    val filesPerBucket = Cdc.describeFiles(spark, b)
+      .groupBy("_bucket").count().as[(Int, Long)].collect().toMap
+    assert(filesPerBucket.values.forall(_ >= 2),
+      s"z-order compaction did not split buckets into range files: $filesPerBucket")
+    // serve both through the catalog; compare what the scans DECODE
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    graft.sources.cdc.CdcCatalog.register("zo_plain", a, keys, nBuckets)
+    graft.sources.cdc.CdcCatalog.register("zo_z", b, keys, nBuckets)
+    try {
+      def scanRows(df: DataFrame): Long = {
+        df.collect()
+        def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+          p.collect {
+            case bs: BatchScanExec => Seq(bs)
+            case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              find(ad.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+          }.flatten
+        find(df.queryExecution.executedPlan).head.metrics("numOutputRows").value
+      }
+      val pred = col("bal") >= 100.0 && col("bal") < 200.0 // ~10% of rows
+      val wantA = spark.table("graft.zo_plain").filter(pred)
+      val wantB = spark.table("graft.zo_z").filter(pred)
+      val resA = wantA.as[(Long, String, Double)].collect().toSet
+      val resB = wantB.as[(Long, String, Double)].collect().toSet
+      assert(resA === resB && resA.nonEmpty, "filtered reads disagree")
+      val (decodedA, decodedB) = (scanRows(wantA), scanRows(wantB))
+      // plain layout: one file per bucket spanning the whole bal range —
+      // nothing skips. Clustered: only the boxes overlapping the range
+      // decode. Generous factor: the z-curve gives ~half at 4 files.
+      assert(decodedB <= decodedA * 7 / 10,
+        s"z-ordered scan decoded $decodedB rows vs $decodedA unclustered — stats " +
+          "pushdown is not biting on the clustered layout")
+    } finally {
+      graft.sources.cdc.CdcCatalog.unregister("zo_plain")
+      graft.sources.cdc.CdcCatalog.unregister("zo_z")
+    }
+  }
+
+  test("randomized concurrent writers: N racing threads over random (often " +
+      "overlapping) key sets — the version line stays consecutive with one " +
+      "writer per version, and the store equals the commit-order replay") {
+    // The edge the deterministic CAS specs don't randomize: disjoint
+    // losers REBASE inside commitCas, overlapping losers throw retryable
+    // and re-apply at a fresh version — under arbitrary interleavings the
+    // committed line must stay linearizable (consecutive versions, one
+    // acknowledged writer each) with zero lost updates (the final
+    // snapshot is exactly the fold of acknowledged batches in COMMIT
+    // order — an upsert batch's meaning is snapshot-independent).
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_race").toString
+    val seedDf = snap((1L to 40L).map(k => (k, s"orig$k", k * 1.0)): _*)
+    runBatch(store, seedDf, 0L)
+    val rnd = new scala.util.Random(19)
+    // pre-draw each writer's rounds on the driver thread (Random is not
+    // thread-safe; determinism keeps failures replayable)
+    val writers = 4
+    val rounds = 3
+    val plans: Seq[Seq[Seq[(Long, String, Double, Long, String)]]] =
+      (0 until writers).map { w =>
+        (0 until rounds).map { r =>
+          val ks = rnd.shuffle((1L to 40L).toList).take(3 + rnd.nextInt(5))
+          val del = ks.head
+          (del, "", 0.0, 0L, "D") +: ks.tail.map(k =>
+            (k, s"w${w}r$r-$k", (w * 100 + r).toDouble, 0L, "U"))
+        }
+      }
+    val acks = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Seq[(Long, String, Double, Long, String)])]()
+    val empty = Cdc.readPartitionedSnapshot(spark, store).limit(0)
+    def commitWithRetry(rows: Seq[(Long, String, Double, Long, String)]): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val next = Cdc.manifestVersions(spark, store).max + 1
+        try {
+          val v = Cdc.processPartitionedBatch(log(rows: _*), empty, keys,
+            Seq(col("seq")), col("op"), store, nBuckets, next, casCommit = true)
+          acks.add((v, rows)); done = true
+        } catch {
+          case _: ConcurrentCdcWriteException =>
+            attempts += 1
+            assert(attempts <= 30, "retry budget exhausted — livelock?")
+        }
+      }
+    }
+    val threads = (0 until writers).map { w =>
+      new Thread(() => plans(w).foreach(commitWithRetry), s"race-writer-$w")
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    threads.foreach(_.setUncaughtExceptionHandler((_, e) => failures.add(e)))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer thread died: ${failures.peek()}")
+    // linearizable version line: every acknowledged commit landed on its
+    // own version, and the committed line has no holes
+    val ackSeq = acks.asScala.toSeq
+    assert(ackSeq.size === writers * rounds, "an acknowledged commit went missing")
+    assert(ackSeq.map(_._1).distinct.size === ackSeq.size,
+      "two writers were acknowledged at the same version")
+    val vs = Cdc.manifestVersions(spark, store).sorted
+    assert(vs === (0L to vs.max), s"version line has holes: $vs")
+    // zero lost updates: the served snapshot equals the in-memory fold of
+    // acknowledged batches in COMMIT (version) order — later commit wins
+    var expected = (1L to 40L).map(k => k -> ((s"orig$k", k * 1.0))).toMap
+    ackSeq.sortBy(_._1).foreach { case (_, rows) =>
+      rows.foreach {
+        case (k, _, _, _, "D")    => expected -= k
+        case (k, nm, b, _, _)     => expected += k -> ((nm, b))
+      }
+    }
+    assert(readPart(store) === expected, "a committed update was lost or reordered")
+  }
 }

@@ -131,6 +131,50 @@ class CdcFeedTableSpec extends AnyFunSuite {
     } finally CdcCatalog.unregister("feed_tail")
   }
 
+  test("the streaming tail crosses a BUCKET SPLIT: resume serves the split's empty " +
+      "feed version and every post-split delta; N-epoch tail == the per-version CDF union") {
+    val (store, feed) = buildFed() // store v0,1,2; feed v=1,2 at 8 buckets
+    CdcCatalog.register("feed_split_store", store, keys, n)
+    CdcCatalog.registerFeed("feed_split_tail", store, feed)
+    val out = java.nio.file.Files.createTempDirectory("graft_feedtbl_split_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feedtbl_split_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("graft.feed_split_tail")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce() // consumer checkpoint parked at v=2
+      // layout evolution UNDER the parked consumer: the catalog split
+      // commits v=3 (metadata-only, 8 -> 16) and materializes its EMPTY
+      // feed version — the contiguity the tail's gap detection needs
+      CdcCatalog.split("feed_split_store")
+      assert(Cdc.manifestVersions(spark, store).max === 3L)
+      assert(feedOf(feed, 3L).isEmpty, "a split changes no logical row")
+      // post-split delta at the NEW bucket count
+      val parent = Cdc.manifestVersions(spark, store).max
+      Cdc.processPartitionedBatch(
+        Seq((2L, "post-split", 22.0, 8L, "U"), (30L, "", 0.0, 9L, "D"))
+          .toDF("k", "name", "bal", "seq", "op"),
+        Cdc.readPartitionedSnapshot(spark, store).limit(0),
+        keys, Seq(col("seq")), col("op"), store, 16, parent + 1)
+      Cdc.changesBetweenCdf(spark, store, parent, parent + 1, keys)
+        .write.mode("overwrite").parquet(s"$feed/v=${parent + 1}")
+      runOnce() // resume: must serve v=3 (empty) + v=4, exactly once
+      val all = cdfSet(spark.read.parquet(out))
+      val perVersion = (1L to 4L).map(v =>
+        cdfSet(Cdc.changesBetweenCdf(spark, store, v - 1, v, keys))).reduce(_ ++ _)
+      assert(all === perVersion, "tail across the split drifted from the CDF union")
+      assert(spark.read.parquet(out).count() === perVersion.size.toLong,
+        "a feed row was delivered twice across the split")
+    } finally {
+      CdcCatalog.unregister("feed_split_store")
+      CdcCatalog.unregister("feed_split_tail")
+    }
+  }
+
   test("initialSnapshot bootstraps a new consumer: batch 0 is the snapshot as inserts, " +
       "the tail serves only the deltas after it, and the materialized view equals the store") {
     val (store, feed) = buildFed() // store versions 0,1,2; feed v=1,2
