@@ -3416,15 +3416,19 @@ object LlmQueries {
     * the run's dataset are known — see [[indexOracleSql]]. */
   def sql: Map[String, String] = staticSql ++ indexOracleSql
 
-  /** DuckDB twins of the d4 index-serving probes, reading the session's
-    * materialized index directories directly (`read_parquet` over the
-    * same files the Spark scans prune). Emitted only when the artifacts
-    * of exactly ONE dataset are materialized in this JVM — the Verify
+  /** DuckDB twins of the ARTIFACT-BACKED queries — the d4 index-serving
+    * probes plus the deterministic d3/d9 analytics (PCA projection off
+    * the stored model, k-means-blocked semantic clusters via a recursive
+    * min-reachability fixpoint, unrolled label-propagation and PageRank
+    * rounds over the materialized edge lists) — reading the session's
+    * materialized directories directly (`read_parquet` over the same
+    * files the Spark scans prune). Emitted only when the artifacts of
+    * exactly ONE dataset are materialized in this JVM — the Verify
     * shape; ambiguous or missing artifacts fall back to rows-only, never
     * to an oracle over the wrong corpus's index. Every numeric step
     * mirrors the Spark expression shape 1:1 (sequential-fold dot
-    * products, round-to-9 before ranking, id tie-breaks), the same
-    * discipline that keeps d4_topk_bruteforce hash-green. */
+    * products, decimal-exact sums, round-before-rank, id tie-breaks),
+    * the same discipline that keeps d4_topk_bruteforce hash-green. */
   private def indexOracleSql: Map[String, String] = {
     val bySf = ivfIndexes.keys.groupBy(k => k.substring(0, k.lastIndexOf('#')))
     if (bySf.size != 1) return Map.empty
@@ -3546,7 +3550,137 @@ object LlmQueries {
           FROM u WHERE vec_id IN ($exactSql)
           GROUP BY method ORDER BY method"""
 
-    (ivf ++ ivfF ++ ivfQ ++ pq ++ ivfpq ++ opq ++ lsh ++ report).toMap
+    // PCA whitening: d3_pca_whiten's inline fit is the IDENTICAL
+    // deterministic call (same data, dim=64, no RNG) as the OPQ
+    // artifact's stored `_model`, so the oracle projects with the stored
+    // model — centered dot per component, whitened by √eigenvalue,
+    // round-6 %.6f formatting, the query's exact output shape. Any drift
+    // between the two fits would hash-fail loudly, never silently pass.
+    val pca = pathOf("opq").map(p => "d3_pca_whiten" ->
+      s"""WITH model AS (SELECT comp, eigenvalue, evec FROM read_parquet('$p/_model/*.parquet')),
+          mn AS (SELECT evec AS mn FROM model WHERE comp = -1),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id, list_transform(v, (x,i) -> x - mn[i]) AS cv FROM e, mn),
+          proj AS (SELECT vec_id,
+            list(printf('%.6f', round(list_dot_product(cent.cv, m.evec) / sqrt(m.eigenvalue), 6))
+                 ORDER BY m.comp) AS ps
+            FROM cent, model m WHERE m.comp >= 0 AND m.comp < 8 GROUP BY vec_id)
+          SELECT vec_id, array_to_string(ps, ' ') AS proj FROM proj ORDER BY vec_id""")
+
+    // SemDeDup k-means blocking: assignment against the MATERIALIZED IVF
+    // centroids replays in SQL (argmax cosine, lowest-cid tie), exact
+    // within-block threshold pairs, then connected components as a
+    // RECURSIVE min-reachability fixpoint — cluster = min node id, the
+    // same label Dedup.connectedComponents converges to.
+    val kmeansCc = pathOf("float").map(idx => "d9_semantic_clusters_kmeans" ->
+      s"""WITH RECURSIVE
+          c AS (SELECT cid, cvec FROM read_parquet('$idx/_centroids/*.parquet')),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0),
+          sc AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cvec")} AS sim FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sc)
+            WHERE rn = 1),
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+          nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
+          und AS (SELECT id_a AS n1, id_b AS n2 FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(node, m) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.n2, reach.m FROM reach JOIN und u ON u.n1 = reach.node)
+          SELECT node AS vec_id, min(m) AS cluster FROM reach GROUP BY node ORDER BY vec_id""")
+
+    // Seeded label propagation over the MATERIALIZED edge artifact: 5
+    // synchronous rounds unrolled as CTE layers — integer majority votes,
+    // smallest-label ties, seeds pinned; no floating point anywhere.
+    val labelProp = pathOf("neardupedges30").map { e =>
+      val head =
+        s"""sym AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT doc_a AS src, doc_b AS dst FROM read_parquet('$e/*.parquet')
+                UNION
+                SELECT doc_b, doc_a FROM read_parquet('$e/*.parquet'))
+              WHERE src <> dst),
+            seeds AS (SELECT doc_id AS node, source AS label FROM documents WHERE doc_id % 7 = 0),
+            nodes AS (SELECT src AS node FROM sym UNION SELECT node FROM seeds),
+            l0 AS (SELECT n.node, s.label, s.label IS NOT NULL AS is_seed
+                   FROM nodes n LEFT JOIN seeds s USING (node))"""
+      val rounds = (0 until 5).map { i =>
+        s"""b$i AS MATERIALIZED (
+              SELECT node, nbr_label FROM (
+                SELECT sym.dst AS node, l.label AS nbr_label, count(*) AS votes,
+                  row_number() OVER (PARTITION BY sym.dst ORDER BY count(*) DESC, l.label) AS rn
+                FROM sym JOIN l$i l ON l.node = sym.src AND l.label IS NOT NULL
+                GROUP BY sym.dst, l.label) WHERE rn = 1),
+            l${i + 1} AS MATERIALIZED (
+              SELECT l.node,
+                CASE WHEN l.is_seed THEN l.label ELSE coalesce(b.nbr_label, l.label) END AS label,
+                l.is_seed
+              FROM l$i l LEFT JOIN b$i b USING (node))"""
+      }
+      "d9_label_prop" ->
+        ((head +: rounds).mkString("WITH ", ", ", "") +
+          "\nSELECT node AS doc_id, label FROM l5 ORDER BY doc_id")
+    }
+
+    // PageRank: 10 decimal-exact rounds unrolled (DECIMAL(38,18)
+    // contribution sums — the same exactness that makes the Spark ranks
+    // partitioning-independent makes them engine-portable), dangling mass
+    // redistributed per round, round-6 output. MATERIALIZED keeps DuckDB
+    // from inlining the round chain into an exponential plan.
+    val pagerank = pathOf("neardupedges20").map { edg =>
+      val head =
+        s"""e AS MATERIALIZED (
+              SELECT doc_a AS src, doc_b AS dst FROM read_parquet('$edg/*.parquet')
+              UNION ALL
+              SELECT doc_b, doc_a FROM read_parquet('$edg/*.parquet')),
+            vertices AS MATERIALIZED (
+              SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM vertices),
+            outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS MATERIALIZED (SELECT v, 1.0 AS rank FROM vertices)"""
+      val rounds = (0 until 10).map { i =>
+        s"""d$i AS MATERIALIZED (
+              SELECT coalesce(sum(CAST(r.rank AS DECIMAL(38,18))), 0) AS m
+              FROM r$i r LEFT JOIN outdeg o ON r.v = o.src WHERE o.deg IS NULL),
+            c$i AS MATERIALIZED (
+              SELECT e.dst AS v, sum(CAST(r.rank / o.deg AS DECIMAL(38,18))) AS csum
+              FROM r$i r JOIN outdeg o ON r.v = o.src JOIN e ON e.src = r.v
+              GROUP BY e.dst),
+            r${i + 1} AS MATERIALIZED (
+              SELECT vs.v,
+                0.15 + 0.85 * (CAST(coalesce(c.csum, 0) AS DOUBLE)
+                  + (SELECT CAST(m AS DOUBLE) FROM d$i) / (SELECT n FROM nn)) AS rank
+              FROM vertices vs LEFT JOIN c$i c USING (v))"""
+      }
+      "d9_pagerank" ->
+        ((head +: rounds).mkString("WITH ", ", ", "") +
+          "\nSELECT v AS doc_id, round(rank, 6) AS rank FROM r10 ORDER BY doc_id")
+    }
+
+    // IVF drift monitor: assignment against the stored centroids plus
+    // the `_stats` build-time baseline — both materialized, so the whole
+    // dashboard (counts, round-6 mean/min cosine, drift vs baseline)
+    // replays in SQL.
+    val drift = pathOf("float").map(idx => "d4_ivf_drift" ->
+      s"""WITH c AS (SELECT cid, cvec FROM read_parquet('$idx/_centroids/*.parquet')),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 4 = 3),
+          sc AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cvec")} AS sim FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sc)
+            WHERE rn = 1),
+          j AS (SELECT a.cid, ${cosSql("a.v", "c.cvec")} AS sim FROM asg a JOIN c ON a.cid = c.cid),
+          g AS (SELECT cid, count(*) AS n_new, round(avg(sim), 6) AS mean_sim,
+                  round(min(sim), 6) AS min_sim
+                FROM j GROUP BY cid),
+          base AS (SELECT cid, build_mean_sim FROM read_parquet('$idx/_stats/*.parquet'))
+          SELECT g.cid, g.n_new, g.mean_sim, g.min_sim, b.build_mean_sim,
+            round(b.build_mean_sim - g.mean_sim, 6) AS drift
+          FROM g LEFT JOIN base b USING (cid) ORDER BY cid""")
+
+    (ivf ++ ivfF ++ ivfQ ++ pq ++ ivfpq ++ opq ++ lsh ++ report ++
+      pca ++ kmeansCc ++ labelProp ++ pagerank ++ drift).toMap
   }
 
   private val staticSql: Map[String, String] = Map(
