@@ -3416,6 +3416,52 @@ object LlmQueries {
     * the run's dataset are known — see [[indexOracleSql]]. */
   def sql: Map[String, String] = staticSql ++ indexOracleSql
 
+  /** d6_mmr's greedy selection unrolled: 10 argmax picks as CTE layers
+    * over the BM25 top-20 (the d6_bm25 scoring CTE verbatim) and the
+    * candidates' pairwise cosines — `0.7·rel − 0.3·max-sim-to-selected`,
+    * ties to the lowest id, exactly [[graft.operators.Mmr.rerank]]'s
+    * driver loop. MATERIALIZED hints keep the step chain from inlining
+    * into an exponential plan. Candidates without an embedding row read
+    * max-sim 0, the operator's missing-pair convention. */
+  private def mmrOracleSql: String = {
+    val head =
+      s"""toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks FROM documents),
+          stats AS (SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM toks),
+          tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, u.tok AS t, CAST(count(*) AS DOUBLE) AS tf
+                 FROM toks, unnest(toks) AS u(tok) WHERE u.tok IN ('scan','hash','dup')
+                 GROUP BY doc_id, dl, u.tok),
+          dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+          sc AS (SELECT doc_id, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e12) AS BIGINT) AS s_micro
+                 FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+          bm AS MATERIALIZED (SELECT doc_id, round(CAST(sum(s_micro) AS DOUBLE) / 1e12, 6) AS bm25
+                FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+          emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE vec_id IN (SELECT doc_id FROM bm)),
+          simb AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+          sel0 AS (SELECT CAST(NULL AS BIGINT) AS sel_rank, CAST(NULL AS BIGINT) AS doc_id,
+                          CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS mmr WHERE 1=0)"""
+    val steps = (0 until 10).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT c.doc_id AS id, c.bm25 AS rel,
+              0.7 * c.bm25 - 0.3 * coalesce((SELECT max(s.cos) FROM simb s
+                WHERE s.ia = c.doc_id AND s.ib IN (SELECT doc_id FROM sel$i)), 0.0) AS score
+            FROM bm c
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM sel$i WHERE doc_id IS NOT NULL)),
+          pick$i AS MATERIALIZED (SELECT id, rel, score FROM p$i ORDER BY score DESC, id LIMIT 1),
+          sel${i + 1} AS MATERIALIZED (
+            SELECT * FROM sel$i UNION ALL
+            SELECT CAST(${i + 1} AS BIGINT), id, rel, score FROM pick$i)"""
+    }
+    (head +: steps).mkString("WITH ", ", ", "") +
+      """
+      SELECT sel_rank, doc_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+      FROM sel10 WHERE sel_rank IS NOT NULL ORDER BY sel_rank"""
+  }
+
   /** DuckDB twins of the ARTIFACT-BACKED queries — the d4 index-serving
     * probes plus the deterministic d3/d9 analytics (PCA projection off
     * the stored model, k-means-blocked semantic clusters via a recursive
@@ -4295,6 +4341,7 @@ object LlmQueries {
            round(CAST(tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
          FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
          ORDER BY score DESC, doc_id, tok LIMIT 100""",
+    "d6_mmr" -> mmrOracleSql,
     "d6_bm25" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks

@@ -25,6 +25,7 @@ class ContractSpec extends AnyFunSuite {
     "c12_approx_distinct",
     "c12_hll_shard_merge",
     "c31_sample",
+    "c38_cdc_partitions", // dirty-bucket ids hash from merge keys (xxhash)
     "d0_corpus_prep",
     "d0_corpus_prep_full",
     "d0_corpus_prep_incr",
@@ -34,8 +35,25 @@ class ContractSpec extends AnyFunSuite {
     "d2_neardup_oph",
     "d2_simhash",
     "d2_source_overlap",
-    "d3_pca_whiten",
     "d3_procrustes_align",
+    "d5_bpe_bytes",
+    "d5_bpe_encode",
+    "d5_bpe_train",
+    "d5_heavy_hitters",
+    "d7_bpe_budget",
+    "d7_ffd_packing",
+    "d8_image_phash",
+    "d8_image_resize",
+    "d9_kcore",
+    "d9_semantic_clusters_lsh")
+
+  /** Queries whose oracle is ARTIFACT-BACKED (LlmQueries.indexOracleSql):
+    * emitted only after the session materialized the index/model/edge
+    * artifacts the SQL reads back — i.e. in every Verify run, where the
+    * driver's gate hash-checks them, but NOT in this artifact-free test
+    * JVM. Pinned separately so a typo'd key still fails here. */
+  private val artifactOracles: Set[String] = Set(
+    "d3_pca_whiten",
     "d4_ivf_drift",
     "d4_recall_report",
     "d4_topk_ivf",
@@ -45,20 +63,9 @@ class ContractSpec extends AnyFunSuite {
     "d4_topk_lsh",
     "d4_topk_opq",
     "d4_topk_pq",
-    "d5_bpe_bytes",
-    "d5_bpe_encode",
-    "d5_bpe_train",
-    "d5_heavy_hitters",
-    "d6_mmr",
-    "d7_bpe_budget",
-    "d7_ffd_packing",
-    "d8_image_phash",
-    "d8_image_resize",
-    "d9_kcore",
     "d9_label_prop",
     "d9_pagerank",
-    "d9_semantic_clusters_kmeans",
-    "d9_semantic_clusters_lsh")
+    "d9_semantic_clusters_kmeans")
 
   test("every oracle key names a registered query (an orphan oracle never runs)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -68,8 +75,10 @@ class ContractSpec extends AnyFunSuite {
   test("the rows-only set is exactly the pinned by-design list — a typo'd oracle " +
       "key must fail here, not silently weaken the gate") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val unexpected = rowsOnly -- rowsOnlyByDesign
-    val missing = rowsOnlyByDesign -- rowsOnly
+    // artifact-backed oracles are absent HERE (no artifacts were built in
+    // this JVM) but present in every Verify run — both states are pinned
+    val unexpected = rowsOnly -- rowsOnlyByDesign -- artifactOracles
+    val missing = (rowsOnlyByDesign ++ artifactOracles) -- rowsOnly
     assert(unexpected.isEmpty,
       "queries lost their oracle (typo'd key, or add them to the pinned list " +
         s"WITH a law spec): ${unexpected.toSeq.sorted.mkString(", ")}")
