@@ -1571,14 +1571,8 @@ object Cdc {
     * `TIMESTAMP AS OF` time travel needs no extra metadata write.
     * Millis since epoch, sorted by version. */
   def versionCommitTimes(
-      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[(Long, Long)] = {
-    val root = new org.apache.hadoop.fs.Path(manifestPath(storePath))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    manifestVersions(spark, storePath).sorted.map { v =>
-      val marker = new org.apache.hadoop.fs.Path(s"${manifestPath(storePath)}/v=$v/_SUCCESS")
-      v -> fs.getFileStatus(marker).getModificationTime
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[(Long, Long)] =
+    commitTimesFor(spark, storePath, manifestVersions(spark, storePath))
 
   // --- history checkpointing ------------------------------------------
   //
@@ -1632,27 +1626,47 @@ object Cdc {
     val priorUp = prior.map(_._1).getOrElse(Long.MinValue)
     val tail = vs.filter(_ > priorUp)
     val times = commitTimesFor(spark, storePath, tail).toMap
-    val tailRows = historyRowsFor(spark, storePath, tail,
-      prior.map(_._3).getOrElse(Map.empty), times)
-    val allRows = prior.map(_._2).getOrElse(Seq.empty).filter(_.v <= upTo) ++ tailRows
+    // the prior boundary is only the first tail version's TRUE parent
+    // when nothing between them was vacuumed — otherwise diff against
+    // nothing (all-touched for the oldest retained), exactly what an
+    // un-checkpointed store reports post-vacuum
+    val priorBoundary: Map[Int, BucketSig] =
+      if (tail.headOption.contains(priorUp + 1)) prior.map(_._3).getOrElse(Map.empty)
+      else Map.empty
+    val tailRows = historyRowsFor(spark, storePath, tail, priorBoundary, times)
+    val allRows = prior.map(_._2).getOrElse(Seq.empty)
+      .filter(r => r.v <= upTo && vs.contains(r.v)) ++ tailRows
     val boundary: Map[Int, BucketSig] = readManifestFull(spark, storePath, upTo)
       .map { case (p, e) => p -> ((e.base.getOrElse(-1L), e.deltas, e.baseMod)) }
-    val dir = new org.apache.hadoop.fs.Path(s"${ckptRoot(storePath)}/v=$upTo")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(ckptRoot(storePath))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage-then-rename: write the whole checkpoint (history + boundary +
+    // marker) under a writer-unique temp dir and RENAME it onto v=<upTo>
+    // — racing writers of the same upTo produce one winner (the loser's
+    // rename fails against the existing dir and its temp is discarded),
+    // never interleaved part files under one marker
+    val tmp = new org.apache.hadoop.fs.Path(
+      root, s".tmp_v=${upTo}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dst = new org.apache.hadoop.fs.Path(root, s"v=$upTo")
     allRows.map(r => (r.v, r.ts, r.buckets, r.touched, r.rows, r.deltaBuckets))
       .toDF("v", "ts", "buckets", "touched", "rows", "delta_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/history")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/history")
     boundary.toSeq.map { case (p, (w, ds, bm)) => (p, w, ds, bm) }
       .toDF("_bucket", "_writer", "_deltas", "_basemod")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/boundary")
-    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMITTED"), true).close()
-    // prune superseded checkpoints — ONE live checkpoint bounds metadata
-    if (fs.exists(new org.apache.hadoop.fs.Path(ckptRoot(storePath))))
-      fs.listStatus(new org.apache.hadoop.fs.Path(ckptRoot(storePath))).foreach { st =>
-        val n = st.getPath.getName.stripPrefix("v=")
-        if (st.getPath.getName.startsWith("v=") && n.forall(_.isDigit) && n.toLong < upTo)
-          fs.delete(st.getPath, true)
-      }
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/boundary")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMMITTED"), true).close()
+    val renamed =
+      try !fs.exists(dst) && fs.rename(tmp, dst)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) fs.delete(tmp, true) // a racer won the same upTo: identical content
+    // prune superseded checkpoints — ONE live checkpoint bounds metadata.
+    // A concurrent reader that just resolved a pruned dir falls back to
+    // the full manifest fold (latestHistoryCkpt's read is fail-soft).
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName.stripPrefix("v=")
+      if (st.getPath.getName.startsWith("v=") && n.forall(_.isDigit) && n.toLong < upTo)
+        fs.delete(st.getPath, true)
+    }
     Some(upTo)
   }
 
@@ -1661,15 +1675,18 @@ object Cdc {
     * never fail the commit — a checkpoint is an accelerator, the
     * fine-grained manifests stay authoritative. */
   private def maybeCheckpointHistory(
-      spark: org.apache.spark.sql.SparkSession, storePath: String, v: Long): Unit = {
-    val every = historyCkptEvery(spark)
-    if (every > 0 && v > 0 && v % every == 0)
-      try { checkpointHistory(spark, storePath); () }
-      catch { case scala.util.control.NonFatal(e) =>
-        java.util.logging.Logger.getLogger(getClass.getName)
-          .warning(s"history checkpoint at v=$v failed (serving unaffected): $e")
-      }
-  }
+      spark: org.apache.spark.sql.SparkSession, storePath: String, v: Long): Unit =
+    // EVERYTHING inside the guard — including the conf parse: this hook
+    // runs after the manifest already durably committed, so even a
+    // malformed interval value must degrade to a warning, never surface
+    // as a phantom commit failure on a store that actually advanced
+    try {
+      val every = historyCkptEvery(spark)
+      if (every > 0 && v > 0 && v % every == 0) { checkpointHistory(spark, storePath); () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      java.util.logging.Logger.getLogger(getClass.getName)
+        .warning(s"history checkpoint at v=$v failed (serving unaffected): $e")
+    }
 
   /** The newest committed checkpoint: (upTo, history rows, boundary
     * signature of upTo). None when no checkpoint has been written. */
@@ -1687,20 +1704,26 @@ object Cdc {
     if (vs.isEmpty) return None
     val upTo = vs.max
     val dir = s"${ckptRoot(storePath)}/v=$upTo"
-    val rows = spark.read.parquet(s"$dir/history")
-      .select(col("v").cast("long"), col("ts").cast("long"), col("buckets").cast("int"),
-        col("touched").cast("int"), col("rows").cast("long"),
-        col("delta_buckets").cast("int"))
-      .as[(Long, Long, Int, Int, Option[Long], Int)]
-      .collect().toSeq.sortBy(_._1)
-      .map { case (v, ts, b, t, r, d) => HistRow(v, ts, b, t, r, d) }
-    val boundary = spark.read.parquet(s"$dir/boundary")
-      .select(col("_bucket").cast("int"), col("_writer").cast("long"), col("_deltas"),
-        col("_basemod").cast("int"))
-      .as[(Int, Long, Seq[Long], Option[Int])]
-      .collect()
-      .map { case (p, w, ds, bm) => p -> ((w, ds, bm)) }.toMap
-    Some((upTo, rows, boundary))
+    // FAIL-SOFT: a concurrent writer may prune this dir between the
+    // listing and the read — the checkpoint is an accelerator, so the
+    // caller falls back to the full manifest fold, never fails a pure
+    // metadata query over a race it didn't enter
+    try {
+      val rows = spark.read.parquet(s"$dir/history")
+        .select(col("v").cast("long"), col("ts").cast("long"), col("buckets").cast("int"),
+          col("touched").cast("int"), col("rows").cast("long"),
+          col("delta_buckets").cast("int"))
+        .as[(Long, Long, Int, Int, Option[Long], Int)]
+        .collect().toSeq.sortBy(_._1)
+        .map { case (v, ts, b, t, r, d) => HistRow(v, ts, b, t, r, d) }
+      val boundary = spark.read.parquet(s"$dir/boundary")
+        .select(col("_bucket").cast("int"), col("_writer").cast("long"), col("_deltas"),
+          col("_basemod").cast("int"))
+        .as[(Int, Long, Seq[Long], Option[Int])]
+        .collect()
+        .map { case (p, w, ds, bm) => p -> ((w, ds, bm)) }.toMap
+      Some((upTo, rows, boundary))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Commit wall-clock for a SPECIFIC version list — the tail-bounded
@@ -2286,21 +2309,37 @@ object Cdc {
         val missing = zorderCols.filterNot(meta.schema.fieldNames.contains)
         require(missing.isEmpty,
           s"zorderCols not in $storePath schema: ${missing.mkString(", ")}")
+        // DATE columns z-cluster as epoch days (Spark refuses date→numeric
+        // casts, so the dimension normalizes through unix_date)
+        def zNum(c: Column, logical: String): Column =
+          if (meta.schema(logical).dataType == org.apache.spark.sql.types.DateType)
+            unix_date(c).cast("long")
+          else c.cast("long")
         // one tiny stats pass (2·k scalars) for the min-max normalization;
         // computed over the LOGICAL frame, applied to the physical names
         val bAggs = zorderCols.flatMap(c =>
-          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+          Seq(min(zNum(col(c), c)), max(zNum(col(c), c))))
         val bRow = resolved.agg(bAggs.head, bAggs.tail: _*).collect().head
+        // an all-NULL column (or an empty resolved set — every dirty
+        // bucket's rows deleted) has no bounds: treat it as constant, so
+        // it maps to 0 instead of NPE'ing a compaction the plain path
+        // commits fine
+        def bound(i: Int): Long = if (bRow.isNullAt(i)) 0L else bRow.getLong(i)
         val bits =
           if (zorderCols.size == 3) graft.catalyst.Morton3Expression.BitsPerDim else 20
         val scaled = zorderCols.zipWithIndex.map { case (c, i) =>
           // clamp into [0, 2^bits): long-floored bounds can leave a
           // fractional max a hair above `hi`, and an over-range input
-          // would bleed into a sibling dimension's interleaved bits
-          greatest(lit(0L), least(lit((1L << bits) - 1),
-            graft.functions.ZOrder.scaleToBits(
-              col(meta.phys(c)), lit(bRow.getLong(2 * i)), lit(bRow.getLong(2 * i + 1)),
-              bits)))
+          // would bleed into a sibling dimension's interleaved bits.
+          // NULL values coalesce to slot 0 — they cluster at the low end
+          // of their bucket's file range (least/greatest skip nulls, so
+          // without the coalesce a NULL would land in the TOP slot).
+          coalesce(
+            greatest(lit(0L), least(lit((1L << bits) - 1),
+              graft.functions.ZOrder.scaleToBits(
+                zNum(col(meta.phys(c)), c), lit(bound(2 * i)), lit(bound(2 * i + 1)),
+                bits))),
+            lit(0L))
         }
         val zKey =
           if (zorderCols.size == 2)
@@ -2586,8 +2625,16 @@ object Cdc {
     val headRows = ck.map(_._2).getOrElse(Seq.empty).filter(r => vsSet.contains(r.v))
     val tail = vs.filter(_ > ckUp)
     val times = commitTimesFor(spark, storePath, tail).toMap
-    val tailRows = historyRowsFor(spark, storePath, tail,
-      ck.map(_._3).getOrElse(Map.empty), times)
+    // the checkpoint boundary is the first tail version's TRUE parent
+    // only when v=ckUp+1 is the next retained version; if vacuum removed
+    // everything between the checkpoint and the retained window, diffing
+    // against the stale boundary would misattribute every change since
+    // the checkpoint to the oldest retained version — report all-touched
+    // there instead, exactly the un-checkpointed post-vacuum convention
+    val boundary: Map[Int, BucketSig] =
+      if (tail.headOption.contains(ckUp + 1)) ck.map(_._3).getOrElse(Map.empty)
+      else Map.empty
+    val tailRows = historyRowsFor(spark, storePath, tail, boundary, times)
     (headRows ++ tailRows)
       .map(r => (r.v, r.ts, r.buckets, r.touched, r.rows, r.deltaBuckets))
       .toDF("version", "commit_ts_millis", "buckets", "touched_buckets", "rows",

@@ -563,19 +563,12 @@ object SimilarityJoin {
       tables: Int = 1,
       maxBucketSize: Int = 0
   ): DataFrame = {
-    require(tables >= 1 && nbits >= 1, "tables and nbits must be >= 1")
-    require(tables * nbits <= 64, "tables * nbits must fit in one long")
-    val mask = (1L << nbits) - 1
-    // Same high-end slicing as lshTopK: table t's hyperplanes are
-    // independent of the total table count, so adding tables only ADDS
-    // candidates (recall monotone in `tables`).
-    def slices(wide: Column): Column =
-      array((0 until tables).map(t =>
-        shiftright(wide, (tables - 1 - t) * nbits).bitwiseAND(lit(mask))): _*)
+    requireLshParams(tables, nbits)
     val bucketed = emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
       .select(col("id"), col("v"),
-        posexplode(slices(cosineLshBucket(col("v"), dim, tables * nbits))).as(Seq("t", "key")))
+        posexplode(lshSlices(cosineLshBucket(col("v"), dim, tables * nbits), tables, nbits))
+          .as(Seq("t", "key")))
     val side =
       if (maxBucketSize <= 0) bucketed
       else { // one count per (t, key) partition — same shuffle the join pays
@@ -625,27 +618,18 @@ object SimilarityJoin {
       tables: Int = 8,
       bitsPerTable: Int = 8
   ): DataFrame = {
-    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
-    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
+    requireLshParams(tables, bitsPerTable)
     val spark = emb.sparkSession
     val nbits = tables * bitsPerTable
-    val mask  = (1L << bitsPerTable) - 1
-    // Hyperplane b sits at bit (nbits-1-b) of the wide bucket, so slice t
-    // = hyperplanes [t·bits, (t+1)·bits) lives at the HIGH end: shifting by
-    // (tables-1-t)·bits keeps table t's hyperplanes independent of the
-    // total table count — adding tables only ADDS tables, never reshuffles
-    // existing ones, so the candidate union (and recall) is monotone in
-    // `tables` (asserted in SimilaritySpec).
-    def slices(wide: Column): Column =
-      array((0 until tables).map(t =>
-        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
     val corpus = emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
       .select(col("id"), col("v"),
-        posexplode(slices(cosineLshBucket(col("v"), dim, nbits))).as(Seq("t", "key")))
+        posexplode(lshSlices(cosineLshBucket(col("v"), dim, nbits), tables, bitsPerTable))
+          .as(Seq("t", "key")))
     val qKeyed = query
       .select(col("qvec"),
-        posexplode(slices(cosineLshBucket(col("qvec"), dim, nbits))).as(Seq("qt", "qkey")))
+        posexplode(lshSlices(cosineLshBucket(col("qvec"), dim, nbits), tables, bitsPerTable))
+          .as(Seq("qt", "qkey")))
     corpus
       .join(broadcast(qKeyed), col("t") === col("qt") && col("key") === col("qkey"))
       .dropDuplicates("id") // a row can collide in several tables
@@ -655,16 +639,36 @@ object SimilarityJoin {
       .limit(k)
   }
 
+  /** The multi-table bit-slicing shared by [[lshTopK]], [[lshSelfJoinThreshold]],
+    * [[buildLshIndex]] and [[lshProbe]] — ONE definition, because the
+    * slicing IS the contract that keeps a materialized index
+    * row-identical to the inline eval (and the DuckDB oracle honest):
+    * table t's hyperplanes are [t·bits, (t+1)·bits) taken from the HIGH
+    * end of the wide bucket, so a table's keys are independent of the
+    * total table count — adding tables only ADDS tables. */
+  private def lshSlices(wide: Column, tables: Int, bitsPerTable: Int): Column = {
+    val mask = (1L << bitsPerTable) - 1
+    array((0 until tables).map(t =>
+      shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+  }
+
+  private def requireLshParams(tables: Int, bitsPerTable: Int): Unit = {
+    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
+    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
+  }
+
   /** Offline half of the LSH serving pair ([[lshTopK]] is the index-free
     * one-shot): materialize the corpus's multi-table bucket assignment as
     * (id, t, key) rows — the hash tables a production LSH deployment
-    * stores. The rows carry NO vectors (the index is id-sized, not
-    * corpus-sized); [[lshProbe]] fetches only the colliding candidates'
-    * vectors for the exact rerank. Deterministic (xxhash-seeded
-    * hyperplanes, no RNG), so the index doubles as an ORACLE artifact:
-    * an external engine reading these rows reproduces the candidate set
-    * exactly — including the query's own keys when the query vector is a
-    * corpus member (its (t, key) rows ARE the probe). */
+    * stores — plus a `_params` sidecar (tables, bitsPerTable, dim) so
+    * probes can refuse a parameter mismatch instead of silently joining
+    * across different bit boundaries. The rows carry NO vectors (the
+    * index is id-sized, not corpus-sized); [[lshProbe]] fetches only the
+    * colliding candidates' vectors for the exact rerank. Deterministic
+    * (xxhash-seeded hyperplanes, no RNG), so the index doubles as an
+    * ORACLE artifact: an external engine reading these rows reproduces
+    * the candidate set exactly — including the query's own keys when the
+    * query vector is a corpus member (its (t, key) rows ARE the probe). */
   def buildLshIndex(
       emb: DataFrame,
       idCol: Column,
@@ -674,18 +678,16 @@ object SimilarityJoin {
       tables: Int = 8,
       bitsPerTable: Int = 8
   ): Unit = {
-    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
-    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
-    val mask = (1L << bitsPerTable) - 1
-    def slices(wide: Column): Column =
-      array((0 until tables).map(t =>
-        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+    requireLshParams(tables, bitsPerTable)
     emb
       .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
       .select(col("id"),
-        posexplode(slices(cosineLshBucket(col("v"), dim, tables * bitsPerTable)))
-          .as(Seq("t", "key")))
+        posexplode(lshSlices(cosineLshBucket(col("v"), dim, tables * bitsPerTable),
+          tables, bitsPerTable)).as(Seq("t", "key")))
       .write.mode("overwrite").parquet(path)
+    import emb.sparkSession.implicits._
+    Seq((tables, bitsPerTable, dim)).toDF("tables", "bits_per_table", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
   /** Online half: top-k against a [[buildLshIndex]] directory. The query
@@ -696,7 +698,11 @@ object SimilarityJoin {
     * (broadcast semi-join, candidate-sized) and exact cosine reranks.
     * Row-identical to [[lshTopK]] on the same (tables, bitsPerTable)
     * parameters (law in SimilaritySpec): materializing the tables moves
-    * WHERE the bucket eval happens, never what it returns. */
+    * WHERE the bucket eval happens, never what it returns. The caller's
+    * parameters are validated against the index's `_params` sidecar —
+    * a mismatch would slice the query over different bit boundaries and
+    * return a silently-garbage candidate set with exact-looking scores
+    * (pre-sidecar indexes skip the check). */
   def lshProbe(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -709,16 +715,22 @@ object SimilarityJoin {
       tables: Int = 8,
       bitsPerTable: Int = 8
   ): DataFrame = {
-    require(tables >= 1 && bitsPerTable >= 1, "tables and bitsPerTable must be >= 1")
-    require(tables * bitsPerTable <= 64, "tables * bitsPerTable must fit in one long")
-    val mask = (1L << bitsPerTable) - 1
-    def slices(wide: Column): Column =
-      array((0 until tables).map(t =>
-        shiftright(wide, (tables - 1 - t) * bitsPerTable).bitwiseAND(lit(mask))): _*)
+    requireLshParams(tables, bitsPerTable)
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_params")
+    if (paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(paramsPath)) {
+      val p = spark.read.parquet(paramsPath.toString)
+        .select(col("tables").cast("int"), col("bits_per_table").cast("int"),
+          col("dim").cast("int")).head()
+      require(p.getInt(0) == tables && p.getInt(1) == bitsPerTable && p.getInt(2) == dim,
+        s"LSH index at $indexPath was built with (tables=${p.getInt(0)}, " +
+          s"bitsPerTable=${p.getInt(1)}, dim=${p.getInt(2)}) — probe called with " +
+          s"($tables, $bitsPerTable, $dim); a mismatch would join across different " +
+          "bit boundaries and return a silently-wrong candidate set")
+    }
     val qKeyed = query
       .select(col("qvec"),
-        posexplode(slices(cosineLshBucket(col("qvec"), dim, tables * bitsPerTable)))
-          .as(Seq("qt", "qkey")))
+        posexplode(lshSlices(cosineLshBucket(col("qvec"), dim, tables * bitsPerTable),
+          tables, bitsPerTable)).as(Seq("qt", "qkey")))
     val cand = spark.read.parquet(indexPath)
       .join(broadcast(qKeyed), col("t") === col("qt") && col("key") === col("qkey"))
       .select(col("id"))

@@ -987,6 +987,24 @@ class CdcSpec extends AnyFunSuite {
       assert(rows.contains(
         Cdc.readPartitionedSnapshot(spark, auto, Some(v)).count()), s"rows of v=$v")
     }
+    // STALE-BOUNDARY case: checkpoint at v1, commit past it, vacuum PAST
+    // the checkpoint — the oldest retained version must diff all-touched
+    // (the un-checkpointed convention), never against the v1 boundary,
+    // which would misattribute every change since the checkpoint to it
+    val st = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_stale").toString
+    val tw = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_stale_twin").toString
+    def build2(p: String, ckptAtV1: Boolean): Unit = {
+      runBatch(p, seed, 0L)
+      runBatch(p, seed, 1L, (5L, "one", 55.0, 100L, "U"))
+      if (ckptAtV1) assert(Cdc.checkpointHistory(spark, p) === Some(1L))
+      runBatch(p, seed, 2L, (6L, "two", 66.0, 200L, "U"))
+      runBatch(p, seed, 3L, (7L, "three", 77.0, 300L, "U"))
+      runBatch(p, seed, 4L, (8L, "four", 88.0, 400L, "U"))
+      Cdc.vacuum(spark, p, keepVersions = 2) // retains {3,4}: gap past the ckpt
+    }
+    build2(st, ckptAtV1 = true); build2(tw, ckptAtV1 = false)
+    assert(hist(st) === hist(tw),
+      "post-vacuum history diffed against a stale checkpoint boundary")
   }
 
   test("CAS commits survive vacuum (token dirs reaped with their manifests) and serve " +
@@ -1674,6 +1692,38 @@ class CdcSpec extends AnyFunSuite {
       graft.sources.cdc.CdcCatalog.unregister("zo_plain")
       graft.sources.cdc.CdcCatalog.unregister("zo_z")
     }
+    // DATE z-dimension (the natural time-clustering column): Spark
+    // refuses date→numeric casts, so the dimension normalizes through
+    // unix_date — the advertised use must commit and serve identically
+    val dz = java.nio.file.Files.createTempDirectory("graft_cdc_zo_date").toString
+    val dSeed = (1 to 200).map(i =>
+        (i.toLong, java.sql.Date.valueOf(f"199${i % 7}-0${1 + i % 9}%d-15"), i * 1.5))
+      .toDF("k", "d", "bal")
+    Cdc.processPartitionedBatch(
+      Seq.empty[(Long, java.sql.Date, Double, Long, String)].toDF("k", "d", "bal", "seq", "op"),
+      dSeed, keys, Seq(col("seq")), col("op"), dz, nBuckets, 0L)
+    Cdc.processPartitionedBatch(
+      (1L to 40L).map(k => (k, java.sql.Date.valueOf("1999-01-01"), k * 2.0, 100L + k, "U"))
+        .toDF("k", "d", "bal", "seq", "op"),
+      Cdc.readPartitionedSnapshot(spark, dz).limit(0),
+      keys, Seq(col("seq")), col("op"), dz, nBuckets, 1L, casCommit = true, morCommit = true)
+    val preDate = Cdc.readPartitionedSnapshot(spark, dz)
+      .as[(Long, java.sql.Date, Double)].collect().toSet
+    assert(Cdc.compactStore(spark, dz, keys, nBuckets,
+      zorderCols = Seq("d", "bal")).contains(2L))
+    assert(Cdc.readPartitionedSnapshot(spark, dz)
+      .as[(Long, java.sql.Date, Double)].collect().toSet === preDate,
+      "date-dimension z-order compaction changed content")
+    // EMPTIED dirty set: a delta that deletes every row of its bucket
+    // must still zorder-compact (bucket drops; no NPE off null bounds)
+    val ez = java.nio.file.Files.createTempDirectory("graft_cdc_zo_empty").toString
+    val oneKey = snap((1L, "only", 1.0))
+    runBatch(ez, oneKey, 0L)
+    morBatch(ez, oneKey, 1L, (1L, "", 0.0, 100L, "D"))
+    assert(Cdc.compactStore(spark, ez, keys, nBuckets,
+      zorderCols = Seq("k", "bal")).contains(2L))
+    assert(Cdc.readManifestFull(spark, ez, 2L).isEmpty,
+      "emptied bucket must drop from the zorder-compacted manifest")
   }
 
   test("randomized concurrent writers: N racing threads over random (often " +

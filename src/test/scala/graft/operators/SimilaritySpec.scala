@@ -707,6 +707,19 @@ class SimilaritySpec extends AnyFunSuite {
     // probe's corpus access is the candidate-sized vector fetch
     val idxCols = spark.read.parquet(dir).columns.toSet
     assert(idxCols === Set("id", "t", "key"))
+    // parameter mismatch refuses LOUDLY (the _params sidecar): probing
+    // with different (tables, bits, dim) would slice the query over
+    // different bit boundaries and return a silently-garbage candidate
+    // set with exact-looking scores
+    val q0 = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityJoin.lshProbe(spark, dir,
+        spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet"),
+        col("vec_id"), col("embedding"), 64, q0, 10, tables = 8, bitsPerTable = 8)
+    }
+    assert(e.getMessage.contains("built with"), e.getMessage)
   }
 
   test("lshTopK: more tables never lose candidates (recall monotone in L)") {
