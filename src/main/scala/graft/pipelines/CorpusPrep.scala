@@ -298,23 +298,10 @@ object CorpusPrep {
 
     // 3. near-dup vs store: band keys on both sides (derived from the sig
     // column — the store persists signatures only), equi-join on
-    // (band, bucket), estimate Jaccard from signature agreement.
-    def banded(sigs: DataFrame, idAs: String, sigAs: String) =
-      sigs
-        .select(col("doc_id").as(idAs), col("sig").as(sigAs))
-        .withColumn("__bands", TextOps.bandKeys(col(sigAs), p.numBands, p.rowsPerBand))
-        .select(col(idAs), col(sigAs), posexplode(col("__bands")).as(Seq("band", "bucket")))
-    val survivorIds = shardExact.select(idCol.cast("long").as("doc_id"))
-    val crossShardLosers = banded(newSigs.join(survivorIds, "doc_id"), "new_id", "new_sig")
-      .join(banded(sigStore, "store_id", "store_sig"), Seq("band", "bucket"))
-      .select(col("new_id"), col("new_sig"), col("store_id"), col("store_sig"))
-      .distinct()
-      .filter(
-        graft.functions.MinHashSketch
-          .estimateJaccardNative(newDocs.sparkSession, col("new_sig"), col("store_sig"))
-          >= p.jaccardThreshold)
-      .select(col("new_id").as("__loser"))
-      .distinct()
+    // (band, bucket), estimate Jaccard from signature agreement
+    // ([[crossStoreLosers]], shared with the oracle-artifact replay).
+    val crossShardLosers =
+      crossStoreLosers(newSigs, shardExact.select(idCol.cast("long").as("doc_id")), sigStore, p)
     // Checkpointed: dropNearDupClusterLosers consumes it twice (pair
     // generation + the final anti-join) — without the boundary the store
     // band join above would re-execute.
@@ -549,9 +536,14 @@ object CorpusPrep {
     ()
   }
 
-  /** Near-dup stage shared by the batch and incremental paths: verified
-    * pairs → connected components → keep the minimum id per cluster. */
-  private def dropNearDupClusterLosers(
+  /** The doc ids the near-dup cluster stage drops from `docs` (every
+    * cluster member except the minimum id) — the xxhash-determined half of
+    * [[prepare]], exposed as a standalone frame so a session can
+    * MATERIALIZE it as a parquet artifact and an external oracle can
+    * replay every deterministic stage around it (exact dedup, decontam,
+    * span dedup, gates) from the documents table alone, the same contract
+    * as the d4 index artifacts. Replay ≡ pipeline law in CorpusPrepSpec. */
+  def nearDupLoserIds(
       docs: DataFrame,
       idCol: Column,
       textCol: Column,
@@ -560,10 +552,78 @@ object CorpusPrep {
     val pairs = Dedup
       .nearDuplicatePairs(docs, idCol, textCol, p)
       .select(col("doc_a"), col("doc_b"))
-    val losers = Dedup
+    Dedup
       .connectedComponents(pairs)
       .filter(col("node") =!= col("cluster")) // survivors: node == cluster min
-      .select(col("node").as("__loser"))
+      .select(col("node").as("doc_id"))
+  }
+
+  /** The combined loser-id set of [[prepareIncremental]]'s TWO xxhash
+    * stages — cross-store sketch losers (stage 3) plus within-shard
+    * cluster losers (stage 4) — replayed over the same inputs the pipeline
+    * sees (the deterministic exact-dedup + store-hash stages are rebuilt
+    * here; they are pure sha-256 set algebra, so an external oracle can
+    * rebuild them too and apply this one artifact for the rest). */
+  def incrementalNearDupLoserIds(
+      newDocs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sigStore: DataFrame,
+      p: Dedup.MinHashParams
+  ): DataFrame = {
+    val newSigs = signatures(newDocs, idCol, textCol, p)
+    val shardExact = Dedup
+      .exact(newDocs, textCol, idCol)
+      .join(sigStore.select(col("content_hash")).distinct(), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+      .localCheckpoint() // dual-consumed: cross-store filter + stage-4 input
+    val cross = crossStoreLosers(
+      newSigs, shardExact.select(idCol.cast("long").as("doc_id")), sigStore, p)
+      .localCheckpoint() // dual-consumed: anti-join + the returned union
+    val afterStore = shardExact.join(cross, idCol === col("__loser"), "left_anti")
+    cross
+      .select(col("__loser").as("doc_id"))
+      .union(nearDupLoserIds(afterStore, idCol, textCol, p))
+      .distinct()
+  }
+
+  /** Stage 3 of [[prepareIncremental]]: new-shard docs whose sketch-
+    * estimated Jaccard against ANY stored signature in a shared LSH band
+    * bucket clears the threshold. Shared with
+    * [[incrementalNearDupLoserIds]] so the materialized oracle artifact
+    * and the pipeline compute the set from one code path. */
+  private def crossStoreLosers(
+      newSigs: DataFrame,
+      survivorIds: DataFrame,
+      sigStore: DataFrame,
+      p: Dedup.MinHashParams
+  ): DataFrame = {
+    def banded(sigs: DataFrame, idAs: String, sigAs: String) =
+      sigs
+        .select(col("doc_id").as(idAs), col("sig").as(sigAs))
+        .withColumn("__bands", TextOps.bandKeys(col(sigAs), p.numBands, p.rowsPerBand))
+        .select(col(idAs), col(sigAs), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    banded(newSigs.join(survivorIds, "doc_id"), "new_id", "new_sig")
+      .join(banded(sigStore, "store_id", "store_sig"), Seq("band", "bucket"))
+      .select(col("new_id"), col("new_sig"), col("store_id"), col("store_sig"))
+      .distinct()
+      .filter(
+        graft.functions.MinHashSketch
+          .estimateJaccardNative(newSigs.sparkSession, col("new_sig"), col("store_sig"))
+          >= p.jaccardThreshold)
+      .select(col("new_id").as("__loser"))
+      .distinct()
+  }
+
+  /** Near-dup stage shared by the batch and incremental paths: verified
+    * pairs → connected components → keep the minimum id per cluster. */
+  private def dropNearDupClusterLosers(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      p: Dedup.MinHashParams
+  ): DataFrame = {
+    val losers = nearDupLoserIds(docs, idCol, textCol, p).select(col("doc_id").as("__loser"))
     docs.join(losers, idCol === col("__loser"), "left_anti")
   }
 

@@ -2002,9 +2002,11 @@ object CoreQueries {
     // buckets still have recorded counts. `WHERE delta_depth > 0 OR
     // base_mod IS NOT NULL` is exactly compactStore's dirty set, so this
     // row IS the "should I compact" signal, benched round over round.
-    // Rows-only: the dirty BUCKET IDS hash from merge keys (xxhash
-    // layout), which DuckDB cannot recompute; the per-bucket fidelity
-    // laws live in CdcCatalogSpec ($partitions vs manifest).
+    // Oracle: artifact-backed ([[partitionsOracleSql]]) — DuckDB
+    // aggregates the committed manifest's own parquet rows (len(_deltas),
+    // _basemod, _rows), so the readout is hash-verified without
+    // recomputing the xxhash bucket layout; the per-bucket fidelity laws
+    // live in CdcCatalogSpec ($partitions vs manifest).
     "c38_cdc_partitions" -> ((s, sf) => {
       val base = morTableFor(s, sf).stripPrefix("graft.")
       s.table(s"graft.`$base$$partitions`")
@@ -2488,7 +2490,34 @@ object CoreQueries {
        FROM latest WHERE op <> 'D'
        ORDER BY c_custkey"""
 
-  val sql: Map[String, String] = Map(
+  /** Static oracles plus the ARTIFACT-BACKED `c38_cdc_partitions` twin,
+    * emitted once the session has built the merge-on-read store (the
+    * Verify shape — same contract as LlmQueries.indexOracleSql): the
+    * per-bucket health row aggregates the manifest's own parquet rows, so
+    * DuckDB replays the readout straight off the committed manifest —
+    * bucket count, delta depths (len(_deltas)), lazy-split markers and
+    * recorded row counts — without recomputing the xxhash bucket layout. */
+  def sql: Map[String, String] = staticSql ++ partitionsOracleSql
+
+  private def partitionsOracleSql: Map[String, String] =
+    if (morTables.size != 1) Map.empty
+    else {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
+        morTables.keys.head.replaceAll("[^A-Za-z0-9._-]", "_")
+      val m = s"read_parquet('$store/manifest/v=*/*.parquet', hive_partitioning=1)"
+      Map("c38_cdc_partitions" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS buckets,
+              CAST(sum(CASE WHEN len(_deltas) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_buckets,
+              CAST(max(len(_deltas)) AS INTEGER) AS max_depth,
+              CAST(sum(len(_deltas)) AS BIGINT) AS pending_deltas,
+              CAST(sum(CASE WHEN _basemod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sliced_buckets,
+              CAST(sum(CASE WHEN _rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS counted_buckets,
+              CAST(sum(_rows) AS BIGINT) AS counted_rows
+            FROM $m
+            WHERE CAST(v AS BIGINT) = (SELECT max(CAST(v AS BIGINT)) FROM $m)""")
+    }
+
+  private val staticSql: Map[String, String] = Map(
     "c01_filter_predicates" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','N')

@@ -42,7 +42,9 @@ object LlmQueries {
     ivfIndexFor(s, sf); ivfIndexForQuantized(s, sf); ivfPqIndexFor(s, sf)
     pqArtifactsFor(s, sf); opqArtifactsFor(s, sf); sigStoreFor(s, sf)
     clustersArtifactFor(s, sf); neardupEdgesFor(s, sf, threshold = 0.2)
-    byteMergesFor(s, sf); lshIndexFor(s, sf); ()
+    byteMergesFor(s, sf); lshIndexFor(s, sf)
+    d0LosersFor(s, sf); d0FullLosersFor(s, sf); d0IncrLosersFor(s, sf)
+    procrustesModelFor(s, sf); ()
   }
 
   /** Materialized multi-table LSH hash tables (id, t, key) — the offline
@@ -189,6 +191,97 @@ object LlmQueries {
       }
     )
 
+  /** Materialized near-dup LOSER ids of the d0 batch DAG — the xxhash-
+    * determined half of `d0_corpus_prep` (MinHash/LSH banding + connected
+    * components over the exact-dedup output), captured once per session so
+    * the DuckDB oracle can replay every DETERMINISTIC stage (exact dedup,
+    * gates, enrichment) around it and hash-verify the composed pipeline
+    * end to end — the same artifact contract as the d4 indexes. Replay ≡
+    * pipeline law in CorpusPrepSpec. */
+  private def d0LosersFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d0losers", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d0losers_${sanitizedKey(sf)}"
+        graft.pipelines.CorpusPrep
+          .nearDupLoserIds(
+            Dedup.exact(Tables.documents(s, sf), col("text"), col("doc_id")).drop("content_hash"),
+            col("doc_id"), col("text"), corpusPrepParams)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** [[d0LosersFor]] over `d0_corpus_prep_full`'s train slice
+    * (doc_id % 10 != 0 — the eval decile is held out BEFORE dedup, so the
+    * loser set differs from the whole-corpus one). */
+  private def d0FullLosersFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d0fulllosers", {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_d0fulllosers_${sanitizedKey(sf)}"
+        graft.pipelines.CorpusPrep
+          .nearDupLoserIds(
+            Dedup
+              .exact(
+                Tables.documents(s, sf).filter(col("doc_id") % 10 =!= 0),
+                col("text"), col("doc_id"))
+              .drop("content_hash"),
+            col("doc_id"), col("text"), corpusPrepParams)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** The incremental DAG's combined loser ids (cross-store sketch losers +
+    * within-shard cluster losers) — everything `d0_corpus_prep_incr`'s
+    * oracle cannot rebuild from sha-256 set algebra over the documents
+    * table and the signature store's content hashes. */
+  private def d0IncrLosersFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d0incrlosers", {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_d0incrlosers_${sanitizedKey(sf)}"
+        graft.pipelines.CorpusPrep
+          .incrementalNearDupLoserIds(
+            Tables.documents(s, sf).filter(col("doc_id") % 4 === 3),
+            col("doc_id"), col("text"),
+            s.read.parquet(sigStoreFor(s, sf)), corpusPrepParams)
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** Materialized Procrustes rotation (the `_model` of the d3 alignment
+    * query): the fit is DETERMINISTIC — decimal-exact cross-covariance,
+    * fixed-sweep driver Jacobi, no RNG — so a second fit in the artifact
+    * builder reproduces the query's W bit-for-bit, and the DuckDB oracle
+    * replays the query's post-processing (|w| > 0.5 mapping panel,
+    * micro-rounding) over the stored matrix with pure set algebra. Rows:
+    * (from_dim, to_dim, w_raw, w) for ALL d² entries, rounding applied
+    * Scala-side so both engines emit the identical doubles. */
+  private def procrustesModelFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#procrustes", {
+        import s.implicits._
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_procrustes_${sanitizedKey(sf)}"
+        val dim = 64
+        val e = Tables
+          .embeddings(s, sf)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
+        val planted = transform(
+          sequence(lit(0), lit(dim - 1)),
+          j =>
+            (when(j % 2 === 0, lit(1.0)).otherwise(lit(-1.0))) *
+              element_at(col("x"), lit(dim) - j))
+        val w = Procrustes.fitOrthogonal(e.withColumn("y", planted), col("x"), col("y"), dim)
+        val rows = for { i <- 0 until dim; j <- 0 until dim }
+          yield (i.toLong, j.toLong, w(i)(j), math.rint(w(i)(j) * 1e6) / 1e6)
+        rows.toDF("from_dim", "to_dim", "w_raw", "w")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
   /** Materialized BYTE-LEVEL BPE merge table — a trained tokenizer is an
     * offline artifact exactly like an IVF index (production trains once
     * and ships the merges; every budget/packing/manifest pass then only
@@ -285,10 +378,12 @@ object LlmQueries {
     // component) → quality/language gates → enrichment
     // (pipelines/CorpusPrep.prepare). Registered so the BENCH tracks the
     // end-to-end pipeline cost round over round, not just its stages.
-    // Deterministic output (same survivors every run) but the near-dup
-    // stage is xxhash-based → rows-only; pipeline laws (cluster-canonical
-    // survivors, incremental ≡ batch, replay) live in CorpusPrepSpec.
+    // Oracle: artifact-backed — the xxhash near-dup stage's loser ids are
+    // materialized per session (d0LosersFor) and DuckDB replays every
+    // deterministic stage around them; pipeline laws (cluster-canonical
+    // survivors, incremental ≡ batch, replay ≡ pipeline) in CorpusPrepSpec.
     "d0_corpus_prep" -> ((s, sf) => {
+      d0LosersFor(s, sf) // oracle artifact (prebuilt by Bench's warm-up)
       val (out, _) = graft.pipelines.CorpusPrep.prepare(
         Tables.documents(s, sf),
         col("doc_id"),
@@ -315,9 +410,11 @@ object LlmQueries {
     // d0_corpus_prep tracks the dedup backbone; THIS row tracks the cost
     // and interaction of the full gate stack round over round — each gate
     // is proven standalone (oracle-green d2/d5 rows), the composition law
-    // (full ≡ ∩ of single-gate runs) is in CorpusPrepSpec. xxhash near-dup
-    // stage → rows-only.
+    // (full ≡ ∩ of single-gate runs) is in CorpusPrepSpec. Oracle:
+    // artifact-backed (d0FullLosersFor) — the full gate stack replays in
+    // DuckDB around the materialized near-dup loser ids.
     "d0_corpus_prep_full" -> ((s, sf) => {
+      d0FullLosersFor(s, sf) // oracle artifact (prebuilt by Bench's warm-up)
       val d    = Tables.documents(s, sf)
       val evalSlice = d.filter(col("doc_id") % 10 === 0)
       val lm = LmScore
@@ -358,9 +455,11 @@ object LlmQueries {
     // IVF indexes), then gated and enriched. This is the recurring cost a
     // 100 TB deployment pays per arriving shard: hash/band joins against
     // a fixed-size text-free store, never a corpus rescan — benched round
-    // over round alongside the batch DAG. xxhash-based → rows-only;
+    // over round alongside the batch DAG. Oracle: artifact-backed
+    // (d0IncrLosersFor + the signature store's content hashes);
     // batch ≡ incremental law in CorpusPrepSpec.
     "d0_corpus_prep_incr" -> ((s, sf) => {
+      d0IncrLosersFor(s, sf) // oracle artifact (prebuilt by Bench's warm-up)
       val (out, _, _) = graft.pipelines.CorpusPrep.prepareIncremental(
         Tables.documents(s, sf).filter(col("doc_id") % 4 === 3),
         col("doc_id"),
@@ -841,10 +940,13 @@ object LlmQueries {
     // registered output is the recovered mapping table: the ≤64 entries
     // with |w| > 0.5 — old dim → new dim + sign. Distributed work is the
     // decimal-exact d×d cross-covariance; the polar step is driver
-    // Jacobi (the Pca split). Eigensolve → no DuckDB twin → rows-only;
+    // Jacobi (the Pca split). Oracle: artifact-backed — the deterministic
+    // fit is materialized once per session ([[procrustesModelFor]]) and
+    // DuckDB replays the mapping-panel post-processing over it;
     // orthogonality / recovery / alignment-residual / repartition-
     // invariance laws in ProcrustesSpec.
     "d3_procrustes_align" -> ((s, sf) => {
+      procrustesModelFor(s, sf) // oracle artifact (prebuilt by Bench's warm-up)
       import s.implicits._
       val dim = 64
       val e = Tables
@@ -3725,8 +3827,187 @@ object LlmQueries {
             round(b.build_mean_sim - g.mean_sim, 6) AS drift
           FROM g LEFT JOIN base b USING (cid) ORDER BY cid""")
 
+    // The composed d0 corpus-prep DAGs: the near-dup stage's loser ids are
+    // the ONE xxhash-determined input, materialized per session
+    // (d0LosersFor family); every other stage — exact dedup (sha-256
+    // keep-lowest), decontamination (verbatim 5-gram overlap), span dedup
+    // (duplicate-window islands), rule/classifier/LM gates, enrichment —
+    // replays in SQL from the documents table, each fragment lifted from
+    // its already-hash-green standalone oracle (d1_exact_dedup,
+    // d2_ngram_decontam, d2_span_dedup, d5_quality_score, d5_lm_score,
+    // d5_langid, d5_fingerprint).
+    val d0prep = pathOf("d0losers").map(p => "d0_corpus_prep" ->
+      s"""WITH ex AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1),
+          tk AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM ex
+                 WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$p/*.parquet'))),
+          ${d0GateCtes(minTokens = 5, maxStop = "0.95")}
+          SELECT doc_id, n_tok, pred_lang, fp FROM gated ORDER BY doc_id""")
+
+    val d0incr = for { lo <- pathOf("d0incrlosers"); st <- pathOf("sigstore") } yield
+      "d0_corpus_prep_incr" ->
+        s"""WITH ex AS (
+              SELECT doc_id, text, h FROM (
+                SELECT doc_id, text, sha256(text) AS h,
+                  row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                FROM documents WHERE doc_id % 4 = 3) WHERE rn = 1),
+            tk AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                   FROM ex
+                   WHERE h NOT IN (SELECT content_hash FROM read_parquet('$st/*.parquet'))
+                     AND doc_id NOT IN (SELECT doc_id FROM read_parquet('$lo/*.parquet'))),
+            ${d0GateCtes(minTokens = 5, maxStop = "0.95")}
+            SELECT doc_id, n_tok, pred_lang, fp FROM gated ORDER BY doc_id"""
+
+    // Full production stack: exact dedup → near-dup losers (artifact) →
+    // eval-decile 5-gram decontam → span dedup (k=5) → rule gates →
+    // classifier gate (σ over the d5_quality_score features) → unigram-LM
+    // gate (trained on doc_id % 4 != 3 of the WHOLE corpus, threshold one
+    // micro-unit above the OOV floor) — stage order and every constant
+    // exactly as the registered query configures CorpusPrep.
+    val d0full = pathOf("d0fulllosers").map(p => "d0_corpus_prep_full" ->
+      s"""WITH ex AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+              FROM documents WHERE doc_id % 10 <> 0) WHERE rn = 1),
+          s0 AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                 FROM ex
+                 WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$p/*.parquet'))),
+          evsh AS (SELECT DISTINCT unnest(sh) AS g FROM (
+              SELECT list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4])) AS sh
+              FROM (SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+                    FROM documents WHERE doc_id % 10 = 0)
+              WHERE len(toks) >= 5)),
+          trsh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4]))) AS g
+            FROM s0 WHERE len(toks) >= 5),
+          contaminated AS (SELECT DISTINCT doc_id FROM trsh JOIN evsh USING (g)),
+          s1 AS MATERIALIZED (SELECT doc_id, toks FROM s0
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          wins AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS g5
+            FROM s1, unnest(range(1, len(toks) - 5 + 2)) AS r(i)
+            WHERE len(toks) >= 5),
+          ranked AS (
+            SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY g5 ORDER BY doc_id, pos) AS rn,
+              count(*) OVER (PARTITION BY g5) AS cnt
+            FROM wins),
+          flagged AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
+          isl AS (
+            SELECT doc_id, pos,
+              CASE WHEN pos <= COALESCE(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999999) + 5
+                   THEN 0 ELSE 1 END AS brk
+            FROM flagged),
+          isl2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle FROM isl),
+          iv AS (SELECT doc_id, min(pos) AS st, max(pos) + 4 AS en
+                 FROM isl2 GROUP BY doc_id, isle),
+          tokpos AS (
+            SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS tkn FROM s1),
+          keptagg AS (
+            SELECT doc_id, list(tkn ORDER BY p) AS ctoks FROM tokpos t
+            WHERE NOT EXISTS (SELECT 1 FROM iv
+              WHERE iv.doc_id = t.doc_id AND t.p BETWEEN iv.st AND iv.en)
+            GROUP BY doc_id),
+          tk AS (SELECT s1.doc_id, COALESCE(keptagg.ctoks, CAST([] AS VARCHAR[])) AS toks
+                 FROM s1 LEFT JOIN keptagg USING (doc_id)),
+          ${d0GateCtes(minTokens = 5, maxStop = "0.95")},
+          feat AS (
+            SELECT doc_id, toks, n_tok, stop_ratio, pred_lang, fp,
+              least(n_tok / 100.0, 1.0) AS f1,
+              stop_ratio AS f2,
+              CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+                / CAST(nullif(len(toks), 0) AS DOUBLE) / 10.0 AS f3,
+              CAST(len(list_distinct(toks)) AS DOUBLE)
+                / CAST(nullif(len(toks), 0) AS DOUBLE) AS f4
+            FROM gated),
+          qgated AS MATERIALIZED (
+            SELECT doc_id, toks, n_tok, pred_lang, fp,
+              1.0 / (1.0 + exp(-(-2.0 + 1.2 * f1 - 1.5 * f2 + 0.8 * f3 + 2.0 * f4))) AS q
+            FROM feat
+            WHERE 1.0 / (1.0 + exp(-(-2.0 + 1.2 * f1 - 1.5 * f2 + 0.8 * f3 + 2.0 * f4))) >= 0.5),
+          lmtoks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                       t -> length(t) > 0)) AS token
+                     FROM documents WHERE doc_id % 4 <> 3),
+          counts AS (SELECT token, count(*) AS c FROM lmtoks GROUP BY token),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM counts),
+          lm AS (SELECT token,
+                   CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v + 1 AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS lp
+                 FROM counts, tot),
+          oov AS (SELECT CAST(round(ln(1.0 / CAST(n_total + v + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+                    AS lp FROM tot),
+          doctok AS (SELECT doc_id, unnest(toks) AS token FROM qgated),
+          lsum AS (SELECT d.doc_id,
+                     CAST(coalesce(sum(coalesce(lm.lp, oov.lp)), 0) AS BIGINT) AS lp_sum
+                   FROM doctok d LEFT JOIN lm USING (token) CROSS JOIN oov
+                   GROUP BY d.doc_id)
+          SELECT g.doc_id, g.n_tok, g.pred_lang, g.fp, round(g.q, 6) AS quality,
+            CAST(trunc(CAST(l.lp_sum AS DOUBLE) / greatest(g.n_tok, 1)) AS BIGINT)
+              AS mean_lp_micro
+          FROM qgated g JOIN lsum l USING (doc_id) CROSS JOIN oov
+          WHERE l.lp_sum >= (oov.lp + 1) * g.n_tok
+          ORDER BY g.doc_id""")
+
+    // Procrustes mapping panel: the stored model already carries both the
+    // raw and micro-rounded weights (rounding applied Scala-side, so no
+    // cross-engine float-rounding seam); the oracle is the query's exact
+    // post-processing — threshold on the RAW magnitude, emit the rounded.
+    val procrustes = pathOf("procrustes").map(p => "d3_procrustes_align" ->
+      s"""SELECT from_dim, to_dim, w FROM read_parquet('$p/*.parquet')
+          WHERE abs(w_raw) > 0.5 ORDER BY from_dim, to_dim""")
+
     (ivf ++ ivfF ++ ivfQ ++ pq ++ ivfpq ++ opq ++ lsh ++ report ++
-      pca ++ kmeansCc ++ labelProp ++ pagerank ++ drift).toMap
+      pca ++ kmeansCc ++ labelProp ++ pagerank ++ drift ++
+      d0prep ++ d0incr ++ d0full ++ procrustes).toMap
+  }
+
+  /** Shared tail of the d0 oracles — rule gates + enrichment over a CTE
+    * `tk(doc_id, toks)` holding each surviving doc's token array: n_tok,
+    * stopword ratio (null-guarded like TextOps.stopwordRatio, so empty
+    * docs fail closed in both engines), the langIdSql argmax, the
+    * d5_fingerprint rolling hash, then the minTokens/maxStopwordRatio
+    * filters. Emits CTEs `l0..l2, enr, gated`. */
+  private def d0GateCtes(minTokens: Int, maxStop: String): String = {
+    val langs = TextOps.stopwordProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs
+      .map { case (l, ws) =>
+        s"len(list_intersect(dt, ${ws.map(w => s"'$w'").mkString("[", ", ", "]")})) AS s_$l"
+      }
+      .mkString(",\n             ")
+    val sNames = langs.map(l => s"s_${l._1}").mkString(", ")
+    val mx     = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    val cases = langs.init
+      .map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }
+      .mkString("\n               ")
+    s"""l0 AS (SELECT doc_id, toks, list_distinct(toks) AS dt FROM tk),
+        l1 AS (SELECT doc_id, toks, $scoreCols FROM l0),
+        l2 AS (SELECT doc_id, toks, $mx AS mx, $sNames FROM l1),
+        enr AS (SELECT doc_id, toks,
+            CAST(len(toks) AS BIGINT) AS n_tok,
+            CAST(len(list_filter(toks, t -> list_contains($stopwordSqlList, t))) AS DOUBLE)
+              / CAST(nullif(len(toks), 0) AS DOUBLE) AS stop_ratio,
+            CASE WHEN mx = 0 THEN 'und'
+               $cases
+               ELSE '${langs.last._1}' END AS pred_lang,
+            list_reduce(list_concat([CAST(0 AS BIGINT)],
+                list_transform(toks, t -> CAST(length(t) * 31 + unicode(t) AS BIGINT))),
+              (a, b) -> (a * 131 + b) % 1000000007) AS fp
+          FROM l2),
+        gated AS (SELECT * FROM enr WHERE n_tok >= $minTokens AND stop_ratio <= $maxStop)"""
   }
 
   private val staticSql: Map[String, String] = Map(

@@ -25,17 +25,12 @@ class ContractSpec extends AnyFunSuite {
     "c12_approx_distinct",
     "c12_hll_shard_merge",
     "c31_sample",
-    "c38_cdc_partitions", // dirty-bucket ids hash from merge keys (xxhash)
-    "d0_corpus_prep",
-    "d0_corpus_prep_full",
-    "d0_corpus_prep_incr",
     "d1_bloom_audit",
     "d2_fuzzy_decontam",
     "d2_neardup_minhash",
     "d2_neardup_oph",
     "d2_simhash",
     "d2_source_overlap",
-    "d3_procrustes_align",
     "d5_bpe_bytes",
     "d5_bpe_encode",
     "d5_bpe_train",
@@ -53,7 +48,12 @@ class ContractSpec extends AnyFunSuite {
     * driver's gate hash-checks them, but NOT in this artifact-free test
     * JVM. Pinned separately so a typo'd key still fails here. */
   private val artifactOracles: Set[String] = Set(
+    "c38_cdc_partitions",  // manifest-parquet aggregate (partitionsOracleSql)
+    "d0_corpus_prep",      // near-dup loser-id artifact (d0LosersFor)
+    "d0_corpus_prep_full", // train-slice loser-id artifact
+    "d0_corpus_prep_incr", // cross-store + within-shard loser artifact
     "d3_pca_whiten",
+    "d3_procrustes_align", // stored-rotation mapping panel (procrustesModelFor)
     "d4_ivf_drift",
     "d4_recall_report",
     "d4_topk_ivf",

@@ -606,4 +606,70 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(once.select("doc_id").as[Long].collect().sorted ===
       twice.select("doc_id").as[Long].collect().sorted)
   }
+
+  // ---- oracle-artifact replay laws: the materialized loser-id frames the
+  // d0 DuckDB oracles read back must reproduce the pipeline's own dedup
+  // decisions EXACTLY, or the oracle would re-verify a different pipeline.
+
+  test("nearDupLoserIds replay ≡ prepare's dedup stages (gates disabled)") {
+    val p = graft.operators.Dedup
+      .MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5)
+    // Gates off (minTokens 0, ratio 1.0): survivors are exactly the dedup
+    // stages' output, which the replay reconstructs as exact-keep-lowest
+    // minus the loser artifact. (All fixture docs tokenize non-empty, so
+    // the fail-closed null stop_ratio path stays out of scope here.)
+    val cfg = CorpusPrep.Config(minhash = p, minTokens = 0, maxStopwordRatio = 1.0)
+    val (out, _) = CorpusPrep.prepare(corpus, col("doc_id"), col("text"), cfg)
+
+    val exact = graft.operators.Dedup
+      .exact(corpus, col("text"), col("doc_id")).drop("content_hash")
+    val losers = CorpusPrep
+      .nearDupLoserIds(exact, col("doc_id"), col("text"), p)
+      .as[Long].collect().toSet
+    val replay = exact.select("doc_id").as[Long].collect().filterNot(losers).sorted
+    assert(out.select("doc_id").as[Long].collect().sorted === replay)
+    assert(losers.nonEmpty, "no near-dup fired — law vacuous")
+  }
+
+  test("incrementalNearDupLoserIds replay ≡ prepareIncremental's dedup stages") {
+    val longA     = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val longANear = ((1 to 10).map(i => s"tok$i") ++ Seq("CHANGED") ++
+      (12 to 20).map(i => s"tok$i")).mkString(" ")
+    val longC     = (1 to 20).map(i => s"new$i").mkString(" ")
+    val longCNear = ((1 to 10).map(i => s"new$i") ++ Seq("EDITED") ++
+      (12 to 20).map(i => s"new$i")).mkString(" ")
+    val oldShard = Seq((1L, longA), (4L, "a thoroughly different stored document")).toDF("doc_id", "text")
+    val newShard = Seq(
+      (11L, longA),     // exact store hit (sha algebra — NOT in the artifact)
+      (12L, longANear), // cross-store sketch loser (artifact)
+      (13L, longC),
+      (14L, longCNear), // within-shard cluster loser (artifact)
+      (15L, longC),     // within-shard exact dup of 13 (sha algebra)
+      (16L, "a shard document about something else entirely")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.Dedup
+      .MinHashParams(numHashes = 64, numBands = 16, jaccardThreshold = 0.5)
+    val cfg   = CorpusPrep.Config(minhash = p, minTokens = 0, maxStopwordRatio = 1.0)
+    val store = CorpusPrep.signatures(oldShard, col("doc_id"), col("text"), p)
+
+    val (out, _, _) = CorpusPrep.prepareIncremental(newShard, col("doc_id"), col("text"), store, cfg)
+
+    // The oracle's sha-256 set algebra: within-shard keep-lowest, then
+    // drop content hashes the store already holds…
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+    val shardExact = newShard
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__h", sha2(col("text"), 256))
+      .join(store.select(col("content_hash").as("__h")).distinct(), Seq("__h"), "left_anti")
+      .drop("__h")
+    // …then the ONE artifact covers both xxhash stages.
+    val losers = CorpusPrep
+      .incrementalNearDupLoserIds(newShard, col("doc_id"), col("text"), store, p)
+      .as[Long].collect().toSet
+    val replay = shardExact.select("doc_id").as[Long].collect().filterNot(losers).sorted
+    assert(out.select("doc_id").as[Long].collect().sorted === replay)
+    assert(losers.contains(12L) && losers.contains(14L), s"expected both xxhash stages to fire: $losers")
+    assert(replay === Array(13L, 16L), replay.mkString(","))
+  }
 }
