@@ -2060,6 +2060,26 @@ object CoreQueries {
       s.sql(s"SELECT * FROM $stateTbl VERSION AS OF 0").orderBy("c_custkey")
     }),
 
+    // C38d3: TIMESTAMP AS OF — time travel by COMMIT TIME (the other
+    // Delta/Iceberg spelling): serve the newest version committed at or
+    // before t. The probe timestamp is v0's own recorded commit time
+    // (manifest _SUCCESS mtime via Cdc.versionCommitTimes), so the query
+    // deterministically selects v0 — wall-clock is only the lookup key,
+    // never in the result — and must hash-match the SAME pre-cut-merge
+    // oracle as `VERSION AS OF 0`. (v1 always commits in a later
+    // millisecond: each version is a full write job.) Boundary laws —
+    // newest-≤-t selection, loud refusal once a vacuum drops the era —
+    // in CdcCatalogSpec.
+    "c38_cdc_timetravel_ts" -> ((s, sf) => {
+      val (stateTbl, _) = spjTablesFor(s, sf)
+      val v0ms = Cdc.versionCommitTimes(s, cdcStoreFor(s, sf)).toMap.apply(0L)
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.Instant.ofEpochMilli(v0ms))
+      s.sql(s"SELECT * FROM $stateTbl TIMESTAMP AS OF '$ts'").orderBy("c_custkey")
+    }),
+
     // C38e: the CDF feed COMPOSED with IVM — the consumer contract the
     // change feed exists for. The per-nation (count, exact-sum, mean)
     // view initial-loads once from snapshot v0, then absorbs the v0→v1
@@ -2464,6 +2484,35 @@ object CoreQueries {
     * (copy-on-write, merge-on-read fold, merge-on-read + compaction):
     * one semantics, three write-amplification strategies — every one
     * must hash-match this identical replay. */
+  /** [[CdcMergeOracle]] restricted to the PRE-CUT half of the changelog —
+    * exactly what store version 0 committed; the oracle for both time
+    * travel spellings (`VERSION AS OF 0`, `TIMESTAMP AS OF <v0 commit>`). */
+  private val CdcV0Oracle: String =
+    """WITH log AS (
+         SELECT o_custkey AS c_custkey,
+                'upd#' || o_orderkey AS c_name,
+                CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                o_totalprice AS c_acctbal,
+                o_orderpriority AS c_mktsegment,
+                o_orderdate AS chg_ts, o_orderkey AS chg_seq,
+                CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+         FROM orders
+       ),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number()
+             OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+           FROM log WHERE chg_ts < DATE '1995-06-01')
+         WHERE rn = 1
+       )
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM latest WHERE op <> 'D'
+       ORDER BY c_custkey"""
+
   private val CdcMergeOracle: String =
     """WITH log AS (
          SELECT o_custkey AS c_custkey,
@@ -3300,32 +3349,10 @@ object CoreQueries {
     "c38_cdc_split" -> CdcMergeOracle,
     "c38_cdc_mor_compact" -> CdcMergeOracle,
     // time travel to v0 = the merge replay over ONLY the pre-cut half of
-    // the changelog (what batch 0 committed; batch 1 must be invisible)
-    "c38_cdc_timetravel" ->
-      """WITH log AS (
-           SELECT o_custkey AS c_custkey,
-                  'upd#' || o_orderkey AS c_name,
-                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
-                  o_totalprice AS c_acctbal,
-                  o_orderpriority AS c_mktsegment,
-                  o_orderdate AS chg_ts, o_orderkey AS chg_seq,
-                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
-           FROM orders
-         ),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number()
-               OVER (PARTITION BY c_custkey ORDER BY chg_ts DESC, chg_seq DESC) AS rn
-             FROM log WHERE chg_ts < DATE '1995-06-01')
-           WHERE rn = 1
-         )
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
-         UNION ALL
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM latest WHERE op <> 'D'
-         ORDER BY c_custkey""",
+    // the changelog (what batch 0 committed; batch 1 must be invisible) —
+    // shared verbatim by the version-pin and commit-time-pin spellings
+    "c38_cdc_timetravel" -> CdcV0Oracle,
+    "c38_cdc_timetravel_ts" -> CdcV0Oracle,
     "c38_cdc_changes" ->
       """WITH log AS (
            SELECT o_custkey AS c_custkey,

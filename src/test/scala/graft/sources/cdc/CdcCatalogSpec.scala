@@ -342,6 +342,29 @@ class CdcCatalogSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("predates the oldest retained commit")),
         s"expected the loud pre-history error, got: ${messages(e).mkString(" | ")}")
+
+      // ACROSS A VACUUM: commit v2 (day 3), vacuum to the newest two
+      // versions — v0's era is GONE, so a timestamp that used to resolve
+      // v0 must refuse loudly (serving v1 instead would silently
+      // misrepresent history), while newest-≤-t selection keeps working
+      // for the retained window.
+      Cdc.processPartitionedBatch(
+        log((4L, "b2", 44.0, 300L, "U")),
+        Seq.empty[(Long, String, Double)].toDF("k", "name", "bal"),
+        keys, Seq(col("seq")), col("op"), store, nBuckets, 2L)
+      assert(new java.io.File(s"$store/manifest/v=2/_SUCCESS").setLastModified(3 * day))
+      Cdc.vacuum(spark, store, keepVersions = 2)
+      assert(Cdc.versionCommitTimes(spark, store) === Seq(1L -> 2 * day, 2L -> 3 * day))
+      val eV = intercept[Exception](spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-02 12:00:00'").collect())
+      assert(messages(eV).exists(_.contains("predates the oldest retained commit")),
+        s"vacuumed-era timestamp must refuse, got: ${messages(eV).mkString(" | ")}")
+      assert(collectRows(spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-03 12:00:00'")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(1L))))
+      assert(collectRows(spark.sql(
+        "SELECT * FROM graft.cat_tt TIMESTAMP AS OF '1970-01-04 00:00:00'")) ===
+        collectRows(Cdc.readPartitionedSnapshot(spark, store, Some(2L))))
     } finally CdcCatalog.unregister("cat_tt")
   }
 
