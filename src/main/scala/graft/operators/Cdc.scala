@@ -586,12 +586,39 @@ object Cdc {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val parent = manifestVersions(spark, storePath).filter(_ < id).sorted.lastOption
-        processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, id,
+        // Version RESERVATION (not `id` directly): out-of-band commits on
+        // the same store — a bucket split between restarts, a manual
+        // compaction, a catalog DML — also mint max+1 version ids, so a
+        // maintainer that reused its BATCH id as the version id would
+        // stomp whichever landed first (batch 2 overwriting the split's
+        // v=2 manifest with a pre-split layout = silent corruption). The
+        // checkpoint-owned mapping makes the assignment monotone AND
+        // replay-stable: first attempt reserves max+1, a replay of the
+        // same batch id reuses its reserved version and hits the existing
+        // same-version overwrite contract.
+        val v = reservedVersion(spark, checkpoint, storePath, id)
+        processPartitionedBatch(batch, seed, keys, orderCols, opCol, storePath, nBuckets, v,
           payloadCols, morCommit = morCommit, morMaxDepth = morMaxDepth)
-        for (fp <- feedPath; pv <- parent)
-          changesBetweenCdf(spark, storePath, pv, id, keys)
-            .write.mode("overwrite").parquet(s"$fp/v=$id")
+        for (fp <- feedPath) {
+          // Materialize a feed version for EVERY committed store version
+          // above the feed's high-water mark, not just this batch's: the
+          // tail's retention law wants CONSECUTIVE versions (a front hole
+          // reads as "vacuum outran the checkpoint" and throws), and an
+          // out-of-band commit between restarts — a bucket split, a manual
+          // compaction — commits a store version with no feed version. Its
+          // CDF is the truthful answer anyway: empty for a content-no-op
+          // layout commit. Ascending + overwrite-per-directory keeps the
+          // back-fill replay/crash convergent.
+          val committed = manifestVersions(spark, storePath).sorted
+          val fedMax = (committedVersions(spark, fp) ++ feedSegments(spark, fp).map(_._2))
+            .maxOption
+          val floor = fedMax.getOrElse(committed.min)
+          committed.filter(w => w > floor && w <= v).foreach { w =>
+            val pw = committed.filter(_ < w).max
+            changesBetweenCdf(spark, storePath, pw, w, keys)
+              .write.mode("overwrite").parquet(s"$fp/v=$w")
+          }
+        }
         if (vacuumEvery > 0 && id % vacuumEvery == 0)
           vacuum(spark, storePath, keepVersions, feedPath)
         // feed COMPACTION cadence (the vacuumEvery of file counts): every
@@ -604,6 +631,54 @@ object Cdc {
         if (compactFeedEvery > 0 && id % compactFeedEvery == 0)
           for (fp <- feedPath) compactFeed(spark, fp, feedSegmentSize)
       }
+
+  /** The batch→version reservation behind [[maintainPartitionedSnapshot]]:
+    * one tiny file per micro-batch id under `checkpoint/graft-versions/`,
+    * holding the store version that batch commits. Written BEFORE the
+    * store commit (write-tmp-then-rename), so every crash window
+    * converges: crash before the reservation → replay re-reserves (store
+    * untouched, max+1 unchanged); crash between reservation and commit →
+    * replay reads the reservation and commits it; crash after commit →
+    * replay reads the reservation and re-commits the same version, the
+    * store's existing same-id overwrite contract. Fresh batches reserve
+    * `max(committed)+1` (`max(id, …)` keeps a brand-new store's first
+    * batches at their natural ids), so out-of-band versions interleave
+    * instead of colliding. */
+  private def reservedVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String,
+      storePath: String,
+      id: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$checkpoint/graft-versions")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val f = new Path(dir, id.toString)
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b   = new Array[Byte](64)
+        var n   = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        java.lang.Long.parseLong(
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    } else {
+      val committed = manifestVersions(spark, storePath)
+      val v = math.max(id, committed.maxOption.map(_ + 1L).getOrElse(id))
+      val tmp = new Path(dir, s".${id}_tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, f)) {
+        // a concurrent replay attempt won the rename — serve ITS value
+        fs.delete(tmp, false)
+        return reservedVersion(spark, checkpoint, storePath, id)
+      }
+      v
+    }
+  }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for
     * replay/vacuum laws.
@@ -1161,18 +1236,26 @@ object Cdc {
       storePath: String,
       name: String,
       to: org.apache.spark.sql.types.DataType): Long = retryMetadataConflicts {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
     val (parentV, meta) = latestMeta(spark, storePath)
     val f = meta.schema.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no column $name in ${meta.schema.toDDL}"))
     val widening = (f.dataType, to) match {
       case (IntegerType, LongType)  => true
       case (FloatType, DoubleType)  => true
+      // DECIMAL(p,s) -> DECIMAL(p+k,s): the widening a revenue schema hits
+      // first. Same scale is REQUIRED — a scale change rescales every
+      // stored unscaled value, i.e. a rewrite, not metadata; precision
+      // growth is free (carried files keep their narrow physical class,
+      // both the native parquet readers and the store's own row reader
+      // up-cast on read).
+      case (from: DecimalType, t: DecimalType) =>
+        t.precision > from.precision && t.scale == from.scale
       case _                        => false
     }
     require(widening,
-      s"only INT->BIGINT and FLOAT->DOUBLE are metadata-only widenings: " +
-        s"$name is ${f.dataType.simpleString} -> ${to.simpleString} " +
+      s"only INT->BIGINT, FLOAT->DOUBLE, and DECIMAL(p,s)->DECIMAL(p+k,s) are " +
+        s"metadata-only widenings: $name is ${f.dataType.simpleString} -> ${to.simpleString} " +
         "(other changes need a rewriting migration)")
     require(!meta.keys.contains(name),
       s"cannot widen merge key $name: the layout hash is typed — widening a key " +
@@ -2240,6 +2323,48 @@ object Cdc {
     * and column statistics are re-recorded for the rewritten buckets
     * (they were honestly absent while deltas were pending), so count
     * pushdown and CBO stats come back after compaction. */
+  /** Maintenance PLAN from the store's own health metadata (the
+    * `x$partitions` readout, [[describePartitions]]): the bucket ids whose
+    * pending delta depth EXCEEDS `maxDepth`, plus every lazily-split child
+    * still serving a slice of its parent's files (`base_mod` set) — the
+    * buckets an operator's compaction pager would fire on. Pure
+    * driver-side manifest metadata, nBuckets-bounded, zero data IO. */
+  def planMaintenance(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      maxDepth: Int,
+      version: Option[Long] = None): Set[Int] = {
+    require(maxDepth >= 0, "maxDepth >= 0")
+    val (_, _, manifest, _) = servingState(spark, storePath, version)
+    manifest.collect {
+      case (p, e) if e.deltas.length > maxDepth || e.baseMod.isDefined => p
+    }.toSet
+  }
+
+  /** The closed health→maintenance loop: read the per-bucket readout,
+    * compact ONLY the over-threshold buckets ([[planMaintenance]] →
+    * [[compactStore]] with `onlyBuckets`), leave every healthy bucket's
+    * files untouched byte for byte. After a run, no bucket's pending
+    * depth exceeds `maxDepth` (law in CdcSpec), the snapshot is
+    * byte-identical, and the change feed across the maintenance version
+    * is empty — maintenance is layout, never semantics. Returns the
+    * committed maintenance version, or None when the store is already
+    * within threshold. At 100 TB this is the difference between paying a
+    * full-store rewrite on a schedule and paying IO proportional to the
+    * buckets that actually accumulated deltas. */
+  def maintainStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      maxDepth: Int,
+      zorderCols: Seq[String] = Nil): Option[Long] = {
+    val plan = planMaintenance(spark, storePath, maxDepth)
+    if (plan.isEmpty) None
+    else compactStore(spark, storePath, keys, nBuckets, minDeltas = 1,
+      zorderCols = zorderCols, onlyBuckets = Some(plan))
+  }
+
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
@@ -2263,7 +2388,12 @@ object Cdc {
         * statistics tight for key-panel row-group pruning — include the
         * merge key among the z-dims when point lookups matter. */
       zorderCols: Seq[String] = Nil,
-      zorderFilesPerBucket: Int = 4): Option[Long] = {
+      zorderFilesPerBucket: Int = 4,
+      /** Restrict the rewrite to these bucket ids (planner-driven
+        * TARGETED maintenance — see [[maintainStore]]): dirty buckets
+        * outside the set stay carried by reference, their files untouched
+        * byte for byte. None = compact every dirty bucket. */
+      onlyBuckets: Option[Set[Int]] = None): Option[Long] = {
     require(minDeltas >= 1, "minDeltas >= 1")
     require(nBuckets > 0, "nBuckets must be positive")
     require(zorderCols.isEmpty || zorderCols.size == 2 || zorderCols.size == 3,
@@ -2289,8 +2419,9 @@ object Cdc {
     // contract: the rewrite materializes the child's own files, restores
     // its rows/stats, and drops the shared parent dir once no sibling
     // references it (vacuum)
-    val dirty = entries.filter { case (_, e) =>
-      e.deltas.length >= minDeltas || e.baseMod.isDefined
+    val dirty = entries.filter { case (p, e) =>
+      (e.deltas.length >= minDeltas || e.baseMod.isDefined) &&
+        onlyBuckets.forall(_.contains(p))
     }
     if (dirty.isEmpty) return None
     val token = mintCasToken()

@@ -105,10 +105,15 @@ object Ivm {
       id: Long): Unit =
     aggDelta(batch, op, value, keys).write.mode("overwrite").parquet(s"$storePath/delta=$id")
 
-  /** The maintained view as of now: one [[mergeAll]] over every delta the
-    * stream has committed. Throws if no delta exists yet (the view's
-    * schema is data-defined). */
-  def readView(spark: org.apache.spark.sql.SparkSession, storePath: String, keys: Seq[String]): DataFrame = {
+  /** Every state delta the stream has committed, UNMERGED — for consumers
+    * that bootstrap from a snapshot: merge bootstrap + deltas in ONE
+    * [[mergeAll]]/[[applyDelta]]. Folding the deltas ALONE through
+    * [[readView]] would zero-eliminate groups whose net stream weight
+    * cancels (an update's pre+post images: w = 0, value moved) — correct
+    * for a view that saw its whole history, silently value-dropping for
+    * one that starts mid-stream. Throws if no delta exists yet (the
+    * view's schema is data-defined). */
+  def readDeltas(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val dir = new java.io.File(storePath)
     val deltas = Option(dir.listFiles())
       .getOrElse(Array.empty)
@@ -120,8 +125,16 @@ object Ivm {
       .map(_.toString)
     if (deltas.isEmpty)
       throw new IllegalStateException(s"no committed deltas under $storePath")
-    mergeAll(Seq(spark.read.parquet(deltas.toIndexedSeq: _*)), keys)
+    spark.read.parquet(deltas.toIndexedSeq: _*)
   }
+
+  /** The maintained view as of now: one [[mergeAll]] over every delta the
+    * stream has committed — for a stream that saw its WHOLE history from
+    * the first insert (zero-weight groups really are fully retracted).
+    * Bootstrapping consumers compose [[readDeltas]] with their snapshot
+    * state instead. */
+  def readView(spark: org.apache.spark.sql.SparkSession, storePath: String, keys: Seq[String]): DataFrame =
+    mergeAll(Seq(readDeltas(spark, storePath)), keys)
 
   /** Serving projection: exact count/sum plus the derived mean. The mean
     * is null-guarded (ANSI mode throws on /0) for callers handing in a

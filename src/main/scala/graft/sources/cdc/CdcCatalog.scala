@@ -270,6 +270,15 @@ object CdcCatalog {
   private[cdc] val SupportedTypes: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, StringType, BooleanType, DateType)
 
+  /** Payload-type admission: the fixed primitive set plus any DECIMAL
+    * (parameterized, so it can't live in the Set). Decimal columns serve
+    * through every read path — the custom readers decode all three
+    * parquet physical classes (INT32/INT64/FLBA) — but are excluded from
+    * min/max stats machinery by the same Set-membership gates
+    * (absence = unknown, never wrong). */
+  private[cdc] def supportedType(dt: DataType): Boolean =
+    SupportedTypes.contains(dt) || dt.isInstanceOf[DecimalType]
+
   /** Static schemas of the `$history`/`$files` metadata tables — pinned
     * here so loading them never executes the metadata computation. Must
     * match [[graft.operators.Cdc.describeHistory]]/`describeFiles`
@@ -551,10 +560,10 @@ class CdcCatalog extends TableCatalog with FunctionCatalog {
     require(add.position == null,
       s"ALTER TABLE $name ADD COLUMN $col: positions are not supported — " +
         "columns append (physical layouts of carried files never change)")
-    require(CdcCatalog.SupportedTypes.contains(add.dataType),
+    require(CdcCatalog.supportedType(add.dataType),
       s"ALTER TABLE $name ADD COLUMN $col: unsupported type " +
         s"${add.dataType.simpleString} (supported: long/int/double/float/string/" +
-        "boolean/date)")
+        "boolean/date/decimal)")
     Cdc.addColumn(SparkSession.active, d.storePath, col, add.dataType)
   }
   override def dropTable(ident: Identifier): Boolean = {
@@ -707,11 +716,11 @@ class CdcStoreTable(tableName: String, d: CdcCatalog.StoreDef)
   private[cdc] val physMap: Map[String, String] = storeMeta.mapping
 
   {
-    val bad = payloadSchema.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
+    val bad = payloadSchema.fields.filterNot(f => CdcCatalog.supportedType(f.dataType))
     require(bad.isEmpty,
       s"unsupported payload types in $tableName: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
-        s" (supported: long/int/double/float/string/boolean/date)")
+        s" (supported: long/int/double/float/string/boolean/date/decimal)")
     val missing = d.keys.filterNot(payloadSchema.fieldNames.contains)
     require(missing.isEmpty,
       s"merge keys absent from $tableName payload schema: ${missing.mkString(", ")}")

@@ -62,7 +62,7 @@ class CdcFeedTable(tableName: String, d: CdcCatalog.FeedDef) extends Table with 
           "boundaries; vacuum/re-materialize the feed past the change and " +
           "bootstrap consumers from the snapshot")
     }
-    val bad = payload.fields.filterNot(f => CdcCatalog.SupportedTypes.contains(f.dataType))
+    val bad = payload.fields.filterNot(f => CdcCatalog.supportedType(f.dataType))
     require(bad.isEmpty,
       s"unsupported payload types in $tableName: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))

@@ -935,6 +935,25 @@ class CdcPartitionReader(
           case BooleanType => g.getBoolean(pos, 0)
           case DateType    => g.getInteger(pos, 0) // parquet DATE = days since epoch
           case TimestampType => g.getLong(pos, 0)  // TIMESTAMP(MICROS) in segment files
+          // DECIMAL: decode whatever physical class the FILE chose
+          // (INT32 for p<=9, INT64 for p<=18, FLBA/BINARY above) into the
+          // REQUESTED precision/scale — precision widening
+          // (Cdc.widenColumn DECIMAL(p,s)->DECIMAL(p+k,s)) is exactly a
+          // narrow physical read under a wider logical type; the scale
+          // never changes across a widening, so the unscaled value maps 1:1
+          case dec: DecimalType => filePrim(i) match {
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getInteger(pos, 0).toLong, dec.precision, dec.scale)
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getLong(pos, 0), dec.precision, dec.scale)
+            case _ => // FIXED_LEN_BYTE_ARRAY / BINARY: big-endian unscaled bytes
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(
+                  new java.math.BigInteger(g.getBinary(pos, 0).getBytes), dec.scale),
+                dec.precision, dec.scale)
+          }
           case t => throw new IllegalArgumentException(
             s"unsupported type $t (CdcStoreTable validates at load — this is a bug)")
         }

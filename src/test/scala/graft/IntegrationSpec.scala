@@ -486,4 +486,100 @@ class IntegrationSpec extends AnyFunSuite {
     assert(perShard.length === 4)
     perShard.foreach { case (s, n, mx) => assert(n === mx, s"shard $s positions not dense") }
   }
+
+  test("medallion 3-hop: source → bronze store+feed → streaming CDF tail → silver IVM " +
+      "— silver ≡ batch recompute at every epoch, across a mid-stream bucket split " +
+      "and a killed-and-resumed consumer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Cdc, Ivm}
+    import graft.sources.cdc.CdcCatalog
+    implicit val sqlCtx = spark.sqlContext
+
+    val store  = Files.createTempDirectory("graft_med_store").toString
+    val feed   = Files.createTempDirectory("graft_med_feed").toString
+    val ckptB  = Files.createTempDirectory("graft_med_ckptB").toString
+    val ckptS  = Files.createTempDirectory("graft_med_ckptS").toString
+    val silver = Files.createTempDirectory("graft_med_silver").toString
+    val keys   = Seq("k")
+    val seed   = (1L to 40L).map(k => (k, s"n$k", k * 1.0)).toDF("k", "name", "bal")
+
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    def bronze(nBuckets: Int) = Cdc.maintainPartitionedSnapshot(
+      mem.toDF().toDF("k", "name", "bal", "seq", "op"),
+      seed, keys, Seq(col("seq")), col("op"), store, ckptB, nBuckets,
+      feedPath = Some(feed))
+
+    // Hop 2: the catalog feed table tailed as a stream, weighted into
+    // Z-set deltas (insert/update_postimage +1, delete/update_preimage −1)
+    CdcCatalog.registerFeed("med_feed", store, feed)
+    def silverQuery() = Ivm.maintainView(
+      spark.readStream.table("graft.med_feed")
+        .withColumn("grp", col("k") % 5)
+        .withColumn("w",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L)),
+      col("w"), col("bal"), Seq("grp"), silver, ckptS)
+
+    // the silver consumer bootstraps from snapshot v0 (the feed starts at
+    // v1), exactly like c38_cdc_feed_ivm's initial load
+    def viewRows(state: org.apache.spark.sql.DataFrame): Map[Long, (Long, java.math.BigDecimal)] =
+      state.select("grp", "cnt", "total").as[(Long, Long, java.math.BigDecimal)]
+        .collect().map { case (g, c, t) => g -> ((c, t)) }.toMap
+    def recompute(): Map[Long, (Long, java.math.BigDecimal)] = viewRows(Ivm.aggDelta(
+      Cdc.readPartitionedSnapshot(spark, store).withColumn("grp", col("k") % 5),
+      lit(1L), col("bal"), Seq("grp")))
+    lazy val bootstrap = Ivm.aggDelta(
+      Cdc.readPartitionedSnapshot(spark, store, Some(0L)).withColumn("grp", col("k") % 5),
+      lit(1L), col("bal"), Seq("grp")).localCheckpoint()
+    // bootstrap + RAW deltas in one merge: zero-elimination only after the
+    // snapshot state joins the fold (Ivm.readDeltas scaladoc — a delta
+    // whose pre+post images cancel in weight still moves the value)
+    def silverNow(): Map[Long, (Long, java.math.BigDecimal)] =
+      viewRows(Ivm.applyDelta(bootstrap, Ivm.readDeltas(spark, silver), Seq("grp")))
+
+    try {
+      // epoch A (v0: seed ∪ batch) + epoch B (v1, first feed version)
+      val q1 = bronze(nBuckets = 8).start()
+      try {
+        mem.addData((1L, "a", 100.0, 1L, "U"), (41L, "new", 41.0, 2L, "I"), (5L, "x", 0.0, 3L, "D"))
+        q1.processAllAvailable()
+        mem.addData((2L, "b", 202.0, 4L, "U"), (7L, "gone", 0.0, 5L, "D"), (42L, "n2", 42.0, 6L, "I"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val s1 = silverQuery().start()
+      try s1.processAllAvailable() finally s1.stop() // consumer KILLED here
+      assert(silverNow() === recompute(), "silver ≠ recompute after epoch B")
+
+      // mid-stream layout evolution: metadata-only bucket split 8 → 16
+      // commits store v2 with NO content change
+      Cdc.splitBuckets(spark, store)
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L))
+
+      // bronze resumes AFTER the split, at the split's bucket count: the
+      // version reservation must skip the split's v2 (not stomp it), and
+      // the feed must back-fill an EMPTY v2 so the tail stays contiguous
+      val q2 = bronze(nBuckets = 16).start()
+      try {
+        mem.addData((3L, "c", 303.0, 7L, "U"), (41L, "upd", 410.0, 8L, "U"), (9L, "d9", 0.0, 9L, "D"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(Cdc.manifestVersions(spark, store).sorted === Seq(0L, 1L, 2L, 3L),
+        "epoch C must commit v3 — reusing the split's version id corrupts the store")
+      assert(spark.read.parquet(s"$feed/v=2").count() === 0L,
+        "the split's back-filled feed version must exist and be empty")
+      assert(spark.read.parquet(s"$feed/v=3").count() > 0L)
+
+      // the killed consumer RESUMES across the split: v2 (empty) + v3,
+      // exactly once
+      val s2 = silverQuery().start()
+      try s2.processAllAvailable() finally s2.stop()
+      assert(silverNow() === recompute(), "silver ≠ recompute after the split + resume")
+
+      // spot the retraction semantics really fired: group of key 41
+      // (41 % 5 = 1) absorbed update 41.0 → 410.0 through pre+post images
+      val g1 = silverNow()(1L)
+      assert(g1 === recompute()(1L))
+    } finally CdcCatalog.unregister("med_feed")
+  }
 }

@@ -1219,6 +1219,74 @@ class CdcSpec extends AnyFunSuite {
     assert(readPart(store) === before + (6L -> ("v4", 64.0)))
   }
 
+  test("planMaintenance → maintainStore closes the health loop: only over-threshold " +
+      "buckets rewrite, healthy buckets keep their exact files, snapshot and feed " +
+      "are unchanged, and a within-threshold store is a no-op") {
+    val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
+    val seed = snap(s: _*)
+    val store = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    runBatch(store, seed, 0L)
+    // three delta epochs with UNEVEN touch sets → uneven per-bucket depth
+    morBatch(store, seed, 1L, (5L, "u5", 55.0, 100L, "U"), (10L, "u10", 10.1, 101L, "U"),
+      (15L, "u15", 15.1, 102L, "U"), (20L, "u20", 20.1, 103L, "U"))
+    morBatch(store, seed, 2L, (5L, "u5b", 56.0, 200L, "U"))
+    morBatch(store, seed, 3L, (5L, "u5c", 57.0, 300L, "U"))
+    val before = readPart(store)
+    val mPre = Cdc.readManifestFull(spark, store, 3L)
+    val deep    = mPre.collect { case (p, e) if e.deltas.length > 1 => p }.toSet
+    val shallow = mPre.collect { case (p, e) if e.deltas.length == 1 => p }.toSet
+    assert(deep.nonEmpty && shallow.nonEmpty,
+      s"fixture needs both depths, got ${mPre.map { case (p, e) => p -> e.deltas.length }}")
+    // the plan is exactly the manifest's over-threshold set ($partitions'
+    // dirty-set semantics at depth > 1)
+    assert(Cdc.planMaintenance(spark, store, maxDepth = 1) === deep)
+
+    // file-level signature of every bucket the plan must NOT touch
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirSig(bucket: Int, writer: Long): Seq[(String, Long, Long)] = {
+      val d = new org.apache.hadoop.fs.Path(s"$store/parts/_bucket=$bucket/_writer=$writer")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toIndexedSeq
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .sortBy(_._1)
+    }
+    val healthySigs = shallow.toSeq.sorted.map { p =>
+      p -> mPre(p).writers.map(w => w -> dirSig(p, w))
+    }
+
+    assert(Cdc.maintainStore(spark, store, keys, nBuckets, maxDepth = 1) === Some(4L))
+    val m4 = Cdc.readManifestFull(spark, store, 4L)
+    assert(m4.values.forall(_.deltas.length <= 1),
+      "maintenance left a bucket over threshold")
+    deep.foreach { p =>
+      assert(m4(p).deltas.isEmpty && m4(p).rows.isDefined,
+        s"planned bucket $p was not fully compacted: ${m4(p)}")
+    }
+    // healthy buckets: same manifest entry, same physical files, byte count
+    // and mtime untouched
+    shallow.foreach { p =>
+      assert(m4(p).base === mPre(p).base && m4(p).deltas === mPre(p).deltas,
+        s"unplanned bucket $p was rewritten: ${mPre(p)} -> ${m4(p)}")
+    }
+    healthySigs.foreach { case (p, sigs) =>
+      sigs.foreach { case (w, sig) =>
+        assert(dirSig(p, w) === sig, s"unplanned bucket $p writer $w files changed")
+      }
+    }
+    // maintenance is layout, never semantics
+    assert(readPart(store) === before, "maintenance changed the served snapshot")
+    assert(Cdc.changesBetween(spark, store, 3L, 4L, keys).count() === 0L,
+      "feed across the maintenance version must be empty")
+    // the store is now within threshold: the loop converges to a no-op
+    assert(Cdc.planMaintenance(spark, store, maxDepth = 1) === Set.empty[Int])
+    assert(Cdc.maintainStore(spark, store, keys, nBuckets, maxDepth = 1) === None)
+    // depth-0 maintenance folds the remaining shallow deltas too
+    assert(Cdc.maintainStore(spark, store, keys, nBuckets, maxDepth = 0) === Some(5L))
+    assert(Cdc.readManifestFull(spark, store, 5L).values.forall(_.deltas.isEmpty))
+    assert(readPart(store) === before)
+  }
+
   test("merge-on-read composes with additive schema evolution: a delta commit may " +
       "widen the schema; the fold serves NULL for rows predating the column") {
     val s = (1L to 40L).map(k => (k, s"orig$k", k * 1.0))
@@ -1628,6 +1696,69 @@ class CdcSpec extends AnyFunSuite {
     }.getMessage.contains("widening"))
     assert(intercept[IllegalArgumentException] {
       Cdc.widenColumn(spark, store, "ratio", StringType)
+    }.getMessage.contains("widening"))
+  }
+
+  test("DECIMAL precision widening: DECIMAL(9,2)->DECIMAL(14,2) is metadata-only — " +
+      "both physical eras serve exactly (INT32 files under the wide schema), the MoR " +
+      "fold crosses the boundary through the catalog's own reader, ALTER TABLE speaks " +
+      "it, and scale changes / narrowings refuse") {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_decwiden").toString
+    def dec(rows: (Long, String)*): DataFrame = rows.toDF("k", "rev")
+      .select(col("k"), col("rev").cast(DecimalType(9, 2)).as("rev"))
+    val seed = dec(1L -> "10.25", 2L -> "20.50", 3L -> "30.75")
+    Cdc.processPartitionedBatch(
+      seed.limit(0).withColumn("seq", lit(0L)).withColumn("op", lit("U")),
+      seed, keys, Seq(col("seq")), col("op"), store, nBuckets, 0L) // v0: p<=9 era (INT32 files)
+    val before = fileState(s"$store/parts")
+    assert(Cdc.widenColumn(spark, store, "rev", DecimalType(14, 2)) === 1L)
+    assert(fileState(s"$store/parts") === before, "decimal widening rewrote data files")
+    // narrow-era files serve EXACTLY under the wide schema (unscaled 1:1)
+    val served = Cdc.readPartitionedSnapshot(spark, store)
+    assert(served.schema("rev").dataType === DecimalType(14, 2))
+    assert(served.select("k", "rev").as[(Long, java.math.BigDecimal)].collect()
+      .map { case (k, r) => k -> r.toPlainString }.toMap ===
+      Map(1L -> "10.25", 2L -> "20.50", 3L -> "30.75"))
+    // a wide MoR delta (value only DECIMAL(14,2) can carry) folds over the
+    // narrow base; serve it through the CATALOG so the store's own row
+    // reader decodes both physical classes (INT32 base + INT64 delta)
+    val wide = Seq((2L, "123456789012.34", 100L, "U"), (4L, "40.00", 101L, "U"))
+      .toDF("k", "rev", "seq", "op")
+      .select(col("k"), col("rev").cast(DecimalType(14, 2)).as("rev"), col("seq"), col("op"))
+    Cdc.processPartitionedBatch(wide,
+      Cdc.readPartitionedSnapshot(spark, store).limit(0), keys,
+      Seq(col("seq")), col("op"), store, nBuckets, 2L, casCommit = true, morCommit = true)
+    graft.sources.cdc.CdcCatalog.register("cat_decw", store, keys, nBuckets)
+    try {
+      val folded = spark.table("graft.cat_decw")
+        .select("k", "rev").as[(Long, java.math.BigDecimal)].collect()
+        .map { case (k, r) => k -> r.toPlainString }.toMap
+      assert(folded === Map(
+        1L -> "10.25", 2L -> "123456789012.34", 3L -> "30.75", 4L -> "40.00"))
+      // key-panel point lookup decodes the decimal era mix too
+      val hit = Cdc.lookupKeys(spark, store, keys, Seq(Tuple1(2L)).toDF("k"), nBuckets)
+        .select("rev").as[java.math.BigDecimal].collect()
+      assert(hit.map(_.toPlainString).toSeq === Seq("123456789012.34"))
+      // ALTER TABLE e2e: a further widening through the SQL surface
+      spark.sql("ALTER TABLE graft.cat_decw ALTER COLUMN rev TYPE DECIMAL(20,2)")
+      assert(spark.table("graft.cat_decw").schema("rev").dataType === DecimalType(20, 2))
+      assert(spark.table("graft.cat_decw")
+        .select("k", "rev").as[(Long, java.math.BigDecimal)].collect()
+        .map { case (k, r) => k -> r.toPlainString }.toMap === folded)
+    } finally graft.sources.cdc.CdcCatalog.unregister("cat_decw")
+    // time travel: the narrow era serves its OWN recorded type
+    assert(Cdc.readPartitionedSnapshot(spark, store, Some(0L))
+      .schema("rev").dataType === DecimalType(9, 2))
+    // refusals: scale change (a rewrite in disguise), narrowing, cross-type
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "rev", DecimalType(22, 3))
+    }.getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "rev", DecimalType(9, 2))
+    }.getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException] {
+      Cdc.widenColumn(spark, store, "rev", StringType)
     }.getMessage.contains("widening"))
   }
 
