@@ -564,11 +564,7 @@ object SimilarityJoin {
       maxBucketSize: Int = 0
   ): DataFrame = {
     requireLshParams(tables, nbits)
-    val bucketed = emb
-      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(lshSlices(cosineLshBucket(col("v"), dim, tables * nbits), tables, nbits))
-          .as(Seq("t", "key")))
+    val bucketed = lshBucketRows(emb, idCol, vecCol, dim, nbits, tables)
     val side =
       if (maxBucketSize <= 0) bucketed
       else { // one count per (t, key) partition — same shuffle the join pays
@@ -646,6 +642,26 @@ object SimilarityJoin {
     * table t's hyperplanes are [t·bits, (t+1)·bits) taken from the HIGH
     * end of the wide bucket, so a table's keys are independent of the
     * total table count — adding tables only ADDS tables. */
+  /** The hyperplane-LSH bucket rows (id, v, t, key) behind
+    * [[lshSelfJoinThreshold]] — exposed so a session can MATERIALIZE the
+    * hash half as an oracle artifact from the same code path the query
+    * runs (the d4-index contract: the artifact cannot drift from the
+    * operator). */
+  def lshBucketRows(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      nbits: Int,
+      tables: Int): DataFrame = {
+    requireLshParams(tables, nbits)
+    emb
+      .select(idCol.as("id"), VectorOps.asDouble(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(lshSlices(cosineLshBucket(col("v"), dim, tables * nbits), tables, nbits))
+          .as(Seq("t", "key")))
+  }
+
   private def lshSlices(wide: Column, tables: Int, bitsPerTable: Int): Column = {
     val mask = (1L << bitsPerTable) - 1
     array((0 until tables).map(t =>

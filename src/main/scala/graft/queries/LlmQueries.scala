@@ -44,7 +44,10 @@ object LlmQueries {
     clustersArtifactFor(s, sf); neardupEdgesFor(s, sf, threshold = 0.2)
     byteMergesFor(s, sf); lshIndexFor(s, sf)
     d0LosersFor(s, sf); d0FullLosersFor(s, sf); d0IncrLosersFor(s, sf)
-    procrustesModelFor(s, sf); ()
+    procrustesModelFor(s, sf)
+    neardupBucketsFor(s, sf, oph = false); neardupBucketsFor(s, sf, oph = true)
+    simhashFor(s, sf); fuzzyDecontamBucketsFor(s, sf); sourceSigsFor(s, sf)
+    semLshBucketsFor(s, sf); ()
   }
 
   /** Materialized multi-table LSH hash tables (id, t, key) — the offline
@@ -278,6 +281,119 @@ object LlmQueries {
           yield (i.toLong, j.toLong, w(i)(j), math.rint(w(i)(j) * 1e6) / 1e6)
         rows.toDF("from_dim", "to_dim", "w_raw", "w")
           .coalesce(1).write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  // The d2/d9 hash-family parameters, shared between each query and its
+  // oracle-artifact builder (they MUST agree or the oracle replays a
+  // different detector).
+  private val neardupParams    = Dedup.MinHashParams(jaccardThreshold = 0.3)
+  private val neardupOphParams = Dedup.MinHashParams(jaccardThreshold = 0.3, useOph = true)
+  private val fuzzyDecontamParams =
+    Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5)
+
+  /** Materialized LSH band-bucket rows (doc_id, band, bucket — text-free,
+    * post-cap) of the near-dup detectors: the xxhash-determined HALF of
+    * `d2_neardup_minhash`/`_oph`, captured once per session so the DuckDB
+    * oracle replays the collision join, the exact token-set Jaccard
+    * verification, and the threshold — everything downstream of the hash
+    * family — from the documents table. Same contract as the d4 LSH probe
+    * tables. */
+  private def neardupBucketsFor(s: SparkSession, sf: String, oph: Boolean): String = {
+    val tag = if (oph) "d2oph" else "d2mh"
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#$tag", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${sanitizedKey(sf)}"
+        Dedup
+          .lshBuckets(Tables.documents(s, sf), col("doc_id"), col("text"),
+            if (oph) neardupOphParams else neardupParams)
+          .select(col("doc_id"), col("band"), col("bucket"))
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+  }
+
+  /** Materialized per-doc SimHash values (id, sh, blk — the 64-bit sketch
+    * and its block key): `d2_simhash`'s hash half; the oracle replays the
+    * block join, XOR popcount Hamming distance, and radius filter. */
+  private def simhashFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d2sh", {
+        import s.implicits._
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d2sh_${sanitizedKey(sf)}"
+        Tables.documents(s, sf)
+          .select(col("doc_id").cast("long").as("id"), col("text").cast("string").as("__text"))
+          .as[(Long, String)]
+          .filter(_._2 != null)
+          .map { case (id, text) => (id, TextOps.simHash64(TextOps.tokenHashesJvm(text))) }
+          .toDF("id", "sh")
+          .withColumn("blk", shiftrightunsigned(col("sh"), 64 - 20))
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** Materialized cross-corpus banding of `d2_fuzzy_decontam` — the train
+    * slice's band-bucket rows at the root, the eval slice's under `_eval`
+    * (underscore dirs are invisible to the root read, the PQ-artifact
+    * layout convention). */
+  private def fuzzyDecontamBucketsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d2fd", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d2fd_${sanitizedKey(sf)}"
+        val docs = Tables.documents(s, sf)
+        Dedup
+          .lshBuckets(docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+            fuzzyDecontamParams)
+          .select(col("doc_id"), col("band"), col("bucket"))
+          .write.mode("overwrite").parquet(path)
+        Dedup
+          .lshBuckets(docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+            fuzzyDecontamParams)
+          .select(col("doc_id"), col("band"), col("bucket"))
+          .write.mode("overwrite").parquet(s"$path/_eval")
+        path
+      }
+    )
+
+  /** Materialized per-doc MinHash signatures (source, sig) behind
+    * `d2_source_overlap`: the oracle replays the union sketch (per-slot
+    * MIN across a source's docs) and the agreeing-slot estimate — the
+    * whole mergeable-UDAF fold — in SQL. */
+  private def sourceSigsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d2so", {
+        import s.implicits._
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d2so_${sanitizedKey(sf)}"
+        Tables.documents(s, sf)
+          .select(col("source"), col("text").cast("string").as("__text"))
+          .as[(String, String)]
+          .filter(_._2 != null)
+          .map { case (src, t) =>
+            (src, TextOps.minHashSignature64(TextOps.shingleHashesJvm(t, 3), 32))
+          }
+          .toDF("source", "sig")
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
+  /** Materialized hyperplane-LSH bucket rows (id, t, key) of
+    * `d9_semantic_clusters_lsh`'s slice — the oracle replays the
+    * collision join, exact-cosine verification, and the connected-
+    * components fixpoint. */
+  private def semLshBucketsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d9lsh", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d9lsh_${sanitizedKey(sf)}"
+        SimilarityJoin
+          .lshBucketRows(
+            Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
+            col("vec_id"), col("embedding"), dim = 64, nbits = 2, tables = 4)
+          .select(col("id"), col("t"), col("key"))
+          .write.mode("overwrite").parquet(path)
         path
       }
     )
@@ -572,43 +688,53 @@ object LlmQueries {
     }),
 
     // D2: MinHash+LSH near-dup candidate pairs, Jaccard-verified.
-    // xxhash64-based → rows-only check; laws in DedupSpec.
-    "d2_neardup_minhash" -> ((s, sf) =>
+    // Oracle: artifact-backed — the band-bucket rows are materialized
+    // ([[neardupBucketsFor]]) and DuckDB replays the collision join +
+    // exact token-set Jaccard verification; laws in DedupSpec.
+    "d2_neardup_minhash" -> ((s, sf) => {
+      neardupBucketsFor(s, sf, oph = false) // oracle artifact
       Dedup
         .nearDuplicatePairs(
           Tables.documents(s, sf),
           col("doc_id"),
           col("text"),
-          Dedup.MinHashParams(jaccardThreshold = 0.3)
+          neardupParams
         )
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // D2 (scale path): the same near-dup pipeline with ONE-PERMUTATION
     // signatures — each shingle hashed once and routed to a bin, empty
     // bins densified (TextOps.ophSignature64), vs the k-seed family's
     // |shingles|×k mixes. The knob to flip when signature hashing
     // dominates the banding pass at corpus scale. Candidates still
-    // verified by exact Jaccard; rows-only (candidate set depends on the
-    // hash family), estimator/recall laws in MinHashSketchSpec/DedupSpec.
-    "d2_neardup_oph" -> ((s, sf) =>
+    // verified by exact Jaccard; oracle artifact-backed like the k-seed
+    // twin; estimator/recall laws in MinHashSketchSpec/DedupSpec.
+    "d2_neardup_oph" -> ((s, sf) => {
+      neardupBucketsFor(s, sf, oph = true) // oracle artifact
       Dedup
         .nearDuplicatePairs(
           Tables.documents(s, sf),
           col("doc_id"),
           col("text"),
-          Dedup.MinHashParams(jaccardThreshold = 0.3, useOph = true)
+          neardupOphParams
         )
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b")
+    }),
 
-    // D2: SimHash near-dup pairs within Hamming radius. rows-only.
+    // D2: SimHash near-dup pairs within Hamming radius. Oracle:
+    // artifact-backed — per-doc sketches materialized ([[simhashFor]]),
+    // DuckDB replays the block join + XOR-popcount radius filter.
     // radius 10/64: the shared-vocabulary synthetic corpus makes loose
     // radii degenerate (ham<=16 flags ~1M of 12.5M possible pairs at
     // sf0.1 — "everything is a near-dup" is not a useful detector).
-    "d2_simhash" -> ((s, sf) =>
+    "d2_simhash" -> ((s, sf) => {
+      simhashFor(s, sf) // oracle artifact
       Dedup
         .simHashPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
           maxHamming = 10, blockBits = 20)
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // D2: estimated shingle-set overlap BETWEEN SOURCES — union-MinHash
     // sketch per source via the mergeable UDAF (map-side combine: the
@@ -621,6 +747,7 @@ object LlmQueries {
     "d2_source_overlap" -> ((s, sf) => {
       import s.implicits._
       val nh = 32
+      sourceSigsFor(s, sf) // oracle artifact (same JVM signature loop)
       val sigs = Tables
         .documents(s, sf)
         .select(col("source"), col("text").cast("string").as("__text"))
@@ -807,12 +934,13 @@ object LlmQueries {
     // exact-Jaccard containment and planted-leak recall laws live in
     // DedupSpec. Threshold 0.5 = the standard near-dup operating point.
     "d2_fuzzy_decontam" -> ((s, sf) => {
+      fuzzyDecontamBucketsFor(s, sf) // oracle artifact
       val docs = Tables.documents(s, sf)
       Dedup
         .fuzzyDecontamFlags(
           docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
           docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
-          Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5))
+          fuzzyDecontamParams)
         .orderBy("train_id")
     }),
 
@@ -2508,6 +2636,7 @@ object LlmQueries {
     // n · cap) when geometry disappoints anyway (capped-run law in
     // SimilaritySpec).
     "d9_semantic_clusters_lsh" -> ((s, sf) => {
+      semLshBucketsFor(s, sf) // oracle artifact
       val pairs = SimilarityJoin
         .lshSelfJoinThreshold(
           Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
@@ -3970,9 +4099,88 @@ object LlmQueries {
       s"""SELECT from_dim, to_dim, w FROM read_parquet('$p/*.parquet')
           WHERE abs(w_raw) > 0.5 ORDER BY from_dim, to_dim""")
 
+    // The xxhash-family detectors: each artifact is ONLY the hash half
+    // (band buckets, sketches, signatures); the collision joins, exact
+    // verification (token-set Jaccard / XOR-popcount Hamming / fold
+    // cosine), thresholds, and fixpoints all replay in SQL — the same
+    // split the d4 LSH probe uses.
+    val tokSetCte =
+      """ts AS (SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS s
+         FROM documents)"""
+    def neardupOracle(p: String, tau: Double): String =
+      s"""WITH b AS (SELECT doc_id, band, bucket FROM read_parquet('$p/*.parquet')),
+          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                   FROM b l JOIN b r
+                   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+          $tokSetCte,
+          v AS (SELECT doc_a, doc_b,
+                  CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)
+                    / (CAST(len(a.s) AS DOUBLE) + CAST(len(bb.s) AS DOUBLE)
+                       - CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)) AS j
+                FROM cand JOIN ts a ON cand.doc_a = a.doc_id
+                          JOIN ts bb ON cand.doc_b = bb.doc_id)
+          SELECT doc_a, doc_b, round(j, 9) AS jaccard FROM v
+          WHERE j >= $tau ORDER BY doc_a, doc_b"""
+    val d2mh  = pathOf("d2mh").map(p => "d2_neardup_minhash" -> neardupOracle(p, 0.3))
+    val d2oph = pathOf("d2oph").map(p => "d2_neardup_oph" -> neardupOracle(p, 0.3))
+
+    val d2sh = pathOf("d2sh").map(p => "d2_simhash" ->
+      s"""WITH h AS (SELECT id, sh, blk FROM read_parquet('$p/*.parquet'))
+          SELECT l.id AS doc_a, r.id AS doc_b,
+            CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+          FROM h l JOIN h r ON l.blk = r.blk AND l.id < r.id
+          WHERE bit_count(xor(l.sh, r.sh)) <= 10
+          ORDER BY doc_a, doc_b""")
+
+    val d2fd = pathOf("d2fd").map(p => "d2_fuzzy_decontam" ->
+      s"""WITH tb AS (SELECT doc_id AS train_id, band, bucket FROM read_parquet('$p/*.parquet')),
+          eb AS (SELECT doc_id AS eval_id, band, bucket FROM read_parquet('$p/_eval/*.parquet')),
+          cand AS (SELECT DISTINCT train_id, eval_id FROM tb JOIN eb USING (band, bucket)),
+          $tokSetCte,
+          v AS (SELECT train_id, eval_id,
+                  CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)
+                    / (CAST(len(a.s) AS DOUBLE) + CAST(len(bb.s) AS DOUBLE)
+                       - CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)) AS j
+                FROM cand JOIN ts a ON cand.train_id = a.doc_id
+                          JOIN ts bb ON cand.eval_id = bb.doc_id),
+          best AS (SELECT train_id, eval_id, j,
+                     row_number() OVER (PARTITION BY train_id ORDER BY j DESC, eval_id) AS rn
+                   FROM v WHERE j >= 0.5)
+          SELECT train_id, eval_id, round(j, 9) AS jaccard FROM best
+          WHERE rn = 1 ORDER BY train_id""")
+
+    val d2so = pathOf("d2so").map(p => "d2_source_overlap" ->
+      s"""WITH sg AS (SELECT source, sig FROM read_parquet('$p/*.parquet')),
+          slots AS (SELECT source, generate_subscripts(sig, 1) AS slot, unnest(sig) AS v FROM sg),
+          sk AS (SELECT source, slot, min(v) AS mv FROM slots GROUP BY source, slot)
+          SELECT a.source AS src_a, b.source AS src_b,
+            round(CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 9)
+              AS est_overlap
+          FROM sk a JOIN sk b ON a.slot = b.slot AND a.source < b.source
+          GROUP BY a.source, b.source ORDER BY src_a, src_b""")
+
+    val d9lsh = pathOf("d9lsh").map(p => "d9_semantic_clusters_lsh" ->
+      s"""WITH RECURSIVE bk AS (SELECT id, t, key FROM read_parquet('$p/*.parquet')),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                WHERE vec_id % 10 = 0),
+          cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM bk l JOIN bk r
+                   ON l.t = r.t AND l.key = r.key AND l.id < r.id),
+          pairs AS (SELECT id_a, id_b FROM cand
+                    JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id
+                    WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+          nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
+          und AS (SELECT id_a AS n1, id_b AS n2 FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(node, m) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.n2, reach.m FROM reach JOIN und u ON u.n1 = reach.node)
+          SELECT node AS vec_id, min(m) AS cluster FROM reach GROUP BY node ORDER BY vec_id""")
+
     (ivf ++ ivfF ++ ivfQ ++ pq ++ ivfpq ++ opq ++ lsh ++ report ++
       pca ++ kmeansCc ++ labelProp ++ pagerank ++ drift ++
-      d0prep ++ d0incr ++ d0full ++ procrustes).toMap
+      d0prep ++ d0incr ++ d0full ++ procrustes ++
+      d2mh ++ d2oph ++ d2sh ++ d2fd ++ d2so ++ d9lsh).toMap
   }
 
   /** Shared tail of the d0 oracles — rule gates + enrichment over a CTE

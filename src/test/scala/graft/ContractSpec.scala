@@ -26,11 +26,6 @@ class ContractSpec extends AnyFunSuite {
     "c12_hll_shard_merge",
     "c31_sample",
     "d1_bloom_audit",
-    "d2_fuzzy_decontam",
-    "d2_neardup_minhash",
-    "d2_neardup_oph",
-    "d2_simhash",
-    "d2_source_overlap",
     "d5_bpe_bytes",
     "d5_bpe_encode",
     "d5_bpe_train",
@@ -39,8 +34,7 @@ class ContractSpec extends AnyFunSuite {
     "d7_ffd_packing",
     "d8_image_phash",
     "d8_image_resize",
-    "d9_kcore",
-    "d9_semantic_clusters_lsh")
+    "d9_kcore")
 
   /** Queries whose oracle is ARTIFACT-BACKED (LlmQueries.indexOracleSql):
     * emitted only after the session materialized the index/model/edge
@@ -52,6 +46,11 @@ class ContractSpec extends AnyFunSuite {
     "d0_corpus_prep",      // near-dup loser-id artifact (d0LosersFor)
     "d0_corpus_prep_full", // train-slice loser-id artifact
     "d0_corpus_prep_incr", // cross-store + within-shard loser artifact
+    "d2_fuzzy_decontam",   // cross-corpus band buckets (fuzzyDecontamBucketsFor)
+    "d2_neardup_minhash",  // band-bucket rows (neardupBucketsFor)
+    "d2_neardup_oph",      // one-permutation band-bucket rows
+    "d2_simhash",          // per-doc sketches (simhashFor)
+    "d2_source_overlap",   // per-doc signatures (sourceSigsFor)
     "d3_pca_whiten",
     "d3_procrustes_align", // stored-rotation mapping panel (procrustesModelFor)
     "d4_ivf_drift",
@@ -65,7 +64,8 @@ class ContractSpec extends AnyFunSuite {
     "d4_topk_pq",
     "d9_label_prop",
     "d9_pagerank",
-    "d9_semantic_clusters_kmeans")
+    "d9_semantic_clusters_kmeans",
+    "d9_semantic_clusters_lsh") // hyperplane bucket rows (semLshBucketsFor)
 
   test("every oracle key names a registered query (an orphan oracle never runs)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
