@@ -47,7 +47,7 @@ object LlmQueries {
     procrustesModelFor(s, sf)
     neardupBucketsFor(s, sf, oph = false); neardupBucketsFor(s, sf, oph = true)
     simhashFor(s, sf); fuzzyDecontamBucketsFor(s, sf); sourceSigsFor(s, sf)
-    semLshBucketsFor(s, sf); ()
+    semLshBucketsFor(s, sf); bloomVerdictsFor(s, sf); ()
   }
 
   /** Materialized multi-table LSH hash tables (id, t, key) — the offline
@@ -398,6 +398,25 @@ object LlmQueries {
       }
     )
 
+  /** Materialized bloom-probe VERDICTS (shard key, mightContain bit) of
+    * `d1_bloom_audit`: the xxhash bit-array probes are the only
+    * sketch-dependent input; the oracle replays the corpus join, all five
+    * classification counts, and the false-positive rate from them. */
+  private def bloomVerdictsFor(s: SparkSession, sf: String): String =
+    ivfIndexes.getOrElseUpdate(
+      s"$sf#d1bloom", {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_d1bloom_${sanitizedKey(sf)}"
+        val docs = Tables.documents(s, sf)
+        val bf = graft.operators.BloomDedup
+          .buildBroadcast(docs.filter(col("doc_id") % 2 === 0), col("text"))
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("text").as("k"),
+            graft.operators.BloomDedup.mightContain(bf, col("text")).as("maybe"))
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    )
+
   /** Materialized BYTE-LEVEL BPE merge table — a trained tokenizer is an
     * offline artifact exactly like an IVF index (production trains once
     * and ships the merges; every budget/packing/manifest pass then only
@@ -615,9 +634,12 @@ object LlmQueries {
     }),
 
     // D1 audit twin: the sketch's short-circuit and false-positive story
-    // as one stats row. Sketch-dependent counts → rows-only; laws (no
+    // as one stats row. Oracle: artifact-backed — the per-key bloom
+    // verdicts are materialized ([[bloomVerdictsFor]]) and DuckDB replays
+    // the classification join + every count + the fp rate; laws (no
     // false negatives, fp bound, anti-join equivalence) in BloomDedupSpec.
     "d1_bloom_audit" -> ((s, sf) => {
+      bloomVerdictsFor(s, sf) // oracle artifact
       val docs = Tables.documents(s, sf)
       graft.operators.BloomDedup
         .auditStats(
@@ -3404,9 +3426,11 @@ object LlmQueries {
     // maximal subgraph where every doc keeps ≥2 similar neighbors:
     // mutually-confirming duplicate clusters (cliques/cycles) with the
     // chain-of-coincidence edges peeled away (operators/KCore.scala,
-    // synchronous shell peeling, checkpointed rounds). Iterative
-    // fixpoint → no SQL twin → rows-only; definition/maximality/
-    // determinism laws vs a brute-force reference in KCoreSpec.
+    // synchronous shell peeling, checkpointed rounds). Oracle: the peel
+    // unrolls over the materialized edge artifact (40 CTE layers ≫ the
+    // fixture's convergence depth — an unconverged unroll hash-fails
+    // loudly); definition/maximality/determinism laws vs a brute-force
+    // reference in KCoreSpec.
     "d9_kcore" -> ((s, sf) => {
       val edges = s.read.parquet(neardupEdgesFor(s, sf)) // offline graph build
       KCore
@@ -3592,8 +3616,9 @@ object LlmQueries {
     // 512-token bins with minimal padding waste (FFD ≤ 11/9·OPT vs
     // next-fit's 2·OPT). Hash-bounded sub-groups keep per-task FFD state
     // shard-sized at any corpus scale; pack keys are hierarchical
-    // (slice/sub/local). Loop-carried bin state → no SQL twin →
-    // rows-only; conservation / capacity / beats-sequential /
+    // (slice/sub/local). Oracle: the portable shuffle key + a recursive
+    // CTE that folds the loop-carried bin state replay FFD exactly in
+    // SQL; conservation / capacity / beats-sequential /
     // partitioning-independence laws in MixtureSpec.
     "d7_ffd_packing" -> ((s, sf) => {
       val docs = Tables
@@ -4177,10 +4202,54 @@ object LlmQueries {
             SELECT u.n2, reach.m FROM reach JOIN und u ON u.n1 = reach.node)
           SELECT node AS vec_id, min(m) AS cluster FROM reach GROUP BY node ORDER BY vec_id""")
 
+    // 2-core peeling over the materialized edge artifact, UNROLLED: each
+    // layer drops edges touching a node of degree < 2 and recomputes
+    // degrees; 40 layers ≫ the fixture's convergence depth, and an
+    // unconverged unroll hash-FAILS loudly (never silently passes). Same
+    // unrolled-fixpoint discipline as the pagerank/label-prop oracles.
+    val kcore = pathOf("neardupedges30").map { e =>
+      val head =
+        s"""e0 AS MATERIALIZED (
+              SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+              FROM read_parquet('$e/*.parquet')
+              WHERE doc_a <> doc_b AND doc_a IS NOT NULL AND doc_b IS NOT NULL)"""
+      val rounds = (0 until 40).map { i =>
+        s"""b$i AS MATERIALIZED (
+              SELECT n FROM (SELECT n, count(*) AS deg FROM (
+                SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY n)
+              WHERE deg < 2),
+            e${i + 1} AS MATERIALIZED (
+              SELECT u, v FROM e$i
+              WHERE u NOT IN (SELECT n FROM b$i) AND v NOT IN (SELECT n FROM b$i))"""
+      }
+      "d9_kcore" -> ((head +: rounds).mkString("WITH ", ", ", "") +
+        """
+        SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+          SELECT u AS n FROM e40 UNION ALL SELECT v FROM e40) GROUP BY n ORDER BY doc_id""")
+    }
+
+    // Bloom audit: the per-key probe verdicts are the artifact; the
+    // classification join against the corpus key set and every count /
+    // the fp rate replay in SQL.
+    val bloom = pathOf("d1bloom").map(p => "d1_bloom_audit" ->
+      s"""WITH f AS (SELECT k, maybe FROM read_parquet('$p/*.parquet')),
+          ck AS (SELECT DISTINCT text AS ck FROM documents WHERE doc_id % 2 = 0),
+          j AS (SELECT f.maybe, ck.ck IS NOT NULL AS dup
+                FROM f LEFT JOIN ck ON f.k = ck.ck)
+          SELECT CAST(count(*) AS BIGINT) AS shard_total,
+            CAST(sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS definite_new,
+            CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS candidates,
+            CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+            CAST(sum(CASE WHEN maybe AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS false_positives,
+            round(CAST(sum(CASE WHEN maybe AND NOT dup THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fp_rate
+          FROM j""")
+
     (ivf ++ ivfF ++ ivfQ ++ pq ++ ivfpq ++ opq ++ lsh ++ report ++
       pca ++ kmeansCc ++ labelProp ++ pagerank ++ drift ++
       d0prep ++ d0incr ++ d0full ++ procrustes ++
-      d2mh ++ d2oph ++ d2sh ++ d2fd ++ d2so ++ d9lsh).toMap
+      d2mh ++ d2oph ++ d2sh ++ d2fd ++ d2so ++ d9lsh ++ kcore ++ bloom).toMap
   }
 
   /** Shared tail of the d0 oracles — rule gates + enrichment over a CTE
@@ -5357,6 +5426,50 @@ object LlmQueries {
          CROSS JOIN oov
          GROUP BY d.doc_id
          ORDER BY d.doc_id""",
+    // FFD packing replayed EXACTLY: the sub-group key is portable modular
+    // arithmetic (Mixture.shuffleKey/shuffleBucket — no xxhash anywhere),
+    // and the loop-carried bin state folds through a recursive CTE that
+    // advances every (slice, sub) group one item per level, carrying each
+    // group's remaining-capacity list; first-fit picks the lowest index
+    // whose residual fits, exactly the operator's ArrayBuffer loop.
+    "d7_ffd_packing" ->
+      """WITH RECURSIVE base AS (
+           SELECT CAST(source AS VARCHAR) AS slice, doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS BIGINT) AS n_tok,
+             ((doc_id % 1000000007) * 2654435761) % 4294967296 AS key
+           FROM documents),
+         items AS (
+           SELECT slice, (key * 2) // 4294967296 AS sub, doc_id, n_tok,
+             row_number() OVER (PARTITION BY slice, (key * 2) // 4294967296
+                                ORDER BY n_tok DESC, doc_id) AS rn
+           FROM base),
+         grp AS (SELECT DISTINCT slice, sub FROM items),
+         ffd(slice, sub, rn, bin, rem) AS (
+           SELECT slice, sub, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+           FROM grp
+           UNION ALL
+           SELECT slice, sub, rn,
+             CASE WHEN fit IS NULL THEN CAST(len(rem) AS BIGINT) ELSE fit - 1 END,
+             CASE WHEN fit IS NULL THEN list_append(rem, greatest(512 - tok, 0))
+                  ELSE list_transform(range(1, len(rem) + 1),
+                         x -> CASE WHEN x = fit THEN rem[x] - tok ELSE rem[x] END)
+             END
+           FROM (
+             SELECT f.slice, f.sub, i.rn, i.n_tok AS tok, f.rem,
+               list_filter(range(1, len(f.rem) + 1), x -> f.rem[x] >= i.n_tok)[1] AS fit
+             FROM ffd f JOIN items i
+               ON i.slice = f.slice AND i.sub = f.sub AND i.rn = f.rn + 1) st),
+         asg AS (
+           SELECT i.slice, i.sub, i.doc_id, i.n_tok, f.bin
+           FROM items i JOIN ffd f
+             ON f.slice = i.slice AND f.sub = i.sub AND f.rn = i.rn)
+         SELECT slice,
+           slice || '/' || CAST(sub AS VARCHAR) || '/' || CAST(bin AS VARCHAR) AS pack_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           bool_or(n_tok > 512) AS has_oversize
+         FROM asg GROUP BY slice, sub, bin
+         ORDER BY slice, pack_key""",
     "d7_dsir_select" ->
       """WITH toks AS (
            SELECT doc_id,

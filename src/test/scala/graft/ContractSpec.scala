@@ -25,16 +25,13 @@ class ContractSpec extends AnyFunSuite {
     "c12_approx_distinct",
     "c12_hll_shard_merge",
     "c31_sample",
-    "d1_bloom_audit",
     "d5_bpe_bytes",
     "d5_bpe_encode",
     "d5_bpe_train",
     "d5_heavy_hitters",
     "d7_bpe_budget",
-    "d7_ffd_packing",
     "d8_image_phash",
-    "d8_image_resize",
-    "d9_kcore")
+    "d8_image_resize")
 
   /** Queries whose oracle is ARTIFACT-BACKED (LlmQueries.indexOracleSql):
     * emitted only after the session materialized the index/model/edge
@@ -43,6 +40,8 @@ class ContractSpec extends AnyFunSuite {
     * JVM. Pinned separately so a typo'd key still fails here. */
   private val artifactOracles: Set[String] = Set(
     "c38_cdc_partitions",  // manifest-parquet aggregate (partitionsOracleSql)
+    "d1_bloom_audit",      // per-key bloom verdicts (bloomVerdictsFor)
+    "d9_kcore",            // unrolled peel over the edge artifact
     "d0_corpus_prep",      // near-dup loser-id artifact (d0LosersFor)
     "d0_corpus_prep_full", // train-slice loser-id artifact
     "d0_corpus_prep_incr", // cross-store + within-shard loser artifact
