@@ -614,9 +614,15 @@ object Cdc {
             .maxOption
           val floor = fedMax.getOrElse(committed.min)
           committed.filter(w => w > floor && w <= v).foreach { w =>
-            val pw = committed.filter(_ < w).max
-            changesBetweenCdf(spark, storePath, pw, w, keys)
-              .write.mode("overwrite").parquet(s"$fp/v=$w")
+            // no retained parent to diff against (a vacuum without
+            // feedPath pruned manifests past the feed's high-water mark):
+            // skip — that era's CDF is unrecoverable and consumers behind
+            // it must bootstrap from the snapshot, which the tail's
+            // retention law already tells them loudly
+            committedVersionsParent(committed, w).foreach { pw =>
+              changesBetweenCdf(spark, storePath, pw, w, keys)
+                .write.mode("overwrite").parquet(s"$fp/v=$w")
+            }
           }
         }
         if (vacuumEvery > 0 && id % vacuumEvery == 0)
@@ -631,6 +637,10 @@ object Cdc {
         if (compactFeedEvery > 0 && id % compactFeedEvery == 0)
           for (fp <- feedPath) compactFeed(spark, fp, feedSegmentSize)
       }
+
+  /** The newest committed version strictly below `w`, if any retained. */
+  private def committedVersionsParent(committedSorted: Seq[Long], w: Long): Option[Long] =
+    committedSorted.filter(_ < w).lastOption
 
   /** The batch→version reservation behind [[maintainPartitionedSnapshot]]:
     * one tiny file per micro-batch id under `checkpoint/graft-versions/`,
@@ -654,30 +664,63 @@ object Cdc {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val f = new Path(dir, id.toString)
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val b   = new Array[Byte](64)
-        var n   = in.read(b)
-        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
-        java.lang.Long.parseLong(
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    } else {
-      val committed = manifestVersions(spark, storePath)
-      val v = math.max(id, committed.maxOption.map(_ + 1L).getOrElse(id))
-      val tmp = new Path(dir, s".${id}_tmp")
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, f)) {
-        // a concurrent replay attempt won the rename — serve ITS value
+    var renameFailures = 0
+    while (true) {
+      if (fs.exists(f)) {
+        val in = fs.open(f)
+        val v =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b   = new Array[Byte](64)
+            var n   = in.read(b)
+            while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+            java.lang.Long.parseLong(
+              new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+          } finally in.close()
+        // STALE-RESERVATION heal: if this batch crashed BETWEEN reserving
+        // and committing, an out-of-band CAS commit (split, compaction,
+        // DML) may have legitimately taken the reserved slot in the
+        // meantime. That case is provable — our own streaming commit
+        // never lands `_schema.ddl` inside the manifest dir, commitCas
+        // always does — and nothing of ours is at v (a committed batch
+        // would hold the slot WITHOUT the marker), so re-reserving past
+        // it is safe and un-wedges the stream; without this the replay
+        // would hit the mixed-mode guard's loud refusal forever.
+        val taken = manifestVersions(spark, storePath).contains(v) &&
+          fs.exists(new Path(s"${manifestPath(storePath)}/v=$v/_schema.ddl"))
+        if (!taken) return v
+        fs.delete(f, false)
+      } else {
+        val committed = manifestVersions(spark, storePath)
+        val v = math.max(id, committed.maxOption.map(_ + 1L).getOrElse(id))
+        val tmp = new Path(dir, s".${id}_tmp")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, f)) {
+          // Retention: Spark replays at most the CURRENT batch id (the
+          // checkpoint committed through id−1 before id ever ran), so
+          // older reservations are dead — prune them or a long-running
+          // stream accumulates one file per epoch forever.
+          fs.listStatus(dir).foreach { st =>
+            val n = st.getPath.getName
+            if (n.forall(_.isDigit) && n.toLong < id) fs.delete(st.getPath, false)
+          }
+          return v
+        }
         fs.delete(tmp, false)
-        return reservedVersion(spark, checkpoint, storePath, id)
+        renameFailures += 1
+        // loop once more: a concurrent replay attempt winning the rename
+        // is the expected cause (its value is now readable); a filesystem
+        // that keeps failing renames WITHOUT producing the file must
+        // surface, not recurse forever
+        if (renameFailures >= 3 && !fs.exists(f))
+          throw new java.io.IOException(
+            s"version reservation rename kept failing for batch $id under $dir " +
+              "with no concurrent winner — filesystem refuses renames?")
       }
-      v
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One micro-batch of [[maintainPartitionedSnapshot]], exposed for

@@ -114,15 +114,22 @@ object Ivm {
     * one that starts mid-stream. Throws if no delta exists yet (the
     * view's schema is data-defined). */
   def readDeltas(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
-    val dir = new java.io.File(storePath)
-    val deltas = Option(dir.listFiles())
-      .getOrElse(Array.empty)
-      // a crash mid-write leaves a delta= directory without Spark's
-      // _SUCCESS marker: reading it would fold a torn partial delta into
-      // the view; the checkpoint replays that batch and overwrites it
-      .filter(f => f.isDirectory && f.getName.startsWith("delta=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.toString)
+    // Hadoop FS listing, not java.io.File: the store may live on any
+    // scheme (hdfs://, s3a://) — a java.io listing would see an empty
+    // dir there and throw below despite committed deltas existing.
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas =
+      if (!fs.exists(root)) Array.empty[String]
+      else
+        fs.listStatus(root)
+          // a crash mid-write leaves a delta= directory without Spark's
+          // _SUCCESS marker: reading it would fold a torn partial delta
+          // into the view; the checkpoint replays that batch and
+          // overwrites it
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.toString)
     if (deltas.isEmpty)
       throw new IllegalStateException(s"no committed deltas under $storePath")
     spark.read.parquet(deltas.toIndexedSeq: _*)

@@ -115,10 +115,15 @@ object CoreQueries {
   /** Session-artifact MoR store served through the catalog (the DSv2
     * fold path) — built once per sf, registered with `morDml = true`. */
   private val morTables = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** The MoR store's on-disk location for `sf` — ONE definition shared by
+    * the builder and [[partitionsOracleSql]] (a drifted duplicate would
+    * point the oracle at a stale or nonexistent directory). */
+  private def morStorePath(sf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
+      sf.replaceAll("[^A-Za-z0-9._-]", "_")
   private def morTableFor(s: SparkSession, sf: String): String =
     morTables.getOrElseUpdate(sf, {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
-        sf.replaceAll("[^A-Za-z0-9._-]", "_")
+      val store = morStorePath(sf)
       val p = new org.apache.hadoop.fs.Path(store)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       buildMorStore(s, sf, store)
@@ -2073,9 +2078,12 @@ object CoreQueries {
     "c38_cdc_timetravel_ts" -> ((s, sf) => {
       val (stateTbl, _) = spjTablesFor(s, sf)
       val v0ms = Cdc.versionCommitTimes(s, cdcStoreFor(s, sf)).toMap.apply(0L)
+      // offset-qualified literal (UTC): a zone-less local string would be
+      // AMBIGUOUS during a DST fall-back hour in the session timezone and
+      // could resolve an hour early — off the v0 commit entirely
       val ts = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
-        .withZone(java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSxxx")
+        .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochMilli(v0ms))
       s.sql(s"SELECT * FROM $stateTbl TIMESTAMP AS OF '$ts'").orderBy("c_custkey")
     }),
@@ -2551,8 +2559,7 @@ object CoreQueries {
   private def partitionsOracleSql: Map[String, String] =
     if (morTables.size != 1) Map.empty
     else {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_cdcmor_" +
-        morTables.keys.head.replaceAll("[^A-Za-z0-9._-]", "_")
+      val store = morStorePath(morTables.keys.head)
       val m = s"read_parquet('$store/manifest/v=*/*.parquet', hive_partitioning=1)"
       Map("c38_cdc_partitions" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS buckets,

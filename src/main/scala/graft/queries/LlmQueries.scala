@@ -292,6 +292,12 @@ object LlmQueries {
   private val neardupOphParams = Dedup.MinHashParams(jaccardThreshold = 0.3, useOph = true)
   private val fuzzyDecontamParams =
     Dedup.MinHashParams(numHashes = 32, numBands = 16, jaccardThreshold = 0.5)
+  private val simhashMaxHamming   = 10
+  private val simhashBlockBits    = 20
+  private val semLshThreshold     = 0.3
+  private val semLshBits          = 2
+  private val semLshTables        = 4
+  private val sourceOverlapHashes = 32
 
   /** Materialized LSH band-bucket rows (doc_id, band, bucket — text-free,
     * post-cap) of the near-dup detectors: the xxhash-determined HALF of
@@ -329,7 +335,7 @@ object LlmQueries {
           .filter(_._2 != null)
           .map { case (id, text) => (id, TextOps.simHash64(TextOps.tokenHashesJvm(text))) }
           .toDF("id", "sh")
-          .withColumn("blk", shiftrightunsigned(col("sh"), 64 - 20))
+          .withColumn("blk", shiftrightunsigned(col("sh"), 64 - simhashBlockBits))
           .write.mode("overwrite").parquet(path)
         path
       }
@@ -372,7 +378,7 @@ object LlmQueries {
           .as[(String, String)]
           .filter(_._2 != null)
           .map { case (src, t) =>
-            (src, TextOps.minHashSignature64(TextOps.shingleHashesJvm(t, 3), 32))
+            (src, TextOps.minHashSignature64(TextOps.shingleHashesJvm(t, 3), sourceOverlapHashes))
           }
           .toDF("source", "sig")
           .write.mode("overwrite").parquet(path)
@@ -391,7 +397,8 @@ object LlmQueries {
         SimilarityJoin
           .lshBucketRows(
             Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
-            col("vec_id"), col("embedding"), dim = 64, nbits = 2, tables = 4)
+            col("vec_id"), col("embedding"), dim = 64,
+            nbits = semLshBits, tables = semLshTables)
           .select(col("id"), col("t"), col("key"))
           .write.mode("overwrite").parquet(path)
         path
@@ -754,7 +761,7 @@ object LlmQueries {
       simhashFor(s, sf) // oracle artifact
       Dedup
         .simHashPairs(Tables.documents(s, sf), col("doc_id"), col("text"),
-          maxHamming = 10, blockBits = 20)
+          maxHamming = simhashMaxHamming, blockBits = simhashBlockBits)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2663,7 +2670,7 @@ object LlmQueries {
         .lshSelfJoinThreshold(
           Tables.embeddings(s, sf).filter(col("vec_id") % 10 === 0),
           col("vec_id"), col("embedding"),
-          dim = 64, threshold = 0.3, nbits = 2, tables = 4)
+          dim = 64, threshold = semLshThreshold, nbits = semLshBits, tables = semLshTables)
         .select(col("id_a"), col("id_b"))
       Dedup
         .connectedComponents(pairs)
@@ -4147,15 +4154,17 @@ object LlmQueries {
                           JOIN ts bb ON cand.doc_b = bb.doc_id)
           SELECT doc_a, doc_b, round(j, 9) AS jaccard FROM v
           WHERE j >= $tau ORDER BY doc_a, doc_b"""
-    val d2mh  = pathOf("d2mh").map(p => "d2_neardup_minhash" -> neardupOracle(p, 0.3))
-    val d2oph = pathOf("d2oph").map(p => "d2_neardup_oph" -> neardupOracle(p, 0.3))
+    val d2mh = pathOf("d2mh").map(p =>
+      "d2_neardup_minhash" -> neardupOracle(p, neardupParams.jaccardThreshold))
+    val d2oph = pathOf("d2oph").map(p =>
+      "d2_neardup_oph" -> neardupOracle(p, neardupOphParams.jaccardThreshold))
 
     val d2sh = pathOf("d2sh").map(p => "d2_simhash" ->
       s"""WITH h AS (SELECT id, sh, blk FROM read_parquet('$p/*.parquet'))
           SELECT l.id AS doc_a, r.id AS doc_b,
             CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
           FROM h l JOIN h r ON l.blk = r.blk AND l.id < r.id
-          WHERE bit_count(xor(l.sh, r.sh)) <= 10
+          WHERE bit_count(xor(l.sh, r.sh)) <= $simhashMaxHamming
           ORDER BY doc_a, doc_b""")
 
     val d2fd = pathOf("d2fd").map(p => "d2_fuzzy_decontam" ->
@@ -4171,7 +4180,7 @@ object LlmQueries {
                           JOIN ts bb ON cand.eval_id = bb.doc_id),
           best AS (SELECT train_id, eval_id, j,
                      row_number() OVER (PARTITION BY train_id ORDER BY j DESC, eval_id) AS rn
-                   FROM v WHERE j >= 0.5)
+                   FROM v WHERE j >= ${fuzzyDecontamParams.jaccardThreshold})
           SELECT train_id, eval_id, round(j, 9) AS jaccard FROM best
           WHERE rn = 1 ORDER BY train_id""")
 
@@ -4180,8 +4189,8 @@ object LlmQueries {
           slots AS (SELECT source, generate_subscripts(sig, 1) AS slot, unnest(sig) AS v FROM sg),
           sk AS (SELECT source, slot, min(v) AS mv FROM slots GROUP BY source, slot)
           SELECT a.source AS src_a, b.source AS src_b,
-            round(CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 9)
-              AS est_overlap
+            round(CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE)
+                  / $sourceOverlapHashes.0, 9) AS est_overlap
           FROM sk a JOIN sk b ON a.slot = b.slot AND a.source < b.source
           GROUP BY a.source, b.source ORDER BY src_a, src_b""")
 
@@ -4193,7 +4202,7 @@ object LlmQueries {
                    ON l.t = r.t AND l.key = r.key AND l.id < r.id),
           pairs AS (SELECT id_a, id_b FROM cand
                     JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id
-                    WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+                    WHERE ${cosSql("a.v", "b.v")} >= $semLshThreshold),
           nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
           und AS (SELECT id_a AS n1, id_b AS n2 FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
           reach(node, m) AS (
