@@ -2025,6 +2025,20 @@ object CoreQueries {
           sum(col("rows")).as("counted_rows"))
     }),
 
+    // C38b-plan: the MAINTENANCE PLAN as a dashboard row set — the
+    // buckets a planner-driven compaction (Cdc.planMaintenance →
+    // maintainStore) would rewrite right now, one row per dirty bucket
+    // with its pending depth and lazy-split marker, read pure-metadata
+    // from x$partitions. Oracle: the same committed-manifest parquet
+    // aggregate as c38_cdc_partitions, row-granular.
+    "c38_cdc_maint_plan" -> ((s, sf) => {
+      val base = morTableFor(s, sf).stripPrefix("graft.")
+      s.table(s"graft.`$base$$partitions`")
+        .filter(col("delta_depth") > 0 || col("base_mod").isNotNull)
+        .select(col("_bucket"), col("delta_depth"), col("base_mod"))
+        .orderBy("_bucket")
+    }),
+
     // C38c: the CHANGE FEED between two versions of the partitioned store
     // (Delta CDF shape) — every key whose row differs between v0 and v1,
     // classified I/U/D, emitted as-at v1 (I/U) or as-at v0 (D). The scan
@@ -2570,7 +2584,15 @@ object CoreQueries {
               CAST(sum(CASE WHEN _rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS counted_buckets,
               CAST(sum(_rows) AS BIGINT) AS counted_rows
             FROM $m
-            WHERE CAST(v AS BIGINT) = (SELECT max(CAST(v AS BIGINT)) FROM $m)""")
+            WHERE CAST(v AS BIGINT) = (SELECT max(CAST(v AS BIGINT)) FROM $m)""",
+        "c38_cdc_maint_plan" ->
+          s"""SELECT CAST(_bucket AS INTEGER) AS _bucket,
+                CAST(len(_deltas) AS INTEGER) AS delta_depth,
+                CAST(_basemod AS INTEGER) AS base_mod
+              FROM $m
+              WHERE CAST(v AS BIGINT) = (SELECT max(CAST(v AS BIGINT)) FROM $m)
+                AND (len(_deltas) > 0 OR _basemod IS NOT NULL)
+              ORDER BY _bucket""")
     }
 
   private val staticSql: Map[String, String] = Map(

@@ -39,6 +39,7 @@ class ContractSpec extends AnyFunSuite {
     * driver's gate hash-checks them, but NOT in this artifact-free test
     * JVM. Pinned separately so a typo'd key still fails here. */
   private val artifactOracles: Set[String] = Set(
+    "c38_cdc_maint_plan",  // manifest-parquet dirty rows (partitionsOracleSql)
     "c38_cdc_partitions",  // manifest-parquet aggregate (partitionsOracleSql)
     "d1_bloom_audit",      // per-key bloom verdicts (bloomVerdictsFor)
     "d9_kcore",            // unrolled peel over the edge artifact
