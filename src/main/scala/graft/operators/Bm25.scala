@@ -31,8 +31,22 @@ object Bm25 {
       queryTerms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75
+  ): DataFrame =
+    scoreTokenized(
+      docs.select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks")),
+      queryTerms, k1, b)
+
+  /** [[score]] over a PRE-TOKENIZED (doc_id, toks) frame — the shape a
+    * caller that scores the same corpus repeatedly (pseudo-relevance
+    * feedback, query panels) wants: tokenize once, checkpoint, score many
+    * times (guide §1.2 — don't recompute what a pass already produced).
+    * Identical math to [[score]]; `score` IS this on an inline tokenize. */
+  def scoreTokenized(
+      toks: DataFrame, // (doc_id long, toks array<string>)
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
   ): DataFrame = {
-    val toks = docs.select(idCol.cast("long").as("doc_id"), TextOps.tokens(textCol).as("toks"))
     val stats = toks.agg(
       count(lit(1)).as("n_docs"),
       avg(size(col("toks")).cast("double")).as("avgdl"))

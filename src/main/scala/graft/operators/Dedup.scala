@@ -677,9 +677,16 @@ object Dedup {
   ): DataFrame = {
     require(k >= 2, s"span shingle size must be >= 2, got $k")
     val emptySpans = slice(array(struct(lit(0).as("s"), lit(0).as("e"))), 1, 0)
-    val toks = df.select(
-      idCol.cast("long").as("doc_id"),
-      TextOps.tokens(textCol).as("toks"))
+    // r21 (guide §2.5): window generation (per-window slice+hash) and the
+    // rebuild's lambda algebra are CPU-bound narrow maps over this frame;
+    // a 1-partition input (single-row-group fixture, or an AQE-coalesced
+    // upstream) serializes them on one core. Adaptive: no-op when the
+    // input is already split.
+    val toks = graft.tables.Tables.rebalanceForCpuBy(
+      df.select(
+        idCol.cast("long").as("doc_id"),
+        TextOps.tokens(textCol).as("toks")),
+      col("doc_id"))
     // Every k-token window: (doc_id, pos, gram-hash). Docs shorter than k
     // tokens have no windows and flow straight to the rebuild join.
     val wins = toks

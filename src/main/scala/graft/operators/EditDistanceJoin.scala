@@ -66,9 +66,16 @@ object EditDistanceJoin {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val strs = df
-      .select(idCol.cast("long").as("id"), strCol.cast("string").as("s"))
-      .filter(col("s").isNotNull)
+    // r21 (guide §2.5): adaptive rebalance — the JVM key-generation loops
+    // below (O(k²) probe keys per string) and the banded levenshtein
+    // verify all inherit this frame's partitioning; a 1-partition scan
+    // (single-row-group fixture) serialized them on one core. No-op on
+    // well-split inputs.
+    val strs = graft.tables.Tables
+      .rebalanceForCpuBy(
+        df.select(idCol.cast("long").as("id"), strCol.cast("string").as("s"))
+          .filter(col("s").isNotNull),
+        col("id"))
       .withColumn("len", length(col("s")))
 
     // Segment geometry for a string of length lb, slot i (0-based):

@@ -48,39 +48,57 @@ object PageRank {
     val e = edges
       .select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .localCheckpoint() // edges re-read every round: materialize once
+    // r21 (guide §1.2 algorithm, §2.4 remove shuffles): the old loop paid
+    // TWO extra executions of the ranks⋈outDeg join per round — a
+    // separate driver `.head()` action just for the dangling-mass scalar,
+    // and the same join re-evaluated inside the next-rank plan — plus it
+    // let 3 rounds of lineage pile up between checkpoints, so rounds 2-3
+    // re-executed their predecessors' joins again for the dangling action.
+    // Restructured: (a) the vertex frame carries the STATIC out-degree, so
+    // the per-round dangling mass is a filter+agg on the checkpointed rank
+    // frame (no join, and it rides the plan as a broadcast scalar via
+    // crossJoin instead of a per-round driver action); (b) each round is
+    // ONE eager localCheckpoint action executing the round's join+agg
+    // exactly once. Ranks are bit-identical: the decimal sums, the
+    // decimal→double casts and the double arithmetic are the same ops in
+    // the same order (PageRankSpec + the DuckDB oracle pin this).
     val vertices = e.select(col("src").as("v"))
-      .unionByName(e.select(col("dst").as("v"))).distinct().localCheckpoint()
-    val n = vertices.count()
-    // Out-degree per source; vertices absent here are dangling.
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    // Out-degree per vertex; deg NULL = dangling. Static across rounds.
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = vertices
+      .join(outDeg, vertices("v") === outDeg("src"), "left_outer")
+      .select(col("v"), col("deg"))
+      .localCheckpoint()
+    val n = verts.count()
 
-    var ranks = vertices.select(col("v"), lit(1.0).as("rank"))
+    var ranks = verts.select(col("v"), col("deg"), lit(1.0).as("rank")).localCheckpoint()
     var it    = 0
     while (it < iterations) {
-      val withDeg = ranks.join(outDeg, ranks("v") === outDeg("src"), "left_outer")
       // Mass parked on dangling vertices this round — redistributed
-      // uniformly (one scalar to the driver, decimal-exact).
-      val dangling = withDeg
+      // uniformly (decimal-exact sum, divided in double exactly like the
+      // old driver-side `dangling / n`).
+      val dangling = ranks
         .filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec)).as("m"))
-        .head().getDecimal(0).doubleValue()
-      val contribs = withDeg
+        .select((col("m").cast("double") / lit(n.toDouble)).as("dm"))
+      val contribs = ranks
         .filter(col("deg").isNotNull)
-        .join(e, Seq("src"))
+        .join(e, ranks("v") === e("src"))
         .select(col("dst").as("v"), (col("rank") / col("deg")).cast(dec).as("c"))
         .groupBy(col("v"))
         .agg(sum(col("c")).as("csum"))
-      val next = vertices
+      val next = verts
         .join(contribs, Seq("v"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(
           col("v"),
+          col("deg"),
           (lit(1.0 - damping) +
             lit(damping) *
-            (coalesce(col("csum"), lit(0).cast(dec)).cast("double") + lit(dangling / n)))
+            (coalesce(col("csum"), lit(0).cast(dec)).cast("double") + col("dm")))
             .as("rank"))
-      ranks = if ((it + 1) % checkpointEvery == 0 || it == iterations - 1) {
-        next.localCheckpoint()
-      } else next
+      ranks = next.localCheckpoint()
       it += 1
     }
     ranks.select(col("v"), col("rank"))

@@ -728,8 +728,13 @@ object CoreQueries {
     // corr/covar_samp are FP-order-dependent; the moment formula is
     // deterministic and identical on both engines.
     "c10_agg_corr" -> ((s, sf) =>
+      // r21 (guide §2.5): the single-row-group fixture scans as ONE
+      // partition, so the decimal-exact partial aggregation ran on one
+      // core (profiled taskSec ≈ wall). Adaptive rebalance parallelizes
+      // the partials; decimal sums are order-independent-exact, so the
+      // result is bit-identical (oracle pins it). No-op at real scale.
       Tables
-        .lineitem(s, sf)
+        .rebalanceForCpuBy(Tables.lineitem(s, sf), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
@@ -1852,8 +1857,12 @@ object CoreQueries {
     // (the profile is the ground truth the HLL path approximates —
     // c12_approx_distinct is the scale tier).
     "c37_analyze_stats" -> ((s, sf) =>
+      // r21 (guide §2.5): 4 countDistincts expand rows 4× through the
+      // aggregate — all on the 1-partition scan's single core before
+      // this rebalance (no-op at real scale; min/max/count/ndv are
+      // partitioning-independent).
       Tables
-        .lineitem(s, sf)
+        .rebalanceForCpuBy(Tables.lineitem(s, sf), col("l_orderkey"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("l_quantity").isNull.cast("long")).as("null_q"),

@@ -333,9 +333,13 @@ object EventQueries {
     // narrow flatMap. DuckDB reproduces the planted table exactly.
     "a11_kpl_deaggregate" -> ((s, sf) => {
       import s.implicits._
+      // r21 (guide §2.5 input under-partitioning): the fixture is one
+      // parquet row group → a 1-partition scan, and the protobuf
+      // aggregate build + md5 + deagg walk all serialized on one core
+      // (profiled taskSec ≈ wall). Adaptive rebalance: no-op on
+      // well-split inputs, parallelizes the codec-bound map here.
       val aggs = Tables
-        .events(s, sf)
-        .select(col("event_id"))
+        .rebalanceForCpuBy(Tables.events(s, sf).select(col("event_id")), col("event_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
           val recs = (0 until 3).map { i =>
@@ -363,9 +367,10 @@ object EventQueries {
     // the deagg walk is transport-agnostic.
     "a11_kpl_transport" -> ((s, sf) => {
       import s.implicits._
+      // r21: same adaptive rebalance as a11_kpl_deaggregate (codec-bound
+      // narrow map on a 1-partition scan).
       val lines = Tables
-        .events(s, sf)
-        .select(col("event_id"))
+        .rebalanceForCpuBy(Tables.events(s, sf).select(col("event_id")), col("event_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
           val recs = (0 until 3).map { i =>

@@ -45,6 +45,24 @@ object Tables {
     if (parts * 2 < target) df.repartition(target) else df
   }
 
+  /** [[rebalanceForCpu]] keyed on a (near-)unique column: HASH
+    * partitioning instead of round-robin, which skips the deterministic
+    * per-partition pre-sort every keyless `repartition(n)` pays
+    * (`spark.sql.execution.sortBeforeRepartition`, needed so retried
+    * round-robin tasks reproduce their row→partition assignment — hash
+    * partitioning is deterministic by construction, guide §2.5). Measured
+    * r21: the pre-sort of a 600k-row fixture partition cost more than the
+    * single-core aggregation it parallelized (c12_approx_distinct 1.5 →
+    * 3.1 s keyless, 1.1 s keyed). The key must be high-cardinality
+    * (20-100× the partition count) or the hash spread itself skews. */
+  def rebalanceForCpuBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark  = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.isStreaming) return df
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts * 2 < target) df.repartition(target, key) else df
+  }
+
   def region(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "region")
   def nation(spark: SparkSession, sf: String): DataFrame   = table(spark, sf, "nation")
   def customer(spark: SparkSession, sf: String): DataFrame = table(spark, sf, "customer")
