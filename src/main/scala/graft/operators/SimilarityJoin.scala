@@ -125,10 +125,22 @@ object SimilarityJoin {
       queries: DataFrame, // (qid, qvec array<double>)
       k: Int
   ): DataFrame = {
-    val scored = emb
+    // r21 (guide §2.5): WindowGroupLimit prunes the rank ≤ k filter to a
+    // per-partition top-k BEFORE the qid exchange — but on a 1-partition
+    // corpus scan (single-row-group fixture) that "per-partition top-k"
+    // was a single-core pass over the FULL |corpus|×|queries| cross
+    // product (the r21 sf1 soak measured d3_knn_eval at 81× per 10×
+    // rows: 40M scored rows sorted on one core). Adaptive keyed
+    // rebalance splits the corpus first, so scoring and the group-limit
+    // prune parallelize and the exchange carries ≤ partitions·|q|·k
+    // rows. No-op on well-split inputs; row_number ties on
+    // (cos desc, vec_id) are partitioning-independent.
+    val scored = graft.tables.Tables
+      .rebalanceForCpuBy(emb.select(idCol.as("__id"), vecCol.as("__vec")), col("__id"))
       .crossJoin(broadcast(queries))
-      .withColumn("cos", VectorOps.cosineNative(emb.sparkSession, VectorOps.asDouble(vecCol), col("qvec")))
-      .select(col("qid"), idCol.as("vec_id"), round(col("cos"), 9).as("cos"))
+      .withColumn("cos",
+        VectorOps.cosineNative(emb.sparkSession, VectorOps.asDouble(col("__vec")), col("qvec")))
+      .select(col("qid"), col("__id").as("vec_id"), round(col("cos"), 9).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))

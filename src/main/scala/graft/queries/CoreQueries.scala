@@ -479,13 +479,54 @@ object CoreQueries {
         .orderBy("r_name", "n_name")),
 
     // C7: theta (non-equi) join — broadcast nested loop on the small side.
-    "c07_join_theta" -> ((s, sf) =>
-      Tables
-        .supplier(s, sf)
-        .join(Tables.customer(s, sf), col("c_acctbal") > col("s_acctbal"))
+    // C7: theta (inequality) join — "how many customers out-balance each
+    // supplier". r21 (guide §1.2/§3): the literal form is a nested-loop
+    // over |S|×|C| pairs (the sf1 soak measured it 31× per 10× rows —
+    // quadratic, the one shape that cannot scale). Rewritten as the
+    // classic BANDED inequality join, result-identical:
+    //   bucket = floor(acctbal) — value-bounded (~11k buckets over the
+    //   TPC-H acctbal domain at ANY corpus size, a dimension table);
+    //   richer(s) = customers in strictly-higher buckets (suffix sum
+    //   over the bucket histogram, built over the union of both sides'
+    //   buckets so every supplier bucket resolves; the only window runs
+    //   over the value-bounded histogram) + the strict compare inside
+    //   s's own bucket (equi-join on bucket — Σ|S_b|·|C_b| pairs, never
+    //   |S|×|C|). floor(c) > floor(s) ⟹ c > s and floor(c) < floor(s)
+    //   ⟹ c ≤ s, so bucket routing loses nothing; equal buckets compare
+    //   exactly. Inner-join semantics kept: suppliers with zero richer
+    //   customers emit no row. Oracle (plain theta join in DuckDB)
+    //   unchanged — hash-equality pins the rewrite.
+    "c07_join_theta" -> ((s, sf) => {
+      val cust = Tables.customer(s, sf)
+        .filter(col("c_acctbal").isNotNull)
+        .select(col("c_acctbal"), floor(col("c_acctbal")).cast("long").as("b"))
+      val supp = Tables.supplier(s, sf)
+        .filter(col("s_acctbal").isNotNull)
+        .select(col("s_suppkey"), col("s_acctbal"), floor(col("s_acctbal")).cast("long").as("b"))
+      val hist = cust.select(col("b"), lit(1L).as("n"))
+        .unionByName(supp.select(col("b"), lit(0L).as("n")))
+        .groupBy(col("b"))
+        .agg(sum(col("n")).as("n"))
+      // suffix count: customers in buckets STRICTLY above b (histogram is
+      // value-bounded — this window is dimension-sized at any scale)
+      val wSuf = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)
+      val suffix = hist
+        .withColumn("n_gt", coalesce(sum(col("n")).over(wSuf), lit(0L)))
+        .select(col("b"), col("n_gt"))
+      val sameBucket = supp
+        .join(cust, Seq("b"))
+        .filter(col("c_acctbal") > col("s_acctbal"))
         .groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("richer_customers"))
-        .orderBy("s_suppkey")),
+        .agg(count(lit(1)).as("n_same"))
+      supp
+        .join(broadcast(suffix), Seq("b"))
+        .join(sameBucket, Seq("s_suppkey"), "left")
+        .select(
+          col("s_suppkey"),
+          (col("n_gt") + coalesce(col("n_same"), lit(0L))).as("richer_customers"))
+        .filter(col("richer_customers") > 0)
+        .orderBy("s_suppkey")
+    }),
 
     // C8: cross join (bounded 5×25 dims).
     "c08_join_cross" -> ((s, sf) =>
@@ -1090,7 +1131,20 @@ object CoreQueries {
         .map { case (name, k) =>
           val bounds = li.agg(min(col(k)).as("kmin"), max(col(k)).as("kmax"))
           li.crossJoin(broadcast(bounds))
-            .withColumn("file", expr(s"(($k - kmin) * $nFiles) div (kmax - kmin + 1)"))
+            // The ×nFiles long multiply overflowed under ANSI at sf1,
+            // where interleaved z values span ~2^62 (caught by the r21
+            // full-board sf1 soak). Branch per layout on the key range:
+            // long math when (range−1)·nFiles provably fits (every small
+            // sf — and decimal per-row math costs ~1.2 s at sf0.1, so
+            // the fast path matters), exact DECIMAL(38,0) floor-division
+            // otherwise. Both branches compute the identical bucket.
+            .withColumn("file",
+              expr(
+                s"""CASE WHEN kmax - kmin < ${Long.MaxValue / nFiles}L
+                      THEN (($k - kmin) * $nFiles) div (kmax - kmin + 1)
+                      ELSE CAST((CAST($k - kmin AS DECIMAL(38,0)) * $nFiles)
+                                div (kmax - kmin + 1) AS BIGINT)
+                    END"""))
             .groupBy(col("file"))
             .agg(
               min(col("lp")).as("min_p"), max(col("lp")).as("max_p"),
